@@ -1,0 +1,8 @@
+package graft.queries
+
+import graft.GQuery
+
+/** Placeholder — populated as SURVEY.md §2 coverage widens. */
+object RelationalQueries {
+  val all: Seq[GQuery] = Seq.empty
+}
