@@ -1,8 +1,120 @@
 package graft.queries
 
-import graft.GQuery
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
+import graft.stages.{Merge, StgToDds}
 
-/** Placeholder — populated as SURVEY.md §2 coverage widens. */
+/** SURVEY.md §2.1 source/sink semantics (S1/S4/S5/S6) as driver-checkable
+  * queries. The SCD rewrites run [[Merge]] against a deterministic synthetic
+  * increment derived from `customer` (FIXTURES.md §B role mapping), so the
+  * oracle can rebuild the same increment in SQL.
+  */
 object PipelineQueries {
-  val all: Seq[GQuery] = Seq.empty
+
+  /** Shared synthetic increment: every 10th customer gets a renamed SCD1
+    * update, every 100th also appears as a brand-new key (+10M offset).
+    */
+  private val incomingSql =
+    """SELECT c_custkey, upper(c_name) || '_V2' AS c_name
+       FROM customer WHERE c_custkey % 10 = 0
+       UNION ALL
+       SELECT c_custkey + 10000000 AS c_custkey, 'NEW_' || c_name AS c_name
+       FROM customer WHERE c_custkey % 100 = 0"""
+
+  private def incoming(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val updates = c.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), concat(upper(col("c_name")), lit("_V2")).as("c_name"))
+    val inserts = c.filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        concat(lit("NEW_"), col("c_name")).as("c_name"))
+    updates.unionByName(inserts)
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---- S1/O1: schema-on-read of an API-shaped JSON payload (load_couriers.py:31)
+    // The STG json_response is reconstructed identically in both engines
+    // (decimal-string money so double→string formatting never diverges),
+    // then parsed with the declared delivery schema via ONE from_json.
+    GQuery("s1_stg_parse",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stg = ev.select(
+          concat(
+            lit("{\"delivery_id\":\"d"), col("event_id"),
+            lit("\",\"order_id\":\"o"), col("event_id"),
+            lit("\",\"courier_id\":\"c"), col("user_id"),
+            lit("\",\"address\":\"addr\",\"rate\":"),
+            get_json_object(col("props"), "$.k").cast("int") % 6,
+            lit(",\"sum\":"), col("value").cast("decimal(18,2)").cast("string"),
+            lit(",\"tip_sum\":0.00}")).as("json_response"),
+          col("ts").as("delivery_ts"))
+        StgToDds.parseDeliveries(stg)
+          .select(col("delivery_key"), col("order_key"), col("courier_key"),
+            col("rating"), col("order_sum").cast("double").as("order_sum"))
+          .orderBy(col("delivery_key"))
+      },
+      Some("""WITH stg AS (
+                SELECT '{"delivery_id":"d' || event_id ||
+                       '","order_id":"o' || event_id ||
+                       '","courier_id":"c' || user_id ||
+                       '","address":"addr","rate":' ||
+                       (CAST(json_extract_string(props, '$.k') AS INT) % 6) ||
+                       ',"sum":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
+                       ',"tip_sum":0.00}' AS json_response
+                FROM events)
+              SELECT json_extract_string(json_response, '$.delivery_id') AS delivery_key,
+                     json_extract_string(json_response, '$.order_id') AS order_key,
+                     json_extract_string(json_response, '$.courier_id') AS courier_key,
+                     CAST(json_extract_string(json_response, '$.rate') AS INT) AS rating,
+                     CAST(CAST(json_extract_string(json_response, '$.sum') AS DECIMAL(14,2)) AS DOUBLE) AS order_sum
+              FROM stg ORDER BY delivery_key"""),
+      doc = "S1/O1/O2: raw JSON landing → declared-schema extraction"),
+
+    // ---- S4: SCD1 upsert rewrite (load_couriers.py:39-49, couriers_stg_to_dds.sql:21-27)
+    GQuery("s4_scd1_upsert",
+      (s, dir) => Merge.upsert(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+          incoming(s, dir), Seq("c_custkey"))
+        .orderBy(col("c_custkey")),
+      Some(s"""WITH incoming AS ($incomingSql)
+              SELECT c_custkey, c_name FROM (
+                SELECT e.c_custkey, e.c_name FROM customer e
+                WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.c_custkey = e.c_custkey)
+                UNION ALL
+                SELECT c_custkey, c_name FROM incoming)
+              ORDER BY c_custkey"""),
+      doc = "S4: MERGE-whenMatched-updateAll as anti-join + union"),
+
+    // ---- S5: SCD0 insert-ignore rewrite (load_deliveries.py:55-64, deliveries_stg_to_dds.sql:38-43)
+    GQuery("s5_scd0_insert_ignore",
+      (s, dir) => Merge.insertIgnore(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+          incoming(s, dir), Seq("c_custkey"))
+        .orderBy(col("c_custkey")),
+      Some(s"""WITH incoming AS ($incomingSql)
+              SELECT c_custkey, c_name FROM (
+                SELECT c_custkey, c_name FROM customer
+                UNION ALL
+                SELECT i.c_custkey, i.c_name FROM incoming i
+                WHERE NOT EXISTS (SELECT 1 FROM customer e WHERE e.c_custkey = i.c_custkey))
+              ORDER BY c_custkey"""),
+      doc = "S5: ON CONFLICT DO NOTHING as left-anti append; existing names survive"),
+
+    // ---- S6: conditional watermark advance with JSON payload (load_deliveries.py:66-80)
+    GQuery("s6_watermark_json",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)).as("_n"),
+             date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("_max_ts"))
+        .filter(col("_n") > 0)
+        .select(concat(lit("{\"last_loaded_ts\":\""), col("_max_ts"), lit("\"}"))
+          .as("workflow_settings")),
+      Some("""SELECT '{"last_loaded_ts":"' || strftime(max(ts), '%Y-%m-%d %H:%M:%S') || '"}'
+                       AS workflow_settings
+              FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+              HAVING COUNT(*) > 0"""),
+      doc = "S6: jsonb_build_object + only-if-nonempty guard")
+  )
 }

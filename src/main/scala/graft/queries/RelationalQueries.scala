@@ -1,8 +1,306 @@
 package graft.queries
 
-import graft.GQuery
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GQuery, Tables}
+import graft.stages.StgToDds
 
-/** Placeholder — populated as SURVEY.md §2 coverage widens. */
+/** SURVEY.md §2.2-2.6 operator inventory over the TPC-H-ish corpus.
+  * Every query pins a total row order and keeps money in DECIMAL until the
+  * final DOUBLE cast so the DuckDB oracle hash-matches exactly (see
+  * Ledger.scala scaladoc for the numeric strategy).
+  *
+  * Cross-engine cast gotchas encoded here once:
+  *   - double→int: Spark truncates, DuckDB rounds → always floor() first;
+  *   - year()/month()/row_number(): BIGINT in DuckDB, INT in Spark → CAST
+  *     on the oracle side;
+  *   - timestamps are never emitted raw (ns vs µs) → date_format strings.
+  */
 object RelationalQueries {
-  val all: Seq[GQuery] = Seq.empty
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---- O1: JSON field extraction (couriers_stg_to_dds.sql:4, deliveries_stg_to_dds.sql:4-10)
+    GQuery("o1_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, event_type,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k
+              FROM events ORDER BY event_id"""),
+      doc = "O1: schema-on-read JSON extraction"),
+
+    // ---- O2: casts / type coercion (deliveries_stg_to_dds.sql:4-10)
+    GQuery("o2_scalar_casts",
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast("int").as("qty_int"),
+          col("l_extendedprice").cast("decimal(18,2)").cast("string").as("price_dec"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CAST(floor(l_quantity) AS INT) AS qty_int,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
+                     strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+              FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+      doc = "O2: numeric/date casts with engine-neutral semantics"),
+
+    // ---- O3: watermark filter predicate (deliveries_stg_to_dds.sql:13-16)
+    GQuery("o3_watermark_filter",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day
+              FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+              ORDER BY event_id"""),
+      doc = "O3: incremental scan restriction; literal predicate reaches the parquet scan"),
+
+    // ---- O4: DISTINCT projection (couriers_stg_to_dds.sql:3-5)
+    GQuery("o4_distinct_projection",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type"""),
+      doc = "O4/A5: dedup-before-join building block"),
+
+    // ---- O5: timestamp decomposition → timestamp dim (timestamps_stg_to_dds.sql:12-19)
+    GQuery("o5_timestamp_dim",
+      (s, dir) => StgToDds.timestampDimRows(
+          Tables.events(s, dir).select(col("ts")))
+        .select(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("year"), col("month"), col("day"), col("time"),
+          col("date").cast("string").as("date"))
+        .orderBy(col("ts_s"), col("time")),
+      Some("""SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                     CAST(year(ts) AS INT) AS year,
+                     CAST(month(ts) AS INT) AS month,
+                     CAST(day(ts) AS INT) AS day,
+                     strftime(ts, '%H:%M:%S') AS time,
+                     strftime(ts, '%Y-%m-%d') AS date
+              FROM (SELECT DISTINCT ts FROM events)
+              ORDER BY ts_s, time"""),
+      doc = "O5: calendar attributes of the distinct timestamp set"),
+
+    // ---- A1: ungrouped MAX → watermark cursor (deliveries_stg_to_dds.sql:19-21)
+    GQuery("a1_max_watermark",
+      (s, dir) => Tables.events(s, dir)
+        .agg(date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_loaded_ts")),
+      Some("""SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_loaded_ts
+              FROM events"""),
+      doc = "A1: scalar max as the progress cursor"),
+
+    // ---- A2: scalar COUNT guard (load_deliveries.py:67-70)
+    GQuery("a2_count_guard",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)).as("n_rows")),
+      Some("""SELECT COUNT(*) AS n_rows FROM events
+              WHERE ts > TIMESTAMP '2024-01-15 00:00:00'"""),
+      doc = "A2: non-empty-increment guard before advancing the watermark"),
+
+    // ---- A3: multi-key hash aggregation, TPC-H Q1 shape (courier_ledger_update.sql:2-25)
+    GQuery("a3_pricing_summary",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val price = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val tax = col("l_tax").cast("decimal(4,2)")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(price * (lit(BigDecimal(1)) - disc)).cast("double").as("sum_disc_price"),
+            sum(price * (lit(BigDecimal(1)) - disc) * (lit(BigDecimal(1)) + tax))
+              .cast("double").as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+                     SUM(l_quantity) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+                     COUNT(*) AS count_order,
+                     SUM(l_quantity) / COUNT(*) AS avg_qty
+              FROM lineitem
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus"""),
+      doc = "A3: grouped sums with exact decimal arithmetic (sum_qty is integral-valued double → order-independent)"),
+
+    // ---- A4: conditional aggregate — FILTER clause (courier_ledger_update.sql:10)
+    GQuery("a4_filtered_avg",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))).as("_psum"),
+          count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"))
+        .select(col("user_id"), col("n_purchases"),
+          when(col("n_purchases") > 0,
+            col("_psum").cast("double") / col("n_purchases")).as("purchase_avg"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+                     COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+                     CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
+                          THEN CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                               / COUNT(*) FILTER (WHERE event_type = 'purchase')
+                     END AS purchase_avg
+              FROM events GROUP BY user_id ORDER BY user_id"""),
+      doc = "A4: FILTER aggregate as sum(when)/count(when), exact division"),
+
+    // ---- J1: dim lookup join, dedup before join (couriers_stg_to_dds.sql:12-19)
+    GQuery("j1_dim_lookup",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .join(broadcast(Tables.customer(s, dir)),
+          col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("c_name").as("courier_name"))
+        .orderBy(col("user_id")),
+      Some("""SELECT DISTINCT e.user_id, c.c_name AS courier_name
+              FROM events e JOIN customer c ON e.user_id = c.c_custkey
+              ORDER BY e.user_id"""),
+      doc = "J1: broadcast dim lookup; distinct first, join second"),
+
+    // ---- J2: fact key resolution via surrogate-id dims (deliveries_stg_to_dds.sql:23-36)
+    GQuery("j2_fact_key_resolution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val dmCouriers = StgToDds.withSurrogateId(
+          ev.select(col("user_id")).distinct(), "courier_sk", col("user_id"))
+        val dmTs = StgToDds.withSurrogateId(
+          ev.select(col("ts")).distinct(), "ts_sk", col("ts"))
+        ev.join(broadcast(dmCouriers), Seq("user_id"))
+          .join(broadcast(dmTs), Seq("ts"))
+          .select(col("event_id"), col("courier_sk"), col("ts_sk"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH dm_couriers AS (
+                SELECT user_id, CAST(ROW_NUMBER() OVER (ORDER BY user_id) AS INT) AS courier_sk
+                FROM (SELECT DISTINCT user_id FROM events)
+              ), dm_ts AS (
+                SELECT ts, CAST(ROW_NUMBER() OVER (ORDER BY ts) AS INT) AS ts_sk
+                FROM (SELECT DISTINCT ts FROM events)
+              )
+              SELECT e.event_id, c.courier_sk, t.ts_sk
+              FROM events e
+              JOIN dm_couriers c ON e.user_id = c.user_id
+              JOIN dm_ts t ON e.ts = t.ts
+              ORDER BY e.event_id"""),
+      doc = "J2: business keys → deterministic surrogate ids, incl. exact timestamp-equality join"),
+
+    // ---- J3: snowflake denormalization join + aggregate (courier_ledger_update.sql:13-19)
+    GQuery("j3_snowflake_revenue",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        val revenue = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)) - col("l_discount").cast("decimal(4,2)"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))
+          .agg(
+            sum(revenue).cast("double").as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("r_name"), col("order_year"))
+      },
+      Some("""SELECT r.r_name, CAST(year(o.o_orderdate) AS INT) AS order_year,
+                     CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                     COUNT(DISTINCT o.o_orderkey) AS n_orders
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY r.r_name, order_year
+              ORDER BY r.r_name, order_year"""),
+      doc = "J3: 4-hop snowflake join, dims broadcast, fact shuffles once for the agg"),
+
+    // ---- left-semi (implied by upsert semantics, SURVEY.md §2.3 note)
+    GQuery("join_semi",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              ORDER BY c_custkey"""),
+      doc = "left_semi = EXISTS"),
+
+    // ---- left-anti (implied by insert-ignore semantics)
+    GQuery("join_anti",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_totalprice") > 300000).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+              ORDER BY c_custkey"""),
+      doc = "left_anti = NOT EXISTS (customers with no 300k+ order)"),
+
+    // ---- T1/T2: ordered scan + limit (load_couriers.py:10-13)
+    GQuery("t1_topk_orders",
+      (s, dir) => Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date")),
+      Some("""SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+              FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+      doc = "T1+T2: global sort + limit → Spark TakeOrderedAndProject (no full sort materialization)"),
+
+    // ---- Window: top-N per group (engine-completeness beyond the reference, SURVEY.md §2.6)
+    GQuery("w1_topn_per_customer",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders)
+              WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+      doc = "window row_number top-N per key; partitioned window → one shuffle on the key"),
+
+    // ---- Set operations (SURVEY.md §2.6: union/intersect/except for merge rewrites)
+    GQuery("set_ops",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val high = o.filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+        val y94 = o.filter(year(col("o_orderdate")) === 1994).select(col("o_orderkey"))
+        high.union(y94).distinct().select(lit("union").as("kind"), col("o_orderkey"))
+          .unionByName(high.intersect(y94).select(lit("intersect").as("kind"), col("o_orderkey")))
+          .unionByName(high.except(y94).select(lit("except").as("kind"), col("o_orderkey")))
+          .orderBy(col("kind"), col("o_orderkey"))
+      },
+      Some("""WITH high AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),
+                   y94 AS (SELECT o_orderkey FROM orders WHERE year(o_orderdate) = 1994)
+              SELECT 'union' AS kind, o_orderkey FROM (SELECT o_orderkey FROM high UNION SELECT o_orderkey FROM y94)
+              UNION ALL
+              SELECT 'intersect' AS kind, o_orderkey FROM (SELECT o_orderkey FROM high INTERSECT SELECT o_orderkey FROM y94)
+              UNION ALL
+              SELECT 'except' AS kind, o_orderkey FROM (SELECT o_orderkey FROM high EXCEPT SELECT o_orderkey FROM y94)
+              ORDER BY kind, o_orderkey"""),
+      doc = "UNION / INTERSECT / EXCEPT in one tagged result")
+  )
 }
