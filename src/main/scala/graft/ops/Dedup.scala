@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for a training-data pipeline: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard — all over the `documents` table shape
+  * `(doc_id long, text string)`.
+  *
+  * Cross-engine hash primitive: `md5long(s)` = first 15 hex chars of md5 as
+  * a 60-bit integer. md5 is identical everywhere, so every downstream
+  * integer computation (MinHash permutations, SimHash bits, LSH band keys)
+  * is exactly reproducible by the DuckDB oracle — no engine-private hash
+  * (xxhash/murmur) appears anywhere.
+  *
+  * Scale design (100 TB): the naive all-pairs shingle join explodes
+  * quadratically on hot shingles, so the production path is MinHash → LSH
+  * band join: cost is O(docs × bands) rows through one shuffle, and only
+  * genuine candidates (a whole band of the signature equal) meet in the
+  * join. Candidate verification re-checks exact Jaccard on the hashed
+  * shingle sets, so LSH false positives never reach the output. The exact
+  * shingle-join variant is kept for corpora where shingle frequency is
+  * bounded (here: 5-word shingles are near-unique) and as the oracle for
+  * LSH recall.
+  */
+object Dedup {
+
+  /** 2^31 - 1, the classic MinHash permutation modulus. */
+  val P: Long = 2147483647L
+
+  val defaultShingle = 3
+  val numHashes = 18
+  val bands = 6
+  val rowsPerBand = 3
+
+  /** tokens → distinct hashed word-n-gram shingles (60-bit, then mod P for
+    * MinHash). Rows with fewer than `n` tokens are dropped (no shingles).
+    */
+  def withShingleHashes(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .withColumn("hbase", expr(
+        s"""array_distinct(transform(sequence(0, size(toks) - $n),
+           |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $n))), 1, 15), 16, 10) AS BIGINT) % $P))""".stripMargin))
+
+  /** MinHash signature: sig[i] = min over shingles of (a_i·h + b_i mod P),
+    * a_i/b_i fixed LCG-style constants — one array column, no shuffle.
+    */
+  def withMinhashSignature(shingled: DataFrame, k: Int = numHashes): DataFrame =
+    shingled.withColumn("sig", expr(
+      s"""transform(sequence(0, ${k - 1}),
+         |  i -> array_min(transform(hbase,
+         |    h -> ((1103515245 * CAST(i + 1 AS BIGINT)) % $P * h + 12345 + 769 * i) % $P)))""".stripMargin))
+
+  /** LSH candidate pairs + exact-Jaccard verification.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ tau.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = defaultShingle,
+                      tau: Double = 0.5): DataFrame = {
+    val sigs = withMinhashSignature(withShingleHashes(docs, n))
+      .select(col("doc_id"), col("hbase"), col("sig"))
+    // explode signature into (band, band_key) rows; key = the R sig values
+    val bandRows = sigs.select(
+        col("doc_id"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"),
+        col("sig"))
+      .select(col("doc_id"), col("band"), expr(
+        s"""concat_ws(',', transform(slice(sig, band * $rowsPerBand + 1, $rowsPerBand),
+           |  x -> CAST(x AS STRING)))""".stripMargin).as("band_key"))
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, sigs.select(col("doc_id"), col("hbase")), tau)
+  }
+
+  /** Exact all-pairs n-gram Jaccard via inverted shingle index — the
+    * bounded-frequency path (long shingles ⇒ tiny postings lists).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 5, tau: Double = 0.5): DataFrame = {
+    val sh = withShingleHashes(docs, n).select(col("doc_id"), col("hbase"))
+    val posting = sh.select(col("doc_id"), explode(col("hbase")).as("h"))
+    val inter = posting.as("a")
+      .join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.select(col("doc_id"), size(col("hbase")).as("n_sh"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("size_a") + col("size_b") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash over hashed shingles: bit j is set when at least half
+    * the shingles have bit j set. Pure column math, no shuffle.
+    */
+  def withSimhash(docs: DataFrame, n: Int = defaultShingle): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .withColumn("h60", expr(
+        s"""array_distinct(transform(sequence(0, size(toks) - $n),
+           |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $n))), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(transform(sequence(0, 59),
+          |  j -> CASE WHEN 2 * size(filter(h60, h -> (shiftright(h, j) & 1) = 1)) >= size(h60)
+          |            THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+
+  /** SimHash near-dup pairs: 4×15-bit band join, then Hamming ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = withSimhash(docs).select(col("doc_id"), col("simhash"))
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, c * 15) & 32767"))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Exact duplicate groups on raw text. */
+  def exactDuplicateGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_docs"))
+
+  private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,
+                            tau: Double): DataFrame =
+    pairs
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("hbase").as("h_a")), Seq("doc_a"))
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("hbase").as("h_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("h_a"), col("h_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (size(col("h_a")) + size(col("h_b")) - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`embeddings.embedding:
+  * array<float>`): brute-force cosine top-k as the correctness baseline and
+  * a random-hyperplane LSH bucketing as the scale path.
+  *
+  * Determinism contract: dot products are sequential left-to-right folds of
+  * double-widened floats (`aggregate(zip_with(...))`), which both Spark and
+  * DuckDB evaluate identically bit-for-bit (verified empirically on the
+  * corpus) — so raw cosine doubles can be hash-compared with the oracle.
+  * Hyperplanes are integer weight vectors derived from md5, not RNG state,
+  * so the bucketing is reproducible everywhere.
+  *
+  * Scale: brute force is O(queries × corpus) with a broadcast query side —
+  * fine for few queries, linear scans at 100 TB. LSH buckets cut the
+  * candidate set to one bucket per query (expected corpus/2^planes), at the
+  * cost of recall; both shapes shuffle nothing but the final top-k window,
+  * which is partitioned by query id.
+  */
+object Similarity {
+
+  /** Sequential double fold of x·y — the one dot-product definition used
+    * everywhere (see determinism contract above).
+    */
+  def dotExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  /** vectors + their L2 norm. */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+
+  /** Exact top-k neighbors for the query set (vec_id < numQueries), cosine
+    * similarity, self excluded, ties broken by neighbor id.
+    */
+  def bruteForceTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val base = withNorm(emb)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val scored = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic hyperplane table: `planes` rows of 64 integer weights in
+    * [-1000, 1000], derived from md5(plane||'_'||dim). Broadcast-sized by
+    * construction.
+    */
+  def hyperplanes(spark: SparkSession, planes: Int, dim: Int): DataFrame =
+    spark.range(0, planes).toDF("m").withColumn("w", expr(
+      s"""transform(sequence(0, ${dim - 1}),
+         |  i -> (CAST(conv(substring(md5(concat(CAST(m AS STRING), '_', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2001) - 1000)""".stripMargin))
+
+  /** sign-bucket per vector: bit m = [v·w_m >= 0], bucket = Σ bit<<m. */
+  def withLshBucket(emb: DataFrame, planesDf: DataFrame): DataFrame = {
+    val bits = emb.crossJoin(broadcast(planesDf))
+      .withColumn("bit", when(
+        expr(dotExpr("embedding", "w")) >= 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(m AS INT))")).otherwise(lit(0L)))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+    emb.join(bits, Seq("vec_id"))
+  }
+
+  /** ANN top-k: neighbors restricted to the query's LSH bucket. Queries whose
+    * bucket holds no other vector produce no rows (documented LSH recall
+    * trade-off; raise `planes` bands or multi-probe for higher recall).
+    */
+  def lshTopK(spark: SparkSession, emb: DataFrame, numQueries: Int, k: Int,
+              planes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = withNorm(withLshBucket(emb, hyperplanes(spark, planes, dim)))
+    val queries = bucketed.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket"))
+    val scored = bucketed.join(queries, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH
+    * (`bandsOfPlanes` bands, each `planesPerBand` sign bits; candidates match
+    * on any whole band) verified by exact cosine ≥ tau.
+    */
+  def embeddingNearDupPairs(spark: SparkSession, emb: DataFrame, tau: Double,
+                            bandsOfPlanes: Int = 2, planesPerBand: Int = 12,
+                            dim: Int = 64): DataFrame = {
+    val planesDf = hyperplanes(spark, bandsOfPlanes * planesPerBand, dim)
+    val bits = emb.crossJoin(broadcast(planesDf))
+      .withColumn("band", (col("m") / planesPerBand).cast("int"))
+      .withColumn("bit", when(
+        expr(dotExpr("embedding", "w")) >= 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(m % $planesPerBand AS INT))"))
+        .otherwise(lit(0L)))
+      .groupBy(col("vec_id"), col("band")).agg(sum(col("bit")).as("band_key"))
+    val cand = bits.as("a")
+      .join(bits.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val vecs = withNorm(emb).select(col("vec_id"), col("embedding"), col("norm"))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+        col("norm").as("n_a")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+        col("norm").as("n_b")), Seq("vec_b"))
+      .withColumn("cosine", expr(dotExpr("e_a", "e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= tau)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: token statistics, quality scoring, n-gram-heuristic language ID,
+  * and canonical fingerprinting.
+  *
+  * Everything is a narrow projection over a single scan — no shuffles except
+  * where a groupBy is the semantics (token frequencies). All arithmetic is
+  * integer counts plus one final double division, so results are independent
+  * of partitioning and match a single-threaded oracle exactly.
+  *
+  * Tokenization contract: corpus documents are single-space separated ASCII
+  * word salad (TESTDATA.md), so `split(text, ' ')` is the whole tokenizer.
+  * Real corpora would swap in a regexp tokenizer here; the operator shapes
+  * (arrays + higher-order functions, no UDFs) stay the same.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword lists for the n-gram/stopword language heuristic.
+    * Order matters: it is the deterministic tie-break (first strictly-greater
+    * score wins; default 'en').
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "los", "y", "un", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "bu4", "wo3"))
+
+  def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+
+  /** Token counting: whitespace tokens, distinct types, type/token ratio,
+    * mean token length (exact: chars minus separators over token count).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_types"),
+      (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        .as("type_token_ratio"),
+      ((length(col("text")) - size(col("toks")) + 1).cast("double") / size(col("toks")))
+        .as("mean_token_len"))
+
+  private def stopwordHits(lang: String): Column = {
+    val list = stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(toks, t -> t IN ($list)))")
+  }
+
+  /** Language ID by stopword-hit ratio with a deterministic argmax. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val withScores = stopwords.foldLeft(withTokens(docs)) { case (df, (lang, _)) =>
+      df.withColumn(s"score_$lang",
+        stopwordHits(lang).cast("double") / size(col("toks")))
+    }
+    val langs = stopwords.map(_._1)
+    // argmax with first-listed-language tie-break: lang wins if strictly
+    // greater than every language listed before it and >= every one after.
+    val predicted = langs.tail.foldLeft(when(lit(true), lit("en"))) { (acc, l) =>
+      val beats = langs.takeWhile(_ != l).map(p => col(s"score_$l") > col(s"score_$p")) ++
+        langs.dropWhile(_ != l).tail.map(p => col(s"score_$l") >= col(s"score_$p"))
+      when(beats.reduce(_ && _), lit(l)).otherwise(acc)
+    }
+    withScores.select(
+      Seq(col("doc_id"), col("lang").as("labeled_lang"), predicted.as("predicted_lang")) ++
+        langs.map(l => col(s"score_$l")): _*)
+  }
+
+  /** Quality scoring: length/diversity/stopword signals + composite flag.
+    * Thresholds are illustrative; the operator shape (pure column math,
+    * zero shuffles) is the point.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    tokenStats(docs)
+      .join(withTokens(docs).select(col("doc_id"),
+        (stopwordHits("en").cast("double") / size(col("toks"))).as("stopword_ratio")),
+        Seq("doc_id"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 20 && col("type_token_ratio") >= 0.3 &&
+          col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token set.
+    * Word-order- and duplication-insensitive, so near-copies that only
+    * permute/repeat tokens collide — the cheap first pass before MinHash.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("fingerprint"))
+
+  /** Corpus token frequencies (explode → count): the one genuinely
+    * shuffle-bearing text op; partial aggregation collapses it to
+    * |vocabulary| rows per partition before the exchange.
+    */
+  def tokenFrequencies(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+}

@@ -1,8 +1,114 @@
 package graft.queries
 
-import graft.GQuery
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
+import graft.ops.Dedup
 
-/** Placeholder — populated as SURVEY.md §2 coverage widens. */
+/** Dedup operators over `documents`, each mirrored by a DuckDB oracle that
+  * reproduces the md5-derived integer hashing exactly (ops.Dedup scaladoc).
+  */
 object DedupQueries {
-  val all: Seq[GQuery] = Seq.empty
+
+  private val P = Dedup.P
+
+  /** DuckDB fragments mirroring Dedup's Spark expressions 1:1. */
+  private def hbaseSql(n: Int, modP: Boolean): String = {
+    val mod = if (modP) s" % $P" else ""
+    s"""list_distinct(list_transform(range(0, len(string_split(text, ' ')) - $n + 1),
+       |  i -> CAST('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '), i + 1, i + $n), ' ')), 1, 15) AS BIGINT)$mod))""".stripMargin
+  }
+
+  private def shCte(n: Int): String =
+    s"""sh AS (
+       |  SELECT doc_id, ${hbaseSql(n, modP = true)} AS hbase
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $n)""".stripMargin
+
+  private val sigSql =
+    s"""list_transform(range(0, ${Dedup.numHashes}),
+       |  i -> list_min(list_transform(hbase,
+       |    h -> ((1103515245 * (i + 1)) % $P * h + 12345 + 769 * i) % $P)))""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery("dedup_exact",
+      (s, dir) => Dedup.exactDuplicateGroups(Tables.documents(s, dir))
+        .orderBy(col("text_md5")),
+      Some("""SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc,
+                     count(*) AS n_docs
+              FROM documents GROUP BY 1 ORDER BY 1"""),
+      doc = "exact dedup: hash-groupBy on raw text"),
+
+    GQuery("dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH ${shCte(Dedup.defaultShingle)},
+                   sigs AS (SELECT doc_id, hbase, $sigSql AS sig FROM sh),
+                   bandrows AS (
+                     SELECT doc_id, b.band,
+                            array_to_string(list_transform(
+                              list_slice(sig, b.band * ${Dedup.rowsPerBand} + 1,
+                                         b.band * ${Dedup.rowsPerBand} + ${Dedup.rowsPerBand}),
+                              x -> CAST(x AS VARCHAR)), ',') AS band_key
+                     FROM sigs, (SELECT unnest(range(0, ${Dedup.bands})) AS band) b),
+                   cand AS (
+                     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bandrows a JOIN bandrows b
+                       ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id)
+              SELECT c.doc_a, c.doc_b,
+                     CAST(len(list_intersect(sa.hbase, sb.hbase)) AS DOUBLE)
+                       / (len(sa.hbase) + len(sb.hbase) - len(list_intersect(sa.hbase, sb.hbase))) AS jaccard
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+              WHERE CAST(len(list_intersect(sa.hbase, sb.hbase)) AS DOUBLE)
+                       / (len(sa.hbase) + len(sb.hbase) - len(list_intersect(sa.hbase, sb.hbase))) >= 0.5
+              ORDER BY doc_a, doc_b"""),
+      doc = "MinHash signature → LSH band join → exact-Jaccard verify (the 100 TB path)"),
+
+    GQuery("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH ${shCte(5)},
+                   posting AS (SELECT doc_id, unnest(hbase) AS h FROM sh),
+                   inter AS (
+                     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                     FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, len(hbase) AS n_sh FROM sh)
+              SELECT i.doc_a, i.doc_b,
+                     CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+              ORDER BY doc_a, doc_b"""),
+      doc = "exact 5-gram Jaccard via inverted shingle index (bounded-df path)"),
+
+    GQuery("dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH sh AS (
+                     SELECT doc_id, ${hbaseSql(Dedup.defaultShingle, modP = false)} AS h60
+                     FROM documents WHERE len(string_split(text, ' ')) >= ${Dedup.defaultShingle}),
+                   sim AS (
+                     SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+                       j -> CASE WHEN 2 * len(list_filter(h60, h -> ((h >> j) & 1) = 1)) >= len(h60)
+                                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+                     FROM sh),
+                   chunks AS (
+                     SELECT doc_id, simhash, c.c, (simhash >> (c.c * 15)) & 32767 AS chunk
+                     FROM sim, (SELECT unnest(range(0, 4)) AS c) c),
+                   cand AS (
+                     SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                                     b.doc_id AS doc_b, b.simhash AS sim_b
+                     FROM chunks a JOIN chunks b
+                       ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+              SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+              FROM cand
+              WHERE bit_count(xor(sim_a, sim_b)) <= 6
+              ORDER BY doc_a, doc_b"""),
+      doc = "60-bit SimHash, 4×15-bit band join, Hamming ≤ 6")
+  )
 }

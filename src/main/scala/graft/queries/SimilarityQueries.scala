@@ -1,8 +1,113 @@
 package graft.queries
 
-import graft.GQuery
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
+import graft.ops.Similarity
 
-/** Placeholder — populated as SURVEY.md §2 coverage widens. */
+/** Similarity search over `embeddings` — cosine doubles are emitted raw:
+  * both engines fold the dot product sequentially in double, which is
+  * bit-identical (verified; see ops.Similarity determinism contract).
+  */
 object SimilarityQueries {
-  val all: Seq[GQuery] = Seq.empty
+
+  /** DuckDB mirror of Similarity.dotExpr: index-driven sequential product sum. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private val planesSql =
+    s"""planes AS (
+       |  SELECT m.m, list_transform(range(0, 64),
+       |    i -> (CAST('0x' || substr(md5(CAST(m.m AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000) AS w
+       |  FROM (SELECT unnest(range(0, 8)) AS m) m)""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery("sim_topk_brute",
+      (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+          numQueries = 16, k = 5)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH base AS (
+                     SELECT vec_id, embedding,
+                            sqrt(${dotSql("embedding", "embedding")}) AS norm
+                     FROM embeddings),
+                   q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+                         FROM base WHERE vec_id < 16),
+                   scored AS (
+                     SELECT q.query_id, b.vec_id,
+                            ${dotSql("b.embedding", "q.q_emb")} / (b.norm * q.q_norm) AS cosine
+                     FROM base b, q WHERE b.vec_id <> q.query_id),
+                   ranked AS (
+                     SELECT query_id, vec_id, cosine,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+              SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      doc = "brute-force cosine top-5 for 16 query vectors (correctness baseline)"),
+
+    GQuery("sim_ann_lsh",
+      (s, dir) => Similarity.lshTopK(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $planesSql,
+                   base AS (
+                     SELECT vec_id, embedding,
+                            sqrt(${dotSql("embedding", "embedding")}) AS norm
+                     FROM embeddings),
+                   bits AS (
+                     SELECT b.vec_id,
+                            sum(CASE WHEN ${dotSql("b.embedding", "p.w")} >= 0
+                                     THEN (CAST(1 AS BIGINT) << CAST(p.m AS INT))
+                                     ELSE 0 END) AS bucket
+                     FROM base b, planes p GROUP BY b.vec_id),
+                   bucketed AS (
+                     SELECT b.vec_id, b.embedding, b.norm, bt.bucket
+                     FROM base b JOIN bits bt ON b.vec_id = bt.vec_id),
+                   q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket
+                         FROM bucketed WHERE vec_id < 16),
+                   scored AS (
+                     SELECT q.query_id, c.vec_id,
+                            ${dotSql("c.embedding", "q.q_emb")} / (c.norm * q.q_norm) AS cosine
+                     FROM bucketed c JOIN q ON c.bucket = q.bucket
+                     WHERE c.vec_id <> q.query_id),
+                   ranked AS (
+                     SELECT query_id, vec_id, cosine,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+              SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+      doc = "hyperplane-LSH-bucketed ANN top-3 (scale path; recall traded for candidate cut)"),
+
+    GQuery("dedup_embedding_cosine",
+      (s, dir) => Similarity.embeddingNearDupPairs(s, Tables.embeddings(s, dir), tau = 0.9)
+        .orderBy(col("vec_a"), col("vec_b")),
+      Some(s"""WITH planes AS (
+                     SELECT m.m, list_transform(range(0, 64),
+                       i -> (CAST('0x' || substr(md5(CAST(m.m AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000) AS w
+                     FROM (SELECT unnest(range(0, 24)) AS m) m),
+                   base AS (
+                     SELECT vec_id, embedding,
+                            sqrt(${dotSql("embedding", "embedding")}) AS norm
+                     FROM embeddings),
+                   bits AS (
+                     SELECT b.vec_id, CAST(p.m // 12 AS INT) AS band,
+                            sum(CASE WHEN ${dotSql("b.embedding", "p.w")} >= 0
+                                     THEN (CAST(1 AS BIGINT) << CAST(p.m % 12 AS INT))
+                                     ELSE 0 END) AS band_key
+                     FROM base b, planes p GROUP BY b.vec_id, band),
+                   cand AS (
+                     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                     FROM bits a JOIN bits b
+                       ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.vec_id < b.vec_id)
+              SELECT c.vec_a, c.vec_b,
+                     ${dotSql("va.embedding", "vb.embedding")} / (va.norm * vb.norm) AS cosine
+              FROM cand c
+              JOIN base va ON va.vec_id = c.vec_a
+              JOIN base vb ON vb.vec_id = c.vec_b
+              WHERE ${dotSql("va.embedding", "vb.embedding")} / (va.norm * vb.norm) >= 0.9
+              ORDER BY vec_a, vec_b"""),
+      doc = "embedding-cosine near-dup pairs via banded hyperplane LSH + exact verify")
+  )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+/** Planted-duplicate fixtures: the ops must find the near-copy pair and
+  * nothing else among unrelated documents.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  private val base =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
+  private val nearCopy = base.replace("echo", "echoX") + " xray"
+  private val unrelated1 =
+    "one two three four five six seven eight nine ten eleven twelve thirteen " +
+    "fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo"
+  private val unrelated2 =
+    "zebra yak xenon walrus viper urchin toad snake rabbit quail panther otter " +
+    "newt moose lemur koala jackal ibis heron gazelle ferret eagle dingo"
+
+  private def docs = {
+    import spark.implicits._
+    Seq((0L, base), (1L, nearCopy), (2L, unrelated1), (3L, unrelated2), (4L, base))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact duplicates group by raw text") {
+    val groups = Dedup.exactDuplicateGroups(docs).collect()
+    val dupGroup = groups.filter(_.getAs[Long]("n_docs") > 1)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("canonical_doc") == 0L)
+    assert(dupGroup.head.getAs[Long]("n_docs") == 2L)
+  }
+
+  test("minhash LSH finds the near-copy pair and no unrelated pair") {
+    val pairs = Dedup.minhashLshPairs(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 4L)))            // identical pair always survives
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact n-gram jaccard agrees with LSH on planted pairs") {
+    val lsh = Dedup.minhashLshPairs(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh) || lsh.subsetOf(exact))
+    assert(exact.contains((0L, 4L)))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs not paired") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number]("hamming").intValue()))
+      .toMap
+    assert(pairs((0L, 4L)) == 0)
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+
+/** Planted near-identical vectors: brute-force must rank the twin first and
+  * the LSH near-dup pass must recover the pair.
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  // deterministic pseudo-vectors; vec 1 = slightly perturbed vec 0
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(64)(i => (((seed * 31 + i * 17) % 97) - 48) / 48.0f)
+
+  private def emb = {
+    import spark.implicits._
+    val twin = vec(0).zipWithIndex.map { case (v, i) => if (i == 3) v + 0.01f else v }
+    (Seq((0L, vec(0)), (1L, twin)) ++ (2L to 40L).map(s => (s, vec(s.toInt * 7 + 2))))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks the planted twin first with cosine ~1") {
+    val top = Similarity.bruteForceTopK(emb, numQueries = 1, k = 3).collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+    assert(top.head.getAs[Double]("cosine") > 0.999)
+    assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("banded LSH near-dup pass recovers the planted pair exactly") {
+    val pairs = Similarity.embeddingNearDupPairs(spark, emb, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 0L)) || pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("LSH top-k returns a subset consistent with brute force when bucketed together") {
+    val brute = Similarity.bruteForceTopK(emb, numQueries = 1, k = 40)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    val ann = Similarity.lshTopK(spark, emb, numQueries = 1, k = 5).collect()
+    // every ANN result must carry the exact brute-force cosine for that neighbor
+    ann.foreach { r =>
+      assert(brute(r.getAs[Long]("neighbor_id")) == r.getAs[Double]("cosine"))
+    }
+  }
+}
