@@ -47,11 +47,12 @@ object Dedup {
   /** MinHash signature: sig[i] = min over shingles of (a_i·h + b_i mod P),
     * a_i/b_i fixed LCG-style constants — one array column, no shuffle.
     */
-  def withMinhashSignature(shingled: DataFrame, k: Int = numHashes): DataFrame =
-    shingled.withColumn("sig", expr(
-      s"""transform(sequence(0, ${k - 1}),
-         |  i -> array_min(transform(hbase,
-         |    h -> ((1103515245 * CAST(i + 1 AS BIGINT)) % $P * h + 12345 + 769 * i) % $P)))""".stripMargin))
+  def withMinhashSignature(shingled: DataFrame, k: Int = numHashes): DataFrame = {
+    graft.functions.GraftFunctions.register(shingled.sparkSession)
+    // native equivalent of: transform(sequence(0, k-1), i -> array_min(
+    //   transform(hbase, h -> ((1103515245*(i+1)) % P * h + 12345 + 769*i) % P)))
+    shingled.withColumn("sig", expr(s"graft_minhash(hbase, $k)"))
+  }
 
   /** LSH candidate pairs + exact-Jaccard verification.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ tau.
@@ -103,18 +104,19 @@ object Dedup {
   /** 60-bit SimHash over hashed shingles: bit j is set when at least half
     * the shingles have bit j set. Pure column math, no shuffle.
     */
-  def withSimhash(docs: DataFrame, n: Int = defaultShingle): DataFrame =
+  def withSimhash(docs: DataFrame, n: Int = defaultShingle): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // bit j of the result = majority vote over shingle-hash bits (see
+    // functions.SimHash60 — fused native loop, same arithmetic as the
+    // aggregate/filter HOF formulation mirrored in the DuckDB oracle)
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= n)
       .withColumn("h60", expr(
         s"""array_distinct(transform(sequence(0, size(toks) - $n),
            |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $n))), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(transform(sequence(0, 59),
-          |  j -> CASE WHEN 2 * size(filter(h60, h -> (shiftright(h, j) & 1) = 1)) >= size(h60)
-          |            THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
-          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("simhash", expr("graft_simhash60(h60)"))
+  }
 
   /** SimHash near-dup pairs: 4×15-bit band join, then Hamming ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {

@@ -27,12 +27,13 @@ object Similarity {
     * everywhere (see determinism contract above).
     */
   def dotExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    s"graft_dot(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>))"
 
   /** vectors + their L2 norm. */
-  def withNorm(emb: DataFrame): DataFrame =
+  def withNorm(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+  }
 
   /** Exact top-k neighbors for the query set (vec_id < numQueries), cosine
     * similarity, self excluded, ties broken by neighbor id.
