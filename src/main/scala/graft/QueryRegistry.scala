@@ -23,6 +23,7 @@ object QueryRegistry {
     queries.RelationalQueries.all ++
     queries.PipelineQueries.all ++
     queries.DedupQueries.all ++
+    queries.StreamingQueries.all ++
     queries.SimilarityQueries.all ++
     queries.TextQueries.all
 

@@ -1,0 +1,83 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: media payloads as opaque `binary` with typed
+  * metadata, processed by batch-shaped partition iterators.
+  *
+  * The corpus carries no real image/audio bytes, so the payload is the
+  * UTF-8 document text standing in for an encoded frame, and the decoder is
+  * a STUB — [[StubDecoder.decode]] marks exactly where a real codec
+  * (JPEG/ffmpeg) would run. Everything around the stub is real engine
+  * plumbing: a typed `Dataset[MediaRow]` with case-class Encoders, per-
+  * partition batch processing via `mapPartitions` (one decoder instance per
+  * partition, amortized across rows — the Scala analog of a batched
+  * `mapInPandas`), deterministic feature schema out.
+  *
+  * Scale: payload bytes never leave the executor that scanned them — the
+  * pipeline is mapPartitions-only (zero shuffles); media tables partition by
+  * (source, doc_id range) so a decode pass is embarrassingly parallel. Large
+  * payloads should use binary parquet with `spark.sql.files.maxPartitionBytes`
+  * tuned so one partition's payloads fit executor memory.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
+
+  final case class MediaFeatures(
+      doc_id: Long, mime: String, byte_len: Int,
+      brightness_sum: Int, n_frames: Int)
+
+  /** Deterministic stand-in for the media codec. A real deployment replaces
+    * this object; the Dataset plumbing around it does not change.
+    */
+  object StubDecoder {
+    /** STUB: real image decode would parse `payload` with an image library
+      * (not available in this environment). The fake is deterministic:
+      * "brightness" = sum of the first 16 byte values, "frames" = one per
+      * 256 bytes — enough to exercise schema, batching, and the oracle.
+      */
+    def decode(row: MediaRow): MediaFeatures = {
+      val bytes = row.payload
+      val brightness = bytes.take(16).map(_ & 0xff).sum
+      MediaFeatures(row.doc_id, row.mime, bytes.length, brightness,
+        bytes.length / 256 + 1)
+    }
+  }
+
+  /** documents → media table: text bytes as the opaque payload, source as a
+    * mime-ish tag. Real pipelines read binary parquet directly.
+    */
+  def asMediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source").as("mime"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, mime, text) =>
+        MediaRow(id, mime, text.getBytes(StandardCharsets.UTF_8)) }
+  }
+
+  /** Batch decode: one iterator pass per partition, decoder state (here
+    * trivially stateless) instantiated once per partition, not per row.
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init of the (stub) codec happens here
+      rows.map(StubDecoder.decode)
+    }
+  }
+
+  /** Frame sampling: every nth 256-byte "frame" of the payload, keyed
+    * (doc_id, frame_no) — shape of a video frame-sampling pass.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val frames = r.payload.grouped(256).zipWithIndex
+      frames.collect { case (bytes, i) if i % everyN == 0 =>
+        (r.doc_id, i, bytes.length, bytes.take(4).map(_ & 0xff).sum) }
+    }.toDF("doc_id", "frame_no", "frame_bytes", "frame_header_sum")
+  }
+}

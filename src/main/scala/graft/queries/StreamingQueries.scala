@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
+import graft.ops.Multimodal
+import graft.streaming.IncrementalLedger
+
+/** Streaming + multimodal surfaces as driver-checkable queries: the
+  * streaming result must equal the batch oracle (exactly-once drain), and
+  * the multimodal stub features are reproducible arithmetic over bytes.
+  */
+object StreamingQueries {
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery("streaming_ledger",
+      (s, dir) => IncrementalLedger.monthlyUserTotals(s, dir)
+        .orderBy(col("user_id"), col("year"), col("month")),
+      Some("""SELECT user_id, CAST(year(ts) AS INT) AS year,
+                     CAST(month(ts) AS INT) AS month,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM events GROUP BY 1, 2, 3 ORDER BY user_id, year, month"""),
+      doc = "Structured Streaming AvailableNow drain == batch aggregation (exactly-once)"),
+
+    GQuery("mm_decode_features",
+      (s, dir) => Multimodal.decodeFeatures(
+          Multimodal.asMediaTable(s, Tables.documents(s, dir)))
+        .toDF()
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source AS mime,
+                     CAST(octet_length(encode(text)) AS INT) AS byte_len,
+                     CAST(list_sum(list_transform(range(1, 17),
+                       i -> ascii(substr(text, i, 1)))) AS INT) AS brightness_sum,
+                     CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_frames
+              FROM documents ORDER BY doc_id"""),
+      doc = "multimodal: binary payload → batched (stub) decode via typed mapPartitions"),
+
+    GQuery("mm_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.asMediaTable(s, Tables.documents(s, dir)), everyN = 2)
+        .orderBy(col("doc_id"), col("frame_no")),
+      Some("""WITH frames AS (
+                SELECT doc_id, f.f AS frame_no,
+                       CASE WHEN (f.f + 1) * 256 <= octet_length(encode(text))
+                            THEN 256 ELSE octet_length(encode(text)) - f.f * 256 END AS frame_bytes,
+                       CAST(list_sum(list_transform(range(1, 5),
+                         i -> CASE WHEN f.f * 256 + i <= length(text)
+                                   THEN ascii(substr(text, f.f * 256 + i, 1)) ELSE 0 END)) AS INT)
+                         AS frame_header_sum
+                FROM documents,
+                     (SELECT unnest(range(0, 64)) AS f) f
+                WHERE f.f * 256 < octet_length(encode(text)) AND f.f % 2 = 0)
+              SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+                     CAST(frame_bytes AS INT) AS frame_bytes, frame_header_sum
+              FROM frames ORDER BY doc_id, frame_no"""),
+      doc = "multimodal: every-2nd 256-byte frame sample with header checksum")
+  )
+}
