@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated testdata corpus (TESTDATA.md).
@@ -30,9 +30,26 @@ object Tables {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     tsColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
       if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        // keep the raw nanos column (`<c>_ns`): predicates on the DERIVED
+        // timestamp cannot reach the parquet scan, so watermark filters go
+        // through tsAfter() which also pushes the equivalent raw-long bound.
+        df.withColumnRenamed(c, s"${c}_ns")
+          .withColumn(c, expr(s"timestamp_micros(${c}_ns div 1000)"))
       else df
     }
+  }
+
+  /** Pushdown-friendly watermark predicate: `c > wmUtc` (µs semantics, the
+    * authoritative condition) AND the equivalent bound on the raw nanos
+    * column, which Catalyst CAN push into the parquet scan (PushedFilters +
+    * row-group/partition pruning at scale). `ts_µs > W  ⇔  ts_ns > W_ns+999`.
+    */
+  def tsAfter(c: String, wmUtc: String): Column = {
+    val ldt = java.time.LocalDateTime.parse(wmUtc.replace(' ', 'T'))
+    val micros = ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+      ldt.getNano / 1000L
+    (col(s"${c}_ns") > lit(micros * 1000L + 999L)) &&
+      (col(c) > lit(wmUtc).cast("timestamp"))
   }
 
   def region(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "region")

@@ -105,7 +105,7 @@ object PipelineQueries {
     // ---- S6: conditional watermark advance with JSON payload (load_deliveries.py:66-80)
     GQuery("s6_watermark_json",
       (s, dir) => Tables.events(s, dir)
-        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+        .filter(graft.Tables.tsAfter("ts", "2024-01-15 00:00:00"))
         .agg(count(lit(1)).as("_n"),
              date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("_max_ts"))
         .filter(col("_n") > 0)
