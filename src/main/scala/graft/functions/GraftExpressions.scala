@@ -214,5 +214,63 @@ object GraftFunctions {
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Boolean]), "scala_udf")
   }
+}
+
+/** Fused shingle hashing: tokens array<string> → array<long> of DISTINCT
+  * hashed word-n-gram shingles. Hash = first 15 hex chars of
+  * md5(shingle-joined-with-spaces) as a 60-bit integer (optionally mod P) —
+  * byte-for-byte the md5(concat_ws(' ', slice(toks, i+1, n))) +
+  * conv(...,16,10) pipeline in ops.Dedup / the DuckDB oracle, computed
+  * without per-shingle string/expression materialization. md5 work
+  * dominates, so per-row interpreted eval is fine (CodegenFallback).
+  */
+case class ShingleHashes(child: Expression, n: Int, modP: Boolean)
+    extends UnaryExpression with codegen.CodegenFallback {
+  private val P = 2147483647L
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("ShingleHashes expects array<string>")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val space = ' '.toByte
+    var i = 0
+    while (i <= nTok - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(space)
+        md.update(arr.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      // first 15 hex chars == top 60 bits of the first 8 digest bytes
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = v >>> 4
+      if (modP) v = v % P
+      val boxed = java.lang.Long.valueOf(v)
+      if (seen.add(boxed)) out.add(boxed)   // first-occurrence order, like array_distinct
+      i += 1
+    }
+    val res = new Array[Long](out.size())
+    var k = 0
+    while (k < res.length) { res(k) = out.get(k); k += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
 }

@@ -36,13 +36,15 @@ object Dedup {
   /** tokens → distinct hashed word-n-gram shingles (60-bit, then mod P for
     * MinHash). Rows with fewer than `n` tokens are dropped (no shingles).
     */
-  def withShingleHashes(docs: DataFrame, n: Int): DataFrame =
+  def withShingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // fused native form of: array_distinct(transform(sequence(0, size-n),
+    //   i -> conv(substring(md5(concat_ws(' ', slice(toks,i+1,n))),1,15),16,10) % P))
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= n)
-      .withColumn("hbase", expr(
-        s"""array_distinct(transform(sequence(0, size(toks) - $n),
-           |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $n))), 1, 15), 16, 10) AS BIGINT) % $P))""".stripMargin))
+      .withColumn("hbase", expr(s"graft_shingle_hashes(toks, $n, true)"))
+  }
 
   /** MinHash signature: sig[i] = min over shingles of (a_i·h + b_i mod P),
     * a_i/b_i fixed LCG-style constants — one array column, no shuffle.
@@ -112,9 +114,7 @@ object Dedup {
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= n)
-      .withColumn("h60", expr(
-        s"""array_distinct(transform(sequence(0, size(toks) - $n),
-           |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $n))), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
+      .withColumn("h60", expr(s"graft_shingle_hashes(toks, $n, false)"))
       .withColumn("simhash", expr("graft_simhash60(h60)"))
   }
 

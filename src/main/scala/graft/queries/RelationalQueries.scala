@@ -173,10 +173,12 @@ object RelationalQueries {
         val ev = Tables.events(s, dir)
         val dmCouriers = StgToDds.withSurrogateId(
           ev.select(col("user_id")).distinct(), "courier_sk", col("user_id"))
-        val dmTs = StgToDds.withSurrogateId(
+        // timestamp dim is |events|-scale → use the distributed id assignment
+        val dmTs = StgToDds.withSurrogateIdScalable(
           ev.select(col("ts")).distinct(), "ts_sk", col("ts"))
         ev.join(broadcast(dmCouriers), Seq("user_id"))
-          .join(broadcast(dmTs), Seq("ts"))
+          // ts dim is fact-scale: no broadcast hint — AQE picks the join
+          .join(dmTs, Seq("ts"))
           .select(col("event_id"), col("courier_sk"), col("ts_sk"))
           .orderBy(col("event_id"))
       },

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.util
+import scala.io.Source
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector with the reference extractor's pagination
+  * semantics (`modules/load_couriers.py:8-37`, `load_deliveries.py:8-53`):
+  * offset/limit pages of raw JSON records, a hard page cap, and an optional
+  * `[from, to)` time window on `delivery_ts` — but Spark-native: every page
+  * is an `InputPartition`, so the "API" is scanned by executors in parallel
+  * instead of the reference's single-threaded 5-s-per-page loop.
+  *
+  * The backing store is a JSON-lines file standing in for the REST endpoint
+  * (one line = one API record). Reader output is the STG landing shape
+  * `(json_response string, delivery_ts string)` — schema-on-read extraction
+  * stays in [[graft.stages.StgToDds.parseDeliveries]], exactly like the
+  * reference's STG→DDS boundary.
+  *
+  * Options: `path` (jsonl file), `pageSize` (default 50), `maxPages`
+  * (default 200 — the reference's defensive cap), `from`/`to`
+  * ('yyyy-MM-dd HH:mm:ss', applied to the record's delivery_ts string —
+  * the reference pushes the same window to the API as query params).
+  */
+class PagedJsonSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedJsonSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PagedJsonTable(new CaseInsensitiveStringMap(properties))
+}
+
+object PagedJsonSource {
+  val schema: StructType = StructType(Seq(
+    StructField("json_response", StringType, nullable = false),
+    StructField("delivery_ts", StringType, nullable = true)))
+
+  /** Lenient field grab from a one-line JSON record (API contract keeps
+    * delivery_ts as "yyyy-MM-dd HH:mm:ss"); no full parse needed here.
+    */
+  def extractTs(line: String): String = {
+    val key = "\"delivery_ts\":"
+    val i = line.indexOf(key)
+    if (i < 0) null
+    else {
+      val rest = line.substring(i + key.length).dropWhile(c => c == ' ' || c == '"')
+      rest.takeWhile(_ != '"')
+    }
+  }
+}
+
+final class PagedJsonTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"paged_json(${options.get("path")})"
+  override def schema(): StructType = PagedJsonSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // getTable receives the merged properties; prefer those over the
+    // scan-time map so .option(...) values always arrive
+    val merged = new util.HashMap[String, String]()
+    merged.putAll(options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new PagedJsonScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+final class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch {
+  private val path = options.get("path")
+  private val pageSize = options.getInt("pageSize", 50)
+  private val maxPages = options.getInt("maxPages", 200)
+  private val from = Option(options.get("from"))
+  private val to = Option(options.get("to"))
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = PagedJsonSource.schema
+  override def toBatch: Batch = this
+
+  /** One InputPartition per page — the driver only counts records (the
+    * "API"'s total), executors fetch pages concurrently.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val src = Source.fromFile(path)
+    val total = try src.getLines().size finally src.close()
+    val pages = math.min((total + pageSize - 1) / pageSize, maxPages)
+    (0 until pages).map(p =>
+      PagedJsonPartition(path, p * pageSize, pageSize, from, to): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PagedJsonReader(partition.asInstanceOf[PagedJsonPartition])
+    }
+}
+
+final case class PagedJsonPartition(path: String, offset: Int, limit: Int,
+                                    from: Option[String], to: Option[String])
+    extends InputPartition
+
+/** Reads exactly one page (offset/limit) of the record stream, applying the
+  * `[from, to)` window like the API would server-side. delivery_ts strings
+  * in 'yyyy-MM-dd HH:mm:ss' compare correctly as strings.
+  */
+final class PagedJsonReader(p: PagedJsonPartition)
+    extends PartitionReader[InternalRow] {
+  private val src = Source.fromFile(p.path)
+  private val it = src.getLines().slice(p.offset, p.offset + p.limit)
+    .filter { line =>
+      val ts = PagedJsonSource.extractTs(line)
+      (p.from, p.to) match {
+        case (Some(f), Some(t)) => ts != null && ts >= f && ts < t
+        case (Some(f), None)    => ts != null && ts >= f
+        case (None, Some(t))    => ts != null && ts < t
+        case _                  => true
+      }
+    }
+  private var current: String = _
+
+  override def next(): Boolean = {
+    if (it.hasNext) { current = it.next(); true } else false
+  }
+  override def get(): InternalRow = {
+    val ts = PagedJsonSource.extractTs(current)
+    InternalRow(UTF8String.fromString(current),
+      if (ts == null) null else UTF8String.fromString(ts))
+  }
+  override def close(): Unit = src.close()
+}

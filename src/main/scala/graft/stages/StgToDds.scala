@@ -82,6 +82,24 @@ object StgToDds {
   def withSurrogateId(dim: DataFrame, idCol: String, orderBy: Column): DataFrame =
     dim.withColumn(idCol, row_number().over(Window.orderBy(orderBy)))
 
+  /** Scale variant of [[withSurrogateId]] for LARGE dimensions (e.g. a
+    * timestamp dim with millions of distinct values): a range-partitioned
+    * sort followed by `zipWithIndex`, which computes per-partition offsets
+    * with one tiny driver round-trip instead of collapsing the data to a
+    * single window partition. For a unique order key this produces ids
+    * IDENTICAL to `row_number() over (order by key)` — same determinism,
+    * distributed. The id column is IntegerType to match the serial-key
+    * contract (dims beyond 2^31 should switch this and the DDLs to long).
+    */
+  def withSurrogateIdScalable(dim: DataFrame, idCol: String, orderBy: Column): DataFrame = {
+    val sorted = dim.orderBy(orderBy)
+    val schema = StructType(sorted.schema.fields :+ StructField(idCol, IntegerType, nullable = false))
+    val withIds = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1).toInt)
+    }
+    sorted.sparkSession.createDataFrame(withIds, schema)
+  }
+
   /** J2: fact key resolution (`sql/deliveries_stg_to_dds.sql:23-36`) —
     * replace business keys with surrogate ids via three equi-joins. All
     * three dimension sides are broadcast; the timestamp join is EXACT

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stages.StgToDds
+
+/** The DSv2 paginated source: page partitioning, the defensive page cap,
+  * the [from, to) window, and composition with the STG→DDS parse.
+  */
+class PagedJsonSourceSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  private def record(i: Int, dts: String): String =
+    s"""{"order_id":"o$i","order_ts":"$dts","delivery_id":"d$i","courier_id":"c${i % 5}",""" +
+      s""""address":"a","delivery_ts":"$dts","rate":${i % 6},"sum":${i * 10}.00,"tip_sum":1.50}"""
+
+  private def writeApiFile(n: Int): String = {
+    val f = Files.createTempFile("graft-api", ".jsonl")
+    val lines = (0 until n).map(i => record(i, f"2024-05-${i % 28 + 1}%02d 10:00:00"))
+    Files.write(f, String.join("\n", lines: _*).getBytes)
+    f.toString
+  }
+
+  private def read(path: String, opts: (String, String)*) = {
+    val r = spark.read.format("graft.sources.PagedJsonSource").option("path", path)
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("pages become partitions; all records round-trip") {
+    val path = writeApiFile(120)
+    val df = read(path, "pageSize" -> "50")
+    assert(df.rdd.getNumPartitions == 3)       // ceil(120/50) pages
+    assert(df.count() == 120)
+  }
+
+  test("defensive page cap bounds the scan (reference: 200 pages)") {
+    val path = writeApiFile(120)
+    val df = read(path, "pageSize" -> "50", "maxPages" -> "2")
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 100)                  // 2 pages × 50
+  }
+
+  test("[from, to) window filters like the API's query params") {
+    val path = writeApiFile(56)                // days 01..28, two records each
+    val df = read(path, "from" -> "2024-05-10 00:00:00", "to" -> "2024-05-12 00:00:00")
+    val days = df.collect().map(_.getString(1).substring(8, 10)).toSet
+    assert(days == Set("10", "11"))
+  }
+
+  test("composes with StgToDds.parseDeliveries into typed rows") {
+    val path = writeApiFile(10)
+    val stg = read(path).withColumn("delivery_ts",
+      org.apache.spark.sql.functions.col("delivery_ts").cast("timestamp"))
+    val parsed = StgToDds.parseDeliveries(stg)
+    assert(parsed.count() == 10)
+    val d3 = parsed.filter("delivery_key = 'd3'").collect().head
+    assert(d3.getAs[String]("courier_key") == "c3")
+    assert(d3.getAs[java.math.BigDecimal]("order_sum").doubleValue() == 30.0)
+  }
+}
