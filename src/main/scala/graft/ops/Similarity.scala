@@ -55,6 +55,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** [[bruteForceTopK]] with the single-pass [[graft.functions.TopKAggregator]]
+    * instead of a window: partial aggregation bounds every shuffle buffer at
+    * k rows per group — the scale path when the candidate set is huge.
+    * Output contract (and values) identical to the window form.
+    */
+  def bruteForceTopKAgg(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    import graft.functions.TopKAggregator
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = withNorm(emb)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val scored = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        col("vec_id").as("id"),
+        (expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm"))).as("score"))
+      .as[(Long, Long, Double)]
+    scored
+      .map { case (q, id, s) => (q, TopKAggregator.Scored(id, s)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKAggregator.topK(k).toColumn)
+      .flatMap { case (q, top) => top.zipWithIndex.map { case (s, i) => (q, i + 1, s.id, s.score) } }
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+      .withColumn("rank", col("rank").cast("int"))
+  }
+
   /** Deterministic hyperplane table: `planes` rows of 64 integer weights in
     * [-1000, 1000], derived from md5(plane||'_'||dim). Broadcast-sized by
     * construction.

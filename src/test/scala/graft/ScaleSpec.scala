@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+import graft.stages.Skew
+
+/** Scale-path equivalences: salted aggregation == direct groupBy, top-k
+  * Aggregator == window top-k, bucketed join plans without exchanges.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  test("salted two-phase aggregation equals direct groupBy exactly") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+    val direct = events.groupBy(col("user_id"))
+      .agg(sum(col("v")).as("v"), count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getLong(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+    val salted = Skew.saltedAggregate(
+        events, keys = Seq("user_id"), saltFrom = Seq(col("event_id")),
+        salts = 8, sums = Seq("v"))
+      .collect().map(r => r.getLong(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+    assert(salted == direct)
+  }
+
+  test("single-pass TopK aggregator returns exactly the window top-k") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val window = Similarity.bruteForceTopK(emb, numQueries = 8, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val agg = Similarity.bruteForceTopKAgg(emb, numQueries = 8, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(agg == window)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // clean leftovers from previous JVM runs (in-memory catalog forgets
+    // the tables but their warehouse dirs persist)
+    Seq("orders_bucketed", "lineitem_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val o = Tables.orders(spark, "/root/testdata/sf0.001").select("o_orderkey", "o_totalprice")
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001").select("l_orderkey", "l_quantity")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bucketed")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bucketed")
+    val joined = spark.table("orders_bucketed")
+      .join(spark.table("lineitem_bucketed"),
+        col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides read pre-bucketed on the join key → SortMergeJoin with no
+    // ShuffleExchange (broadcast of the small side is also acceptable-free)
+    assert(!plan.contains("Exchange hashpartitioning") || plan.contains("BroadcastHashJoin"),
+      s"unexpected shuffle in bucketed join plan:\n$plan")
+    assert(joined.count() == li.count())
+  }
+}
