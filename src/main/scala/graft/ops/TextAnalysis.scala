@@ -93,6 +93,20 @@ object TextAnalysis {
       col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("fingerprint"))
 
+  /** BPE-ish regex token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token. The pattern deliberately
+    * avoids backslash classes: Spark SQL string literals consume `\s`
+    * while DuckDB keeps it — an engine-parity trap; `[^a-z0-9 ]` with a
+    * literal space is identical everywhere.
+    */
+  val regexTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def regexTokenStats(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+      col("doc_id"),
+      size(col("toks")).as("n_ws_tokens"),
+      size(expr(s"regexp_extract_all(text, '$regexTokenPattern', 0)")).as("n_re_tokens"))
+
   /** Corpus token frequencies (explode → count): the one genuinely
     * shuffle-bearing text op; partial aggregation collapses it to
     * |vocabulary| rows per partition before the exchange.

@@ -86,6 +86,15 @@ object TextQueries {
               GROUP BY fingerprint ORDER BY fingerprint"""),
       doc = "order-insensitive token-set fingerprint; collisions = near-copies"),
 
+    GQuery("text_regex_tokens",
+      (s, dir) => TextAnalysis.regexTokenStats(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+                     CAST(len($toksSql) AS INT) AS n_ws_tokens,
+                     CAST(len(regexp_extract_all(text, '${TextAnalysis.regexTokenPattern}')) AS INT) AS n_re_tokens
+              FROM documents ORDER BY doc_id"""),
+      doc = "BPE-ish regex token counting alongside whitespace tokens"),
+
     GQuery("text_token_freq",
       (s, dir) => TextAnalysis.tokenFrequencies(Tables.documents(s, dir))
         .orderBy(col("freq").desc, col("token")),

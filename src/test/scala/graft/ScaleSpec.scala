@@ -64,4 +64,16 @@ class ScaleSpec extends AnyFunSuite {
       s"unexpected shuffle in bucketed join plan:\n$plan")
     assert(joined.count() == li.count())
   }
+
+  test("date-partitioned STG layout prunes partitions at scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("day") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-05"), plan)
+    val total = spark.read.parquet(dir).count()
+    assert(pruned.count() > 0 && pruned.count() < total)
+  }
 }
