@@ -284,6 +284,57 @@ object RelationalQueries {
               WHERE rn <= 3 ORDER BY o_custkey, rn"""),
       doc = "window row_number top-N per key; partitioned window → one shuffle on the key"),
 
+    // ---- Grouping sets beyond the reference: ROLLUP subtotals.
+    // NULL ordering is a cross-engine trap: Spark sorts NULLS FIRST asc,
+    // DuckDB NULLS LAST — the oracle pins NULLS FIRST explicitly.
+    GQuery("agg_rollup",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .rollup(col("o_orderpriority"), year(col("o_orderdate")).as("order_year"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority").asc_nulls_first, col("order_year").asc_nulls_first)
+      },
+      Some("""SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS order_year,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                     COUNT(*) AS n
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY ROLLUP (o_orderpriority, order_year)
+              ORDER BY o_orderpriority ASC NULLS FIRST, order_year ASC NULLS FIRST"""),
+      doc = "ROLLUP subtotal hierarchy (engine-completeness beyond the reference)"),
+
+    // ---- SQL text API: the same engine drives spark.sql over temp views
+    GQuery("sql_api_revenue",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+        Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+        s.sql("""
+          SELECT c.c_mktsegment,
+                 CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                 COUNT(DISTINCT o.o_orderkey) AS n_orders
+          FROM v_lineitem l
+          JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+          JOIN v_customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_orderpriority = '1-URGENT'
+          GROUP BY c.c_mktsegment
+          ORDER BY c.c_mktsegment""")
+      },
+      Some("""SELECT c.c_mktsegment,
+                     CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                     COUNT(DISTINCT o.o_orderkey) AS n_orders
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE o.o_orderpriority = '1-URGENT'
+              GROUP BY c.c_mktsegment
+              ORDER BY c.c_mktsegment"""),
+      doc = "SQL text entry point (spark.sql over temp views), decimal-exact"),
+
     // ---- Set operations (SURVEY.md §2.6: union/intersect/except for merge rewrites)
     GQuery("set_ops",
       (s, dir) => {

@@ -86,4 +86,18 @@ class StgToDdsSpec extends AnyFunSuite {
     assert(State.readWatermark(spark, dir, "wf1", dflt) == ts("2024-05-01 13:45:10"))
     assert(State.readWatermark(spark, dir, "wf2", dflt) == ts("2024-06-01 00:00:00"))
   }
+
+  test("malformed JSON rows parse to nulls and can be quarantined") {
+    import spark.implicits._
+    val mixed = Seq(
+      (rawJson.head._1, rawJson.head._2),
+      ("{not valid json", ts("2024-05-02 00:00:00")),
+      ("""{"delivery_id":null}""", ts("2024-05-03 00:00:00")))
+      .toDF("json_response", "delivery_ts")
+    val parsed = StgToDds.parseDeliveries(mixed)
+    val (good, quarantine) = (parsed.filter(col("delivery_key").isNotNull),
+      parsed.filter(col("delivery_key").isNull))
+    assert(good.count() == 1)
+    assert(quarantine.count() == 2)   // bad syntax + missing business key
+  }
 }
