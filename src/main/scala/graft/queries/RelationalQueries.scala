@@ -335,6 +335,52 @@ object RelationalQueries {
               ORDER BY c.c_mktsegment"""),
       doc = "SQL text entry point (spark.sql over temp views), decimal-exact"),
 
+    // ---- As-of join (operator Spark lacks; composed per ops.AsOfJoin)
+    GQuery("asof_last_signup",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("s_ts"),
+            col("event_id").as("signup_event_id"))
+        graft.ops.AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+            leftTs = "ts", rightTs = "s_ts",
+            rightPayload = Seq("signup_event_id"))
+          .select(col("event_id"), col("user_id"), col("signup_event_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, s.event_id AS signup_event_id
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+                ON p.user_id = s.user_id AND s.ts <= p.ts
+              ORDER BY p.event_id"""),
+      doc = "as-of join: latest signup at or before each purchase, per user"),
+
+    // ---- Equi + range join: follow-up events within 1 hour of each purchase
+    GQuery("range_join_followups",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val others = ev.select(col("event_id").as("f_id"), col("user_id").as("f_user"), col("ts").as("f_ts"))
+        purchases.join(others,
+            col("p_user") === col("f_user") &&
+            col("f_ts") > col("p_ts") &&
+            col("f_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"), "left")
+          .groupBy(col("p_id"))
+          .agg(count(col("f_id")).as("n_followups"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p.event_id AS p_id, count(f.event_id) AS n_followups
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN events f
+                ON p.user_id = f.user_id
+               AND f.ts > p.ts AND f.ts <= p.ts + INTERVAL 1 HOUR
+              GROUP BY p.event_id
+              ORDER BY p.event_id"""),
+      doc = "equi+range join (SMJ with range residual), follow-up window count"),
+
     // ---- Set operations (SURVEY.md §2.6: union/intersect/except for merge rewrites)
     GQuery("set_ops",
       (s, dir) => {
