@@ -381,6 +381,30 @@ object RelationalQueries {
               ORDER BY p.event_id"""),
       doc = "equi+range join (SMJ with range residual), follow-up window count"),
 
+    // ---- Approximate distinct via deterministic KMV sketch (ops.Sketch)
+    GQuery("kmv_distinct_users",
+      (s, dir) => graft.ops.Sketch.kmvDistinct(
+          Tables.events(s, dir), Seq("event_type"), "user_id", k = 64)
+        .orderBy(col("event_type")),
+      Some("""WITH hashed AS (
+                SELECT DISTINCT event_type, user_id,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                FROM events),
+              ranked AS (
+                SELECT event_type, h,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+                FROM hashed),
+              kth AS (
+                SELECT event_type,
+                       max(CASE WHEN r = 64 THEN h END) AS kth_min_hash,
+                       count(*) AS exact
+                FROM ranked GROUP BY 1)
+              SELECT event_type, kth_min_hash, exact,
+                     CASE WHEN kth_min_hash IS NULL THEN CAST(exact AS DOUBLE)
+                          ELSE 63.0 / (kth_min_hash / POWER(2.0, 60)) END AS estimate
+              FROM kth ORDER BY event_type"""),
+      doc = "KMV distinct-count sketch: mergeable O(k) summary, estimate reproducible by the oracle"),
+
     // ---- Set operations (SURVEY.md §2.6: union/intersect/except for merge rewrites)
     GQuery("set_ops",
       (s, dir) => {
