@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - sequential double dot product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_rolling_hash"),
+      info("graft_rolling_hash", "graft_rolling_hash(s) - Rabin-Karp fingerprint"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "graft_shingle_hashes(toks, n, modP) - hashed word n-gram shingles"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,

@@ -201,6 +201,34 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Rabin-Karp rolling hash of an ASCII string: fold (acc*131 + byte) mod
+  * 1e9+7 over the bytes — the classic document/chunk fingerprint primitive.
+  * Byte order = char order for ASCII, so the value equals the
+  * `list_reduce(codes, (acc,c) -> (acc*131+c) % p)` mirror the oracle runs.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with codegen.CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("RollingHash expects string")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 131L + (bytes(i) & 0xffL)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
 /** SQL registration: graft_simhash60(arr), graft_minhash(arr, k),
   * graft_dot(a, b). Idempotent per session.
   */
@@ -214,6 +242,8 @@ object GraftFunctions {
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_rolling_hash",
+      exprs => RollingHash(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       exprs => ShingleHashes(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),

@@ -107,6 +107,15 @@ object TextAnalysis {
       size(col("toks")).as("n_ws_tokens"),
       size(expr(s"regexp_extract_all(text, '$regexTokenPattern', 0)")).as("n_re_tokens"))
 
+  /** Rolling-hash (Rabin-Karp) document fingerprint — position-sensitive,
+    * unlike [[fingerprint]]'s token-set md5; the building block for
+    * content-defined chunking. Native expression, ASCII contract.
+    */
+  def rollingFingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("graft_rolling_hash(text)").as("rhash"))
+  }
+
   /** Corpus token frequencies (explode → count): the one genuinely
     * shuffle-bearing text op; partial aggregation collapses it to
     * |vocabulary| rows per partition before the exchange.

@@ -95,6 +95,18 @@ object TextQueries {
               FROM documents ORDER BY doc_id"""),
       doc = "BPE-ish regex token counting alongside whitespace tokens"),
 
+    GQuery("text_rolling_hash",
+      (s, dir) => TextAnalysis.rollingFingerprint(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, length(text) + 1),
+                                        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 131 + c) % 1000000007) AS rhash
+              FROM documents ORDER BY doc_id"""),
+      doc = "Rabin-Karp rolling-hash fingerprint (position-sensitive)"),
+
     GQuery("text_token_freq",
       (s, dir) => TextAnalysis.tokenFrequencies(Tables.documents(s, dir))
         .orderBy(col("freq").desc, col("token")),
