@@ -125,6 +125,42 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer (the first
+    * `centroids` vectors serve as cell centers) assigns every vector to its
+    * nearest cell by cosine; search visits only the query's cell
+    * (nprobe=1). Against real data the centroids would come from k-means —
+    * the engine shape (assignment pass + cell-restricted search, both
+    * single-shuffle) is identical, and a deterministic quantizer is what
+    * keeps the oracle reproducible.
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, numQueries: Int, k: Int,
+              centroids: Int = 16): DataFrame = {
+    val base = withNorm(emb)
+    val cents = base.filter(col("vec_id") < centroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("_r", row_number().over(wAssign))
+      .filter(col("_r") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("c_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(queries, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH
     * (`bandsOfPlanes` bands, each `planesPerBand` sign bits; candidates match
     * on any whole band) verified by exact cosine ≥ tau.

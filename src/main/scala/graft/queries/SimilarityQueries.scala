@@ -79,6 +79,40 @@ object SimilarityQueries {
               FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
       doc = "hyperplane-LSH-bucketed ANN top-3 (scale path; recall traded for candidate cut)"),
 
+    GQuery("sim_ivf_topk",
+      (s, dir) => Similarity.ivfTopK(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH base AS (
+                     SELECT vec_id, embedding,
+                            sqrt(${dotSql("embedding", "embedding")}) AS norm
+                     FROM embeddings),
+                   cents AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+                             FROM base WHERE vec_id < 16),
+                   assigned AS (
+                     SELECT vec_id, embedding, norm, cell FROM (
+                       SELECT b.vec_id, b.embedding, b.norm, c.c_id AS cell,
+                              ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                ORDER BY ${dotSql("b.embedding", "c.c_emb")} / (b.norm * c.c_norm) DESC,
+                                         c.c_id) AS r
+                       FROM base b, cents c)
+                     WHERE r = 1),
+                   q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cell
+                         FROM assigned WHERE vec_id < 16),
+                   scored AS (
+                     SELECT q.query_id, a.vec_id,
+                            ${dotSql("a.embedding", "q.q_emb")} / (a.norm * q.q_norm) AS cosine
+                     FROM assigned a JOIN q ON a.cell = q.cell
+                     WHERE a.vec_id <> q.query_id),
+                   ranked AS (
+                     SELECT query_id, vec_id, cosine,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+              SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+      doc = "IVF ANN: deterministic coarse quantizer, nprobe=1 cell search"),
+
     GQuery("dedup_embedding_cosine",
       (s, dir) => Similarity.embeddingNearDupPairs(s, Tables.embeddings(s, dir), tau = 0.9)
         .orderBy(col("vec_a"), col("vec_b")),
