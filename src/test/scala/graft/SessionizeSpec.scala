@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{EventIn, SessionOut}
+
+/** flatMapGroupsWithState sessionization — closed sessions emitted by the
+  * streaming operator must equal the batch gaps-and-islands result for all
+  * but each user's final (still-open) session.
+  */
+class SessionizeSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // whole-second timestamps: user 7 has two sessions (gap > 30 min) plus an
+  // open tail; user 8 one closed session + open tail
+  private val batch1 = Seq(
+    EventIn(7L, ts("2024-01-01 10:00:00"), 10.0),
+    EventIn(7L, ts("2024-01-01 10:10:00"), 5.0),
+    EventIn(8L, ts("2024-01-01 09:00:00"), 1.0))
+  private val batch2 = Seq(
+    EventIn(7L, ts("2024-01-01 11:00:00"), 2.0),   // > 30 min after 10:10 → new session
+    EventIn(7L, ts("2024-01-01 11:05:00"), 3.0),
+    EventIn(8L, ts("2024-01-01 12:00:00"), 4.0),   // closes 09:00 session
+    EventIn(7L, ts("2024-01-01 13:00:00"), 9.0))   // closes 11:00 session
+
+  test("streaming closed sessions == batch sessions minus open tails") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventIn]
+    val sink = s"sessions_${System.nanoTime()}"
+    val q = Sessionize.sessionsStreaming(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(sink).start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table(sink).as[SessionOut].collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
+    q.stop()
+
+    val all = Sessionize.sessionsBatch(
+        (batch1 ++ batch2).toDF(), gapMinutes = 30)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
+        r.getAs[String]("session_end"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))).toSet
+    // open tails (never emitted by the stream): 7@13:00, 8@12:00
+    val openTails = all.filter(s => s._2 == "2024-01-01 13:00:00" || s._2 == "2024-01-01 12:00:00")
+    assert(openTails.size == 2)
+    assert(streamed == all -- openTails)
+    // spot-check a closed session: user 7, 10:00-10:10, 2 events, 15.0
+    assert(streamed.contains((7L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L, 15.0)))
+  }
+}
