@@ -85,13 +85,17 @@ object Pipeline {
     * the 2-hop snowflake join, then [[Ledger.monthlyLedger]].
     */
   def ledgerRebuild(dds: DdsState, dmOrders: DataFrame): DataFrame = {
+    // Broadcast hint ONLY on the courier dim (structurally dim-sized). The
+    // order and timestamp dims are fact-scale (one order / one distinct ts
+    // per delivery) — their strategy is left to Catalyst/AQE, which
+    // broadcasts while small and switches to a shuffle join at scale.
     val facts = dds.fctDeliveries
       .join(broadcast(dds.dmCouriers.select(col("id").as("courier_id"),
         col("courier_name"))), Seq("courier_id"))
-      .join(broadcast(dmOrders.select(col("id").as("order_id"),
-        col("timestamp_id").as("order_ts_id"))), Seq("order_id"))
-      .join(broadcast(dds.dmTimestamps.select(col("id").as("order_ts_id"),
-        col("year").as("settlement_year"), col("month").as("settlement_month"))),
+      .join(dmOrders.select(col("id").as("order_id"),
+        col("timestamp_id").as("order_ts_id")), Seq("order_id"))
+      .join(dds.dmTimestamps.select(col("id").as("order_ts_id"),
+        col("year").as("settlement_year"), col("month").as("settlement_month")),
         Seq("order_ts_id"))
     Ledger.monthlyLedger(facts)
   }

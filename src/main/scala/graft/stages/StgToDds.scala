@@ -101,16 +101,22 @@ object StgToDds {
   }
 
   /** J2: fact key resolution (`sql/deliveries_stg_to_dds.sql:23-36`) —
-    * replace business keys with surrogate ids via three equi-joins. All
-    * three dimension sides are broadcast; the timestamp join is EXACT
-    * equality (µs precision, session TZ pinned UTC).
+    * replace business keys with surrogate ids via three equi-joins. Only the
+    * courier dim carries an explicit broadcast hint: couriers are
+    * structurally dim-sized at any data scale. The order and timestamp dims
+    * grow WITH the facts (≈ one order / one distinct ts per delivery), so
+    * their join strategy is left to Catalyst/AQE — broadcast while under
+    * `autoBroadcastJoinThreshold`, shuffle join beyond it. An explicit hint
+    * here would be honored regardless of size and OOM the driver at 100×.
+    * The timestamp join is EXACT equality (µs precision, session TZ pinned
+    * UTC).
     */
   def resolveFacts(newDeliveries: DataFrame, dmOrders: DataFrame,
                    dmTimestamps: DataFrame, dmCouriers: DataFrame): DataFrame =
     newDeliveries
-      .join(broadcast(dmOrders.select(col("order_key"), col("id").as("order_id"))),
+      .join(dmOrders.select(col("order_key"), col("id").as("order_id")),
         Seq("order_key"))
-      .join(broadcast(dmTimestamps.select(col("ts"), col("id").as("timestamp_id"))),
+      .join(dmTimestamps.select(col("ts"), col("id").as("timestamp_id")),
         Seq("ts"))
       .join(broadcast(dmCouriers.select(col("courier_key"), col("id").as("courier_id"))),
         Seq("courier_key"))

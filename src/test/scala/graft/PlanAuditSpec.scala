@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stages.{Pipeline, StgToDds}
+import graft.stages.Pipeline.DdsState
+
+/** Plan regression guards: asserts the physical-plan posture (shuffle
+  * count, broadcast usage, parquet filter pushdown) of the registry's
+  * headline queries and the pipeline stage functions, so refactors can't
+  * silently regress the 100 TB design. Counts are ceilings — a plan that
+  * gets CHEAPER passes; one that grows a new exchange fails.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def formattedPlan(name: String): String = {
+    val df = QueryRegistry.byName(name).run(spark, sfDir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  private def shuffles(plan: String): Int =
+    raw"\(\d+\) Exchange\b".r.findAllIn(plan).length
+  private def broadcasts(plan: String): Int =
+    raw"\(\d+\) BroadcastExchange\b".r.findAllIn(plan).length
+
+  /** The broadcast-hint children of the analyzed logical plan. */
+  private def hintedSides(df: DataFrame): Seq[Seq[String]] =
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h.child.output.map(_.name)
+    }
+
+  // ---- pipeline stage functions: only structurally dim-sized sides hinted ----
+
+  private def tinyDeliveries: DataFrame = {
+    import spark.implicits._
+    Seq(("d1", "o1", java.sql.Timestamp.valueOf("2024-05-01 11:00:00"),
+      BigDecimal("100.00"), "c1", 5, BigDecimal("10.00")))
+      .toDF("delivery_key", "order_key", "ts", "order_sum", "courier_key", "rating", "tips")
+  }
+
+  test("resolveFacts hints ONLY the courier dim (fact-scale order/ts dims unhinted)") {
+    import spark.implicits._
+    val dmOrders = Seq(("o1", 1)).toDF("order_key", "id")
+    val dmTs = Seq((java.sql.Timestamp.valueOf("2024-05-01 11:00:00"), 1)).toDF("ts", "id")
+    val dmCouriers = Seq(("c1", 1)).toDF("courier_key", "id")
+    val hints = hintedSides(StgToDds.resolveFacts(tinyDeliveries, dmOrders, dmTs, dmCouriers))
+    assert(hints.length == 1, s"expected exactly 1 broadcast hint, got: $hints")
+    assert(hints.head.contains("courier_id"), s"hinted side must be the courier dim, got: $hints")
+  }
+
+  test("ledgerRebuild hints ONLY the courier dim") {
+    import spark.implicits._
+    val fct = Seq(("d1", 1, 1, BigDecimal("100.00"), 1, 5, BigDecimal("10.00")))
+      .toDF("delivery_key", "order_id", "timestamp_id", "order_sum", "courier_id", "rating", "tips")
+    val dmCouriers = Seq((1, "c1", "Ann")).toDF("id", "courier_key", "courier_name")
+    val dmTs = Seq((1, java.sql.Timestamp.valueOf("2024-05-01 11:00:00"), 2024, 5, 1, "11:00:00",
+      java.sql.Date.valueOf("2024-05-01"))).toDF("id", "ts", "year", "month", "day", "time", "date")
+    val dmOrders = Seq(("o1", 1, 1)).toDF("order_key", "id", "timestamp_id")
+    val hints = hintedSides(
+      Pipeline.ledgerRebuild(DdsState(dmCouriers, dmTs, fct), dmOrders))
+    assert(hints.length == 1, s"expected exactly 1 broadcast hint, got: $hints")
+    assert(hints.head.contains("courier_name"), s"hinted side must be the courier dim, got: $hints")
+  }
+
+  // ---- per-query physical-plan guards ----
+
+  /** name -> (max shuffle exchanges, min broadcast exchanges, required fragments) */
+  private val guards: Seq[(String, Int, Int, Seq[String])] = Seq(
+    // 1 shuffle = the deterministic output sort; watermark bound pushed to parquet
+    ("o3_watermark_filter", 1, 0, Seq("GreaterThan(ts")),
+    // agg exchange + output sort; courier dim broadcast
+    ("ledger_monthly", 2, 1, Nil),
+    ("j1_dim_lookup", 2, 1, Nil),
+    // dim joins stay broadcast at test scale; no extra exchanges beyond
+    // distinct/sort machinery
+    ("j2_fact_key_resolution", 3, 1, Nil),
+    ("j3_snowflake_revenue", 3, 1, Nil),
+    // single hash-agg exchange + output sort; no join
+    ("a3_pricing_summary", 2, 0, Nil),
+    // LIMIT must plan as TakeOrderedAndProject: zero exchanges
+    ("t1_topk_orders", 0, 0, Seq("TakeOrderedAndProject")),
+    // one window exchange + output sort
+    ("w1_topn_per_customer", 2, 0, Nil),
+    // band self-join + pair distinct; never an all-pairs product
+    ("dedup_minhash_lsh", 2, 1, Nil),
+    ("sim_topk_brute", 2, 1, Nil))
+
+  guards.foreach { case (name, maxShuffles, minBroadcasts, fragments) =>
+    test(s"plan guard: $name (shuffles<=$maxShuffles, broadcasts>=$minBroadcasts)") {
+      val plan = formattedPlan(name)
+      val sh = shuffles(plan)
+      val bc = broadcasts(plan)
+      assert(sh <= maxShuffles, s"$name grew to $sh shuffle exchanges (max $maxShuffles):\n$plan")
+      assert(bc >= minBroadcasts, s"$name lost its broadcast ($bc < $minBroadcasts):\n$plan")
+      fragments.foreach { f =>
+        assert(plan.contains(f), s"$name plan lost required fragment '$f':\n$plan")
+      }
+    }
+  }
+
+  test("no registry query plan contains a CartesianProduct (broadcast NL over tiny sides only)") {
+    // Queries whose ALGORITHM is a bounded small-side cross join (IVF centroid
+    // assignment, brute-force baseline) use BroadcastNestedLoopJoin, never a
+    // shuffle CartesianProduct.
+    val names = Seq("sim_ivf_topk", "sim_topk_brute", "sim_ann_lsh", "dedup_embedding_cosine")
+    names.foreach { n =>
+      val plan = formattedPlan(n)
+      assert(!plan.contains("CartesianProduct"), s"$n plans a shuffle cartesian product:\n$plan")
+    }
+  }
+}
