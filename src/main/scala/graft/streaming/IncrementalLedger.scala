@@ -1,26 +1,36 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
+import graft.stages.Merge
 
 /** Structured-Streaming re-expression of the reference's incremental loop.
   *
   * The reference hand-implements streaming concepts in daily batch
   * (SURVEY.md §2.6): a high-watermark cursor (`srv_wf_settings`), business-
   * key dedup for re-delivery idempotence (UNIQUE + ON CONFLICT), and
-  * calendar-month aggregation. Here the same semantics are the engine's
-  * native ones: `readStream` file source (new files = new increments — the
-  * S2 incremental scan), `withWatermark` + `dropDuplicates` on the business
-  * key (cross-batch idempotence), and a keyed aggregation maintained by the
-  * streaming state store. `Trigger.AvailableNow` drains everything pending
-  * and stops — exactly the reference's daily-batch cadence, checkpointable
-  * and restartable.
+  * calendar-month aggregation upserted into the ledger table
+  * (`sql/courier_ledger_update.sql:102-111`). Here the same semantics are
+  * the engine's native ones: `readStream` file source (new files = new
+  * increments — the S2 incremental scan), `withWatermark` + `dropDuplicates`
+  * on the business key (cross-batch idempotence), a keyed aggregation
+  * maintained by the streaming state store, and — the reference's upsert
+  * cadence — **update-mode `foreachBatch` merging only the keys whose
+  * aggregate changed** into a storage-backed ledger table via the same
+  * [[Merge.upsert]] rewrite the batch pipeline uses. `Trigger.AvailableNow`
+  * drains everything pending and stops — exactly the reference's daily-batch
+  * cadence, checkpointable and restartable.
   *
-  * At scale the file source lists partitions incrementally (maxFilesPerTrigger
-  * bounds a micro-batch) and state lives per aggregation key in the state
-  * store, partitioned by the group key — no driver-side state at all.
+  * Scale posture: state lives per aggregation key in the state store,
+  * partitioned by the group key; each micro-batch ships only the CHANGED
+  * (user, month) rows to the sink (update mode), and the merge is the
+  * distributed anti-join+union rewrite — nothing is ever materialized on
+  * the driver. (The old complete-mode memory sink re-emitted the whole
+  * aggregate each batch into driver memory; it survives only as a harness
+  * in `StreamingSpec`.)
   */
 object IncrementalLedger {
 
@@ -35,15 +45,12 @@ object IncrementalLedger {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Stream the events file(s), aggregate per (user, year, month), drain with
-    * AvailableNow into a memory sink, return the settled result — which must
-    * equal the batch computation bit-for-bit (oracle-checked).
+  /** The streaming aggregate plan: events file stream → watermark →
+    * business-key dedup → per (user, year, month) totals.
     */
-  def monthlyUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
+  def monthlyAggStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sinkName = s"graft_stream_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-
-    val stream = spark.readStream
+    spark.readStream
       .schema(rawEventSchema)
       // file source wants a directory; select just the events table from it
       .option("pathGlobFilter", "events.parquet")
@@ -56,11 +63,53 @@ object IncrementalLedger {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
 
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
+  /** A parquet-backed ledger target that [[mergeBatch]] rewrites per
+    * micro-batch — the storage-format-neutral stand-in for a lakehouse
+    * `MERGE INTO`. Each batch writes a NEW version directory and flips the
+    * current pointer only after the write succeeds, so a failed batch never
+    * corrupts the readable state (same write-then-advance ordering as the
+    * watermark protocol, SURVEY.md §7.3).
+    */
+  final class LedgerTarget(val root: String, keys: Seq[String]) {
+    @volatile private var current: Option[String] = None
+
+    def mergeBatch(batch: Dataset[Row], batchId: Long): Unit = {
+      val next = s"$root/v$batchId"
+      val merged = current match {
+        case Some(prev) =>
+          Merge.upsert(batch.sparkSession.read.parquet(prev), batch.toDF(), keys)
+        case None => batch.toDF()
+      }
+      merged.write.mode("overwrite").parquet(next)
+      current = Some(next)
+    }
+
+    def read(spark: SparkSession, schemaIfEmpty: StructType): DataFrame =
+      current match {
+        case Some(path) => spark.read.parquet(path)
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schemaIfEmpty)
+      }
+  }
+
+  /** Stream the events file(s), drain with AvailableNow through an
+    * update-mode foreachBatch merge into a [[LedgerTarget]], return the
+    * settled ledger — which must equal the batch computation bit-for-bit
+    * (oracle-checked).
+    */
+  def monthlyUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Seq("user_id", "year", "month")
+    val target = new LedgerTarget(
+      Files.createTempDirectory("graft_ledger_").toString, keys)
+    val agg = monthlyAggStream(spark, sfDir)
+
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        target.mergeBatch(batch, batchId)
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     try {
@@ -69,6 +118,6 @@ object IncrementalLedger {
       q.stop()
       q.awaitTermination()
     }
-    spark.table(sinkName)
+    target.read(spark, agg.schema)
   }
 }

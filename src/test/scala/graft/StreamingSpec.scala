@@ -39,6 +39,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(row.getAs[Double]("total") == 15.0)
   }
 
+  test("update-mode foreachBatch merge: each batch ships only changed keys, target converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val target = new IncrementalLedger.LedgerTarget(
+      java.nio.file.Files.createTempDirectory("graft_ledger_spec_").toString,
+      Seq("user_id", "year", "month"))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val agg = input.toDF()
+      .toDF("event_id", "ts", "user_id", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy($"user_id", year($"ts").as("year"), month($"ts").as("month"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }
+        target.mergeBatch(batch, id)
+      }
+      .start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    input.addData((1L, ts("2024-01-01 10:00:00"), 7L, 10.0),
+                  (2L, ts("2024-01-01 11:00:00"), 8L, 20.0))
+    q.processAllAvailable()
+    // batch 2: touches ONLY user 7 (plus a replay of event 1, which dedup drops)
+    input.addData((1L, ts("2024-01-01 10:00:00"), 7L, 10.0),
+                  (3L, ts("2024-01-01 10:30:00"), 7L, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = target.read(spark, agg.schema)
+      .orderBy("user_id").collect()
+    assert(batchSizes.takeRight(1).head <= 1,
+      s"update mode must re-emit only the changed key, emitted: $batchSizes")
+    assert(rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+      r.getAs[Double]("total_value"))).toSeq ==
+      Seq((7L, 2L, 15.0), (8L, 1L, 20.0)))
+  }
+
   test("AvailableNow streaming drain equals batch aggregation on the corpus") {
     val streamed = IncrementalLedger.monthlyUserTotals(spark, "/root/testdata/sf0.001")
       .orderBy("user_id", "year", "month").collect()
