@@ -60,10 +60,18 @@ object Sessionize extends Serializable {
   }
 
   /** Streaming twin: one SessionState per user in the state store; events
-    * arrive sorted per micro-batch group, sessions emit on gap or timeout.
-    * Money is carried as integer cents so merge order cannot affect sums.
+    * arrive sorted per micro-batch group, sessions emit on gap — or, for an
+    * IDLE user, when the event-time watermark passes `lastTs + gap`
+    * (`EventTimeTimeout`): without the timeout an idle user's final session
+    * would sit in the state store forever on an unbounded stream, both
+    * withholding the row and leaking state. Money is carried as integer
+    * cents so merge order cannot affect sums.
+    *
+    * @param watermarkDelay how much event-time disorder to tolerate before
+    *   the watermark (and therefore session timeouts) advances.
     */
-  def sessionsStreaming(events: Dataset[EventIn], gapMinutes: Int): Dataset[SessionOut] = {
+  def sessionsStreaming(events: Dataset[EventIn], gapMinutes: Int,
+                        watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
 
@@ -76,31 +84,46 @@ object Sessionize extends Serializable {
       SessionOut(user, fmtMs(s.start), fmtMs(s.lastTs), s.n, s.sumCents / 100.0)
 
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
-          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            val cents = math.round(e.value * 100)
-            cur match {
-              case Some(s) if t - s.lastTs <= gapMs =>
-                cur = Some(SessionState(s.start, t, s.n + 1, s.sumCents + cents))
-              case Some(s) =>
-                out += emit(user, s)
-                cur = Some(SessionState(t, t, 1, cents))
-              case None =>
-                cur = Some(SessionState(t, t, 1, cents))
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new events: the session
+            // is definitively closed (anything later would start a new one).
+            val out = state.getOption.map(emit(user, _)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val cents = math.round(e.value * 100)
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sumCents + cents))
+                case Some(s) =>
+                  out += emit(user, s)
+                  cur = Some(SessionState(t, t, 1, cents))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, cents))
+              }
             }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                // the timeout must be strictly beyond the current watermark;
+                // a session already older than the watermark times out at the
+                // next possible instant.
+                state.setTimeoutTimestamp(
+                  math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
+              case None => state.remove()
+            }
+            out.iterator
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None    => state.remove()
-          }
-          out.iterator
       }
   }
 }

@@ -29,7 +29,7 @@ class SessionizeSpec extends AnyFunSuite {
     EventIn(8L, ts("2024-01-01 12:00:00"), 4.0),   // closes 09:00 session
     EventIn(7L, ts("2024-01-01 13:00:00"), 9.0))   // closes 11:00 session
 
-  test("streaming closed sessions == batch sessions minus open tails") {
+  test("gap-closed sessions match batch; watermark timeout flushes idle tails") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventIn]
@@ -40,9 +40,8 @@ class SessionizeSpec extends AnyFunSuite {
     q.processAllAvailable()
     input.addData(batch2: _*)
     q.processAllAvailable()
-    val streamed = spark.table(sink).as[SessionOut].collect()
+    def streamed() = spark.table(sink).as[SessionOut].collect()
       .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
-    q.stop()
 
     val all = Sessionize.sessionsBatch(
         (batch1 ++ batch2).toDF(), gapMinutes = 30)
@@ -50,11 +49,21 @@ class SessionizeSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
         r.getAs[String]("session_end"), r.getAs[Long]("n_events"),
         r.getAs[Double]("total_value"))).toSet
-    // open tails (never emitted by the stream): 7@13:00, 8@12:00
-    val openTails = all.filter(s => s._2 == "2024-01-01 13:00:00" || s._2 == "2024-01-01 12:00:00")
-    assert(openTails.size == 2)
-    assert(streamed == all -- openTails)
+
+    // after batch2 the watermark is 13:00 - 10 min = 12:50, which is past
+    // user 8's idle deadline (12:00 + 30 min): 8's tail is FLUSHED by the
+    // event-time timeout. User 7's tail (13:00 + 30 min) is still open.
+    val tail7 = all.filter(_._2 == "2024-01-01 13:00:00")
+    assert(tail7.size == 1)
+    assert(streamed() == all -- tail7)
     // spot-check a closed session: user 7, 10:00-10:10, 2 events, 15.0
-    assert(streamed.contains((7L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L, 15.0)))
+    assert(streamed().contains((7L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L, 15.0)))
+
+    // an unrelated user's event advances the watermark past 13:30 and the
+    // timeout flushes user 7's final session with NO user-7 event arriving
+    input.addData(EventIn(99L, ts("2024-01-02 10:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(streamed() == all) // every user-7/8 session emitted; 99 still open
   }
 }
