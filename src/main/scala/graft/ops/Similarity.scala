@@ -161,6 +161,86 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer.
+    *
+    * Determinism contract (what makes the oracle reproducible):
+    *   - init: the first `k` vectors by id — no RNG;
+    *   - fixed iteration count — no convergence test on floats;
+    *   - assignment ties broken by centroid id;
+    *   - centroid means are computed over SCALED INTEGER components
+    *     (`floor(x·10⁶)` as BIGINT): integer sums are order-independent, so
+    *     the partition/merge order of the aggregation cannot change a single
+    *     bit, and the one final double division is deterministic everywhere.
+    *     (A naive `avg(double)` would float-drift between engines/runs.)
+    *
+    * Scale: per iteration, the assignment pass is a crossJoin against the
+    * broadcast k-row centroid table + one window keyed by vec_id, and the
+    * update pass is a posexplode → groupBy(cell, pos) whose group count is
+    * k×dim — map-side partial aggregation collapses each partition to that
+    * many rows before the exchange. Empty cells keep their previous center.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"),
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"),
+      expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000) AS BIGINT))").as("sv"))
+    var cents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("c"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_score").desc, col("c_id"))
+    (1 to iters).foreach { _ =>
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("_score",
+          expr("graft_dot(v, c)") / expr("sqrt(graft_dot(c, c))"))
+        .withColumn("_r", row_number().over(wAssign))
+        .filter(col("_r") === 1)
+        .select(col("vec_id"), col("sv"), col("c_id").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("sv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m", expr("CAST(s AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)").as("mc"))
+        .withColumnRenamed("cell", "c_id")
+      cents = cents.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("mc"), col("c")).as("c"))
+    }
+    cents
+  }
+
+  /** IVF ANN with a real (deterministic) k-means quantizer and multi-probe:
+    * the corpus is assigned to its single nearest cell, but each QUERY
+    * searches its `nprobe` nearest cells — the standard recall lever (a
+    * query near a cell boundary still sees its neighbors across it) at
+    * `nprobe×` the candidate cost, still a tiny fraction of the corpus.
+    */
+  def ivfKmeansTopK(spark: SparkSession, emb: DataFrame, numQueries: Int, k: Int,
+                    centroids: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val base = withNorm(emb)
+    val cents = kmeansCentroids(emb, centroids, iters)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    val ranked = base.crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
+      .withColumn("_r", row_number().over(wAssign))
+    val corpus = ranked.filter(col("_r") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("c_id").as("cell"))
+    val queries = ranked.filter(col("_r") <= nprobe && col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("c_id").as("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(queries, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH
     * (`bandsOfPlanes` bands, each `planesPerBand` sign bits; candidates match
     * on any whole band) verified by exact cosine ≥ tau.

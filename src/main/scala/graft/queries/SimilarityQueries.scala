@@ -20,6 +20,77 @@ object SimilarityQueries {
        |    i -> (CAST('0x' || substr(md5(CAST(m.m AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000) AS w
        |  FROM (SELECT unnest(range(0, 8)) AS m) m)""".stripMargin
 
+  /** DuckDB mirror of Similarity.kmeansCentroids + ivfKmeansTopK with the
+    * Lloyd iterations unrolled. Every float expression matches the Spark
+    * side op-for-op (sequential list folds, integer-scaled centroid means,
+    * one final double division) so the cosines hash-compare exactly.
+    */
+  private def kmeansIvfSql(centroids: Int, nprobe: Int, numQueries: Int, topK: Int): String = {
+    // assignment pass: nearest cell by dot(v, c)/|c|, ties to the lower c_id
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, c.c_id AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${dotSql("b.embedding", "c.c")} / sqrt(${dotSql("c.c", "c.c")}) DESC,
+         |                      c.c_id) AS r
+         |    FROM base b, $cents c) WHERE r = 1)""".stripMargin
+    // update pass: component-wise mean over scaled-integer vectors;
+    // empty cells keep the previous center
+    def update(assigned: String, prev: String, next: String) =
+      s"""${next}_m AS (
+         |  SELECT a.cell AS c_id, t.i AS pos, SUM(s.sv[t.i + 1]) AS ssum, COUNT(*) AS n
+         |  FROM $assigned a JOIN sv s ON s.vec_id = a.vec_id,
+         |       (SELECT unnest(range(0, 64)) AS i) t
+         |  GROUP BY a.cell, t.i),
+         |$next AS (
+         |  SELECT p.c_id, COALESCE(mm.mc, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT c_id,
+         |           list(CAST(ssum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)) ORDER BY pos) AS mc
+         |    FROM ${next}_m GROUP BY c_id) mm ON mm.c_id = p.c_id)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS c_id,
+       |         list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS c
+       |  FROM embeddings WHERE vec_id < $centroids),
+       |${assign("a1", "c0")},
+       |${update("a1", "c0", "c1")},
+       |${assign("a2", "c1")},
+       |${update("a2", "c1", "c2")},
+       |fin AS (
+       |  SELECT b.vec_id, c.c_id AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |           ORDER BY ${dotSql("b.embedding", "c.c")} / (b.norm * sqrt(${dotSql("c.c", "c.c")})) DESC,
+       |                    c.c_id) AS r
+       |  FROM base b, c2 c),
+       |corpus AS (SELECT vec_id, cell FROM fin WHERE r = 1),
+       |q AS (SELECT vec_id AS query_id, cell FROM fin
+       |      WHERE r <= $nprobe AND vec_id < $numQueries),
+       |scored AS (
+       |  SELECT q.query_id, co.vec_id,
+       |         ${dotSql("b.embedding", "qb.embedding")} / (b.norm * qb.norm) AS cosine
+       |  FROM corpus co JOIN q ON co.cell = q.cell
+       |  JOIN base b ON b.vec_id = co.vec_id
+       |  JOIN base qb ON qb.vec_id = q.query_id
+       |  WHERE co.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery("sim_topk_brute",
@@ -112,6 +183,14 @@ object SimilarityQueries {
               SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
               FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
       doc = "IVF ANN: deterministic coarse quantizer, nprobe=1 cell search"),
+
+    GQuery("sim_ivf_kmeans",
+      (s, dir) => Similarity.ivfKmeansTopK(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3, centroids = 8, iters = 2, nprobe = 2)
+        .orderBy(col("query_id"), col("rank")),
+      Some(kmeansIvfSql(centroids = 8, nprobe = 2, numQueries = 16, topK = 3)),
+      doc = "IVF ANN with deterministic k-means quantizer (2 Lloyd iterations, " +
+        "integer-scaled means) and nprobe=2 multi-probe search"),
 
     GQuery("dedup_embedding_cosine",
       (s, dir) => Similarity.embeddingNearDupPairs(s, Tables.embeddings(s, dir), tau = 0.9)

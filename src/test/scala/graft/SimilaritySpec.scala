@@ -34,6 +34,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 0L)) || pairs.toSeq == Seq((0L, 1L)))
   }
 
+  test("k-means IVF multi-probe ranks the planted twin first (recall matches brute force)") {
+    val res = Similarity.ivfKmeansTopK(spark, emb, numQueries = 1, k = 3).collect()
+    assert(res.head.getAs[Long]("neighbor_id") == 1L)
+    assert(res.head.getAs[Double]("cosine") > 0.999)
+    // every ANN cosine is the exact brute-force value for that neighbor
+    val brute = Similarity.bruteForceTopK(emb, numQueries = 1, k = 40)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    res.foreach(r => assert(brute(r.getAs[Long]("neighbor_id")) == r.getAs[Double]("cosine")))
+  }
+
   test("LSH top-k returns a subset consistent with brute force when bucketed together") {
     val brute = Similarity.bruteForceTopK(emb, numQueries = 1, k = 40)
       .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
