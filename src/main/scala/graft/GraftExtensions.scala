@@ -39,5 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         exprs(2).eval(null).asInstanceOf[Boolean])))
+    ext.injectFunction((FunctionIdentifier("graft_cdc_boundaries"),
+      info("graft_cdc_boundaries", "graft_cdc_boundaries(s, w, divisor) - content-defined chunk boundary positions"),
+      (exprs: Seq[Expression]) => CdcBoundaries(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue())))
   }
 }

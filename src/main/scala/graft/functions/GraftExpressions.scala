@@ -229,6 +229,63 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Content-defined chunk boundaries on the Rabin-Karp primitive: the
+  * 1-based positions `i >= w` where the hash of the trailing `w`-byte
+  * window satisfies `H % divisor == 0`, plus (always) the final position
+  * `L` — so boundaries depend only on LOCAL content. Insert a byte at the
+  * front and every chunk after the first re-synchronizes to the same
+  * boundaries, which is what makes chunk-hash dedup robust to edits —
+  * the dedup unit of a real training-data pipeline.
+  *
+  * Window hash H_i = Σ_{j=i-w+1..i} byte_j · 131^(i-j) mod 1e9+7, kept
+  * incrementally (add byte, subtract the one leaving the window scaled by
+  * 131^w). Exact mod arithmetic, so it equals the oracle's direct w-term
+  * sum bit-for-bit. Production CDC adds min/max chunk-size clamps; they are
+  * a two-line change here but deliberately omitted because the clamped
+  * recurrence is sequential and could not be mirrored declaratively by the
+  * oracle. ASCII contract (byte == char) like [[RollingHash]].
+  */
+case class CdcBoundaries(child: Expression, w: Int, divisor: Int)
+    extends UnaryExpression with codegen.CodegenFallback {
+  private val P = 1000000007L
+  private lazy val powW: Long = {
+    var p = 1L; var t = 0
+    while (t < w) { p = p * 131L % P; t += 1 }
+    p
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("CdcBoundaries expects string")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val L = bytes.length
+    if (L == 0) return new GenericArrayData(Array.empty[Int])
+    val out = new java.util.ArrayList[Integer]()
+    var acc = 0L
+    var i = 0
+    while (i < L) {
+      acc = (acc * 131L + (bytes(i) & 0xffL)) % P
+      if (i >= w) {
+        acc = (acc - (bytes(i - w) & 0xffL) * powW) % P
+        if (acc < 0) acc += P
+      }
+      if (i + 1 >= w && acc % divisor == 0) out.add(i + 1)
+      i += 1
+    }
+    if (out.isEmpty || out.get(out.size() - 1) != L) out.add(L)
+    val res = new Array[Int](out.size())
+    var k = 0
+    while (k < res.length) { res(k) = out.get(k); k += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+
 /** SQL registration: graft_simhash60(arr), graft_minhash(arr, k),
   * graft_dot(a, b). Idempotent per session.
   */
@@ -248,6 +305,10 @@ object GraftFunctions {
       exprs => ShingleHashes(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         exprs(2).eval(null).asInstanceOf[Boolean]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cdc_boundaries",
+      exprs => CdcBoundaries(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
   }
 }
 

@@ -116,6 +116,31 @@ object TextAnalysis {
     docs.select(col("doc_id"), expr("graft_rolling_hash(text)").as("rhash"))
   }
 
+  /** Content-defined chunking: split each document at rolling-hash-mask
+    * boundaries ([[graft.functions.CdcBoundaries]]) and fingerprint every
+    * chunk — (doc_id, chunk_no, start, chunk_len, chunk_hash), the dedup
+    * unit for a training-data pipeline (chunk hashes survive edits
+    * elsewhere in the document, unlike whole-doc hashes). Everything after
+    * the boundary expression is per-row array algebra: no shuffle at all —
+    * a downstream `groupBy(chunk_hash)` dedups chunks corpus-wide with the
+    * one exchange that semantic requires.
+    */
+  def cdcChunks(docs: DataFrame, w: Int = 16, divisor: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("bs", expr(s"graft_cdc_boundaries(text, $w, $divisor)"))
+      .select(col("doc_id"), col("text"), col("bs"),
+        posexplode(col("bs")).as(Seq("idx", "end")))
+      .withColumn("chunk_no", (col("idx") + 1).cast("int"))
+      .withColumn("start", when(col("idx") === 0, lit(1))
+        .otherwise(element_at(col("bs"), col("idx")) + 1).cast("int"))
+      .withColumn("chunk_len", (col("end") - col("start") + 1).cast("int"))
+      .withColumn("chunk_hash",
+        expr("graft_rolling_hash(substring(text, start, chunk_len))"))
+      .select(col("doc_id"), col("chunk_no"), col("start"),
+        col("chunk_len"), col("chunk_hash"))
+  }
+
   /** Corpus token frequencies (explode → count): the one genuinely
     * shuffle-bearing text op; partial aggregation collapses it to
     * |vocabulary| rows per partition before the exchange.

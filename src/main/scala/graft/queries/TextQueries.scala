@@ -22,6 +22,51 @@ object TextQueries {
       lang -> s"(CAST(${hitsSql(words)} AS DOUBLE) / len($toksSql))"
     }.toMap
 
+  /** DuckDB mirror of TextAnalysis.cdcChunks: window hash at position i is
+    * the direct w-term sum Σ byte_{i-k}·131^k mod p — exact mod arithmetic,
+    * so it equals the engine's incremental recurrence bit-for-bit; chunk
+    * hashes re-run the same list_reduce as `text_rolling_hash`.
+    */
+  private def cdcChunksSql(w: Int, divisor: Int): String = {
+    val P = 1000000007L
+    val pows = Iterator.iterate(1L)(p => p * 131L % P).take(w).toSeq
+    s"""WITH codes AS (
+       |  SELECT doc_id, text, length(text) AS L,
+       |         list_transform(range(1, length(text) + 1),
+       |                        i -> ascii(substr(text, i, 1))) AS cs
+       |  FROM documents),
+       |raw AS (
+       |  SELECT doc_id, text, L,
+       |         list_filter(range($w, L + 1),
+       |           i -> (list_sum(list_transform(range(0, $w),
+       |                  k -> CAST(cs[CAST(i - k AS INT)] AS BIGINT)
+       |                       * [${pows.mkString(", ")}][CAST(k AS INT) + 1]))
+       |                 % $P) % $divisor = 0) AS rb
+       |  FROM codes WHERE L > 0),
+       |bs AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN len(rb) > 0 AND rb[-1] = L THEN rb
+       |              ELSE list_append(rb, CAST(L AS BIGINT)) END AS bs
+       |  FROM raw),
+       |exploded AS (
+       |  SELECT doc_id, text, bs, unnest(range(0, len(bs))) AS i FROM bs),
+       |chunks AS (
+       |  SELECT doc_id,
+       |         CAST(i + 1 AS INT) AS chunk_no,
+       |         CAST(CASE WHEN i = 0 THEN 1 ELSE bs[CAST(i AS INT)] + 1 END AS INT) AS start,
+       |         CAST(bs[CAST(i AS INT) + 1]
+       |              - CASE WHEN i = 0 THEN 1 ELSE bs[CAST(i AS INT)] + 1 END + 1 AS INT) AS chunk_len,
+       |         text
+       |  FROM exploded)
+       |SELECT doc_id, chunk_no, start, chunk_len,
+       |       list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(start, start + chunk_len),
+       |                          j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |         (acc, c) -> (acc * 131 + c) % $P) AS chunk_hash
+       |FROM chunks ORDER BY doc_id, chunk_no""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery("text_token_stats",
@@ -106,6 +151,12 @@ object TextQueries {
                        (acc, c) -> (acc * 131 + c) % 1000000007) AS rhash
               FROM documents ORDER BY doc_id"""),
       doc = "Rabin-Karp rolling-hash fingerprint (position-sensitive)"),
+
+    GQuery("text_cdc_chunks",
+      (s, dir) => TextAnalysis.cdcChunks(Tables.documents(s, dir), w = 16, divisor = 64)
+        .orderBy(col("doc_id"), col("chunk_no")),
+      Some(cdcChunksSql(w = 16, divisor = 64)),
+      doc = "content-defined chunking: rolling-hash-mask boundaries + per-chunk Rabin-Karp fingerprint"),
 
     GQuery("text_token_freq",
       (s, dir) => TextAnalysis.tokenFrequencies(Tables.documents(s, dir))

@@ -53,4 +53,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(freq("und") == 2L)
     assert(freq("cat") == 1L)
   }
+
+  test("CDC chunks tile the document and re-synchronize after a prefix edit") {
+    import spark.implicits._
+    val text = {
+      var seed = 42L
+      Array.fill(600) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        ('a' + (math.abs(seed >>> 17) % 26).toInt).toChar
+      }.mkString
+    }
+    val cdcDocs = Seq((1L, text), (2L, "XYZ" + text)).toDF("doc_id", "text")
+    val rows = TextAnalysis.cdcChunks(cdcDocs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_no"),
+        r.getAs[Int]("start"), r.getAs[Int]("chunk_len"), r.getAs[Long]("chunk_hash")))
+    val byDoc = rows.groupBy(_._1).map { case (d, cs) => d -> cs.sortBy(_._2) }
+    // chunks tile the text exactly: start at 1, contiguous, lengths sum to L
+    byDoc.foreach { case (d, cs) =>
+      val len = if (d == 1L) 600 else 603
+      assert(cs.head._3 == 1)
+      cs.sliding(2).foreach { case Array(a, b) => assert(b._3 == a._3 + a._4) case _ => }
+      assert(cs.map(_._4).sum == len)
+      assert(cs.length > 3, s"divisor 64 should cut ~600 chars into several chunks, got ${cs.length}")
+    }
+    // content-defined property: after the 3-char prefix insert, boundaries
+    // re-sync, so all but the leading chunk hashes are shared
+    val h1 = byDoc(1L).map(_._5).toSet
+    val h2 = byDoc(2L).map(_._5).toSet
+    assert((h1 intersect h2).size >= h1.size - 2,
+      s"CDC must re-sync after an edit: ${h1.size} vs shared ${(h1 intersect h2).size}")
+  }
 }
