@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables}
-import graft.stages.{Merge, StgToDds}
+import graft.stages.{Merge, StgToDds, Validate}
 
 /** SURVEY.md §2.1 source/sink semantics (S1/S4/S5/S6) as driver-checkable
   * queries. The SCD rewrites run [[Merge]] against a deterministic synthetic
@@ -32,6 +32,39 @@ object PipelineQueries {
   }
 
   val all: Seq[GQuery] = Seq(
+
+    // ---- S7: runtime CHECK constraints → validate-or-quarantine split.
+    // A constraint set that genuinely partitions lineitem; the histogram of
+    // violation combinations (plus the valid-row count) is the checkable
+    // surface of the split.
+    GQuery("s7_validate_quarantine",
+      (s, dir) => {
+        val checks = Seq(
+          Validate.Check("discount_le_5pct", col("l_discount") <= 0.05),
+          Validate.Check("quantity_le_45", col("l_quantity") <= 45),
+          Validate.Check("tax_le_6pct", col("l_tax") <= 0.06))
+        val (valid, quarantined) = Validate.split(Tables.lineitem(s, dir), checks)
+        quarantined
+          .groupBy(array_join(col("_violations"), ",").as("violations"))
+          .agg(count(lit(1)).as("n_rows"))
+          .unionByName(valid.agg(count(lit(1)).as("n_rows"))
+            .select(lit("(valid)").as("violations"), col("n_rows")))
+          .orderBy(col("violations"))
+      },
+      Some("""WITH v AS (
+                SELECT list_filter([
+                    CASE WHEN NOT (l_discount <= 0.05) THEN 'discount_le_5pct' END,
+                    CASE WHEN NOT (l_quantity <= 45) THEN 'quantity_le_45' END,
+                    CASE WHEN NOT (l_tax <= 0.06) THEN 'tax_le_6pct' END],
+                  x -> x IS NOT NULL) AS viol
+                FROM lineitem)
+              SELECT array_to_string(viol, ',') AS violations, count(*) AS n_rows
+              FROM v WHERE len(viol) > 0 GROUP BY 1
+              UNION ALL
+              SELECT '(valid)' AS violations, count(*) AS n_rows
+              FROM v WHERE len(viol) = 0
+              ORDER BY violations"""),
+      doc = "S7 runtime CHECKs: validate-or-quarantine split with per-combination violation counts"),
 
     // ---- S1/O1: schema-on-read of an API-shaped JSON payload (load_couriers.py:31)
     // The STG json_response is reconstructed identically in both engines

@@ -24,6 +24,14 @@ object Pipeline {
 
   val coldStartWatermark: Timestamp = Timestamp.valueOf("2022-01-01 00:00:00")
 
+  /** One incremental run's outcome: the updated DDS state, the advanced
+    * watermark (None if the increment was empty), and the rows that failed
+    * the CHECK-constraint set — quarantined with their violation reasons
+    * instead of aborting the load (see [[Validate]]).
+    */
+  final case class LoadResult(
+      dds: DdsState, watermark: Option[Timestamp], quarantined: DataFrame)
+
   /** One incremental run: the courier/timestamp/fact loads of
     * `couriers_stg_to_dds.sql` / `timestamps_stg_to_dds.sql` /
     * `deliveries_stg_to_dds.sql` against the current DDS state.
@@ -36,10 +44,15 @@ object Pipeline {
     */
   def incrementalLoad(stgDeliveries: DataFrame, stgCouriers: DataFrame,
                       dmOrders: DataFrame, dds: DdsState,
-                      watermark: Timestamp): (DdsState, Option[Timestamp]) = {
+                      watermark: Timestamp): LoadResult = {
     // O3: watermark filter with a driver-resolved literal → parquet pushdown
-    val newDeliveries = StgToDds.parseDeliveries(
+    val parsed = StgToDds.parseDeliveries(
       stgDeliveries.filter(col("delivery_ts") > lit(watermark)))
+
+    // S7 runtime CHECKs: violating rows are quarantined with reasons, not
+    // loaded and not allowed to abort the batch (the reference's DDL CHECK
+    // semantics, minus the Postgres batch abort)
+    val (newDeliveries, quarantined) = Validate.split(parsed, Validate.deliveryChecks)
 
     // S4/SCD1 courier dim: new keys appended, names overwritten
     val courierRows = StgToDds.courierDimRows(newDeliveries, stgCouriers)
@@ -61,9 +74,11 @@ object Pipeline {
     val facts = StgToDds.resolveFacts(newDeliveries, dmOrders, dmTimestamps1, dmCouriers1)
     val fct1 = Merge.insertIgnore(dds.fctDeliveries, facts, Seq("delivery_key"))
 
-    // A1 cursor: only advance when the increment was non-empty
-    val maxTs = newDeliveries.agg(max(col("ts"))).collect().head.getTimestamp(0)
-    (DdsState(dmCouriers1, dmTimestamps1, fct1), Option(maxTs))
+    // A1 cursor: only advance when the increment was non-empty. Quarantined
+    // rows DO advance it (they were read and dispositioned; re-reading them
+    // forever would wedge the pipeline on one bad record).
+    val maxTs = parsed.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    LoadResult(DdsState(dmCouriers1, dmTimestamps1, fct1), Option(maxTs), quarantined)
   }
 
   /** Stable surrogate ids across replays: rows whose business key already

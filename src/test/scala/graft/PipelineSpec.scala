@@ -65,8 +65,9 @@ class PipelineSpec extends AnyFunSuite {
       delivery("d2", "o2", "c2", "2024-05-01 12:00:00", 3, "200.00", "0.00"))
     val snapshot1 = couriersOf("c1" -> "Ann", "c2" -> "Bob")
 
-    val (dds1, wm1) = Pipeline.incrementalLoad(
+    val Pipeline.LoadResult(dds1, wm1, q1) = Pipeline.incrementalLoad(
       day1, snapshot1, dmOrders, emptyDds, Pipeline.coldStartWatermark)
+    assert(q1.count() == 0)
     assert(wm1.contains(ts("2024-05-01 12:00:00")))
     assert(dds1.fctDeliveries.count() == 2)
     assert(dds1.dmCouriers.count() == 2)
@@ -77,7 +78,7 @@ class PipelineSpec extends AnyFunSuite {
       delivery("d3", "o3", "c1", "2024-05-02 09:30:00", 4, "300.00", "30.00"))
     val snapshot2 = couriersOf("c1" -> "Ann Smith", "c2" -> "Bob")
 
-    val (dds2, wm2) = Pipeline.incrementalLoad(
+    val Pipeline.LoadResult(dds2, wm2, _) = Pipeline.incrementalLoad(
       day2, snapshot2, dmOrders, dds1, wm1.get)
     assert(wm2.contains(ts("2024-05-02 09:30:00")))
     // d2 re-delivery filtered by watermark; d3 appended
@@ -90,7 +91,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(c1.getAs[Int]("id") == c1IdBefore)
 
     // empty increment: nothing changes, watermark does not advance
-    val (dds3, wm3) = Pipeline.incrementalLoad(
+    val Pipeline.LoadResult(dds3, wm3, _) = Pipeline.incrementalLoad(
       stgOf(), snapshot2, dmOrders, dds2, wm2.get)
     assert(wm3.isEmpty)
     assert(dds3.fctDeliveries.count() == 3)
@@ -109,5 +110,25 @@ class PipelineSpec extends AnyFunSuite {
     val bob = ledger("Bob")
     assert(bob.getAs[Double]("rate_avg") == 3.0)
     assert(bob.getAs[Double]("courier_order_sum") == 100.0)  // 5% of 200 → floor 100
+  }
+
+  test("CHECK violations are quarantined with reasons, not loaded, and don't stall the watermark") {
+    val day = stgOf(
+      delivery("ok", "o1", "c1", "2024-06-01 10:00:00", 5, "100.00", "1.00"),
+      delivery("bad_rate", "o2", "c2", "2024-06-01 11:00:00", 9, "50.00", "0.00"),
+      delivery("bad_sum", "o3", "c1", "2024-06-01 12:00:00", 3, "-7.00", "0.00"))
+    val Pipeline.LoadResult(dds, wm, quarantined) = Pipeline.incrementalLoad(
+      day, couriersOf("c1" -> "Ann", "c2" -> "Bob"), dmOrders, emptyDds,
+      Pipeline.coldStartWatermark)
+    // only the clean row loads
+    assert(dds.fctDeliveries.collect().map(_.getAs[String]("delivery_key")).toSeq == Seq("ok"))
+    // the bad rows are inspectable with their reasons
+    val reasons = quarantined.collect()
+      .map(r => r.getAs[String]("delivery_key") ->
+        r.getAs[scala.collection.Seq[String]]("_violations").toSeq).toMap
+    assert(reasons("bad_rate") == Seq("rating_range"))
+    assert(reasons("bad_sum") == Seq("order_sum_non_negative"))
+    // quarantined rows were dispositioned: the cursor moves past them
+    assert(wm.contains(ts("2024-06-01 12:00:00")))
   }
 }
