@@ -84,15 +84,40 @@ final class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
   override def readSchema(): StructType = PagedJsonSource.schema
   override def toBatch: Batch = this
 
-  /** One InputPartition per page — the driver only counts records (the
-    * "API"'s total), executors fetch pages concurrently.
+  /** One InputPartition per page. A single driver pass counts records (the
+    * "API"'s total) AND records the byte offset where each page begins, so
+    * every reader seeks straight to its page — total read cost is
+    * O(file + pages×pageSize), not the O(pages×file) a re-scan-from-line-0
+    * reader would pay. Offsets are exact because they are taken at '\n'
+    * bytes (UTF-8 multi-byte sequences never contain 0x0A).
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val src = Source.fromFile(path)
-    val total = try src.getLines().size finally src.close()
-    val pages = math.min((total + pageSize - 1) / pageSize, maxPages)
+    val in = new java.io.FileInputStream(path)
+    val pageStarts = scala.collection.mutable.ArrayBuffer[Long](0L)
+    var lines = 0L
+    var pos = 0L
+    var lastLineOpen = false
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          pos += 1
+          if (buf(i) == '\n') {
+            lines += 1
+            if (lines % pageSize == 0) pageStarts += pos
+            lastLineOpen = false
+          } else lastLineOpen = true
+          i += 1
+        }
+        n = in.read(buf)
+      }
+    } finally in.close()
+    if (lastLineOpen) lines += 1 // final line without a trailing newline
+    val pages = math.min((lines + pageSize - 1) / pageSize, maxPages.toLong).toInt
     (0 until pages).map(p =>
-      PagedJsonPartition(path, p * pageSize, pageSize, from, to): InputPartition).toArray
+      PagedJsonPartition(path, pageStarts(p), pageSize, from, to): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -102,18 +127,21 @@ final class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
     }
 }
 
-final case class PagedJsonPartition(path: String, offset: Int, limit: Int,
+final case class PagedJsonPartition(path: String, startByte: Long, limit: Int,
                                     from: Option[String], to: Option[String])
     extends InputPartition
 
-/** Reads exactly one page (offset/limit) of the record stream, applying the
-  * `[from, to)` window like the API would server-side. delivery_ts strings
-  * in 'yyyy-MM-dd HH:mm:ss' compare correctly as strings.
+/** Reads exactly one page (seek to `startByte`, then `limit` lines) of the
+  * record stream, applying the `[from, to)` window like the API would
+  * server-side. delivery_ts strings in 'yyyy-MM-dd HH:mm:ss' compare
+  * correctly as strings.
   */
 final class PagedJsonReader(p: PagedJsonPartition)
     extends PartitionReader[InternalRow] {
-  private val src = Source.fromFile(p.path)
-  private val it = src.getLines().slice(p.offset, p.offset + p.limit)
+  private val fin = new java.io.FileInputStream(p.path)
+  fin.getChannel.position(p.startByte)
+  private val src = Source.fromInputStream(fin)
+  private val it = src.getLines().take(p.limit)
     .filter { line =>
       val ts = PagedJsonSource.extractTs(line)
       (p.from, p.to) match {
