@@ -137,6 +137,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Near-duplicate pairs by content-defined chunk overlap: two documents
+    * sharing >= `minShared` distinct CDC chunk fingerprints
+    * ([[TextAnalysis.cdcChunks]]). Because chunk boundaries re-synchronize
+    * after local edits, shared-chunk count survives insertions/deletions
+    * that would defeat whole-document hashing — this is the chunk-level
+    * dedup a training-data pipeline runs after exact dedup.
+    *
+    * Scale shape is the band-join pattern: the self-join shuffles
+    * (doc, chunk_hash) pairs, joining only within a chunk-hash bucket —
+    * O(docs×chunks/doc), never all-pairs. Ubiquitous boilerplate chunks
+    * would create hot buckets, so hashes appearing in more than `maxDf`
+    * documents are dropped first (they carry no dedup signal anyway) —
+    * the same hot-key cap the MinHash band join relies on.
+    */
+  def cdcOverlapPairs(docs: DataFrame, minShared: Int, maxDf: Int = 100,
+                      w: Int = 16, divisor: Int = 64): DataFrame = {
+    val chunks = TextAnalysis.cdcChunks(docs, w, divisor)
+      .select(col("doc_id"), col("chunk_hash")).distinct()
+    val keep = chunks.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("chunk_hash"))
+    val kept = chunks.join(keep, Seq("chunk_hash"))
+    kept.as("a").join(kept.as("b"),
+        col("a.chunk_hash") === col("b.chunk_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
+
   /** Exact duplicate groups on raw text. */
   def exactDuplicateGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("text_md5"))

@@ -161,6 +161,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Multi-probe [[lshTopK]]: each query searches its own sign bucket AND
+    * every bucket at Hamming distance 1 (one plane's sign flipped) — the
+    * standard LSH recall lever. A near-miss neighbor differs from the query
+    * on the few planes whose hyperplane falls between them, so probing
+    * 1-flip buckets recovers most of what single-probe loses, at
+    * (planes+1)× the candidate cost — still a tiny fraction of the corpus
+    * (expected (planes+1)·corpus/2^planes). The corpus itself stays in ONE
+    * bucket; only the query side fans out, so the index is unchanged.
+    */
+  def lshMultiProbeTopK(spark: SparkSession, emb: DataFrame, numQueries: Int, k: Int,
+                        planes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = withNorm(withLshBucket(emb, hyperplanes(spark, planes, dim)))
+    val queries = bucketed.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket"))
+      .withColumn("probe", explode(expr(
+        s"concat(array(bucket), transform(sequence(0, ${planes - 1}), m -> bucket ^ shiftleft(CAST(1 AS BIGINT), m)))")))
+      .drop("bucket")
+    val scored = bucketed.join(queries, col("bucket") === col("probe"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer.
     *
     * Determinism contract (what makes the oracle reproducible):

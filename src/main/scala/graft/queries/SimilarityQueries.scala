@@ -150,6 +150,46 @@ object SimilarityQueries {
               FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
       doc = "hyperplane-LSH-bucketed ANN top-3 (scale path; recall traded for candidate cut)"),
 
+    GQuery("sim_ann_lsh_multiprobe",
+      (s, dir) => Similarity.lshMultiProbeTopK(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $planesSql,
+                   base AS (
+                     SELECT vec_id, embedding,
+                            sqrt(${dotSql("embedding", "embedding")}) AS norm
+                     FROM embeddings),
+                   bits AS (
+                     SELECT b.vec_id,
+                            sum(CASE WHEN ${dotSql("b.embedding", "p.w")} >= 0
+                                     THEN (CAST(1 AS BIGINT) << CAST(p.m AS INT))
+                                     ELSE 0 END) AS bucket
+                     FROM base b, planes p GROUP BY b.vec_id),
+                   bucketed AS (
+                     SELECT b.vec_id, b.embedding, b.norm, bt.bucket
+                     FROM base b JOIN bits bt ON b.vec_id = bt.vec_id),
+                   q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket
+                         FROM bucketed WHERE vec_id < 16),
+                   probes AS (
+                     SELECT query_id, q_emb, q_norm,
+                            unnest(list_prepend(bucket,
+                              list_transform(range(0, 8),
+                                m -> xor(bucket, CAST(1 AS BIGINT) << CAST(m AS INT))))) AS probe
+                     FROM q),
+                   scored AS (
+                     SELECT p.query_id, c.vec_id,
+                            ${dotSql("c.embedding", "p.q_emb")} / (c.norm * p.q_norm) AS cosine
+                     FROM bucketed c JOIN probes p ON c.bucket = p.probe
+                     WHERE c.vec_id <> p.query_id),
+                   ranked AS (
+                     SELECT query_id, vec_id, cosine,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+              SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+      doc = "multi-probe LSH ANN: query fans out to its bucket + all Hamming-1 buckets, corpus index unchanged"),
+
     GQuery("sim_ivf_topk",
       (s, dir) => Similarity.ivfTopK(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3)

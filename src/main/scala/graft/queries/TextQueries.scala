@@ -158,6 +158,23 @@ object TextQueries {
       Some(cdcChunksSql(w = 16, divisor = 64)),
       doc = "content-defined chunking: rolling-hash-mask boundaries + per-chunk Rabin-Karp fingerprint"),
 
+    GQuery("dedup_cdc_overlap",
+      (s, dir) => graft.ops.Dedup.cdcOverlapPairs(Tables.documents(s, dir),
+          minShared = 2, maxDf = 100)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH allc AS (SELECT * FROM (${cdcChunksSql(w = 16, divisor = 64)}) t),
+              |d AS (SELECT DISTINCT doc_id, chunk_hash FROM allc),
+              |keep AS (SELECT chunk_hash FROM d GROUP BY chunk_hash HAVING count(*) <= 100),
+              |dd AS (SELECT d.doc_id, d.chunk_hash FROM d JOIN keep USING (chunk_hash)),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_chunks
+              |  FROM dd a JOIN dd b
+              |    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, shared_chunks FROM pairs
+              |WHERE shared_chunks >= 2 ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "chunk-level near-dup pairs: shared CDC fingerprints with a hot-chunk document-frequency cap"),
+
     GQuery("text_token_freq",
       (s, dir) => TextAnalysis.tokenFrequencies(Tables.documents(s, dir))
         .orderBy(col("freq").desc, col("token")),

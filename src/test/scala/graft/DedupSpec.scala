@@ -53,6 +53,32 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.contains((0L, 4L)))
   }
 
+  test("CDC chunk overlap pairs edited near-copies, not unrelated docs") {
+    import spark.implicits._
+    val text = {
+      var seed = 7L
+      Array.fill(800) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        ('a' + (math.abs(seed >>> 17) % 26).toInt).toChar
+      }.mkString
+    }
+    val other = {
+      var seed = 99L
+      Array.fill(800) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        ('a' + (math.abs(seed >>> 17) % 26).toInt).toChar
+      }.mkString
+    }
+    val cdcDocs = Seq(
+      (1L, text),
+      (2L, text.take(100) + "EDITEDEDITED" + text.drop(100)), // mid-document insert
+      (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.cdcOverlapPairs(cdcDocs, minShared = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"edited near-copy must share chunks, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs not paired") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number]("hamming").intValue()))

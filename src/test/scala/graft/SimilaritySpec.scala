@@ -44,6 +44,24 @@ class SimilaritySpec extends AnyFunSuite {
     res.foreach(r => assert(brute(r.getAs[Long]("neighbor_id")) == r.getAs[Double]("cosine")))
   }
 
+  test("multi-probe LSH recall >= single-probe, and never invents cosines") {
+    val brute = Similarity.bruteForceTopK(emb, numQueries = 8, k = 40)
+      .collect().map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Double]("cosine"))).toMap
+    val single = Similarity.lshTopK(spark, emb, numQueries = 8, k = 5).collect()
+    val multi = Similarity.lshMultiProbeTopK(spark, emb, numQueries = 8, k = 5).collect()
+    assert(multi.length >= single.length,
+      s"multi-probe returned ${multi.length} < single-probe ${single.length}")
+    // every multi-probe hit carries the exact brute-force cosine
+    multi.foreach { r =>
+      assert(brute((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        == r.getAs[Double]("cosine"))
+    }
+    // the planted twin is recovered for query 0
+    assert(multi.filter(_.getAs[Long]("query_id") == 0L)
+      .head.getAs[Long]("neighbor_id") == 1L)
+  }
+
   test("LSH top-k returns a subset consistent with brute force when bucketed together") {
     val brute = Similarity.bruteForceTopK(emb, numQueries = 1, k = 40)
       .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
