@@ -305,6 +305,60 @@ object RelationalQueries {
               ORDER BY o_orderpriority ASC NULLS FIRST, order_year ASC NULLS FIRST"""),
       doc = "ROLLUP subtotal hierarchy (engine-completeness beyond the reference)"),
 
+    GQuery("agg_cube",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().cast("int").as("gid"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("gid"),
+            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+                     CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     COUNT(*) AS n
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+      doc = "CUBE with grouping_id over all aggregation subsets"),
+
+    // Exact DISCRETE percentiles (value at rank ceil(q*n)) — no
+    // interpolation arithmetic, so the picked values are raw column
+    // doubles and hash-compare exactly; both engines evaluate the
+    // identical ceil(q*n) rank formula.
+    GQuery("agg_percentiles",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        def atQ(q: String, name: String) =
+          max(when(col("rn") === expr(s"ceil($q * cnt)"), col("l_extendedprice"))).as(name)
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+          .groupBy(col("l_returnflag"))
+          .agg(atQ("0.25", "p25"), atQ("0.5", "p50"), atQ("0.75", "p75"),
+            atQ("0.95", "p95"), max(col("cnt")).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH r AS (
+                SELECT l_returnflag, l_extendedprice,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+                FROM lineitem)
+              SELECT l_returnflag,
+                     MAX(CASE WHEN rn = CEIL(0.25 * cnt) THEN l_extendedprice END) AS p25,
+                     MAX(CASE WHEN rn = CEIL(0.5 * cnt) THEN l_extendedprice END) AS p50,
+                     MAX(CASE WHEN rn = CEIL(0.75 * cnt) THEN l_extendedprice END) AS p75,
+                     MAX(CASE WHEN rn = CEIL(0.95 * cnt) THEN l_extendedprice END) AS p95,
+                     MAX(cnt) AS n_rows
+              FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "exact discrete percentiles per group via rank selection (deterministic, interpolation-free)"),
+
     // ---- SQL text API: the same engine drives spark.sql over temp views
     GQuery("sql_api_revenue",
       (s, dir) => {
