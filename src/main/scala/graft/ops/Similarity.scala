@@ -248,7 +248,9 @@ object Similarity {
   def ivfKmeansTopK(spark: SparkSession, emb: DataFrame, numQueries: Int, k: Int,
                     centroids: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
     val base = withNorm(emb)
-    val cents = kmeansCentroids(emb, centroids, iters)
+    // k rows — caching is bounded at any corpus scale and stops the whole
+    // Lloyd lineage from being re-run for the corpus and query branches
+    val cents = kmeansCentroids(emb, centroids, iters).cache()
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("_c_cos").desc, col("c_id"))
     val ranked = base.crossJoin(broadcast(cents))
