@@ -305,6 +305,33 @@ object RelationalQueries {
               ORDER BY o_orderpriority ASC NULLS FIRST, order_year ASC NULLS FIRST"""),
       doc = "ROLLUP subtotal hierarchy (engine-completeness beyond the reference)"),
 
+    // Sliding ROWS frame (the window-function class w1's rank doesn't
+    // cover): decimal-exact frame sum, one final double division.
+    GQuery("w2_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("mov_sum_d", sum(col("value").cast("decimal(18,2)")).over(w))
+          .withColumn("mov_n", count(lit(1)).over(w))
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("at"),
+            col("mov_sum_d").cast("double").as("mov_sum"),
+            (col("mov_sum_d").cast("double") / col("mov_n").cast("double")).as("mov_avg"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S') AS at,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       / CAST(COUNT(*) OVER w AS DOUBLE) AS mov_avg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, event_id"""),
+      doc = "sliding ROWS-frame moving sum/avg per user (decimal-exact frame arithmetic)"),
+
     GQuery("agg_cube",
       (s, dir) => {
         Tables.lineitem(s, dir)

@@ -23,6 +23,24 @@ object StreamingQueries {
               FROM events GROUP BY 1, 2, 3 ORDER BY user_id, year, month"""),
       doc = "Structured Streaming AvailableNow drain == batch aggregation (exactly-once)"),
 
+    GQuery("streaming_interval_join",
+      (s, dir) => graft.streaming.StreamJoin.viewPurchasePairs(s, dir, windowMinutes = 30)
+        .orderBy(col("user_id"), col("view_event"), col("buy_event")),
+      Some("""SELECT v.user_id,
+                     v.event_id AS view_event,
+                     b.event_id AS buy_event,
+                     strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_at,
+                     strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS buy_at,
+                     b.value AS purchase_value
+              FROM events v
+              JOIN events b
+                ON v.user_id = b.user_id
+               AND v.event_type = 'view' AND b.event_type = 'purchase'
+               AND epoch_us(b.ts) >= epoch_us(v.ts)
+               AND epoch_us(b.ts) <= epoch_us(v.ts) + CAST(30 AS BIGINT) * 60000000
+              ORDER BY v.user_id, view_event, buy_event"""),
+      doc = "stream-stream interval join (view→purchase attribution): watermarked, state bounded by the time-range condition; streaming result == batch join"),
+
     GQuery("sessionization",
       (s, dir) => graft.streaming.Sessionize.sessionsBatch(
           graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),

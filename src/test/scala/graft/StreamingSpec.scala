@@ -79,6 +79,32 @@ class StreamingSpec extends AnyFunSuite {
       Seq((7L, 2L, 15.0), (8L, 1L, 20.0)))
   }
 
+  test("stream-stream interval join pairs across micro-batches, bounded by the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val vIn = MemoryStream[(Long, Timestamp, Long)]
+    val bIn = MemoryStream[(Long, Timestamp, Long)]
+    val views = vIn.toDF().toDF("v_user", "v_ts", "v_event").withWatermark("v_ts", "1 hour")
+    val buys = bIn.toDF().toDF("b_user", "b_ts", "b_event").withWatermark("b_ts", "1 hour")
+    val sink = s"sjoin_${System.nanoTime()}"
+    val q = views.join(buys,
+        $"v_user" === $"b_user" && $"b_ts" >= $"v_ts" &&
+          $"b_ts" <= $"v_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"v_event", $"b_event")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(sink).start()
+    vIn.addData((7L, ts("2024-01-01 10:00:00"), 1L))
+    q.processAllAvailable()
+    // purchase arrives a BATCH LATER: the buffered view must still match;
+    // a second purchase outside the 30-minute window must not
+    bIn.addData((7L, ts("2024-01-01 10:10:00"), 2L),
+                (7L, ts("2024-01-01 11:00:00"), 3L))
+    q.processAllAvailable()
+    val pairs = spark.table(sink).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("AvailableNow streaming drain equals batch aggregation on the corpus") {
     val streamed = IncrementalLedger.monthlyUserTotals(spark, "/root/testdata/sf0.001")
       .orderBy("user_id", "year", "month").collect()
