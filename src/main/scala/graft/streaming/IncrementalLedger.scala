@@ -1,11 +1,10 @@
 package graft.streaming
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
-import graft.stages.Merge
+import graft.stages.MergeTable
 
 /** Structured-Streaming re-expression of the reference's incremental loop.
   *
@@ -65,50 +64,20 @@ object IncrementalLedger {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
   }
 
-  /** A parquet-backed ledger target that [[mergeBatch]] rewrites per
-    * micro-batch — the storage-format-neutral stand-in for a lakehouse
-    * `MERGE INTO`. Each batch writes a NEW version directory and flips the
-    * current pointer only after the write succeeds, so a failed batch never
-    * corrupts the readable state (same write-then-advance ordering as the
-    * watermark protocol, SURVEY.md §7.3).
-    */
-  final class LedgerTarget(val root: String, keys: Seq[String]) {
-    @volatile private var current: Option[String] = None
-
-    def mergeBatch(batch: Dataset[Row], batchId: Long): Unit = {
-      val next = s"$root/v$batchId"
-      val merged = current match {
-        case Some(prev) =>
-          Merge.upsert(batch.sparkSession.read.parquet(prev), batch.toDF(), keys)
-        case None => batch.toDF()
-      }
-      merged.write.mode("overwrite").parquet(next)
-      current = Some(next)
-    }
-
-    def read(spark: SparkSession, schemaIfEmpty: StructType): DataFrame =
-      current match {
-        case Some(path) => spark.read.parquet(path)
-        case None => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], schemaIfEmpty)
-      }
-  }
-
   /** Stream the events file(s), drain with AvailableNow through an
-    * update-mode foreachBatch merge into a [[LedgerTarget]], return the
-    * settled ledger — which must equal the batch computation bit-for-bit
+    * update-mode foreachBatch merge into a versioned [[MergeTable]]
+    * (pointer-flip commit, crash-safe, restartable), return the settled
+    * ledger — which must equal the batch computation bit-for-bit
     * (oracle-checked).
     */
   def monthlyUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
-    val keys = Seq("user_id", "year", "month")
-    val target = new LedgerTarget(
-      Files.createTempDirectory("graft_ledger_").toString, keys)
+    val target = MergeTable.scratch(Seq("user_id", "year", "month"))
     val agg = monthlyAggStream(spark, sfDir)
 
     val q = agg.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        target.mergeBatch(batch, batchId)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        target.upsert(batch.toDF())
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Paths
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stages.MergeTable
+
+/** The versioned MERGE target's transactional contract: pointer-flip
+  * commits, idempotent replay, restart from the durable pointer, and
+  * crash-before-flip leaving the previous version readable.
+  */
+class MergeTableSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  private def rows(t: MergeTable) =
+    t.read(spark, new StructType()).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+
+  test("upsert commits versions, replay converges, pointer survives restart") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    t.upsert(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    t.upsert(Seq(("b", 20), ("c", 3)).toDF("k", "v"))
+    assert(rows(t) == Seq(("a", 1), ("b", 20), ("c", 3)))
+    assert(t.currentVersion.contains("v1"))
+    // a replayed batch (failure re-run) converges to the same table
+    t.upsert(Seq(("b", 20), ("c", 3)).toDF("k", "v"))
+    assert(rows(t) == Seq(("a", 1), ("b", 20), ("c", 3)))
+    // a fresh handle on the same root resumes from the durable pointer
+    val t2 = new MergeTable(t.root, Seq("k"))
+    assert(t2.currentVersion == t.currentVersion)
+    assert(rows(t2) == rows(t))
+  }
+
+  test("insertIgnore: first write wins on key collision") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    t.insertIgnore(Seq(("a", 1)).toDF("k", "v"))
+    t.insertIgnore(Seq(("a", 99), ("b", 2)).toDF("k", "v"))
+    assert(rows(t) == Seq(("a", 1), ("b", 2)))
+  }
+
+  test("a crash before the pointer flip leaves the previous version readable") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    t.upsert(Seq(("a", 1)).toDF("k", "v"))
+    // a writer that died after its data write but BEFORE the flip leaves an
+    // orphan version directory — readers must keep resolving the old pointer
+    Seq(("a", 666), ("z", 9)).toDF("k", "v")
+      .write.parquet(Paths.get(t.root, "v1").toString)
+    assert(t.currentVersion.contains("v0"))
+    assert(rows(t) == Seq(("a", 1)))
+    // the next successful commit supersedes the orphan's version number
+    t.upsert(Seq(("b", 2)).toDF("k", "v"))
+    assert(rows(t) == Seq(("a", 1), ("b", 2)))
+  }
+}

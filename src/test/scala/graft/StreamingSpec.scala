@@ -43,9 +43,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, Double)]
-    val target = new IncrementalLedger.LedgerTarget(
-      java.nio.file.Files.createTempDirectory("graft_ledger_spec_").toString,
-      Seq("user_id", "year", "month"))
+    val target = graft.stages.MergeTable.scratch(Seq("user_id", "year", "month"))
     val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
     val agg = input.toDF()
       .toDF("event_id", "ts", "user_id", "value")
@@ -58,7 +56,7 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         batchSizes.synchronized { batchSizes += batch.count() }
-        target.mergeBatch(batch, id)
+        target.upsert(batch.toDF())
       }
       .start()
     def ts(s: String) = Timestamp.valueOf(s)
