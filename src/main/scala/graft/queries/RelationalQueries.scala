@@ -305,6 +305,60 @@ object RelationalQueries {
               ORDER BY o_orderpriority ASC NULLS FIRST, order_year ASC NULLS FIRST"""),
       doc = "ROLLUP subtotal hierarchy (engine-completeness beyond the reference)"),
 
+    // PIVOT with an explicit value list (deterministic column set); FILTER
+    // counts in the oracle return 0 like the filled pivot.
+    GQuery("agg_pivot",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+                     COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                     COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+                     COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                     COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+                     COUNT(*) FILTER (WHERE event_type = 'view') AS view
+              FROM events GROUP BY user_id ORDER BY user_id"""),
+      doc = "PIVOT event-type histogram per user (explicit value list, fill-0)"),
+
+    // Calendar arithmetic: diff/truncation/month-end — string/int outputs
+    // only (the ns-timestamp output rule).
+    GQuery("o12_date_arith",
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+          datediff(col("l_shipdate").cast("date"), lit("2022-01-01").cast("date"))
+            .as("days_since"),
+          date_format(last_day(col("l_shipdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(date_trunc("week", col("l_shipdate")), "yyyy-MM-dd").as("week_start"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+                     CAST(date_diff('day', DATE '2022-01-01', CAST(l_shipdate AS DATE)) AS INT) AS days_since,
+                     strftime(last_day(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS month_end,
+                     strftime(date_trunc('week', CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS week_start
+              FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+      doc = "date arithmetic: day diff, ISO-week truncation, month end"),
+
+    // The skew tool as a checkable query: deterministic two-phase salted
+    // aggregation must equal the plain GROUP BY the oracle runs.
+    GQuery("agg_salted",
+      (s, dir) => graft.stages.Skew.saltedAggregate(
+          Tables.events(s, dir)
+            .withColumn("value_d", col("value").cast("decimal(18,2)")),
+          keys = Seq("event_type"), saltFrom = Seq(col("event_id")), salts = 16,
+          sums = Seq("value_d"))
+        .select(col("event_type"),
+          col("value_d").cast("double").as("total_value"), col("n_rows"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                     COUNT(*) AS n_rows
+              FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "deterministic salted two-phase aggregation == plain GROUP BY (skew tool, oracle-proven)"),
+
     // Sliding ROWS frame (the window-function class w1's rank doesn't
     // cover): decimal-exact frame sum, one final double division.
     GQuery("w2_moving_avg",
