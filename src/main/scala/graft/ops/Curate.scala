@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation — the composed pipeline every
+  * large-scale data-prep run executes, built entirely from this engine's
+  * own operators:
+  *
+  *   1. exact dedup: keep each text's canonical (lowest-id) copy;
+  *   2. near-dup removal: MinHash-LSH pairs, drop the higher id of every
+  *      verified pair (canonical survives);
+  *   3. quality gate: token count / type-token ratio / mean token length;
+  *   4. language bucketing: stopword-ratio argmax.
+  *
+  * Output is the per-language survivor census (docs, total tokens) — the
+  * numbers a training-mix planner consumes. Shuffle inventory is exactly
+  * the sum of its parts: one md5 groupBy, one band self-join + verify, the
+  * final language groupBy; the quality/language features are pure column
+  * math on the survivor scan.
+  */
+object Curate {
+
+  def curateCorpus(docs: DataFrame): DataFrame = {
+    val canonical = Dedup.exactDuplicateGroups(docs)
+      .select(col("canonical_doc").as("doc_id"))
+    val uniqueDocs = docs.join(canonical, Seq("doc_id"), "left_semi")
+
+    val nearDupLosers = Dedup.minhashLshPairs(uniqueDocs)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val survivors = uniqueDocs.join(nearDupLosers, Seq("doc_id"), "left_anti")
+
+    val quality = TextAnalysis.qualityScore(survivors)
+      .filter(col("is_quality"))
+      .select(col("doc_id"), col("n_tokens"))
+    val lang = TextAnalysis.languageId(survivors)
+      .select(col("doc_id"), col("labeled_lang"), col("predicted_lang"))
+
+    // census keyed by (labeled, predicted): the off-diagonal buckets are the
+    // mislabel/misdetection census a curation run reports (on this corpus
+    // the text is synthetic English-ish vocabulary under every label, so
+    // the heuristic correctly predicts 'en' throughout)
+    quality.join(lang, Seq("doc_id"))
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("bigint")).as("total_tokens"))
+  }
+}

@@ -18,10 +18,10 @@ object DedupQueries {
        |  i -> CAST('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '), i + 1, i + $n), ' ')), 1, 15) AS BIGINT)$mod))""".stripMargin
   }
 
-  private def shCte(n: Int): String =
+  private def shCte(n: Int, src: String = "documents"): String =
     s"""sh AS (
        |  SELECT doc_id, ${hbaseSql(n, modP = true)} AS hbase
-       |  FROM documents WHERE len(string_split(text, ' ')) >= $n)""".stripMargin
+       |  FROM $src WHERE len(string_split(text, ' ')) >= $n)""".stripMargin
 
   private val sigSql =
     s"""list_transform(range(0, ${Dedup.numHashes}),
@@ -109,6 +109,77 @@ object DedupQueries {
               FROM cand
               WHERE bit_count(xor(sim_a, sim_b)) <= 6
               ORDER BY doc_a, doc_b"""),
-      doc = "60-bit SimHash, 4×15-bit band join, Hamming ≤ 6")
+      doc = "60-bit SimHash, 4×15-bit band join, Hamming ≤ 6"),
+
+    // ---- end-to-end curation: the composed pipeline (exact dedup →
+    // MinHash-LSH near-dup removal → quality gate → language census).
+    GQuery("curate_corpus",
+      (s, dir) => graft.ops.Curate.curateCorpus(Tables.documents(s, dir))
+        .orderBy(col("labeled_lang"), col("predicted_lang")),
+      Some(curateSql),
+      doc = "end-to-end corpus curation census per language (every stage oracle-mirrored)")
   )
+
+  /** DuckDB mirror of Curate.curateCorpus: each stage reuses the exact SQL
+    * fragment its standalone query is checked with.
+    */
+  private def curateSql: String = {
+    val toks = "string_split(text, ' ')"
+    def scoreSql(lang: String): String = {
+      val words = graft.ops.TextAnalysis.stopwords.toMap.apply(lang)
+        .map(w => s"t = '$w'").mkString(" OR ")
+      s"(CAST(len(list_filter($toks, t -> $words)) AS DOUBLE) / len($toks))"
+    }
+    val scores = Seq("en", "de", "es", "fr", "zh")
+      .map(l => s"${scoreSql(l)} AS score_$l").mkString(",\n         ")
+    s"""WITH canon AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |docs0 AS (
+       |  SELECT d.* FROM documents d JOIN canon c ON d.doc_id = c.doc_id),
+       |${shCte(Dedup.defaultShingle, "docs0")},
+       |sigs AS (SELECT doc_id, hbase, $sigSql AS sig FROM sh),
+       |bandrows AS (
+       |  SELECT doc_id, b.band,
+       |         array_to_string(list_transform(
+       |           list_slice(sig, b.band * ${Dedup.rowsPerBand} + 1,
+       |                      b.band * ${Dedup.rowsPerBand} + ${Dedup.rowsPerBand}),
+       |           x -> CAST(x AS VARCHAR)), ',') AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, ${Dedup.bands})) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandrows a JOIN bandrows b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |losers AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b
+       |  WHERE CAST(len(list_intersect(sa.hbase, sb.hbase)) AS DOUBLE)
+       |          / (len(sa.hbase) + len(sb.hbase) - len(list_intersect(sa.hbase, sb.hbase))) >= 0.5),
+       |surv AS (
+       |  SELECT d.* FROM docs0 d LEFT JOIN losers l ON d.doc_id = l.doc_id
+       |  WHERE l.doc_id IS NULL),
+       |feat AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |         len($toks) AS n_tokens,
+       |         CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) AS ttr,
+       |         CAST(length(text) - len($toks) + 1 AS DOUBLE) / len($toks) AS mtl,
+       |         $scores
+       |  FROM surv),
+       |q AS (
+       |  SELECT * FROM feat
+       |  WHERE n_tokens >= 20 AND ttr >= 0.3 AND mtl >= 2.0 AND mtl <= 12.0),
+       |labeled AS (
+       |  SELECT labeled_lang, n_tokens,
+       |         CASE WHEN score_zh > score_en AND score_zh > score_de AND score_zh > score_es AND score_zh > score_fr THEN 'zh'
+       |              WHEN score_fr > score_en AND score_fr > score_de AND score_fr > score_es AND score_fr >= score_zh THEN 'fr'
+       |              WHEN score_es > score_en AND score_es > score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+       |              WHEN score_de > score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+       |              ELSE 'en' END AS predicted_lang
+       |  FROM q)
+       |SELECT labeled_lang, predicted_lang, count(*) AS n_docs,
+       |       SUM(CAST(n_tokens AS BIGINT)) AS total_tokens
+       |FROM labeled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }
