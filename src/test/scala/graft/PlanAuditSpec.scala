@@ -89,7 +89,18 @@ class PlanAuditSpec extends AnyFunSuite {
     ("w1_topn_per_customer", 2, 0, Nil),
     // band self-join + pair distinct; never an all-pairs product
     ("dedup_minhash_lsh", 2, 1, Nil),
-    ("sim_topk_brute", 2, 1, Nil))
+    ("sim_topk_brute", 2, 1, Nil),
+    // round-2 additions — ceilings at their audited plan shapes
+    ("agg_cube", 2, 0, Nil),          // expand+agg exchange + output sort
+    ("agg_percentiles", 2, 0, Nil),   // window exchange + agg reuse
+    ("agg_pivot", 3, 0, Nil),
+    ("agg_salted", 3, 0, Nil),        // two-phase salt + output sort
+    ("w2_moving_avg", 2, 0, Nil),     // one window exchange + output sort
+    ("o12_date_arith", 1, 0, Nil),    // pure projection + output sort
+    ("text_cdc_chunks", 1, 0, Nil),   // chunking itself shuffles nothing
+    ("s7_validate_quarantine", 3, 0, Nil),
+    ("dedup_cdc_overlap", 8, 0, Nil), // distinct, df cap, band join, pair agg
+    ("sim_ann_lsh_multiprobe", 6, 1, Nil))
 
   guards.foreach { case (name, maxShuffles, minBroadcasts, fragments) =>
     test(s"plan guard: $name (shuffles<=$maxShuffles, broadcasts>=$minBroadcasts)") {
