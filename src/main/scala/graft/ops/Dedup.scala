@@ -155,11 +155,14 @@ object Dedup {
                       w: Int = 16, divisor: Int = 64): DataFrame = {
     val chunks = TextAnalysis.cdcChunks(docs, w, divisor)
       .select(col("doc_id"), col("chunk_hash")).distinct()
-    val keep = chunks.groupBy(col("chunk_hash"))
-      .agg(count(lit(1)).as("df"))
+    // document frequency as a window count: one exchange on chunk_hash,
+    // which the band self-join below then reuses (vs. a groupBy + re-join,
+    // which pays the same exchange twice more)
+    val kept = chunks
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))))
       .filter(col("df") <= maxDf)
-      .select(col("chunk_hash"))
-    val kept = chunks.join(keep, Seq("chunk_hash"))
+      .drop("df")
     kept.as("a").join(kept.as("b"),
         col("a.chunk_hash") === col("b.chunk_hash") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -99,7 +99,7 @@ class PlanAuditSpec extends AnyFunSuite {
     ("o12_date_arith", 1, 0, Nil),    // pure projection + output sort
     ("text_cdc_chunks", 1, 0, Nil),   // chunking itself shuffles nothing
     ("s7_validate_quarantine", 3, 0, Nil),
-    ("dedup_cdc_overlap", 8, 0, Nil), // distinct, df cap, band join, pair agg
+    ("dedup_cdc_overlap", 6, 0, Nil), // distinct, windowed df cap, band join, pair agg
     ("sim_ann_lsh_multiprobe", 6, 1, Nil))
 
   guards.foreach { case (name, maxShuffles, minBroadcasts, fragments) =>
