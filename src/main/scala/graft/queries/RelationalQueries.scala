@@ -323,6 +323,47 @@ object RelationalQueries {
               FROM events GROUP BY user_id ORDER BY user_id"""),
       doc = "PIVOT event-type histogram per user (explicit value list, fill-0)"),
 
+    // UNPIVOT (melt): the pivot round-trips back to the long-form
+    // histogram — dropping the fill-0 cells recovers exactly GROUP BY.
+    GQuery("agg_unpivot",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+          "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2 ORDER BY user_id, event_type"""),
+      doc = "UNPIVOT/melt: pivot→unpivot round-trip equals the long-form GROUP BY"),
+
+    // String-function suite over customer names (pure projection; every
+    // function deterministic integer/string outputs on both engines).
+    GQuery("o13_string_funcs",
+      (s, dir) => Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_name")).as("lo"),
+          length(col("c_name")).as("len"),
+          substring(col("c_name"), 1, 8).as("head8"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          lpad(col("c_custkey").cast("string"), 9, "0").as("padded_key"),
+          levenshtein(col("c_name"), lit("Customer")).as("lev"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+                     upper(c_name) AS up,
+                     lower(c_name) AS lo,
+                     CAST(length(c_name) AS INT) AS len,
+                     substr(c_name, 1, 8) AS head8,
+                     regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+                     lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key,
+                     CAST(levenshtein(c_name, 'Customer') AS INT) AS lev
+              FROM customer ORDER BY c_custkey"""),
+      doc = "string functions: case, slice, regex mask, pad, edit distance"),
+
     // Calendar arithmetic: diff/truncation/month-end — string/int outputs
     // only (the ns-timestamp output rule).
     GQuery("o12_date_arith",
