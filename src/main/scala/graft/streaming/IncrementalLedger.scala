@@ -74,19 +74,28 @@ object IncrementalLedger {
     val target = MergeTable.scratch(Seq("user_id", "year", "month"))
     val agg = monthlyAggStream(spark, sfDir)
 
-    val q = agg.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        target.upsert(batch.toDF())
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // State-store partition count is captured from shuffle partitions at
+    // stream start; a bounded AvailableNow drain doesn't need the session's
+    // batch width, and every extra partition pays store init + commit per
+    // batch. On a real cluster with a long-lived checkpoint, size this to
+    // the key cardinality instead.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      q.awaitTermination()
-    }
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          target.upsert(batch.toDF())
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        q.awaitTermination()
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     target.read(spark, agg.schema)
   }
 }

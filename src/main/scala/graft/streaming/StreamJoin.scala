@@ -58,14 +58,20 @@ object StreamJoin {
         col("b_value").as("purchase_value"))
 
     val outDir = Files.createTempDirectory("graft_sjoin_").toString
-    val q = joined.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    // stream-stream join keeps FOUR state stores per partition; see the
+    // shuffle-partition note in IncrementalLedger.monthlyUserTotals
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try spark.read.parquet(outDir)
     catch { case _: Exception =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], joined.schema)
