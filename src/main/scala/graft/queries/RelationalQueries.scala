@@ -305,6 +305,55 @@ object RelationalQueries {
               ORDER BY o_orderpriority ASC NULLS FIRST, order_year ASC NULLS FIRST"""),
       doc = "ROLLUP subtotal hierarchy (engine-completeness beyond the reference)"),
 
+    // Window navigation: lag/lead deltas and per-partition first/last.
+    GQuery("w3_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .select(col("user_id"), col("event_id"),
+            (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+            lead(col("event_id"), 1).over(w).as("next_event"),
+            first(col("event_id")).over(wAll).as("first_event"),
+            last(col("event_id")).over(wAll).as("last_event"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+                     value - lag(value, 1) OVER w AS delta_prev,
+                     lead(event_id, 1) OVER w AS next_event,
+                     first_value(event_id) OVER w2 AS first_event,
+                     last_value(event_id) OVER w2 AS last_event
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                     w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY user_id, event_id"""),
+      doc = "window navigation: lag delta, lead, first/last value per partition"),
+
+    // Correlated scalar subquery through the SQL surface — Catalyst
+    // decorrelates it into the join+aggregate a hand-written plan would be.
+    GQuery("sql_correlated",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("v_orders2")
+        Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem2")
+        s.sql("""
+          SELECT o_orderkey,
+                 (SELECT COUNT(*) FROM v_lineitem2 l
+                  WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+          FROM v_orders2 o
+          WHERE o_orderkey <= 1000
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+                     (SELECT COUNT(*) FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+              FROM orders o
+              WHERE o_orderkey <= 1000
+              ORDER BY o_orderkey"""),
+      doc = "correlated scalar subquery (decorrelated by Catalyst into join+agg)"),
+
     // PIVOT with an explicit value list (deterministic column set); FILTER
     // counts in the oracle return 0 like the filled pivot.
     GQuery("agg_pivot",
