@@ -62,6 +62,21 @@ class SimilaritySpec extends AnyFunSuite {
       .head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("k-means IVF recall@3 over all queries beats the single-cell floor") {
+    val k = 3
+    val brute = Similarity.bruteForceTopK(emb, numQueries = 8, k = k).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val ann = Similarity.ivfKmeansTopK(spark, emb, numQueries = 8, k = k).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = brute.map { case (q, truth) =>
+      ann.get(q).map(found => (found intersect truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5, s"mean recall@3 $meanRecall below floor; per-query $recalls")
+  }
+
   test("LSH top-k returns a subset consistent with brute force when bucketed together") {
     val brute = Similarity.bruteForceTopK(emb, numQueries = 1, k = 40)
       .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap

@@ -103,6 +103,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("RocksDB state store provider yields identical results (off-heap state, the 100 TB backend)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = IncrementalLedger.monthlyUserTotals(spark, "/root/testdata/sf0.001")
+        .orderBy("user_id", "year", "month").collect()
+      val batch = Tables.events(spark, "/root/testdata/sf0.001")
+        .groupBy(col("user_id"), year(col("ts")).as("year"), month(col("ts")).as("month"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("user_id", "year", "month").collect()
+      assert(rocks.length == batch.length && rocks.length > 0)
+      rocks.zip(batch).foreach { case (r, b) => assert(r == b) }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("AvailableNow streaming drain equals batch aggregation on the corpus") {
     val streamed = IncrementalLedger.monthlyUserTotals(spark, "/root/testdata/sf0.001")
       .orderBy("user_id", "year", "month").collect()
