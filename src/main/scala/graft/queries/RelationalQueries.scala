@@ -530,6 +530,44 @@ object RelationalQueries {
               FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""),
       doc = "exact discrete percentiles per group via rank selection (deterministic, interpolation-free)"),
 
+    // The SCALE form of agg_percentiles: identical output, but computed
+    // from a per-value histogram — the shuffle carries |distinct values|
+    // rows per group instead of every row, and the cumulative window runs
+    // over that histogram, not the data. (The value at rank ceil(q*n) is
+    // exactly the smallest value whose cumulative count reaches the rank.)
+    // The oracle is agg_percentiles' oracle verbatim: two plans, one truth.
+    GQuery("agg_percentiles_hist",
+      (s, dir) => {
+        val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        def atQ(q: String, name: String) =
+          min(when(col("cum") >= expr(s"ceil($q * n)"), col("l_extendedprice"))).as(name)
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("n", sum(col("c")).over(wAll))
+          .groupBy(col("l_returnflag"))
+          .agg(atQ("0.25", "p25"), atQ("0.5", "p50"), atQ("0.75", "p75"),
+            atQ("0.95", "p95"), max(col("n")).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH r AS (
+                SELECT l_returnflag, l_extendedprice,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+                FROM lineitem)
+              SELECT l_returnflag,
+                     MAX(CASE WHEN rn = CEIL(0.25 * cnt) THEN l_extendedprice END) AS p25,
+                     MAX(CASE WHEN rn = CEIL(0.5 * cnt) THEN l_extendedprice END) AS p50,
+                     MAX(CASE WHEN rn = CEIL(0.75 * cnt) THEN l_extendedprice END) AS p75,
+                     MAX(CASE WHEN rn = CEIL(0.95 * cnt) THEN l_extendedprice END) AS p95,
+                     MAX(cnt) AS n_rows
+              FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "exact percentiles from a value histogram — same truth as agg_percentiles, scale-shaped plan"),
+
     // ---- SQL text API: the same engine drives spark.sql over temp views
     GQuery("sql_api_revenue",
       (s, dir) => {
