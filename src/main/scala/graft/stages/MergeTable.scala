@@ -44,17 +44,64 @@ final class MergeTable(val root: String, keys: Seq[String]) {
     currentData(spark).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaIfEmpty))
 
-  /** SCD1 merge-commit: incoming wins on key collision. */
-  def upsert(batch: DataFrame): Unit = commit(batch) {
-    case Some(existing) => Merge.upsert(existing, batch, keys)
+  /** Time travel: read a specific committed version (`v0`, `v1`, …).
+    * Version directories are immutable once written, so any retained
+    * version is a consistent snapshot — the same contract Delta's
+    * `versionAsOf` exposes.
+    */
+  def readVersion(spark: SparkSession, version: String): DataFrame =
+    spark.read.parquet(Paths.get(root, version).toString)
+
+  /** Drop all committed versions except the newest `keepLast` (never the
+    * current one). Old versions are what time travel reads, so retention
+    * is a policy knob, not garbage: this is `VACUUM`.
+    */
+  def vacuum(keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val cur = currentVersion.map(_.drop(1).toLong).getOrElse(return)
+    val entries = Files.list(Paths.get(root))
+    try entries.forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
+          name.drop(1).toLong <= cur - keepLast) {
+        val tree = Files.walk(p)
+        try tree.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(Files.delete(_))
+        finally tree.close()
+      }
+    } finally entries.close()
+  }
+
+  /** SCD1 merge-commit: incoming wins on key collision. With
+    * `evolveSchema`, columns present on only one side are null-filled on
+    * the other (additive schema evolution, like `MERGE` with
+    * `autoMerge`); without it, a schema drift fails loudly.
+    */
+  def upsert(batch: DataFrame, evolveSchema: Boolean = false): Unit = commit(batch) {
+    case Some(existing) => mergeEvolved(existing, batch, evolveSchema)(
+      Merge.upsert(_, _, keys))
     case None           => batch
   }
 
   /** SCD0 merge-commit: first write wins. */
-  def insertIgnore(batch: DataFrame): Unit = commit(batch) {
-    case Some(existing) => Merge.insertIgnore(existing, batch, keys)
+  def insertIgnore(batch: DataFrame, evolveSchema: Boolean = false): Unit = commit(batch) {
+    case Some(existing) => mergeEvolved(existing, batch, evolveSchema)(
+      Merge.insertIgnore(_, _, keys))
     case None           => batch.dropDuplicates(keys)
   }
+
+  private def mergeEvolved(existing: DataFrame, batch: DataFrame, evolve: Boolean)
+                          (merge: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    if (!evolve) merge(existing, batch)
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      def widen(df: DataFrame, to: StructType): DataFrame =
+        to.fields.foldLeft(df) { (d, f) =>
+          if (d.columns.contains(f.name)) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+      merge(widen(existing, batch.schema), widen(batch, existing.schema))
+    }
 
   private def commit(batch: DataFrame)(merge: Option[DataFrame] => DataFrame): Unit = {
     val spark = batch.sparkSession

@@ -41,6 +41,38 @@ class MergeTableSpec extends AnyFunSuite {
     assert(rows(t) == Seq(("a", 1), ("b", 2)))
   }
 
+  test("time travel reads immutable past versions; vacuum retains only the tail") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    t.upsert(Seq(("a", 1)).toDF("k", "v"))
+    t.upsert(Seq(("a", 2)).toDF("k", "v"))
+    t.upsert(Seq(("b", 3)).toDF("k", "v"))
+    // versionAsOf: v0 still shows the original value of a
+    val v0 = t.readVersion(spark, "v0").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(v0.toSeq == Seq(("a", 1)))
+    assert(rows(t) == Seq(("a", 2), ("b", 3)))
+    // vacuum keeps the current 2 versions, drops v0
+    t.vacuum(keepLast = 2)
+    assert(!java.nio.file.Files.exists(Paths.get(t.root, "v0")))
+    assert(java.nio.file.Files.exists(Paths.get(t.root, "v1")))
+    assert(rows(t) == Seq(("a", 2), ("b", 3))) // current unaffected
+  }
+
+  test("additive schema evolution null-fills the missing side") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    t.upsert(Seq(("a", 1)).toDF("k", "v"))
+    // the incoming batch grew a column; evolveSchema widens both sides
+    t.upsert(Seq(("b", 2, "x")).toDF("k", "v", "extra"), evolveSchema = true)
+    val out = t.read(spark, new StructType()).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getAs[String]("extra"))))
+    assert(out.toSeq == Seq(("a", 1, None), ("b", 2, Some("x"))))
+    // without the flag, drift fails loudly instead of silently dropping data
+    intercept[Exception] {
+      t.upsert(Seq(("c", 3, "y", 9L)).toDF("k", "v", "extra", "extra2"))
+    }
+  }
+
   test("a crash before the pointer flip leaves the previous version readable") {
     import spark.implicits._
     val t = MergeTable.scratch(Seq("k"))
