@@ -83,8 +83,13 @@ class PlanAuditSpec extends AnyFunSuite {
     ("j3_snowflake_revenue", 3, 1, Nil),
     // single hash-agg exchange + output sort; no join
     ("a3_pricing_summary", 2, 0, Nil),
-    // LIMIT must plan as TakeOrderedAndProject: zero exchanges
-    ("t1_topk_orders", 0, 0, Seq("TakeOrderedAndProject")),
+    // LIMIT must plan as TakeOrderedAndProject: zero exchanges; the scan
+    // must read ONLY the three projected columns (column pruning)
+    ("t1_topk_orders", 0, 0, Seq("TakeOrderedAndProject",
+      "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderdate:timestamp_ntz>")),
+    // a 2-column distinct projection must prune the scan to those columns
+    ("o4_distinct_projection", 2, 0,
+      Seq("ReadSchema: struct<user_id:bigint,event_type:string>")),
     // one window exchange + output sort
     ("w1_topn_per_customer", 2, 0, Nil),
     // band self-join + pair distinct; never an all-pairs product

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Sketch
+
+/** KMV sketch semantics: bounded estimate error, and the mergeability that
+  * makes the sketch distributable — the k smallest hashes of a union are
+  * computable from each half's k smallest alone.
+  */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val k = 32
+
+  private def hashes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select(col("user_id")).distinct()
+      .withColumn("_h", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .orderBy(col("_h")).limit(k)
+      .collect().map(_.getAs[Long]("_h")).toSeq
+
+  test("estimate is within 50% of exact on the corpus") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("g", lit(1))
+    val row = Sketch.kmvDistinct(ev, Seq("g"), "user_id", k).collect().head
+    val exact = row.getAs[Long]("exact").toDouble
+    val est = row.getAs[Double]("estimate")
+    assert(math.abs(est - exact) / exact < 0.5, s"estimate $est vs exact $exact")
+  }
+
+  test("sketches merge: k smallest of the union == merge of each half's k smallest") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val whole = hashes(ev)
+    val h1 = hashes(ev.filter(col("event_id") % 2 === 0))
+    val h2 = hashes(ev.filter(col("event_id") % 2 =!= 0))
+    // driver-side sketch merge: union the two k-bounded summaries, keep k
+    val merged = (h1 ++ h2).distinct.sorted.take(k)
+    assert(merged == whole,
+      "merging per-partition KMV summaries must reproduce the global summary")
+  }
+}
