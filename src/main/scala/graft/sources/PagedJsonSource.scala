@@ -6,6 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,16 +74,44 @@ final class PagedJsonTable(options: CaseInsensitiveStringMap)
 }
 
 final class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownFilters {
   private val path = options.get("path")
   private val pageSize = options.getInt("pageSize", 50)
   private val maxPages = options.getInt("maxPages", 200)
-  private val from = Option(options.get("from"))
-  private val to = Option(options.get("to"))
+  private var from = Option(options.get("from"))
+  private var to = Option(options.get("to"))
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  /** Catalyst predicate pushdown → the API's time window: a
+    * `delivery_ts >= f` filter tightens `from` and `delivery_ts < t`
+    * tightens `to` — exactly what the reference does by forwarding the
+    * window as REST query params (`load_deliveries.py:19-24`). The
+    * timestamp strings ('yyyy-MM-dd HH:mm:ss') order lexicographically,
+    * so string max/min compose windows exactly; fully-absorbed filters
+    * are NOT re-evaluated after the scan. Anything else stays a residual
+    * Spark filter.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val residual = filters.filter {
+      case sources.GreaterThanOrEqual("delivery_ts", v: String) =>
+        from = Some(from.fold(v)(f => if (v > f) v else f)); false
+      case sources.LessThan("delivery_ts", v: String) =>
+        to = Some(to.fold(v)(t => if (v < t) v else t)); false
+      case _ => true
+    }
+    pushed = filters.diff(residual)
+    residual
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan = this
   override def readSchema(): StructType = PagedJsonSource.schema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"PagedJsonScan path=$path pageSize=$pageSize " +
+      s"window=[${from.getOrElse("-inf")}, ${to.getOrElse("+inf")}) " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   /** One InputPartition per page. A single driver pass counts records (the
     * "API"'s total) AND records the byte offset where each page begins, so

@@ -48,6 +48,29 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(days == Set("10", "11"))
   }
 
+  test("Spark filters on delivery_ts push into the source's API window") {
+    import org.apache.spark.sql.functions.col
+    val path = writeApiFile(56)
+    val filtered = read(path)
+      .filter(col("delivery_ts") >= "2024-05-10 00:00:00" &&
+        col("delivery_ts") < "2024-05-12 00:00:00")
+    // same rows as passing the window through options
+    val viaOptions = read(path,
+      "from" -> "2024-05-10 00:00:00", "to" -> "2024-05-12 00:00:00")
+    assert(filtered.collect().map(_.getString(0)).sorted.toSeq ==
+      viaOptions.collect().map(_.getString(0)).sorted.toSeq)
+    assert(filtered.count() == 4)              // days 10, 11 × two records
+    // the bounds reached the source (visible as PushedFilters in the plan)
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(delivery_ts"),
+      s"window not pushed:\n$plan")
+    // a non-window predicate stays a residual Spark filter and still applies
+    val residual = read(path).filter(col("delivery_ts") >= "2024-05-10 00:00:00" &&
+      col("json_response").contains("\"rate\":5"))
+    assert(residual.collect().forall(_.getString(0).contains("\"rate\":5")))
+  }
+
   test("composes with StgToDds.parseDeliveries into typed rows") {
     val path = writeApiFile(10)
     val stg = read(path).withColumn("delivery_ts",
