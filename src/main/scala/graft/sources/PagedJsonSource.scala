@@ -75,13 +75,20 @@ final class PagedJsonTable(options: CaseInsensitiveStringMap)
 
 final class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private val path = options.get("path")
   private val pageSize = options.getInt("pageSize", 50)
   private val maxPages = options.getInt("maxPages", 200)
   private var from = Option(options.get("from"))
   private var to = Option(options.get("to"))
   private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = PagedJsonSource.schema
+
+  /** Column pruning: a projection that only needs `delivery_ts` never
+    * materializes the (much wider) `json_response` payload per row.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   /** Catalyst predicate pushdown → the API's time window: a
     * `delivery_ts >= f` filter tightens `from` and `delivery_ts < t`
@@ -106,12 +113,13 @@ final class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan = this
-  override def readSchema(): StructType = PagedJsonSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"PagedJsonScan path=$path pageSize=$pageSize " +
       s"window=[${from.getOrElse("-inf")}, ${to.getOrElse("+inf")}) " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}] " +
+      s"ReadSchema: ${required.map(_.name).mkString("[", ",", "]")}"
 
   /** One InputPartition per page. A single driver pass counts records (the
     * "API"'s total) AND records the byte offset where each page begins, so
@@ -145,8 +153,9 @@ final class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
     } finally in.close()
     if (lastLineOpen) lines += 1 // final line without a trailing newline
     val pages = math.min((lines + pageSize - 1) / pageSize, maxPages.toLong).toInt
+    val cols = required.map(_.name)
     (0 until pages).map(p =>
-      PagedJsonPartition(path, pageStarts(p), pageSize, from, to): InputPartition).toArray
+      PagedJsonPartition(path, pageStarts(p), pageSize, from, to, cols): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -157,7 +166,8 @@ final class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
 }
 
 final case class PagedJsonPartition(path: String, startByte: Long, limit: Int,
-                                    from: Option[String], to: Option[String])
+                                    from: Option[String], to: Option[String],
+                                    columns: Seq[String] = Seq("json_response", "delivery_ts"))
     extends InputPartition
 
 /** Reads exactly one page (seek to `startByte`, then `limit` lines) of the
@@ -186,9 +196,13 @@ final class PagedJsonReader(p: PagedJsonPartition)
     if (it.hasNext) { current = it.next(); true } else false
   }
   override def get(): InternalRow = {
-    val ts = PagedJsonSource.extractTs(current)
-    InternalRow(UTF8String.fromString(current),
-      if (ts == null) null else UTF8String.fromString(ts))
+    val values = p.columns.map {
+      case "json_response" => UTF8String.fromString(current)
+      case "delivery_ts" =>
+        val ts = PagedJsonSource.extractTs(current)
+        if (ts == null) null else UTF8String.fromString(ts)
+    }
+    InternalRow(values: _*)
   }
   override def close(): Unit = src.close()
 }

@@ -71,6 +71,15 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(residual.collect().forall(_.getString(0).contains("\"rate\":5")))
   }
 
+  test("column pruning: a delivery_ts-only projection never materializes the payload") {
+    val path = writeApiFile(20)
+    val df = read(path).select("delivery_ts")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("ReadSchema: [delivery_ts]"), s"not pruned:\n$plan")
+    assert(df.collect().map(_.getString(0)).forall(_.startsWith("2024-05-")))
+  }
+
   test("composes with StgToDds.parseDeliveries into typed rows") {
     val path = writeApiFile(10)
     val stg = read(path).withColumn("delivery_ts",
