@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer guard: broadcast hints on oversized sides are stripped
+    // before they can OOM the driver (see plans.DehintOversizedBroadcasts)
+    ext.injectOptimizerRule(session => graft.plans.DehintOversizedBroadcasts(session))
     ext.injectFunction((FunctionIdentifier("graft_simhash60"),
       info("graft_simhash60", "graft_simhash60(arr) - 60-bit SimHash of array<bigint>"),
       (exprs: Seq[Expression]) => SimHash60(exprs.head)))

@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Defensive optimizer rule: strip a broadcast hint whose side is far too
+  * large to broadcast.
+  *
+  * An explicit `broadcast()` hint is honored by Spark REGARDLESS of
+  * `autoBroadcastJoinThreshold` — the planner will happily collect a
+  * fact-scale table onto the driver and OOM it. The engine's broadcast
+  * policy (ARCHITECTURE.md) says hints belong only on structurally
+  * dim-sized sides; this rule enforces the policy mechanically at plan
+  * time: any join-side hint whose estimated size exceeds
+  * `margin × autoBroadcastJoinThreshold` is removed, letting Catalyst fall
+  * back to a shuffle join. The margin (default 4×) leaves room for
+  * deliberate slightly-above-threshold broadcasts while catching the
+  * orders-of-magnitude mistakes that kill clusters. Disabled when
+  * auto-broadcast is disabled (threshold ≤ 0) — that configuration
+  * signals the user wants full manual control.
+  *
+  * Runs in the user-provided optimizer batch, i.e. after
+  * `EliminateResolvedHint` has folded hints into [[JoinHint]]s — so the
+  * rule rewrites join hints, the form the planner actually consumes.
+  */
+case class DehintOversizedBroadcasts(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private val margin = 4L
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) return plan
+    val cap = BigInt(threshold) * margin
+
+    def strip(side: Option[HintInfo], sidePlan: LogicalPlan): Option[HintInfo] =
+      side match {
+        case Some(h) if h.strategy.contains(BROADCAST) &&
+            sidePlan.stats.sizeInBytes > cap =>
+          logWarning(s"graft: stripping broadcast hint — side estimated at " +
+            s"${sidePlan.stats.sizeInBytes} bytes exceeds $cap " +
+            s"($margin x autoBroadcastJoinThreshold); falling back to a shuffle join")
+          val stripped = h.copy(strategy = None)
+          if (stripped == HintInfo()) None else Some(stripped)
+        case other => other
+      }
+
+    plan.transformUp {
+      case j @ Join(left, right, _, _, hint) =>
+        val newHint = JoinHint(strip(hint.leftHint, left), strip(hint.rightHint, right))
+        if (newHint != hint) j.copy(hint = newHint) else j
+    }
+  }
+}

@@ -43,4 +43,39 @@ class ExtensionsSpec extends AnyFunSuite {
       previous.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("optimizer rule strips broadcast hints from oversized sides, keeps dim-sized ones") {
+    import org.apache.spark.sql.functions._
+    val previous = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-dehint-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      // default threshold 10 MB, margin 4x → cap 40 MB.
+      val fact = spark.range(0, 20000000L).toDF("id")          // ~160 MB estimated
+      val oversized = spark.range(0, 10000000L).toDF("id")     // ~80 MB estimated
+      val dim = spark.range(0, 1000L).toDF("id")               // tiny
+      val bad = fact.join(broadcast(oversized), "id")
+      val good = fact.join(broadcast(dim), "id")
+      val badPlan = bad.queryExecution.executedPlan.toString
+      val goodPlan = good.queryExecution.executedPlan.toString
+      assert(!badPlan.contains("BroadcastHashJoin"),
+        s"oversized hint must be stripped:\n$badPlan")
+      assert(goodPlan.contains("BroadcastHashJoin"),
+        s"dim-sized hint must survive:\n$goodPlan")
+      // semantics unchanged: the de-hinted join still computes the overlap
+      assert(fact.join(broadcast(spark.range(0, 10000000L).toDF("id")), "id")
+        .filter(col("id") < 3).count() == 3)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      previous.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }
