@@ -141,6 +141,25 @@ object TextAnalysis {
         col("chunk_len"), col("chunk_hash"))
   }
 
+  /** Deterministic dataset splitting: assign every document to
+    * train/val/test by an md5 bucket of its id — the held-out-split
+    * primitive of a training pipeline. Hash-based assignment is stable
+    * under reruns, partitioning, and corpus growth (a document never
+    * changes split when new data arrives), which `sample()`-style RNG
+    * splitting cannot guarantee — and md5 keeps it oracle-checkable.
+    * Buckets: [0, valPct) = val, [valPct, valPct+testPct) = test,
+    * rest = train.
+    */
+  def withSplit(docs: DataFrame, valPct: Int = 1, testPct: Int = 1): DataFrame =
+    docs
+      .withColumn("_bucket", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"))
+      .withColumn("split",
+        when(col("_bucket") < valPct, lit("val"))
+          .when(col("_bucket") < valPct + testPct, lit("test"))
+          .otherwise(lit("train")))
+      .drop("_bucket")
+
   /** Corpus token frequencies (explode → count): the one genuinely
     * shuffle-bearing text op; partial aggregation collapses it to
     * |vocabulary| rows per partition before the exchange.

@@ -158,6 +158,22 @@ object TextQueries {
       Some(cdcChunksSql(w = 16, divisor = 64)),
       doc = "content-defined chunking: rolling-hash-mask boundaries + per-chunk Rabin-Karp fingerprint"),
 
+    GQuery("split_train_val",
+      (s, dir) => TextAnalysis.withSplit(Tables.documents(s, dir), valPct = 5, testPct = 5)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("total_tokens"))
+        .orderBy(col("split")),
+      Some(s"""SELECT CASE WHEN b < 5 THEN 'val' WHEN b < 10 THEN 'test'
+                           ELSE 'train' END AS split,
+                     count(*) AS n_docs,
+                     SUM(CAST(len($toksSql) AS BIGINT)) AS total_tokens
+              FROM (SELECT text,
+                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS b
+                    FROM documents)
+              GROUP BY 1 ORDER BY 1"""),
+      doc = "deterministic md5-bucket train/val/test split (stable under reruns and corpus growth)"),
+
     GQuery("dedup_cdc_overlap",
       (s, dir) => graft.ops.Dedup.cdcOverlapPairs(Tables.documents(s, dir),
           minShared = 2, maxDf = 100)
