@@ -28,7 +28,11 @@ object Curate {
 
     val nearDupLosers = Dedup.minhashLshPairs(uniqueDocs)
       .select(col("doc_b").as("doc_id")).distinct()
-    val survivors = uniqueDocs.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // stage boundary: quality, language-id, and the final join all read the
+    // survivor set; without materialization each would re-run the whole
+    // dedup lineage. In a production pipeline this is where the layer
+    // persists to storage (a MergeTable); within one query, cache.
+    val survivors = uniqueDocs.join(nearDupLosers, Seq("doc_id"), "left_anti").cache()
 
     val quality = TextAnalysis.qualityScore(survivors)
       .filter(col("is_quality"))

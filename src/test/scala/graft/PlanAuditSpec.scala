@@ -105,7 +105,16 @@ class PlanAuditSpec extends AnyFunSuite {
     ("text_cdc_chunks", 1, 0, Nil),   // chunking itself shuffles nothing
     ("s7_validate_quarantine", 3, 0, Nil),
     ("dedup_cdc_overlap", 6, 0, Nil), // distinct, windowed df cap, band join, pair agg
-    ("sim_ann_lsh_multiprobe", 6, 1, Nil))
+    ("sim_ann_lsh_multiprobe", 6, 1, Nil),
+    ("split_train_val", 2, 0, Nil),
+    ("agg_percentiles_hist", 3, 0, Nil),
+    ("w3_lag_lead", 2, 0, Nil),
+    ("agg_unpivot", 3, 0, Nil),
+    ("o13_string_funcs", 1, 0, Nil),
+    ("sql_correlated", 2, 1, Nil),
+    // composed pipeline: survivor set cached at the stage boundary — the
+    // ceiling guards against re-introducing lineage duplication
+    ("curate_corpus", 10, 0, Nil))
 
   guards.foreach { case (name, maxShuffles, minBroadcasts, fragments) =>
     test(s"plan guard: $name (shuffles<=$maxShuffles, broadcasts>=$minBroadcasts)") {
