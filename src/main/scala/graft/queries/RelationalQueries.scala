@@ -668,6 +668,44 @@ object RelationalQueries {
               FROM kth ORDER BY event_type"""),
       doc = "KMV distinct-count sketch: mergeable O(k) summary, estimate reproducible by the oracle"),
 
+    // The single-pass production form of the same sketch: a bounded
+    // Aggregator buffer (k longs per group per map partition through the
+    // shuffle) instead of the rank window's whole-group sort. Same oracle
+    // arithmetic — estimates hash-match the window form's.
+    GQuery("kmv_distinct_users_agg",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.KmvAggregator
+        Tables.events(s, dir)
+          .select(col("event_type"), expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(KmvAggregator.kmv(64).toColumn)
+          .map { case (t, out) => (t, out.kth_min_hash, out.estimate) }
+          .toDF("event_type", "kth_min_hash", "estimate")
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH hashed AS (
+                SELECT DISTINCT event_type, user_id,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                FROM events),
+              ranked AS (
+                SELECT event_type, h,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+                FROM hashed),
+              kth AS (
+                SELECT event_type,
+                       max(CASE WHEN r = 64 THEN h END) AS kth_min_hash,
+                       count(*) AS exact
+                FROM ranked GROUP BY 1)
+              SELECT event_type, kth_min_hash,
+                     CASE WHEN kth_min_hash IS NULL THEN CAST(exact AS DOUBLE)
+                          ELSE 63.0 / (kth_min_hash / POWER(2.0, 60)) END AS estimate
+              FROM kth ORDER BY event_type"""),
+      doc = "single-pass bounded-buffer KMV (Aggregator) == the window-form sketch"),
+
     // ---- Set operations (SURVEY.md §2.6: union/intersect/except for merge rewrites)
     GQuery("set_ops",
       (s, dir) => {

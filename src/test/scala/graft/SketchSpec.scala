@@ -29,6 +29,24 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - exact) / exact < 0.5, s"estimate $est vs exact $exact")
   }
 
+  test("single-pass Aggregator sketch equals the window-form sketch") {
+    import spark.implicits._
+    import graft.functions.KmvAggregator
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val windowForm = Sketch.kmvDistinct(ev, Seq("event_type"), "user_id", k)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (Option(r.getAs[java.lang.Long]("kth_min_hash")).map(_.toLong),
+          r.getAs[Double]("estimate"))).toMap
+    val aggForm = ev
+      .select(col("event_type"), expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(KmvAggregator.kmv(k).toColumn)
+      .collect().map { case (t, out) => t -> (out.kth_min_hash, out.estimate) }.toMap
+    assert(aggForm == windowForm)
+  }
+
   test("sketches merge: k smallest of the union == merge of each half's k smallest") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val whole = hashes(ev)
