@@ -150,6 +150,33 @@ object SimilarityQueries {
               FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
       doc = "hyperplane-LSH-bucketed ANN top-3 (scale path; recall traded for candidate cut)"),
 
+    // The single-pass TopKAggregator form of the same search: bounded
+    // k-row buffers through the shuffle instead of a whole-group window
+    // sort. Shares the window form's oracle — the scale path is proven
+    // value-identical, not just spec-asserted.
+    GQuery("sim_topk_brute_agg",
+      (s, dir) => Similarity.bruteForceTopKAgg(Tables.embeddings(s, dir),
+          numQueries = 16, k = 5)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH base AS (
+                     SELECT vec_id, embedding,
+                            sqrt(${dotSql("embedding", "embedding")}) AS norm
+                     FROM embeddings),
+                   q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+                         FROM base WHERE vec_id < 16),
+                   scored AS (
+                     SELECT q.query_id, b.vec_id,
+                            ${dotSql("b.embedding", "q.q_emb")} / (b.norm * q.q_norm) AS cosine
+                     FROM base b, q WHERE b.vec_id <> q.query_id),
+                   ranked AS (
+                     SELECT query_id, vec_id, cosine,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+              SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      doc = "single-pass bounded-buffer brute-force top-k (TopKAggregator) == window form"),
+
     GQuery("sim_ann_lsh_multiprobe",
       (s, dir) => Similarity.lshMultiProbeTopK(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3)
