@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 /** Driver bench: run every registry query at SPARK_GRAFT_SF_DIR, print one
   * JSON line. The 10 corpus tables are cached up front (Spark's cache
   * manager substitutes the InMemoryRelation into every query that reads the
-  * same plan fragment), so per-query times measure the operators, not 46
-  * repeated cold parquet scans of the same files. The warm-up cost is NOT
+  * same plan fragment), so per-query times measure the operators, not one
+  * repeated cold parquet scan per registry query. The warm-up cost is NOT
   * hidden: it is reported as the `cache_warm` entry and included in total.
   */
 object Bench {

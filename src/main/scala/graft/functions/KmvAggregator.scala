@@ -14,7 +14,11 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * The estimate reproduces the window form's arithmetic bit-for-bit:
   * fewer than k distinct values → the exact count; otherwise
-  * (k-1) / (kth_min / 2^60) with the same long→double conversions.
+  * (k-1) / (kth_min / 2^60) with the same long→double conversions. One
+  * caveat: this buffer dedups HASHES while the window form dedups VALUES,
+  * so the two diverge iff two distinct values collide in the 60-bit hash
+  * AND that hash ranks among a group's k smallest (~k·n/2^61 per group —
+  * negligible, and shared with every md5-prefix consumer here).
   */
 object KmvAggregator {
 

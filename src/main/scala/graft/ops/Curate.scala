@@ -44,9 +44,17 @@ object Curate {
     // mislabel/misdetection census a curation run reports (on this corpus
     // the text is synthetic English-ish vocabulary under every label, so
     // the heuristic correctly predicts 'en' throughout)
-    quality.join(lang, Seq("doc_id"))
+    val census = quality.join(lang, Seq("doc_id"))
       .groupBy(col("labeled_lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("bigint")).as("total_tokens"))
+
+    // the census is bounded (|langs|² rows): materialize it eagerly so the
+    // corpus-sized survivor cache can be RELEASED before returning, instead
+    // of pinning executor storage for the rest of the session
+    val rows = census.collect().toSeq
+    survivors.unpersist()
+    docs.sparkSession.createDataFrame(
+      docs.sparkSession.sparkContext.parallelize(rows, 1), census.schema)
   }
 }

@@ -117,7 +117,9 @@ final class MergeTable(val root: String, keys: Seq[String]) {
 }
 
 object MergeTable {
-  /** Fresh table rooted in a new temp directory (tests, scratch targets). */
+  /** Fresh table rooted in a new temp directory, deleted at JVM exit
+    * (tests, scratch targets). Durable tables pass a real root instead.
+    */
   def scratch(keys: Seq[String]): MergeTable =
-    new MergeTable(Files.createTempDirectory("graft_mergetable_").toString, keys)
+    new MergeTable(TempDirs.scratch("graft_mergetable_"), keys)
 }

@@ -1,0 +1,30 @@
+package graft.stages
+
+import java.nio.file.{Files, Path}
+
+/** Scratch directories for test/bench targets, cleaned up at JVM exit.
+  * Streaming drains and scratch MergeTables write corpus-scale parquet
+  * under the system temp dir; without cleanup, repeated verify/bench loops
+  * accumulate unbounded disk. Production targets pass a real root and
+  * manage retention with [[MergeTable.vacuum]] instead.
+  */
+object TempDirs {
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+
+  sys.addShutdownHook {
+    created.forEach { p =>
+      try {
+        val tree = Files.walk(p)
+        try tree.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally tree.close()
+      } catch { case _: Exception => () } // best effort at exit
+    }
+  }
+
+  def scratch(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    created.add(dir)
+    dir.toString
+  }
+}

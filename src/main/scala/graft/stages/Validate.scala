@@ -24,8 +24,11 @@ object Validate {
 
   /** Split `df` into (valid, quarantined). Quarantined rows carry a
     * `_violations` array<string> of the failed check names, in declaration
-    * order. One projection + two narrow filters over the same scan — no
-    * shuffle, no second pass over the data; Spark reuses the plan fragment.
+    * order. One projection + two narrow filters over the same lineage — no
+    * shuffle. Each returned frame re-evaluates the upstream scan when
+    * consumed independently; a caller that drains BOTH sides of a large
+    * increment should persist the upstream (or write valid/quarantine in
+    * one pass via partitionBy on a violation flag) at its stage boundary.
     */
   def split(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
     require(checks.nonEmpty, "validate with no checks is a no-op; declare at least one")

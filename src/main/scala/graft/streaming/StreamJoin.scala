@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -57,7 +56,7 @@ object StreamJoin {
         date_format(col("b_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_at"),
         col("b_value").as("purchase_value"))
 
-    val outDir = Files.createTempDirectory("graft_sjoin_").toString
+    val outDir = graft.stages.TempDirs.scratch("graft_sjoin_")
     // stream-stream join keeps FOUR state stores per partition; see the
     // shuffle-partition note in IncrementalLedger.monthlyUserTotals
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

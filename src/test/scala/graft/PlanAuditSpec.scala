@@ -111,10 +111,10 @@ class PlanAuditSpec extends AnyFunSuite {
     ("w3_lag_lead", 2, 0, Nil),
     ("agg_unpivot", 3, 0, Nil),
     ("o13_string_funcs", 1, 0, Nil),
-    ("sql_correlated", 2, 1, Nil),
-    // composed pipeline: survivor set cached at the stage boundary — the
-    // ceiling guards against re-introducing lineage duplication
-    ("curate_corpus", 10, 0, Nil))
+    ("sql_correlated", 2, 1, Nil))
+    // (curate_corpus is not plan-guarded: it materializes its bounded census
+    // eagerly so the survivor cache can be released — explain() sees only
+    // the final local result)
 
   guards.foreach { case (name, maxShuffles, minBroadcasts, fragments) =>
     test(s"plan guard: $name (shuffles<=$maxShuffles, broadcasts>=$minBroadcasts)") {
