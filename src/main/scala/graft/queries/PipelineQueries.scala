@@ -43,12 +43,13 @@ object PipelineQueries {
           Validate.Check("discount_le_5pct", col("l_discount") <= 0.05),
           Validate.Check("quantity_le_45", col("l_quantity") <= 45),
           Validate.Check("tax_le_6pct", col("l_tax") <= 0.06))
-        val (valid, quarantined) = Validate.split(Tables.lineitem(s, dir), checks)
-        quarantined
-          .groupBy(array_join(col("_violations"), ",").as("violations"))
+        // one-pass disposition histogram: the valid bucket is just another
+        // group of the SAME scan (a union of the two split branches would
+        // read the fact table twice)
+        Validate.flag(Tables.lineitem(s, dir), checks)
+          .groupBy(when(size(col("_violations")) === 0, lit("(valid)"))
+            .otherwise(array_join(col("_violations"), ",")).as("violations"))
           .agg(count(lit(1)).as("n_rows"))
-          .unionByName(valid.agg(count(lit(1)).as("n_rows"))
-            .select(lit("(valid)").as("violations"), col("n_rows")))
           .orderBy(col("violations"))
       },
       Some("""WITH v AS (
@@ -58,13 +59,11 @@ object PipelineQueries {
                     CASE WHEN NOT (l_tax <= 0.06) THEN 'tax_le_6pct' END],
                   x -> x IS NOT NULL) AS viol
                 FROM lineitem)
-              SELECT array_to_string(viol, ',') AS violations, count(*) AS n_rows
-              FROM v WHERE len(viol) > 0 GROUP BY 1
-              UNION ALL
-              SELECT '(valid)' AS violations, count(*) AS n_rows
-              FROM v WHERE len(viol) = 0
-              ORDER BY violations"""),
-      doc = "S7 runtime CHECKs: validate-or-quarantine split with per-combination violation counts"),
+              SELECT CASE WHEN len(viol) = 0 THEN '(valid)'
+                          ELSE array_to_string(viol, ',') END AS violations,
+                     count(*) AS n_rows
+              FROM v GROUP BY 1 ORDER BY violations"""),
+      doc = "S7 runtime CHECKs: one-pass validate-or-quarantine disposition histogram"),
 
     // ---- S1/O1: schema-on-read of an API-shaped JSON payload (load_couriers.py:31)
     // The STG json_response is reconstructed identically in both engines

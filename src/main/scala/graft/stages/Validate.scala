@@ -31,13 +31,21 @@ object Validate {
     * one pass via partitionBy on a violation flag) at its stage boundary.
     */
   def split(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
+    val flagged = flag(df, checks)
+    (flagged.filter(size(col("_violations")) === 0).drop("_violations"),
+     flagged.filter(size(col("_violations")) > 0))
+  }
+
+  /** The one-pass primitive under [[split]]: annotate every row with its
+    * `_violations` array. Consumers that need both dispositions in a
+    * single scan (histograms, partitioned writes) aggregate or partition
+    * on this column directly instead of splitting.
+    */
+  def flag(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "validate with no checks is a no-op; declare at least one")
     val violations = array(checks.map(c =>
       when(c.predicate <=> lit(false), lit(c.name))): _*)
-    val flagged = df.withColumn("_violations",
-      filter(violations, _.isNotNull))
-    (flagged.filter(size(col("_violations")) === 0).drop("_violations"),
-     flagged.filter(size(col("_violations")) > 0))
+    df.withColumn("_violations", filter(violations, _.isNotNull))
   }
 
   /** The reference's delivery-fact invariants as a reusable check set

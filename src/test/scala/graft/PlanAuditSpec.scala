@@ -103,7 +103,8 @@ class PlanAuditSpec extends AnyFunSuite {
     ("w2_moving_avg", 2, 0, Nil),     // one window exchange + output sort
     ("o12_date_arith", 1, 0, Nil),    // pure projection + output sort
     ("text_cdc_chunks", 1, 0, Nil),   // chunking itself shuffles nothing
-    ("s7_validate_quarantine", 3, 0, Nil),
+    // one-pass disposition histogram: agg exchange + output sort only
+    ("s7_validate_quarantine", 2, 0, Nil),
     ("dedup_cdc_overlap", 6, 0, Nil), // distinct, windowed df cap, band join, pair agg
     ("sim_ann_lsh_multiprobe", 6, 1, Nil),
     ("split_train_val", 2, 0, Nil),
