@@ -56,7 +56,12 @@ object IncrementalLedger {
       .parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      // WithinWatermark, not plain dropDuplicates: deduping on a key subset
+      // that excludes the event-time column would keep one state entry per
+      // key EVER SEEN (never evicted); this form guarantees dedup for
+      // re-deliveries arriving within the watermark delay and lets the
+      // store evict older keys — state is O(events per hour), not O(stream)
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("user_id"),
         year(col("ts")).as("year"), month(col("ts")).as("month"))
       .agg(

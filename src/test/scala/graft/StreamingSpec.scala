@@ -22,7 +22,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = input.toDF()
       .toDF("event_id", "ts", "user_id", "value")
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
       .writeStream.outputMode(OutputMode.Complete).format("memory").queryName(sink).start()
