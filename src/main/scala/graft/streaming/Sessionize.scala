@@ -119,7 +119,7 @@ object Sessionize extends Serializable {
                 // a session already older than the watermark times out at the
                 // next possible instant.
                 state.setTimeoutTimestamp(
-                  math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
+                  math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
               case None => state.remove()
             }
             out.iterator
