@@ -179,7 +179,9 @@ object DedupQueries {
        |              ELSE 'en' END AS predicted_lang
        |  FROM q)
        |SELECT labeled_lang, predicted_lang, count(*) AS n_docs,
-       |       SUM(CAST(n_tokens AS BIGINT)) AS total_tokens
+       |       -- CAST: DuckDB integer SUM returns HUGEINT, whose rendering is
+       |       -- version-dependent (see split_train_val oracle note)
+       |       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
        |FROM labeled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 }

@@ -164,10 +164,16 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("total_tokens"))
         .orderBy(col("split")),
+      // CAST the SUM back to BIGINT: DuckDB's sum over integer inputs
+      // returns HUGEINT (int128), whose client-side rendering is
+      // engine-version-dependent — the round-2 driver hash mismatch on this
+      // query (and curate_corpus, the only two oracles that emitted a bare
+      // integer SUM) while the local mirror passed. BIGINT output is stable
+      // in every DuckDB version and matches Spark's sum(bigint) exactly.
       Some(s"""SELECT CASE WHEN b < 5 THEN 'val' WHEN b < 10 THEN 'test'
                            ELSE 'train' END AS split,
                      count(*) AS n_docs,
-                     SUM(CAST(len($toksSql) AS BIGINT)) AS total_tokens
+                     CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS total_tokens
               FROM (SELECT text,
                            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS b
                     FROM documents)

@@ -42,6 +42,21 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
     s, o = norm(spark_df), norm(oracle_df)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # int-on-one-side / float-on-the-other means the two engines emitted
+        # different TYPES for this column (e.g. DuckDB integer SUM -> HUGEINT
+        # -> float64 in pandas, vs Spark int64). Values may compare equal
+        # numerically, but the driver hashes rendered values ("1234" vs
+        # "1234.0") -> hash mismatch. Treat as a failure so the local mirror
+        # predicts the driver. (Bit us in round 2: split_train_val,
+        # curate_corpus.)
+        int_float_split = (
+            (pd.api.types.is_integer_dtype(sv) and pd.api.types.is_float_dtype(ov))
+            or (pd.api.types.is_float_dtype(sv) and pd.api.types.is_integer_dtype(ov)))
+        if int_float_split:
+            print(f"  [{name}] col {c}: DTYPE SPLIT spark={sv.dtype} oracle={ov.dtype} "
+                  f"(driver would hash-mismatch; cast the oracle column)")
+            ok = False
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sv = sv.astype(float)
             ov = ov.astype(float)
