@@ -84,23 +84,15 @@ object Similarity {
       .withColumn("rank", col("rank").cast("int"))
   }
 
-  /** Deterministic hyperplane table: `planes` rows of 64 integer weights in
-    * [-1000, 1000], derived from md5(plane||'_'||dim). Broadcast-sized by
-    * construction.
+  /** sign-bucket per vector: bit m = [v·w_m >= 0], bucket = Σ bit<<m, where
+    * w_m are the deterministic md5-derived hyperplanes inlined into
+    * [[graft.functions.LshBandKeys]]. A pure per-row projection — zero
+    * shuffles (the round-1/2 formulation spent two corpus-scale exchanges
+    * computing the same value via crossJoin + groupBy).
     */
-  def hyperplanes(spark: SparkSession, planes: Int, dim: Int): DataFrame =
-    spark.range(0, planes).toDF("m").withColumn("w", expr(
-      s"""transform(sequence(0, ${dim - 1}),
-         |  i -> (CAST(conv(substring(md5(concat(CAST(m AS STRING), '_', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2001) - 1000)""".stripMargin))
-
-  /** sign-bucket per vector: bit m = [v·w_m >= 0], bucket = Σ bit<<m. */
-  def withLshBucket(emb: DataFrame, planesDf: DataFrame): DataFrame = {
-    val bits = emb.crossJoin(broadcast(planesDf))
-      .withColumn("bit", when(
-        expr(dotExpr("embedding", "w")) >= 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(m AS INT))")).otherwise(lit(0L)))
-      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
-    emb.join(bits, Seq("vec_id"))
+  def withLshBucket(emb: DataFrame, planes: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.withColumn("bucket", expr(s"graft_lsh_bands(embedding, 1, $planes, $dim)[0]"))
   }
 
   /** ANN top-k: neighbors restricted to the query's LSH bucket. Queries whose
@@ -109,7 +101,7 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, emb: DataFrame, numQueries: Int, k: Int,
               planes: Int = 8, dim: Int = 64): DataFrame = {
-    val bucketed = withNorm(withLshBucket(emb, hyperplanes(spark, planes, dim)))
+    val bucketed = withNorm(withLshBucket(emb, planes, dim))
     val queries = bucketed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("bucket"))
@@ -172,7 +164,7 @@ object Similarity {
     */
   def lshMultiProbeTopK(spark: SparkSession, emb: DataFrame, numQueries: Int, k: Int,
                         planes: Int = 8, dim: Int = 64): DataFrame = {
-    val bucketed = withNorm(withLshBucket(emb, hyperplanes(spark, planes, dim)))
+    val bucketed = withNorm(withLshBucket(emb, planes, dim))
     val queries = bucketed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("bucket"))
@@ -280,14 +272,11 @@ object Similarity {
   def embeddingNearDupPairs(spark: SparkSession, emb: DataFrame, tau: Double,
                             bandsOfPlanes: Int = 2, planesPerBand: Int = 12,
                             dim: Int = 64): DataFrame = {
-    val planesDf = hyperplanes(spark, bandsOfPlanes * planesPerBand, dim)
-    val bits = emb.crossJoin(broadcast(planesDf))
-      .withColumn("band", (col("m") / planesPerBand).cast("int"))
-      .withColumn("bit", when(
-        expr(dotExpr("embedding", "w")) >= 0,
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(m % $planesPerBand AS INT))"))
-        .otherwise(lit(0L)))
-      .groupBy(col("vec_id"), col("band")).agg(sum(col("bit")).as("band_key"))
+    graft.functions.GraftFunctions.register(spark)
+    // per-row band keys (zero shuffles); posexplode position == band index
+    val bits = emb.select(col("vec_id"),
+      posexplode(expr(s"graft_lsh_bands(embedding, $bandsOfPlanes, $planesPerBand, $dim)"))
+        .as(Seq("band", "band_key")))
     val cand = bits.as("a")
       .join(bits.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&

@@ -106,7 +106,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // one-pass disposition histogram: agg exchange + output sort only
     ("s7_validate_quarantine", 2, 0, Nil),
     ("dedup_cdc_overlap", 6, 0, Nil), // distinct, windowed df cap, band join, pair agg
-    ("sim_ann_lsh_multiprobe", 6, 1, Nil),
+    // round-3: LSH bucket is a per-row expression (graft_lsh_bands) — the
+    // former crossJoin+groupBy+join-back exchanges are gone; what remains is
+    // the bucket join + top-k window machinery
+    ("sim_ann_lsh", 3, 0, Nil),
+    ("sim_ann_lsh_multiprobe", 3, 0, Nil),
+    ("dedup_embedding_cosine", 4, 0, Nil), // band self-join + pair distinct + verify joins
     ("split_train_val", 2, 0, Nil),
     ("agg_percentiles_hist", 3, 0, Nil),
     ("w3_lag_lead", 2, 0, Nil),
