@@ -109,7 +109,7 @@ object TextAnalysis {
 
   /** Rolling-hash (Rabin-Karp) document fingerprint — position-sensitive,
     * unlike [[fingerprint]]'s token-set md5; the building block for
-    * content-defined chunking. Native expression, ASCII contract.
+    * content-defined chunking. Native expression over Unicode code points.
     */
   def rollingFingerprint(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -120,7 +120,9 @@ object TextAnalysis {
     * boundaries ([[graft.functions.CdcBoundaries]]) and fingerprint every
     * chunk — (doc_id, chunk_no, start, chunk_len, chunk_hash), the dedup
     * unit for a training-data pipeline (chunk hashes survive edits
-    * elsewhere in the document, unlike whole-doc hashes). Everything after
+    * elsewhere in the document, unlike whole-doc hashes). Boundary
+    * positions are Unicode code points — the unit `substring` consumes —
+    * so chunking is correct on non-ASCII text. Everything after
     * the boundary expression is per-row array algebra: no shuffle at all —
     * a downstream `groupBy(chunk_hash)` dedups chunks corpus-wide with the
     * one exchange that semantic requires.

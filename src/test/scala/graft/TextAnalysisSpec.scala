@@ -83,4 +83,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((h1 intersect h2).size >= h1.size - 2,
       s"CDC must re-sync after an edit: ${h1.size} vs shared ${(h1 intersect h2).size}")
   }
+
+  test("CDC chunks are correct on non-ASCII text (code-point positions)") {
+    import spark.implicits._
+    // Mixed-width text: 1-byte ASCII, 2-byte umlauts, 3-byte CJK, and a
+    // 4-byte supplementary-plane emoji — every UTF-8 width class.
+    val text = {
+      val alphabet = "abcdefäöüßéàç漢字測試文🎉 ".toCharArray // includes surrogate pair
+      val cps = alphabet.mkString.codePoints().toArray
+      var seed = 7L
+      val sb = new java.lang.StringBuilder
+      (1 to 500).foreach { _ =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        sb.appendCodePoint(cps((math.abs(seed >>> 17) % cps.length).toInt))
+      }
+      sb.toString
+    }
+    val nCps = text.codePointCount(0, text.length)
+    val cdcDocs = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = TextAnalysis.cdcChunks(cdcDocs).collect()
+      .map(r => (r.getAs[Int]("chunk_no"), r.getAs[Int]("start"),
+        r.getAs[Int]("chunk_len"), r.getAs[Long]("chunk_hash")))
+      .sortBy(_._1)
+    // chunks tile the CODE-POINT length (not the byte length, which is larger)
+    assert(rows.head._2 == 1)
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._2 == a._2 + a._3) case _ => }
+    assert(rows.map(_._3).sum == nCps,
+      s"chunk lengths must sum to code-point count $nCps (byte len ${text.getBytes("UTF-8").length})")
+    // each chunk_hash equals the rolling hash of the code-point slice the
+    // (start, chunk_len) coordinates address — i.e. boundaries and substring
+    // agree on the unit
+    def rh(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 131L + c) % 1000000007L)
+    val cpArr = text.codePoints().toArray
+    rows.foreach { case (_, start, len, hash) =>
+      val slice = new String(cpArr.slice(start - 1, start - 1 + len), 0, len)
+      assert(rh(slice) == hash, s"chunk at $start len $len: hash mismatch")
+    }
+  }
 }
