@@ -76,6 +76,16 @@ final class MergeTable(val root: String, keys: Seq[String]) {
     * `evolveSchema`, columns present on only one side are null-filled on
     * the other (additive schema evolution, like `MERGE` with
     * `autoMerge`); without it, a schema drift fails loudly.
+    *
+    * Concurrency contract: a `MergeTable` is a SINGLE-WRITER table — run
+    * one committer per root (the reference's Airflow DAG serializes its
+    * merge the same way, one task instance per run). Concurrent commits
+    * are not merged or queued; they are DETECTED: each commit
+    * compare-and-swaps on the `_CURRENT` pointer content, so when two
+    * writers race, exactly one flip wins and the loser throws
+    * [[java.util.ConcurrentModificationException]] with nothing committed
+    * (its staged data is cleaned up; re-running the loser on the new
+    * current version converges, because merges are idempotent).
     */
   def upsert(batch: DataFrame, evolveSchema: Boolean = false): Unit = commit(batch) {
     case Some(existing) => mergeEvolved(existing, batch, evolveSchema)(
@@ -83,7 +93,9 @@ final class MergeTable(val root: String, keys: Seq[String]) {
     case None           => batch
   }
 
-  /** SCD0 merge-commit: first write wins. */
+  /** SCD0 merge-commit: first write wins. Same single-writer contract and
+    * conflict detection as [[upsert]].
+    */
   def insertIgnore(batch: DataFrame, evolveSchema: Boolean = false): Unit = commit(batch) {
     case Some(existing) => mergeEvolved(existing, batch, evolveSchema)(
       Merge.insertIgnore(_, _, keys))
@@ -103,16 +115,64 @@ final class MergeTable(val root: String, keys: Seq[String]) {
       merge(widen(existing, batch.schema), widen(batch, existing.schema))
     }
 
+  /** Commit = stage + compare-and-swap flip.
+    *
+    * The merge output is written to a per-commit UNIQUE staging directory
+    * (two racing writers never write into the same path), then a short
+    * lock-protected critical section — pointer reads/renames only, no
+    * Spark work — re-reads `_CURRENT` and fails the flip if it moved since
+    * this commit read its base version. On a filesystem the lock is an
+    * atomic `createFile`; on an object store both the lock and the
+    * pointer move map onto conditional-put (if-none-match / if-match),
+    * exactly as Delta's LogStore does. The loser's staging directory is
+    * deleted; committed `v<n>` directories stay immutable.
+    */
   private def commit(batch: DataFrame)(merge: Option[DataFrame] => DataFrame): Unit = {
     val spark = batch.sparkSession
-    val next = s"v${currentVersion.map(_.drop(1).toLong + 1).getOrElse(0L)}"
-    merge(currentData(spark)).write.mode("overwrite")
-      .parquet(Paths.get(root, next).toString)
-    // flip only after the data write fully succeeded
-    val tmp = Paths.get(root, s"_CURRENT.tmp")
-    Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val base = currentVersion
+    val next = s"v${base.map(_.drop(1).toLong + 1).getOrElse(0L)}"
+    val token = java.util.UUID.randomUUID().toString
+    val stage = Paths.get(root, s"_stage_$token")
+    merge(base.map(v => spark.read.parquet(Paths.get(root, v).toString)))
+      .write.mode("overwrite").parquet(stage.toString)
+    val lock = Paths.get(root, "_COMMIT_LOCK")
+    try {
+      try Files.createFile(lock)   // atomic: fails if another flip is in flight
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"MergeTable $root: another commit holds $lock (crashed committers " +
+              "leave it behind — delete it after verifying no writer is live)")
+      }
+      try {
+        if (currentVersion != base)
+          throw new java.util.ConcurrentModificationException(
+            s"MergeTable $root: _CURRENT moved from $base to $currentVersion " +
+              s"since this merge read it — concurrent writer won; re-run this batch")
+        // a pre-existing v<next> is orphan garbage from a writer that died
+        // after its data write but before its flip (_CURRENT never pointed
+        // at it, and we hold the lock): supersede it
+        val target = Paths.get(root, next)
+        if (Files.exists(target)) {
+          val tree = Files.walk(target)
+          try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+          finally tree.close()
+        }
+        Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+        // flip only after the data write fully succeeded; unique temp name
+        // so racing flips never collide on the pointer scratch file
+        val tmp = Paths.get(root, s"_CURRENT.$token.tmp")
+        Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } finally Files.deleteIfExists(lock)
+    } finally {
+      if (Files.exists(stage)) {   // loser cleanup: staged data never committed
+        val tree = Files.walk(stage)
+        try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+        finally tree.close()
+      }
+    }
   }
 }
 

@@ -87,4 +87,47 @@ class MergeTableSpec extends AnyFunSuite {
     t.upsert(Seq(("b", 2)).toDF("k", "v"))
     assert(rows(t) == Seq(("a", 1), ("b", 2)))
   }
+
+  test("two racing writers: one flip wins, the loser fails loudly with nothing committed") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    t.upsert(Seq(("a", 1)).toDF("k", "v"))   // base: v0
+    // Writer A's committed data, prepared up front (data dir only, no flip
+    // yet — indistinguishable from A being mid-commit).
+    Seq(("a", 1), ("w", 7)).toDF("k", "v")
+      .write.parquet(Paths.get(t.root, "v1").toString)
+    // Writer B's batch carries a side effect that runs while B is STAGING —
+    // i.e. after B read base=v0, before B's compare-and-swap: writer A's
+    // pointer flip lands exactly in that window (local mode: executors
+    // share the driver filesystem, so plain file ops model A's flip).
+    val root = t.root
+    val interloper = Seq(("b", 2)).toDS().repartition(1)
+      .mapPartitions { it =>
+        val tmp = Paths.get(root, "_CURRENT.interloper.tmp")
+        java.nio.file.Files.write(tmp, "v1".getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, Paths.get(root, "_CURRENT"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        it
+      }.toDF("k", "v")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.upsert(interloper)
+    }
+    assert(e.getMessage.contains("_CURRENT moved"))
+    // the winner's commit is intact; the loser committed nothing
+    assert(t.currentVersion.contains("v1"))
+    assert(rows(t) == Seq(("a", 1), ("w", 7)))
+    // no staged garbage left behind
+    val entries = java.nio.file.Files.list(Paths.get(t.root))
+    val names = try {
+      val buf = scala.collection.mutable.Buffer[String]()
+      entries.forEach(p => buf += p.getFileName.toString)
+      buf.toSeq
+    } finally entries.close()
+    assert(!names.exists(_.startsWith("_stage_")), s"staged dirs not cleaned: $names")
+    assert(!names.exists(_.endsWith(".tmp")), s"pointer scratch not cleaned: $names")
+    // re-running the loser on the new base converges (idempotent merge)
+    t.upsert(Seq(("b", 2)).toDF("k", "v"))
+    assert(rows(t) == Seq(("a", 1), ("b", 2), ("w", 7)))
+  }
 }
