@@ -32,16 +32,30 @@ case class DehintOversizedBroadcasts(session: SparkSession) extends Rule[Logical
     val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
     if (threshold <= 0) return plan
     val cap = BigInt(threshold) * margin
+    // Plans with no real statistics — DSv2 sources that don't implement
+    // SupportsReportStatistics, LogicalRDD — report the
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), and join/
+    // aggregate estimates built on such leaves can only be >= it. An
+    // estimate at or above the sentinel means "unknown", not "huge": honor
+    // the user's deliberate hint rather than silently stripping it
+    // session-wide (driver ADVICE.md finding).
+    val unknown = BigInt(session.sessionState.conf.defaultSizeInBytes)
 
     def strip(side: Option[HintInfo], sidePlan: LogicalPlan): Option[HintInfo] =
       side match {
         case Some(h) if h.strategy.contains(BROADCAST) &&
             sidePlan.stats.sizeInBytes > cap =>
-          logWarning(s"graft: stripping broadcast hint — side estimated at " +
-            s"${sidePlan.stats.sizeInBytes} bytes exceeds $cap " +
-            s"($margin x autoBroadcastJoinThreshold); falling back to a shuffle join")
-          val stripped = h.copy(strategy = None)
-          if (stripped == HintInfo()) None else Some(stripped)
+          if (sidePlan.stats.sizeInBytes >= unknown) {
+            logWarning("graft: keeping broadcast hint on a side with unknown " +
+              "statistics (defaultSizeInBytes sentinel) — cannot prove it oversized")
+            side
+          } else {
+            logWarning(s"graft: stripping broadcast hint — side estimated at " +
+              s"${sidePlan.stats.sizeInBytes} bytes exceeds $cap " +
+              s"($margin x autoBroadcastJoinThreshold); falling back to a shuffle join")
+            val stripped = h.copy(strategy = None)
+            if (stripped == HintInfo()) None else Some(stripped)
+          }
         case other => other
       }
 

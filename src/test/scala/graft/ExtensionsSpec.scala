@@ -72,6 +72,20 @@ class ExtensionsSpec extends AnyFunSuite {
       // semantics unchanged: the de-hinted join still computes the overlap
       assert(fact.join(broadcast(spark.range(0, 10000000L).toDF("id")), "id")
         .filter(col("id") < 3).count() == 3)
+
+      // a deliberate broadcast of a side with UNKNOWN statistics must
+      // survive: RDD-backed plans (like DSv2 sources without
+      // SupportsReportStatistics) report the defaultSizeInBytes sentinel,
+      // which is "no estimate", not "oversized"
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val unknownStats = spark.createDataFrame(
+        spark.sparkContext.parallelize((0L until 100L).map(Row(_))),
+        StructType(Seq(StructField("id", LongType))))
+      val hinted = fact.join(broadcast(unknownStats), "id")
+      val hintedPlan = hinted.queryExecution.executedPlan.toString
+      assert(hintedPlan.contains("BroadcastHashJoin"),
+        s"stats-unknown deliberate broadcast must be honored:\n$hintedPlan")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
