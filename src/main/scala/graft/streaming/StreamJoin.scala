@@ -29,6 +29,7 @@ object StreamJoin {
   def viewPurchasePairs(spark: SparkSession, sfDir: String,
                         windowMinutes: Int = 30): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    StateDefaults.ensureRocksDB(spark)
     def eventStream(tpe: String, prefix: String): DataFrame =
       spark.readStream
         .schema(IncrementalLedger.rawEventSchema)
@@ -71,9 +72,24 @@ object StreamJoin {
         .start()
       try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try spark.read.parquet(outDir)
-    catch { case _: Exception =>
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], joined.schema)
-    }
+    readDrainOutput(spark, outDir, joined.schema)
+  }
+
+  /** Read a foreachBatch parquet-append drain directory. An all-late /
+    * zero-match drain appends nothing, so the directory has no part files
+    * and parquet schema inference would fail — that one case is a
+    * legitimate empty result. Anything else (corrupt part file, permission
+    * error) must PROPAGATE: swallowing it would turn a real failure into an
+    * empty-but-plausible answer for an oracle-checked query (driver
+    * ADVICE.md finding).
+    */
+  private[graft] def readDrainOutput(spark: SparkSession, outDir: String,
+                                         schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val partFiles = Option(new java.io.File(outDir).listFiles())
+      .map(_.filter(f => f.isFile && f.getName.startsWith("part-")))
+      .getOrElse(Array.empty[java.io.File])
+    if (partFiles.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(outDir)
   }
 }

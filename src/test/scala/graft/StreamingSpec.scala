@@ -55,8 +55,15 @@ class StreamingSpec extends AnyFunSuite {
     val q = agg.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        batchSizes.synchronized { batchSizes += batch.count() }
-        target.upsert(batch.toDF())
+        // two actions on the same micro-batch (count + merge) — persist per
+        // the foreachBatch contract, or the second evaluation re-runs the
+        // stateful plan (and RocksDB store instances don't allow a reload
+        // while the first evaluation's acquisition is live)
+        batch.persist()
+        try {
+          batchSizes.synchronized { batchSizes += batch.count() }
+          target.upsert(batch.toDF())
+        } finally batch.unpersist()
       }
       .start()
     def ts(s: String) = Timestamp.valueOf(s)
@@ -103,24 +110,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
-  test("RocksDB state store provider yields identical results (off-heap state, the 100 TB backend)") {
+  test("RocksDB is the streaming default; an explicitly pinned provider is respected") {
+    import graft.streaming.StateDefaults
+    val wasSet = spark.sessionState.conf.contains(StateDefaults.ProviderKey)
+    val prev = if (wasSet) Some(spark.conf.get(StateDefaults.ProviderKey)) else None
+    try {
+      spark.conf.unset(StateDefaults.ProviderKey)
+      StateDefaults.ensureRocksDB(spark)
+      assert(spark.conf.get(StateDefaults.ProviderKey) == StateDefaults.RocksDB)
+      // a user's explicit choice — even the HDFS-backed provider — wins
+      val hdfs = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      spark.conf.set(StateDefaults.ProviderKey, hdfs)
+      StateDefaults.ensureRocksDB(spark)
+      assert(spark.conf.get(StateDefaults.ProviderKey) == hdfs)
+    } finally prev match {
+      case Some(v) => spark.conf.set(StateDefaults.ProviderKey, v)
+      case None    => spark.conf.unset(StateDefaults.ProviderKey)
+    }
+  }
+
+  test("HDFS-backed state store provider yields identical results (heap-state opt-out)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     try {
-      val rocks = IncrementalLedger.monthlyUserTotals(spark, "/root/testdata/sf0.001")
+      val hdfs = IncrementalLedger.monthlyUserTotals(spark, "/root/testdata/sf0.001")
         .orderBy("user_id", "year", "month").collect()
       val batch = Tables.events(spark, "/root/testdata/sf0.001")
         .groupBy(col("user_id"), year(col("ts")).as("year"), month(col("ts")).as("month"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("user_id", "year", "month").collect()
-      assert(rocks.length == batch.length && rocks.length > 0)
-      rocks.zip(batch).foreach { case (r, b) => assert(r == b) }
+      assert(hdfs.length == batch.length && hdfs.length > 0)
+      hdfs.zip(batch).foreach { case (h, b) => assert(h == b) }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("drain-output read: empty dir is a legitimate empty result, corrupt parquet raises") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("user_id", LongType)))
+    // no part files at all (zero-match drain) → empty frame with the schema
+    val emptyDir = graft.stages.TempDirs.scratch("graft_drain_empty_")
+    val empty = graft.streaming.StreamJoin.readDrainOutput(spark, emptyDir, schema)
+    assert(empty.count() == 0 && empty.schema == schema)
+    // a corrupt part file must PROPAGATE, not read as empty: an exception
+    // here is a real failure, and empty-but-plausible output would defeat
+    // the oracle check
+    val corruptDir = graft.stages.TempDirs.scratch("graft_drain_corrupt_")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(corruptDir, "part-00000-corrupt.snappy.parquet"),
+      "this is not parquet".getBytes("UTF-8"))
+    intercept[Exception] {
+      graft.streaming.StreamJoin.readDrainOutput(spark, corruptDir, schema)
+        .collect()
     }
   }
 
