@@ -49,6 +49,7 @@ object IncrementalLedger {
     */
   def monthlyAggStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    StateDefaults.ensureRocksDB(spark)
     spark.readStream
       .schema(rawEventSchema)
       // file source wants a directory; select just the events table from it

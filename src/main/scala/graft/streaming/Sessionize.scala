@@ -73,6 +73,7 @@ object Sessionize extends Serializable {
   def sessionsStreaming(events: Dataset[EventIn], gapMinutes: Int,
                         watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    StateDefaults.ensureRocksDB(events.sparkSession)
     val gapMs = gapMinutes * 60000L
 
     def fmtMs(ms: Long): String = {
