@@ -265,6 +265,40 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Measured ANN recall: for every approximate index, the EXACT integer
+    * count of (query, neighbor) pairs it shares with the brute-force
+    * ground truth on the same query set — recall as a driver-checkable
+    * query output rather than a spec-only assertion. The four methods are
+    * deliberately two ladders of the same recall lever: single-probe vs
+    * Hamming-1 multi-probe LSH on one index, and nprobe=1 vs nprobe=2 IVF
+    * on the other — the report quantifies what each extra probe buys.
+    *
+    * All counts are integers and the one recall division is the final
+    * double op, so the output is bit-stable across engines and
+    * partitionings. The truth table is numQueries×k rows — caching it is
+    * bounded at any corpus scale and keeps the brute-force crossJoin from
+    * re-running once per method.
+    */
+  def recallReport(spark: SparkSession, emb: DataFrame,
+                   numQueries: Int = 16, k: Int = 3): DataFrame = {
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nTruth = numQueries.toLong * k
+    def hits(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"),
+          lit(nTruth).as("n_truth"),
+          col("n_hits"),
+          (col("n_hits").cast("double") / nTruth.toDouble).as("recall"))
+    hits("ivf_kmeans_nprobe2",
+        ivfKmeansTopK(spark, emb, numQueries, k, centroids = 8, iters = 2, nprobe = 2))
+      .unionByName(hits("ivf_nprobe1", ivfTopK(spark, emb, numQueries, k)))
+      .unionByName(hits("lsh_multiprobe", lshMultiProbeTopK(spark, emb, numQueries, k)))
+      .unionByName(hits("lsh_single", lshTopK(spark, emb, numQueries, k)))
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH
     * (`bandsOfPlanes` bands, each `planesPerBand` sign bits; candidates match
     * on any whole band) verified by exact cosine ≥ tau.

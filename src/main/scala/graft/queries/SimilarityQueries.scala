@@ -7,6 +7,9 @@ import graft.ops.Similarity
 /** Similarity search over `embeddings` — cosine doubles are emitted raw:
   * both engines fold the dot product sequentially in double, which is
   * bit-identical (verified; see ops.Similarity determinism contract).
+  *
+  * The oracle SQL for each index lives in a parameterized builder so the
+  * recall report can compose the EXACT same pipelines it grades.
   */
 object SimilarityQueries {
 
@@ -19,6 +22,129 @@ object SimilarityQueries {
        |  SELECT m.m, list_transform(range(0, 64),
        |    i -> (CAST('0x' || substr(md5(CAST(m.m AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000) AS w
        |  FROM (SELECT unnest(range(0, 8)) AS m) m)""".stripMargin
+
+  /** DuckDB mirror of Similarity.bruteForceTopK (and its TopKAggregator
+    * twin, which shares the oracle).
+    */
+  private def bruteSql(numQueries: Int, k: Int): String =
+    s"""WITH base AS (
+          SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS norm
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+              FROM base WHERE vec_id < $numQueries),
+        scored AS (
+          SELECT q.query_id, b.vec_id,
+                 ${dotSql("b.embedding", "q.q_emb")} / (b.norm * q.q_norm) AS cosine
+          FROM base b, q WHERE b.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+        FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** DuckDB mirror of Similarity.lshTopK (single-probe). */
+  private def lshSql(numQueries: Int, k: Int): String =
+    s"""WITH $planesSql,
+        base AS (
+          SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS norm
+          FROM embeddings),
+        bits AS (
+          SELECT b.vec_id,
+                 sum(CASE WHEN ${dotSql("b.embedding", "p.w")} >= 0
+                          THEN (CAST(1 AS BIGINT) << CAST(p.m AS INT))
+                          ELSE 0 END) AS bucket
+          FROM base b, planes p GROUP BY b.vec_id),
+        bucketed AS (
+          SELECT b.vec_id, b.embedding, b.norm, bt.bucket
+          FROM base b JOIN bits bt ON b.vec_id = bt.vec_id),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket
+              FROM bucketed WHERE vec_id < $numQueries),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 ${dotSql("c.embedding", "q.q_emb")} / (c.norm * q.q_norm) AS cosine
+          FROM bucketed c JOIN q ON c.bucket = q.bucket
+          WHERE c.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+        FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** DuckDB mirror of Similarity.lshMultiProbeTopK (bucket + Hamming-1). */
+  private def lshMultiprobeSql(numQueries: Int, k: Int): String =
+    s"""WITH $planesSql,
+        base AS (
+          SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS norm
+          FROM embeddings),
+        bits AS (
+          SELECT b.vec_id,
+                 sum(CASE WHEN ${dotSql("b.embedding", "p.w")} >= 0
+                          THEN (CAST(1 AS BIGINT) << CAST(p.m AS INT))
+                          ELSE 0 END) AS bucket
+          FROM base b, planes p GROUP BY b.vec_id),
+        bucketed AS (
+          SELECT b.vec_id, b.embedding, b.norm, bt.bucket
+          FROM base b JOIN bits bt ON b.vec_id = bt.vec_id),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket
+              FROM bucketed WHERE vec_id < $numQueries),
+        probes AS (
+          SELECT query_id, q_emb, q_norm,
+                 unnest(list_prepend(bucket,
+                   list_transform(range(0, 8),
+                     m -> xor(bucket, CAST(1 AS BIGINT) << CAST(m AS INT))))) AS probe
+          FROM q),
+        scored AS (
+          SELECT p.query_id, c.vec_id,
+                 ${dotSql("c.embedding", "p.q_emb")} / (c.norm * p.q_norm) AS cosine
+          FROM bucketed c JOIN probes p ON c.bucket = p.probe
+          WHERE c.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+        FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** DuckDB mirror of Similarity.ivfTopK (first-16-vectors quantizer,
+    * nprobe=1).
+    */
+  private def ivfSql(numQueries: Int, k: Int): String =
+    s"""WITH base AS (
+          SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS norm
+          FROM embeddings),
+        cents AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+                  FROM base WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, embedding, norm, cell FROM (
+            SELECT b.vec_id, b.embedding, b.norm, c.c_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                     ORDER BY ${dotSql("b.embedding", "c.c_emb")} / (b.norm * c.c_norm) DESC,
+                              c.c_id) AS r
+            FROM base b, cents c)
+          WHERE r = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cell
+              FROM assigned WHERE vec_id < $numQueries),
+        scored AS (
+          SELECT q.query_id, a.vec_id,
+                 ${dotSql("a.embedding", "q.q_emb")} / (a.norm * q.q_norm) AS cosine
+          FROM assigned a JOIN q ON a.cell = q.cell
+          WHERE a.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+        FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
   /** DuckDB mirror of Similarity.kmeansCentroids + ivfKmeansTopK with the
     * Lloyd iterations unrolled. Every float expression matches the Spark
@@ -91,63 +217,51 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB mirror of Similarity.recallReport: the same four index
+    * pipelines, each semi-joined against the same brute-force truth set.
+    */
+  private def recallSql(numQueries: Int, k: Int): String = {
+    val nTruth = numQueries * k
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t),
+        km AS (SELECT query_id, neighbor_id FROM (${kmeansIvfSql(8, 2, numQueries, k)}) t),
+        iv AS (SELECT query_id, neighbor_id FROM (${ivfSql(numQueries, k)}) t),
+        mp AS (SELECT query_id, neighbor_id FROM (${lshMultiprobeSql(numQueries, k)}) t),
+        ls AS (SELECT query_id, neighbor_id FROM (${lshSql(numQueries, k)}) t)
+        SELECT method, CAST($nTruth AS BIGINT) AS n_truth, n_hits,
+               CAST(n_hits AS DOUBLE) / $nTruth AS recall
+        FROM (
+          SELECT 'ivf_kmeans_nprobe2' AS method,
+                 (SELECT count(*) FROM km a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits
+          UNION ALL
+          SELECT 'ivf_nprobe1',
+                 (SELECT count(*) FROM iv a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+          UNION ALL
+          SELECT 'lsh_multiprobe',
+                 (SELECT count(*) FROM mp a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+          UNION ALL
+          SELECT 'lsh_single',
+                 (SELECT count(*) FROM ls a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+        ) ORDER BY method"""
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery("sim_topk_brute",
       (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir),
           numQueries = 16, k = 5)
         .orderBy(col("query_id"), col("rank")),
-      Some(s"""WITH base AS (
-                     SELECT vec_id, embedding,
-                            sqrt(${dotSql("embedding", "embedding")}) AS norm
-                     FROM embeddings),
-                   q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
-                         FROM base WHERE vec_id < 16),
-                   scored AS (
-                     SELECT q.query_id, b.vec_id,
-                            ${dotSql("b.embedding", "q.q_emb")} / (b.norm * q.q_norm) AS cosine
-                     FROM base b, q WHERE b.vec_id <> q.query_id),
-                   ranked AS (
-                     SELECT query_id, vec_id, cosine,
-                            ROW_NUMBER() OVER (PARTITION BY query_id
-                                               ORDER BY cosine DESC, vec_id) AS rank
-                     FROM scored)
-              SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
-              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      Some(bruteSql(numQueries = 16, k = 5)),
       doc = "brute-force cosine top-5 for 16 query vectors (correctness baseline)"),
 
     GQuery("sim_ann_lsh",
       (s, dir) => Similarity.lshTopK(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3)
         .orderBy(col("query_id"), col("rank")),
-      Some(s"""WITH $planesSql,
-                   base AS (
-                     SELECT vec_id, embedding,
-                            sqrt(${dotSql("embedding", "embedding")}) AS norm
-                     FROM embeddings),
-                   bits AS (
-                     SELECT b.vec_id,
-                            sum(CASE WHEN ${dotSql("b.embedding", "p.w")} >= 0
-                                     THEN (CAST(1 AS BIGINT) << CAST(p.m AS INT))
-                                     ELSE 0 END) AS bucket
-                     FROM base b, planes p GROUP BY b.vec_id),
-                   bucketed AS (
-                     SELECT b.vec_id, b.embedding, b.norm, bt.bucket
-                     FROM base b JOIN bits bt ON b.vec_id = bt.vec_id),
-                   q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket
-                         FROM bucketed WHERE vec_id < 16),
-                   scored AS (
-                     SELECT q.query_id, c.vec_id,
-                            ${dotSql("c.embedding", "q.q_emb")} / (c.norm * q.q_norm) AS cosine
-                     FROM bucketed c JOIN q ON c.bucket = q.bucket
-                     WHERE c.vec_id <> q.query_id),
-                   ranked AS (
-                     SELECT query_id, vec_id, cosine,
-                            ROW_NUMBER() OVER (PARTITION BY query_id
-                                               ORDER BY cosine DESC, vec_id) AS rank
-                     FROM scored)
-              SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
-              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+      Some(lshSql(numQueries = 16, k = 3)),
       doc = "hyperplane-LSH-bucketed ANN top-3 (scale path; recall traded for candidate cut)"),
 
     // The single-pass TopKAggregator form of the same search: bounded
@@ -158,97 +272,21 @@ object SimilarityQueries {
       (s, dir) => Similarity.bruteForceTopKAgg(Tables.embeddings(s, dir),
           numQueries = 16, k = 5)
         .orderBy(col("query_id"), col("rank")),
-      Some(s"""WITH base AS (
-                     SELECT vec_id, embedding,
-                            sqrt(${dotSql("embedding", "embedding")}) AS norm
-                     FROM embeddings),
-                   q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
-                         FROM base WHERE vec_id < 16),
-                   scored AS (
-                     SELECT q.query_id, b.vec_id,
-                            ${dotSql("b.embedding", "q.q_emb")} / (b.norm * q.q_norm) AS cosine
-                     FROM base b, q WHERE b.vec_id <> q.query_id),
-                   ranked AS (
-                     SELECT query_id, vec_id, cosine,
-                            ROW_NUMBER() OVER (PARTITION BY query_id
-                                               ORDER BY cosine DESC, vec_id) AS rank
-                     FROM scored)
-              SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
-              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      Some(bruteSql(numQueries = 16, k = 5)),
       doc = "single-pass bounded-buffer brute-force top-k (TopKAggregator) == window form"),
 
     GQuery("sim_ann_lsh_multiprobe",
       (s, dir) => Similarity.lshMultiProbeTopK(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3)
         .orderBy(col("query_id"), col("rank")),
-      Some(s"""WITH $planesSql,
-                   base AS (
-                     SELECT vec_id, embedding,
-                            sqrt(${dotSql("embedding", "embedding")}) AS norm
-                     FROM embeddings),
-                   bits AS (
-                     SELECT b.vec_id,
-                            sum(CASE WHEN ${dotSql("b.embedding", "p.w")} >= 0
-                                     THEN (CAST(1 AS BIGINT) << CAST(p.m AS INT))
-                                     ELSE 0 END) AS bucket
-                     FROM base b, planes p GROUP BY b.vec_id),
-                   bucketed AS (
-                     SELECT b.vec_id, b.embedding, b.norm, bt.bucket
-                     FROM base b JOIN bits bt ON b.vec_id = bt.vec_id),
-                   q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket
-                         FROM bucketed WHERE vec_id < 16),
-                   probes AS (
-                     SELECT query_id, q_emb, q_norm,
-                            unnest(list_prepend(bucket,
-                              list_transform(range(0, 8),
-                                m -> xor(bucket, CAST(1 AS BIGINT) << CAST(m AS INT))))) AS probe
-                     FROM q),
-                   scored AS (
-                     SELECT p.query_id, c.vec_id,
-                            ${dotSql("c.embedding", "p.q_emb")} / (c.norm * p.q_norm) AS cosine
-                     FROM bucketed c JOIN probes p ON c.bucket = p.probe
-                     WHERE c.vec_id <> p.query_id),
-                   ranked AS (
-                     SELECT query_id, vec_id, cosine,
-                            ROW_NUMBER() OVER (PARTITION BY query_id
-                                               ORDER BY cosine DESC, vec_id) AS rank
-                     FROM scored)
-              SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
-              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+      Some(lshMultiprobeSql(numQueries = 16, k = 3)),
       doc = "multi-probe LSH ANN: query fans out to its bucket + all Hamming-1 buckets, corpus index unchanged"),
 
     GQuery("sim_ivf_topk",
       (s, dir) => Similarity.ivfTopK(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3)
         .orderBy(col("query_id"), col("rank")),
-      Some(s"""WITH base AS (
-                     SELECT vec_id, embedding,
-                            sqrt(${dotSql("embedding", "embedding")}) AS norm
-                     FROM embeddings),
-                   cents AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
-                             FROM base WHERE vec_id < 16),
-                   assigned AS (
-                     SELECT vec_id, embedding, norm, cell FROM (
-                       SELECT b.vec_id, b.embedding, b.norm, c.c_id AS cell,
-                              ROW_NUMBER() OVER (PARTITION BY b.vec_id
-                                ORDER BY ${dotSql("b.embedding", "c.c_emb")} / (b.norm * c.c_norm) DESC,
-                                         c.c_id) AS r
-                       FROM base b, cents c)
-                     WHERE r = 1),
-                   q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cell
-                         FROM assigned WHERE vec_id < 16),
-                   scored AS (
-                     SELECT q.query_id, a.vec_id,
-                            ${dotSql("a.embedding", "q.q_emb")} / (a.norm * q.q_norm) AS cosine
-                     FROM assigned a JOIN q ON a.cell = q.cell
-                     WHERE a.vec_id <> q.query_id),
-                   ranked AS (
-                     SELECT query_id, vec_id, cosine,
-                            ROW_NUMBER() OVER (PARTITION BY query_id
-                                               ORDER BY cosine DESC, vec_id) AS rank
-                     FROM scored)
-              SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
-              FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+      Some(ivfSql(numQueries = 16, k = 3)),
       doc = "IVF ANN: deterministic coarse quantizer, nprobe=1 cell search"),
 
     GQuery("sim_ivf_kmeans",
@@ -258,6 +296,14 @@ object SimilarityQueries {
       Some(kmeansIvfSql(centroids = 8, nprobe = 2, numQueries = 16, topK = 3)),
       doc = "IVF ANN with deterministic k-means quantizer (2 Lloyd iterations, " +
         "integer-scaled means) and nprobe=2 multi-probe search"),
+
+    GQuery("sim_recall_report",
+      (s, dir) => Similarity.recallReport(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3)
+        .orderBy(col("method")),
+      Some(recallSql(numQueries = 16, k = 3)),
+      doc = "measured ANN recall: integer truth-set hit counts per index, " +
+        "single- vs multi-probe LSH and nprobe=1 vs 2 IVF as the recall lever"),
 
     GQuery("dedup_embedding_cosine",
       (s, dir) => Similarity.embeddingNearDupPairs(s, Tables.embeddings(s, dir), tau = 0.9)

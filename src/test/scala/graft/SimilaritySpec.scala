@@ -77,6 +77,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRecall >= 0.5, s"mean recall@3 $meanRecall below floor; per-query $recalls")
   }
 
+  test("recall report: four methods, integer hits bounded by truth, multi-probe >= single-probe") {
+    val rows = Similarity.recallReport(spark, emb, numQueries = 8, k = 3)
+      .collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))
+      .toMap
+    assert(rows.keySet == Set("ivf_kmeans_nprobe2", "ivf_nprobe1",
+      "lsh_multiprobe", "lsh_single"))
+    rows.values.foreach { case (truth, hits, recall) =>
+      assert(truth == 24L)
+      assert(hits >= 0L && hits <= truth)
+      assert(recall == hits.toDouble / truth)
+    }
+    // the recall lever: extra probes can only widen the candidate set, so
+    // the multi-probe hits dominate the single-probe hits on the same index
+    assert(rows("lsh_multiprobe")._2 >= rows("lsh_single")._2)
+  }
+
   test("LSH top-k returns a subset consistent with brute force when bucketed together") {
     val brute = Similarity.bruteForceTopK(emb, numQueries = 1, k = 40)
       .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
