@@ -44,24 +44,48 @@ object IncrementalLedger {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Dedup watermark delay for the exactly-once BOUNDED drain: it must
+    * exceed the corpus's whole event-time span, because an AvailableNow
+    * drain can split the files across micro-batches (maxFilesPerTrigger,
+    * several files) and a duplicate event_id whose copies land in batches
+    * further apart in event time than the delay would slip past
+    * `dropDuplicatesWithinWatermark` — breaking the "equals the batch
+    * computation bit-for-bit" contract. A span-covering delay keeps every
+    * seen key in state for the drain's duration, which is the SAME state
+    * bound a batch `dropDuplicates` holds — the right trade for a bounded
+    * replay. A continuous 24×7 pipeline should instead pass its
+    * re-delivery SLA (e.g. "1 hour") and accept that bound.
+    */
+  val boundedDrainDedupDelay = "3650 days"
+
   /** The streaming aggregate plan: events file stream → watermark →
     * business-key dedup → per (user, year, month) totals.
+    *
+    * @param dedupDelay      how long a seen event_id stays in dedup state,
+    *                        in EVENT time (see [[boundedDrainDedupDelay]])
+    * @param maxFilesPerTrigger cap files per micro-batch (None = all at
+    *                        once); the dedup guarantee holds either way
+    * @param glob            which files in `sfDir` form the stream
     */
-  def monthlyAggStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def monthlyAggStream(spark: SparkSession, sfDir: String,
+                       dedupDelay: String = boundedDrainDedupDelay,
+                       maxFilesPerTrigger: Option[Int] = None,
+                       glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     StateDefaults.ensureRocksDB(spark)
-    spark.readStream
+    val reader = spark.readStream
       .schema(rawEventSchema)
       // file source wants a directory; select just the events table from it
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", dedupDelay)
       // WithinWatermark, not plain dropDuplicates: deduping on a key subset
       // that excludes the event-time column would keep one state entry per
       // key EVER SEEN (never evicted); this form guarantees dedup for
       // re-deliveries arriving within the watermark delay and lets the
-      // store evict older keys — state is O(events per hour), not O(stream)
+      // store evict keys older than the delay
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("user_id"),
         year(col("ts")).as("year"), month(col("ts")).as("month"))
@@ -76,9 +100,12 @@ object IncrementalLedger {
     * ledger — which must equal the batch computation bit-for-bit
     * (oracle-checked).
     */
-  def monthlyUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
+  def monthlyUserTotals(spark: SparkSession, sfDir: String,
+                        maxFilesPerTrigger: Option[Int] = None,
+                        glob: String = "events.parquet"): DataFrame = {
     val target = MergeTable.scratch(Seq("user_id", "year", "month"))
-    val agg = monthlyAggStream(spark, sfDir)
+    val agg = monthlyAggStream(spark, sfDir,
+      maxFilesPerTrigger = maxFilesPerTrigger, glob = glob)
 
     // State-store partition count is captured from shuffle partitions at
     // stream start; a bounded AvailableNow drain doesn't need the session's

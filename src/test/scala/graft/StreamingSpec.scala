@@ -150,6 +150,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-batch drain (maxFilesPerTrigger=1) stays exactly-once across re-deliveries") {
+    import spark.implicits._
+    // two event FILES so the AvailableNow drain splits into two
+    // micro-batches; event 1 is re-delivered in the second file with the
+    // batches months apart in event time — the case a short dedup
+    // watermark delay would leak (driver ADVICE.md finding)
+    val dir = graft.stages.TempDirs.scratch("graft_multibatch_")
+    def nanos(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    def writeEventsFile(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = graft.stages.TempDirs.scratch("graft_mb_tmp_")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    writeEventsFile("events1.parquet", Seq(
+      (1L, nanos("2024-01-01 10:00:00"), 7L, "view", 10.0, "{}"),
+      (2L, nanos("2024-03-05 09:00:00"), 8L, "view", 20.0, "{}")))
+    writeEventsFile("events2.parquet", Seq(
+      (1L, nanos("2024-01-01 10:00:00"), 7L, "view", 10.0, "{}"),  // re-delivery
+      (3L, nanos("2024-03-06 11:00:00"), 7L, "view", 5.0, "{}")))
+    val out = IncrementalLedger.monthlyUserTotals(spark, dir,
+        maxFilesPerTrigger = Some(1), glob = "events*.parquet")
+      .orderBy("user_id", "year", "month").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("year"), r.getAs[Int]("month"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    assert(out.toSeq == Seq(
+      (7L, 2024, 1, 1L, 10.0),   // event 1 counted ONCE despite the replay
+      (7L, 2024, 3, 1L, 5.0),
+      (8L, 2024, 3, 1L, 20.0)))
+  }
+
   test("drain-output read: empty dir is a legitimate empty result, corrupt parquet raises") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("user_id", LongType)))
