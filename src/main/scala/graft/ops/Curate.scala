@@ -21,33 +21,46 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  def curateCorpus(docs: DataFrame): DataFrame = {
+  /** Stages 1+2: the deduplicated survivor set (exact-dup canonicals minus
+    * near-dup losers). This is the pipeline's expensive stage boundary —
+    * everything downstream re-reads it, so callers materialize it (cache
+    * within one query, or a [[graft.stages.MergeTable]] across runs).
+    */
+  def survivorSet(docs: DataFrame): DataFrame = {
     val canonical = Dedup.exactDuplicateGroups(docs)
       .select(col("canonical_doc").as("doc_id"))
     val uniqueDocs = docs.join(canonical, Seq("doc_id"), "left_semi")
-
     val nearDupLosers = Dedup.minhashLshPairs(uniqueDocs)
       .select(col("doc_b").as("doc_id")).distinct()
-    // stage boundary: quality, language-id, and the final join all read the
-    // survivor set; without materialization each would re-run the whole
-    // dedup lineage. In a production pipeline this is where the layer
-    // persists to storage (a MergeTable); within one query, cache.
-    val survivors = uniqueDocs.join(nearDupLosers, Seq("doc_id"), "left_anti").cache()
+    uniqueDocs.join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
 
+  /** Stages 3+4 over a materialized survivor set: quality gate, language
+    * bucketing, and the per-language census a training-mix planner
+    * consumes. Census keyed by (labeled, predicted): the off-diagonal
+    * buckets are the mislabel/misdetection census a curation run reports
+    * (on this corpus the text is synthetic English-ish vocabulary under
+    * every label, so the heuristic correctly predicts 'en' throughout).
+    */
+  def censusOf(survivors: DataFrame): DataFrame = {
     val quality = TextAnalysis.qualityScore(survivors)
       .filter(col("is_quality"))
       .select(col("doc_id"), col("n_tokens"))
     val lang = TextAnalysis.languageId(survivors)
       .select(col("doc_id"), col("labeled_lang"), col("predicted_lang"))
-
-    // census keyed by (labeled, predicted): the off-diagonal buckets are the
-    // mislabel/misdetection census a curation run reports (on this corpus
-    // the text is synthetic English-ish vocabulary under every label, so
-    // the heuristic correctly predicts 'en' throughout)
-    val census = quality.join(lang, Seq("doc_id"))
+    quality.join(lang, Seq("doc_id"))
       .groupBy(col("labeled_lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("bigint")).as("total_tokens"))
+  }
+
+  def curateCorpus(docs: DataFrame): DataFrame = {
+    // stage boundary: quality, language-id, and the final join all read the
+    // survivor set; without materialization each would re-run the whole
+    // dedup lineage. Across runs this is where the layer persists to
+    // storage ([[curateCorpusThrough]]); within one query, cache.
+    val survivors = survivorSet(docs).cache()
+    val census = censusOf(survivors)
 
     // the census is bounded (|langs|² rows): materialize it eagerly so the
     // corpus-sized survivor cache can be RELEASED before returning, instead
@@ -56,5 +69,18 @@ object Curate {
     survivors.unpersist()
     docs.sparkSession.createDataFrame(
       docs.sparkSession.sparkContext.parallelize(rows, 1), census.schema)
+  }
+
+  /** The same pipeline run THROUGH a storage boundary: the survivor set is
+    * merge-committed into `table` (SCD1 on doc_id — re-running a failed or
+    * incremental curation converges instead of duplicating), and the
+    * census is computed from what storage actually holds. This is the
+    * production shape: the survivor table is the durable artifact other
+    * jobs (tokenization, sharding, training-mix sampling) read, and the
+    * census is reproducible from it at any time.
+    */
+  def curateCorpusThrough(docs: DataFrame, table: graft.stages.MergeTable): DataFrame = {
+    table.upsert(survivorSet(docs))
+    censusOf(table.read(docs.sparkSession, docs.schema))
   }
 }
