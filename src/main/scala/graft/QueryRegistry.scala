@@ -25,7 +25,8 @@ object QueryRegistry {
     queries.DedupQueries.all ++
     queries.StreamingQueries.all ++
     queries.SimilarityQueries.all ++
-    queries.TextQueries.all
+    queries.TextQueries.all ++
+    queries.TrainPrepQueries.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

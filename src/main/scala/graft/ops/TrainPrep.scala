@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators — the steps between a curated corpus
+  * ([[Curate]]) and a training run, each deterministic and oracle-checkable:
+  *
+  *   - **stratified sampling**: per-language hash-bucket rates, the
+  *     training-mix knob (`sample()`-style RNG cannot give stable mixes);
+  *   - **sequence packing**: fixed-length token windows per document, the
+  *     unit a trainer consumes, content-addressed by hash;
+  *   - **benchmark decontamination**: n-gram overlap of training documents
+  *     against the held-out split — the standard eval-contamination check
+  *     run before any benchmark number is trusted.
+  *
+  * Everything is integer counts / md5-derived buckets plus at most one
+  * final double division, so results are independent of partitioning and
+  * match the DuckDB mirror bit-for-bit (the engine's cross-engine numeric
+  * contract, see Ledger.scala).
+  */
+object TrainPrep {
+
+  /** Deterministic md5 bucket in [0, 100) with a salt that decorrelates
+    * different sampling decisions on the same corpus (sampling must not
+    * reuse the train/val/test buckets of [[TextAnalysis.withSplit]], or
+    * "sample 10%" would always pick the val+test documents).
+    */
+  private def pctBucket(salt: String): Column =
+    expr(s"CAST(conv(substring(md5(concat('$salt', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT) % 100")
+
+  /** Stratified sample: keep each document iff its salted hash bucket falls
+    * under its language's percentage rate. Hash-based membership is stable
+    * under reruns, partitioning, and corpus growth, and the per-stratum
+    * rate is the training-mix lever (e.g. upsample low-resource languages).
+    * One narrow filter — no shuffle, no RNG.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+                       defaultRate: Int = 10, salt: String = "sample:"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs.filter(pctBucket(salt) < rate)
+  }
+
+  /** Per-language census of a stratified sample: total vs sampled counts
+    * and the achieved rate — what a mix planner checks against its targets.
+    */
+  def sampleCensus(docs: DataFrame, rates: Map[String, Int],
+                   defaultRate: Int = 10): DataFrame = {
+    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val sampled = stratifiedSample(docs, rates, defaultRate)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    totals.join(sampled, Seq("lang"), "left")
+      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+      .withColumn("achieved_rate",
+        col("n_sampled").cast("double") / col("n_total"))
+  }
+
+  /** Sequence packing: split every document's token stream into fixed
+    * `seqLen`-token windows — (doc_id, seq_no, n_toks, seq_hash), the unit
+    * a trainer consumes. The final window carries the remainder
+    * (un-padded; padding is a trainer concern). `seq_hash` is the md5 of
+    * the window's tokens, making every sequence content-addressable (shard
+    * dedup, resumable sharding). Pure per-row array algebra — zero
+    * shuffles; a downstream repartition(seq_hash) is the one exchange
+    * sharding needs.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(0, CAST(ceil(size(toks) / CAST($seqLen AS DOUBLE)) AS INT) - 1)"))
+          .as(Seq("idx", "seq_no")))
+      .withColumn("seq_toks", expr(s"slice(toks, seq_no * $seqLen + 1, $seqLen)"))
+      .select(col("doc_id"),
+        col("seq_no").cast("int").as("seq_no"),
+        size(col("seq_toks")).as("n_toks"),
+        md5(concat_ws(" ", col("seq_toks"))).as("seq_hash"))
+
+  /** Benchmark decontamination: for every training document, the exact
+    * number of its distinct word-n-gram shingles that appear ANYWHERE in
+    * the held-out (val/test) split, plus the contamination ratio — the
+    * check that keeps eval numbers honest (a train doc overlapping the
+    * benchmark inflates scores without improving the model).
+    *
+    * Scale shape: the benchmark shingle set is `|heldout| × shingles`
+    * distinct hashes — orders of magnitude smaller than the corpus — so
+    * the semi-join broadcasts it in practice; the per-doc counts are one
+    * partial-aggregated groupBy(doc_id). No all-pairs anything.
+    */
+  def decontaminationReport(docs: DataFrame, n: Int = 3,
+                            valPct: Int = 5, testPct: Int = 5,
+                            tau: Double = 0.1): DataFrame = {
+    val shingled = Dedup.withShingleHashes(
+      TextAnalysis.withSplit(docs, valPct, testPct), n)
+    val bench = shingled.filter(col("split") =!= "train")
+      .select(explode(col("hbase")).as("h")).distinct()
+    val train = shingled.filter(col("split") === "train")
+    val hits = train
+      .select(col("doc_id"), explode(col("hbase")).as("h"))
+      .join(bench, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    train.select(col("doc_id"), size(col("hbase")).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+      .withColumn("is_contaminated", col("contamination") >= tau)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
+import graft.ops.TrainPrep
+
+/** Training-set preparation operators (stratified sampling, sequence
+  * packing, benchmark decontamination) with DuckDB oracles. Numeric
+  * contract as everywhere: md5-derived buckets/hashes + integer counts,
+  * one final double division.
+  */
+object TrainPrepQueries {
+
+  /** Mirror of Dedup.withShingleHashes' hashing (same fragment as
+    * DedupQueries: first 15 md5 hex chars as a 60-bit integer mod P).
+    */
+  private val hbaseSql =
+    s"""list_distinct(list_transform(range(0, len(string_split(text, ' ')) - 3 + 1),
+       |  i -> CAST('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')), 1, 15) AS BIGINT) % ${graft.ops.Dedup.P}))""".stripMargin
+
+  private val mixRates = Map("en" -> 20, "de" -> 50, "zh" -> 100)
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery("prep_stratified_sample",
+      (s, dir) => TrainPrep.sampleCensus(Tables.documents(s, dir),
+          rates = mixRates, defaultRate = 10)
+        .orderBy(col("lang")),
+      Some("""WITH r AS (
+                SELECT lang,
+                       CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS bkt,
+                       CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50
+                                 WHEN 'zh' THEN 100 ELSE 10 END AS rate
+                FROM documents)
+              SELECT lang,
+                     count(*) AS n_total,
+                     CAST(SUM(CASE WHEN bkt < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                     CAST(SUM(CASE WHEN bkt < rate THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS achieved_rate
+              FROM r GROUP BY lang ORDER BY lang"""),
+      doc = "deterministic per-language hash-bucket sampling census (training-mix lever)"),
+
+    GQuery("prep_pack_sequences",
+      (s, dir) => TrainPrep.packSequences(Tables.documents(s, dir), seqLen = 64)
+        .orderBy(col("doc_id"), col("seq_no")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                   e AS (SELECT doc_id, toks,
+                                unnest(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS seq_no
+                         FROM t)
+              SELECT doc_id, CAST(seq_no AS INT) AS seq_no,
+                     CAST(len(list_slice(toks, CAST(seq_no * 64 + 1 AS INT),
+                                               CAST(seq_no * 64 + 64 AS INT))) AS INT) AS n_toks,
+                     md5(array_to_string(list_slice(toks, CAST(seq_no * 64 + 1 AS INT),
+                                                          CAST(seq_no * 64 + 64 AS INT)), ' ')) AS seq_hash
+              FROM e ORDER BY doc_id, seq_no"""),
+      doc = "fixed-length token-window packing, content-addressed by md5 (trainer input unit)"),
+
+    GQuery("prep_decontamination",
+      (s, dir) => TrainPrep.decontaminationReport(Tables.documents(s, dir),
+          n = 3, valPct = 5, testPct = 5, tau = 0.1)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH s AS (
+                SELECT doc_id, text,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS b
+                FROM documents),
+              sh AS (
+                SELECT doc_id, b, $hbaseSql AS hbase
+                FROM s WHERE len(string_split(text, ' ')) >= 3),
+              bench AS (SELECT DISTINCT unnest(hbase) AS h FROM sh WHERE b < 10),
+              train AS (SELECT doc_id, hbase FROM sh WHERE b >= 10),
+              ex AS (SELECT doc_id, unnest(hbase) AS h FROM train),
+              hits AS (SELECT e.doc_id, count(*) AS n_contaminated
+                       FROM ex e JOIN bench USING (h) GROUP BY e.doc_id)
+              SELECT t.doc_id, CAST(len(t.hbase) AS INT) AS n_shingles,
+                     CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                     CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / len(t.hbase) AS contamination,
+                     CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / len(t.hbase) >= 0.1 AS is_contaminated
+              FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+              ORDER BY t.doc_id"""),
+      doc = "benchmark decontamination: train-doc shingle overlap against the held-out split")
+  )
+}

@@ -117,7 +117,11 @@ class PlanAuditSpec extends AnyFunSuite {
     ("w3_lag_lead", 2, 0, Nil),
     ("agg_unpivot", 3, 0, Nil),
     ("o13_string_funcs", 1, 0, Nil),
-    ("sql_correlated", 2, 1, Nil))
+    ("sql_correlated", 2, 1, Nil),
+    // round-4 training-prep ops
+    ("prep_pack_sequences", 1, 0, Nil),   // per-row packing; only the output sort
+    ("prep_stratified_sample", 3, 0, Nil),
+    ("prep_decontamination", 4, 0, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{TextAnalysis, TrainPrep}
+
+/** Training-prep operator semantics: sampling determinism, packing
+  * tiling/content-addressing, and decontamination hit accounting.
+  */
+class TrainPrepSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  test("stratified sample is deterministic and rate-shaped per language") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13}",
+        Seq("en", "de", "zh")(  (i % 3).toInt ))).toDF("doc_id", "text", "lang")
+    val rates = Map("en" -> 10, "de" -> 50, "zh" -> 100)
+    val s1 = TrainPrep.stratifiedSample(docs, rates).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = TrainPrep.stratifiedSample(docs.repartition(13), rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "hash-bucket sampling must not depend on partitioning")
+    val census = TrainPrep.sampleCensus(docs, rates).collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("n_sampled"), r.getAs[Long]("n_total"))).toMap
+    // zh rate 100 keeps everything; others land near their rate
+    assert(census("zh")._1 == census("zh")._2)
+    val enRate = census("en")._1.toDouble / census("en")._2
+    assert(enRate > 0.02 && enRate < 0.25, s"en achieved rate $enRate far from 10%")
+  }
+
+  test("packed sequences tile the token stream and are content-addressed") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val seqs = TrainPrep.packSequences(docs, seqLen = 64)
+      .orderBy("seq_no").collect()
+      .map(r => (r.getAs[Int]("seq_no"), r.getAs[Int]("n_toks"), r.getAs[String]("seq_hash")))
+    assert(seqs.map(_._2).toSeq == Seq(64, 64, 22))      // 150 = 64 + 64 + 22
+    assert(seqs.map(_._1).toSeq == Seq(0, 1, 2))
+    // content-addressing: same window content → same hash, regardless of doc
+    val docs2 = Seq((2L, text)).toDF("doc_id", "text")
+    val seqs2 = TrainPrep.packSequences(docs2, seqLen = 64)
+      .orderBy("seq_no").collect().map(_.getAs[String]("seq_hash"))
+    assert(seqs.map(_._3).toSeq == seqs2.toSeq)
+  }
+
+  test("decontamination counts exactly the shingles shared with the held-out split") {
+    import spark.implicits._
+    // craft ids whose split buckets we can read back, then verify hit math
+    val docs = (0L until 400L).map(i =>
+      (i, (1 to 12).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val report = TrainPrep.decontaminationReport(docs, n = 3, valPct = 25, testPct = 25, tau = 0.05)
+      .collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      val nSh = r.getAs[Int]("n_shingles")
+      val nC = r.getAs[Long]("n_contaminated")
+      assert(nC >= 0 && nC <= nSh)
+      assert(r.getAs[Double]("contamination") == nC.toDouble / nSh)
+      assert(r.getAs[Boolean]("is_contaminated") == (nC.toDouble / nSh >= 0.05))
+    }
+    // a train doc that REPEATS a held-out doc's text must be fully contaminated
+    val split = TextAnalysis.withSplit(docs, valPct = 25, testPct = 25)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val heldOut = split.collectFirst { case (id, s) if s != "train" => id }.get
+    val trainTwin = split.collectFirst { case (id, s) if s == "train" => id }.get
+    val heldText = docs.filter(col("doc_id") === heldOut).collect().head.getString(1)
+    val planted = docs.filter(col("doc_id") =!= trainTwin)
+      .unionByName(Seq((trainTwin, heldText, "en")).toDF("doc_id", "text", "lang"))
+    val twinRow = TrainPrep.decontaminationReport(planted, n = 3, valPct = 25, testPct = 25)
+      .filter(col("doc_id") === trainTwin).collect().head
+    assert(twinRow.getAs[Double]("contamination") == 1.0,
+      s"verbatim benchmark copy must be 100% contaminated, got $twinRow")
+    assert(twinRow.getAs[Boolean]("is_contaminated"))
+  }
+}
