@@ -75,7 +75,8 @@ final class PagedJsonTable(options: CaseInsensitiveStringMap)
 
 final class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsReportStatistics {
   private val path = options.get("path")
   private val pageSize = options.getInt("pageSize", 50)
   private val maxPages = options.getInt("maxPages", 200)
@@ -121,14 +122,15 @@ final class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
       s"PushedFilters: [${pushed.mkString(", ")}] " +
       s"ReadSchema: ${required.map(_.name).mkString("[", ",", "]")}"
 
-  /** One InputPartition per page. A single driver pass counts records (the
-    * "API"'s total) AND records the byte offset where each page begins, so
-    * every reader seeks straight to its page — total read cost is
-    * O(file + pages×pageSize), not the O(pages×file) a re-scan-from-line-0
-    * reader would pay. Offsets are exact because they are taken at '\n'
-    * bytes (UTF-8 multi-byte sequences never contain 0x0A).
+  /** One driver pass counts records (the "API"'s total) AND records the
+    * byte offset where each page begins, so every reader seeks straight to
+    * its page — total read cost is O(file + pages×pageSize), not the
+    * O(pages×file) a re-scan-from-line-0 reader would pay. Offsets are
+    * exact because they are taken at '\n' bytes (UTF-8 multi-byte
+    * sequences never contain 0x0A). Lazy + cached: both statistics
+    * estimation and partition planning read it, one pass serves both.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val pageIndex: (Array[Long], Long) = {
     val in = new java.io.FileInputStream(path)
     val pageStarts = scala.collection.mutable.ArrayBuffer[Long](0L)
     var lines = 0L
@@ -152,9 +154,38 @@ final class PagedJsonScanBuilder(options: CaseInsensitiveStringMap)
       }
     } finally in.close()
     if (lastLineOpen) lines += 1 // final line without a trailing newline
-    val pages = math.min((lines + pageSize - 1) / pageSize, maxPages.toLong).toInt
+    (pageStarts.toArray, lines)
+  }
+
+  private def plannedPages: Int = {
+    val (_, lines) = pageIndex
+    math.min((lines + pageSize - 1) / pageSize, maxPages.toLong).toInt
+  }
+
+  /** Real statistics from the plan-time index: without them a DSv2 source
+    * reports the defaultSizeInBytes sentinel (Long.MaxValue), which (a)
+    * blinds join planning and (b) forces rules like
+    * [[graft.plans.DehintOversizedBroadcasts]] into their stats-unknown
+    * path. sizeInBytes = the bytes the planned pages actually cover
+    * (pre-filter upper bound), numRows = line count capped by the page cap.
+    */
+  override def estimateStatistics(): Statistics = {
+    val (starts, lines) = pageIndex
+    val pages = plannedPages
+    val endByte =
+      if (pages < starts.length) starts(pages) else new java.io.File(path).length()
+    val rows = math.min(lines, maxPages.toLong * pageSize)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(endByte)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    }
+  }
+
+  /** One InputPartition per page. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (pageStarts, _) = pageIndex
     val cols = required.map(_.name)
-    (0 until pages).map(p =>
+    (0 until plannedPages).map(p =>
       PagedJsonPartition(path, pageStarts(p), pageSize, from, to, cols): InputPartition).toArray
   }
 

@@ -80,6 +80,22 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).forall(_.startsWith("2024-05-")))
   }
 
+  test("reports real statistics (no defaultSizeInBytes sentinel); capped by maxPages") {
+    val path = writeApiFile(120)
+    val fileLen = new java.io.File(path).length()
+    val stats = read(path, "pageSize" -> "50").queryExecution.optimizedPlan.stats
+    // full scan: size == the file bytes, never the Long.MaxValue sentinel
+    assert(stats.sizeInBytes == BigInt(fileLen), s"got ${stats.sizeInBytes}")
+    assert(stats.rowCount.contains(BigInt(120)))
+    // page cap: only the first 2 pages' bytes are planned
+    val capped = read(path, "pageSize" -> "50", "maxPages" -> "2")
+      .queryExecution.optimizedPlan.stats
+    assert(capped.sizeInBytes > 0 && capped.sizeInBytes < BigInt(fileLen))
+    assert(capped.rowCount.contains(BigInt(100)))
+    // consequence: a deliberate broadcast of this source is now an
+    // INFORMED decision (stats known), not a stats-unknown escape hatch
+  }
+
   test("composes with StgToDds.parseDeliveries into typed rows") {
     val path = writeApiFile(10)
     val stg = read(path).withColumn("delivery_ts",
