@@ -162,6 +162,36 @@ object TextAnalysis {
           .otherwise(lit("train")))
       .drop("_bucket")
 
+  /** PII scrubbing patterns — deliberately backslash-free (the `\d`/`\w`
+    * classes are consumed differently by Spark SQL string literals and
+    * DuckDB, the same engine-parity trap [[regexTokenPattern]] documents)
+    * and simple enough that Java regex and RE2 agree byte-for-byte:
+    * long digit runs (phone/account numbers) and email-shaped tokens.
+    */
+  val piiLongNumberPattern = "[0-9]{7,}"
+  val piiEmailPattern = "[a-z0-9.]+@[a-z0-9.]+"
+
+  /** PII redaction report: per document, the count of each PII category
+    * and the md5 of the scrubbed text (emails replaced first, then digit
+    * runs, so an email's digits are never double-counted). Emitting the
+    * hash rather than the full scrubbed payload keeps the result
+    * hash-comparable and the query output narrow; the scrubbed text
+    * itself is `redacted` below for pipeline use. Pure per-row column
+    * math — zero shuffles.
+    */
+  def redactPii(docs: DataFrame, token: String = "<PII>"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$piiEmailPattern', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$piiLongNumberPattern', 0)")).as("n_long_numbers"),
+      md5(redacted(token)).as("redacted_md5"))
+
+  /** The scrubbed text column (emails first, then long digit runs). */
+  def redacted(token: String): Column =
+    regexp_replace(
+      regexp_replace(col("text"), piiEmailPattern, token),
+      piiLongNumberPattern, token)
+
   /** Corpus token frequencies (explode → count): the one genuinely
     * shuffle-bearing text op; partial aggregation collapses it to
     * |vocabulary| rows per partition before the exchange.

@@ -197,6 +197,17 @@ object TextQueries {
               |WHERE shared_chunks >= 2 ORDER BY doc_a, doc_b""".stripMargin),
       doc = "chunk-level near-dup pairs: shared CDC fingerprints with a hot-chunk document-frequency cap"),
 
+    GQuery("text_redact_pii",
+      (s, dir) => TextAnalysis.redactPii(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '${TextAnalysis.piiEmailPattern}')) AS INT) AS n_emails,
+                     CAST(len(regexp_extract_all(text, '${TextAnalysis.piiLongNumberPattern}')) AS INT) AS n_long_numbers,
+                     md5(regexp_replace(regexp_replace(text, '${TextAnalysis.piiEmailPattern}', '<PII>', 'g'),
+                                        '${TextAnalysis.piiLongNumberPattern}', '<PII>', 'g')) AS redacted_md5
+              FROM documents ORDER BY doc_id"""),
+      doc = "PII scrubbing report: per-category counts + md5 of the redacted text"),
+
     GQuery("text_token_freq",
       (s, dir) => TextAnalysis.tokenFrequencies(Tables.documents(s, dir))
         .orderBy(col("freq").desc, col("token")),

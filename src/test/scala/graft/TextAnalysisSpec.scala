@@ -84,6 +84,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"CDC must re-sync after an edit: ${h1.size} vs shared ${(h1 intersect h2).size}")
   }
 
+  test("PII redaction counts and scrubs emails and long digit runs") {
+    import spark.implicits._
+    val pii = Seq(
+      (1L, "call 5551234567 or mail bob.smith@mail.example now"),
+      (2L, "short 123456 stays, 12345678 goes"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(pii).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_emails") == 1 && r(0).getAs[Int]("n_long_numbers") == 1)
+    assert(r(1).getAs[Int]("n_emails") == 0 && r(1).getAs[Int]("n_long_numbers") == 1)
+    assert(r(2).getAs[Int]("n_emails") == 0 && r(2).getAs[Int]("n_long_numbers") == 0)
+    // the scrubbed text really has the PII replaced (6-digit run survives)
+    val scrubbed = pii.select(org.apache.spark.sql.functions.col("doc_id"),
+        TextAnalysis.redacted("<PII>").as("t"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(scrubbed(0) == "call <PII> or mail <PII> now")
+    assert(scrubbed(1) == "short 123456 stays, <PII> goes")
+    assert(scrubbed(2) == "nothing sensitive here")
+  }
+
   test("CDC chunks are correct on non-ASCII text (code-point positions)") {
     import spark.implicits._
     // Mixed-width text: 1-byte ASCII, 2-byte umlauts, 3-byte CJK, and a
