@@ -78,6 +78,43 @@ object TrainPrep {
         size(col("seq_toks")).as("n_toks"),
         md5(concat_ws(" ", col("seq_toks"))).as("seq_hash"))
 
+  /** Scalable running token total in document order — the prefix-sum
+    * primitive behind token-budget sharding. A naive
+    * `sum() over (order by doc_id)` collapses the corpus into ONE window
+    * partition (single-task at any scale); this is the textbook two-level
+    * scan instead: coarse doc_id buckets get their totals via an ordinary
+    * partial-aggregated groupBy, the |corpus|/bucketWidth bucket offsets
+    * take one genuinely tiny single-partition window, and the per-row
+    * cumsum runs in windows PARTITIONED by bucket — every stage parallel,
+    * identical output to the global window (the oracle runs that form).
+    */
+  def withTokenPrefix(docs: DataFrame, bucketWidth: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("_b", floor(col("doc_id") / bucketWidth))
+    val offsets = toks.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_bt"))
+      .withColumn("_off", coalesce(
+        sum(col("_bt")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_bt")
+    val inBucket = Window.partitionBy(col("_b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(offsets), Seq("_b"))
+      .withColumn("cum_tokens", col("_off") + sum(col("n_tokens")).over(inBucket))
+      .drop("_b", "_off")
+  }
+
+  /** Token-budget shard assignment: documents fill shard 0 until `budget`
+    * tokens, then shard 1, … — the deterministic sharding a training run
+    * uses to cut a corpus into equal-work files. A document belongs to the
+    * shard its FIRST token lands in (integer division, no float drift).
+    */
+  def shardByTokenBudget(docs: DataFrame, budget: Long,
+                         bucketWidth: Long = 1000L): DataFrame =
+    withTokenPrefix(docs, bucketWidth)
+      .withColumn("shard", expr(s"(cum_tokens - n_tokens) div $budget").cast("int"))
+
   /** Benchmark decontamination: for every training document, the exact
     * number of its distinct word-n-gram shingles that appear ANYWHERE in
     * the held-out (val/test) split, plus the contamination ratio — the

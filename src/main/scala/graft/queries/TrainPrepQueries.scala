@@ -54,6 +54,22 @@ object TrainPrepQueries {
               FROM e ORDER BY doc_id, seq_no"""),
       doc = "fixed-length token-window packing, content-addressed by md5 (trainer input unit)"),
 
+    GQuery("prep_shard_assignment",
+      (s, dir) => TrainPrep.shardByTokenBudget(Tables.documents(s, dir), budget = 8192)
+        .orderBy(col("doc_id")),
+      // oracle uses the GLOBAL window form the scalable bucketed scan must equal
+      Some("""WITH t AS (SELECT doc_id,
+                               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                        FROM documents),
+                   c AS (SELECT doc_id, n_tokens,
+                                CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                         FROM t)
+              SELECT doc_id, n_tokens, cum_tokens,
+                     CAST((cum_tokens - n_tokens) // 8192 AS INT) AS shard
+              FROM c ORDER BY doc_id"""),
+      doc = "token-budget sharding via a scalable two-level prefix sum (== global window cumsum)"),
+
     GQuery("prep_decontamination",
       (s, dir) => TrainPrep.decontaminationReport(Tables.documents(s, dir),
           n = 3, valPct = 5, testPct = 5, tau = 0.1)

@@ -121,7 +121,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // round-4 training-prep ops
     ("prep_pack_sequences", 1, 0, Nil),   // per-row packing; only the output sort
     ("prep_stratified_sample", 3, 0, Nil),
-    ("prep_decontamination", 4, 0, Nil))
+    ("prep_decontamination", 4, 0, Nil),
+    // two-level scan: bucket agg + tiny offsets window + per-bucket window
+    // + output sort; the bucket-offset join must stay broadcast
+    ("prep_shard_assignment", 5, 1, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)

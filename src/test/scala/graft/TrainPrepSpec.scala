@@ -45,6 +45,36 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(seqs.map(_._3).toSeq == seqs2.toSeq)
   }
 
+  test("bucketed prefix sum equals the global window cumsum; shards respect the budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sparse, shuffled doc_ids so buckets are uneven and some are empty
+    val docs = (0L until 3000L).filter(i => i % 7 != 0)
+      .map(i => (i * 3, (1 to ((i % 50) + 1).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text").repartition(11)
+    val scalable = TrainPrep.withTokenPrefix(docs, bucketWidth = 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens")))
+    val global = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum")))
+    assert(scalable.toSeq == global.toSeq)
+    // shard boundaries: monotone, and each shard's span stays within one
+    // budget of tokens (a document never splits, so spans can exceed the
+    // budget only by the straddling document's length)
+    val shards = TrainPrep.shardByTokenBudget(docs, budget = 500, bucketWidth = 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("cum_tokens"), r.getAs[Long]("n_tokens")))
+    assert(shards.map(_._1).toSeq == shards.map(_._1).sorted.toSeq)
+    shards.foreach { case (shard, cum, n) =>
+      assert((cum - n) / 500 == shard.toLong)
+    }
+    assert(shards.map(_._1).distinct.length > 2, "expect several shards at this size")
+  }
+
   test("decontamination counts exactly the shingles shared with the held-out split") {
     import spark.implicits._
     // craft ids whose split buckets we can read back, then verify hit math
