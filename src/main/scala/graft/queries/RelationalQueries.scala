@@ -725,6 +725,56 @@ object RelationalQueries {
               UNION ALL
               SELECT 'except' AS kind, o_orderkey FROM (SELECT o_orderkey FROM high EXCEPT SELECT o_orderkey FROM y94)
               ORDER BY kind, o_orderkey"""),
-      doc = "UNION / INTERSECT / EXCEPT in one tagged result")
+      doc = "UNION / INTERSECT / EXCEPT in one tagged result"),
+
+    // ---- GROUPING SETS: the general form cube/rollup specialize. Emitting
+    // the grouping id makes every output row unambiguous (a NULL key from
+    // the data vs. a NULL from aggregation level), and the explicit
+    // NULLS FIRST order matches both engines.
+    GQuery("agg_grouping_sets",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_gs")
+        s.sql("""SELECT event_type, CAST(year(ts) AS INT) AS event_year,
+                        CAST(grouping(event_type) * 2 + grouping(year(ts)) AS INT) AS gid,
+                        COUNT(*) AS n,
+                        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+                 FROM events_gs
+                 GROUP BY GROUPING SETS ((event_type, year(ts)), (event_type), ())
+                 ORDER BY gid, event_type ASC NULLS FIRST, event_year ASC NULLS FIRST""")
+      },
+      Some("""SELECT event_type, CAST(year(ts) AS INT) AS event_year,
+                     CAST(grouping(event_type) * 2 + grouping(year(ts)) AS INT) AS gid,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM events
+              GROUP BY GROUPING SETS ((event_type, year(ts)), (event_type), ())
+              ORDER BY gid, event_type ASC NULLS FIRST, event_year ASC NULLS FIRST"""),
+      doc = "GROUPING SETS with grouping-id disambiguation (general form of cube/rollup)"),
+
+    // ---- Full outer join: both unmatched sides survive with null-safe
+    // output (customers who never produced events AND event users outside
+    // the customer dim).
+    GQuery("join_full_outer",
+      (s, dir) => {
+        val perUser = Tables.events(s, dir)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))
+          .join(perUser, col("c_custkey") === col("user_id"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("user_id")).as("uid"),
+            col("c_custkey").isNotNull.as("has_customer"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+          .orderBy(col("uid"))
+      },
+      Some("""SELECT COALESCE(c_custkey, user_id) AS uid,
+                     c_custkey IS NOT NULL AS has_customer,
+                     COALESCE(n_events, 0) AS n_events
+              FROM customer
+              FULL OUTER JOIN (SELECT user_id, COUNT(*) AS n_events
+                               FROM events GROUP BY user_id) e
+                ON c_custkey = user_id
+              ORDER BY uid"""),
+      doc = "FULL OUTER JOIN with null-safe projection (both unmatched sides kept)")
   )
 }
