@@ -59,6 +59,66 @@ object Sessionize extends Serializable {
       .drop("_session")
   }
 
+  /** The streaming twin run as a BOUNDED drain over the events file(s),
+    * returning exactly the batch result — which makes the
+    * `flatMapGroupsWithState` path oracle-checkable, not just spec-tested.
+    *
+    * The one impedance mismatch of a bounded drain: sessions still open
+    * when the files run out never time out, because the watermark stops at
+    * `max(ts) - delay`. The drain therefore unions in a SENTINEL stream —
+    * one event for pseudo-user -1, far enough past the corpus (gap + delay
+    * + margin) that the final watermark passes every real session's idle
+    * deadline and the timeout path flushes them all. The sentinel user is
+    * filtered from the output; watermarks are global per stream, so one
+    * row is all it takes at any corpus size.
+    */
+  def sessionsStreamingDrain(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                             gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    StateDefaults.ensureRocksDB(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = IncrementalLedger.rawEventSchema
+    val real = spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+
+    val maxMicros = spark.read.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .agg(max(expr("ts div 1000"))).collect().head.getLong(0)
+    val margin = (gapMinutes.toLong + 120L) * 60000000L  // gap + delay + slack
+    val sentinelDir = graft.stages.TempDirs.scratch("graft_sess_sentinel_")
+    Seq((-1L, maxMicros + margin, 0.0)).toDF("user_id", "us", "value")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"), col("value"))
+      .write.mode("overwrite").parquet(sentinelDir)
+    val sentinel = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .parquet(sentinelDir)
+
+    val sessions = sessionsStreaming(real.unionByName(sentinel).as[EventIn], gapMinutes)
+      .filter(col("user_id") >= 0)
+
+    val outDir = graft.stages.TempDirs.scratch("graft_sess_drain_")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sessions.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[SessionOut], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    StreamJoin.readDrainOutput(spark, outDir, sessions.toDF().schema)
+  }
+
   /** Streaming twin: one SessionState per user in the state store; events
     * arrive sorted per micro-batch group, sessions emit on gap — or, for an
     * IDLE user, when the event-time watermark passes `lastTs + gap`
