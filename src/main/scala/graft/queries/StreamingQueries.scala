@@ -65,6 +65,17 @@ object StreamingQueries {
               ORDER BY user_id, session_start"""),
       doc = "sessionization (gaps-and-islands batch form; flatMapGroupsWithState streaming twin in Sessionize)"),
 
+    GQuery("streaming_static_join",
+      (s, dir) => IncrementalLedger.nationMonthlyTotals(s, dir)
+        .orderBy(col("c_nationkey"), col("year"), col("month")),
+      Some("""SELECT c_nationkey, CAST(year(ts) AS INT) AS year,
+                     CAST(month(ts) AS INT) AS month,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY 1, 2, 3 ORDER BY c_nationkey, year, month"""),
+      doc = "stream-static dim enrichment (events stream x customer dim) + update-mode merge == batch join"),
+
     GQuery("sessionization_streaming",
       (s, dir) => graft.streaming.Sessionize.sessionsStreamingDrain(s, dir, gapMinutes = 360)
         .orderBy(col("user_id"), col("session_start")),

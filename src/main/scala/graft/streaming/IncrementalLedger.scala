@@ -100,6 +100,45 @@ object IncrementalLedger {
     * ledger — which must equal the batch computation bit-for-bit
     * (oracle-checked).
     */
+  /** Stream-STATIC dimension enrichment: the events stream joined against
+    * the batch customer dim (broadcast-sized lookup re-resolved per
+    * micro-batch — the standard "enrich a stream with a slowly-changing
+    * dim" pattern, distinct from the stream-stream interval join), then
+    * aggregated per (nation, month) and drained through the same
+    * update-mode MergeTable merge as [[monthlyUserTotals]]. Must equal the
+    * all-batch join+aggregate bit-for-bit (decimal sums).
+    */
+  def nationMonthlyTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = MergeTable.scratch(Seq("c_nationkey", "year", "month"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    StateDefaults.ensureRocksDB(spark)
+    val stream = spark.readStream
+      .schema(rawEventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val agg = stream.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"),
+        year(col("ts")).as("year"), month(col("ts")).as("month"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          target.upsert(batch.toDF())
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    target.read(spark, agg.schema)
+  }
+
   def monthlyUserTotals(spark: SparkSession, sfDir: String,
                         maxFilesPerTrigger: Option[Int] = None,
                         glob: String = "events.parquet"): DataFrame = {
