@@ -87,6 +87,10 @@ object TrainPrep {
     * take one genuinely tiny single-partition window, and the per-row
     * cumsum runs in windows PARTITIONED by bucket — every stage parallel,
     * identical output to the global window (the oracle runs that form).
+    *
+    * Sizing at scale: pick `bucketWidth` ≈ sqrt(corpus id range) so BOTH
+    * levels stay bounded (~10⁵·⁵ rows each at 10¹¹ documents); the
+    * default suits test-scale corpora.
     */
   def withTokenPrefix(docs: DataFrame, bucketWidth: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
