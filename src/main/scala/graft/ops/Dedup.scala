@@ -176,6 +176,54 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_docs"))
 
+  /** Connected components over near-dup PAIRS — the cluster-resolution
+    * step a real dedup pipeline runs after pairwise detection: similarity
+    * is not transitive, but the KEEP/DROP decision must be (if a~b and
+    * b~c, keeping both a and c double-counts the shared content), so
+    * documents are grouped into transitive clusters and one canonical
+    * (minimum id) survives per cluster.
+    *
+    * Algorithm: iterated min-label propagation to FIXPOINT — each round,
+    * every node takes the min of its own label and its neighbors' labels;
+    * a driver-side count of changed labels decides convergence, so the
+    * iteration count is the true cluster diameter, never a guessed
+    * constant. Deterministic (min is order-independent). Each round is
+    * one join + one partial-aggregated groupBy; near-dup clusters are
+    * shallow (dozens of docs, diameter ≲ 5), so rounds stay single-digit
+    * even at corpus scale. For adversarially long chains, swap in the
+    * large-star/small-star variant (same contract, O(log n) rounds);
+    * at very high round counts insert periodic checkpoints to truncate
+    * lineage.
+    *
+    * @param pairs (doc_a, doc_b) undirected near-dup edges
+    * @return (node, comp): every document appearing in a pair, labeled
+    *         with its cluster's minimum doc id
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")).cache()
+    var converged = false
+    while (!converged) {
+      val next = edges
+        .join(labels.select(col("node").as("b"), col("comp").as("n_comp")), Seq("b"))
+        .select(col("a").as("node"), col("n_comp").as("comp"))
+        .unionByName(labels)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .cache()
+      val changed = next
+        .join(labels.select(col("node"), col("comp").as("old")), Seq("node"))
+        .filter(col("comp") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels
+  }
+
   private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,
                             tau: Double): DataFrame =
     pairs

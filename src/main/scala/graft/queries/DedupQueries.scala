@@ -28,6 +28,34 @@ object DedupQueries {
        |  i -> list_min(list_transform(hbase,
        |    h -> ((1103515245 * (i + 1)) % $P * h + 12345 + 769 * i) % $P)))""".stripMargin
 
+  /** Full mirror of Dedup.minhashLshPairs — shared by the pairs query and
+    * the connected-components closure built on top of it.
+    */
+  private val minhashPairsSql: String =
+    s"""WITH ${shCte(Dedup.defaultShingle)},
+            sigs AS (SELECT doc_id, hbase, $sigSql AS sig FROM sh),
+            bandrows AS (
+              SELECT doc_id, b.band,
+                     array_to_string(list_transform(
+                       list_slice(sig, b.band * ${Dedup.rowsPerBand} + 1,
+                                  b.band * ${Dedup.rowsPerBand} + ${Dedup.rowsPerBand}),
+                       x -> CAST(x AS VARCHAR)), ',') AS band_key
+              FROM sigs, (SELECT unnest(range(0, ${Dedup.bands})) AS band) b),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bandrows a JOIN bandrows b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+              CAST(len(list_intersect(sa.hbase, sb.hbase)) AS DOUBLE)
+                / (len(sa.hbase) + len(sb.hbase) - len(list_intersect(sa.hbase, sb.hbase))) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(sa.hbase, sb.hbase)) AS DOUBLE)
+                / (len(sa.hbase) + len(sb.hbase) - len(list_intersect(sa.hbase, sb.hbase))) >= 0.5
+        ORDER BY doc_a, doc_b"""
+
   val all: Seq[GQuery] = Seq(
 
     GQuery("dedup_exact",
@@ -41,30 +69,31 @@ object DedupQueries {
     GQuery("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b")),
-      Some(s"""WITH ${shCte(Dedup.defaultShingle)},
-                   sigs AS (SELECT doc_id, hbase, $sigSql AS sig FROM sh),
-                   bandrows AS (
-                     SELECT doc_id, b.band,
-                            array_to_string(list_transform(
-                              list_slice(sig, b.band * ${Dedup.rowsPerBand} + 1,
-                                         b.band * ${Dedup.rowsPerBand} + ${Dedup.rowsPerBand}),
-                              x -> CAST(x AS VARCHAR)), ',') AS band_key
-                     FROM sigs, (SELECT unnest(range(0, ${Dedup.bands})) AS band) b),
-                   cand AS (
-                     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                     FROM bandrows a JOIN bandrows b
-                       ON a.band = b.band AND a.band_key = b.band_key
-                      AND a.doc_id < b.doc_id)
-              SELECT c.doc_a, c.doc_b,
-                     CAST(len(list_intersect(sa.hbase, sb.hbase)) AS DOUBLE)
-                       / (len(sa.hbase) + len(sb.hbase) - len(list_intersect(sa.hbase, sb.hbase))) AS jaccard
-              FROM cand c
-              JOIN sh sa ON sa.doc_id = c.doc_a
-              JOIN sh sb ON sb.doc_id = c.doc_b
-              WHERE CAST(len(list_intersect(sa.hbase, sb.hbase)) AS DOUBLE)
-                       / (len(sa.hbase) + len(sb.hbase) - len(list_intersect(sa.hbase, sb.hbase))) >= 0.5
-              ORDER BY doc_a, doc_b"""),
+      Some(minhashPairsSql),
       doc = "MinHash signature → LSH band join → exact-Jaccard verify (the 100 TB path)"),
+
+    GQuery("dedup_components",
+      (s, dir) => Dedup.connectedComponents(
+          Dedup.minhashLshPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b")))
+        .groupBy(col("comp").as("canonical_doc"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("canonical_doc")),
+      // the oracle computes the transitive closure with a recursive CTE —
+      // per-node min reachable id == the propagation fixpoint
+      Some(s"""WITH RECURSIVE pairs AS (
+                 SELECT doc_a, doc_b FROM ($minhashPairsSql) t),
+               edges AS (
+                 SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS a, doc_a AS b FROM pairs),
+               reach(node, r) AS (
+                 SELECT DISTINCT a, a FROM edges
+                 UNION
+                 SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+               comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+              SELECT comp AS canonical_doc, count(*) AS n_docs
+              FROM comp GROUP BY 1 ORDER BY 1"""),
+      doc = "near-dup cluster resolution: connected components over LSH pairs (min-label propagation == recursive-CTE closure)"),
 
     GQuery("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))

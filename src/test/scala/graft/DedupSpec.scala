@@ -86,4 +86,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((0L, 4L)) == 0)
     assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
+
+  test("connected components resolve transitive chains to the minimum id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    // and a chain whose min arrives from the HIGH end (20-19, 19-18)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 19L), (19L, 18L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(Seq(18L, 19L, 20L).forall(comp(_) == 18L))
+    assert(comp.size == 9)
+    // partitioning must not affect the fixpoint
+    val comp2 = Dedup.connectedComponents(pairs.repartition(7)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(comp2 == comp)
+  }
 }
