@@ -221,7 +221,14 @@ object Dedup {
       converged = changed == 0
     }
     edges.unpersist()
-    labels
+    // hand back a storage-boundary copy and release the iteration cache:
+    // a cached result the caller can't know to unpersist would pin
+    // executor storage for the rest of the session (scratch parquet is
+    // removed at JVM exit)
+    val out = graft.stages.TempDirs.scratch("graft_cc_")
+    labels.write.mode("overwrite").parquet(out)
+    labels.unpersist()
+    pairs.sparkSession.read.parquet(out)
   }
 
   private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,

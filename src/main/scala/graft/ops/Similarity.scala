@@ -275,14 +275,23 @@ object Similarity {
     *
     * All counts are integers and the one recall division is the final
     * double op, so the output is bit-stable across engines and
-    * partitionings. The truth table is numQueries×k rows — caching it is
-    * bounded at any corpus scale and keeps the brute-force crossJoin from
-    * re-running once per method.
+    * partitionings. The truth table is numQueries×k rows — collecting it
+    * to a local relation is bounded at any corpus scale, keeps the
+    * brute-force crossJoin from re-running once per method, and leaves no
+    * cache behind (a cached DataFrame returned from here would pin
+    * executor storage with no one responsible for releasing it).
     */
   def recallReport(spark: SparkSession, emb: DataFrame,
                    numQueries: Int = 16, k: Int = 3): DataFrame = {
-    val truth = bruteForceTopK(emb, numQueries, k)
-      .select(col("query_id"), col("neighbor_id")).cache()
+    val truthRows = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id")).collect().toSeq
+    val truth = spark.createDataFrame(
+      spark.sparkContext.parallelize(truthRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType))))
     val nTruth = numQueries.toLong * k
     def hits(method: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("neighbor_id"))

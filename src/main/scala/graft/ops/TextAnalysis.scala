@@ -169,22 +169,26 @@ object TextAnalysis {
     * long digit runs (phone/account numbers) and email-shaped tokens.
     */
   val piiLongNumberPattern = "[0-9]{7,}"
-  val piiEmailPattern = "[a-z0-9.]+@[a-z0-9.]+"
+  val piiEmailPattern = "[a-zA-Z0-9.]+@[a-zA-Z0-9.]+"
 
   /** PII redaction report: per document, the count of each PII category
     * and the md5 of the scrubbed text (emails replaced first, then digit
-    * runs, so an email's digits are never double-counted). Emitting the
-    * hash rather than the full scrubbed payload keeps the result
-    * hash-comparable and the query output narrow; the scrubbed text
-    * itself is `redacted` below for pipeline use. Pure per-row column
-    * math — zero shuffles.
+    * runs — and the digit-run COUNT is taken on the email-redacted
+    * intermediate, so an address's digits are never double-counted across
+    * categories). Emitting the hash rather than the full scrubbed payload
+    * keeps the result hash-comparable and the query output narrow; the
+    * scrubbed text itself is `redacted` below for pipeline use. Pure
+    * per-row column math — zero shuffles.
     */
-  def redactPii(docs: DataFrame, token: String = "<PII>"): DataFrame =
+  def redactPii(docs: DataFrame, token: String = "<PII>"): DataFrame = {
+    val emailsRedacted = regexp_replace(col("text"), piiEmailPattern, token)
     docs.select(
       col("doc_id"),
       size(expr(s"regexp_extract_all(text, '$piiEmailPattern', 0)")).as("n_emails"),
-      size(expr(s"regexp_extract_all(text, '$piiLongNumberPattern', 0)")).as("n_long_numbers"),
+      size(regexp_extract_all(emailsRedacted, lit(piiLongNumberPattern), lit(0)))
+        .as("n_long_numbers"),
       md5(redacted(token)).as("redacted_md5"))
+  }
 
   /** The scrubbed text column (emails first, then long digit runs). */
   def redacted(token: String): Column =

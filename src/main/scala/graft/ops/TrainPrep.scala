@@ -133,8 +133,17 @@ object TrainPrep {
   def decontaminationReport(docs: DataFrame, n: Int = 3,
                             valPct: Int = 5, testPct: Int = 5,
                             tau: Double = 0.1): DataFrame = {
-    val shingled = Dedup.withShingleHashes(
-      TextAnalysis.withSplit(docs, valPct, testPct), n)
+    // stage boundary: the split+shingle pass feeds three consumers (the
+    // benchmark set, the hit join, and the final per-doc select) — without
+    // materialization each re-tokenizes the corpus. Scratch parquet, not
+    // cache: the result DataFrame outlives this call, so a cache here
+    // would leak (Curate.curateCorpus can use cache only because it
+    // collects its bounded census and unpersists before returning).
+    val stage = graft.stages.TempDirs.scratch("graft_decon_")
+    Dedup.withShingleHashes(TextAnalysis.withSplit(docs, valPct, testPct), n)
+      .select(col("doc_id"), col("split"), col("hbase"))
+      .write.mode("overwrite").parquet(stage)
+    val shingled = docs.sparkSession.read.parquet(stage)
     val bench = shingled.filter(col("split") =!= "train")
       .select(explode(col("hbase")).as("h")).distinct()
     val train = shingled.filter(col("split") === "train")

@@ -34,18 +34,24 @@ case class DehintOversizedBroadcasts(session: SparkSession) extends Rule[Logical
     val cap = BigInt(threshold) * margin
     // Plans with no real statistics — DSv2 sources that don't implement
     // SupportsReportStatistics, LogicalRDD — report the
-    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), and join/
-    // aggregate estimates built on such leaves can only be >= it. An
-    // estimate at or above the sentinel means "unknown", not "huge": honor
-    // the user's deliberate hint rather than silently stripping it
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue) at the LEAF.
+    // Estimates built on such a leaf are meaningless at every altitude:
+    // aggregates/joins keep it >= the sentinel, but a Project SCALES it
+    // DOWN (childSize × outputRow/childRow), so an arbitrary huge-but-
+    // below-sentinel number can surface for a side that is actually tiny.
+    // Therefore the reliability test is on the side's leaves, not on its
+    // top-level estimate: any sentinel leaf ⇒ the estimate is unknown ⇒
+    // honor the user's deliberate hint rather than silently stripping it
     // session-wide (driver ADVICE.md finding).
     val unknown = BigInt(session.sessionState.conf.defaultSizeInBytes)
+    def statsUnknown(p: LogicalPlan): Boolean =
+      p.collectLeaves().exists(_.stats.sizeInBytes >= unknown)
 
     def strip(side: Option[HintInfo], sidePlan: LogicalPlan): Option[HintInfo] =
       side match {
         case Some(h) if h.strategy.contains(BROADCAST) &&
             sidePlan.stats.sizeInBytes > cap =>
-          if (sidePlan.stats.sizeInBytes >= unknown) {
+          if (statsUnknown(sidePlan)) {
             logWarning("graft: keeping broadcast hint on a side with unknown " +
               "statistics (defaultSizeInBytes sentinel) — cannot prove it oversized")
             side

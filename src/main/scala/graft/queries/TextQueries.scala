@@ -202,7 +202,9 @@ object TextQueries {
         .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,
                      CAST(len(regexp_extract_all(text, '${TextAnalysis.piiEmailPattern}')) AS INT) AS n_emails,
-                     CAST(len(regexp_extract_all(text, '${TextAnalysis.piiLongNumberPattern}')) AS INT) AS n_long_numbers,
+                     CAST(len(regexp_extract_all(
+                       regexp_replace(text, '${TextAnalysis.piiEmailPattern}', '<PII>', 'g'),
+                       '${TextAnalysis.piiLongNumberPattern}')) AS INT) AS n_long_numbers,
                      md5(regexp_replace(regexp_replace(text, '${TextAnalysis.piiEmailPattern}', '<PII>', 'g'),
                                         '${TextAnalysis.piiLongNumberPattern}', '<PII>', 'g')) AS redacted_md5
               FROM documents ORDER BY doc_id"""),

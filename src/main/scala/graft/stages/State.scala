@@ -37,13 +37,33 @@ object State {
 
   private def table(path: String) = new MergeTable(path, Seq("workflow_key"))
 
+  /** A state table written by the pre-MergeTable layout: bare parquet part
+    * files directly at `path`, no `_CURRENT` pointer. Read transparently
+    * (explicit file list — never directory-recursive, so orphan `v*` dirs
+    * from a crashed first commit can't confuse partition discovery) and
+    * migrated into the versioned table on the first advance — upgrading
+    * the storage layout must never silently rewind a cursor to its
+    * cold-start default.
+    */
+  private def legacyTable(spark: SparkSession, path: String) = {
+    val parts = Option(new java.io.File(path).listFiles())
+      .map(_.filter(f => f.isFile && f.getName.startsWith("part-")
+        && f.getName.endsWith(".parquet")))
+      .getOrElse(Array.empty[java.io.File])
+    if (parts.isEmpty) None
+    else Some(spark.read.parquet(parts.map(_.getPath).toSeq: _*))
+  }
+
   /** Read the watermark for `workflowKey`, falling back to `default` —
     * `coalesce((select …), default)` in the reference.
     */
   def readWatermark(spark: SparkSession, path: String, workflowKey: String,
                     default: Timestamp): Timestamp = {
-    val rows = table(path).read(spark, schema)
-      .filter(col("workflow_key") === workflowKey)
+    val t = table(path)
+    val df =
+      if (t.currentVersion.isDefined) t.read(spark, schema)
+      else legacyTable(spark, path).getOrElse(t.read(spark, schema))
+    val rows = df.filter(col("workflow_key") === workflowKey)
       .select(col("last_loaded_ts")).collect()
     rows.headOption.map(_.getTimestamp(0)).getOrElse(default)
   }
@@ -56,6 +76,10 @@ object State {
   def advanceWatermark(spark: SparkSession, path: String, workflowKey: String,
                        newTs: Option[Timestamp]): Unit = newTs.foreach { ts =>
     import spark.implicits._
-    table(path).upsert(Seq((workflowKey, ts)).toDF("workflow_key", "last_loaded_ts"))
+    val t = table(path)
+    if (t.currentVersion.isEmpty)
+      legacyTable(spark, path).foreach(l =>
+        t.upsert(l.select(col("workflow_key"), col("last_loaded_ts"))))
+    t.upsert(Seq((workflowKey, ts)).toDF("workflow_key", "last_loaded_ts"))
   }
 }

@@ -82,9 +82,12 @@ object Sessionize extends Serializable {
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
 
-    val maxMicros = spark.read.schema(raw)
+    val maxRow = spark.read.schema(raw)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .agg(max(expr("ts div 1000"))).collect().head.getLong(0)
+      .agg(max(expr("ts div 1000"))).collect().head
+    if (maxRow.isNullAt(0))   // empty corpus: no sessions, legitimately
+      return spark.emptyDataset[SessionOut].toDF()
+    val maxMicros = maxRow.getLong(0)
     val margin = (gapMinutes.toLong + 120L) * 60000000L  // gap + delay + slack
     val sentinelDir = graft.stages.TempDirs.scratch("graft_sess_sentinel_")
     Seq((-1L, maxMicros + margin, 0.0)).toDF("user_id", "us", "value")

@@ -86,6 +86,18 @@ class ExtensionsSpec extends AnyFunSuite {
       val hintedPlan = hinted.queryExecution.executedPlan.toString
       assert(hintedPlan.contains("BroadcastHashJoin"),
         s"stats-unknown deliberate broadcast must be honored:\n$hintedPlan")
+      // a PROJECTED stats-unknown side scales the sentinel down (Project
+      // estimation multiplies by outputRow/childRow), but the estimate is
+      // still meaningless — the leaf test must keep the hint
+      import org.apache.spark.sql.types.StringType
+      val wide = spark.createDataFrame(
+        spark.sparkContext.parallelize((0L until 100L).map(i => Row(i, i.toString, i.toString))),
+        StructType(Seq(StructField("id", LongType),
+          StructField("pad1", StringType), StructField("pad2", StringType))))
+      val projected = fact.join(broadcast(wide.select("id")), "id")
+      val projectedPlan = projected.queryExecution.executedPlan.toString
+      assert(projectedPlan.contains("BroadcastHashJoin"),
+        s"projected stats-unknown deliberate broadcast must be honored:\n$projectedPlan")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

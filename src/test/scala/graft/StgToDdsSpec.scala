@@ -87,6 +87,23 @@ class StgToDdsSpec extends AnyFunSuite {
     assert(State.readWatermark(spark, dir, "wf2", dflt) == ts("2024-06-01 00:00:00"))
   }
 
+  test("legacy bare-parquet state tables are read and migrated, never silently reset") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-state-legacy").toString + "/wf"
+    val dflt = ts("2022-01-01 00:00:00")
+    // a state table written by the old layout: plain parquet, no _CURRENT
+    Seq(("wf1", ts("2024-05-01 13:45:10")), ("wf2", ts("2024-06-01 00:00:00")))
+      .toDF("workflow_key", "last_loaded_ts")
+      .coalesce(1).write.parquet(dir)
+    // read-through: the legacy cursor is visible, not reset to default
+    assert(State.readWatermark(spark, dir, "wf1", dflt) == ts("2024-05-01 13:45:10"))
+    // first advance migrates ALL legacy cursors into the versioned table
+    State.advanceWatermark(spark, dir, "wf1", Some(ts("2024-05-02 09:00:00")))
+    assert(State.readWatermark(spark, dir, "wf1", dflt) == ts("2024-05-02 09:00:00"))
+    assert(State.readWatermark(spark, dir, "wf2", dflt) == ts("2024-06-01 00:00:00"),
+      "the other workflow's legacy cursor must survive the migration")
+  }
+
   test("malformed JSON rows parse to nulls and can be quarantined") {
     import spark.implicits._
     val mixed = Seq(

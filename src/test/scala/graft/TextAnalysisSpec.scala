@@ -89,12 +89,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     val pii = Seq(
       (1L, "call 5551234567 or mail bob.smith@mail.example now"),
       (2L, "short 123456 stays, 12345678 goes"),
-      (3L, "nothing sensitive here")
+      (3L, "nothing sensitive here"),
+      (4L, "Write John.Doe@Example.COM today"),          // mixed case must match
+      (5L, "acct 12345678@corp.example only")             // digits inside the email: ONE category
     ).toDF("doc_id", "text")
     val r = TextAnalysis.redactPii(pii).orderBy("doc_id").collect()
     assert(r(0).getAs[Int]("n_emails") == 1 && r(0).getAs[Int]("n_long_numbers") == 1)
     assert(r(1).getAs[Int]("n_emails") == 0 && r(1).getAs[Int]("n_long_numbers") == 1)
     assert(r(2).getAs[Int]("n_emails") == 0 && r(2).getAs[Int]("n_long_numbers") == 0)
+    assert(r(3).getAs[Int]("n_emails") == 1 && r(3).getAs[Int]("n_long_numbers") == 0)
+    assert(r(4).getAs[Int]("n_emails") == 1 && r(4).getAs[Int]("n_long_numbers") == 0,
+      "an email's digits must not be double-counted as a long number")
     // the scrubbed text really has the PII replaced (6-digit run survives)
     val scrubbed = pii.select(org.apache.spark.sql.functions.col("doc_id"),
         TextAnalysis.redacted("<PII>").as("t"))
@@ -102,6 +107,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scrubbed(0) == "call <PII> or mail <PII> now")
     assert(scrubbed(1) == "short 123456 stays, <PII> goes")
     assert(scrubbed(2) == "nothing sensitive here")
+    assert(scrubbed(3) == "Write <PII> today")
+    assert(scrubbed(4) == "acct <PII> only")
   }
 
   test("CDC chunks are correct on non-ASCII text (code-point positions)") {
