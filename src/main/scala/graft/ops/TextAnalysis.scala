@@ -205,4 +205,63 @@ object TextAnalysis {
       .select(explode(col("toks")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
+
+  /** Repetition filter signals (the classic web-scrape quality gate:
+    * machine-generated and boilerplate text repeats itself): the most
+    * frequent token's share of the document, and the fraction of
+    * duplicated bigrams. Top-token counts go through an explode →
+    * two-level groupBy (linear, partial-aggregated — per-row
+    * `transform(distinct, count-each)` would be O(n²) per document);
+    * bigram duplication is pure per-row array algebra. The composite flag
+    * uses the standard ~0.2 thresholds.
+    */
+  def repetitionStats(docs: DataFrame,
+                      topTokenTau: Double = 0.2,
+                      dupBigramTau: Double = 0.2): DataFrame = {
+    val top = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
+    // sequence(1, 0) would step DOWNWARD in Spark (≠ DuckDB's empty
+    // range), so single-token documents are guarded explicitly
+    val bigrams = when(size(col("toks")) >= 2,
+      expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    withTokens(docs)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"), bigrams.as("bg"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("bg")).as("n_bigrams"),
+        (size(col("bg")) - size(array_distinct(col("bg")))).as("n_dup_bigrams"))
+      .join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_cnt").cast("double") / col("n_tokens")).as("top_token_frac"),
+        when(col("n_bigrams") > 0,
+          col("n_dup_bigrams").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      .withColumn("is_repetitive",
+        col("top_token_frac") > topTokenTau || col("dup_bigram_frac") > dupBigramTau)
+  }
+
+  /** Token-rarity signals — the log-free stand-in for a language-model
+    * quality score: each document's tokens joined to the CORPUS frequency
+    * table, then per-doc mean and min frequency (a document full of
+    * corpus-rare tokens is gibberish or treasure; either way a mix
+    * planner wants it surfaced). Integer frequency sums with one final
+    * double division — log-based perplexity proxies are deliberately
+    * avoided because libm rounding differs across engines and would break
+    * the oracle hash.
+    */
+  def rarityStats(docs: DataFrame): DataFrame = {
+    val freq = tokenFrequencies(docs)
+    withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(freq, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("freq")).as("freq_sum"),
+        min(col("freq")).as("min_token_freq"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("freq_sum").cast("double") / col("n_tokens")).as("mean_token_freq"),
+        col("min_token_freq"))
+  }
 }

@@ -210,6 +210,45 @@ object TextQueries {
               FROM documents ORDER BY doc_id"""),
       doc = "PII scrubbing report: per-category counts + md5 of the redacted text"),
 
+    GQuery("text_repetition",
+      (s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+                   tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+                   cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+                   top AS (SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY 1),
+                   bg AS (SELECT doc_id, len(toks) AS n_tokens,
+                                 CASE WHEN len(toks) >= 2
+                                      THEN list_transform(range(1, len(toks)),
+                                             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+                                      ELSE CAST([] AS VARCHAR[]) END AS b
+                          FROM t)
+              SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+                     CAST(top.top_cnt AS DOUBLE) / b.n_tokens AS top_token_frac,
+                     CASE WHEN len(b.b) > 0
+                          THEN CAST(len(b.b) - len(list_distinct(b.b)) AS DOUBLE) / len(b.b)
+                          ELSE 0.0 END AS dup_bigram_frac,
+                     (CAST(top.top_cnt AS DOUBLE) / b.n_tokens > 0.2 OR
+                      CASE WHEN len(b.b) > 0
+                           THEN CAST(len(b.b) - len(list_distinct(b.b)) AS DOUBLE) / len(b.b)
+                           ELSE 0.0 END > 0.2) AS is_repetitive
+              FROM bg b JOIN top ON b.doc_id = top.doc_id
+              ORDER BY b.doc_id"""),
+      doc = "repetition quality gate: top-token share + duplicate-bigram fraction"),
+
+    GQuery("text_rarity",
+      (s, dir) => TextAnalysis.rarityStats(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+                   freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1)
+              SELECT doc_id,
+                     count(*) AS n_tokens,
+                     CAST(SUM(freq) AS DOUBLE) / count(*) AS mean_token_freq,
+                     min(freq) AS min_token_freq
+              FROM tok JOIN freq USING (token)
+              GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "token-rarity signals vs the corpus frequency table (log-free LM-quality stand-in)"),
+
     GQuery("text_token_freq",
       (s, dir) => TextAnalysis.tokenFrequencies(Tables.documents(s, dir))
         .orderBy(col("freq").desc, col("token")),

@@ -84,6 +84,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"CDC must re-sync after an edit: ${h1.size} vs shared ${(h1 intersect h2).size}")
   }
 
+  test("repetition stats flag repeated tokens and bigrams; rarity reflects corpus frequency") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam ham"),          // top token 4/5
+      (2L, "a b a b a b a b"),                  // all bigrams duplicated
+      (3L, "one two three four five"),          // clean
+      (4L, "solo")                              // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val rep = TextAnalysis.repetitionStats(d).orderBy("doc_id").collect()
+    assert(rep(0).getAs[Double]("top_token_frac") == 0.8 && rep(0).getAs[Boolean]("is_repetitive"))
+    // 7 bigrams, 2 distinct ("a b", "b a") → 5/7 duplicated
+    assert(rep(1).getAs[Double]("dup_bigram_frac") == 5.0 / 7)
+    assert(!rep(2).getAs[Boolean]("is_repetitive"))
+    assert(rep(3).getAs[Double]("dup_bigram_frac") == 0.0)
+    val rar = TextAnalysis.rarityStats(d).orderBy("doc_id").collect()
+    // doc 3's tokens are corpus-unique → mean freq 1; doc 1's 'spam' has freq 4
+    assert(rar(2).getAs[Double]("mean_token_freq") == 1.0)
+    assert(rar(0).getAs[Double]("mean_token_freq") == (4 * 4 + 1).toDouble / 5)
+    assert(rar(0).getAs[Long]("min_token_freq") == 1L)  // 'ham'
+  }
+
   test("PII redaction counts and scrubs emails and long digit runs") {
     import spark.implicits._
     val pii = Seq(
