@@ -706,6 +706,46 @@ object RelationalQueries {
               FROM kth ORDER BY event_type"""),
       doc = "single-pass bounded-buffer KMV (Aggregator) == the window-form sketch"),
 
+    // ---- Count-Min Sketch: bounded-memory frequency estimates; md5-derived
+    // buckets make the whole counter matrix integer-reproducible in DuckDB
+    GQuery("sketch_cms_user_freq",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.CmsAggregator
+        val d = 4; val w = 256
+        val events = Tables.events(s, dir)
+        val sketchDf = events.select(col("user_id")).as[Long]
+          .select(CmsAggregator.cms(d, w).toColumn)
+          .toDF("sketch")
+        val truth = events.filter(col("user_id") < 40)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+        truth.crossJoin(broadcast(sketchDf))
+          .withColumn("cms_est", expr(
+            s"""array_min(transform(sequence(0, ${d - 1}),
+               |  i -> sketch[CAST(i AS INT) * $w +
+               |    CAST(CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % $w AS INT)]))""".stripMargin))
+          .select(col("user_id"), col("true_cnt"), col("cms_est"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH rows_ AS (SELECT unnest(range(0, 4)) AS i),
+                   hashed AS (
+                     SELECT r.i,
+                            CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS b
+                     FROM events e, rows_ r),
+                   counters AS (SELECT i, b, count(*) AS c FROM hashed GROUP BY 1, 2),
+                   truth AS (SELECT user_id, count(*) AS true_cnt
+                             FROM events WHERE user_id < 40 GROUP BY 1),
+                   probe AS (
+                     SELECT t.user_id, t.true_cnt, r.i,
+                            CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS b
+                     FROM truth t, rows_ r)
+              SELECT p.user_id, p.true_cnt,
+                     CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS cms_est
+              FROM probe p LEFT JOIN counters c ON c.i = p.i AND c.b = p.b
+              GROUP BY p.user_id, p.true_cnt
+              ORDER BY p.user_id"""),
+      doc = "Count-Min Sketch point-frequency estimates (mergeable d x w counter Aggregator) vs true counts"),
+
     // ---- Set operations (SURVEY.md §2.6: union/intersect/except for merge rewrites)
     GQuery("set_ops",
       (s, dir) => {

@@ -57,4 +57,24 @@ class SketchSpec extends AnyFunSuite {
     assert(merged == whole,
       "merging per-partition KMV summaries must reproduce the global summary")
   }
+
+  test("CMS estimates are guaranteed overestimates and partition-independent") {
+    import spark.implicits._
+    import graft.functions.CmsAggregator
+    val d = 4; val w = 64
+    val xs = (0L until 2000L).map(i => i % 37)     // skewed small key space
+    def sketchOf(ds: org.apache.spark.sql.Dataset[Long]): Seq[Long] =
+      ds.select(CmsAggregator.cms(d, w).toColumn).collect().head
+    val sketch = sketchOf(xs.toDS())
+    def est(x: Long): Long =
+      (0 until d).map(i => sketch(i * w + CmsAggregator.bucket(i, x, w))).min
+    val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (x, n) =>
+      assert(est(x) >= n, s"CMS must never underestimate: key $x est ${est(x)} < $n")
+    }
+    // at least the heavy keys should be exact-ish with w >> keys
+    assert(truth.count { case (x, n) => est(x) == n } > 20)
+    // merge correctness: the sketch is partitioning-independent
+    assert(sketchOf(xs.toDS().repartition(13)) == sketch)
+  }
 }
