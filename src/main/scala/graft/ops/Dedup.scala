@@ -200,35 +200,48 @@ object Dedup {
     *         with its cluster's minimum doc id
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .cache()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")).cache()
-    var converged = false
-    while (!converged) {
-      val next = edges
-        .join(labels.select(col("node").as("b"), col("comp").as("n_comp")), Seq("b"))
-        .select(col("a").as("node"), col("n_comp").as("comp"))
-        .unionByName(labels)
-        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+    val spark = pairs.sparkSession
+    // the label table is |docs in pairs| rows — corpus-scale shuffle width
+    // for it is pure task overhead in the iteration; scope it down the way
+    // the streaming drains do (on a cluster, size to the pair count)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .cache()
-      val changed = next
-        .join(labels.select(col("node"), col("comp").as("old")), Seq("node"))
-        .filter(col("comp") < col("old")).count()
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("comp", col("node")).cache()
+      // convergence via the label-sum invariant: comps only ever DECREASE,
+      // so the exact decimal sum strictly drops iff any label changed —
+      // one aggregate per round instead of a join + count
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      while (!converged) {
+        val next = edges
+          .join(labels.select(col("node").as("b"), col("comp").as("n_comp")), Seq("b"))
+          .select(col("a").as("node"), col("n_comp").as("comp"))
+          .unionByName(labels)
+          .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+          .cache()
+        val nextSum = labelSum(next)
+        labels.unpersist()
+        labels = next
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      }
+      edges.unpersist()
+      // hand back a storage-boundary copy and release the iteration cache:
+      // a cached result the caller can't know to unpersist would pin
+      // executor storage for the rest of the session (scratch parquet is
+      // removed at JVM exit)
+      val out = graft.stages.TempDirs.scratch("graft_cc_")
+      labels.write.mode("overwrite").parquet(out)
       labels.unpersist()
-      labels = next
-      converged = changed == 0
-    }
-    edges.unpersist()
-    // hand back a storage-boundary copy and release the iteration cache:
-    // a cached result the caller can't know to unpersist would pin
-    // executor storage for the rest of the session (scratch parquet is
-    // removed at JVM exit)
-    val out = graft.stages.TempDirs.scratch("graft_cc_")
-    labels.write.mode("overwrite").parquet(out)
-    labels.unpersist()
-    pairs.sparkSession.read.parquet(out)
+      spark.read.parquet(out)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,
