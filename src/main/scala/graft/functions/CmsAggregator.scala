@@ -24,22 +24,25 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object CmsAggregator {
 
-  /** 60-bit md5-prefix bucket, row-salted. */
-  def bucket(row: Int, x: Long, w: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s"$row:$x".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var v = 0L
-    var b = 0
-    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-    ((v >>> 4) % w).toInt
-  }
+  /** 60-bit md5-prefix bucket, row-salted (probe-side convenience; the
+    * aggregation hot path reuses one digest via the instance field below).
+    */
+  def bucket(row: Int, x: Long, w: Int): Int =
+    (Md5Hash.top60(Md5Hash.newDigest(), s"$row:$x") % w).toInt
 
   final class Cms(d: Int, w: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    // one digest per deserialized Aggregator instance == per task: reset +
+    // reuse beats a provider lookup per row × d
+    @transient private lazy val md = Md5Hash.newDigest()
+
     override def zero: Array[Long] = new Array[Long](d * w)
 
     override def reduce(buf: Array[Long], x: Long): Array[Long] = {
       var i = 0
-      while (i < d) { buf(i * w + bucket(i, x, w)) += 1; i += 1 }
+      while (i < d) {
+        buf(i * w + (Md5Hash.top60(md, s"$i:$x") % w).toInt) += 1
+        i += 1
+      }
       buf
     }
 

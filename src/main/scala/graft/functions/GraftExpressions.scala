@@ -415,19 +415,13 @@ object LshBandKeys {
     * derivation the DuckDB oracle runs (first 15 hex chars == top 60 bits).
     */
   def weights(planes: Int, dim: Int): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Hash.newDigest()
     val w = new Array[Double](planes * dim)
     var m = 0
     while (m < planes) {
       var i = 0
       while (i < dim) {
-        md.reset()
-        val d = md.digest(s"${m}_${i}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var v = 0L
-        var b = 0
-        while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-        v = v >>> 4
-        w(m * dim + i) = ((v % 2001L) - 1000L).toDouble
+        w(m * dim + i) = ((Md5Hash.top60(md, s"${m}_${i}") % 2001L) - 1000L).toDouble
         i += 1
       }
       m += 1
@@ -489,7 +483,7 @@ case class ShingleHashes(child: Expression, n: Int, modP: Boolean)
     val nTok = arr.numElements()
     val out = new java.util.ArrayList[java.lang.Long]()
     val seen = new java.util.HashSet[java.lang.Long]()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Hash.newDigest()
     val space = ' '.toByte
     var i = 0
     while (i <= nTok - n) {
@@ -500,12 +494,8 @@ case class ShingleHashes(child: Expression, n: Int, modP: Boolean)
         md.update(arr.getUTF8String(i + j).getBytes)
         j += 1
       }
-      val d = md.digest()
       // first 15 hex chars == top 60 bits of the first 8 digest bytes
-      var v = 0L
-      var b = 0
-      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      v = v >>> 4
+      var v = Md5Hash.top60OfDigest(md.digest())
       if (modP) v = v % P
       val boxed = java.lang.Long.valueOf(v)
       if (seen.add(boxed)) out.add(boxed)   // first-occurrence order, like array_distinct

@@ -185,7 +185,9 @@ object Dedup {
     *
     * Algorithm: iterated min-label propagation to FIXPOINT — each round,
     * every node takes the min of its own label and its neighbors' labels;
-    * a driver-side count of changed labels decides convergence, so the
+    * convergence is decided by the monotone label-sum invariant (labels
+    * only ever decrease, so the exact decimal sum of all labels strictly
+    * drops iff any label changed — one aggregate per round), so the
     * iteration count is the true cluster diameter, never a guessed
     * constant. Deterministic (min is order-independent). Each round is
     * one join + one partial-aggregated groupBy; near-dup clusters are
@@ -201,24 +203,30 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .cache()
+    // materialize the (possibly corpus-scale) pair lineage at the
+    // session's full shuffle width BEFORE narrowing it: the override below
+    // must scope the tiny label iteration only, never the upstream dedup
+    // joins that produce the pairs
+    edges.count()
     // the label table is |docs in pairs| rows — corpus-scale shuffle width
     // for it is pure task overhead in the iteration; scope it down the way
     // the streaming drains do (on a cluster, size to the pair count)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .cache()
       var labels = edges.select(col("a").as("node")).distinct()
         .withColumn("comp", col("node")).cache()
       // convergence via the label-sum invariant: comps only ever DECREASE,
       // so the exact decimal sum strictly drops iff any label changed —
-      // one aggregate per round instead of a join + count
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+      // one aggregate per round instead of a join + count. Null sum ==
+      // empty label table == no pairs at all: already converged.
+      def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+        Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0))
       var prevSum = labelSum(labels)
-      var converged = false
+      var converged = prevSum.isEmpty
       while (!converged) {
         val next = edges
           .join(labels.select(col("node").as("b"), col("comp").as("n_comp")), Seq("b"))
@@ -229,7 +237,7 @@ object Dedup {
         val nextSum = labelSum(next)
         labels.unpersist()
         labels = next
-        converged = nextSum.compareTo(prevSum) == 0
+        converged = nextSum == prevSum
         prevSum = nextSum
       }
       edges.unpersist()

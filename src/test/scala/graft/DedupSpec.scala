@@ -103,5 +103,7 @@ class DedupSpec extends AnyFunSuite {
     val comp2 = Dedup.connectedComponents(pairs.repartition(7)).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
     assert(comp2 == comp)
+    // no near-dups at all: an empty pair set yields an empty (not failing) result
+    assert(Dedup.connectedComponents(pairs.filter("doc_a < 0")).count() == 0)
   }
 }
