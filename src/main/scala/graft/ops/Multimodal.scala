@@ -80,4 +80,25 @@ object Multimodal {
         (r.doc_id, i, bytes.length, bytes.take(4).map(_ & 0xff).sum) }
     }.toDF("doc_id", "frame_no", "frame_bytes", "frame_header_sum")
   }
+
+  /** Audio-shaped pass: the payload as a PCM stream of unsigned 8-bit
+    * samples, per-window RMS energy + peak — the feature shape of a VAD /
+    * loudness-normalization stage, completing the modality trio next to
+    * the image-shaped [[decodeFeatures]] and video-shaped
+    * [[sampleFrames]]. Integer sum-of-squares per window with ONE final
+    * division and sqrt (IEEE sqrt is correctly rounded, so the doubles
+    * are engine-reproducible). mapPartitions-shaped like the rest:
+    * payload bytes never shuffle.
+    */
+  def windowRms(media: Dataset[MediaRow], windowBytes: Int = 128): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(windowBytes).zipWithIndex.map { case (bytes, i) =>
+        var sumSq = 0L
+        var peak = 0
+        bytes.foreach { b => val v = b & 0xff; sumSq += v.toLong * v; if (v > peak) peak = v }
+        (r.doc_id, i, bytes.length, math.sqrt(sumSq.toDouble / bytes.length), peak)
+      }
+    }.toDF("doc_id", "window_no", "n_samples", "rms", "peak")
+  }
 }

@@ -113,6 +113,29 @@ object StreamingQueries {
               FROM documents ORDER BY doc_id"""),
       doc = "multimodal: binary payload → batched (stub) decode via typed mapPartitions"),
 
+    GQuery("mm_audio_rms",
+      (s, dir) => Multimodal.windowRms(
+          Multimodal.asMediaTable(s, Tables.documents(s, dir)), windowBytes = 128)
+        .orderBy(col("doc_id"), col("window_no")),
+      Some("""WITH b AS (
+                SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents),
+              w AS (
+                SELECT doc_id, text, L,
+                       unnest(range(0, CAST(ceil(L / 128.0) AS BIGINT))) AS wn
+                FROM b),
+              sized AS (
+                SELECT doc_id, text, wn,
+                       CASE WHEN (wn + 1) * 128 <= L THEN 128 ELSE L - wn * 128 END AS n
+                FROM w)
+              SELECT doc_id, CAST(wn AS INT) AS window_no, CAST(n AS INT) AS n_samples,
+                     sqrt(CAST(list_sum(list_transform(range(wn * 128 + 1, wn * 128 + n + 1),
+                            j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)
+                                 * CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))) AS DOUBLE) / n) AS rms,
+                     CAST(list_max(list_transform(range(wn * 128 + 1, wn * 128 + n + 1),
+                            j -> ascii(substr(text, CAST(j AS INT), 1)))) AS INT) AS peak
+              FROM sized ORDER BY doc_id, window_no"""),
+      doc = "multimodal: audio-shaped per-window RMS energy + peak over the opaque payload"),
+
     GQuery("mm_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
           Multimodal.asMediaTable(s, Tables.documents(s, dir)), everyN = 2)
