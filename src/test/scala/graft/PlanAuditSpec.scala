@@ -124,7 +124,13 @@ class PlanAuditSpec extends AnyFunSuite {
     ("prep_decontamination", 4, 0, Nil),
     // two-level scan: bucket agg + tiny offsets window + per-bucket window
     // + output sort; the bucket-offset join must stay broadcast
-    ("prep_shard_assignment", 5, 1, Nil))
+    ("prep_shard_assignment", 5, 1, Nil),
+    // 1-row sketch crossJoin must stay broadcast; truth agg + output sort
+    ("sketch_cms_user_freq", 3, 1, Nil),
+    // explode + two-level token count + per-row bigram algebra + join + sort
+    ("text_repetition", 5, 0, Nil),
+    ("text_rarity", 5, 0, Nil),
+    ("text_redact_pii", 1, 0, Nil))    // pure per-row projection + sort
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)
