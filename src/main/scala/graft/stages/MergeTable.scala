@@ -52,6 +52,23 @@ final class MergeTable(val root: String, keys: Seq[String]) {
   def readVersion(spark: SparkSession, version: String): DataFrame =
     spark.read.parquet(Paths.get(root, version).toString)
 
+  /** Small-file compaction: rewrite the CURRENT version into `numFiles`
+    * parquet files as a new commit — same rows, fewer files; the
+    * `OPTIMIZE` of lakehouse formats. The update-mode streaming merges
+    * append one file per batch partition, so a long-lived table
+    * accumulates footers faster than data; periodic compaction keeps scan
+    * planning cost bounded. Runs through the same CAS commit as any
+    * merge, so it is crash-safe and loudly fails under a concurrent
+    * writer; previous versions stay intact for time travel until
+    * [[vacuum]]. No-op on an empty table.
+    */
+  def compact(spark: SparkSession, numFiles: Int = 1): Unit =
+    if (currentVersion.isDefined)
+      commit(read(spark, new StructType())) {
+        case Some(existing) => existing.repartition(numFiles)
+        case None           => read(spark, new StructType())  // unreachable: version exists
+      }
+
   /** Drop all committed versions except the newest `keepLast` (never the
     * current one). Old versions are what time travel reads, so retention
     * is a policy knob, not garbage: this is `VACUUM`.

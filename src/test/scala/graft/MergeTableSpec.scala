@@ -88,6 +88,25 @@ class MergeTableSpec extends AnyFunSuite {
     assert(rows(t) == Seq(("a", 1), ("b", 2)))
   }
 
+  test("compact rewrites the current version into fewer files with identical content") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    // several upserts at session parallelism → multiple part files
+    t.upsert((1 to 50).map(i => (s"k$i", i)).toDF("k", "v").repartition(8))
+    t.upsert((51 to 90).map(i => (s"k$i", i)).toDF("k", "v").repartition(8))
+    val before = rows(t)
+    def partFiles(version: String) =
+      new java.io.File(Paths.get(t.root, version).toString).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles(t.currentVersion.get) > 1)
+    t.compact(spark, numFiles = 1)
+    assert(t.currentVersion.contains("v2"))
+    assert(partFiles("v2") == 1, "compaction must coalesce to the requested file count")
+    assert(rows(t) == before, "compaction must not change a single row")
+    // the pre-compaction version is still time-travelable
+    assert(t.readVersion(spark, "v1").count() == before.size)
+  }
+
   test("two racing writers: one flip wins, the loser fails loudly with nothing committed") {
     import spark.implicits._
     val t = MergeTable.scratch(Seq("k"))
