@@ -134,6 +134,11 @@ object StreamingQueries {
                      CAST(list_max(list_transform(range(wn * 128 + 1, wn * 128 + n + 1),
                             j -> ascii(substr(text, CAST(j AS INT), 1)))) AS INT) AS peak
               FROM sized ORDER BY doc_id, window_no"""),
+      // NOTE (shared by all mm_* oracles): the Spark side operates on the
+      // payload BYTES — the correct semantics for opaque media — while the
+      // DuckDB mirror reads characters via ascii(substr(...)); the two
+      // agree because the documents corpus is ASCII (byte == code point).
+      // A non-ASCII corpus would need a byte-level oracle, not a Spark fix.
       doc = "multimodal: audio-shaped per-window RMS energy + peak over the opaque payload"),
 
     GQuery("mm_frame_sample",

@@ -62,12 +62,16 @@ final class MergeTable(val root: String, keys: Seq[String]) {
     * writer; previous versions stay intact for time travel until
     * [[vacuum]]. No-op on an empty table.
     */
-  def compact(spark: SparkSession, numFiles: Int = 1): Unit =
+  def compact(spark: SparkSession, numFiles: Int = 1): Unit = {
+    require(numFiles >= 1, "must compact to at least one file")
     if (currentVersion.isDefined)
       commit(read(spark, new StructType())) {
         case Some(existing) => existing.repartition(numFiles)
-        case None           => read(spark, new StructType())  // unreachable: version exists
+        case None => throw new IllegalStateException(
+          s"MergeTable $root: _CURRENT disappeared between the compaction's " +
+            "version check and its commit — concurrent vacuum/manual deletion?")
       }
+  }
 
   /** Drop all committed versions except the newest `keepLast` (never the
     * current one). Old versions are what time travel reads, so retention
