@@ -71,16 +71,33 @@ object Curate {
       docs.sparkSession.sparkContext.parallelize(rows, 1), census.schema)
   }
 
-  /** The same pipeline run THROUGH a storage boundary: the survivor set is
-    * merge-committed into `table` (SCD1 on doc_id — re-running a failed or
-    * incremental curation converges instead of duplicating), and the
+  /** The same pipeline run THROUGH a storage boundary: the survivor set
+    * is recomputed over table ∪ batch and snapshot-committed, and the
     * census is computed from what storage actually holds. This is the
     * production shape: the survivor table is the durable artifact other
     * jobs (tokenization, sharding, training-mix sampling) read, and the
     * census is reproducible from it at any time.
+    *
+    * Dedup is CROSS-batch, not within-batch (driver ADVICE.md finding):
+    * an upsert of only the current batch's survivors would let the
+    * durable table accumulate near-duplicates across incremental runs —
+    * a doc committed as a survivor earlier is never challenged by a
+    * later batch's canonical. Recomputing over table ∪ batch (batch wins
+    * on doc_id overlap) lets a new batch evict a previously committed
+    * survivor, and re-running any batch converges: survivors are a
+    * deterministic function of the union, and the snapshot commit is
+    * atomic. At 100 TB the recompute is corpus-scale per batch — the
+    * scale path is the same banded LSH join with the table side's band
+    * keys persisted as an index, which turns each run into
+    * batch-vs-index instead of corpus-vs-corpus; the semantics committed
+    * here are the contract that index must preserve.
     */
   def curateCorpusThrough(docs: DataFrame, table: graft.stages.MergeTable): DataFrame = {
-    table.upsert(survivorSet(docs))
-    censusOf(table.read(docs.sparkSession, docs.schema))
+    val spark = docs.sparkSession
+    val existing = table.read(spark, docs.schema)
+    val unioned = docs.unionByName(
+      existing.join(docs.select("doc_id"), Seq("doc_id"), "left_anti"))
+    table.replace(survivorSet(unioned))
+    censusOf(table.read(spark, docs.schema))
   }
 }

@@ -216,8 +216,9 @@ object Dedup {
     // the streaming drains do (on a cluster, size to the pair count)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var labels: DataFrame = null
     try {
-      var labels = edges.select(col("a").as("node")).distinct()
+      labels = edges.select(col("a").as("node")).distinct()
         .withColumn("comp", col("node")).cache()
       // convergence via the label-sum invariant: comps only ever DECREASE,
       // so the exact decimal sum strictly drops iff any label changed —
@@ -234,22 +235,31 @@ object Dedup {
           .unionByName(labels)
           .groupBy(col("node")).agg(min(col("comp")).as("comp"))
           .cache()
-        val nextSum = labelSum(next)
-        labels.unpersist()
+        // take ownership of `next` BEFORE the evaluating aggregate below:
+        // if it throws, the finally block then releases `next`, not a
+        // superseded predecessor
+        val prev = labels
         labels = next
+        prev.unpersist()
+        val nextSum = labelSum(next)
         converged = nextSum == prevSum
         prevSum = nextSum
       }
-      edges.unpersist()
       // hand back a storage-boundary copy and release the iteration cache:
       // a cached result the caller can't know to unpersist would pin
       // executor storage for the rest of the session (scratch parquet is
       // removed at JVM exit)
       val out = graft.stages.TempDirs.scratch("graft_cc_")
       labels.write.mode("overwrite").parquet(out)
-      labels.unpersist()
       spark.read.parquet(out)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      // release the corpus-scale caches on EVERY exit path — a thrown
+      // round must not leave edges/labels pinned in executor storage for
+      // the rest of the session (driver ADVICE.md finding)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      edges.unpersist()
+      if (labels != null) labels.unpersist()
+    }
   }
 
   private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,

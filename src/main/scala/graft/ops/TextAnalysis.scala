@@ -181,7 +181,7 @@ object TextAnalysis {
     * per-row column math — zero shuffles.
     */
   def redactPii(docs: DataFrame, token: String = "<PII>"): DataFrame = {
-    val emailsRedacted = regexp_replace(col("text"), piiEmailPattern, token)
+    val emailsRedacted = regexp_replace(col("text"), piiEmailPattern, safeReplacement(token))
     docs.select(
       col("doc_id"),
       size(expr(s"regexp_extract_all(text, '$piiEmailPattern', 0)")).as("n_emails"),
@@ -190,11 +190,29 @@ object TextAnalysis {
       md5(redacted(token)).as("redacted_md5"))
   }
 
+  /** The replacement string `regexp_replace` actually consumes: Java
+    * replacement semantics treat `$` as a group reference and `\` as its
+    * escape, so a caller token containing either would corrupt the output
+    * (driver ADVICE.md finding) — quote it the way
+    * `java.util.regex.Matcher.quoteReplacement` does. Digits can't be
+    * quoted away: a 7+-digit token would be re-redacted by the digit-run
+    * pass (skewing `n_long_numbers` and the md5), so digit-bearing tokens
+    * are rejected outright.
+    */
+  private def safeReplacement(token: String): String = {
+    require(!token.exists(_.isDigit),
+      s"redaction token '$token' contains digits — it would itself match the " +
+        "long-digit-run PII pass; use a digit-free token")
+    java.util.regex.Matcher.quoteReplacement(token)
+  }
+
   /** The scrubbed text column (emails first, then long digit runs). */
-  def redacted(token: String): Column =
+  def redacted(token: String): Column = {
+    val repl = safeReplacement(token)
     regexp_replace(
-      regexp_replace(col("text"), piiEmailPattern, token),
-      piiLongNumberPattern, token)
+      regexp_replace(col("text"), piiEmailPattern, repl),
+      piiLongNumberPattern, repl)
+  }
 
   /** Corpus token frequencies (explode → count): the one genuinely
     * shuffle-bearing text op; partial aggregation collapses it to

@@ -42,10 +42,14 @@ case class DehintOversizedBroadcasts(session: SparkSession) extends Rule[Logical
     // Therefore the reliability test is on the side's leaves, not on its
     // top-level estimate: any sentinel leaf ⇒ the estimate is unknown ⇒
     // honor the user's deliberate hint rather than silently stripping it
-    // session-wide (driver ADVICE.md finding).
+    // session-wide (driver ADVICE.md finding). The test is EQUALITY with
+    // the sentinel, not >=: stats-less leaves report exactly
+    // defaultSizeInBytes, while a deployment that lowers that conf can
+    // have real (known) leaf sizes far above it — those must stay
+    // eligible for stripping or the OOM guard silently disables itself.
     val unknown = BigInt(session.sessionState.conf.defaultSizeInBytes)
     def statsUnknown(p: LogicalPlan): Boolean =
-      p.collectLeaves().exists(_.stats.sizeInBytes >= unknown)
+      p.collectLeaves().exists(_.stats.sizeInBytes == unknown)
 
     def strip(side: Option[HintInfo], sidePlan: LogicalPlan): Option[HintInfo] =
       side match {

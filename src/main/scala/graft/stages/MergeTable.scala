@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.StructType
   * round-1 sink lacked). On object stores without atomic rename this flip
   * maps onto the store's conditional-put, exactly as Delta's LogStore does.
   */
-final class MergeTable(val root: String, keys: Seq[String]) {
+final class MergeTable(val root: String, keys: Seq[String],
+                       lockStaleMs: Long = MergeTable.DefaultLockStaleMs) {
 
   private def pointerPath: Path = Paths.get(root, "_CURRENT")
 
@@ -114,6 +115,15 @@ final class MergeTable(val root: String, keys: Seq[String]) {
     case None           => batch
   }
 
+  /** Snapshot-replace commit: the new version holds exactly `snapshot`
+    * (`INSERT OVERWRITE` / `CREATE OR REPLACE` semantics — for recomputed
+    * artifacts like a curation survivor set, where the new state is
+    * derived from table ∪ batch rather than merged row-by-row). Runs
+    * through the same stage + CAS flip as the merges, so it is crash-safe,
+    * conflict-detected, and previous versions stay time-travelable.
+    */
+  def replace(snapshot: DataFrame): Unit = commit(snapshot) { _ => snapshot }
+
   /** SCD0 merge-commit: first write wins. Same single-writer contract and
     * conflict detection as [[upsert]].
     */
@@ -158,13 +168,7 @@ final class MergeTable(val root: String, keys: Seq[String]) {
       .write.mode("overwrite").parquet(stage.toString)
     val lock = Paths.get(root, "_COMMIT_LOCK")
     try {
-      try Files.createFile(lock)   // atomic: fails if another flip is in flight
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"MergeTable $root: another commit holds $lock (crashed committers " +
-              "leave it behind — delete it after verifying no writer is live)")
-      }
+      acquireCommitLock(lock, token)
       try {
         if (currentVersion != base)
           throw new java.util.ConcurrentModificationException(
@@ -195,9 +199,79 @@ final class MergeTable(val root: String, keys: Seq[String]) {
       }
     }
   }
+
+  /** Take the commit lock, or fail loudly with the holder's identity.
+    *
+    * The lock file carries `<owner-token> <epoch-millis>` so a stuck
+    * table is diagnosable, and a holder that DIED between `createFile`
+    * and its finally-cleanup does not brick the table forever (driver
+    * ADVICE.md finding): once the lock's modification time is older than
+    * `lockStaleMs`, contenders may take it over. Takeover is itself
+    * race-free — the dead lock is first CLAIMED by an atomic rename to a
+    * per-contender unique name, so exactly one contender wins the claim
+    * and re-creates the lock; the rest fail with the usual concurrent-
+    * commit error. The critical section is pointer reads/renames only
+    * (milliseconds — the corpus-scale merge write happens BEFORE the
+    * lock), so the default threshold is generous: any lock that old
+    * belongs to a dead process, not a slow one. [[breakLock]] is the
+    * manual override when the operator knows the holder is gone.
+    */
+  private def acquireCommitLock(lock: Path, token: String): Unit = {
+    def tryCreate(): Boolean =
+      try {
+        Files.write(lock,
+          s"$token ${System.currentTimeMillis()}".getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+    if (tryCreate()) return
+    val heldFor =
+      try Some(System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis)
+      catch { case _: java.nio.file.NoSuchFileException => None } // holder just released
+    heldFor match {
+      case Some(age) if age < lockStaleMs =>
+        val holder =
+          try new String(Files.readAllBytes(lock), StandardCharsets.UTF_8).trim
+          catch { case _: java.io.IOException => "<unreadable>" }
+        throw new java.util.ConcurrentModificationException(
+          s"MergeTable $root: another commit holds $lock (owner '$holder', " +
+            s"held ${age}ms < stale threshold ${lockStaleMs}ms) — concurrent " +
+            "writer; re-run this batch, or breakLock() if the holder is known dead")
+      case Some(_) =>
+        // stale: claim the dead holder's lock by atomic rename — exactly
+        // one contender wins; losers see NoSuchFile and fall through to
+        // the re-create race below
+        val claimed = Paths.get(root, s"_COMMIT_LOCK.stale.$token")
+        try {
+          Files.move(lock, claimed, StandardCopyOption.ATOMIC_MOVE)
+          Files.deleteIfExists(claimed)
+        } catch { case _: java.nio.file.NoSuchFileException => () }
+      case None => () // released between create-fail and mtime read: retry
+    }
+    if (!tryCreate())
+      throw new java.util.ConcurrentModificationException(
+        s"MergeTable $root: lost the lock re-acquisition race on $lock — " +
+          "another contender took over; re-run this batch")
+  }
+
+  /** Explicit repair: delete a leftover `_COMMIT_LOCK` without waiting out
+    * the staleness threshold. Only safe when the operator has verified no
+    * committer is live — exactly the contract of Delta's
+    * `FSCK`/lock-break escape hatches.
+    *
+    * @return true iff a lock file existed and was removed
+    */
+  def breakLock(): Boolean = Files.deleteIfExists(Paths.get(root, "_COMMIT_LOCK"))
 }
 
 object MergeTable {
+  /** Commit-lock staleness threshold: the critical section is pointer
+    * I/O only, so 10 minutes is orders of magnitude past any live
+    * holder — a lock that old is a crashed committer's leftover.
+    */
+  val DefaultLockStaleMs: Long = 10L * 60 * 1000
+
   /** Fresh table rooted in a new temp directory, deleted at JVM exit
     * (tests, scratch targets). Durable tables pass a real root instead.
     */

@@ -39,4 +39,25 @@ class CurateSpec extends AnyFunSuite {
     assert(table.read(spark, docs.schema).count() == survivorCount)
     assert(table.currentVersion.contains("v1")) // a new version, same content
   }
+
+  test("a later batch evicts a previously committed survivor it duplicates (cross-batch dedup)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val table = MergeTable.scratch(Seq("doc_id"))
+    Curate.curateCorpusThrough(docs, table)
+    val survivors = table.read(spark, docs.schema)
+    val beforeCount = survivors.count()
+    // send a new batch carrying a committed survivor's exact text under a
+    // LOWER doc_id: the canonical moves to the new doc, so the old
+    // survivor must leave the durable table — within-batch-only dedup
+    // would keep both forever (driver ADVICE.md finding)
+    val victim = survivors.orderBy(col("doc_id").desc).limit(1)
+    val victimId = victim.collect().head.getAs[Long]("doc_id")
+    val clone = victim.withColumn("doc_id", lit(-1L))
+    Curate.curateCorpusThrough(clone, table)
+    val after = table.read(spark, docs.schema)
+    assert(after.filter(col("doc_id") === victimId).count() == 0,
+      "the old twin must be evicted by the new canonical")
+    assert(after.filter(col("doc_id") === -1L).count() == 1)
+    assert(after.count() == beforeCount) // one evicted, one admitted
+  }
 }

@@ -98,6 +98,17 @@ class ExtensionsSpec extends AnyFunSuite {
       val projectedPlan = projected.queryExecution.executedPlan.toString
       assert(projectedPlan.contains("BroadcastHashJoin"),
         s"projected stats-unknown deliberate broadcast must be honored:\n$projectedPlan")
+
+      // a deployment that LOWERS defaultSizeInBytes must not disable the
+      // OOM guard: known leaf sizes above the (now small) sentinel are
+      // real estimates, not "unknown" — the sentinel test is equality
+      spark.conf.set("spark.sql.defaultSizeInBytes", "1024")
+      try {
+        val loweredPlan = fact.join(broadcast(spark.range(0, 10000000L).toDF("id")), "id")
+          .queryExecution.executedPlan.toString
+        assert(!loweredPlan.contains("BroadcastHashJoin"),
+          s"guard must keep stripping when defaultSizeInBytes is lowered:\n$loweredPlan")
+      } finally spark.conf.unset("spark.sql.defaultSizeInBytes")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

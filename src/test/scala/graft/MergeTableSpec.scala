@@ -149,4 +149,44 @@ class MergeTableSpec extends AnyFunSuite {
     t.upsert(Seq(("b", 2)).toDF("k", "v"))
     assert(rows(t) == Seq(("a", 1), ("b", 2), ("w", 7)))
   }
+
+  test("a dead committer's leftover lock: fresh fails loudly, stale is taken over, breakLock repairs") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    t.upsert(Seq(("a", 1)).toDF("k", "v"))
+    // a lock with a recent mtime is a LIVE holder — the commit must fail
+    // with the holder's identity, not silently steal the lock
+    val lock = Paths.get(t.root, "_COMMIT_LOCK")
+    java.nio.file.Files.write(lock, "deadbeef 12345".getBytes("UTF-8"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.upsert(Seq(("b", 2)).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("deadbeef"), s"holder identity missing: ${e.getMessage}")
+    assert(rows(t) == Seq(("a", 1)))
+    // the SAME leftover under a zero staleness threshold is a dead
+    // committer's garbage: taken over, the commit proceeds, no manual
+    // intervention (the round-4 behavior bricked the table forever here)
+    val t2 = new MergeTable(t.root, Seq("k"), lockStaleMs = 0L)
+    t2.upsert(Seq(("b", 2)).toDF("k", "v"))
+    assert(rows(t2) == Seq(("a", 1), ("b", 2)))
+    assert(!java.nio.file.Files.exists(lock), "takeover must not leave the dead lock behind")
+    // explicit repair path: breakLock removes a leftover without waiting
+    // out the threshold (operator has verified the holder is gone)
+    java.nio.file.Files.write(lock, "leftover 0".getBytes("UTF-8"))
+    assert(t.breakLock())
+    t.upsert(Seq(("c", 3)).toDF("k", "v"))
+    assert(rows(t) == Seq(("a", 1), ("b", 2), ("c", 3)))
+    assert(!t.breakLock(), "nothing left to break")
+  }
+
+  test("replace commits an exact snapshot through the same CAS path") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    t.upsert(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    t.replace(Seq(("c", 3)).toDF("k", "v"))
+    assert(rows(t) == Seq(("c", 3)), "replace must not merge with the previous version")
+    // previous version remains time-travelable
+    assert(t.readVersion(spark, "v0").count() == 2)
+    assert(t.currentVersion.contains("v1"))
+  }
 }

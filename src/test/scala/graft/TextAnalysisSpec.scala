@@ -132,6 +132,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scrubbed(4) == "acct <PII> only")
   }
 
+  test("redaction token with replacement metacharacters stays literal; digit tokens rejected") {
+    import spark.implicits._
+    val pii = Seq((1L, "mail a@b.example now")).toDF("doc_id", "text")
+    // '$' starts a group reference and '\' escapes it under Java
+    // replacement semantics (an unquoted bare '$' even throws) — both
+    // must land in the output verbatim
+    val scrubbed = pii.select(TextAnalysis.redacted("[$\\x]").as("t"))
+      .collect().head.getString(0)
+    assert(scrubbed == "mail [$\\x] now")
+    // a digit-bearing token would itself match the long-digit-run pass
+    intercept[IllegalArgumentException] { TextAnalysis.redacted("<PII1234567>") }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.redactPii(pii, "<X9>").collect()
+    }
+  }
+
   test("CDC chunks are correct on non-ASCII text (code-point positions)") {
     import spark.implicits._
     // Mixed-width text: 1-byte ASCII, 2-byte umlauts, 3-byte CJK, and a
