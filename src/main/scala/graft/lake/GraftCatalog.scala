@@ -1,0 +1,189 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A lakehouse-style DSv2 `TableCatalog` over [[graft.stages.MergeTable]]
+  * storage — the capability the reference gets from Postgres DDL plus a
+  * transaction (`sql/init_dds.sql`, `sql/deliveries_stg_to_dds.sql:38-56`),
+  * re-expressed as versioned parquet with an atomic pointer flip, and
+  * surfaced through plain SQL:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.lake.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/warehouse")
+  *   spark.sql("CREATE TABLE graft.dds.ledger (k BIGINT, v DECIMAL(12,2))")
+  *   spark.sql("INSERT INTO graft.dds.ledger SELECT ...")
+  *   spark.sql("MERGE INTO graft.dds.ledger t USING batch s ON t.k = s.k " +
+  *             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+  *   spark.sql("SELECT * FROM graft.dds.ledger VERSION AS OF 'v0'")
+  * }}}
+  *
+  * Layout: `<warehouse>/<namespace...>/<table>/` is a MergeTable root
+  * (immutable `v<n>` version directories + `_CURRENT` pointer + commit
+  * lock) plus a `_TABLE_META.json` holding the declared schema. Every
+  * write — INSERT, INSERT OVERWRITE, and the MERGE/UPDATE/DELETE rewrites
+  * in [[GraftTable]] — stages executor-written parquet and promotes it
+  * with the MergeTable CAS commit, so readers always see a complete
+  * snapshot and concurrent writers are detected, never silently merged.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+    warehouse = Paths.get(w)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def namespaceDir(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)(_.resolve(_))
+  private def tableDir(ident: Identifier): Path =
+    namespaceDir(ident.namespace()).resolve(ident.name())
+  private def metaPath(dir: Path): Path = dir.resolve(GraftCatalog.MetaFile)
+
+  // ---- tables -------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespaceDir(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val entries = Files.list(dir)
+    try entries.iterator().asScala
+      .filter(p => Files.exists(metaPath(p)))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally entries.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.exists(metaPath(tableDir(ident)))
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** Time travel: `VERSION AS OF 'v<n>'` resolves here. Version
+    * directories are immutable, so the pinned table is a consistent —
+    * and read-only — snapshot.
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version))
+
+  private def loadAt(ident: Identifier, version: Option[String]): GraftTable = {
+    val dir = tableDir(ident)
+    if (!Files.exists(metaPath(dir))) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(new String(
+      Files.readAllBytes(metaPath(dir)), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    version.foreach { v =>
+      if (!Files.isDirectory(dir.resolve(v)))
+        throw new NoSuchTableException(ident)
+    }
+    new GraftTable(s"$catalogName.${ident.toString}", dir, schema, version)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft lake tables do not support partition transforms yet — model " +
+        "partitioning with a bucketed/sorted write of the source query instead")
+    val dir = tableDir(ident)
+    if (Files.exists(metaPath(dir))) throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(dir)
+    Files.write(metaPath(dir), schema.json.getBytes(StandardCharsets.UTF_8))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft lake tables is not supported yet")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!Files.exists(metaPath(dir))) false
+    else {
+      val tree = Files.walk(dir)
+      try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      finally tree.close()
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!Files.exists(metaPath(from))) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // ---- namespaces (directories) ------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val entries = Files.list(warehouse)
+    try entries.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !Files.exists(metaPath(p)))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+    finally entries.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = namespaceDir(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val entries = Files.list(dir)
+    try entries.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !Files.exists(metaPath(p)))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally entries.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || Files.isDirectory(namespaceDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> namespaceDir(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val dir = namespaceDir(namespace)
+    if (Files.isDirectory(dir)) throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = namespaceDir(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    val tree = Files.walk(dir)
+    try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    finally tree.close()
+    true
+  }
+}
+
+object GraftCatalog {
+  val MetaFile = "_TABLE_META.json"
+}

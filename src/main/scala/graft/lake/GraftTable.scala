@@ -1,0 +1,234 @@
+package graft.lake
+
+import java.nio.file.{Files, Path}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.stages.MergeTable
+
+/** A catalog table backed by MergeTable versioned-parquet storage.
+  *
+  * The design splits responsibilities the way real lakehouse connectors
+  * do: PARQUET I/O is delegated to Spark's own DSv2 parquet
+  * implementation — scans come from [[ParquetTable.newScanBuilder]]
+  * (vectorized reader, filter pushdown, column pruning, the exact code
+  * path `spark.read.parquet` uses), and writes come from its
+  * `WriteBuilder`, so data files are written BY THE EXECUTORS with the
+  * normal file-commit protocol. What this class adds is the TRANSACTION:
+  * every write lands in a per-statement staging directory, and commit
+  * promotes the staged files to a new immutable `v<n>` through the
+  * MergeTable lock + compare-and-swap pointer flip ([[MergeTable
+  * .commitStagedFiles]]). Appends carry the previous version's files
+  * forward by hard link — O(files) metadata, no data rewrite.
+  *
+  * SQL `MERGE INTO` / `UPDATE` / `DELETE` run through Spark's group-based
+  * row-level-operation API ([[SupportsRowLevelOperations]]): Catalyst
+  * rewrites the statement into a join that computes the surviving rows
+  * ([[org.apache.spark.sql.catalyst.plans.logical.ReplaceData]]), and the
+  * connector replaces the scanned group. The replaced group here is the
+  * whole table — one version per statement; at 100 TB the same API
+  * supports per-file groups with runtime group filtering, which is the
+  * documented scale path (only touched files rewrite). Each operation
+  * captures its base version at planning time and the commit CAS-checks
+  * it, so two concurrent MERGEs cannot silently lose one side's rewrite —
+  * the loser throws and nothing is committed (snapshot isolation with
+  * conflict detection, the same contract Delta/Iceberg give).
+  */
+final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
+                       pinnedVersion: Option[String])
+  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+
+  private[lake] val merge = new MergeTable(dir.toString, Seq.empty)
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+  override def properties(): util.Map[String, String] =
+    Map(TableCatalog.PROP_LOCATION -> dir.toString,
+      "format" -> "graft/parquet-versioned").asJava
+
+  /** The directory a snapshot reads: a committed version, or a real (but
+    * empty) directory for a table no write ever committed — Spark's file
+    * index then resolves zero files under the declared schema.
+    */
+  private[lake] def dataDir(version: Option[String]): String = version match {
+    case Some(v) => dir.resolve(v).toString
+    case None =>
+      val empty = dir.resolve("_empty")
+      Files.createDirectories(empty)
+      empty.toString
+  }
+
+  /** Spark's own parquet DSv2 table over the given paths — the delegation
+    * point for all file I/O.
+    */
+  private[lake] def parquetTable(paths: Seq[String]): ParquetTable =
+    ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
+      paths, Some(tableSchema), classOf[ParquetFileFormat])
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    parquetTable(Seq(dataDir(pinnedVersion.orElse(merge.currentVersion))))
+      .newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"$tableName VERSION AS OF ${pinnedVersion.get} is an immutable snapshot — writes go to the current table")
+    new GraftWriteBuilder(this, info)
+  }
+
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"$tableName VERSION AS OF ${pinnedVersion.get} is an immutable snapshot — writes go to the current table")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new GraftRowLevelOperation(GraftTable.this, info)
+    }
+  }
+}
+
+/** INSERT INTO (append) / INSERT OVERWRITE (truncate): mode is decided by
+  * the analyzer calling [[truncate]].
+  */
+private[lake] final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write =
+    new GraftWrite(table, info, carryForward = !replace, expectedBase = None)
+}
+
+/** Group-based row-level operation: the scan exposes the base snapshot,
+  * the write replaces it, and the commit CAS-checks that the snapshot is
+  * still current. One instance serves both the read and the write side of
+  * a single MERGE/UPDATE/DELETE statement.
+  */
+private[lake] final class GraftRowLevelOperation(table: GraftTable, info: RowLevelOperationInfo)
+  extends RowLevelOperation {
+  // the snapshot this statement plans against, captured ONCE — both the
+  // rewrite join's scan and the commit's conflict check use it
+  private val base: Option[String] = table.merge.currentVersion
+
+  override def command(): RowLevelOperation.Command = info.command()
+
+  /** The group scan. Deliberately a PLAIN `ScanBuilder` — no
+    * `SupportsPushDownFilters`/`SupportsPushDownRequiredColumns` — because
+    * Spark pushes the statement's WHERE condition into a row-level
+    * operation's scan for GROUP pruning, expecting group granularity:
+    * rows of a group that don't match must still be read (they are the
+    * "copy" side of the rewrite). A scan that honored the filter at ROW
+    * granularity (as the vectorized parquet scan does) would silently
+    * DELETE every non-matching row of a rewritten group. Iceberg's
+    * row-level scans make the same choice: filters prune files, never
+    * rows. Our group is the whole table, so nothing prunes — the 100 TB
+    * path is per-file groups + `SupportsRuntimeV2Filtering` on this scan.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = table.parquetTable(Seq(table.dataDir(base))).newScanBuilder(options)
+    new ScanBuilder { override def build() = inner.build() }
+  }
+
+  override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftWrite(table, writeInfo, carryForward = false, expectedBase = Some(base))
+    }
+
+  override def description(): String =
+    s"GraftRowLevelOperation(${info.command()}, base=${base.getOrElse("∅")})"
+}
+
+/** The shared physical write: executors stream rows through Spark's
+  * parquet `BatchWrite` into a fresh staging directory; the driver-side
+  * commit promotes the staged files with the MergeTable CAS flip. Abort
+  * tears the staging down and commits nothing.
+  */
+private[lake] final class GraftWrite(table: GraftTable, info: LogicalWriteInfo,
+                                     carryForward: Boolean,
+                                     expectedBase: Option[Option[String]]) extends Write {
+  override def description(): String =
+    s"GraftWrite(${table.name()}, ${if (carryForward) "append" else "replace"})"
+
+  override def toBatch: BatchWrite = {
+    val stage = java.nio.file.Paths.get(
+      table.dataDir(None)).getParent.resolve(s"_stage_dsv2_${java.util.UUID.randomUUID()}")
+    Files.createDirectories(stage)
+    val inner = table.parquetTable(Seq(stage.toString))
+      .newWriteBuilder(info).build().toBatch
+
+    new BatchWrite {
+      override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+        new DataSchemaAdaptingWriterFactory(
+          inner.createBatchWriterFactory(pi), info.schema())
+      override def useCommitCoordinator: Boolean = inner.useCommitCoordinator
+      override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+        inner.onDataWriterCommit(message)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        inner.commit(messages)   // file-commit protocol: task files -> stage dir
+        table.merge.commitStagedFiles(stage, carryForward, expectedBase)
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        try inner.abort(messages)
+        finally {
+          if (Files.exists(stage)) {
+            val tree = Files.walk(stage)
+            try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+            finally tree.close()
+          }
+        }
+    }
+  }
+}
+
+/** Adapts incoming rows to the write schema when Spark's row-level
+  * rewrite hands the writer WIDER rows than the declared write schema.
+  *
+  * Group-based `ReplaceData` plans prepend a `__row_operation` column
+  * (copy/update/delete marker, used for operation metrics) to the
+  * replacement rows, while `LogicalWriteInfo.schema()` stays the data
+  * schema; the executor-side projection that strips it is only applied on
+  * the metadata-attribute write path
+  * (`DataAndMetadataWritingSparkTask`) — a connector whose operation
+  * requests no metadata columns receives the raw wide rows. This wrapper
+  * restores the invariant the parquet writer needs: if a row is wider
+  * than the write schema, the leading extra columns are dropped via a
+  * reusable [[ProjectingInternalRow]]; rows already matching the schema
+  * pass through untouched, so the adapter is a no-op if a future Spark
+  * applies the data projection itself.
+  */
+private[lake] final class DataSchemaAdaptingWriterFactory(
+    inner: DataWriterFactory, dataSchema: StructType) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    new DataWriter[InternalRow] {
+      private var proj: ProjectingInternalRow = null
+      override def write(row: InternalRow): Unit =
+        if (row.numFields == dataSchema.length) w.write(row)
+        else {
+          if (proj == null) {
+            val offset = row.numFields - dataSchema.length
+            require(offset > 0, s"row has ${row.numFields} fields for ${dataSchema.length}-column schema")
+            proj = ProjectingInternalRow(dataSchema, offset until row.numFields)
+          }
+          proj.project(row)
+          w.write(proj)
+        }
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+      override def currentMetricsValues() = w.currentMetricsValues()
+    }
+  }
+}

@@ -178,26 +178,105 @@ final class MergeTable(val root: String, keys: Seq[String],
         // after its data write but before its flip (_CURRENT never pointed
         // at it, and we hold the lock): supersede it
         val target = Paths.get(root, next)
-        if (Files.exists(target)) {
-          val tree = Files.walk(target)
-          try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-          finally tree.close()
-        }
+        if (Files.exists(target)) deleteTree(target)
         Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
-        // flip only after the data write fully succeeded; unique temp name
-        // so racing flips never collide on the pointer scratch file
-        val tmp = Paths.get(root, s"_CURRENT.$token.tmp")
-        Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        flipPointer(next, token)
       } finally Files.deleteIfExists(lock)
     } finally {
-      if (Files.exists(stage)) {   // loser cleanup: staged data never committed
-        val tree = Files.walk(stage)
-        try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-        finally tree.close()
-      }
+      // loser cleanup: staged data never committed
+      if (Files.exists(stage)) deleteTree(stage)
     }
+  }
+
+  /** File-level commit for writers that already hold finished parquet part
+    * files (the [[graft.lake]] DSv2 catalog, whose EXECUTORS write the
+    * files — the driver only promotes them): the data files in `staged`
+    * become the next version under the same lock + CAS flip as the
+    * DataFrame commits. With `carryForward`, the current version's data
+    * files are first hard-linked (copy fallback) into the new version —
+    * O(files) metadata work, no data rewrite — giving append semantics;
+    * without it the new version holds exactly the staged files
+    * (truncate/replace semantics).
+    *
+    * `expectedBase` pins the snapshot the caller PLANNED against
+    * (`Some(None)` = planned against an empty table): if `_CURRENT` moved
+    * since, the commit throws with nothing changed — the
+    * snapshot-isolation conflict check a row-level rewrite needs, since
+    * its output was derived from that snapshot. `None` skips the check
+    * (blind appends serialize on the lock; last committer sees the other's
+    * files because carry-forward re-reads `_CURRENT` under the lock).
+    *
+    * @return the committed version name (`v<n>`)
+    */
+  def commitStagedFiles(staged: Path, carryForward: Boolean,
+                        expectedBase: Option[Option[String]] = None): String = {
+    val token = java.util.UUID.randomUUID().toString
+    val lock = Paths.get(root, "_COMMIT_LOCK")
+    try {
+      acquireCommitLock(lock, token)
+      try {
+        val base = currentVersion
+        expectedBase.foreach { eb =>
+          if (base != eb)
+            throw new java.util.ConcurrentModificationException(
+              s"MergeTable $root: _CURRENT moved from $eb to $base since this " +
+                "write planned against it — concurrent writer won; re-run the statement")
+        }
+        val next = s"v${base.map(_.drop(1).toLong + 1).getOrElse(0L)}"
+        val target = Paths.get(root, next)
+        if (Files.exists(target)) deleteTree(target)   // orphan from a dead writer
+        Files.createDirectories(target)
+        if (carryForward) base.foreach { v =>
+          eachDataFile(Paths.get(root, v)) { f =>
+            val dst = target.resolve(f.getFileName)
+            try Files.createLink(dst, f)
+            catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+              Files.copy(f, dst) }
+          }
+        }
+        eachDataFile(staged) { f =>
+          // part names embed task UUIDs so collisions with carried files
+          // can't happen in practice; stay safe anyway
+          val preferred = target.resolve(f.getFileName.toString)
+          val dst = if (Files.exists(preferred))
+            target.resolve(s"staged-$token-${f.getFileName}") else preferred
+          Files.move(f, dst)
+        }
+        flipPointer(next, token)
+        next
+      } finally Files.deleteIfExists(lock)
+    } finally {
+      if (Files.exists(staged)) deleteTree(staged)
+    }
+  }
+
+  /** Flip `_CURRENT` to `next`: write to a per-commit unique temp name,
+    * then ATOMIC_MOVE over — racing flips never collide on the scratch
+    * file, and readers only ever see a complete pointer.
+    */
+  private def flipPointer(next: String, token: String): Unit = {
+    val tmp = Paths.get(root, s"_CURRENT.$token.tmp")
+    Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    val tree = Files.walk(p)
+    try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    finally tree.close()
+  }
+
+  /** Data files of a version/staging directory: skips `_SUCCESS`,
+    * `_temporary` leftovers and hidden files, exactly as Spark's own file
+    * index does.
+    */
+  private def eachDataFile(dir: Path)(f: Path => Unit): Unit = {
+    val s = Files.list(dir)
+    try s.forEach { p =>
+      val n = p.getFileName.toString
+      if (!n.startsWith("_") && !n.startsWith(".") && Files.isRegularFile(p)) f(p)
+    } finally s.close()
   }
 
   /** Take the commit lock, or fail loudly with the holder's identity.
