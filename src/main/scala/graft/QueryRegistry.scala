@@ -26,7 +26,8 @@ object QueryRegistry {
     queries.StreamingQueries.all ++
     queries.SimilarityQueries.all ++
     queries.TextQueries.all ++
-    queries.TrainPrepQueries.all
+    queries.TrainPrepQueries.all ++
+    queries.LakeQueries.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

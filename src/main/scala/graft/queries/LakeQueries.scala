@@ -1,0 +1,151 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, Tables}
+
+/** The [[graft.lake.GraftCatalog]] SQL surface, oracle-checked: every
+  * statement sequence runs against a FRESH table in a scratch warehouse
+  * (per-invocation unique name, so reruns and bench repetitions are
+  * independent), and the final SELECT's contents are re-derived in pure
+  * DuckDB SQL over the same source parquet. This proves the whole stack —
+  * catalog resolution, executor parquet writes, CAS version commits,
+  * group-based MERGE/UPDATE/DELETE rewrites, time travel — produces
+  * exactly the state the declarative semantics demand.
+  *
+  * Cross-engine numeric contract: prices become integer cents via
+  * `floor(o_totalprice * 100)` — double multiply + floor are IEEE-exact
+  * and identical in both engines; all later arithmetic is integral.
+  */
+object LakeQueries {
+
+  private val seq = new AtomicLong(0)
+
+  /** Register the catalog once per session; scratch warehouse per JVM. */
+  private def ensureCatalog(s: SparkSession): Unit = synchronized {
+    if (s.conf.getOption("spark.sql.catalog.graftlake").isEmpty) {
+      s.conf.set("spark.sql.catalog.graftlake", "graft.lake.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftlake.warehouse",
+        graft.stages.TempDirs.scratch("graft_lake_wh_"))
+    }
+  }
+
+  /** A fresh `orders` projection view + a fresh empty lake table; returns
+    * (table name, source view name).
+    */
+  private def freshTable(s: SparkSession, dir: String, tag: String): (String, String) = {
+    ensureCatalog(s)
+    val id = seq.incrementAndGet()
+    val view = s"lake_orders_${tag}_$id"
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * lit(100)).cast("long").as("price_cents"),
+        col("o_orderstatus").as("status"))
+      .createOrReplaceTempView(view)
+    val table = s"graftlake.q.${tag}_$id"
+    s.sql(s"CREATE TABLE $table (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "price_cents BIGINT, status STRING)")
+    (table, view)
+  }
+
+  private val ordersCentsSql =
+    """SELECT o_orderkey, o_custkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+       o_orderstatus AS status FROM orders"""
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery("lake_merge_into",
+      (s, dir) => {
+        val (t, view) = freshTable(s, dir, "merge")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey % 7 < 3")
+        s.sql(s"""MERGE INTO $t t
+                  USING (SELECT o_orderkey, o_custkey, price_cents + 1111 AS price_cents,
+                                'S' AS status
+                         FROM $view WHERE o_orderkey % 7 IN (2, 3)) s
+                  ON t.o_orderkey = s.o_orderkey
+                  WHEN MATCHED AND s.price_cents % 10 < 3 THEN DELETE
+                  WHEN MATCHED THEN UPDATE SET price_cents = s.price_cents, status = s.status
+                  WHEN NOT MATCHED AND s.price_cents % 2 = 0 THEN
+                    INSERT (o_orderkey, o_custkey, price_cents, status)
+                    VALUES (s.o_orderkey, s.o_custkey, s.price_cents, s.status)
+                  WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 11 = 0 THEN DELETE""")
+        s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+                    base AS (SELECT * FROM o WHERE o_orderkey % 7 < 3),
+                    src AS (SELECT o_orderkey, o_custkey, price_cents + 1111 AS price_cents,
+                                   'S' AS status
+                            FROM o WHERE o_orderkey % 7 IN (2, 3))
+               SELECT b.o_orderkey, b.o_custkey, s.price_cents, s.status
+               FROM base b JOIN src s USING (o_orderkey)
+               WHERE s.price_cents % 10 >= 3
+               UNION ALL
+               SELECT b.* FROM base b
+               WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+                 AND b.o_orderkey % 11 <> 0
+               UNION ALL
+               SELECT s.* FROM src s
+               WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)
+                 AND s.price_cents % 2 = 0
+               ORDER BY o_orderkey"""),
+      doc = "SQL MERGE INTO with update/delete/insert/not-matched-by-source clauses " +
+        "through the group-based row-level-operation rewrite, vs a declarative oracle"),
+
+    GQuery("lake_update_delete_travel",
+      (s, dir) => {
+        val (t, view) = freshTable(s, dir, "scd")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey % 13 = 0")   // v0
+        s.sql(s"UPDATE $t SET price_cents = price_cents + 5 WHERE status = 'O'") // v1
+        s.sql(s"DELETE FROM $t WHERE status = 'F'")                              // v2
+        s.sql(s"""SELECT 'v0' AS version, count(*) AS n_rows,
+                         sum(price_cents) AS total_cents FROM $t VERSION AS OF 'v0'
+                  UNION ALL
+                  SELECT 'v1', count(*), sum(price_cents) FROM $t VERSION AS OF 'v1'
+                  UNION ALL
+                  SELECT 'v2', count(*), sum(price_cents) FROM $t
+                  ORDER BY version""")
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+                    v0 AS (SELECT * FROM o WHERE o_orderkey % 13 = 0),
+                    v1 AS (SELECT o_orderkey, o_custkey,
+                                  CASE WHEN status = 'O' THEN price_cents + 5
+                                       ELSE price_cents END AS price_cents, status
+                           FROM v0),
+                    v2 AS (SELECT * FROM v1 WHERE status <> 'F')
+               SELECT 'v0' AS version, count(*) AS n_rows,
+                      CAST(sum(price_cents) AS BIGINT) AS total_cents FROM v0
+               UNION ALL
+               SELECT 'v1', count(*), CAST(sum(price_cents) AS BIGINT) FROM v1
+               UNION ALL
+               SELECT 'v2', count(*), CAST(sum(price_cents) AS BIGINT) FROM v2
+               ORDER BY version"""),
+      doc = "UPDATE + DELETE rewrites with VERSION AS OF time travel across the " +
+        "resulting immutable snapshots"),
+
+    GQuery("lake_insert_append_overwrite",
+      (s, dir) => {
+        val (t, view) = freshTable(s, dir, "ins")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey % 5 = 0")  // v0
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey % 5 = 1")  // v1: append
+        s.sql(s"INSERT OVERWRITE $t SELECT * FROM $view " +
+          "WHERE o_orderkey % 5 = 2 AND status = 'O'")                         // v2: replace
+        s.sql(s"""SELECT 'cur' AS snap, o_orderkey, price_cents FROM $t
+                  UNION ALL
+                  SELECT 'v1', o_orderkey, price_cents FROM $t VERSION AS OF 'v1'
+                  ORDER BY snap, o_orderkey""")
+      },
+      Some(s"""WITH o AS ($ordersCentsSql)
+               SELECT 'cur' AS snap, o_orderkey, price_cents FROM o
+               WHERE o_orderkey % 5 = 2 AND status = 'O'
+               UNION ALL
+               SELECT 'v1', o_orderkey, price_cents FROM o
+               WHERE o_orderkey % 5 IN (0, 1)
+               ORDER BY snap, o_orderkey"""),
+      doc = "INSERT INTO appends (hard-link carry-forward of previous version) and " +
+        "INSERT OVERWRITE truncate semantics, both time-travel-visible")
+  )
+}
