@@ -117,6 +117,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** SQ8 scalar quantization: per-dimension [min, max] over the corpus,
+    * each float mapped to an 8-bit code `floor((x - lo) / scale)` with
+    * `scale = (hi - lo) / 255` — a 4× memory cut (critical at 100 TB: the
+    * quantized corpus is what stays resident for search; full floats live
+    * only in cold storage). Scoring is ASYMMETRIC (ADC): queries keep
+    * their exact vectors, corpus vectors are reconstructed from codes at
+    * the cell midpoint `lo + (code + 0.5) * scale`, so the only error is
+    * one-sided corpus rounding.
+    *
+    * Scale shape: the stats pass is a map-side-combining per-dimension
+    * min/max (64 groups — no skew possible); the dim-sized stats array is
+    * collected and broadcast as a literal, exactly like IVF centroids.
+    * Quantize + reconstruct are per-row `transform`s — zero shuffles.
+    * Determinism: subtraction/division/floor on identical doubles are
+    * IEEE-exact in both engines, so codes — and therefore reconstructed
+    * values and cosines — hash-compare with the oracle.
+    */
+  def withSq8(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .orderBy(col("i"))
+      .collect()   // dim rows — bounded, same contract as IVF centroids
+    val los = stats.map(_.getDouble(1)).toSeq
+    val scales = stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+    emb
+      .withColumn("lo_arr", typedLit(los))
+      .withColumn("scale_arr", typedLit(scales))
+      .withColumn("sq8_code", expr(
+        """transform(embedding, (x, i) ->
+             CASE WHEN element_at(scale_arr, i + 1) = 0D THEN 0
+                  ELSE CAST(least(floor((CAST(x AS DOUBLE) - element_at(lo_arr, i + 1))
+                                        / element_at(scale_arr, i + 1)), 255L) AS INT) END)"""))
+      .withColumn("deq", expr(
+        """transform(sq8_code, (c, i) ->
+             CASE WHEN element_at(scale_arr, i + 1) = 0D THEN element_at(lo_arr, i + 1)
+                  ELSE element_at(lo_arr, i + 1)
+                       + (CAST(c AS DOUBLE) + 0.5D) * element_at(scale_arr, i + 1) END)"""))
+      .drop("lo_arr", "scale_arr")
+  }
+
+  /** Top-k over the QUANTIZED corpus (asymmetric cosine), with each hit
+    * flagged against the exact brute-force top-k — the query output is its
+    * own recall report: `sum(exact_hit) / (numQueries * k)` is SQ8 recall.
+    */
+  def sq8TopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val quant = withSq8(emb)
+      .withColumn("deq_norm", expr(s"sqrt(${dotExpr("deq", "deq")})"))
+    val queries = withNorm(emb).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sq8").desc, col("vec_id"))
+    val ranked = quant.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_sq8",
+        expr(dotExpr("deq", "q_emb")) / (col("deq_norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    ranked
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine_sq8"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine_sq8"), col("exact_hit"))
+  }
+
   /** IVF (inverted-file) ANN: a deterministic coarse quantizer (the first
     * `centroids` vectors serve as cell centers) assigns every vector to its
     * nearest cell by cosine; search visits only the query's cell

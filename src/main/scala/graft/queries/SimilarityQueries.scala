@@ -248,7 +248,62 @@ object SimilarityQueries {
         ) ORDER BY method"""
   }
 
+  /** DuckDB mirror of Similarity.withSq8 + sq8TopK: per-dim min/scale →
+    * codes → midpoint reconstruction → asymmetric cosine top-k, each hit
+    * flagged against the exact brute-force truth. `CAST(... AS INT)` on
+    * the code is safe cross-engine because the value is an integral
+    * double after floor (DuckDB's rounding cast == truncation there).
+    */
+  private def sq8Sql(numQueries: Int, k: Int): String =
+    s"""WITH expl AS (
+          SELECT e.vec_id, g.i, CAST(e.embedding[g.i] AS DOUBLE) AS x
+          FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) g),
+        stats AS (
+          SELECT i, min(x) AS lo, (max(x) - min(x)) / 255 AS scale
+          FROM expl GROUP BY i),
+        qd AS (
+          SELECT e.vec_id, e.i,
+                 CASE WHEN s.scale = 0 THEN s.lo
+                      ELSE s.lo + (CAST(CAST(least(floor((e.x - s.lo) / s.scale), 255) AS INT) AS DOUBLE) + 0.5) * s.scale
+                 END AS xq
+          FROM expl e JOIN stats s USING (i)),
+        deq AS (
+          SELECT vec_id, list(xq ORDER BY i) AS dv FROM qd GROUP BY vec_id),
+        dn AS (
+          SELECT vec_id, dv,
+                 sqrt(list_sum(list_transform(range(1, 65), i -> dv[i] * dv[i]))) AS deq_norm
+          FROM deq),
+        base AS (
+          SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS norm
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+              FROM base WHERE vec_id < $numQueries),
+        ranked AS (
+          SELECT q.query_id, d.vec_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> d.dv[i] * CAST(q.q_emb[i] AS DOUBLE))) / (d.deq_norm * q.q_norm) AS cosine_sq8,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                    ORDER BY list_sum(list_transform(range(1, 65),
+                                      i -> d.dv[i] * CAST(q.q_emb[i] AS DOUBLE))) / (d.deq_norm * q.q_norm) DESC,
+                                      d.vec_id) AS rank
+          FROM dn d, q WHERE d.vec_id <> q.query_id),
+        truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t)
+        SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id AS neighbor_id,
+               r.cosine_sq8,
+               CAST(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_hit
+        FROM ranked r LEFT JOIN truth t
+          ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
+        WHERE r.rank <= $k ORDER BY r.query_id, r.rank"""
+
   val all: Seq[GQuery] = Seq(
+
+    GQuery("sim_sq8_topk",
+      (s, dir) => Similarity.sq8TopK(Tables.embeddings(s, dir), numQueries = 16, k = 5)
+        .orderBy(col("query_id"), col("rank")),
+      Some(sq8Sql(numQueries = 16, k = 5)),
+      doc = "int8 scalar-quantized (SQ8) asymmetric cosine top-5 — 4x memory cut " +
+        "with per-hit exact-truth flags, so the output doubles as the recall report"),
 
     GQuery("sim_topk_brute",
       (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir),

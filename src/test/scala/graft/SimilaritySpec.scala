@@ -104,4 +104,24 @@ class SimilaritySpec extends AnyFunSuite {
       assert(brute(r.getAs[Long]("neighbor_id")) == r.getAs[Double]("cosine"))
     }
   }
+
+  test("SQ8: codes are bytes, reconstruction error bounded by half a cell, twin still ranks first") {
+    import org.apache.spark.sql.functions._
+    val q = Similarity.withSq8(emb)
+    // every code is an 8-bit value
+    val codeRange = q.select(explode(col("sq8_code")).as("c"))
+      .agg(min("c"), max("c")).collect().head
+    assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) <= 255)
+    // |x - deq(x)| <= scale/2 per dimension: with 64 dims spanning ~2 units,
+    // scale ~ 2/255, so max abs error < 0.005
+    val maxErr = q.select(explode(arrays_zip(col("embedding"), col("deq"))).as("z"))
+      .select(abs(col("z.embedding").cast("double") - col("z.deq")).as("e"))
+      .agg(max("e")).collect().head.getDouble(0)
+    assert(maxErr < 0.005, s"reconstruction error $maxErr exceeds half a quantization cell")
+    // quantized search still finds the planted twin, and flags it as an exact hit
+    val top = Similarity.sq8TopK(emb, numQueries = 1, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+    assert(top.head.getAs[Int]("exact_hit") == 1)
+  }
 }
