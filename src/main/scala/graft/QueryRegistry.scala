@@ -27,7 +27,8 @@ object QueryRegistry {
     queries.SimilarityQueries.all ++
     queries.TextQueries.all ++
     queries.TrainPrepQueries.all ++
-    queries.LakeQueries.all
+    queries.LakeQueries.all ++
+    queries.LayoutQueries.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

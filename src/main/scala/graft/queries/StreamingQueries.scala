@@ -65,6 +65,31 @@ object StreamingQueries {
               ORDER BY user_id, session_start"""),
       doc = "sessionization (gaps-and-islands batch form; flatMapGroupsWithState streaming twin in Sessionize)"),
 
+    GQuery("sessionization_session_window",
+      (s, dir) => graft.streaming.Sessionize.sessionsNativeWindow(
+          graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+          gapMinutes = 360)
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= CAST(360 AS BIGINT) * 60000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events),
+              sess AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS s
+                FROM flagged)
+              SELECT user_id,
+                     strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                     strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                     count(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM sess GROUP BY user_id, s
+              ORDER BY user_id, session_start"""),
+      doc = "sessionization via Spark's native session_window operator (merge-on-overlap: " +
+        "a gap of exactly the threshold splits, hence >= in the oracle's island flag)"),
+
     GQuery("streaming_static_join",
       (s, dir) => IncrementalLedger.nationMonthlyTotals(s, dir)
         .orderBy(col("c_nationkey"), col("year"), col("month")),

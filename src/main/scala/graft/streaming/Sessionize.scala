@@ -59,6 +59,26 @@ object Sessionize extends Serializable {
       .drop("_session")
   }
 
+  /** The same sessions through Spark's NATIVE `session_window` operator —
+    * the declarative form: Catalyst plans the window merge itself
+    * (`UpdatingSessionsExec` + a single user-key shuffle in batch; a
+    * session-window state store in streaming), no hand-rolled
+    * gaps-and-islands. Boundary semantics differ from [[sessionsBatch]] by
+    * one epsilon: each event's window is `[ts, ts + gap)` and windows
+    * merge on OVERLAP, so a gap of exactly `gapMinutes` SPLITS here
+    * (merged iff gap < threshold) where the lag-form splits only when
+    * strictly greater. The oracle mirrors with `>=`.
+    */
+  def sessionsNativeWindow(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        date_format(min(col("ts")), fmt).as("session_start"),
+        date_format(max(col("ts")), fmt).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .drop("session_window")
+
   /** The streaming twin run as a BOUNDED drain over the events file(s),
     * returning exactly the batch result — which makes the
     * `flatMapGroupsWithState` path oracle-checkable, not just spec-tested.
