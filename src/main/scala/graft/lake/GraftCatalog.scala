@@ -6,7 +6,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -114,12 +114,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!Files.exists(metaPath(dir))) false
-    else {
-      val tree = Files.walk(dir)
-      try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-      finally tree.close()
-      true
-    }
+    else { graft.stages.TempDirs.deleteTree(dir); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -175,11 +170,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = namespaceDir(namespace)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    if (!cascade && listTables(namespace).nonEmpty)
-      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
-    val tree = Files.walk(dir)
-    try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-    finally tree.close()
+    if (!cascade) {
+      // tables at ANY depth block a non-cascading drop — direct children
+      // only would let nested-namespace tables be silently destroyed
+      val walk = Files.walk(dir)
+      val hasTable =
+        try walk.anyMatch(p => p.getFileName.toString == GraftCatalog.MetaFile)
+        finally walk.close()
+      if (hasTable) throw new NonEmptyNamespaceException(namespace)
+    }
+    graft.stages.TempDirs.deleteTree(dir)
     true
   }
 }

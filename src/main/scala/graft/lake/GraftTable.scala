@@ -180,13 +180,7 @@ private[lake] final class GraftWrite(table: GraftTable, info: LogicalWriteInfo,
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         try inner.abort(messages)
-        finally {
-          if (Files.exists(stage)) {
-            val tree = Files.walk(stage)
-            try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-            finally tree.close()
-          }
-        }
+        finally if (Files.exists(stage)) graft.stages.TempDirs.deleteTree(stage)
     }
   }
 }

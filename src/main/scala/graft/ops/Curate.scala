@@ -94,10 +94,15 @@ object Curate {
     */
   def curateCorpusThrough(docs: DataFrame, table: graft.stages.MergeTable): DataFrame = {
     val spark = docs.sparkSession
-    val existing = table.read(spark, docs.schema)
+    // pin the exact snapshot this recompute reads, and make the commit
+    // CAS against it: a concurrent curation landing in between fails this
+    // run loudly instead of having its survivors silently overwritten
+    val base = table.currentVersion
+    val existing = base.map(v => table.readVersion(spark, v)).getOrElse(
+      table.read(spark, docs.schema))
     val unioned = docs.unionByName(
       existing.join(docs.select("doc_id"), Seq("doc_id"), "left_anti"))
-    table.replace(survivorSet(unioned))
+    table.replace(survivorSet(unioned), expectedBase = Some(base))
     censusOf(table.read(spark, docs.schema))
   }
 }

@@ -217,6 +217,7 @@ object Dedup {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     var labels: DataFrame = null
+    var pendingPrev: DataFrame = null
     try {
       labels = edges.select(col("a").as("node")).distinct()
         .withColumn("comp", col("node")).cache()
@@ -235,13 +236,17 @@ object Dedup {
           .unionByName(labels)
           .groupBy(col("node")).agg(min(col("comp")).as("comp"))
           .cache()
-        // take ownership of `next` BEFORE the evaluating aggregate below:
-        // if it throws, the finally block then releases `next`, not a
-        // superseded predecessor
-        val prev = labels
+        // ownership handover order matters twice over: `labels = next`
+        // BEFORE the evaluating aggregate (a throw must release `next`,
+        // not a superseded frame), and `prev.unpersist()` AFTER it — the
+        // aggregate is what materializes next's cache, and next's lineage
+        // runs through prev, so releasing prev first would recompute every
+        // earlier round from `edges` (O(rounds²) joins instead of O(rounds))
+        pendingPrev = labels
         labels = next
-        prev.unpersist()
         val nextSum = labelSum(next)
+        pendingPrev.unpersist()
+        pendingPrev = null
         converged = nextSum == prevSum
         prevSum = nextSum
       }
@@ -258,6 +263,7 @@ object Dedup {
       // the rest of the session (driver ADVICE.md finding)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       edges.unpersist()
+      if (pendingPrev != null) pendingPrev.unpersist()
       if (labels != null) labels.unpersist()
     }
   }

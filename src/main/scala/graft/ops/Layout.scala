@@ -21,12 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Scale a nonnegative-span column to `[0, 2^bits)` with pure integer
-    * arithmetic: `(v - lo) * (2^bits - 1) div (hi - lo)` — cross-engine
-    * exact (positive BIGINT division truncates identically everywhere).
+  /** Scale a column to `[0, 2^bits)` with pure integer arithmetic, as a
+    * DIVISION by the cell width `w = (hi - lo) div 2^bits + 1`: unlike the
+    * multiply-then-divide form, `(v - lo) div w` cannot overflow for any
+    * BIGINT domain (a span * 2^bits product wraps for e.g. multi-year
+    * microsecond timestamps at bits=16). Positive BIGINT division
+    * truncates identically in both engines.
     */
   private def scaled(v: String, lo: String, hi: String, bits: Int): String =
-    s"CASE WHEN $hi = $lo THEN 0L ELSE (($v - $lo) * ${(1L << bits) - 1}L) div ($hi - $lo) END"
+    s"(($v - $lo) div ((($hi - $lo) div ${1L << bits}L) + 1L))"
 
   /** Morton interleave of two `bits`-bit integers: bit i of `a` lands at
     * position 2i, bit i of `b` at 2i+1.

@@ -26,10 +26,8 @@ object LayoutQueries {
                     s AS (SELECT min(user_id) AS ua, max(user_id) AS uh,
                                  min(tsu) AS ta, max(tsu) AS th FROM e),
                     sc AS (SELECT
-                             CASE WHEN uh = ua THEN 0
-                                  ELSE ((user_id - ua) * 255) // (uh - ua) END AS a_scaled,
-                             CASE WHEN th = ta THEN 0
-                                  ELSE ((tsu - ta) * 255) // (th - ta) END AS b_scaled
+                             (user_id - ua) // (((uh - ua) // 256) + 1) AS a_scaled,
+                             (tsu - ta) // (((th - ta) // 256) + 1) AS b_scaled
                            FROM e, s),
                     z AS (SELECT a_scaled, b_scaled,
                                  ${mortonSql("a_scaled", "b_scaled", 8)} AS zv

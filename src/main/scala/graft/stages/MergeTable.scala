@@ -85,12 +85,8 @@ final class MergeTable(val root: String, keys: Seq[String],
     try entries.forEach { p =>
       val name = p.getFileName.toString
       if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
-          name.drop(1).toLong <= cur - keepLast) {
-        val tree = Files.walk(p)
-        try tree.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(Files.delete(_))
-        finally tree.close()
-      }
+          name.drop(1).toLong <= cur - keepLast)
+        TempDirs.deleteTree(p)
     } finally entries.close()
   }
 
@@ -119,10 +115,18 @@ final class MergeTable(val root: String, keys: Seq[String],
     * (`INSERT OVERWRITE` / `CREATE OR REPLACE` semantics — for recomputed
     * artifacts like a curation survivor set, where the new state is
     * derived from table ∪ batch rather than merged row-by-row). Runs
-    * through the same stage + CAS flip as the merges, so it is crash-safe,
-    * conflict-detected, and previous versions stay time-travelable.
+    * through the same stage + CAS flip as the merges, so it is crash-safe
+    * and previous versions stay time-travelable.
+    *
+    * Conflict detection needs the caller's help: the snapshot was derived
+    * from a version the CALLER read, so pass that version as
+    * `expectedBase` and a commit that raced past it fails loudly. Without
+    * it the CAS window only covers this call (last-writer-wins between
+    * replaces — fine for INSERT OVERWRITE semantics, wrong for
+    * read-modify-write like curation).
     */
-  def replace(snapshot: DataFrame): Unit = commit(snapshot) { _ => snapshot }
+  def replace(snapshot: DataFrame, expectedBase: Option[Option[String]] = None): Unit =
+    commit(snapshot, expectedBase) { _ => snapshot }
 
   /** SCD0 merge-commit: first write wins. Same single-writer contract and
     * conflict detection as [[upsert]].
@@ -158,9 +162,11 @@ final class MergeTable(val root: String, keys: Seq[String],
     * exactly as Delta's LogStore does. The loser's staging directory is
     * deleted; committed `v<n>` directories stay immutable.
     */
-  private def commit(batch: DataFrame)(merge: Option[DataFrame] => DataFrame): Unit = {
+  private def commit(batch: DataFrame, pinnedBase: Option[Option[String]] = None)
+                    (merge: Option[DataFrame] => DataFrame): Unit = {
     val spark = batch.sparkSession
-    val base = currentVersion
+    // a pinned base makes the CAS cover the CALLER's read, not just this call
+    val base = pinnedBase.getOrElse(currentVersion)
     val next = s"v${base.map(_.drop(1).toLong + 1).getOrElse(0L)}"
     val token = java.util.UUID.randomUUID().toString
     val stage = Paths.get(root, s"_stage_$token")
@@ -170,6 +176,7 @@ final class MergeTable(val root: String, keys: Seq[String],
     try {
       acquireCommitLock(lock, token)
       try {
+        verifyLockOwner(lock, token)
         if (currentVersion != base)
           throw new java.util.ConcurrentModificationException(
             s"MergeTable $root: _CURRENT moved from $base to $currentVersion " +
@@ -178,13 +185,13 @@ final class MergeTable(val root: String, keys: Seq[String],
         // after its data write but before its flip (_CURRENT never pointed
         // at it, and we hold the lock): supersede it
         val target = Paths.get(root, next)
-        if (Files.exists(target)) deleteTree(target)
+        if (Files.exists(target)) TempDirs.deleteTree(target)
         Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
         flipPointer(next, token)
-      } finally Files.deleteIfExists(lock)
+      } finally releaseLockIfOwner(lock, token)
     } finally {
       // loser cleanup: staged data never committed
-      if (Files.exists(stage)) deleteTree(stage)
+      if (Files.exists(stage)) TempDirs.deleteTree(stage)
     }
   }
 
@@ -192,19 +199,21 @@ final class MergeTable(val root: String, keys: Seq[String],
     * files (the [[graft.lake]] DSv2 catalog, whose EXECUTORS write the
     * files — the driver only promotes them): the data files in `staged`
     * become the next version under the same lock + CAS flip as the
-    * DataFrame commits. With `carryForward`, the current version's data
-    * files are first hard-linked (copy fallback) into the new version —
-    * O(files) metadata work, no data rewrite — giving append semantics;
-    * without it the new version holds exactly the staged files
-    * (truncate/replace semantics).
+    * DataFrame commits. With `carryForward`, the base version's data
+    * files are hard-linked (copy fallback) into the staging directory
+    * BEFORE the lock is taken — O(files) metadata work, no data rewrite,
+    * and the critical section stays one directory rename plus the pointer
+    * flip, preserving the premise behind the lock-staleness threshold.
     *
     * `expectedBase` pins the snapshot the caller PLANNED against
     * (`Some(None)` = planned against an empty table): if `_CURRENT` moved
     * since, the commit throws with nothing changed — the
     * snapshot-isolation conflict check a row-level rewrite needs, since
-    * its output was derived from that snapshot. `None` skips the check
-    * (blind appends serialize on the lock; last committer sees the other's
-    * files because carry-forward re-reads `_CURRENT` under the lock).
+    * its output was derived from that snapshot. A carry-forward append
+    * without an explicit base pins the version it linked from, so a
+    * concurrent commit landing between the link pass and the flip fails
+    * THIS commit loudly instead of silently losing the other writer's
+    * rows. Only a replace with `expectedBase = None` is last-writer-wins.
     *
     * @return the committed version name (`v<n>`)
     */
@@ -213,10 +222,28 @@ final class MergeTable(val root: String, keys: Seq[String],
     val token = java.util.UUID.randomUUID().toString
     val lock = Paths.get(root, "_COMMIT_LOCK")
     try {
+      // carry-forward link pass runs OUTSIDE the lock, against the base
+      // the commit is pinned to (observed now if the caller didn't pin)
+      val carriedBase = if (carryForward) expectedBase.getOrElse(currentVersion) else None
+      val effectiveExpected =
+        if (carryForward) expectedBase.orElse(Some(carriedBase)) else expectedBase
+      carriedBase.foreach { v =>
+        eachDataFile(Paths.get(root, v)) { f =>
+          val preferred = staged.resolve(f.getFileName.toString)
+          // staged part names embed task UUIDs, so collisions with carried
+          // files can't happen in practice; stay safe anyway
+          val dst = if (Files.exists(preferred))
+            staged.resolve(s"carried-$token-${f.getFileName}") else preferred
+          try Files.createLink(dst, f)
+          catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(f, dst) }
+        }
+      }
       acquireCommitLock(lock, token)
       try {
+        verifyLockOwner(lock, token)
         val base = currentVersion
-        expectedBase.foreach { eb =>
+        effectiveExpected.foreach { eb =>
           if (base != eb)
             throw new java.util.ConcurrentModificationException(
               s"MergeTable $root: _CURRENT moved from $eb to $base since this " +
@@ -224,29 +251,13 @@ final class MergeTable(val root: String, keys: Seq[String],
         }
         val next = s"v${base.map(_.drop(1).toLong + 1).getOrElse(0L)}"
         val target = Paths.get(root, next)
-        if (Files.exists(target)) deleteTree(target)   // orphan from a dead writer
-        Files.createDirectories(target)
-        if (carryForward) base.foreach { v =>
-          eachDataFile(Paths.get(root, v)) { f =>
-            val dst = target.resolve(f.getFileName)
-            try Files.createLink(dst, f)
-            catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-              Files.copy(f, dst) }
-          }
-        }
-        eachDataFile(staged) { f =>
-          // part names embed task UUIDs so collisions with carried files
-          // can't happen in practice; stay safe anyway
-          val preferred = target.resolve(f.getFileName.toString)
-          val dst = if (Files.exists(preferred))
-            target.resolve(s"staged-$token-${f.getFileName}") else preferred
-          Files.move(f, dst)
-        }
+        if (Files.exists(target)) TempDirs.deleteTree(target)   // orphan from a dead writer
+        Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
         flipPointer(next, token)
         next
-      } finally Files.deleteIfExists(lock)
+      } finally releaseLockIfOwner(lock, token)
     } finally {
-      if (Files.exists(staged)) deleteTree(staged)
+      if (Files.exists(staged)) TempDirs.deleteTree(staged)
     }
   }
 
@@ -255,16 +266,11 @@ final class MergeTable(val root: String, keys: Seq[String],
     * file, and readers only ever see a complete pointer.
     */
   private def flipPointer(next: String, token: String): Unit = {
+    verifyLockOwner(Paths.get(root, "_COMMIT_LOCK"), token)
     val tmp = Paths.get(root, s"_CURRENT.$token.tmp")
     Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  private def deleteTree(p: Path): Unit = {
-    val tree = Files.walk(p)
-    try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-    finally tree.close()
   }
 
   /** Data files of a version/staging directory: skips `_SUCCESS`,
@@ -305,33 +311,74 @@ final class MergeTable(val root: String, keys: Seq[String],
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
 
     if (tryCreate()) return
-    val heldFor =
-      try Some(System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis)
-      catch { case _: java.nio.file.NoSuchFileException => None } // holder just released
-    heldFor match {
-      case Some(age) if age < lockStaleMs =>
-        val holder =
-          try new String(Files.readAllBytes(lock), StandardCharsets.UTF_8).trim
-          catch { case _: java.io.IOException => "<unreadable>" }
+    val observed =
+      try {
+        val content = new String(Files.readAllBytes(lock), StandardCharsets.UTF_8).trim
+        val age = System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+        Some((content, age))
+      } catch { case _: java.io.IOException => None } // holder just released
+    observed match {
+      case Some((holder, age)) if age < lockStaleMs =>
         throw new java.util.ConcurrentModificationException(
           s"MergeTable $root: another commit holds $lock (owner '$holder', " +
             s"held ${age}ms < stale threshold ${lockStaleMs}ms) — concurrent " +
             "writer; re-run this batch, or breakLock() if the holder is known dead")
-      case Some(_) =>
+      case Some((staleContent, _)) =>
         // stale: claim the dead holder's lock by atomic rename — exactly
-        // one contender wins; losers see NoSuchFile and fall through to
-        // the re-create race below
+        // one contender wins the rename; losers see NoSuchFile and fall
+        // through to the re-create race below. The claim is then VERIFIED
+        // by content: a contender that raced slow enough to rename the
+        // winner's freshly re-created LIVE lock (the lock path cycles
+        // vacant → recreated during a takeover) sees non-stale content,
+        // restores the file, and backs off — without this check two
+        // committers could both believe they hold the lock.
         val claimed = Paths.get(root, s"_COMMIT_LOCK.stale.$token")
         try {
           Files.move(lock, claimed, StandardCopyOption.ATOMIC_MOVE)
+          val got = new String(Files.readAllBytes(claimed), StandardCharsets.UTF_8).trim
+          if (got != staleContent) {
+            try Files.move(claimed, lock, StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.nio.file.FileSystemException => Files.deleteIfExists(claimed) }
+            throw new java.util.ConcurrentModificationException(
+              s"MergeTable $root: raced a concurrent takeover of $lock (claimed a " +
+                s"live lock owned by '$got' and restored it) — re-run this batch")
+          }
           Files.deleteIfExists(claimed)
         } catch { case _: java.nio.file.NoSuchFileException => () }
-      case None => () // released between create-fail and mtime read: retry
+      case None => () // released between create-fail and read: retry
     }
     if (!tryCreate())
       throw new java.util.ConcurrentModificationException(
         s"MergeTable $root: lost the lock re-acquisition race on $lock — " +
           "another contender took over; re-run this batch")
+  }
+
+  /** Defense in depth for the takeover path: even if a contender slipped
+    * through every claim check, a commit only mutates shared state while
+    * the lock file still carries ITS token — verified at critical-section
+    * entry and again immediately before the pointer flip. The worst a
+    * residual race can produce is both commits failing loudly; a
+    * committed, pointed-to version can never be deleted or overwritten.
+    */
+  private def verifyLockOwner(lock: Path, token: String): Unit = {
+    val owner =
+      try new String(Files.readAllBytes(lock), StandardCharsets.UTF_8).trim
+      catch { case _: java.io.IOException => "" }
+    if (!owner.startsWith(token))
+      throw new java.util.ConcurrentModificationException(
+        s"MergeTable $root: commit lock was taken over mid-commit (now owned by " +
+          s"'$owner') — nothing committed; re-run this batch")
+  }
+
+  /** Release the lock only if this commit still owns it — a contender that
+    * (wrongly or rightly) took the lock over must not have its lock
+    * deleted by the previous holder's cleanup.
+    */
+  private def releaseLockIfOwner(lock: Path, token: String): Unit = {
+    val owner =
+      try new String(Files.readAllBytes(lock), StandardCharsets.UTF_8).trim
+      catch { case _: java.io.IOException => "" }
+    if (owner.startsWith(token)) Files.deleteIfExists(lock)
   }
 
   /** Explicit repair: delete a leftover `_COMMIT_LOCK` without waiting out

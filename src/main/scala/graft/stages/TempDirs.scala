@@ -27,4 +27,14 @@ object TempDirs {
     created.add(dir)
     dir.toString
   }
+
+  /** Recursive delete — THE one definition of destructive tree removal
+    * (MergeTable commits, catalog drops, write aborts all route here, so a
+    * fix to e.g. concurrent-delete races reaches every caller).
+    */
+  def deleteTree(p: Path): Unit = {
+    val tree = Files.walk(p)
+    try tree.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    finally tree.close()
+  }
 }

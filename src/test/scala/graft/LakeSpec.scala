@@ -121,4 +121,15 @@ class LakeSpec extends AnyFunSuite {
     sql(s"DROP TABLE $t")
     assert(!Files.exists(dir))
   }
+
+  test("DROP NAMESPACE without CASCADE refuses while nested tables exist") {
+    sql("CREATE TABLE lakespec.nsdrop.inner.t (k BIGINT)")
+    sql("INSERT INTO lakespec.nsdrop.inner.t VALUES (1)")
+    val e = intercept[Exception] { sql("DROP NAMESPACE lakespec.nsdrop") }
+    assert(e.getMessage.contains("SCHEMA_NOT_EMPTY"),
+      s"expected a non-empty-namespace refusal, got: ${e.getMessage}")
+    assert(sql("SELECT * FROM lakespec.nsdrop.inner.t").count() == 1, "data must survive")
+    sql("DROP NAMESPACE lakespec.nsdrop CASCADE")
+    assert(intercept[Exception] { sql("SELECT * FROM lakespec.nsdrop.inner.t") } != null)
+  }
 }

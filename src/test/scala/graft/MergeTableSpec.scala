@@ -189,4 +189,20 @@ class MergeTableSpec extends AnyFunSuite {
     assert(t.readVersion(spark, "v0").count() == 2)
     assert(t.currentVersion.contains("v1"))
   }
+
+  test("replace pinned to the version it derived from fails if a commit raced past it") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    t.upsert(Seq(("a", 1)).toDF("k", "v"))
+    val base = t.currentVersion            // the snapshot a recompute read
+    t.upsert(Seq(("b", 2)).toDF("k", "v")) // concurrent writer lands first
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.replace(Seq(("x", 9)).toDF("k", "v"), expectedBase = Some(base))
+    }
+    assert(e.getMessage.contains("moved"))
+    assert(rows(t) == Seq(("a", 1), ("b", 2)), "loser must commit nothing")
+    // unpinned replace on the same table is last-writer-wins by contract
+    t.replace(Seq(("x", 9)).toDF("k", "v"))
+    assert(rows(t) == Seq(("x", 9)))
+  }
 }
