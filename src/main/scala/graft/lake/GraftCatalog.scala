@@ -107,9 +107,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft lake tables is not supported yet")
+  /** Additive schema evolution, metadata-only — the lakehouse property
+    * that column adds/drops NEVER rewrite data: the declared schema in
+    * `_TABLE_META.json` changes, and the parquet reader reconciles old
+    * files against it (a column absent from a file reads as NULL; a
+    * dropped column is simply no longer projected). Added columns must
+    * therefore be nullable. The meta write is write-temp-then-atomic-move,
+    * so readers never observe a torn schema.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(metaPath(dir))) throw new NoSuchTableException(ident)
+    var schema = DataType.fromJson(new String(
+      Files.readAllBytes(metaPath(dir)), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "nested column adds are not supported")
+        if (!add.isNullable) throw new UnsupportedOperationException(
+          "added columns must be nullable — existing files backfill NULL")
+        val name = add.fieldNames()(0)
+        if (schema.fieldNames.contains(name))
+          throw new IllegalArgumentException(s"column $name already exists")
+        schema = schema.add(name, add.dataType(), nullable = true)
+      case del: TableChange.DeleteColumn =>
+        if (del.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "nested column drops are not supported")
+        val name = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(name))
+          throw new IllegalArgumentException(s"column $name does not exist")
+        if (schema.length == 1)
+          throw new IllegalArgumentException("cannot drop the last column")
+        schema = StructType(schema.fields.filterNot(_.name == name))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change: $other")
+    }
+    val tmp = dir.resolve(s"${GraftCatalog.MetaFile}.tmp")
+    Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

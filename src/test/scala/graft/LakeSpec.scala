@@ -132,4 +132,28 @@ class LakeSpec extends AnyFunSuite {
     sql("DROP NAMESPACE lakespec.nsdrop CASCADE")
     assert(intercept[Exception] { sql("SELECT * FROM lakespec.nsdrop.inner.t") } != null)
   }
+
+  test("ALTER TABLE ADD/DROP COLUMN is metadata-only; old files backfill NULL") {
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $t VALUES (1, 'a')")
+    sql(s"ALTER TABLE $t ADD COLUMN note STRING")
+    // old file reads NULL for the new column; new writes carry it
+    val afterAdd = sql(s"SELECT k, v, note FROM $t").collect().head
+    assert(afterAdd.isNullAt(2))
+    sql(s"INSERT INTO $t VALUES (2, 'b', 'hello')")
+    assert(sql(s"SELECT note FROM $t WHERE k = 2").collect().head.getString(0) == "hello")
+    // UPDATE can now target the evolved column across old and new rows
+    sql(s"UPDATE $t SET note = 'filled' WHERE note IS NULL")
+    assert(sql(s"SELECT count(*) FROM $t WHERE note = 'filled'").collect().head.getLong(0) == 1)
+    sql(s"ALTER TABLE $t DROP COLUMN note")
+    assert(sql(s"SELECT * FROM $t").columns.toSeq == Seq("k", "v"))
+    // non-nullable adds and unknown drops refuse loudly
+    assert(intercept[Exception] {
+      sql(s"ALTER TABLE $t ADD COLUMN strict BIGINT NOT NULL")
+    }.getMessage.toLowerCase.contains("nullable"))
+    assert(intercept[Exception] {
+      sql(s"ALTER TABLE $t DROP COLUMN ghost")
+    } != null)
+  }
 }
