@@ -82,6 +82,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table =
     loadAt(ident, Some(version))
 
+  /** Time travel by wall clock: `TIMESTAMP AS OF <ts>` (Spark passes
+    * microseconds) resolves to the newest version whose commit-log entry
+    * is at or before the instant.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(metaPath(dir))) throw new NoSuchTableException(ident)
+    val v = new graft.stages.MergeTable(dir.toString, Seq.empty)
+      .versionAsOfTime(timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
+    loadAt(ident, Some(v))
+  }
+
   private def loadAt(ident: Identifier, version: Option[String]): GraftTable = {
     val dir = tableDir(ident)
     if (!Files.exists(metaPath(dir))) throw new NoSuchTableException(ident)

@@ -263,7 +263,12 @@ final class MergeTable(val root: String, keys: Seq[String],
 
   /** Flip `_CURRENT` to `next`: write to a per-commit unique temp name,
     * then ATOMIC_MOVE over — racing flips never collide on the scratch
-    * file, and readers only ever see a complete pointer.
+    * file, and readers only ever see a complete pointer. The commit is
+    * then recorded in `_VERSION_LOG` (one `<version> <epoch-millis>` line,
+    * appended under the same lock) — the index `TIMESTAMP AS OF` time
+    * travel resolves against. A crash between flip and log append loses
+    * only the log line: the version is still current and readable, it
+    * just cannot be addressed by timestamp.
     */
   private def flipPointer(next: String, token: String): Unit = {
     verifyLockOwner(Paths.get(root, "_COMMIT_LOCK"), token)
@@ -271,7 +276,27 @@ final class MergeTable(val root: String, keys: Seq[String],
     Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    Files.write(Paths.get(root, "_VERSION_LOG"),
+      s"$next ${System.currentTimeMillis()}\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
+
+  /** Commit history as (version, epoch-millis) pairs, oldest first. */
+  def versionLog: Seq[(String, Long)] = {
+    val log = Paths.get(root, "_VERSION_LOG")
+    if (!Files.exists(log)) Seq.empty
+    else new String(Files.readAllBytes(log), StandardCharsets.UTF_8)
+      .linesIterator.flatMap { line =>
+        line.split(' ') match {
+          case Array(v, ms) if ms.forall(_.isDigit) => Some((v, ms.toLong))
+          case _ => None
+        }
+      }.toSeq
+  }
+
+  /** The newest version committed at or before `epochMillis`, if any. */
+  def versionAsOfTime(epochMillis: Long): Option[String] =
+    versionLog.filter(_._2 <= epochMillis).lastOption.map(_._1)
 
   /** Data files of a version/staging directory: skips `_SUCCESS`,
     * `_temporary` leftovers and hidden files, exactly as Spark's own file

@@ -156,4 +156,26 @@ class LakeSpec extends AnyFunSuite {
       sql(s"ALTER TABLE $t DROP COLUMN ghost")
     } != null)
   }
+
+  test("CTAS, CREATE OR REPLACE, and TIMESTAMP AS OF time travel") {
+    val t = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id AS k, id * 2 AS v FROM range(5)")
+    assert(sql(s"SELECT sum(v) FROM $t").collect().head.getLong(0) == 20L)
+    Thread.sleep(30)
+    val betweenCommits = java.sql.Timestamp.valueOf(java.time.LocalDateTime.now())
+    Thread.sleep(30)
+    sql(s"INSERT INTO $t SELECT id, 0 FROM range(3)")
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 8L)
+    // wall-clock travel lands on the pre-insert version
+    val asOf = sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '$betweenCommits'")
+      .collect().head.getLong(0)
+    assert(asOf == 5L, s"expected the CTAS snapshot, got $asOf rows")
+    // a timestamp before the first commit has no version to resolve
+    assert(intercept[Exception] {
+      sql(s"SELECT * FROM $t TIMESTAMP AS OF '2001-01-01 00:00:00'").collect()
+    } != null)
+    // non-atomic REPLACE TABLE (drop + recreate) through the same catalog
+    sql(s"CREATE OR REPLACE TABLE $t AS SELECT id AS k FROM range(2)")
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 2L)
+  }
 }

@@ -130,7 +130,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // explode + two-level token count + per-row bigram algebra + join + sort
     ("text_repetition", 5, 0, Nil),
     ("text_rarity", 5, 0, Nil),
-    ("text_redact_pii", 1, 0, Nil))    // pure per-row projection + sort
+    ("text_redact_pii", 1, 0, Nil),    // pure per-row projection + sort
+    // round-5 additions
+    // SQ8: dim-stats agg feeds two broadcast crossJoins (quantized scan +
+    // exact-truth scan); shuffles are the two top-k windows + truth join + sort
+    ("sim_sq8_topk", 5, 2, Nil),
+    // z-order: broadcast 1-row stats crossJoin, census groupBy + sort
+    ("layout_zorder_census", 3, 1, Nil),
+    // native session_window: one user-key shuffle for the merge + output sort
+    ("sessionization_session_window", 2, 0, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)
