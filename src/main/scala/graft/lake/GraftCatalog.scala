@@ -238,4 +238,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 object GraftCatalog {
   val MetaFile = "_TABLE_META.json"
+
+  /** Register the default `graftlake` catalog on this session over a
+    * per-JVM scratch warehouse (idempotent). Catalog plugins resolve
+    * lazily from conf, so setting both keys before first use is all a
+    * runtime registration needs. Durable deployments set the warehouse
+    * conf themselves instead.
+    */
+  def ensureScratchCatalog(spark: org.apache.spark.sql.SparkSession,
+                           name: String = "graftlake"): String = synchronized {
+    if (spark.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse",
+        graft.stages.TempDirs.scratch("graft_lake_wh_"))
+    }
+    name
+  }
 }

@@ -25,13 +25,8 @@ object LakeQueries {
   private val seq = new AtomicLong(0)
 
   /** Register the catalog once per session; scratch warehouse per JVM. */
-  private def ensureCatalog(s: SparkSession): Unit = synchronized {
-    if (s.conf.getOption("spark.sql.catalog.graftlake").isEmpty) {
-      s.conf.set("spark.sql.catalog.graftlake", "graft.lake.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graftlake.warehouse",
-        graft.stages.TempDirs.scratch("graft_lake_wh_"))
-    }
-  }
+  private def ensureCatalog(s: SparkSession): Unit =
+    graft.lake.GraftCatalog.ensureScratchCatalog(s)
 
   /** A fresh `orders` projection view + a fresh empty lake table; returns
     * (table name, source view name).

@@ -23,6 +23,17 @@ object StreamingQueries {
               FROM events GROUP BY 1, 2, 3 ORDER BY user_id, year, month"""),
       doc = "Structured Streaming AvailableNow drain == batch aggregation (exactly-once)"),
 
+    GQuery("streaming_lake_merge",
+      (s, dir) => IncrementalLedger.monthlyUserTotalsToLake(s, dir)
+        .orderBy(col("user_id"), col("year"), col("month")),
+      Some("""SELECT user_id, CAST(year(ts) AS INT) AS year,
+                     CAST(month(ts) AS INT) AS month,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM events GROUP BY 1, 2, 3 ORDER BY user_id, year, month"""),
+      doc = "update-mode stream drained through SQL MERGE INTO a lake catalog table " +
+        "(exactly-once streaming upsert through the lakehouse surface)"),
+
     GQuery("streaming_interval_join",
       (s, dir) => graft.streaming.StreamJoin.viewPurchasePairs(s, dir, windowMinutes = 30)
         .orderBy(col("user_id"), col("view_event"), col("buy_event")),
