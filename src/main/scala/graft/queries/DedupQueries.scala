@@ -58,6 +58,21 @@ object DedupQueries {
 
   val all: Seq[GQuery] = Seq(
 
+    GQuery("join_fuzzy_neighbors",
+      (s, dir) => graft.ops.Dedup.editDistance1Neighbors(
+          Tables.customer(s, dir), "c_custkey", "c_name")
+        .orderBy(col("c_custkey")),
+      Some("""WITH pairs AS (
+                SELECT a.c_custkey AS ka, b.c_custkey AS kb
+                FROM customer a JOIN customer b
+                  ON a.c_custkey <> b.c_custkey
+                 AND levenshtein(a.c_name, b.c_name) <= 1)
+              SELECT c.c_custkey, count(p.kb) AS n_near, min(p.kb) AS nearest_key
+              FROM customer c LEFT JOIN pairs p ON p.ka = c.c_custkey
+              GROUP BY 1 ORDER BY 1"""),
+      doc = "edit-distance-1 fuzzy neighbor census: FastSS deletion-neighborhood " +
+        "blocking + exact levenshtein verify, proven complete by the quadratic oracle"),
+
     GQuery("dedup_exact",
       (s, dir) => Dedup.exactDuplicateGroups(Tables.documents(s, dir))
         .orderBy(col("text_md5")),

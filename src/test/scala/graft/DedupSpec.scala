@@ -106,4 +106,28 @@ class DedupSpec extends AnyFunSuite {
     // no near-dups at all: an empty pair set yields an empty (not failing) result
     assert(Dedup.connectedComponents(pairs.filter("doc_a < 0")).count() == 0)
   }
+
+  test("edit-distance-1 blocking: substitution/insert/delete/equal found, distance-2 excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "kitten"),   // vs 2 substitution (mitten), vs 3 deletion (kitte... no)
+      (2L, "mitten"),   // dist 1 from kitten
+      (3L, "kitte"),    // deletion of kitten's last char -> dist 1 from kitten
+      (4L, "kittens"),  // insertion -> dist 1 from kitten
+      (5L, "kitten"),   // exact duplicate of 1
+      (6L, "sitting")   // dist 3 from kitten: must have no neighbors
+    ).toDF("id", "name")
+    val got = graft.ops.Dedup.editDistance1Neighbors(rows, "id", "name")
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // cross-checked against DuckDB's quadratic levenshtein join
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L),   // mitten, kitte, kittens, kitten(dup)
+      (2L, 2L, 1L),   // the two kittens (mitten-kitte and mitten-kittens are dist 2)
+      (3L, 2L, 1L),   // the two kittens (kitte-kittens is dist 2)
+      (4L, 2L, 1L),   // the two kittens
+      (5L, 4L, 1L),   // mirror of id 1
+      (6L, 0L, -1L))) // sitting: no neighbors within distance 1
+  }
 }
