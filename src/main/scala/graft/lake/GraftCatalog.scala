@@ -101,8 +101,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val schema = DataType.fromJson(new String(
       Files.readAllBytes(metaPath(dir)), StandardCharsets.UTF_8)).asInstanceOf[StructType]
     version.foreach { v =>
-      if (!Files.isDirectory(dir.resolve(v)))
-        throw new NoSuchTableException(ident)
+      if (!Files.isDirectory(dir.resolve(v))) {
+        // the TABLE exists — a missing version dir means the snapshot was
+        // vacuumed (or never committed); say so instead of "table not found"
+        val retained = {
+          val entries = Files.list(dir)
+          try entries.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+            .toSeq.sortBy(_.drop(1).toLong)
+          finally entries.close()
+        }
+        throw new IllegalArgumentException(
+          s"version $v of $catalogName.$ident is not available " +
+            s"(vacuumed by retention, or never committed); retained versions: " +
+            s"${if (retained.isEmpty) "<none>" else retained.mkString(", ")}")
+      }
     }
     new GraftTable(s"$catalogName.${ident.toString}", dir, schema, version)
   }
@@ -131,35 +144,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!Files.exists(metaPath(dir))) throw new NoSuchTableException(ident)
-    var schema = DataType.fromJson(new String(
-      Files.readAllBytes(metaPath(dir)), StandardCharsets.UTF_8)).asInstanceOf[StructType]
-    changes.foreach {
-      case add: TableChange.AddColumn =>
-        if (add.fieldNames().length != 1) throw new UnsupportedOperationException(
-          "nested column adds are not supported")
-        if (!add.isNullable) throw new UnsupportedOperationException(
-          "added columns must be nullable — existing files backfill NULL")
-        val name = add.fieldNames()(0)
-        if (schema.fieldNames.contains(name))
-          throw new IllegalArgumentException(s"column $name already exists")
-        schema = schema.add(name, add.dataType(), nullable = true)
-      case del: TableChange.DeleteColumn =>
-        if (del.fieldNames().length != 1) throw new UnsupportedOperationException(
-          "nested column drops are not supported")
-        val name = del.fieldNames()(0)
-        if (!schema.fieldNames.contains(name))
-          throw new IllegalArgumentException(s"column $name does not exist")
-        if (schema.length == 1)
-          throw new IllegalArgumentException("cannot drop the last column")
-        schema = StructType(schema.fields.filterNot(_.name == name))
-      case other => throw new UnsupportedOperationException(
-        s"unsupported table change: $other")
+    // the read-modify-write of the schema is serialized by its own lock —
+    // without it two concurrent ALTERs would both read the base schema and
+    // the second move would silently drop the first one's column (every
+    // other mutation here fails loudly; so must DDL)
+    val lock = dir.resolve("_SCHEMA_LOCK")
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"another ALTER TABLE holds $lock — re-run; delete the file if its " +
+            "holder is known dead")
     }
-    val tmp = dir.resolve(s"${GraftCatalog.MetaFile}.tmp")
-    Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, metaPath(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      var schema = DataType.fromJson(new String(
+        Files.readAllBytes(metaPath(dir)), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          if (add.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "nested column adds are not supported")
+          if (add.position() != null) throw new UnsupportedOperationException(
+            "FIRST/AFTER column positions are not supported — columns append at the end")
+          if (!add.isNullable) throw new UnsupportedOperationException(
+            "added columns must be nullable — existing files backfill NULL")
+          val name = add.fieldNames()(0)
+          if (schema.fieldNames.contains(name))
+            throw new IllegalArgumentException(s"column $name already exists")
+          schema = schema.add(name, add.dataType(), nullable = true)
+        case del: TableChange.DeleteColumn =>
+          if (del.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "nested column drops are not supported")
+          val name = del.fieldNames()(0)
+          if (!schema.fieldNames.contains(name))
+            throw new IllegalArgumentException(s"column $name does not exist")
+          if (schema.length == 1)
+            throw new IllegalArgumentException("cannot drop the last column")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported table change: $other")
+      }
+      val tmp = dir.resolve(s"${GraftCatalog.MetaFile}.${java.util.UUID.randomUUID()}.tmp")
+      Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, metaPath(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(lock)
     loadTable(ident)
   }
 

@@ -23,10 +23,13 @@ object Layout {
 
   /** Scale a column to `[0, 2^bits)` with pure integer arithmetic, as a
     * DIVISION by the cell width `w = (hi - lo) div 2^bits + 1`: unlike the
-    * multiply-then-divide form, `(v - lo) div w` cannot overflow for any
-    * BIGINT domain (a span * 2^bits product wraps for e.g. multi-year
-    * microsecond timestamps at bits=16). Positive BIGINT division
-    * truncates identically in both engines.
+    * multiply-then-divide form, no intermediate exceeds the column's own
+    * span (the multiply form wraps at span * 2^bits — e.g. multi-year
+    * microsecond timestamps at bits=16). Domain contract: the SPAN itself
+    * (`hi - lo`) must fit in BIGINT; a column straddling more than half
+    * the signed-64 domain (e.g. raw signed hashes) fails loudly under
+    * ANSI mode in both engines — pre-shift such columns first. Positive
+    * BIGINT division truncates identically in both engines.
     */
   private def scaled(v: String, lo: String, hi: String, bits: Int): String =
     s"(($v - $lo) div ((($hi - $lo) div ${1L << bits}L) + 1L))"

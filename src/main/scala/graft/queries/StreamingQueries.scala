@@ -84,7 +84,7 @@ object StreamingQueries {
       Some("""WITH flagged AS (
                 SELECT user_id, ts, value,
                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= CAST(360 AS BIGINT) * 60000000
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > CAST(360 AS BIGINT) * 60000000
                             THEN 1 ELSE 0 END AS new_s
                 FROM events),
               sess AS (
@@ -98,8 +98,8 @@ object StreamingQueries {
                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
               FROM sess GROUP BY user_id, s
               ORDER BY user_id, session_start"""),
-      doc = "sessionization via Spark's native session_window operator (merge-on-overlap: " +
-        "a gap of exactly the threshold splits, hence >= in the oracle's island flag)"),
+      doc = "sessionization via Spark's native session_window operator (empirically " +
+        "verified: an exact-threshold gap MERGES — the same > split boundary as the lag form)"),
 
     GQuery("streaming_static_join",
       (s, dir) => IncrementalLedger.nationMonthlyTotals(s, dir)

@@ -235,8 +235,17 @@ final class MergeTable(val root: String, keys: Seq[String],
           val dst = if (Files.exists(preferred))
             staged.resolve(s"carried-$token-${f.getFileName}") else preferred
           try Files.createLink(dst, f)
-          catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            Files.copy(f, dst) }
+          catch {
+            case _: java.nio.file.NoSuchFileException =>
+              // the base version vanished mid-link: a concurrent committer
+              // advanced past it and vacuumed — the same conflict the CAS
+              // would report, surfaced with the CAS's error, not a raw I/O one
+              throw new java.util.ConcurrentModificationException(
+                s"MergeTable $root: base version disappeared during the append's " +
+                  "carry-forward (concurrent commit + vacuum) — re-run this batch")
+            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+              Files.copy(f, dst)
+          }
         }
       }
       acquireCommitLock(lock, token)
@@ -362,8 +371,15 @@ final class MergeTable(val root: String, keys: Seq[String],
           Files.move(lock, claimed, StandardCopyOption.ATOMIC_MOVE)
           val got = new String(Files.readAllBytes(claimed), StandardCharsets.UTF_8).trim
           if (got != staleContent) {
-            try Files.move(claimed, lock, StandardCopyOption.ATOMIC_MOVE)
-            catch { case _: java.nio.file.FileSystemException => Files.deleteIfExists(claimed) }
+            // restore with the ORIGINAL mtime: if the stolen lock's owner has
+            // already finished (its release saw no lock and no-op'd), the
+            // restored orphan ages from its real creation time and times out
+            // naturally instead of blocking commits for a fresh lockStaleMs
+            val mtime = Files.getLastModifiedTime(claimed)
+            try {
+              Files.move(claimed, lock, StandardCopyOption.ATOMIC_MOVE)
+              Files.setLastModifiedTime(lock, mtime)
+            } catch { case _: java.nio.file.FileSystemException => Files.deleteIfExists(claimed) }
             throw new java.util.ConcurrentModificationException(
               s"MergeTable $root: raced a concurrent takeover of $lock (claimed a " +
                 s"live lock owned by '$got' and restored it) — re-run this batch")

@@ -66,4 +66,25 @@ class SessionizeSpec extends AnyFunSuite {
     q.stop()
     assert(streamed() == all) // every user-7/8 session emitted; 99 still open
   }
+
+  test("exact-threshold gap MERGES in BOTH the native session_window and the lag form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-05-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-05-01 06:00:00"), 2.0),  // exactly 360 min later
+      (1L, java.sql.Timestamp.valueOf("2024-05-01 12:00:01"), 3.0)   // 1s past the threshold
+    ).toDF("user_id", "ts", "value")
+    val native = graft.streaming.Sessionize.sessionsNativeWindow(events, gapMinutes = 360)
+      .orderBy(col("session_start")).collect()
+    val lagForm = graft.streaming.Sessionize.sessionsBatch(events, gapMinutes = 360)
+      .orderBy(col("session_start")).collect()
+    // both split strictly-greater: events 1+2 merge, event 3 opens a new session
+    for ((got, label) <- Seq((native, "session_window"), (lagForm, "lag"))) {
+      assert(got.length == 2, s"$label: expected 2 sessions, got ${got.length}")
+      assert(got.head.getAs[Long]("n_events") == 2L, s"$label: exact-gap pair must merge")
+    }
+    assert(native.map(_.toSeq).toSeq == lagForm.map(_.toSeq).toSeq,
+      "the two forms must be row-identical")
+  }
 }
