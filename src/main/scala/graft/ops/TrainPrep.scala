@@ -158,4 +158,33 @@ object TrainPrep {
         col("n_contaminated").cast("double") / col("n_shingles"))
       .withColumn("is_contaminated", col("contamination") >= tau)
   }
+
+  /** Temperature-scaled training mixture: per-source sampling weights
+    * proportional to `n^(1/2)` — the standard way to up-weight low-resource
+    * languages/sources without letting the biggest source dominate
+    * (temperature T=2 ⇒ exponent 1/2). The exponent is fixed at 1/2
+    * deliberately: `sqrt` is correctly-rounded IEEE and therefore
+    * cross-engine exact, while a general `pow` (libm) is not — the
+    * determinism boundary documented in ARCHITECTURE.md. Outputs, per
+    * source: raw count, unnormalized weight, mixture share, and the
+    * integer document budget `floor(share * budget)`.
+    *
+    * Scale shape: one map-side-combining count per source, a broadcast of
+    * the one-row total, per-row arithmetic after that.
+    */
+  def temperatureMixture(docs: DataFrame, budget: Long): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", sqrt(col("n_docs").cast("double")))
+    // the weight total is a FLOAT sum, and float addition is
+    // order-sensitive — fold the per-source weights in sorted source
+    // order (== DuckDB `list_sum(list(w ORDER BY lang))`), never a
+    // partial-aggregated sum() whose order the planner picks
+    val total = counts.agg(expr(
+      """aggregate(transform(sort_array(collect_list(struct(lang, weight))),
+           x -> x.weight), 0D, (acc, w) -> acc + w)""").as("w_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("weight") / col("w_total"))
+      .withColumn("n_budgeted", floor(col("share") * budget).cast("long"))
+      .select(col("lang"), col("n_docs"), col("weight"), col("share"), col("n_budgeted"))
+  }
 }

@@ -22,6 +22,19 @@ object TrainPrepQueries {
 
   val all: Seq[GQuery] = Seq(
 
+    GQuery("prep_mix_temperature",
+      (s, dir) => TrainPrep.temperatureMixture(Tables.documents(s, dir), budget = 100000L)
+        .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+                   w AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS weight FROM c),
+                   t AS (SELECT list_sum(list(weight ORDER BY lang)) AS w_total FROM w)
+              SELECT lang, n_docs, weight, weight / w_total AS share,
+                     CAST(floor(weight / w_total * 100000) AS BIGINT) AS n_budgeted
+              FROM w, t ORDER BY lang"""),
+      doc = "temperature-scaled (T=2, sqrt) training mixture: per-source share and " +
+        "integer budget; sqrt is IEEE-exact so shares hash-compare, and the weight " +
+        "total folds in sorted source order (float addition is order-sensitive)"),
+
     GQuery("prep_stratified_sample",
       (s, dir) => TrainPrep.sampleCensus(Tables.documents(s, dir),
           rates = mixRates, defaultRate = 10)

@@ -178,4 +178,22 @@ class LakeSpec extends AnyFunSuite {
     sql(s"CREATE OR REPLACE TABLE $t AS SELECT id AS k FROM range(2)")
     assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 2L)
   }
+
+  test("OPTIMIZE shape: compacting a lake table through MergeTable keeps SQL reads + travel intact") {
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (k BIGINT)")
+    sql(s"INSERT INTO $t SELECT id FROM range(0, 40, 1, 4)")   // 4 part files
+    sql(s"INSERT INTO $t SELECT id FROM range(40, 80, 1, 4)")  // + 4 more, linked forward
+    val dir = Paths.get(spark.conf.get("spark.sql.catalog.lakespec.warehouse"), "db", s"t$n")
+    def partFiles(v: String) = {
+      val l = Files.list(dir.resolve(v)); try l.filter(p =>
+        p.getFileName.toString.startsWith("part-")).count() finally l.close()
+    }
+    assert(partFiles("v1") >= 8, "append must accumulate small files")
+    new graft.stages.MergeTable(dir.toString, Seq.empty).compact(spark, numFiles = 1)
+    assert(partFiles("v2") == 1, "compaction must rewrite to one file")
+    assert(sql(s"SELECT count(*), sum(k) FROM $t").collect().head.toSeq == Seq(80L, 3160L))
+    // pre-compaction snapshots still travel
+    assert(sql(s"SELECT count(*) FROM $t VERSION AS OF 'v0'").collect().head.getLong(0) == 40L)
+  }
 }
