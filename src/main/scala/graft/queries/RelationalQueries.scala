@@ -305,6 +305,36 @@ object RelationalQueries {
               ORDER BY o_orderpriority ASC NULLS FIRST, order_year ASC NULLS FIRST"""),
       doc = "ROLLUP subtotal hierarchy (engine-completeness beyond the reference)"),
 
+    // Ranking family over one window: the four rank flavors differ exactly
+    // where ties and partition size interact; percent_rank/cume_dist are
+    // exact rational divisions (cross-engine bit-identical).
+    GQuery("w4_ranks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, dir)
+          .select(col("c_nationkey"), col("c_custkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cdist"))
+          .filter(col("c_custkey") % 10 === 0)
+          .orderBy(col("c_nationkey"), col("c_custkey"))
+      },
+      Some("""SELECT c_nationkey, c_custkey,
+                     CAST(rank() OVER w AS INT) AS rnk,
+                     CAST(dense_rank() OVER w AS INT) AS drnk,
+                     CAST(ntile(4) OVER w AS INT) AS quartile,
+                     percent_rank() OVER w AS pct_rank,
+                     cume_dist() OVER w AS cdist
+              FROM customer
+              WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+              QUALIFY c_custkey % 10 = 0
+              ORDER BY c_nationkey, c_custkey"""),
+      doc = "rank/dense_rank/ntile/percent_rank/cume_dist over one window (tie and " +
+        "partition-size semantics; the percent forms are exact rational divisions)"),
+
     // Window navigation: lag/lead deltas and per-partition first/last.
     GQuery("w3_lag_lead",
       (s, dir) => {
