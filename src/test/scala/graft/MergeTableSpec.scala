@@ -205,4 +205,42 @@ class MergeTableSpec extends AnyFunSuite {
     t.replace(Seq(("x", 9)).toDF("k", "v"))
     assert(rows(t) == Seq(("x", 9)))
   }
+
+  test("8 threads upserting concurrently: every batch lands, versions are linear, no corruption") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val tasks = (0 until 8).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = try {
+            // every thread needs an active session on ITS thread
+            org.apache.spark.sql.SparkSession.setActiveSession(spark)
+            val batch = Seq((s"k$i", i)).toDF("k", "v")
+            var committed = false
+            var attempts = 0
+            while (!committed && attempts < 60) {
+              attempts += 1
+              try { t.upsert(batch); committed = true }
+              catch { case _: java.util.ConcurrentModificationException =>
+                retries.incrementAndGet() }  // loser: loudly failed, nothing lost — retry
+            }
+            if (!committed) throw new IllegalStateException(s"thread $i never committed")
+          } catch { case e: Throwable => failures.add(e) }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(failures.isEmpty, s"concurrent committers failed: ${failures.peek()}")
+    // all 8 batches present exactly once, and the version chain is linear
+    val got = t.read(spark, new org.apache.spark.sql.types.StructType())
+      .orderBy("k").collect().map(_.getString(0)).toSeq
+    assert(got == (0 until 8).map(i => s"k$i"), s"lost or duplicated batches: $got")
+    val versions = t.currentVersion.get.drop(1).toLong
+    assert(versions >= 7, "at least 8 winning commits must have happened")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, "_COMMIT_LOCK")),
+      "no lock may survive the stress")
+  }
 }
