@@ -196,4 +196,19 @@ class LakeSpec extends AnyFunSuite {
     // pre-compaction snapshots still travel
     assert(sql(s"SELECT count(*) FROM $t VERSION AS OF 'v0'").collect().head.getLong(0) == 40L)
   }
+
+  test("catalog reads keep parquet pushdown and column pruning (delegated scan)") {
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $t SELECT id, CAST(id AS STRING) FROM range(100)")
+    val df = sql(s"SELECT k FROM $t WHERE k > 5")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,5)]"),
+      s"filter must reach the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<k:bigint>"),
+      s"projection must prune column v at the scan:\n$plan")
+    assert(plan.contains("ColumnarToRow"), s"scan must stay vectorized:\n$plan")
+    assert(df.count() == 94)
+  }
 }
