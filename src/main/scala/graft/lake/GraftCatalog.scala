@@ -101,19 +101,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val schema = DataType.fromJson(new String(
       Files.readAllBytes(metaPath(dir)), StandardCharsets.UTF_8)).asInstanceOf[StructType]
     version.foreach { v =>
-      if (!Files.isDirectory(dir.resolve(v))) {
-        // the TABLE exists — a missing version dir means the snapshot was
-        // vacuumed (or never committed); say so instead of "table not found"
-        val retained = {
-          val entries = Files.list(dir)
-          try entries.iterator().asScala.map(_.getFileName.toString)
-            .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-            .toSeq.sortBy(_.drop(1).toLong)
-          finally entries.close()
-        }
+      // validate the SHAPE before touching the filesystem: an arbitrary
+      // user string must never reach dir.resolve (VERSION AS OF '../t1/v0'
+      // would read a sibling table; '_stage_<uuid>' a half-written staging
+      // directory)
+      if (!graft.stages.MergeTable.isVersionName(v) || !Files.isDirectory(dir.resolve(v))) {
+        val retained = new graft.stages.MergeTable(dir.toString, Seq.empty).listVersions
         throw new IllegalArgumentException(
-          s"version $v of $catalogName.$ident is not available " +
-            s"(vacuumed by retention, or never committed); retained versions: " +
+          s"version '$v' of $catalogName.$ident is not available " +
+            s"(not a v<n> snapshot name, vacuumed by retention, or never " +
+            s"committed); retained versions: " +
             s"${if (retained.isEmpty) "<none>" else retained.mkString(", ")}")
       }
     }
@@ -144,19 +141,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!Files.exists(metaPath(dir))) throw new NoSuchTableException(ident)
-    // the read-modify-write of the schema is serialized by its own lock —
-    // without it two concurrent ALTERs would both read the base schema and
-    // the second move would silently drop the first one's column (every
-    // other mutation here fails loudly; so must DDL)
-    val lock = dir.resolve("_SCHEMA_LOCK")
-    try Files.createFile(lock)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"another ALTER TABLE holds $lock — re-run; delete the file if its " +
-            "holder is known dead")
-    }
-    try {
+    // the read-modify-write of the schema is serialized by the shared
+    // FileLock protocol — loud failure under contention, stale-holder
+    // takeover so a crashed ALTER can't brick DDL on the table (the DDL
+    // critical section is milliseconds, hence the short threshold)
+    graft.stages.FileLock.withLock(dir.resolve("_SCHEMA_LOCK"), staleMs = 60000L,
+      what = s"ALTER TABLE $catalogName.$ident", retryHint = "re-run the statement") {
       var schema = DataType.fromJson(new String(
         Files.readAllBytes(metaPath(dir)), StandardCharsets.UTF_8)).asInstanceOf[StructType]
       changes.foreach {
@@ -188,7 +178,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Files.move(tmp, metaPath(dir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally Files.deleteIfExists(lock)
+    }
     loadTable(ident)
   }
 

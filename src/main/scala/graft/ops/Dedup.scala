@@ -297,21 +297,20 @@ object Dedup {
     * difference between n·len and n² at 100 TB.
     */
   def editDistance1Neighbors(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
-    val spark = df.sparkSession
     val base = df.select(col(keyCol).cast("long").as("k"), col(strCol).as("s"))
     // array_union also dedups repeated variants of strings with runs of
     // the same character, keeping the explode minimal. The exploded frame
-    // feeds BOTH sides of the self-join, so it is materialized once
-    // through a scratch-parquet boundary (the repo's no-pinned-cache
-    // pattern: a returned-but-cached frame would hold executor storage
-    // for the rest of the session)
-    val explodedPlan = base.withColumn("variant", explode(expr(
+    // feeds BOTH sides of the self-join, but needs no explicit
+    // materialization: the two sides canonicalize to the same subplan, so
+    // the shuffle-join exchange is computed once and REUSED
+    // (ReusedExchange in the plan); the operator stays a lazy,
+    // side-effect-free plan like every other GQuery input. (A broadcast
+    // of one side at small scale recomputes the explode once — exactly
+    // the scale at which that is free.)
+    val variants = base.withColumn("variant", explode(expr(
       """array_union(array(s),
            transform(sequence(1, length(s)),
              i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s)))))""")))
-    val variantDir = graft.stages.TempDirs.scratch("graft_fastss_")
-    explodedPlan.write.mode("overwrite").parquet(variantDir)
-    val variants = spark.read.parquet(variantDir)
     val candidates = variants.as("a")
       .join(variants.as("b"),
         col("a.variant") === col("b.variant") && col("a.k") < col("b.k"))

@@ -27,10 +27,10 @@ object TrainPrepQueries {
         .orderBy(col("lang")),
       Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
                    w AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS weight FROM c),
-                   t AS (SELECT list_sum(list(weight ORDER BY lang)) AS w_total FROM w)
+                   t AS (SELECT list_sum(list(weight ORDER BY lang NULLS FIRST)) AS w_total FROM w)
               SELECT lang, n_docs, weight, weight / w_total AS share,
                      CAST(floor(weight / w_total * 100000) AS BIGINT) AS n_budgeted
-              FROM w, t ORDER BY lang"""),
+              FROM w, t ORDER BY lang NULLS FIRST"""),
       doc = "temperature-scaled (T=2, sqrt) training mixture: per-source share and " +
         "integer budget; sqrt is IEEE-exact so shares hash-compare, and the weight " +
         "total folds in sorted source order (float addition is order-sensitive)"),

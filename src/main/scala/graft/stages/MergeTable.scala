@@ -74,6 +74,20 @@ final class MergeTable(val root: String, keys: Seq[String],
       }
   }
 
+  /** The on-disk version directories (`v<n>`), oldest first — THE one
+    * definition of what counts as a version name, shared by vacuum,
+    * time-travel validation, and diagnostics.
+    */
+  def listVersions: Seq[String] = {
+    val entries = Files.list(Paths.get(root))
+    try {
+      import scala.jdk.CollectionConverters._
+      entries.iterator().asScala.map(_.getFileName.toString)
+        .filter(MergeTable.isVersionName)
+        .toSeq.sortBy(_.drop(1).toLong)
+    } finally entries.close()
+  }
+
   /** Drop all committed versions except the newest `keepLast` (never the
     * current one). Old versions are what time travel reads, so retention
     * is a policy knob, not garbage: this is `VACUUM`.
@@ -81,13 +95,8 @@ final class MergeTable(val root: String, keys: Seq[String],
   def vacuum(keepLast: Int = 1): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
     val cur = currentVersion.map(_.drop(1).toLong).getOrElse(return)
-    val entries = Files.list(Paths.get(root))
-    try entries.forEach { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
-          name.drop(1).toLong <= cur - keepLast)
-        TempDirs.deleteTree(p)
-    } finally entries.close()
+    listVersions.filter(_.drop(1).toLong <= cur - keepLast)
+      .foreach(v => TempDirs.deleteTree(Paths.get(root, v)))
   }
 
   /** SCD1 merge-commit: incoming wins on key collision. With
@@ -227,7 +236,7 @@ final class MergeTable(val root: String, keys: Seq[String],
       val carriedBase = if (carryForward) expectedBase.getOrElse(currentVersion) else None
       val effectiveExpected =
         if (carryForward) expectedBase.orElse(Some(carriedBase)) else expectedBase
-      carriedBase.foreach { v =>
+      try carriedBase.foreach { v =>
         eachDataFile(Paths.get(root, v)) { f =>
           val preferred = staged.resolve(f.getFileName.toString)
           // staged part names embed task UUIDs, so collisions with carried
@@ -235,18 +244,19 @@ final class MergeTable(val root: String, keys: Seq[String],
           val dst = if (Files.exists(preferred))
             staged.resolve(s"carried-$token-${f.getFileName}") else preferred
           try Files.createLink(dst, f)
-          catch {
-            case _: java.nio.file.NoSuchFileException =>
-              // the base version vanished mid-link: a concurrent committer
-              // advanced past it and vacuumed — the same conflict the CAS
-              // would report, surfaced with the CAS's error, not a raw I/O one
-              throw new java.util.ConcurrentModificationException(
-                s"MergeTable $root: base version disappeared during the append's " +
-                  "carry-forward (concurrent commit + vacuum) — re-run this batch")
-            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-              Files.copy(f, dst)
-          }
+          catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            // includes a vanished link source: the copy then throws
+            // NoSuchFileException into the outer conflict mapping
+            Files.copy(f, dst) }
         }
+      } catch {
+        case _: java.nio.file.NoSuchFileException =>
+          // the base version vanished (dir listing, link source, or copy
+          // source) mid-carry: a concurrent committer advanced past it and
+          // vacuumed — report the conflict the CAS would have, not raw I/O
+          throw new java.util.ConcurrentModificationException(
+            s"MergeTable $root: base version disappeared during the append's " +
+              "carry-forward (concurrent commit + vacuum) — re-run this batch")
       }
       acquireCommitLock(lock, token)
       try {
@@ -319,108 +329,28 @@ final class MergeTable(val root: String, keys: Seq[String],
     } finally s.close()
   }
 
-  /** Take the commit lock, or fail loudly with the holder's identity.
-    *
-    * The lock file carries `<owner-token> <epoch-millis>` so a stuck
-    * table is diagnosable, and a holder that DIED between `createFile`
-    * and its finally-cleanup does not brick the table forever (driver
-    * ADVICE.md finding): once the lock's modification time is older than
-    * `lockStaleMs`, contenders may take it over. Takeover is itself
-    * race-free — the dead lock is first CLAIMED by an atomic rename to a
-    * per-contender unique name, so exactly one contender wins the claim
-    * and re-creates the lock; the rest fail with the usual concurrent-
-    * commit error. The critical section is pointer reads/renames only
-    * (milliseconds — the corpus-scale merge write happens BEFORE the
-    * lock), so the default threshold is generous: any lock that old
-    * belongs to a dead process, not a slow one. [[breakLock]] is the
-    * manual override when the operator knows the holder is gone.
+  /** Take the commit lock, or fail loudly with the holder's identity —
+    * the shared [[FileLock]] protocol (atomic create, stale takeover with
+    * claim verification). The critical section is pointer I/O plus one
+    * directory rename (the corpus-scale work happens BEFORE the lock), so
+    * the default threshold is generous: any lock that old belongs to a
+    * dead process, not a slow one. [[breakLock]] is the manual override.
     */
-  private def acquireCommitLock(lock: Path, token: String): Unit = {
-    def tryCreate(): Boolean =
-      try {
-        Files.write(lock,
-          s"$token ${System.currentTimeMillis()}".getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  private def acquireCommitLock(lock: Path, token: String): Unit =
+    FileLock.acquire(lock, token, lockStaleMs, s"MergeTable $root",
+      "re-run this batch, or breakLock() if the holder is known dead")
 
-    if (tryCreate()) return
-    val observed =
-      try {
-        val content = new String(Files.readAllBytes(lock), StandardCharsets.UTF_8).trim
-        val age = System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
-        Some((content, age))
-      } catch { case _: java.io.IOException => None } // holder just released
-    observed match {
-      case Some((holder, age)) if age < lockStaleMs =>
-        throw new java.util.ConcurrentModificationException(
-          s"MergeTable $root: another commit holds $lock (owner '$holder', " +
-            s"held ${age}ms < stale threshold ${lockStaleMs}ms) — concurrent " +
-            "writer; re-run this batch, or breakLock() if the holder is known dead")
-      case Some((staleContent, _)) =>
-        // stale: claim the dead holder's lock by atomic rename — exactly
-        // one contender wins the rename; losers see NoSuchFile and fall
-        // through to the re-create race below. The claim is then VERIFIED
-        // by content: a contender that raced slow enough to rename the
-        // winner's freshly re-created LIVE lock (the lock path cycles
-        // vacant → recreated during a takeover) sees non-stale content,
-        // restores the file, and backs off — without this check two
-        // committers could both believe they hold the lock.
-        val claimed = Paths.get(root, s"_COMMIT_LOCK.stale.$token")
-        try {
-          Files.move(lock, claimed, StandardCopyOption.ATOMIC_MOVE)
-          val got = new String(Files.readAllBytes(claimed), StandardCharsets.UTF_8).trim
-          if (got != staleContent) {
-            // restore with the ORIGINAL mtime: if the stolen lock's owner has
-            // already finished (its release saw no lock and no-op'd), the
-            // restored orphan ages from its real creation time and times out
-            // naturally instead of blocking commits for a fresh lockStaleMs
-            val mtime = Files.getLastModifiedTime(claimed)
-            try {
-              Files.move(claimed, lock, StandardCopyOption.ATOMIC_MOVE)
-              Files.setLastModifiedTime(lock, mtime)
-            } catch { case _: java.nio.file.FileSystemException => Files.deleteIfExists(claimed) }
-            throw new java.util.ConcurrentModificationException(
-              s"MergeTable $root: raced a concurrent takeover of $lock (claimed a " +
-                s"live lock owned by '$got' and restored it) — re-run this batch")
-          }
-          Files.deleteIfExists(claimed)
-        } catch { case _: java.nio.file.NoSuchFileException => () }
-      case None => () // released between create-fail and read: retry
-    }
-    if (!tryCreate())
-      throw new java.util.ConcurrentModificationException(
-        s"MergeTable $root: lost the lock re-acquisition race on $lock — " +
-          "another contender took over; re-run this batch")
-  }
-
-  /** Defense in depth for the takeover path: even if a contender slipped
-    * through every claim check, a commit only mutates shared state while
-    * the lock file still carries ITS token — verified at critical-section
-    * entry and again immediately before the pointer flip. The worst a
-    * residual race can produce is both commits failing loudly; a
-    * committed, pointed-to version can never be deleted or overwritten.
+  /** Defense in depth: a commit only mutates shared state while the lock
+    * still carries its token — checked at critical-section entry and
+    * again immediately before the pointer flip, so the residual worst
+    * case of any takeover race is loud failure of both contenders, never
+    * deletion of a pointed-to version.
     */
-  private def verifyLockOwner(lock: Path, token: String): Unit = {
-    val owner =
-      try new String(Files.readAllBytes(lock), StandardCharsets.UTF_8).trim
-      catch { case _: java.io.IOException => "" }
-    if (!owner.startsWith(token))
-      throw new java.util.ConcurrentModificationException(
-        s"MergeTable $root: commit lock was taken over mid-commit (now owned by " +
-          s"'$owner') — nothing committed; re-run this batch")
-  }
+  private def verifyLockOwner(lock: Path, token: String): Unit =
+    FileLock.verifyOwner(lock, token, s"MergeTable $root", "re-run this batch")
 
-  /** Release the lock only if this commit still owns it — a contender that
-    * (wrongly or rightly) took the lock over must not have its lock
-    * deleted by the previous holder's cleanup.
-    */
-  private def releaseLockIfOwner(lock: Path, token: String): Unit = {
-    val owner =
-      try new String(Files.readAllBytes(lock), StandardCharsets.UTF_8).trim
-      catch { case _: java.io.IOException => "" }
-    if (owner.startsWith(token)) Files.deleteIfExists(lock)
-  }
+  private def releaseLockIfOwner(lock: Path, token: String): Unit =
+    FileLock.releaseIfOwner(lock, token)
 
   /** Explicit repair: delete a leftover `_COMMIT_LOCK` without waiting out
     * the staleness threshold. Only safe when the operator has verified no
@@ -438,6 +368,10 @@ object MergeTable {
     * holder — a lock that old is a crashed committer's leftover.
     */
   val DefaultLockStaleMs: Long = 10L * 60 * 1000
+
+  /** `v<n>` with a non-empty all-digit suffix. */
+  def isVersionName(name: String): Boolean =
+    name.length > 1 && name.startsWith("v") && name.drop(1).forall(_.isDigit)
 
   /** Fresh table rooted in a new temp directory, deleted at JVM exit
     * (tests, scratch targets). Durable tables pass a real root instead.
