@@ -138,7 +138,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // z-order: broadcast 1-row stats crossJoin, census groupBy + sort
     ("layout_zorder_census", 3, 1, Nil),
     // native session_window: one user-key shuffle for the merge + output sort
-    ("sessionization_session_window", 2, 0, Nil))
+    ("sessionization_session_window", 2, 0, Nil),
+    // FastSS: variant join (broadcast at test scale; SMJ+ReusedExchange at
+    // corpus scale), candidate distinct, census agg + sort
+    ("join_fuzzy_neighbors", 4, 0, Nil),
+    // per-source count, broadcast 1-row sorted-fold total, output sort
+    ("prep_mix_temperature", 4, 1, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)
