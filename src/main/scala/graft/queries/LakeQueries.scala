@@ -141,6 +141,35 @@ object LakeQueries {
                WHERE o_orderkey % 5 IN (0, 1)
                ORDER BY snap, o_orderkey"""),
       doc = "INSERT INTO appends (hard-link carry-forward of previous version) and " +
-        "INSERT OVERWRITE truncate semantics, both time-travel-visible")
+        "INSERT OVERWRITE truncate semantics, both time-travel-visible"),
+
+    GQuery("lake_schema_evolution",
+      (s, dir) => {
+        val (t, view) = freshTable(s, dir, "evo")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey % 17 = 0")
+        s.sql(s"ALTER TABLE $t ADD COLUMN bonus_cents BIGINT")     // metadata-only
+        // old files read NULL for the new column; the UPDATE rewrite then
+        // fills it for one segment, proving evolved columns are writable
+        s.sql(s"UPDATE $t SET bonus_cents = price_cents div 10 WHERE status = 'O'")
+        s.sql(s"INSERT INTO $t SELECT o_orderkey + 1000000, o_custkey, price_cents, " +
+          s"status, 77 FROM $view WHERE o_orderkey % 17 = 1 AND o_orderkey < 3000")
+        s.sql(s"SELECT o_orderkey, price_cents, status, bonus_cents FROM $t " +
+          "ORDER BY o_orderkey")
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+                    v0 AS (SELECT * FROM o WHERE o_orderkey % 17 = 0),
+                    evolved AS (SELECT o_orderkey, price_cents, status,
+                                       CASE WHEN status = 'O' THEN price_cents // 10
+                                            ELSE NULL END AS bonus_cents
+                                FROM v0),
+                    inserted AS (SELECT o_orderkey + 1000000 AS o_orderkey, price_cents,
+                                        status, CAST(77 AS BIGINT) AS bonus_cents
+                                 FROM o WHERE o_orderkey % 17 = 1 AND o_orderkey < 3000)
+               SELECT o_orderkey, price_cents, status, bonus_cents FROM evolved
+               UNION ALL
+               SELECT o_orderkey, price_cents, status, bonus_cents FROM inserted
+               ORDER BY o_orderkey"""),
+      doc = "metadata-only ALTER TABLE ADD COLUMN: old files NULL-backfill, the " +
+        "UPDATE rewrite fills the evolved column, new inserts carry it")
   )
 }
