@@ -56,6 +56,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def tableDir(ident: Identifier): Path =
     namespaceDir(ident.namespace()).resolve(ident.name())
   private def metaPath(dir: Path): Path = dir.resolve(GraftCatalog.MetaFile)
+  private def propsPath(dir: Path): Path = dir.resolve(GraftCatalog.PropsFile)
+
+  private def readProps(dir: Path): Map[String, String] = {
+    val p = propsPath(dir)
+    if (!Files.exists(p)) Map.empty
+    else org.json4s.jackson.JsonMethods.parse(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)) match {
+      case o: org.json4s.JObject => o.obj.collect {
+        case (k, org.json4s.JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Write-temp-then-atomic-move, like the schema meta — readers never
+    * observe a torn properties file.
+    */
+  private def writeProps(dir: Path, props: Map[String, String]): Unit = {
+    val json = org.json4s.jackson.JsonMethods.compact(org.json4s.JObject(
+      props.toSeq.sortBy(_._1).map { case (k, v) => k -> (org.json4s.JString(v): org.json4s.JValue) }.toList))
+    val tmp = dir.resolve(s"${GraftCatalog.PropsFile}.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, propsPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** `graft.filter.columns` must name real top-level columns — a typo'd
+    * key column would silently disable runtime group filtering forever.
+    */
+  private def validateProps(props: Map[String, String], schema: StructType): Unit =
+    props.get(GraftTable.FilterColumnsProp).foreach { cols =>
+      val known = schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val bad = cols.split(',').map(_.trim).filter(_.nonEmpty)
+        .filterNot(c => known.contains(c.toLowerCase(java.util.Locale.ROOT)))
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"${GraftTable.FilterColumnsProp} names unknown column(s): ${bad.mkString(", ")}")
+    }
 
   // ---- tables -------------------------------------------------------------
 
@@ -114,7 +152,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"${if (retained.isEmpty) "<none>" else retained.mkString(", ")}")
       }
     }
-    new GraftTable(s"$catalogName.${ident.toString}", dir, schema, version)
+    new GraftTable(s"$catalogName.${ident.toString}", dir, schema, version, readProps(dir))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -125,7 +163,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "partitioning with a bucketed/sorted write of the source query instead")
     val dir = tableDir(ident)
     if (Files.exists(metaPath(dir))) throw new TableAlreadyExistsException(ident)
+    // persist user TBLPROPERTIES; engine-reserved keys (location, provider,
+    // external, owner) describe the catalog's own layout and are not stored
+    val userProps = Option(properties).map(_.asScala.toMap).getOrElse(Map.empty) --
+      GraftCatalog.ReservedProps
+    validateProps(userProps, schema)
     Files.createDirectories(dir)
+    if (userProps.nonEmpty) writeProps(dir, userProps)
     Files.write(metaPath(dir), schema.json.getBytes(StandardCharsets.UTF_8))
     loadTable(ident)
   }
@@ -149,7 +193,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       what = s"ALTER TABLE $catalogName.$ident", retryHint = "re-run the statement") {
       var schema = DataType.fromJson(new String(
         Files.readAllBytes(metaPath(dir)), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+      var props = readProps(dir)
+      var propsChanged = false
       changes.foreach {
+        case set: TableChange.SetProperty =>
+          if (GraftCatalog.ReservedProps.contains(set.property()))
+            throw new UnsupportedOperationException(
+              s"property ${set.property()} is managed by the catalog")
+          props += set.property() -> set.value(); propsChanged = true
+        case rm: TableChange.RemoveProperty =>
+          props -= rm.property(); propsChanged = true
         case add: TableChange.AddColumn =>
           if (add.fieldNames().length != 1) throw new UnsupportedOperationException(
             "nested column adds are not supported")
@@ -173,6 +226,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }
+      validateProps(props, schema)
+      if (propsChanged) writeProps(dir, props)
       val tmp = dir.resolve(s"${GraftCatalog.MetaFile}.${java.util.UUID.randomUUID()}.tmp")
       Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, metaPath(dir),
@@ -257,6 +312,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 object GraftCatalog {
   val MetaFile = "_TABLE_META.json"
+  val PropsFile = "_TABLE_PROPS.json"
+
+  /** Keys the catalog computes itself — never persisted as user props. */
+  val ReservedProps: Set[String] = Set(
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+    TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_OWNER, "format")
 
   /** Register the default `graftlake` catalog on this session over a
     * per-JVM scratch warehouse (idempotent). Catalog plugins resolve

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -36,20 +36,37 @@ import graft.stages.MergeTable
   * row-level-operation API ([[SupportsRowLevelOperations]]): Catalyst
   * rewrites the statement into a join that computes the surviving rows
   * ([[org.apache.spark.sql.catalyst.plans.logical.ReplaceData]]), and the
-  * connector replaces the scanned group. The replaced group here is the
-  * whole table — one version per statement; at 100 TB the same API
-  * supports per-file groups with runtime group filtering, which is the
-  * documented scale path (only touched files rewrite). Each operation
-  * captures its base version at planning time and the commit CAS-checks
-  * it, so two concurrent MERGEs cannot silently lose one side's rewrite —
-  * the loser throws and nothing is committed (snapshot isolation with
-  * conflict detection, the same contract Delta/Iceberg give).
+  * connector replaces the scanned group. Groups are PER FILE: the
+  * statement's WHERE reaches the group scan as pushed filters and prunes
+  * files by footer min/max ([[FileStats]]); with
+  * `graft.filter.columns` declared, Spark's runtime group filtering
+  * additionally narrows MERGE to the files whose key ranges intersect
+  * the matched rows ([[org.apache.spark.sql.connector.read
+  * .SupportsRuntimeFiltering]]). Files the scan did not read are carried
+  * into the new version by hard link — at 100 TB a point MERGE rewrites
+  * a handful of files, not the table. Each operation captures its base
+  * version at planning time and the commit CAS-checks it, so two
+  * concurrent MERGEs cannot silently lose one side's rewrite — the loser
+  * throws and nothing is committed (snapshot isolation with conflict
+  * detection, the same contract Delta/Iceberg give).
   */
 final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
-                       pinnedVersion: Option[String])
+                       pinnedVersion: Option[String],
+                       tableProps: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   private[lake] val merge = new MergeTable(dir.toString, Seq.empty)
+
+  /** Columns Spark's runtime group filtering may prune files on (the
+    * MERGE keys, typically) — bounded-cardinality by contract, since the
+    * runtime filter materializes their distinct matched values. The
+    * unbounded-cardinality alternative is a `_file` metadata column
+    * (Iceberg's design); with data clustered on the key (z-order or a
+    * range-partitioned write), key-range pruning hits the same files.
+    */
+  private[lake] val filterColumns: Seq[String] =
+    tableProps.get(GraftTable.FilterColumnsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -57,8 +74,8 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
   override def properties(): util.Map[String, String] =
-    Map(TableCatalog.PROP_LOCATION -> dir.toString,
-      "format" -> "graft/parquet-versioned").asJava
+    (tableProps ++ Map(TableCatalog.PROP_LOCATION -> dir.toString,
+      "format" -> "graft/parquet-versioned")).asJava
 
   /** The directory a snapshot reads: a committed version, or a real (but
     * empty) directory for a table no write ever committed — Spark's file
@@ -98,6 +115,13 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
   }
 }
 
+object GraftTable {
+  /** Comma-separated table property: the columns runtime group filtering
+    * may prune row-level-operation file groups on.
+    */
+  val FilterColumnsProp = "graft.filter.columns"
+}
+
 /** INSERT INTO (append) / INSERT OVERWRITE (truncate): mode is decided by
   * the analyzer calling [[truncate]].
   */
@@ -109,40 +133,131 @@ private[lake] final class GraftWriteBuilder(table: GraftTable, info: LogicalWrit
     new GraftWrite(table, info, carryForward = !replace, expectedBase = None)
 }
 
-/** Group-based row-level operation: the scan exposes the base snapshot,
-  * the write replaces it, and the commit CAS-checks that the snapshot is
-  * still current. One instance serves both the read and the write side of
-  * a single MERGE/UPDATE/DELETE statement.
+/** Group-based row-level operation with PER-FILE groups: the scan
+  * exposes only the base-snapshot files that might hold matching rows,
+  * the write replaces exactly those files (the rest are carried forward
+  * by hard link), and the commit CAS-checks that the snapshot is still
+  * current. One instance serves both the read and the write side of a
+  * single MERGE/UPDATE/DELETE statement — the write reads the file set
+  * the scan settled on, so the two sides cannot disagree about what was
+  * replaced.
+  *
+  * Two pruning layers, both conservative (a file is only skipped when
+  * its footer PROVES no row can match):
+  *   1. static — Spark pushes the statement's WHERE into this scan for
+  *      group pruning; [[FileStats.mightMatch]] evaluates it against
+  *      footer min/max at plan time;
+  *   2. runtime — for conditions that need the source side (MERGE's ON),
+  *      [[SupportsRuntimeFiltering]] receives `IN` predicates over
+  *      `graft.filter.columns` built from the actually-matched rows, and
+  *      the file set narrows again before execution.
   */
 private[lake] final class GraftRowLevelOperation(table: GraftTable, info: RowLevelOperationInfo)
   extends RowLevelOperation {
   // the snapshot this statement plans against, captured ONCE — both the
   // rewrite join's scan and the commit's conflict check use it
   private val base: Option[String] = table.merge.currentVersion
+  private val baseFiles: Seq[Path] = base.toSeq.flatMap(v => table.merge.dataFiles(v))
+
+  /** The files the rewrite replaces — everything else is carried. Starts
+    * at "all of them" (whole-table replace) and only ever narrows as the
+    * group scan prunes; read by the write at commit time. The scan is
+    * built once (by Spark's row-level scan planning) and executes before
+    * the write commits, so the set is settled when it is read.
+    */
+  @volatile private[lake] var replacedFiles: Set[String] =
+    baseFiles.map(_.getFileName.toString).toSet
+
+  // footer stats, read lazily once per statement and shared by the
+  // static and runtime pruning passes — O(candidate files) driver-side
+  // metadata, the local stand-in for a manifest's per-file stats
+  private lazy val stats: Map[String, FileStats.FileStat] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    baseFiles.map(f => f.getFileName.toString -> FileStats.read(f, conf)).toMap
+  }
+
+  private[lake] def prune(files: Seq[Path],
+                          filters: Array[org.apache.spark.sql.sources.Filter]): Seq[Path] =
+    if (filters.isEmpty) files
+    else files.filter(f => FileStats.mightMatch(stats(f.getFileName.toString),
+      filters.toSeq))
 
   override def command(): RowLevelOperation.Command = info.command()
 
-  /** The group scan. Deliberately a PLAIN `ScanBuilder` — no
-    * `SupportsPushDownFilters`/`SupportsPushDownRequiredColumns` — because
-    * Spark pushes the statement's WHERE condition into a row-level
-    * operation's scan for GROUP pruning, expecting group granularity:
-    * rows of a group that don't match must still be read (they are the
-    * "copy" side of the rewrite). A scan that honored the filter at ROW
-    * granularity (as the vectorized parquet scan does) would silently
-    * DELETE every non-matching row of a rewritten group. Iceberg's
-    * row-level scans make the same choice: filters prune files, never
-    * rows. Our group is the whole table, so nothing prunes — the 100 TB
-    * path is per-file groups + `SupportsRuntimeV2Filtering` on this scan.
+  /** The group scan builder. It accepts pushed filters but reports ALL of
+    * them as residual — Spark pushes the statement's WHERE here for GROUP
+    * pruning, expecting group granularity: rows of a surviving group that
+    * don't match must still be read (they are the "copy" side of the
+    * rewrite). A scan that honored the filter at ROW granularity (as the
+    * vectorized parquet scan does) would silently DELETE every
+    * non-matching row of a rewritten group. Iceberg's row-level scans
+    * make the same choice: filters prune FILES, never rows — which is
+    * exactly what [[GraftRowLevelOperation.prune]] does with them.
     */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val inner = table.parquetTable(Seq(table.dataDir(base))).newScanBuilder(options)
-    new ScanBuilder { override def build() = inner.build() }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters {
+      private var groupFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]) = {
+        groupFilters = filters
+        filters // all residual: filters prune files here, never rows
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      override def build(): Scan =
+        if (table.filterColumns.nonEmpty)
+          new RuntimeFilterableGroupScan(prune(baseFiles, groupFilters))
+        else new GroupScan(prune(baseFiles, groupFilters))
+    }
+
+  /** The group scan: full rows of the current candidate file set. The
+    * set may narrow between planning and execution (runtime filtering
+    * subclass); `toBatch` re-plans from the live set on every call
+    * (Spark calls it again after `filter`), and every narrowing is
+    * mirrored into [[replacedFiles]] for the write side.
+    */
+  private sealed class GroupScan(initial: Seq[Path]) extends Scan {
+    @volatile protected var current: Seq[Path] = initial
+    record()
+
+    protected def record(): Unit =
+      replacedFiles = current.map(_.getFileName.toString).toSet
+
+    override def readSchema(): StructType = table.schema()
+
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      table.parquetTable(
+        if (current.isEmpty) Seq(table.dataDir(None)) else current.map(_.toString))
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
+
+    override def description(): String =
+      s"GraftGroupScan(${table.name()}, base=${base.getOrElse("∅")}, " +
+        s"files=${current.size}/${baseFiles.size})"
+  }
+
+  /** Runtime group filtering (only offered when the table declares
+    * `graft.filter.columns` — an empty attribute list would make the
+    * planner rule a no-op at best). Spark builds the matched-row set
+    * through a REGULAR scan of the original table, collects the distinct
+    * filter-column values, and hands them here as `IN` predicates before
+    * execution starts.
+    */
+  private final class RuntimeFilterableGroupScan(initial: Seq[Path])
+    extends GroupScan(initial)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      table.filterColumns.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+    override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+      current = prune(current, filters)
+      record()
+    }
   }
 
   override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new GraftWrite(table, writeInfo, carryForward = false, expectedBase = Some(base))
+        new GraftWrite(table, writeInfo, carryForward = true,
+          expectedBase = Some(base), carryExclude = () => replacedFiles)
     }
 
   override def description(): String =
@@ -156,7 +271,8 @@ private[lake] final class GraftRowLevelOperation(table: GraftTable, info: RowLev
   */
 private[lake] final class GraftWrite(table: GraftTable, info: LogicalWriteInfo,
                                      carryForward: Boolean,
-                                     expectedBase: Option[Option[String]]) extends Write {
+                                     expectedBase: Option[Option[String]],
+                                     carryExclude: () => Set[String] = () => Set.empty) extends Write {
   override def description(): String =
     s"GraftWrite(${table.name()}, ${if (carryForward) "append" else "replace"})"
 
@@ -176,7 +292,7 @@ private[lake] final class GraftWrite(table: GraftTable, info: LogicalWriteInfo,
         inner.onDataWriterCommit(message)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         inner.commit(messages)   // file-commit protocol: task files -> stage dir
-        table.merge.commitStagedFiles(stage, carryForward, expectedBase)
+        table.merge.commitStagedFiles(stage, carryForward, expectedBase, carryExclude())
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         try inner.abort(messages)

@@ -224,10 +224,20 @@ final class MergeTable(val root: String, keys: Seq[String],
     * THIS commit loudly instead of silently losing the other writer's
     * rows. Only a replace with `expectedBase = None` is last-writer-wins.
     *
+    * `carryExclude` names base files that must NOT be carried because the
+    * staged files REPLACE them — the per-file group rewrite of
+    * MERGE/UPDATE/DELETE: untouched files survive as hard links, only the
+    * files whose rows were rewritten are superseded. The caller owns the
+    * exactness contract: the staged data must contain every surviving row
+    * of exactly the excluded files (excluding a file that was not
+    * rewritten LOSES its rows; carrying a file that was rewritten
+    * DUPLICATES them).
+    *
     * @return the committed version name (`v<n>`)
     */
   def commitStagedFiles(staged: Path, carryForward: Boolean,
-                        expectedBase: Option[Option[String]] = None): String = {
+                        expectedBase: Option[Option[String]] = None,
+                        carryExclude: Set[String] = Set.empty): String = {
     val token = java.util.UUID.randomUUID().toString
     val lock = Paths.get(root, "_COMMIT_LOCK")
     try {
@@ -238,16 +248,18 @@ final class MergeTable(val root: String, keys: Seq[String],
         if (carryForward) expectedBase.orElse(Some(carriedBase)) else expectedBase
       try carriedBase.foreach { v =>
         eachDataFile(Paths.get(root, v)) { f =>
-          val preferred = staged.resolve(f.getFileName.toString)
-          // staged part names embed task UUIDs, so collisions with carried
-          // files can't happen in practice; stay safe anyway
-          val dst = if (Files.exists(preferred))
-            staged.resolve(s"carried-$token-${f.getFileName}") else preferred
-          try Files.createLink(dst, f)
-          catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            // includes a vanished link source: the copy then throws
-            // NoSuchFileException into the outer conflict mapping
-            Files.copy(f, dst) }
+          if (!carryExclude.contains(f.getFileName.toString)) {
+            val preferred = staged.resolve(f.getFileName.toString)
+            // staged part names embed task UUIDs, so collisions with carried
+            // files can't happen in practice; stay safe anyway
+            val dst = if (Files.exists(preferred))
+              staged.resolve(s"carried-$token-${f.getFileName}") else preferred
+            try Files.createLink(dst, f)
+            catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+              // includes a vanished link source: the copy then throws
+              // NoSuchFileException into the outer conflict mapping
+              Files.copy(f, dst) }
+          }
         }
       } catch {
         case _: java.nio.file.NoSuchFileException =>
@@ -316,6 +328,16 @@ final class MergeTable(val root: String, keys: Seq[String],
   /** The newest version committed at or before `epochMillis`, if any. */
   def versionAsOfTime(epochMillis: Long): Option[String] =
     versionLog.filter(_._2 <= epochMillis).lastOption.map(_._1)
+
+  /** The data files of a committed version, sorted by name — what a scan
+    * of that version reads, and the universe per-file group replacement
+    * ([[commitStagedFiles]] `carryExclude`) selects from.
+    */
+  def dataFiles(version: String): Seq[Path] = {
+    val buf = Seq.newBuilder[Path]
+    eachDataFile(Paths.get(root, version))(buf += _)
+    buf.result().sortBy(_.getFileName.toString)
+  }
 
   /** Data files of a version/staging directory: skips `_SUCCESS`,
     * `_temporary` leftovers and hidden files, exactly as Spark's own file

@@ -197,6 +197,87 @@ class LakeSpec extends AnyFunSuite {
     assert(sql(s"SELECT count(*) FROM $t VERSION AS OF 'v0'").collect().head.getLong(0) == 40L)
   }
 
+  private def tableFiles(tableN: Int, v: String): Set[String] = {
+    val dir = Paths.get(spark.conf.get("spark.sql.catalog.lakespec.warehouse"), "db", s"t$tableN")
+    new graft.stages.MergeTable(dir.toString, Seq.empty)
+      .dataFiles(v).map(_.getFileName.toString).toSet
+  }
+
+  test("DELETE/UPDATE rewrite only the files whose footer range can match; the rest carry by hard link") {
+    val t = freshTable(); val tn = n
+    sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    // four single-file commits with disjoint k ranges — the carried-forward
+    // version v3 holds all four files
+    for (b <- 0 until 4)
+      sql(s"INSERT INTO $t SELECT id, id FROM range(${b * 25}, ${(b + 1) * 25}, 1, 1)")
+    val v3 = tableFiles(tn, "v3")
+    assert(v3.size == 4, s"expected 4 data files, got $v3")
+
+    // hits only the 25..49 file: the other three must survive as links
+    sql(s"DELETE FROM $t WHERE k >= 30 AND k < 35")
+    val v4 = tableFiles(tn, "v4")
+    assert((v3 intersect v4).size == 3,
+      s"3 of 4 files must carry forward untouched; base=$v3 new=$v4")
+    assert(sql(s"SELECT count(*), sum(k) FROM $t").collect().head.toSeq ==
+      Seq(95L, (0L until 100L).sum - (30L until 35L).sum))
+
+    // hits only the 50..74 file
+    sql(s"UPDATE $t SET v = -1 WHERE k = 60")
+    val v5 = tableFiles(tn, "v5")
+    assert((v4 intersect v5).size == 3,
+      s"UPDATE must replace exactly one file; base=$v4 new=$v5")
+    assert(sql(s"SELECT v FROM $t WHERE k = 60").collect().head.getLong(0) == -1L)
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 95L)
+
+    // an unprunable statement (no WHERE) still replaces everything
+    sql(s"UPDATE $t SET v = v")
+    assert((v5 intersect tableFiles(tn, "v6")).isEmpty,
+      "a whole-table rewrite must not carry any base file")
+  }
+
+  test("MERGE narrows the file groups at runtime via declared filter columns") {
+    val t = freshTable(); val tn = n
+    sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('graft.filter.columns' = 'k')")
+    for (b <- 0 until 4)
+      sql(s"INSERT INTO $t SELECT id, id FROM range(${b * 25}, ${(b + 1) * 25}, 1, 1)")
+    val base = tableFiles(tn, "v3")
+    // matched keys 60..64 all live in the 50..74 file; 200.. are inserts.
+    // The ON condition needs the source side, so only RUNTIME group
+    // filtering can prune here — the statement's own WHERE is empty.
+    sql(s"SELECT id AS k, -id AS v FROM range(60, 65) " +
+      s"UNION ALL SELECT id, -id FROM range(200, 205)").createOrReplaceTempView("prune_src")
+    sql(s"""MERGE INTO $t t USING prune_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val after = tableFiles(tn, "v4")
+    assert((base intersect after).size == 3,
+      s"runtime group filter must confine the MERGE to one file; base=$base new=$after")
+    // exactness: no carried row lost, none duplicated
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 105L)
+    assert(sql(s"SELECT sum(v) FROM $t WHERE k >= 60 AND k < 65").collect().head.getLong(0)
+      == -(60L until 65L).sum)
+    assert(sql(s"SELECT count(*) FROM $t WHERE v = k").collect().head.getLong(0) == 95L)
+  }
+
+  test("a rewrite filtering on an evolved column prunes the files that predate it") {
+    val t = freshTable(); val tn = n
+    sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    sql(s"INSERT INTO $t SELECT id, id FROM range(0, 25, 1, 1)")
+    sql(s"INSERT INTO $t SELECT id, id FROM range(25, 50, 1, 1)")
+    sql(s"ALTER TABLE $t ADD COLUMN tag STRING")
+    sql(s"INSERT INTO $t SELECT id, id, 'x' FROM range(50, 55, 1, 1)")
+    val base = tableFiles(tn, "v2")
+    // files written before the ALTER cannot contain tag = 'x' (the column
+    // reads as NULL there) — footer absence proves it, so they carry
+    sql(s"DELETE FROM $t WHERE tag = 'x' AND k >= 53")
+    val after = tableFiles(tn, "v3")
+    assert((base intersect after).size == 2,
+      s"pre-ALTER files must carry forward; base=$base new=$after")
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 53L)
+    assert(sql(s"SELECT count(*) FROM $t WHERE tag = 'x'").collect().head.getLong(0) == 3L)
+  }
+
   test("catalog reads keep parquet pushdown and column pruning (delegated scan)") {
     val t = freshTable()
     sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
