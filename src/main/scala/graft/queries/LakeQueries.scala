@@ -29,9 +29,11 @@ object LakeQueries {
     graft.lake.GraftCatalog.ensureScratchCatalog(s)
 
   /** A fresh `orders` projection view + a fresh empty lake table; returns
-    * (table name, source view name).
+    * (table name, source view name). `tblProperties` is appended verbatim
+    * to the CREATE TABLE (e.g. a `TBLPROPERTIES (...)` clause).
     */
-  private def freshTable(s: SparkSession, dir: String, tag: String): (String, String) = {
+  private def freshTable(s: SparkSession, dir: String, tag: String,
+                         tblProperties: String = ""): (String, String) = {
     ensureCatalog(s)
     val id = seq.incrementAndGet()
     val view = s"lake_orders_${tag}_$id"
@@ -42,7 +44,7 @@ object LakeQueries {
       .createOrReplaceTempView(view)
     val table = s"graftlake.q.${tag}_$id"
     s.sql(s"CREATE TABLE $table (o_orderkey BIGINT, o_custkey BIGINT, " +
-      "price_cents BIGINT, status STRING)")
+      s"price_cents BIGINT, status STRING) $tblProperties")
     (table, view)
   }
 
@@ -170,6 +172,64 @@ object LakeQueries {
                SELECT o_orderkey, price_cents, status, bonus_cents FROM inserted
                ORDER BY o_orderkey"""),
       doc = "metadata-only ALTER TABLE ADD COLUMN: old files NULL-backfill, the " +
-        "UPDATE rewrite fills the evolved column, new inserts carry it")
+        "UPDATE rewrite fills the evolved column, new inserts carry it"),
+
+    GQuery("lake_rowlevel_pruned",
+      (s, dir) => {
+        // key-range-clustered inserts (one commit per range) build a table
+        // whose files have disjoint o_orderkey footer ranges, so the
+        // DELETE/UPDATE prune file groups statically and the MERGE prunes
+        // at runtime through the declared filter column — the carried
+        // files survive as hard links, and this final SELECT proves the
+        // carried + rewritten union is exactly the declarative result
+        val (t, view) = freshTable(s, dir, "prune",
+          "TBLPROPERTIES ('graft.filter.columns' = 'o_orderkey')")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey < 20000")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey >= 20000 AND o_orderkey < 40000")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey >= 40000")
+        s.sql(s"DELETE FROM $t WHERE o_orderkey >= 25000 AND o_orderkey < 26000 AND status = 'F'")
+        s.sql(s"UPDATE $t SET price_cents = price_cents + 7 WHERE o_orderkey < 5000")
+        s.sql(s"""MERGE INTO $t t
+                  USING (SELECT o_orderkey, price_cents FROM $view
+                         WHERE o_orderkey >= 40000 AND o_orderkey % 9 = 4) s
+                  ON t.o_orderkey = s.o_orderkey
+                  WHEN MATCHED THEN UPDATE SET price_cents = s.price_cents + 33""")
+        s.sql(s"""MERGE INTO $t t
+                  USING (SELECT o_orderkey + 90000000 AS o_orderkey, o_custkey,
+                                price_cents, 'N' AS status FROM $view
+                         WHERE o_orderkey % 9 = 5 AND o_orderkey < 2000) s
+                  ON t.o_orderkey = s.o_orderkey
+                  WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, price_cents, status)
+                    VALUES (s.o_orderkey, s.o_custkey, s.price_cents, s.status)""")
+        s.sql(s"""SELECT status, count(*) AS n_rows, sum(price_cents) AS total_cents,
+                         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+                  FROM $t GROUP BY status ORDER BY status""")
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+                    afterdel AS (SELECT * FROM o WHERE NOT
+                      (o_orderkey >= 25000 AND o_orderkey < 26000 AND status = 'F')),
+                    afterupd AS (SELECT o_orderkey, o_custkey,
+                                        CASE WHEN o_orderkey < 5000 THEN price_cents + 7
+                                             ELSE price_cents END AS price_cents, status
+                                 FROM afterdel),
+                    src_m AS (SELECT o_orderkey, price_cents FROM o
+                              WHERE o_orderkey >= 40000 AND o_orderkey % 9 = 4),
+                    merged AS (SELECT a.o_orderkey, a.o_custkey,
+                                      COALESCE(s.price_cents + 33, a.price_cents) AS price_cents,
+                                      a.status
+                               FROM afterupd a LEFT JOIN src_m s USING (o_orderkey)),
+                    ins AS (SELECT o_orderkey + 90000000 AS o_orderkey, o_custkey,
+                                   price_cents, 'N' AS status FROM o
+                            WHERE o_orderkey % 9 = 5 AND o_orderkey < 2000),
+                    finalt AS (SELECT * FROM merged UNION ALL SELECT * FROM ins)
+               SELECT status, count(*) AS n_rows,
+                      CAST(sum(price_cents) AS BIGINT) AS total_cents,
+                      CAST(min(o_orderkey) AS BIGINT) AS min_key,
+                      CAST(max(o_orderkey) AS BIGINT) AS max_key
+               FROM finalt GROUP BY status ORDER BY status"""),
+      doc = "per-file group replacement: key-range-clustered files, DELETE/UPDATE " +
+        "prune statically via footer min/max, MERGE prunes at runtime via the " +
+        "declared filter column; carried hard links + rewrites equal the " +
+        "declarative result")
   )
 }
