@@ -299,6 +299,58 @@ object FileStats {
     case _ => true // unevaluated filter shapes never prune
   }
 
+  /** Does EVERY row of the file satisfy ALL `filters`? The dual of
+    * [[mightMatch]], powering metadata-only DELETE: a file may be dropped
+    * wholesale only when the footer PROVES each row matches. Conservative
+    * direction is therefore FALSE — any unknown (missing bounds, possible
+    * nulls, unevaluated shape) answers "not provable" and the statement
+    * falls back to the rewrite path.
+    */
+  def mustMatchAll(stat: FileStat, filters: Seq[Filter]): Boolean =
+    !stat.unreadable && filters.forall(f => mustMatchAllOne(stat, f))
+
+  private def mustMatchAllOne(stat: FileStat, filter: Filter): Boolean = filter match {
+    case EqualTo(a, v) =>
+      val cs = stat.colStats(a)
+      !cs.mayHaveNulls && ((cs.loBound, cs.hiBound, toComparable(v)) match {
+        case (Some(lo), Some(hi), Some(w)) =>
+          compare(lo, w).contains(0) && compare(hi, w).contains(0)
+        case _ => false
+      })
+    case GreaterThan(a, v) => allBeyond(stat.colStats(a), v)(_.loBound, _ > 0)
+    case GreaterThanOrEqual(a, v) => allBeyond(stat.colStats(a), v)(_.loBound, _ >= 0)
+    case LessThan(a, v) => allBeyond(stat.colStats(a), v)(_.hiBound, _ < 0)
+    case LessThanOrEqual(a, v) => allBeyond(stat.colStats(a), v)(_.hiBound, _ <= 0)
+    case In(a, vs) =>
+      // provable only in the degenerate single-value file
+      val cs = stat.colStats(a)
+      vs.exists(v => mustMatchAllOne(stat, EqualTo(a, v))) && !cs.mayHaveNulls
+    case IsNull(a) => !stat.colStats(a).mayHaveNonNull
+    case IsNotNull(a) => !stat.colStats(a).mayHaveNulls
+    case And(l, r) => mustMatchAllOne(stat, l) && mustMatchAllOne(stat, r)
+    case Or(l, r) => mustMatchAllOne(stat, l) || mustMatchAllOne(stat, r)
+    case StringStartsWith(a, prefix) =>
+      // both bounds sharing the prefix pins every value in between to it
+      val cs = stat.colStats(a)
+      !cs.mayHaveNulls && ((cs.loBound, cs.hiBound) match {
+        case (Some(lo: String), Some(hi: String)) =>
+          lo.startsWith(prefix) && hi.startsWith(prefix)
+        case _ => false
+      })
+    case AlwaysTrue() => true
+    case _ => false // unevaluated shapes are never provably-all
+  }
+
+  /** Every row strictly beyond `v` on the proving bound (lo for >, hi
+    * for <): nulls disprove (NULL never satisfies a comparison).
+    */
+  private def allBeyond(cs: ColStats, v: Any)(bound: ColStats => Option[Any],
+                                              ok: Int => Boolean): Boolean =
+    !cs.mayHaveNulls && ((bound(cs), toComparable(v)) match {
+      case (Some(b), Some(w)) => compare(b, w).exists(ok)
+      case _ => false
+    })
+
   /** v within [lo, hi]? Conservative on any unknown. Null literal in an
     * equality never matches (SQL three-valued logic).
     */

@@ -53,7 +53,8 @@ import graft.stages.MergeTable
 final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
                        pinnedVersion: Option[String],
                        tableProps: Map[String, String] = Map.empty)
-  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+  with SupportsDelete {
 
   private[lake] val merge = new MergeTable(dir.toString, Seq.empty)
 
@@ -111,6 +112,54 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
       s"$tableName VERSION AS OF ${pinnedVersion.get} is an immutable snapshot — writes go to the current table")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new GraftRowLevelOperation(GraftTable.this, info)
+    }
+  }
+
+  // ---- metadata-only DELETE ----------------------------------------------
+  // The partition-drop equivalent: when footer stats prove every file is
+  // either all-match (drop it) or no-match (carry it), the DELETE commits
+  // a new version without reading a single data row — Spark's
+  // OptimizeMetadataOnlyDeleteFromTable consults canDeleteWhere and swaps
+  // the row-level rewrite out for this path. Any boundary-straddling file
+  // makes the statement fall back to the (file-pruned) rewrite.
+
+  /** The drop set, or None when some file straddles the condition.
+    * Paired with the base version so the commit CAS-pins the snapshot the
+    * decision was computed against.
+    */
+  private def metadataDeletePlan(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[(Option[String], Set[String])] = merge.currentVersion match {
+    case None => Some((None, Set.empty)) // empty table: trivially metadata-only
+    case Some(base) =>
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val fs = filters.toSeq
+      val drop = Set.newBuilder[String]
+      val decidable = merge.dataFiles(base).forall { f =>
+        val st = FileStats.read(f, conf)
+        if (FileStats.mustMatchAll(st, fs)) { drop += f.getFileName.toString; true }
+        else !FileStats.mightMatch(st, fs)
+      }
+      if (decidable) Some((Some(base), drop.result())) else None
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinnedVersion.isEmpty && metadataDeletePlan(filters).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"$tableName VERSION AS OF ${pinnedVersion.get} is an immutable snapshot — writes go to the current table")
+    metadataDeletePlan(filters) match {
+      case Some((None, _)) => () // no committed version: nothing to delete
+      case Some((base @ Some(_), drop)) =>
+        // an empty staging dir + carry-forward of everything not dropped:
+        // O(files) link metadata, zero data I/O
+        val stage = dir.resolve(s"_stage_metadel_${java.util.UUID.randomUUID()}")
+        Files.createDirectories(stage)
+        merge.commitStagedFiles(stage, carryForward = true,
+          expectedBase = Some(base), carryExclude = drop)
+      case None => throw new IllegalStateException(
+        s"$tableName: deleteWhere called for a condition canDeleteWhere rejects — " +
+          "a concurrent commit changed the file set; re-run the statement")
     }
   }
 }

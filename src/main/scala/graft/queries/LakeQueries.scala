@@ -230,6 +230,67 @@ object LakeQueries {
       doc = "per-file group replacement: key-range-clustered files, DELETE/UPDATE " +
         "prune statically via footer min/max, MERGE prunes at runtime via the " +
         "declared filter column; carried hard links + rewrites equal the " +
-        "declarative result")
+        "declarative result"),
+
+    GQuery("lake_optimize_cluster",
+      (s, dir) => {
+        // OPTIMIZE ZORDER maintenance between writes: the clustered rewrite
+        // must be invisible to query semantics (same rows, new layout), and
+        // the row-level ops after it still produce the declarative result
+        // while pruning against the now-tight per-file footer ranges
+        val (t, view) = freshTable(s, dir, "opt")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view")
+        val warehouse = s.conf.get("spark.sql.catalog.graftlake.warehouse")
+        val tableDir = java.nio.file.Paths.get(warehouse, "q",
+          t.split('.').last).toString
+        new graft.stages.MergeTable(tableDir, Seq.empty)
+          .compact(s, numFiles = 8, clusterBy = Seq("o_custkey", "price_cents"))
+        s.sql(s"DELETE FROM $t WHERE o_custkey < 300 AND price_cents < 10000000")
+        s.sql(s"UPDATE $t SET status = 'Z' WHERE o_custkey >= 1200 AND price_cents >= 25000000")
+        s.sql(s"""SELECT status, count(*) AS n_rows, sum(price_cents) AS total_cents,
+                         sum(o_custkey) AS custkey_sum
+                  FROM $t GROUP BY status ORDER BY status""")
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+                    afterdel AS (SELECT * FROM o WHERE NOT
+                      (o_custkey < 300 AND price_cents < 10000000)),
+                    afterupd AS (SELECT o_orderkey, o_custkey, price_cents,
+                                        CASE WHEN o_custkey >= 1200 AND price_cents >= 25000000
+                                             THEN 'Z' ELSE status END AS status
+                                 FROM afterdel)
+               SELECT status, count(*) AS n_rows,
+                      CAST(sum(price_cents) AS BIGINT) AS total_cents,
+                      CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+               FROM afterupd GROUP BY status ORDER BY status"""),
+      doc = "z-order clustered compaction (OPTIMIZE ZORDER BY custkey, price) as a " +
+        "pure-maintenance commit, then DELETE/UPDATE whose 2-D predicates prune " +
+        "the clustered file groups; result matches the layout-blind oracle"),
+
+    GQuery("lake_metadata_delete",
+      (s, dir) => {
+        // both deletes align with whole-file key ranges, so footer stats
+        // prove every file all-match or no-match and the statements commit
+        // as metadata-only deletes (zero data rows read) — the correctness
+        // claim is that dropping files IS the declarative delete
+        val (t, view) = freshTable(s, dir, "mdel")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey < 15000")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey >= 15000 AND o_orderkey < 30000")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey >= 30000")
+        s.sql(s"DELETE FROM $t WHERE o_orderkey < 15000")
+        s.sql(s"DELETE FROM $t WHERE o_orderkey >= 45000")
+        s.sql(s"""SELECT status, count(*) AS n_rows, sum(price_cents) AS total_cents,
+                         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+                  FROM $t GROUP BY status ORDER BY status""")
+      },
+      Some(s"""WITH o AS ($ordersCentsSql)
+               SELECT status, count(*) AS n_rows,
+                      CAST(sum(price_cents) AS BIGINT) AS total_cents,
+                      CAST(min(o_orderkey) AS BIGINT) AS min_key,
+                      CAST(max(o_orderkey) AS BIGINT) AS max_key
+               FROM o WHERE o_orderkey >= 15000 AND o_orderkey < 45000
+               GROUP BY status ORDER BY status"""),
+      doc = "metadata-only DELETE: file-aligned predicates drop whole files via " +
+        "footer proofs (no data read), straddle-free by construction; result " +
+        "matches the declarative range filter")
   )
 }

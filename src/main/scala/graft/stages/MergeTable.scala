@@ -62,12 +62,34 @@ final class MergeTable(val root: String, keys: Seq[String],
     * merge, so it is crash-safe and loudly fails under a concurrent
     * writer; previous versions stay intact for time travel until
     * [[vacuum]]. No-op on an empty table.
+    *
+    * `clusterBy` turns compaction into `OPTIMIZE ... ZORDER BY`: one
+    * column range-partitions + sorts (tight per-file min/max on that
+    * column), two BIGINT columns interleave into a Morton z-value
+    * ([[graft.ops.Layout.withZValue]]) so per-file footer ranges are
+    * tight on BOTH — which is exactly what per-file group pruning
+    * (scans AND row-level rewrites) skips on. Maintenance, not
+    * semantics: the rows are identical, only the file layout changes.
     */
-  def compact(spark: SparkSession, numFiles: Int = 1): Unit = {
+  def compact(spark: SparkSession, numFiles: Int = 1,
+              clusterBy: Seq[String] = Nil): Unit = {
     require(numFiles >= 1, "must compact to at least one file")
     if (currentVersion.isDefined)
       commit(read(spark, new StructType())) {
-        case Some(existing) => existing.repartition(numFiles)
+        case Some(existing) =>
+          import org.apache.spark.sql.functions.col
+          clusterBy match {
+            case Nil => existing.repartition(numFiles)
+            case Seq(c) =>
+              existing.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
+            case Seq(a, b) =>
+              graft.ops.Layout.withZValue(existing, a, b)
+                .repartitionByRange(numFiles, col("z"))
+                .sortWithinPartitions("z")
+                .drop("a_scaled", "b_scaled", "z")
+            case _ => throw new IllegalArgumentException(
+              "clusterBy supports one ordered column or two BIGINT z-order columns")
+          }
         case None => throw new IllegalStateException(
           s"MergeTable $root: _CURRENT disappeared between the compaction's " +
             "version check and its commit — concurrent vacuum/manual deletion?")

@@ -278,6 +278,73 @@ class LakeSpec extends AnyFunSuite {
     assert(sql(s"SELECT count(*) FROM $t WHERE tag = 'x'").collect().head.getLong(0) == 3L)
   }
 
+  test("file-aligned DELETE is metadata-only; a straddling one falls back to the rewrite") {
+    val t = freshTable(); val tn = n
+    sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    for (b <- 0 until 4)
+      sql(s"INSERT INTO $t SELECT id, id FROM range(${b * 25}, ${(b + 1) * 25}, 1, 1)")
+    val v3 = tableFiles(tn, "v3")
+
+    // k < 25 aligns exactly with the first file: provably all-match there,
+    // provably no-match everywhere else → drop the file, read no data
+    val alignedPlan = sql(s"EXPLAIN DELETE FROM $t WHERE k < 25").collect().head.getString(0)
+    assert(alignedPlan.contains("DeleteFromTable") && !alignedPlan.contains("ReplaceData"),
+      s"aligned delete must plan as a metadata delete:\n$alignedPlan")
+    sql(s"DELETE FROM $t WHERE k < 25")
+    val v4 = tableFiles(tn, "v4")
+    assert(v4.subsetOf(v3) && v4.size == 3,
+      s"metadata delete must carry 3 files and write none; base=$v3 new=$v4")
+    assert(sql(s"SELECT count(*), min(k) FROM $t").collect().head.toSeq == Seq(75L, 25L))
+
+    // k < 30 straddles the 25..49 file → not provable → rewrite (pruned)
+    val straddlePlan = sql(s"EXPLAIN DELETE FROM $t WHERE k < 30").collect().head.getString(0)
+    assert(straddlePlan.contains("ReplaceData"),
+      s"straddling delete must fall back to the rewrite:\n$straddlePlan")
+    sql(s"DELETE FROM $t WHERE k < 30")
+    assert(sql(s"SELECT count(*), min(k) FROM $t").collect().head.toSeq == Seq(70L, 30L))
+
+    // no-WHERE delete truncates by metadata: every file provably matches
+    sql(s"DELETE FROM $t")
+    assert(tableFiles(tn, "v6").isEmpty, "unconditional delete must drop every file")
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 0L)
+  }
+
+  test("IS NULL delete on an evolved column drops pre-ALTER files wholesale") {
+    val t = freshTable(); val tn = n
+    sql(s"CREATE TABLE $t (k BIGINT)")
+    sql(s"INSERT INTO $t SELECT id FROM range(0, 10, 1, 1)")
+    sql(s"ALTER TABLE $t ADD COLUMN tag STRING")
+    sql(s"INSERT INTO $t SELECT id, 'new' FROM range(10, 15, 1, 1)")
+    // old file: tag absent → provably all-NULL → dropped without a read;
+    // new file: tag never null → provably no-match → carried
+    sql(s"DELETE FROM $t WHERE tag IS NULL")
+    val v2 = tableFiles(tn, "v2")
+    assert(v2.size == 1 && v2.subsetOf(tableFiles(tn, "v1")),
+      s"only the post-ALTER file may survive, carried not rewritten; got $v2")
+    assert(sql(s"SELECT count(*), min(k) FROM $t").collect().head.toSeq == Seq(5L, 10L))
+  }
+
+  test("OPTIMIZE ZORDER: clustered compaction makes 2-D predicates prune file groups") {
+    val t = freshTable(); val tn = n
+    sql(s"CREATE TABLE $t (x BIGINT, y BIGINT)")
+    // 4 files, each spanning the FULL x domain (x = id % 64): before the
+    // clustered rewrite, an x predicate can prune nothing
+    sql(s"INSERT INTO $t SELECT id % 64, id div 64 FROM range(0, 4096, 1, 4)")
+    val dir = Paths.get(spark.conf.get("spark.sql.catalog.lakespec.warehouse"), "db", s"t$tn")
+    val mt = new graft.stages.MergeTable(dir.toString, Seq.empty)
+    mt.compact(spark, numFiles = 4, clusterBy = Seq("x", "y"))   // v1: z-ordered
+    assert(mt.dataFiles("v1").size == 4)
+    val base = tableFiles(tn, "v1")
+    // a corner box intersects ~one z-quadrant; at least half the files
+    // must now carry (before clustering, zero could)
+    sql(s"DELETE FROM $t WHERE x < 16 AND y < 16")
+    val after = tableFiles(tn, "v2")
+    val carried = (base intersect after).size
+    assert(carried >= 2, s"z-ordered files must let a 2-D box prune; carried=$carried")
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 4096L - 256L)
+    assert(sql(s"SELECT count(*) FROM $t WHERE x < 16 AND y < 16").collect().head.getLong(0) == 0L)
+  }
+
   test("catalog reads keep parquet pushdown and column pruning (delegated scan)") {
     val t = freshTable()
     sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
