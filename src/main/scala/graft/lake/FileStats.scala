@@ -256,22 +256,10 @@ object FileStats {
     case In(a, vs) =>
       val cs = stat.colStats(a)
       vs.exists(v => rangeMayContain(cs, v))
-    case GreaterThan(a, v) => boundCheck(stat.colStats(a), v)(
-      (hi, w) => compare(hi, w).forall(_ > 0))
-    case GreaterThanOrEqual(a, v) => boundCheck(stat.colStats(a), v)(
-      (hi, w) => compare(hi, w).forall(_ >= 0))
-    case LessThan(a, v) =>
-      val cs = stat.colStats(a)
-      cs.mayHaveNonNull && ((cs.loBound, toComparable(v)) match {
-        case (Some(lo), Some(w)) => compare(lo, w).forall(_ < 0)
-        case _ => true
-      })
-    case LessThanOrEqual(a, v) =>
-      val cs = stat.colStats(a)
-      cs.mayHaveNonNull && ((cs.loBound, toComparable(v)) match {
-        case (Some(lo), Some(w)) => compare(lo, w).forall(_ <= 0)
-        case _ => true
-      })
+    case GreaterThan(a, v) => boundCheck(stat.colStats(a), v)(_.hiBound, _ > 0)
+    case GreaterThanOrEqual(a, v) => boundCheck(stat.colStats(a), v)(_.hiBound, _ >= 0)
+    case LessThan(a, v) => boundCheck(stat.colStats(a), v)(_.loBound, _ < 0)
+    case LessThanOrEqual(a, v) => boundCheck(stat.colStats(a), v)(_.loBound, _ <= 0)
     case IsNull(a) => stat.colStats(a).mayHaveNulls
     case IsNotNull(a) => stat.colStats(a).mayHaveNonNull
     case And(l, r) => mightMatchOne(stat, l) && mightMatchOne(stat, r)
@@ -364,11 +352,14 @@ object FileStats {
     }
   }
 
-  private def boundCheck(cs: ColStats, v: Any)(cmp: (Any, Any) => Boolean): Boolean = {
-    if (!cs.mayHaveNonNull) return false
-    (cs.hiBound, toComparable(v)) match {
-      case (Some(hi), Some(w)) => cmp(hi, w)
+  /** Could SOME row satisfy a one-sided comparison? The proving bound is
+    * hi for `>`-family filters and lo for `<`-family (the most permissive
+    * row the file can hold); unknowns answer "might".
+    */
+  private def boundCheck(cs: ColStats, v: Any)(bound: ColStats => Option[Any],
+                                               ok: Int => Boolean): Boolean =
+    cs.mayHaveNonNull && ((bound(cs), toComparable(v)) match {
+      case (Some(b), Some(w)) => compare(b, w).forall(ok)
       case _ => true
-    }
-  }
+    })
 }

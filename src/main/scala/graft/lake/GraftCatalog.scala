@@ -89,7 +89,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def validateProps(props: Map[String, String], schema: StructType): Unit =
     props.get(GraftTable.FilterColumnsProp).foreach { cols =>
       val known = schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      val bad = cols.split(',').map(_.trim).filter(_.nonEmpty)
+      val bad = GraftTable.parseFilterColumns(cols)
         .filterNot(c => known.contains(c.toLowerCase(java.util.Locale.ROOT)))
       if (bad.nonEmpty) throw new IllegalArgumentException(
         s"${GraftTable.FilterColumnsProp} names unknown column(s): ${bad.mkString(", ")}")
@@ -227,12 +227,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"unsupported table change: $other")
       }
       validateProps(props, schema)
-      if (propsChanged) writeProps(dir, props)
+      // each file move is atomic but the pair is not: land the schema
+      // FIRST, so the crash window leaves an added column nothing refers
+      // to (harmless) rather than properties naming a column that never
+      // arrived (which would fail every later statement on the table)
       val tmp = dir.resolve(s"${GraftCatalog.MetaFile}.${java.util.UUID.randomUUID()}.tmp")
       Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, metaPath(dir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (propsChanged) writeProps(dir, props)
     }
     loadTable(ident)
   }

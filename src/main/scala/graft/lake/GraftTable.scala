@@ -67,7 +67,7 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
     */
   private[lake] val filterColumns: Seq[String] =
     tableProps.get(GraftTable.FilterColumnsProp)
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map(GraftTable.parseFilterColumns).getOrElse(Nil)
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -125,21 +125,34 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
 
   /** The drop set, or None when some file straddles the condition.
     * Paired with the base version so the commit CAS-pins the snapshot the
-    * decision was computed against.
+    * decision was computed against. The last answer is memoized per
+    * filter set: Spark consults `canDeleteWhere` (sometimes more than
+    * once — EXPLAIN, then the optimizer) before `deleteWhere`, and each
+    * uncached answer costs an O(files) footer pass; staleness is covered
+    * by the commit's CAS, not the cache.
     */
+  @volatile private var deletePlanMemo
+      : (Seq[org.apache.spark.sql.sources.Filter], Option[(Option[String], Set[String])]) = null
+
   private def metadataDeletePlan(filters: Array[org.apache.spark.sql.sources.Filter])
-      : Option[(Option[String], Set[String])] = merge.currentVersion match {
-    case None => Some((None, Set.empty)) // empty table: trivially metadata-only
-    case Some(base) =>
-      val conf = SparkSession.active.sessionState.newHadoopConf()
-      val fs = filters.toSeq
-      val drop = Set.newBuilder[String]
-      val decidable = merge.dataFiles(base).forall { f =>
-        val st = FileStats.read(f, conf)
-        if (FileStats.mustMatchAll(st, fs)) { drop += f.getFileName.toString; true }
-        else !FileStats.mightMatch(st, fs)
-      }
-      if (decidable) Some((Some(base), drop.result())) else None
+      : Option[(Option[String], Set[String])] = {
+    val key = filters.toSeq
+    val memo = deletePlanMemo
+    if (memo != null && memo._1 == key) return memo._2
+    val plan = merge.currentVersion match {
+      case None => Some((Option.empty[String], Set.empty[String])) // empty table: trivially metadata-only
+      case Some(base) =>
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        val drop = Set.newBuilder[String]
+        val decidable = merge.dataFiles(base).forall { f =>
+          val st = FileStats.read(f, conf)
+          if (FileStats.mustMatchAll(st, key)) { drop += f.getFileName.toString; true }
+          else !FileStats.mightMatch(st, key)
+        }
+        if (decidable) Some((Some(base), drop.result())) else None
+    }
+    deletePlanMemo = (key, plan)
+    plan
   }
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
@@ -169,6 +182,13 @@ object GraftTable {
     * may prune row-level-operation file groups on.
     */
   val FilterColumnsProp = "graft.filter.columns"
+
+  /** THE parse of [[FilterColumnsProp]] — shared by the table (to act on
+    * it) and the catalog's validation (to reject typos), so the two can
+    * never drift apart.
+    */
+  def parseFilterColumns(value: String): Seq[String] =
+    value.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 }
 
 /** INSERT INTO (append) / INSERT OVERWRITE (truncate): mode is decided by

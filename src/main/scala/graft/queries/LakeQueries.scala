@@ -240,11 +240,18 @@ object LakeQueries {
         // while pruning against the now-tight per-file footer ranges
         val (t, view) = freshTable(s, dir, "opt")
         s.sql(s"INSERT INTO $t SELECT * FROM $view")
-        val warehouse = s.conf.get("spark.sql.catalog.graftlake.warehouse")
-        val tableDir = java.nio.file.Paths.get(warehouse, "q",
-          t.split('.').last).toString
+        // resolve the storage root through the catalog's own metadata
+        // (PROP_LOCATION), not by reimplementing its directory layout
+        val cat = s.sessionState.catalogManager.catalog("graftlake")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("q"), t.split('.').last)
+        val lakeTable = cat.loadTable(ident)
+        val tableDir = lakeTable.properties().get(
+          org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION)
         new graft.stages.MergeTable(tableDir, Seq.empty)
-          .compact(s, numFiles = 8, clusterBy = Seq("o_custkey", "price_cents"))
+          .compact(s, numFiles = 8, clusterBy = Seq("o_custkey", "price_cents"),
+            declaredSchema = Some(lakeTable.schema()))
         s.sql(s"DELETE FROM $t WHERE o_custkey < 300 AND price_cents < 10000000")
         s.sql(s"UPDATE $t SET status = 'Z' WHERE o_custkey >= 1200 AND price_cents >= 25000000")
         s.sql(s"""SELECT status, count(*) AS n_rows, sum(price_cents) AS total_cents,
@@ -272,10 +279,14 @@ object LakeQueries {
         // prove every file all-match or no-match and the statements commit
         // as metadata-only deletes (zero data rows read) — the correctness
         // claim is that dropping files IS the declarative delete
+        // each insert's files stay inside its key range, so BOTH deletes
+        // align with whole files: < 15000 drops the first insert's files,
+        // >= 45000 drops the fourth's — no file straddles either bound
         val (t, view) = freshTable(s, dir, "mdel")
         s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey < 15000")
         s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey >= 15000 AND o_orderkey < 30000")
-        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey >= 30000")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey >= 30000 AND o_orderkey < 45000")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey >= 45000")
         s.sql(s"DELETE FROM $t WHERE o_orderkey < 15000")
         s.sql(s"DELETE FROM $t WHERE o_orderkey >= 45000")
         s.sql(s"""SELECT status, count(*) AS n_rows, sum(price_cents) AS total_cents,
@@ -289,8 +300,8 @@ object LakeQueries {
                       CAST(max(o_orderkey) AS BIGINT) AS max_key
                FROM o WHERE o_orderkey >= 15000 AND o_orderkey < 45000
                GROUP BY status ORDER BY status"""),
-      doc = "metadata-only DELETE: file-aligned predicates drop whole files via " +
-        "footer proofs (no data read), straddle-free by construction; result " +
-        "matches the declarative range filter")
+      doc = "metadata-only DELETE: both predicates align with whole-file key " +
+        "ranges (insert-bounded), so footer proofs drop files without reading " +
+        "data; result matches the declarative range filter")
   )
 }

@@ -70,29 +70,50 @@ final class MergeTable(val root: String, keys: Seq[String],
     * tight on BOTH — which is exactly what per-file group pruning
     * (scans AND row-level rewrites) skips on. Maintenance, not
     * semantics: the rows are identical, only the file layout changes.
+    *
+    * `declaredSchema` pins the read to the TABLE's schema rather than
+    * parquet inference. A schema-evolved table (metadata-only
+    * ADD/DROP COLUMN) has files of different widths; inference samples
+    * ONE file, so compacting through it could silently drop an evolved
+    * column. With the declared schema, old rows null-fill added columns
+    * (materializing the evolution) and dropped columns are projected
+    * away for good. Callers owning a declared schema — the lake catalog
+    * — must pass it.
     */
   def compact(spark: SparkSession, numFiles: Int = 1,
-              clusterBy: Seq[String] = Nil): Unit = {
+              clusterBy: Seq[String] = Nil,
+              declaredSchema: Option[StructType] = None): Unit = {
     require(numFiles >= 1, "must compact to at least one file")
     if (currentVersion.isDefined)
-      commit(read(spark, new StructType())) {
-        case Some(existing) =>
-          import org.apache.spark.sql.functions.col
-          clusterBy match {
-            case Nil => existing.repartition(numFiles)
-            case Seq(c) =>
-              existing.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
-            case Seq(a, b) =>
-              graft.ops.Layout.withZValue(existing, a, b)
-                .repartitionByRange(numFiles, col("z"))
-                .sortWithinPartitions("z")
-                .drop("a_scaled", "b_scaled", "z")
-            case _ => throw new IllegalArgumentException(
-              "clusterBy supports one ordered column or two BIGINT z-order columns")
-          }
-        case None => throw new IllegalStateException(
+      commit(read(spark, new StructType())) { inferred =>
+        if (inferred.isEmpty) throw new IllegalStateException(
           s"MergeTable $root: _CURRENT disappeared between the compaction's " +
             "version check and its commit — concurrent vacuum/manual deletion?")
+        // re-read under the declared schema when given: inference samples
+        // ONE file, so a schema-evolved table (files of different widths)
+        // could silently lose an added column; the declared read
+        // null-fills it instead. Same version — the commit CAS-checks it.
+        val existing = declaredSchema match {
+          case Some(s) => spark.read.schema(s)
+            .parquet(Paths.get(root, currentVersion.get).toString)
+          case None => inferred.get
+        }
+        import org.apache.spark.sql.functions.col
+        clusterBy match {
+          case Nil => existing.repartition(numFiles)
+          case Seq(c) =>
+            existing.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
+          case Seq(a, b) =>
+            require(!existing.columns.exists(Seq("z", "a_scaled", "b_scaled").contains),
+              "z-order compaction reserves working columns z/a_scaled/b_scaled — " +
+                "rename the table column or use single-column clusterBy")
+            graft.ops.Layout.withZValue(existing, a, b)
+              .repartitionByRange(numFiles, col("z"))
+              .sortWithinPartitions("z")
+              .drop("a_scaled", "b_scaled", "z")
+          case _ => throw new IllegalArgumentException(
+            "clusterBy supports one ordered column or two BIGINT z-order columns")
+        }
       }
   }
 

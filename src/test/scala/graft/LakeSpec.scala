@@ -345,6 +345,31 @@ class LakeSpec extends AnyFunSuite {
     assert(sql(s"SELECT count(*) FROM $t WHERE x < 16 AND y < 16").collect().head.getLong(0) == 0L)
   }
 
+  test("compaction under the declared schema preserves evolved columns") {
+    val t = freshTable(); val tn = n
+    sql(s"CREATE TABLE $t (k BIGINT)")
+    sql(s"INSERT INTO $t SELECT id FROM range(0, 5, 1, 1)")
+    sql(s"ALTER TABLE $t ADD COLUMN tag STRING")
+    sql(s"INSERT INTO $t SELECT id, 'new' FROM range(5, 8, 1, 1)")
+    val dir = Paths.get(spark.conf.get("spark.sql.catalog.lakespec.warehouse"), "db", s"t$tn")
+    // inference would sample one file and could lose `tag`; the declared
+    // schema null-fills it for pre-ALTER rows instead
+    new graft.stages.MergeTable(dir.toString, Seq.empty)
+      .compact(spark, numFiles = 1, declaredSchema = Some(spark.table(t).schema))
+    assert(sql(s"SELECT count(*) FROM $t WHERE tag = 'new'").collect().head.getLong(0) == 3L)
+    assert(sql(s"SELECT count(*) FROM $t WHERE tag IS NULL").collect().head.getLong(0) == 5L)
+    // z-order compaction refuses tables using its working column names
+    val tz = freshTable(); val tzn = n
+    sql(s"CREATE TABLE $tz (z BIGINT, y BIGINT)")
+    sql(s"INSERT INTO $tz VALUES (1, 2)")
+    val dirZ = Paths.get(spark.conf.get("spark.sql.catalog.lakespec.warehouse"), "db", s"t$tzn")
+    val e = intercept[IllegalArgumentException] {
+      new graft.stages.MergeTable(dirZ.toString, Seq.empty)
+        .compact(spark, numFiles = 2, clusterBy = Seq("z", "y"))
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+
   test("catalog reads keep parquet pushdown and column pruning (delegated scan)") {
     val t = freshTable()
     sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
