@@ -28,7 +28,8 @@ object QueryRegistry {
     queries.TextQueries.all ++
     queries.TrainPrepQueries.all ++
     queries.LakeQueries.all ++
-    queries.LayoutQueries.all
+    queries.LayoutQueries.all ++
+    queries.ScaleOpsQueries.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -36,6 +36,31 @@ object Skew {
     * @param sums      columns to sum (must be algebraic-mergeable types)
     * @param counts    output name for the row count (None to omit)
     */
+  /** Salted shuffle join for a hot-keyed fact × moderate dimension.
+    *
+    * AQE's skew-join split rebalances PARTITIONS after the shuffle, but a
+    * single hot KEY still lands every probe row on one reducer. Salting
+    * fixes the key itself: the big side gets `salt = pmod(hash(saltFrom), S)`
+    * so a hot key's rows spread across S reducers, and the small side is
+    * replicated S× (one copy per salt) so every salted probe row still finds
+    * its match. Join keys become (keys..., salt); the replication factor is
+    * the classic space/parallelism trade — S ≈ executor-core count.
+    *
+    * The join is pinned to shuffle-merge (`hint("merge")`): salting only
+    * exists for the case where the dimension is too big to broadcast — if a
+    * broadcast fits, use a plain join and no salt. Inner joins only (each
+    * unmatched replicated row would otherwise surface S times in an outer
+    * join). Deterministic salt (same contract as [[saltedAggregate]]):
+    * replays produce identical partitioning.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFrom: Seq[Column], salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt", pmod(hash(saltFrom: _*), lit(salts)))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    saltedBig.join(replicated.hint("merge"), keys :+ "_salt").drop("_salt")
+  }
+
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltFrom: Seq[Column],
                       salts: Int, sums: Seq[String],
                       counts: Option[String] = Some("n_rows")): DataFrame = {

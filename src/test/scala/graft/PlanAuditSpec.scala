@@ -143,7 +143,19 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus scale), candidate distinct, census agg + sort
     ("join_fuzzy_neighbors", 4, 0, Nil),
     // per-source count, broadcast 1-row sorted-fold total, output sort
-    ("prep_mix_temperature", 4, 1, Nil))
+    ("prep_mix_temperature", 4, 1, Nil),
+    // recursive CTE: the loop itself runs anchor+iteration plans; the outer
+    // plan is census agg + output sort around the UnionLoop operator
+    ("sql_recursive_cte", 2, 0, Seq("UnionLoop")),
+    // generator fan-out is narrow: only the output sort shuffles
+    ("o14_posexplode_tokens", 1, 0, Seq("Generate")),
+    // salted join is pinned to SMJ (salting exists FOR the shuffle case):
+    // two salted join-side shuffles + agg + output sort
+    ("join_skew_salted", 4, 0, Seq("SortMergeJoin")),
+    // bucketed co-location: SMJ with NO exchange under the join and none
+    // for the first (bucket-key) aggregation — only the n_lines census agg
+    // and the output sort shuffle
+    ("join_bucketed_colocated", 2, 0, Seq("SortMergeJoin")))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)
