@@ -133,6 +133,85 @@ object ScaleOpsQueries {
                 GROUP BY o.o_orderkey)
               SELECT n_lines, COUNT(*) AS n_orders, SUM(qty) AS total_qty
               FROM per_order GROUP BY n_lines ORDER BY n_lines"""),
-      doc = "bucketed tables co-locate the join: zero-exchange SMJ + partial agg on the bucket key")
+      doc = "bucketed tables co-locate the join: zero-exchange SMJ + partial agg on the bucket key"),
+
+    // ---- Bloom-filter semi-join reduction (ops/BloomJoin): the build side
+    // folds to one m-bit bitset row, broadcasts, and prunes the probe side
+    // with a per-row codegen'd expression BEFORE the exact join. The oracle
+    // is the plain join — no false negatives means the rewrite is
+    // result-transparent; false positives die in the exact join.
+    GQuery("join_bloom_pruned",
+      (s, dir) => {
+        val build = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val probe = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"))
+        graft.ops.BloomJoin.prune(
+            probe, "l_orderkey", build.select(col("o_orderkey")), "o_orderkey")
+          .join(build, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("total_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o.o_orderpriority, COUNT(*) AS n_lines, SUM(l.l_quantity) AS total_qty
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_totalprice > 400000
+              GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
+      doc = "bloom-pruned join == plain join (semi-join reduction, oracle-proven transparent)"),
+
+    // ---- HyperLogLog distinct sketch (functions/HllAggregator): 64
+    // registers per group, elementwise-max mergeable; registers, the exact
+    // integer harmonic sum, and the raw estimate are all reproduced by the
+    // oracle from the shared md5 primitive. Exact distinct carried
+    // alongside as the accuracy reference.
+    GQuery("sketch_hll_distinct",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.HllAggregator
+        val sketch = Tables.events(s, dir)
+          .select(col("event_type"), expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(HllAggregator.hll().toColumn)
+          .map { case (t, o) => (t, o.registers, o.sum_scaled, o.estimate) }
+          .toDF("event_type", "registers", "sum_scaled", "hll_estimate")
+        val exact = Tables.events(s, dir).groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        sketch.join(exact, Seq("event_type")).orderBy(col("event_type"))
+      },
+      Some("""WITH hashed AS (
+                SELECT event_type,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                FROM events),
+              rhos AS (
+                SELECT event_type, h % 64 AS bucket,
+                       MAX(CASE WHEN h // 64 = 0 THEN 55
+                                ELSE instr(lpad(bin(h // 64), 54, '0'), '1') END) AS rho
+                FROM hashed GROUP BY 1, 2),
+              grid AS (
+                SELECT t.event_type, g.bucket
+                FROM (SELECT DISTINCT event_type FROM events) t,
+                     (SELECT unnest(range(0, 64)) AS bucket) g),
+              regs AS (
+                SELECT grid.event_type, grid.bucket, COALESCE(r.rho, 0) AS m
+                FROM grid LEFT JOIN rhos r
+                  ON r.event_type = grid.event_type AND r.bucket = grid.bucket),
+              agg AS (
+                SELECT event_type,
+                       string_agg(CAST(m AS VARCHAR), ',' ORDER BY bucket) AS registers,
+                       CAST(SUM(CAST(POWER(2, 55 - m) AS BIGINT)) AS BIGINT) AS sum_scaled
+                FROM regs GROUP BY 1),
+              exact AS (
+                SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1)
+              SELECT a.event_type, a.registers, a.sum_scaled,
+                     CAST(2904.064 AS DOUBLE) * POWER(2.0, 55) / a.sum_scaled AS hll_estimate,
+                     e.exact_distinct
+              FROM agg a JOIN exact e USING (event_type)
+              ORDER BY a.event_type"""),
+      doc = "HyperLogLog distinct sketch: registers, exact harmonic sum, and raw estimate oracle-reproduced")
   )
 }

@@ -155,7 +155,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // bucketed co-location: SMJ with NO exchange under the join and none
     // for the first (bucket-key) aggregation — only the n_lines census agg
     // and the output sort shuffle
-    ("join_bucketed_colocated", 2, 0, Seq("SortMergeJoin")))
+    ("join_bucketed_colocated", 2, 0, Seq("SortMergeJoin")),
+    // bloom prune: the 1-row bitset crossJoin MUST be broadcast (the whole
+    // point — per-row probe with zero exchange); shuffles are the build
+    // agg, the final agg, and the output sort
+    ("join_bloom_pruned", 3, 1, Seq("BroadcastNestedLoopJoin")),
+    // HLL: sketch agg + exact-distinct agg exchanges + output sort; the
+    // 5-row sketch×exact join stays broadcast
+    ("sketch_hll_distinct", 4, 1, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)

@@ -77,4 +77,48 @@ class SketchSpec extends AnyFunSuite {
     // merge correctness: the sketch is partitioning-independent
     assert(sketchOf(xs.toDS().repartition(13)) == sketch)
   }
+
+  test("Bloom prune: zero false negatives, bounded false positives, partition-independent") {
+    import spark.implicits._
+    import graft.ops.BloomJoin
+    val mBits = 1 << 12; val kH = 4
+    val buildKeys = (0L until 500L).map(_ * 3) // multiples of 3
+    val probeKeys = (0L until 6000L)
+    val build = buildKeys.toDF("bk")
+    def prunedOf(b: org.apache.spark.sql.DataFrame): Set[Long] =
+      BloomJoin.prune(probeKeys.toDF("pk"), "pk", b, "bk", mBits, kH)
+        .collect().map(_.getLong(0)).toSet
+    val pruned = prunedOf(build)
+    // no false negatives: every build key survives the prune
+    buildKeys.foreach(k => assert(pruned.contains(k), s"false negative on $k"))
+    // bounded false positives: m/n = 4096/500 bits/key, k=4 → fp ~ 5%
+    val fps = pruned.size - buildKeys.size
+    assert(fps.toDouble / (probeKeys.size - buildKeys.size) < 0.15,
+      s"$fps false positives out of ${probeKeys.size - buildKeys.size}")
+    // OR-merge correctness: the bitset is partitioning-independent
+    assert(prunedOf(build.repartition(7)) == pruned)
+  }
+
+  test("HLL: estimate within tolerance, merge is elementwise max, partition-independent") {
+    import spark.implicits._
+    import graft.functions.HllAggregator
+    val md = graft.functions.Md5Hash.newDigest()
+    def sketchOf(xs: Seq[Long], parts: Int = 1): (String, Long, Double) = {
+      val ds = xs.map(x => graft.functions.Md5Hash.top60(md, x.toString)).toDS()
+      val out = ds.repartition(parts)
+        .select(HllAggregator.hll().toColumn).collect().head
+      (out.registers, out.sum_scaled, out.estimate)
+    }
+    val n = 5000
+    val (regs, _, est) = sketchOf(0L until n.toLong)
+    // m=64 → standard error 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(est - n) / n < 0.4, s"estimate $est vs exact $n")
+    // partitioning-independence == merge correctness (max is the union law)
+    assert(sketchOf(0L until n.toLong, parts = 11)._1 == regs)
+    // rho spot checks against the oracle's bin()/lpad/instr formula
+    assert(HllAggregator.rho(0L) == 55)
+    assert(HllAggregator.rho(1L) == 54)
+    assert(HllAggregator.rho(5L) == 52)  // bin(5)=101 → first '1' at 52 of 54
+    assert(HllAggregator.rho((1L << 53)) == 1)
+  }
 }
