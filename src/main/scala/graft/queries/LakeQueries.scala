@@ -53,6 +53,24 @@ object LakeQueries {
        CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
        o_orderstatus AS status FROM orders"""
 
+  /** Resolve a lake table through the catalog's own metadata
+    * (PROP_LOCATION), not by reimplementing its directory layout —
+    * returns the DSv2 table plus a [[graft.stages.MergeTable]] handle on
+    * its storage root for maintenance/CDC entry points that live below
+    * the SQL surface.
+    */
+  private def storageHandle(s: SparkSession, table: String)
+      : (org.apache.spark.sql.connector.catalog.Table, graft.stages.MergeTable) = {
+    val cat = s.sessionState.catalogManager.catalog("graftlake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("q"), table.split('.').last)
+    val lakeTable = cat.loadTable(ident)
+    val tableDir = lakeTable.properties().get(
+      org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION)
+    (lakeTable, new graft.stages.MergeTable(tableDir, Seq.empty))
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery("lake_merge_into",
@@ -240,18 +258,9 @@ object LakeQueries {
         // while pruning against the now-tight per-file footer ranges
         val (t, view) = freshTable(s, dir, "opt")
         s.sql(s"INSERT INTO $t SELECT * FROM $view")
-        // resolve the storage root through the catalog's own metadata
-        // (PROP_LOCATION), not by reimplementing its directory layout
-        val cat = s.sessionState.catalogManager.catalog("graftlake")
-          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
-          Array("q"), t.split('.').last)
-        val lakeTable = cat.loadTable(ident)
-        val tableDir = lakeTable.properties().get(
-          org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION)
-        new graft.stages.MergeTable(tableDir, Seq.empty)
-          .compact(s, numFiles = 8, clusterBy = Seq("o_custkey", "price_cents"),
-            declaredSchema = Some(lakeTable.schema()))
+        val (lakeTable, mt) = storageHandle(s, t)
+        mt.compact(s, numFiles = 8, clusterBy = Seq("o_custkey", "price_cents"),
+          declaredSchema = Some(lakeTable.schema()))
         s.sql(s"DELETE FROM $t WHERE o_custkey < 300 AND price_cents < 10000000")
         s.sql(s"UPDATE $t SET status = 'Z' WHERE o_custkey >= 1200 AND price_cents >= 25000000")
         s.sql(s"""SELECT status, count(*) AS n_rows, sum(price_cents) AS total_cents,
@@ -272,6 +281,115 @@ object LakeQueries {
       doc = "z-order clustered compaction (OPTIMIZE ZORDER BY custkey, price) as a " +
         "pure-maintenance commit, then DELETE/UPDATE whose 2-D predicates prune " +
         "the clustered file groups; result matches the layout-blind oracle"),
+
+    GQuery("lake_change_feed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        // DML history: append → pruned UPDATE rewrite → DELETE → append.
+        // The CDC scan between v0 and the head reads ONLY the files in the
+        // symmetric difference of the two snapshots (carried hard links
+        // are name-stable), and rows a group rewrite merely re-filed
+        // cancel in the multiset diff — so the feed is the SEMANTIC
+        // changes, O(changed data) at any table size.
+        val (t, view) = freshTable(s, dir, "cdf")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey % 3 = 0")   // v0
+        s.sql(s"UPDATE $t SET price_cents = price_cents + 19 " +
+          "WHERE status = 'O' AND o_custkey % 4 = 1")                           // v1
+        s.sql(s"DELETE FROM $t WHERE status = 'F' AND o_custkey % 5 = 2")       // v2
+        s.sql(s"INSERT INTO $t SELECT o_orderkey + 5000000, o_custkey, " +
+          s"price_cents, status FROM $view " +
+          "WHERE o_orderkey % 3 = 1 AND o_orderkey < 9000")                     // v3
+        val (_, mt) = storageHandle(s, t)
+        mt.changesBetween(s, "v0", mt.currentVersion.get, Seq("o_orderkey"))
+          .select(col("change_type"), col("o_orderkey"), col("o_custkey"),
+            col("price_cents"), col("status"))
+          .orderBy("change_type", "o_orderkey")
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+                    v0 AS (SELECT * FROM o WHERE o_orderkey % 3 = 0),
+                    v1 AS (SELECT o_orderkey, o_custkey,
+                                  CASE WHEN status = 'O' AND o_custkey % 4 = 1
+                                       THEN price_cents + 19 ELSE price_cents END AS price_cents,
+                                  status FROM v0),
+                    v2 AS (SELECT * FROM v1 WHERE NOT (status = 'F' AND o_custkey % 5 = 2)),
+                    fin AS (SELECT * FROM v2
+                            UNION ALL
+                            SELECT o_orderkey + 5000000, o_custkey, price_cents, status
+                            FROM o WHERE o_orderkey % 3 = 1 AND o_orderkey < 9000),
+                    pre AS (SELECT CASE WHEN b.o_orderkey IS NULL THEN 'delete'
+                                        ELSE 'update_preimage' END AS change_type,
+                                   a.o_orderkey, a.o_custkey, a.price_cents, a.status
+                            FROM v0 a LEFT JOIN fin b ON a.o_orderkey = b.o_orderkey
+                            WHERE b.o_orderkey IS NULL
+                               OR a.price_cents <> b.price_cents
+                               OR a.status <> b.status OR a.o_custkey <> b.o_custkey),
+                    post AS (SELECT CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                                         ELSE 'update_postimage' END AS change_type,
+                                    b.o_orderkey, b.o_custkey, b.price_cents, b.status
+                             FROM fin b LEFT JOIN v0 a ON a.o_orderkey = b.o_orderkey
+                             WHERE a.o_orderkey IS NULL
+                                OR a.price_cents <> b.price_cents
+                                OR a.status <> b.status OR a.o_custkey <> b.o_custkey)
+               SELECT * FROM pre
+               UNION ALL
+               SELECT * FROM post
+               ORDER BY change_type, o_orderkey"""),
+      doc = "change data feed between snapshots (Delta-CDF-style insert/delete/" +
+        "update_pre/postimage) derived from version immutability: only the " +
+        "changed-file symmetric difference is read, rewrite-carried rows cancel"),
+
+    GQuery("lake_incremental_refresh",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        // incremental materialized-view maintenance: the per-status
+        // aggregate is materialized once from the v0 snapshot, then
+        // brought to the table head by folding the SIGNED change feed
+        // (insert/update_post add, delete/update_pre subtract) — a
+        // delta-sized job where a naive refresh rescans the table. The
+        // oracle recomputes the head state from scratch, proving the
+        // incremental path lands on the identical aggregate.
+        val (t, view) = freshTable(s, dir, "ivm")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey % 2 = 0")   // v0
+        val base = s.sql(s"""SELECT status, count(*) AS n_rows,
+                                    sum(price_cents) AS total_cents
+                             FROM $t VERSION AS OF 'v0' GROUP BY status""")
+        s.sql(s"UPDATE $t SET price_cents = price_cents + 3 WHERE o_custkey % 7 = 0")
+        s.sql(s"DELETE FROM $t WHERE status = 'P'")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view " +
+          "WHERE o_orderkey % 2 = 1 AND o_orderkey < 20000")
+        val (_, mt) = storageHandle(s, t)
+        val delta = mt
+          .changesBetween(s, "v0", mt.currentVersion.get, Seq("o_orderkey"))
+          .withColumn("sign",
+            when(col("change_type").isin("insert", "update_postimage"), 1L)
+              .otherwise(-1L))
+          .groupBy("status")
+          .agg(sum(col("sign")).as("d_rows"),
+            sum(col("sign") * col("price_cents")).as("d_cents"))
+        base.join(delta, Seq("status"), "full_outer")
+          .select(col("status"),
+            (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L)))
+              .as("n_rows"),
+            (coalesce(col("total_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+              .as("total_cents"))
+          .where(col("n_rows") > 0)
+          .orderBy("status")
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+                    v0 AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+                    v1 AS (SELECT o_orderkey, o_custkey,
+                                  CASE WHEN o_custkey % 7 = 0 THEN price_cents + 3
+                                       ELSE price_cents END AS price_cents, status
+                           FROM v0),
+                    v2 AS (SELECT * FROM v1 WHERE status <> 'P'),
+                    fin AS (SELECT * FROM v2
+                            UNION ALL
+                            SELECT * FROM o WHERE o_orderkey % 2 = 1 AND o_orderkey < 20000)
+               SELECT status, count(*) AS n_rows,
+                      CAST(sum(price_cents) AS BIGINT) AS total_cents
+               FROM fin GROUP BY status ORDER BY status"""),
+      doc = "incremental materialized-view refresh: v0-materialized aggregate + " +
+        "signed change-feed delta equals the from-scratch recompute of the head"),
 
     GQuery("lake_metadata_delete",
       (s, dir) => {

@@ -382,6 +382,88 @@ final class MergeTable(val root: String, keys: Seq[String],
     buf.result().sortBy(_.getFileName.toString)
   }
 
+  /** Row-level change feed (CDC) between two committed versions — what
+    * Delta's Change Data Feed or an Iceberg changelog scan exposes,
+    * derived here purely from version immutability, with no per-commit
+    * change logs to write or replay.
+    *
+    * Carried files keep their names across versions (hard links, see
+    * [[commitStagedFiles]]), so a file present in BOTH snapshots is
+    * byte-identical and cannot contribute a change: the diff reads ONLY
+    * the symmetric difference of the two file sets. At 100 TB an append
+    * or a pruned row-level rewrite touches a handful of files, so the
+    * change scan is O(changed data), never O(table). Within the changed
+    * files, rows are diffed as multisets (`EXCEPT ALL` both ways) — rows
+    * merely REWRITTEN into new files by a group rewrite, a clustered
+    * compaction, or the rare carry-collision rename cancel out, making
+    * maintenance commits correctly invisible to consumers.
+    *
+    * With `keyCols` (defaulting to the table's merge keys) the two sides
+    * are matched per key in one shuffle to classify Delta-CDF-style
+    * change types `insert` / `delete` / `update_preimage` /
+    * `update_postimage`; classification assumes the snapshots are
+    * key-unique (the [[upsert]] invariant — a key seen on both sides
+    * more than twice stays a plain insert/delete event). With no keys,
+    * changes are plain `insert`/`delete` row events. Columns added or
+    * dropped between the versions null-fill the missing side, mirroring
+    * [[upsert]]'s `evolveSchema` widening, so an old-schema preimage and
+    * its evolved postimage still pair up as an update.
+    */
+  def changesBetween(spark: SparkSession, from: String, to: String,
+                     keyCols: Seq[String] = keys): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    Seq(from, to).foreach { v =>
+      require(MergeTable.isVersionName(v), s"not a version name: $v")
+      require(Files.isDirectory(Paths.get(root, v)),
+        s"MergeTable $root: version $v does not exist (vacuumed or never committed)")
+    }
+    val fromFiles = dataFiles(from)
+    val toFiles = dataFiles(to)
+    val fromNames = fromFiles.map(_.getFileName.toString).toSet
+    val toNames = toFiles.map(_.getFileName.toString).toSet
+    val removed = fromFiles.collect {
+      case f if !toNames(f.getFileName.toString) => f.toString }
+    val added = toFiles.collect {
+      case f if !fromNames(f.getFileName.toString) => f.toString }
+    def readSide(paths: Seq[String]): Option[DataFrame] =
+      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    (readSide(removed), readSide(added)) match {
+      case (None, None) =>
+        // structurally identical snapshots → no changes; keep the `to`
+        // schema so downstream unions still line up
+        readSide(toFiles.map(_.toString)).getOrElse(spark.emptyDataFrame)
+          .limit(0).withColumn("change_type", lit(""))
+      case (oldOpt, newOpt) =>
+        def widen(df: DataFrame, to: StructType): DataFrame =
+          to.fields.foldLeft(df) { (d, f) =>
+            if (d.columns.contains(f.name)) d
+            else d.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+        val old0 = oldOpt.getOrElse(newOpt.get.limit(0))
+        val new0 = newOpt.getOrElse(oldOpt.get.limit(0))
+        val cols = (old0.columns ++ new0.columns.filterNot(old0.columns.contains)).toSeq
+        require(!cols.contains("change_type"),
+          "changesBetween reserves the output column name change_type")
+        val oldA = widen(old0, new0.schema).select(cols.map(col): _*)
+        val newA = widen(new0, old0.schema).select(cols.map(col): _*)
+        val events = oldA.exceptAll(newA).withColumn("change_type", lit("delete"))
+          .unionByName(newA.exceptAll(oldA).withColumn("change_type", lit("insert")))
+        if (keyCols.isEmpty) events
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)
+          events.withColumn("_cf_n", count(lit(1)).over(w))
+            .withColumn("change_type",
+              when(col("_cf_n") === 2 && col("change_type") === "delete",
+                "update_preimage")
+              .when(col("_cf_n") === 2 && col("change_type") === "insert",
+                "update_postimage")
+              .otherwise(col("change_type")))
+            .drop("_cf_n")
+        }
+    }
+  }
+
   /** Data files of a version/staging directory: skips `_SUCCESS`,
     * `_temporary` leftovers and hidden files, exactly as Spark's own file
     * index does.

@@ -41,6 +41,48 @@ class MergeTableSpec extends AnyFunSuite {
     assert(rows(t) == Seq(("a", 1), ("b", 2)))
   }
 
+  test("changesBetween classifies keyed insert/delete/update pre+post images") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    t.upsert(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v"))   // v0
+    t.upsert(Seq(("b", 20), ("d", 4)).toDF("k", "v"))            // v1: update b, insert d
+    t.replace(t.read(spark, new StructType()).where("k <> 'c'")) // v2: delete c
+    val ch = t.changesBetween(spark, "v0", "v2")
+      .collect().map(r => (r.getAs[String]("change_type"), r.getAs[String]("k"),
+        r.getAs[Int]("v"))).toSet
+    assert(ch == Set(
+      ("update_preimage", "b", 2), ("update_postimage", "b", 20),
+      ("insert", "d", 4), ("delete", "c", 3)))
+    // adjacent identical snapshots and self-diff are empty
+    assert(t.changesBetween(spark, "v2", "v2").isEmpty)
+  }
+
+  test("changesBetween is blind to maintenance: compaction yields zero changes") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq("k"))
+    t.upsert((1 to 100).map(i => (s"k$i", i)).toDF("k", "v").repartition(8)) // v0
+    t.upsert(Seq(("k1", 1001)).toDF("k", "v"))                               // v1
+    t.compact(spark, numFiles = 2)                                           // v2
+    assert(t.changesBetween(spark, "v1", "v2").isEmpty)
+    // and the pre-compaction diff still reports only the semantic change
+    val ch = t.changesBetween(spark, "v0", "v2")
+      .collect().map(r => (r.getAs[String]("change_type"), r.getAs[String]("k"))).toSet
+    assert(ch == Set(("update_preimage", "k1"), ("update_postimage", "k1")))
+  }
+
+  test("changesBetween without keys emits plain insert/delete row events") {
+    import spark.implicits._
+    val t = MergeTable.scratch(Seq.empty)
+    t.replace(Seq(("a", 1), ("b", 2)).toDF("k", "v"))            // v0
+    t.replace(Seq(("a", 1), ("b", 22), ("c", 3)).toDF("k", "v")) // v1
+    val ch = t.changesBetween(spark, "v0", "v1")
+      .collect().map(r => (r.getAs[String]("change_type"), r.getAs[String]("k"),
+        r.getAs[Int]("v"))).toSet
+    assert(ch == Set(("delete", "b", 2), ("insert", "b", 22), ("insert", "c", 3)))
+    // a vacuumed/unknown version fails loudly, not with an empty feed
+    intercept[IllegalArgumentException] { t.changesBetween(spark, "v0", "v9") }
+  }
+
   test("time travel reads immutable past versions; vacuum retains only the tail") {
     import spark.implicits._
     val t = MergeTable.scratch(Seq("k"))
