@@ -223,6 +223,48 @@ private[functions] object CodePoints {
   }
 }
 
+/** Unicode NFC normalization — the canonical-composition pass every
+  * text-dedup pipeline runs BEFORE hashing, so that `é` (U+00E9) and
+  * `e`+combining-acute (U+0065 U+0301) — visually identical, byte-distinct
+  * — hash identically. Spark has no built-in for it; this wraps
+  * `java.text.Normalizer` as a codegen'd unary expression (one static
+  * call, stays inside whole-stage codegen). ASCII is returned unchanged
+  * (fast path: NFC is the identity on ASCII, checked without allocating).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("NfcNormalize expects string")
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NfcNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    var i = 0
+    var ascii = true
+    while (ascii && i < str.length) { ascii = str.charAt(i) < 0x80; i += 1 }
+    if (ascii) s
+    else {
+      val n = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+      if (n eq str) s else org.apache.spark.unsafe.types.UTF8String.fromString(n)
+    }
+  }
+}
+
 /** Rabin-Karp rolling hash of a string: fold (acc*131 + codePoint) mod
   * 1e9+7 over the Unicode code points — the classic document/chunk
   * fingerprint primitive. Code-point values and order match the
@@ -445,6 +487,8 @@ object GraftFunctions {
       exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_rolling_hash",
       exprs => RollingHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       exprs => ShingleHashes(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),

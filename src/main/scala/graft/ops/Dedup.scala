@@ -176,6 +176,60 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_docs"))
 
+  /** Segment each document into non-overlapping `k`-token windows — the
+    * corpus-agnostic stand-in for paragraph boundaries (the testdata has
+    * no newlines; on real data the splitter would be `split(text, '\n\n')`
+    * with the rest of the pipeline unchanged).
+    * One narrow projection, no shuffle: (doc_id, seg_no, seg).
+    */
+  def withSegments(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("seg_no",
+        explode(sequence(lit(0),
+          (ceil(size(col("toks")) / lit(k.toDouble)) - 1).cast("int"))))
+      .select(col("doc_id"), col("seg_no"),
+        array_join(slice(col("toks"), col("seg_no") * k + 1, lit(k)), " ").as("seg"))
+
+  /** C4/CCNet-style paragraph-level exact dedup: a segment whose identical
+    * text appears in `maxDf`-or-more DISTINCT documents is boilerplate
+    * (headers, footers, license blocks, navigation chrome) and is removed
+    * from EVERY document; the survivors are re-joined in order into the
+    * cleaned text. This is the line/paragraph-granular complement to the
+    * whole-document dedup family above — near-dup pairing keeps one copy
+    * of a shared document, this strips the shared FRAGMENTS out of
+    * otherwise-distinct documents.
+    *
+    * Scale shape (100 TB): segments flow as (md5, doc_id, seg_no) — one
+    * shuffle to count per-hash distinct-document frequency (partial
+    * aggregation applies), one hash-keyed anti-join against the
+    * boilerplate set (df ≥ maxDf — a tiny, skew-free relation that AQE
+    * broadcasts), one doc_id shuffle to reassemble. No all-pairs step
+    * anywhere; cost is linear in corpus tokens.
+    *
+    * @return one row per document: (doc_id, n_segs, n_kept, clean_md5) —
+    *         a fully-boilerplate document survives with n_kept = 0 and
+    *         the md5 of the empty string
+    */
+  def paragraphDedup(docs: DataFrame, k: Int = 4, maxDf: Int = 2): DataFrame = {
+    val segs = withSegments(docs, k).withColumn("h", md5(col("seg")))
+    val boilerplate = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= maxDf)
+    val kept = segs.join(boilerplate, Seq("h"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_no"), col("seg")))),
+            s => s.getField("seg")), " ").as("clean"))
+    docs.select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / lit(k.toDouble)).cast("long").as("n_segs"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+  }
+
   /** Connected components over near-dup PAIRS — the cluster-resolution
     * step a real dedup pipeline runs after pairwise detection: similarity
     * is not transitive, but the KEEP/DROP decision must be (if a~b and

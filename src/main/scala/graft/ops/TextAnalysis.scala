@@ -84,6 +84,19 @@ object TextAnalysis {
         col("n_tokens") >= 20 && col("type_token_ratio") >= 0.3 &&
           col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
 
+  /** Canonical text normalization — the standard pass BEFORE any hashing
+    * or dedup, so byte-distinct spellings of the same content hash
+    * identically: Unicode NFC composition (native [[graft.functions
+    * .NfcNormalize]] — `e`+combining-acute becomes `é`), case folding,
+    * whitespace-run collapse, trim. A pure per-row projection inside
+    * whole-stage codegen; no shuffle, safe to fuse ahead of any dedup op.
+    */
+  def withNormalizedText(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.withColumn("norm_text",
+      trim(regexp_replace(lower(expr("graft_nfc(text)")), "\\s+", " ")))
+  }
+
   /** Canonical document fingerprint: md5 over the sorted distinct token set.
     * Word-order- and duplication-insensitive, so near-copies that only
     * permute/repeat tokens collide — the cheap first pass before MinHash.

@@ -81,6 +81,32 @@ object DedupQueries {
               FROM documents GROUP BY 1 ORDER BY 1"""),
       doc = "exact dedup: hash-groupBy on raw text"),
 
+    GQuery("dedup_paragraphs",
+      (s, dir) => Dedup.paragraphDedup(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                   e AS (SELECT doc_id, toks,
+                                unnest(range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS i
+                         FROM t),
+                   segs AS (SELECT doc_id, i AS seg_no,
+                                   array_to_string(list_slice(toks, CAST(i * 4 + 1 AS INT),
+                                                              CAST(i * 4 + 4 AS INT)), ' ') AS seg
+                            FROM e),
+                   bp AS (SELECT md5(seg) AS h FROM segs
+                          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+                   kept AS (SELECT * FROM segs WHERE md5(seg) NOT IN (SELECT h FROM bp)),
+                   re AS (SELECT doc_id, count(*) AS n_kept,
+                                 string_agg(seg, ' ' ORDER BY seg_no) AS clean
+                          FROM kept GROUP BY doc_id)
+              SELECT t.doc_id, CAST(ceil(len(t.toks) / 4.0) AS BIGINT) AS n_segs,
+                     COALESCE(re.n_kept, 0) AS n_kept,
+                     md5(COALESCE(re.clean, '')) AS clean_md5
+              FROM t LEFT JOIN re ON t.doc_id = re.doc_id
+              ORDER BY t.doc_id"""),
+      doc = "C4/CCNet-style paragraph-level dedup: 4-token segments shared by >=2 " +
+        "distinct docs are boilerplate, removed everywhere; cleaned text " +
+        "reassembled in order and fingerprinted"),
+
     GQuery("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b")),

@@ -131,6 +131,33 @@ object TextQueries {
               GROUP BY fingerprint ORDER BY fingerprint"""),
       doc = "order-insensitive token-set fingerprint; collisions = near-copies"),
 
+    GQuery("text_normalize",
+      (s, dir) => {
+        // the corpus is already clean, so mess it up DETERMINISTICALLY on
+        // both sides (uppercased prefix, doubled spaces, trailing blank) —
+        // the normalizer must undo exactly that. NFC is the identity on
+        // ASCII, so the oracle mirrors lower+collapse+trim only; the
+        // non-ASCII composition path is pinned by TextAnalysisSpec.
+        val messy = Tables.documents(s, dir).select(col("doc_id"),
+          concat(upper(substring(col("text"), 1, 10)), lit("  "),
+            col("text"), lit(" ")).as("text"))
+        graft.ops.TextAnalysis.withNormalizedText(messy)
+          .select(col("doc_id"), length(col("text")).cast("long").as("raw_len"),
+            length(col("norm_text")).cast("long").as("norm_len"),
+            md5(col("norm_text")).as("norm_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH messy AS (SELECT doc_id,
+                     concat(upper(substr(text, 1, 10)), '  ', text, ' ') AS text
+              FROM documents),
+                   n AS (SELECT doc_id, length(text) AS raw_len,
+                                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+                         FROM messy)
+              SELECT doc_id, raw_len, length(nt) AS norm_len, md5(nt) AS norm_md5
+              FROM n ORDER BY doc_id"""),
+      doc = "canonical normalization (NFC + casefold + whitespace collapse + trim) " +
+        "undoing a deterministic mess-up; native codegen'd NFC expression"),
+
     GQuery("text_regex_tokens",
       (s, dir) => TextAnalysis.regexTokenStats(Tables.documents(s, dir))
         .orderBy(col("doc_id")),

@@ -27,6 +27,30 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
   }
 
+  test("paragraph dedup strips shared boilerplate segments, keeps unique content in order") {
+    import spark.implicits._
+    val header = "terms of service apply"          // one 4-token boilerplate segment
+    val pd = Seq(
+      (0L, s"$header alpha bravo charlie delta"),  // header + unique tail
+      (1L, s"$header echo foxtrot golf hotel"),    // header + different tail
+      (2L, header),                                // pure boilerplate
+      (3L, "india juliet kilo lima mike november oscar papa")) // untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pd, k = 4, maxDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_segs"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("clean_md5")))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0) == (0L, 2L, 1L, md5hex("alpha bravo charlie delta")))
+    assert(out(1) == (1L, 2L, 1L, md5hex("echo foxtrot golf hotel")))
+    // a fully-boilerplate document survives as an empty row, not a dropped one
+    assert(out(2) == (2L, 1L, 0L, md5hex("")))
+    // a document with no shared segments reassembles to its own text
+    assert(out(3) == (3L, 2L, 2L,
+      md5hex("india juliet kilo lima mike november oscar papa")))
+  }
+
   test("exact duplicates group by raw text") {
     val groups = Dedup.exactDuplicateGroups(docs).collect()
     val dupGroup = groups.filter(_.getAs[Long]("n_docs") > 1)

@@ -162,7 +162,13 @@ class PlanAuditSpec extends AnyFunSuite {
     ("join_bloom_pruned", 3, 1, Seq("BroadcastNestedLoopJoin")),
     // HLL: sketch agg + exact-distinct agg exchanges + output sort; the
     // 5-row sketch×exact join stays broadcast
-    ("sketch_hll_distinct", 4, 1, Nil))
+    ("sketch_hll_distinct", 4, 1, Nil),
+    // normalization is a pure per-row projection: only the output sort
+    ("text_normalize", 1, 0, Nil),
+    // paragraph dedup: distinct-df agg (2x: distinct expand + final),
+    // hash anti-join, doc reassembly agg, doc join + output sort — never
+    // an all-pairs step
+    ("dedup_paragraphs", 7, 0, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)

@@ -148,6 +148,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("normalization composes NFC, folds case, collapses whitespace") {
+    import spark.implicits._
+    // decomposed e + combining acute, decomposed u + combining diaeresis:
+    // NFC must compose them BEFORE hashing so byte-distinct spellings of
+    // the same rendered text normalize identically
+    val decomposed = "Cafe\u0301   MU\u0308NCHEN\t visit "
+    val composed = "caf\u00e9 m\u00fcnchen visit"
+    val out = TextAnalysis.withNormalizedText(
+        Seq((1L, decomposed), (2L, "  plain   ascii TEXT "), (3L, composed))
+          .toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.getAs[String]("norm_text"))
+    assert(out(0) == composed)
+    assert(out(1) == "plain ascii text")
+    assert(out(2) == composed) // pre-composed input is a fixpoint
+  }
+
   test("CDC chunks are correct on non-ASCII text (code-point positions)") {
     import spark.implicits._
     // Mixed-width text: 1-byte ASCII, 2-byte umlauts, 3-byte CJK, and a
