@@ -12,9 +12,17 @@ import org.apache.spark.sql.SparkSession
   * by whole seconds depending on which query pays JIT/codegen warm-up for
   * a shared kernel (round 3 showed 4x phantom "regressions" that a re-run
   * dissolved), so the headline `queries` map reports the per-query MIN of
-  * the two runs — the steady-state cost of the operator — and `spread`
-  * reports |run1 - run2| per query so a reader can see exactly how much
-  * warm-up noise each number carried. `value` = cache_warm + Σ min.
+  * the two runs — the steady-state cost of the operator. `value` =
+  * cache_warm + Σ min.
+  *
+  * Output budget: the harness captures only the LAST 2000 chars of stdout
+  * (every BENCH_r{N}.json so far shows `tail` of exactly 2000 and
+  * `parsed: null`), and ~100 query names alone exceed that, so a
+  * full per-query map can never parse. The printed line is therefore a
+  * compact summary — headline totals, the slowest `TopN` queries, and a
+  * rollup (`others_n`/`others_sum`) for the rest — while the complete
+  * per-query map (min + spread per query) is written to
+  * `BENCH_DETAIL.json` next to the build for readers who want every row.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,14 +63,30 @@ object Bench {
     }
     val spread = names.map { n =>
       val ts = runs.map(_(n))
-      n -> (if (ts.exists(_ < 0)) -1.0 else ts.max - ts.min)
-    }
+      n -> (if (ts.exists(_ < 0)) 0.0 else ts.max - ts.min)
+    }.toMap
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jsonMap(Seq("cache_warm" -> warm) ++ best)
+      kvs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = warm + best.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""queries":$qs,"spread":${jsonMap(spread)},"sf":"$sfDir"}""")
+    val spreadMax = spread.values.max
+
+    // full per-query detail → committed artifact (too big for the stdout tail)
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""reps":$reps,"queries":${jsonMap(Seq("cache_warm" -> warm) ++ best)},""" +
+      s""""spread":${jsonMap(spread.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // compact line: guaranteed to fit the harness's 2000-char tail window
+    val TopN = 20
+    val (slow, rest) = best.sortBy(-_._2).splitAt(TopN)
+    val qs = jsonMap(Seq("cache_warm" -> warm) ++ slow.sortBy(_._1))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,""" +
+      s""""queries":$qs,"others_n":${rest.size},"others_sum":${r3(rest.map(_._2).filter(_ >= 0).sum)},""" +
+      s""""failed":${best.count(_._2 < 0)},"spread_max":${r3(spreadMax)},""" +
+      s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
