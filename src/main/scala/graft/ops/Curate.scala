@@ -92,6 +92,34 @@ object Curate {
     * batch-vs-index instead of corpus-vs-corpus; the semantics committed
     * here are the contract that index must preserve.
     */
+  /** Per-source document cap — the C4/CommonCrawl "domain cap" curation
+    * rule: no single source (domain, crawl host, data vendor) may dominate
+    * the training mix, so each source keeps only its `cap` best documents
+    * (longest text, ties to the lower doc_id — in production the rank key
+    * is a quality score; the operator shape is identical) and the census
+    * reports what the cap cost per source.
+    *
+    * Scale shape: one rank window partitioned by source. A hot domain
+    * (millions of docs) makes that partition the straggler; the remedy is
+    * the same bounded-buffer ladder as top-k similarity — a
+    * [[graft.functions.TopKAggregator]] per source bounds every shuffle
+    * buffer at `cap` rows — which composes because rank-then-filter and
+    * per-group top-k are the same operator. The census itself is a
+    * |sources|-row aggregate.
+    */
+  def domainCapCensus(docs: DataFrame, cap: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("_r", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("_r") <= cap, lit(1))).as("n_kept"),
+        sum(when(col("_r") <= cap, col("n_chars")).otherwise(lit(0L))).as("kept_chars"),
+        max(when(col("_r") <= cap, col("n_chars"))).as("max_kept_chars"),
+        min(when(col("_r") <= cap, col("n_chars"))).as("min_kept_chars"))
+  }
+
   def curateCorpusThrough(docs: DataFrame, table: graft.stages.MergeTable): DataFrame = {
     val spark = docs.sparkSession
     // pin the exact snapshot this recompute reads, and make the commit

@@ -191,6 +191,89 @@ object Similarity {
         col("cosine_sq8"), col("exact_hit"))
   }
 
+  /** Product quantization (PQ): the embedding is cut into `m` subspaces of
+    * `dim/m` dims; each subvector is replaced by the id of its nearest
+    * codeword in a per-subspace `ksub`-entry codebook — `m` small codes
+    * per vector (here 8 bytes vs 256, a 32× resident-memory cut; SQ8's 4×
+    * is the gentler rung of the same ladder). Scoring is asymmetric
+    * (ADC): the query keeps its exact vector, corpus vectors are
+    * reconstructed codeword-by-codeword.
+    *
+    * Codebooks here are the first `ksub` vectors' subvectors — the same
+    * deterministic-quantizer stance as [[ivfTopK]] (a production build
+    * trains them with [[kmeansCentroids]] per subspace; the encode/search
+    * shapes are identical and that is what the oracle must pin).
+    * Assignment is squared-L2 via the dot identity
+    * `|x−c|² = x·x + c·c − 2·x·c` — every term a [[dotExpr]]-style
+    * sequential fold, so both engines compute bit-identical distances —
+    * with ties to the lower codeword id (`array_position` finds the FIRST
+    * minimum).
+    *
+    * Scale shape: the codebook is m×ksub rows, collected once and baked
+    * into the projection as a literal (the IVF-centroid contract); encode
+    * and reconstruct are per-row expressions — zero shuffles, nothing but
+    * the final top-k window touches an exchange.
+    */
+  def withPq(emb: DataFrame, m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val subDim = dim / m
+    require(subDim * m == dim, s"dim $dim must split evenly into $m subspaces")
+    val cbRows = emb.filter(col("vec_id") < ksub).orderBy(col("vec_id"))
+      .select(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")).collect()
+      .map(_.getSeq[Double](0))
+    require(cbRows.length == ksub, s"codebook needs vec_id 0..${ksub - 1}")
+    val cb: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => cbRows.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val d2 = "graft_dot(sub, sub) + graft_dot(cw, cw) - 2 * graft_dot(sub, cw)"
+    emb
+      .withColumn("_cb", typedLit(cb))
+      .withColumn("_subs", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+              transform(sequence(1, $subDim),
+                i -> CAST(element_at(embedding, s * $subDim + i) AS DOUBLE)))"""))
+      .withColumn("pq_code", expr(
+        s"""transform(_subs, (sub, s) ->
+              CAST(array_position(
+                transform(element_at(_cb, s + 1), cw -> $d2),
+                array_min(transform(element_at(_cb, s + 1), cw -> $d2))) AS INT) - 1)"""))
+      .withColumn("pq_recon", expr(
+        "flatten(transform(pq_code, (c, s) -> element_at(element_at(_cb, s + 1), c + 1)))"))
+      .drop("_cb", "_subs")
+  }
+
+  /** Top-k over the PQ-reconstructed corpus (asymmetric cosine), each hit
+    * flagged against exact brute-force truth — same self-grading output
+    * contract as [[sq8TopK]], one rung further down the memory/recall
+    * ladder.
+    */
+  def pqTopK(emb: DataFrame, numQueries: Int, k: Int,
+             m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    val quant = withPq(emb, m, ksub, dim)
+      .withColumn("recon_norm", expr(s"sqrt(${dotExpr("pq_recon", "pq_recon")})"))
+    val queries = withNorm(emb).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_pq").desc, col("vec_id"))
+    val ranked = quant.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_pq",
+        expr(dotExpr("pq_recon", "q_emb")) / (col("recon_norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    ranked
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine_pq"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine_pq"), col("exact_hit"))
+  }
+
   /** IVF (inverted-file) ANN: a deterministic coarse quantizer (the first
     * `centroids` vectors serve as cell centers) assigns every vector to its
     * nearest cell by cosine; search visits only the query's cell

@@ -273,6 +273,32 @@ object TextAnalysis {
         col("top_token_frac") > topTokenTau || col("dup_bigram_frac") > dupBigramTau)
   }
 
+  /** The distributed core of BPE vocabulary training: the corpus-wide
+    * adjacent-token-pair census. Each training round counts every adjacent
+    * symbol pair, merges the most frequent one, and repeats; at corpus
+    * scale the COUNT is the expensive step — one explode of (n_tokens − 1)
+    * pairs per document and one partial-aggregated groupBy, exactly the
+    * shape of [[tokenFrequencies]] — while the argmax row and the merge
+    * application are bounded. `topN` bounds the output (the merge loop
+    * consumes only row 1; the top slice is what a vocabulary-build monitor
+    * inspects), ordered (freq DESC, pair ASC) so ties are deterministic.
+    *
+    * The single-token-document guard mirrors [[repetitionStats]]:
+    * `sequence(1, 0)` would step DOWNWARD in Spark (≠ DuckDB's empty
+    * range).
+    */
+  def bpePairCensus(docs: DataFrame, topN: Int = 30): DataFrame = {
+    val pairs = when(size(col("toks")) >= 2,
+      expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    withTokens(docs)
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(topN)
+  }
+
   /** Token-rarity signals — the log-free stand-in for a language-model
     * quality score: each document's tokens joined to the CORPUS frequency
     * table, then per-doc mean and min frequency (a document full of

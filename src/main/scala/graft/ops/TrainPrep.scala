@@ -159,6 +159,30 @@ object TrainPrep {
       .withColumn("is_contaminated", col("contamination") >= tau)
   }
 
+  /** Equal-population range sharding: documents are cut into `shards`
+    * contiguous ranges of the sort key (text length, ties to doc_id) with
+    * populations as equal as integer division allows — `ntile` semantics,
+    * which Spark and DuckDB define identically, so per-shard boundary
+    * stats are oracle-exact. The census (count, key lo/hi per shard) IS
+    * the shard-boundary table a writer feeds to `repartitionByRange`.
+    *
+    * Scale shape: this exact form is a global sort (one range exchange —
+    * the same machinery `repartitionByRange` uses, whose
+    * RangePartitioner derives boundaries from a nondeterministic sample;
+    * here the oracle needs exact boundaries, so the deterministic total
+    * order is the point). The census output is |shards| rows.
+    */
+  def rangeShardCensus(docs: DataFrame, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("shard",
+        ntile(shards).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("lo_chars"),
+        max(col("n_chars")).as("hi_chars"))
+  }
+
   /** Temperature-scaled training mixture: per-source sampling weights
     * proportional to `n^(1/2)` — the standard way to up-weight low-resource
     * languages/sources without letting the biggest source dominate

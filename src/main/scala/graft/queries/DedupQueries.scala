@@ -187,7 +187,24 @@ object DedupQueries {
       (s, dir) => graft.ops.Curate.curateCorpus(Tables.documents(s, dir))
         .orderBy(col("labeled_lang"), col("predicted_lang")),
       Some(curateSql),
-      doc = "end-to-end corpus curation census per language (every stage oracle-mirrored)")
+      doc = "end-to-end corpus curation census per language (every stage oracle-mirrored)"),
+
+    GQuery("curate_domain_cap",
+      (s, dir) => graft.ops.Curate.domainCapCensus(Tables.documents(s, dir), cap = 50)
+        .orderBy(col("source")),
+      Some("""WITH r AS (
+                SELECT source, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS r
+                FROM documents)
+              SELECT source, count(*) AS n_docs,
+                     CAST(count(CASE WHEN r <= 50 THEN 1 END) AS BIGINT) AS n_kept,
+                     CAST(SUM(CASE WHEN r <= 50 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+                     max(CASE WHEN r <= 50 THEN n_chars END) AS max_kept_chars,
+                     min(CASE WHEN r <= 50 THEN n_chars END) AS min_kept_chars
+              FROM r GROUP BY source ORDER BY source"""),
+      doc = "C4-style per-source domain cap: top-50 docs per source by length " +
+        "with the per-source census of what the cap cost")
   )
 
   /** DuckDB mirror of Curate.curateCorpus: each stage reuses the exact SQL

@@ -296,7 +296,76 @@ object SimilarityQueries {
           ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
         WHERE r.rank <= $k ORDER BY r.query_id, r.rank"""
 
+  /** DuckDB mirror of Similarity.withPq + pqTopK: per-subspace codebooks
+    * from the first `ksub` vectors, squared-L2 assignment via the dot
+    * identity `x·x + c·c − 2·x·c` (every term the same sequential fold as
+    * [[dotSql]], so distances are bit-identical), ties to the lower
+    * codeword id, codeword-by-codeword reconstruction, asymmetric cosine
+    * top-k flagged against brute-force truth.
+    */
+  private def pqSql(numQueries: Int, k: Int, m: Int, ksub: Int, subDim: Int): String = {
+    def subDot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> $a[i] * $b[i]))"
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |sp AS (SELECT unnest(range(0, $m)) AS s),
+       |cb AS (
+       |  SELECT sp.s, e.vec_id AS c_id,
+       |         list_transform(range(1, ${subDim + 1}),
+       |           i -> CAST(e.embedding[CAST(sp.s * $subDim + i AS INT)] AS DOUBLE)) AS cw
+       |  FROM embeddings e, sp WHERE e.vec_id < $ksub),
+       |subs AS (
+       |  SELECT e.vec_id, sp.s,
+       |         list_transform(range(1, ${subDim + 1}),
+       |           i -> CAST(e.embedding[CAST(sp.s * $subDim + i AS INT)] AS DOUBLE)) AS sub
+       |  FROM embeddings e, sp),
+       |enc AS (
+       |  SELECT vec_id, s, c_id FROM (
+       |    SELECT su.vec_id, su.s, cb.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY su.vec_id, su.s
+       |             ORDER BY ${subDot("su.sub", "su.sub")} + ${subDot("cb.cw", "cb.cw")}
+       |                      - 2 * ${subDot("su.sub", "cb.cw")} ASC,
+       |                      cb.c_id) AS r
+       |    FROM subs su JOIN cb ON cb.s = su.s) WHERE r = 1),
+       |recon AS (
+       |  SELECT e.vec_id, flatten(list(cb.cw ORDER BY e.s)) AS rv
+       |  FROM enc e JOIN cb ON cb.s = e.s AND cb.c_id = e.c_id
+       |  GROUP BY e.vec_id),
+       |rn AS (
+       |  SELECT vec_id, rv,
+       |         sqrt(list_sum(list_transform(range(1, 65), i -> rv[i] * rv[i]))) AS recon_norm
+       |  FROM recon),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+       |      FROM base WHERE vec_id < $numQueries),
+       |ranked AS (
+       |  SELECT q.query_id, r.vec_id,
+       |         list_sum(list_transform(range(1, 65),
+       |           i -> r.rv[i] * CAST(q.q_emb[i] AS DOUBLE))) / (r.recon_norm * q.q_norm) AS cosine_pq,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_sum(list_transform(range(1, 65),
+       |             i -> r.rv[i] * CAST(q.q_emb[i] AS DOUBLE))) / (r.recon_norm * q.q_norm) DESC,
+       |             r.vec_id) AS rank
+       |  FROM rn r, q WHERE r.vec_id <> q.query_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t)
+       |SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id AS neighbor_id,
+       |       r.cosine_pq,
+       |       CAST(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_hit
+       |FROM ranked r LEFT JOIN truth t
+       |  ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
+       |WHERE r.rank <= $k ORDER BY r.query_id, r.rank""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
+
+    GQuery("sim_pq_topk",
+      (s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir), numQueries = 16, k = 5,
+          m = 8, ksub = 16, dim = 64)
+        .orderBy(col("query_id"), col("rank")),
+      Some(pqSql(numQueries = 16, k = 5, m = 8, ksub = 16, subDim = 8)),
+      doc = "product-quantized (PQ, 8 subspaces x 16 codewords = 32x memory cut) " +
+        "asymmetric cosine top-5 with per-hit exact-truth flags"),
 
     GQuery("sim_sq8_topk",
       (s, dir) => Similarity.sq8TopK(Tables.embeddings(s, dir), numQueries = 16, k = 5)

@@ -34,6 +34,15 @@ object StreamingQueries {
       doc = "update-mode stream drained through SQL MERGE INTO a lake catalog table " +
         "(exactly-once streaming upsert through the lakehouse surface)"),
 
+    GQuery("streaming_tws_running_totals",
+      (s, dir) => graft.streaming.RunningState.runningTotalsDrain(s, dir)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM events GROUP BY user_id ORDER BY user_id"""),
+      doc = "transformWithState (Spark 4 arbitrary-state API): ValueState running " +
+        "totals per user; each key's last update-mode emission == batch groupBy"),
+
     GQuery("streaming_interval_join",
       (s, dir) => graft.streaming.StreamJoin.viewPurchasePairs(s, dir, windowMinutes = 30)
         .orderBy(col("user_id"), col("view_event"), col("buy_event")),

@@ -276,6 +276,21 @@ object TextQueries {
               GROUP BY doc_id ORDER BY doc_id"""),
       doc = "token-rarity signals vs the corpus frequency table (log-free LM-quality stand-in)"),
 
+    GQuery("text_bpe_pairs",
+      (s, dir) => TextAnalysis.bpePairCensus(Tables.documents(s, dir), topN = 30)
+        .orderBy(col("freq").desc, col("pair")),
+      Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+              |bg AS (
+              |  SELECT unnest(CASE WHEN len(toks) >= 2
+              |                     THEN list_transform(range(1, len(toks)),
+              |                            i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+              |                     ELSE CAST([] AS VARCHAR[]) END) AS pair
+              |  FROM t)
+              |SELECT pair, count(*) AS freq FROM bg
+              |GROUP BY pair ORDER BY freq DESC, pair LIMIT 30""".stripMargin),
+      doc = "BPE vocabulary training's distributed core: corpus-wide adjacent-pair " +
+        "census, top-30 merge candidates with deterministic tie-break"),
+
     GQuery("text_token_freq",
       (s, dir) => TextAnalysis.tokenFrequencies(Tables.documents(s, dir))
         .orderBy(col("freq").desc, col("token")),

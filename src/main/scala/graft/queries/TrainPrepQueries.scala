@@ -83,6 +83,18 @@ object TrainPrepQueries {
               FROM c ORDER BY doc_id"""),
       doc = "token-budget sharding via a scalable two-level prefix sum (== global window cumsum)"),
 
+    GQuery("prep_range_shards",
+      (s, dir) => TrainPrep.rangeShardCensus(Tables.documents(s, dir), shards = 8)
+        .orderBy(col("shard")),
+      Some("""WITH s AS (SELECT doc_id, n_chars,
+                               CAST(ntile(8) OVER (ORDER BY n_chars, doc_id) AS INT) AS shard
+                        FROM documents)
+              SELECT shard, count(*) AS n_docs,
+                     min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+              FROM s GROUP BY shard ORDER BY shard"""),
+      doc = "equal-population range sharding (ntile) — the exact-boundary census " +
+        "that feeds repartitionByRange"),
+
     GQuery("prep_decontamination",
       (s, dir) => TrainPrep.decontaminationReport(Tables.documents(s, dir),
           n = 3, valPct = 5, testPct = 5, tau = 0.1)

@@ -29,4 +29,23 @@ object StateDefaults {
   def ensureRocksDB(spark: SparkSession): Unit =
     if (!spark.sessionState.conf.contains(ProviderKey))
       spark.conf.set(ProviderKey, RocksDB)
+
+  /** Run `body` with RocksDB PINNED, restoring any user-pinned provider
+    * after. For operators that structurally require RocksDB —
+    * `transformWithState` needs state-store column families, which the
+    * heap-backed provider does not implement — where honoring an HDFS
+    * opt-out would mean failing the query.
+    */
+  def withRocksDB[T](spark: SparkSession)(body: => T): T = {
+    val pinned =
+      if (spark.sessionState.conf.contains(ProviderKey))
+        Some(spark.conf.get(ProviderKey))
+      else None
+    spark.conf.set(ProviderKey, RocksDB)
+    try body
+    finally pinned match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
+  }
 }

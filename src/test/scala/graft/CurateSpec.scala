@@ -60,4 +60,18 @@ class CurateSpec extends AnyFunSuite {
     assert(after.filter(col("doc_id") === -1L).count() == 1)
     assert(after.count() == beforeCount) // one evicted, one admitted
   }
+
+  test("domain cap census: per-source keep counts honor the cap, totals reconcile") {
+    import spark.implicits._
+    val tiny = (0L until 30L).map(i =>
+      (i, if (i < 25) "hot.example" else "cold.example", 100L + i))
+      .toDF("doc_id", "source", "n_chars")
+    val census = Curate.domainCapCensus(tiny, cap = 10).orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("max_kept_chars")))
+    // hot source is capped at 10 and keeps its LONGEST docs; cold keeps all
+    assert(census.toSeq == Seq(
+      ("cold.example", 5L, 5L, 129L),
+      ("hot.example", 25L, 10L, 124L)))
+  }
 }

@@ -168,7 +168,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // paragraph dedup: distinct-df agg (2x: distinct expand + final),
     // hash anti-join, doc reassembly agg, doc join + output sort — never
     // an all-pairs step
-    ("dedup_paragraphs", 7, 0, Nil))
+    ("dedup_paragraphs", 7, 0, Nil),
+    // PQ: codebook is collected + baked as a literal, so the plan is the
+    // SQ8 shape — two broadcast crossJoins (quantized scan + truth scan),
+    // two top-k windows, truth join, output sort
+    ("sim_pq_topk", 5, 2, Nil),
+    // pair explode → count agg + the top-N ordered take + output sort
+    ("text_bpe_pairs", 3, 0, Seq("Generate")),
+    // one source-partitioned rank window; the census groupBy reuses the
+    // source partitioning (zero extra exchange) + output sort
+    ("curate_domain_cap", 3, 0, Nil),
+    // the deterministic global ntile is THE single-partition sort (the
+    // oracle-exact twin of repartitionByRange's sampled boundaries) +
+    // census agg + output sort
+    ("prep_range_shards", 3, 0, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)

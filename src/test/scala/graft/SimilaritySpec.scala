@@ -124,4 +124,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
     assert(top.head.getAs[Int]("exact_hit") == 1)
   }
+
+  test("PQ: codes index the codebook, reconstruction is codeword-exact, twin ranks first") {
+    import org.apache.spark.sql.functions._
+    val m = 8; val ksub = 16; val subDim = 8
+    val q = Similarity.withPq(emb, m = m, ksub = ksub, dim = 64)
+    // m codes per vector, each in [0, ksub)
+    val codeStats = q.select(explode(col("pq_code")).as("c"))
+      .agg(min("c"), max("c"), count(lit(1))).collect().head
+    assert(codeStats.getInt(0) >= 0 && codeStats.getInt(1) < ksub)
+    assert(codeStats.getLong(2) == q.count() * m)
+    // a codebook vector reconstructs to ITSELF: its own subvectors are at
+    // distance 0 in every subspace, so PQ is lossless on codebook members
+    val self = q.filter(col("vec_id") < ksub)
+      .select(explode(arrays_zip(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("x"),
+        col("pq_recon").as("r"))).as("z"))
+      .agg(max(abs(col("z.x") - col("z.r")))).collect().head.getDouble(0)
+    assert(self == 0.0, s"codebook member reconstruction drifted by $self")
+    // the planted twin of vec 0 (a codebook member) encodes to vec 0's
+    // codewords, so asymmetric search must rank it first and flag the hit
+    val top = Similarity.pqTopK(emb, numQueries = 1, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+    assert(top.head.getAs[Int]("exact_hit") == 1)
+  }
 }

@@ -183,6 +183,34 @@ class StreamingSpec extends AnyFunSuite {
       (8L, 2024, 3, 1L, 20.0)))
   }
 
+  test("transformWithState carries ValueState across micro-batches (maxFilesPerTrigger=1)") {
+    import spark.implicits._
+    // user 7's events split across two FILES → two micro-batches: the
+    // second batch's emission must include the first batch's counts
+    // (state survived) and supersede it in the settled result
+    val dir = graft.stages.TempDirs.scratch("graft_tws_multibatch_")
+    def nanos(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    def writeEventsFile(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = graft.stages.TempDirs.scratch("graft_tws_tmp_")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    writeEventsFile("events1.parquet", Seq(
+      (1L, nanos("2024-01-01 10:00:00"), 7L, "view", 10.50, "{}"),
+      (2L, nanos("2024-01-02 09:00:00"), 8L, "view", 20.0, "{}")))
+    writeEventsFile("events2.parquet", Seq(
+      (3L, nanos("2024-02-01 11:00:00"), 7L, "buy", 5.25, "{}")))
+    val out = graft.streaming.RunningState.runningTotalsDrain(spark, dir,
+        maxFilesPerTrigger = Some(1), glob = "events*.parquet")
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+    assert(out.toSeq == Seq((7L, 2L, 15.75), (8L, 1L, 20.0)))
+  }
+
   test("drain-output read: empty dir is a legitimate empty result, corrupt parquet raises") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("user_id", LongType)))

@@ -33,6 +33,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2).getAs[String]("predicted_lang") == "en")   // no signal → default
   }
 
+  test("BPE pair census: adjacent pairs counted corpus-wide, ties broken by pair") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "a b a b c"),     // pairs: a b, b a, a b, b c
+      (1L, "a b"),           // pair:  a b
+      (2L, "x")              // single token → no pairs
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.bpePairCensus(tiny, topN = 10).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("freq"))).toSeq
+    assert(top == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("fingerprint is order- and repetition-insensitive") {
     import spark.implicits._
     val perm = Seq(

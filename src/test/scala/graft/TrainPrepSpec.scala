@@ -29,6 +29,24 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(enRate > 0.02 && enRate < 0.25, s"en achieved rate $enRate far from 10%")
   }
 
+  test("range shards: equal populations (ntile), ordered non-overlapping boundaries") {
+    import spark.implicits._
+    val docs = (0L until 103L).map(i => (i, (i * 37) % 101 + 1))
+      .toDF("doc_id", "n_chars")
+    val census = TrainPrep.rangeShardCensus(docs, shards = 8)
+      .orderBy("shard").collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("lo_chars"), r.getAs[Long]("hi_chars")))
+    assert(census.map(_._2).sum == 103L)
+    // ntile: populations differ by at most 1, earlier shards get the extra
+    assert(census.map(_._2).distinct.toSet.subsetOf(Set(12L, 13L)))
+    assert(census.map(_._2).toSeq == census.map(_._2).toSeq.sorted.reverse)
+    // boundaries ascend and never overlap (ties can only touch, not cross)
+    census.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"shard ${a._1} hi ${a._4} crosses shard ${b._1} lo ${b._3}")
+    }
+  }
+
   test("packed sequences tile the token stream and are content-addressed") {
     import spark.implicits._
     val text = (1 to 150).map(i => s"w$i").mkString(" ")
