@@ -48,4 +48,52 @@ object Sketch {
       when(col("kth_min_hash").isNull, col("exact").cast("double"))  // < k values: exact
         .otherwise(lit((k - 1).toDouble) / (col("kth_min_hash") / lit(HashSpace))))
   }
+
+  /** Per-group order statistics from a BOTTOM-K-BY-HASH sample — the
+    * deterministic, mergeable form of uniform sampling (keep the k rows
+    * with the smallest md5 priorities; merging partitions = union then
+    * keep k smallest, the KMV property), which is how quantiles are
+    * estimated at scales where sorting the group is off the table. An
+    * engine-private `TABLESAMPLE`/`rand()` can never be
+    * conformance-checked; md5 priorities make the sample — and therefore
+    * the estimate — bit-identical in every engine and under any
+    * partitioning.
+    *
+    * Median semantics are the LOWER median (the ⌈n/2⌉-th smallest value),
+    * picked by rank rather than interpolation: both engines agree on it
+    * exactly, where `percentile`/`quantile_cont` interpolation formulas
+    * may differ in the last bit. The exact group median is computed
+    * alongside (full group sort — the correctness comparison, not the
+    * scale path) so the output doubles as the sketch's error report.
+    *
+    * Scale shape: the sample selection is one rank window per group
+    * bounded at k rows downstream; the production single-pass variant is
+    * a k-row `TypedImperativeAggregate` buffer, same as KMV.
+    */
+  def hashSampleQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                          idCol: String, k: Int): DataFrame = {
+    val gcols = groupCols.map(col)
+    val pri = expr(
+      s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    val wPri = Window.partitionBy(gcols: _*).orderBy(col("_pri"), col(idCol))
+    val sample = df.select((gcols :+ col(idCol) :+ col(valueCol)): _*)
+      .withColumn("_pri", pri)
+      .withColumn("_r", row_number().over(wPri))
+      .filter(col("_r") <= k)
+    def lowerMedian(in: DataFrame, out: String): DataFrame = {
+      val wVal = Window.partitionBy(gcols: _*)
+        .orderBy(col(valueCol), col(idCol))
+      val wAll = Window.partitionBy(gcols: _*)
+      in.withColumn("_vr", row_number().over(wVal))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .filter(col("_vr") === ceil(col("_n") / 2.0))
+        .select((gcols :+ col(valueCol).as(out) :+ col("_n")): _*)
+    }
+    lowerMedian(sample, "est_median")
+      .withColumnRenamed("_n", "n_sample")
+      .join(lowerMedian(df, "exact_median").withColumnRenamed("_n", "n_total"),
+        groupCols)
+      .select((gcols :+ col("n_total") :+ col("n_sample") :+
+        col("est_median") :+ col("exact_median")): _*)
+  }
 }

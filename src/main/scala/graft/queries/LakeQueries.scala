@@ -391,6 +391,97 @@ object LakeQueries {
       doc = "incremental materialized-view refresh: v0-materialized aggregate + " +
         "signed change-feed delta equals the from-scratch recompute of the head"),
 
+    GQuery("lake_incremental_join_refresh",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        // TWO-SIDED incremental view maintenance — the delta rule for a
+        // JOIN view: with A' = A + ΔA and B' = B + ΔB,
+        //   A'⋈B' − A⋈B  =  ΔA⋈B'  ∪  A⋈ΔB   (signed multisets),
+        // so the materialized fact⋈dim aggregate is brought from the two
+        // v0 snapshots to both table heads by two delta-sized joins —
+        // never a rescan of either table. Signs multiply into the
+        // aggregate (update = −pre ∪ +post), and rows moved BETWEEN
+        // groups (the dim update re-nations customers) cancel here and
+        // reappear there. Oracle: the from-scratch head join-aggregate.
+        val (tA, viewA) = freshTable(s, dir, "ijra")
+        s.sql(s"INSERT INTO $tA SELECT * FROM $viewA WHERE o_orderkey % 2 = 0")  // A v0
+        val idB = seq.incrementAndGet()
+        val viewB = s"lake_cust_ijr_$idB"
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+          .createOrReplaceTempView(viewB)
+        val tB = s"graftlake.q.ijrb_$idB"
+        s.sql(s"CREATE TABLE $tB (c_custkey BIGINT, c_nationkey BIGINT)")
+        s.sql(s"INSERT INTO $tB SELECT * FROM $viewB WHERE c_custkey % 3 <> 0")  // B v0
+        val base = s.sql(
+          s"""SELECT b.c_nationkey, count(*) AS n_rows,
+                     sum(a.price_cents) AS total_cents
+              FROM $tA VERSION AS OF 'v0' a
+              JOIN $tB VERSION AS OF 'v0' b ON a.o_custkey = b.c_custkey
+              GROUP BY b.c_nationkey""")
+        // advance BOTH tables past their materialized snapshots
+        s.sql(s"UPDATE $tA SET price_cents = price_cents + 3 WHERE o_custkey % 7 = 0")
+        s.sql(s"DELETE FROM $tA WHERE status = 'P'")
+        s.sql(s"INSERT INTO $tA SELECT * FROM $viewA " +
+          "WHERE o_orderkey % 2 = 1 AND o_orderkey < 20000")
+        s.sql(s"UPDATE $tB SET c_nationkey = 99 WHERE c_custkey % 11 = 0")
+        s.sql(s"INSERT INTO $tB SELECT * FROM $viewB WHERE c_custkey % 3 = 0")
+        val (_, mtA) = storageHandle(s, tA)
+        val (_, mtB) = storageHandle(s, tB)
+        def signed(df: DataFrame): DataFrame = df.withColumn("sign",
+          when(col("change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        val dA = signed(mtA.changesBetween(s, "v0", mtA.currentVersion.get,
+          Seq("o_orderkey")))
+        val dB = signed(mtB.changesBetween(s, "v0", mtB.currentVersion.get,
+          Seq("c_custkey")))
+        val bHead = s.sql(s"SELECT * FROM $tB")
+        val aOld = s.sql(s"SELECT * FROM $tA VERSION AS OF 'v0'")
+        val delta = dA.join(bHead, col("o_custkey") === col("c_custkey"))
+            .select(col("c_nationkey"), col("sign"), col("price_cents"))
+          .unionByName(
+            aOld.join(dB, col("o_custkey") === col("c_custkey"))
+              .select(col("c_nationkey"), col("sign"), col("price_cents")))
+          .groupBy(col("c_nationkey"))
+          .agg(sum(col("sign")).as("d_rows"),
+            sum(col("sign") * col("price_cents")).as("d_cents"))
+        base.join(delta, Seq("c_nationkey"), "full_outer")
+          .select(col("c_nationkey"),
+            (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L)))
+              .as("n_rows"),
+            (coalesce(col("total_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+              .as("total_cents"))
+          .where(col("n_rows") > 0)
+          .orderBy("c_nationkey")
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+                    c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+                          FROM customer),
+                    a0 AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+                    a1 AS (SELECT o_orderkey, o_custkey,
+                                  CASE WHEN o_custkey % 7 = 0 THEN price_cents + 3
+                                       ELSE price_cents END AS price_cents, status
+                           FROM a0),
+                    a2 AS (SELECT * FROM a1 WHERE status <> 'P'),
+                    afin AS (SELECT * FROM a2
+                             UNION ALL
+                             SELECT * FROM o WHERE o_orderkey % 2 = 1 AND o_orderkey < 20000),
+                    b0 AS (SELECT * FROM c WHERE c_custkey % 3 <> 0),
+                    b1 AS (SELECT c_custkey,
+                                  CASE WHEN c_custkey % 11 = 0 THEN 99
+                                       ELSE c_nationkey END AS c_nationkey
+                           FROM b0),
+                    bfin AS (SELECT * FROM b1
+                             UNION ALL
+                             SELECT * FROM c WHERE c_custkey % 3 = 0)
+               SELECT b.c_nationkey, count(*) AS n_rows,
+                      CAST(sum(a.price_cents) AS BIGINT) AS total_cents
+               FROM afin a JOIN bfin b ON a.o_custkey = b.c_custkey
+               GROUP BY b.c_nationkey ORDER BY b.c_nationkey"""),
+      doc = "two-sided incremental JOIN-view refresh: ΔA⋈B' ∪ A⋈ΔB signed " +
+        "change-feed deltas bring the fact⋈dim aggregate to both heads " +
+        "without rescanning either table"),
+
     GQuery("lake_metadata_delete",
       (s, dir) => {
         // both deletes align with whole-file key ranges, so footer stats

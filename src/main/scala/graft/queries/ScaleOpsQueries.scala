@@ -212,6 +212,44 @@ object ScaleOpsQueries {
                      e.exact_distinct
               FROM agg a JOIN exact e USING (event_type)
               ORDER BY a.event_type"""),
-      doc = "HyperLogLog distinct sketch: registers, exact harmonic sum, and raw estimate oracle-reproduced")
+      doc = "HyperLogLog distinct sketch: registers, exact harmonic sum, and raw estimate oracle-reproduced"),
+
+    // ---- bottom-k-by-hash sampling (ops/Sketch.hashSampleQuantiles): the
+    // deterministic, mergeable uniform sample (keep the k smallest md5
+    // priorities — union + keep-k-smallest merges, the KMV property), with
+    // per-group lower-median estimated from the sample next to the exact
+    // group median as the built-in error report.
+    GQuery("sketch_sample_quantiles",
+      (s, dir) => graft.ops.Sketch.hashSampleQuantiles(
+          Tables.events(s, dir), Seq("event_type"), "value", "event_id", k = 64)
+        .orderBy(col("event_type")),
+      Some("""WITH pri AS (
+                SELECT event_type, event_id, value,
+                       CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS p
+                FROM events),
+              samp AS (
+                SELECT event_type, event_id, value FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                               ORDER BY p, event_id) AS r
+                  FROM pri) WHERE r <= 64),
+              est AS (
+                SELECT event_type, value AS est_median, n AS n_sample FROM (
+                  SELECT event_type, value,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY value, event_id) AS vr,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM samp) WHERE vr = CAST(ceil(n / 2.0) AS BIGINT)),
+              exact AS (
+                SELECT event_type, value AS exact_median, n AS n_total FROM (
+                  SELECT event_type, value,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY value, event_id) AS vr,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM events) WHERE vr = CAST(ceil(n / 2.0) AS BIGINT))
+              SELECT e.event_type, x.n_total, e.n_sample, e.est_median, x.exact_median
+              FROM est e JOIN exact x USING (event_type)
+              ORDER BY e.event_type"""),
+      doc = "bottom-k-by-hash uniform sample + per-group lower-median estimate " +
+        "vs exact (deterministic mergeable sampling — distributed order statistics)")
   )
 }

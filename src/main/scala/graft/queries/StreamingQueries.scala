@@ -61,6 +61,25 @@ object StreamingQueries {
               ORDER BY v.user_id, view_event, buy_event"""),
       doc = "stream-stream interval join (view→purchase attribution): watermarked, state bounded by the time-range condition; streaming result == batch join"),
 
+    GQuery("streaming_outer_join",
+      (s, dir) => graft.streaming.StreamJoin.viewPurchaseLeftOuter(s, dir, windowMinutes = 30)
+        .orderBy(col("user_id"), col("view_event"), col("buy_event").asc_nulls_first),
+      Some("""SELECT v.user_id,
+                     v.event_id AS view_event,
+                     b.event_id AS buy_event,
+                     strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_at,
+                     strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS buy_at,
+                     b.value AS purchase_value
+              FROM (SELECT * FROM events WHERE event_type = 'view') v
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+                ON v.user_id = b.user_id
+               AND epoch_us(b.ts) >= epoch_us(v.ts)
+               AND epoch_us(b.ts) <= epoch_us(v.ts) + CAST(30 AS BIGINT) * 60000000
+              ORDER BY v.user_id, view_event, buy_event NULLS FIRST"""),
+      doc = "LEFT OUTER stream-stream interval join: funnel drop-off rows emitted " +
+        "with NULLs when the watermark proves no match can arrive (sentinel-flushed " +
+        "bounded drain == batch left join)"),
+
     GQuery("sessionization",
       (s, dir) => graft.streaming.Sessionize.sessionsBatch(
           graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),

@@ -75,6 +75,104 @@ object StreamJoin {
     readDrainOutput(spark, outDir, joined.schema)
   }
 
+  /** LEFT OUTER stream-stream interval join: every view, paired with the
+    * purchases it led to within the window — or emitted once with NULL
+    * purchase columns when the watermark proves no purchase can arrive
+    * (the funnel's drop-off rows, which an inner join silently drops).
+    *
+    * The outer side makes eviction the EMITTER: an unmatched view row is
+    * released exactly when the purchase-side watermark passes
+    * `view_ts + window`, so correctness of the null rows depends on the
+    * watermark actually advancing past the corpus. A bounded drain stops
+    * at `max(ts) − delay`, which would withhold every view in the final
+    * `window + delay` — so the drain unions a far-future SENTINEL pair
+    * into both sides (watermarks are global per stream; one row each is
+    * enough at any corpus size), exactly the [[Sessionize]] flush
+    * technique, and filters the sentinel user from the output. The final
+    * no-data micro-batch after the sentinel then flushes every pending
+    * null row, making the drain equal the batch LEFT JOIN bit-for-bit.
+    *
+    * State posture is the inner join's: the range bound lets both sides
+    * evict, state O(events in window) per key — the null emission changes
+    * WHEN rows leave state, not how much state exists.
+    */
+  def viewPurchaseLeftOuter(spark: SparkSession, sfDir: String,
+                            windowMinutes: Int = 30): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    StateDefaults.ensureRocksDB(spark)
+    val raw = IncrementalLedger.rawEventSchema
+    val maxRow = spark.read.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .agg(max(col("ts"))).collect().head
+    val joinedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("view_event", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("buy_event", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("view_at", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("buy_at", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("purchase_value", org.apache.spark.sql.types.DoubleType)))
+    if (maxRow.isNullAt(0))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        joinedSchema)
+    val maxNs = maxRow.getLong(0)
+    // past every view's emission deadline: window + watermark delay + slack
+    val marginNs = (windowMinutes.toLong + 60L + 120L) * 60L * 1000000000L
+    val sentinelDir = graft.stages.TempDirs.scratch("graft_sjoin_sentinel_")
+    import spark.implicits._
+    Seq((-1L, maxNs + marginNs, -1L, "view", 0.0, "{}"),
+        (-2L, maxNs + marginNs, -1L, "purchase", 0.0, "{}"))
+      .toDF(raw.fieldNames: _*)
+      .write.mode("overwrite").parquet(sentinelDir)
+
+    def side(tpe: String, prefix: String): DataFrame = {
+      def shape(df: DataFrame): DataFrame = df
+        .filter(col("event_type") === tpe)
+        .select(
+          col("user_id").as(s"${prefix}_user"),
+          expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_event"),
+          col("value").as(s"${prefix}_value"))
+      shape(spark.readStream.schema(raw)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+        .unionByName(shape(spark.readStream.schema(raw).parquet(sentinelDir)))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    }
+
+    // NOTE: the sentinel must be filtered AFTER the drain, never here — a
+    // `v_user >= 0` filter in the streaming plan is pushed down the left
+    // side BELOW the watermark assigner, silently removing the sentinel
+    // before it is tracked; the view-side watermark then stalls at
+    // `max(real ts) − delay` and the final `window + delay` of unmatched
+    // views never flush (observed: 8 rows short at sf0.01)
+    val joined = side("view", "v").join(side("purchase", "b"),
+      col("v_user") === col("b_user") &&
+        col("b_ts") >= col("v_ts") &&
+        col("b_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(
+        col("v_user").as("user_id"),
+        col("v_event").as("view_event"),
+        col("b_event").as("buy_event"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("view_at"),
+        date_format(col("b_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_at"),
+        col("b_value").as("purchase_value"))
+
+    val outDir = graft.stages.TempDirs.scratch("graft_sjoin_outer_")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    readDrainOutput(spark, outDir, joined.schema).filter(col("user_id") >= 0)
+  }
+
   /** Read a foreachBatch parquet-append drain directory. An all-late /
     * zero-match drain appends nothing, so the directory has no part files
     * and parquet schema inference would fail — that one case is a

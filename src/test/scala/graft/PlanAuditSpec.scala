@@ -181,7 +181,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the deterministic global ntile is THE single-partition sort (the
     // oracle-exact twin of repartitionByRange's sampled boundaries) +
     // census agg + output sort
-    ("prep_range_shards", 3, 0, Nil))
+    ("prep_range_shards", 3, 0, Nil),
+    // bottom-k sample: priority window + two median-rank windows (the
+    // sample side reuses the group partitioning) + join + output sort
+    ("sketch_sample_quantiles", 4, 0, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)

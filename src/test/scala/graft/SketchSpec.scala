@@ -121,4 +121,28 @@ class SketchSpec extends AnyFunSuite {
     assert(HllAggregator.rho(5L) == 52)  // bin(5)=101 → first '1' at 52 of 54
     assert(HllAggregator.rho((1L << 53)) == 1)
   }
+
+  test("hash-sample quantiles: partition-independent, exact for small groups, sane for big") {
+    import spark.implicits._
+    import graft.ops.Sketch
+    // group 'small' has 9 rows (< k) → sample IS the group, est == exact;
+    // group 'big' has 1001 rows of values 0..1000 → exact lower median 500
+    val rows = (0 until 9).map(i => ("small", i.toLong, i * 10.0)) ++
+      (0 until 1001).map(i => ("big", 100L + i, i.toDouble))
+    val df = rows.toDF("g", "id", "value")
+    val r = Sketch.hashSampleQuantiles(df, Seq("g"), "value", "id", k = 64)
+      .orderBy("g").collect()
+      .map(x => (x.getAs[String]("g"), x.getAs[Long]("n_total"),
+        x.getAs[Long]("n_sample"), x.getAs[Double]("est_median"),
+        x.getAs[Double]("exact_median")))
+    val big = r(0); val small = r(1)
+    assert(small == ("small", 9L, 9L, 40.0, 40.0))   // 5th of 0,10..80
+    assert(big._2 == 1001L && big._3 == 64L && big._5 == 500.0)
+    // a uniform 64-sample's median lands well inside the central half
+    assert(big._4 > 250.0 && big._4 < 750.0, s"sample median ${big._4} implausible")
+    // determinism under partitioning (the mergeable-sample property)
+    val r13 = Sketch.hashSampleQuantiles(df.repartition(13), Seq("g"), "value", "id", k = 64)
+      .orderBy("g").collect().map(x => (x.getAs[String]("g"), x.getAs[Double]("est_median")))
+    assert(r13.toSeq == r.map(x => (x._1, x._4)).toSeq)
+  }
 }
