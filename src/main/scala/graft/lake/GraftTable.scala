@@ -69,6 +69,16 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
     tableProps.get(GraftTable.FilterColumnsProp)
       .map(GraftTable.parseFilterColumns).getOrElse(Nil)
 
+  /** Per-file bloom sidecars present under `_BLOOM/`, loaded once per
+    * statement-scoped table instance (the catalog constructs a fresh
+    * GraftTable per resolution, so a rebuilt index is picked up by the
+    * next statement). Missing/unparsable sidecars mean "no index" —
+    * pruning degrades, correctness does not.
+    */
+  private[lake] lazy val bloomIndex: Map[String, GraftBloomIndex.ColIndex] =
+    tableSchema.fields.iterator.map(_.name.toLowerCase(java.util.Locale.ROOT))
+      .flatMap(c => GraftBloomIndex.load(dir.toString, c).map(c -> _)).toMap
+
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -143,11 +153,16 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
       case None => Some((Option.empty[String], Set.empty[String])) // empty table: trivially metadata-only
       case Some(base) =>
         val conf = SparkSession.active.sessionState.newHadoopConf()
+        val bloom = bloomIndex
         val drop = Set.newBuilder[String]
         val decidable = merge.dataFiles(base).forall { f =>
           val st = FileStats.read(f, conf)
           if (FileStats.mustMatchAll(st, key)) { drop += f.getFileName.toString; true }
-          else !FileStats.mightMatch(st, key)
+          else !FileStats.mightMatch(st, key) ||
+            // bloom no-match proof: a point-delete key absent from the
+            // file makes it a clean carry even when footer ranges overlap
+            !key.forall(GraftBloomIndex.mightMatch(bloom, tableSchema,
+              f.getFileName.toString, _))
         }
         if (decidable) Some((Some(base), drop.result())) else None
     }
@@ -245,11 +260,20 @@ private[lake] final class GraftRowLevelOperation(table: GraftTable, info: RowLev
     baseFiles.map(f => f.getFileName.toString -> FileStats.read(f, conf)).toMap
   }
 
+  /** Two independent no-match proofs, both conservative: footer min/max
+    * ranges ([[FileStats]]) and, where a `_BLOOM` sidecar covers the
+    * column, per-file bloom membership of point predicates — which is
+    * what still prunes when the table is unclustered in the key and every
+    * footer range spans the whole domain.
+    */
   private[lake] def prune(files: Seq[Path],
                           filters: Array[org.apache.spark.sql.sources.Filter]): Seq[Path] =
     if (filters.isEmpty) files
-    else files.filter(f => FileStats.mightMatch(stats(f.getFileName.toString),
-      filters.toSeq))
+    else files.filter { f =>
+      val name = f.getFileName.toString
+      FileStats.mightMatch(stats(name), filters.toSeq) &&
+        filters.forall(GraftBloomIndex.mightMatch(table.bloomIndex, table.schema(), name, _))
+    }
 
   override def command(): RowLevelOperation.Command = info.command()
 

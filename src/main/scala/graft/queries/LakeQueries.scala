@@ -391,6 +391,41 @@ object LakeQueries {
       doc = "incremental materialized-view refresh: v0-materialized aggregate + " +
         "signed change-feed delta equals the from-scratch recompute of the head"),
 
+    GQuery("lake_bloom_index",
+      (s, dir) => {
+        // three MODULUS inserts: every file's footer key range spans the
+        // whole domain, so min/max pruning keeps everything — the bloom
+        // sidecar is what narrows the point UPDATE/DELETE to the files
+        // actually holding the key (LakeSpec asserts the carried set)
+        val (t, view) = freshTable(s, dir, "bloomix",
+          s"TBLPROPERTIES ('${graft.lake.GraftTable.FilterColumnsProp}'='o_orderkey')")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey % 3 = 0")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey % 3 = 1")
+        s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE o_orderkey % 3 = 2")
+        val (_, mt) = storageHandle(s, t)
+        graft.lake.GraftBloomIndex.build(s, mt, mt.currentVersion.get, Seq("o_orderkey"))
+        val keys = Tables.orders(s, dir)
+          .agg(min(col("o_orderkey")), max(col("o_orderkey"))).collect().head
+        val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+        s.sql(s"UPDATE $t SET price_cents = price_cents + 7 WHERE o_orderkey = $kLo")
+        s.sql(s"DELETE FROM $t WHERE o_orderkey = $kHi")
+        s.sql(s"""SELECT status, count(*) AS n_rows, sum(price_cents) AS total_cents
+                  FROM $t GROUP BY status ORDER BY status""")
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+                    k AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM o),
+                    fin AS (
+                      SELECT o_orderkey,
+                             CASE WHEN o_orderkey = (SELECT lo FROM k)
+                                  THEN price_cents + 7 ELSE price_cents END AS price_cents,
+                             status
+                      FROM o WHERE o_orderkey <> (SELECT hi FROM k))
+               SELECT status, count(*) AS n_rows,
+                      CAST(sum(price_cents) AS BIGINT) AS total_cents
+               FROM fin GROUP BY status ORDER BY status"""),
+      doc = "per-file bloom index: point UPDATE/DELETE on a key-unclustered table " +
+        "prune by bloom sidecar where footer ranges prune nothing"),
+
     GQuery("lake_incremental_join_refresh",
       (s, dir) => {
         import org.apache.spark.sql.functions._

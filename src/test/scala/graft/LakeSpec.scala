@@ -235,6 +235,49 @@ class LakeSpec extends AnyFunSuite {
       "a whole-table rewrite must not carry any base file")
   }
 
+  test("bloom index prunes point rewrites where footer ranges prune nothing") {
+    val t = freshTable(); val tn = n
+    sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    // three single-file MODULUS commits: every file's footer k range is
+    // ~[0,100) — range pruning keeps all three; only the bloom knows
+    // which file holds a given key
+    for (m <- 0 until 3)
+      sql(s"INSERT INTO $t SELECT id, id FROM (SELECT id FROM range(100) WHERE id % 3 = $m) " +
+        s"DISTRIBUTE BY 1")
+    val v2 = tableFiles(tn, "v2")
+    assert(v2.size == 3, s"expected 3 data files, got $v2")
+    val perBatch = (0 until 3).map(i => tableFiles(tn, s"v$i")).toIndexedSeq
+    val batchOf = Map(0 -> perBatch(0),
+      1 -> (perBatch(1) -- perBatch(0)), 2 -> (perBatch(2) -- perBatch(1)))
+
+    val dir = Paths.get(spark.conf.get("spark.sql.catalog.lakespec.warehouse"), "db", s"t$tn")
+    val mt = new graft.stages.MergeTable(dir.toString, Seq.empty)
+    graft.lake.GraftBloomIndex.build(spark, mt, "v2", Seq("k"))
+
+    // point update on k=31 (31 % 3 == 1): only batch 1's file may be
+    // rewritten; batches 0 and 2 must carry by hard link
+    sql(s"UPDATE $t SET v = -1 WHERE k = 31")
+    val v3 = tableFiles(tn, "v3")
+    assert(batchOf(0).subsetOf(v3) && batchOf(2).subsetOf(v3),
+      s"bloom must carry the key-free files; base=$v2 new=$v3")
+    assert((v2 -- v3) == batchOf(1), s"only batch 1 may be replaced; got ${v2 -- v3}")
+    assert(sql(s"SELECT v FROM $t WHERE k = 31").collect().head.getLong(0) == -1L)
+    assert(sql(s"SELECT count(*), sum(v) FROM $t").collect().head.toSeq ==
+      Seq(100L, (0L until 100L).sum - 31L - 1L))
+
+    // a key absent from EVERY file: bloom proves no-match everywhere, the
+    // delete carries all files (and deletes nothing)
+    sql(s"DELETE FROM $t WHERE k = 1000")
+    assert(v3.subsetOf(tableFiles(tn, "v4")),
+      "an absent-key point delete must carry every file")
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 100L)
+
+    // files written AFTER the build are simply unindexed: conservative
+    sql(s"INSERT INTO $t VALUES (1000, 0)")
+    sql(s"DELETE FROM $t WHERE k = 1000")
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 100L)
+  }
+
   test("MERGE narrows the file groups at runtime via declared filter columns") {
     val t = freshTable(); val tn = n
     sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
