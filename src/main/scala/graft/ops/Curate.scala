@@ -120,6 +120,39 @@ object Curate {
         min(when(col("_r") <= cap, col("n_chars"))).as("min_kept_chars"))
   }
 
+  /** [[domainCapCensus]] through the single-pass bounded
+    * [[graft.functions.TopKAggregator]] instead of a rank window — the
+    * hot-domain scale ladder: a domain with millions of documents makes
+    * the window partition the straggler (it sorts EVERY doc of the
+    * domain), while the aggregator ships at most `cap` rows per (source ×
+    * map partition) through the shuffle. Output contract identical to the
+    * window form (same oracle); ties break (n_chars desc, doc_id asc) in
+    * both.
+    */
+  def domainCapCensusAgg(docs: DataFrame, cap: Int = 50): DataFrame = {
+    import graft.functions.TopKAggregator
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kept = docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+      .map { case (s, id, n) => (s, TopKAggregator.Scored(id, n.toDouble)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKAggregator.topK(cap).toColumn)
+      .flatMap { case (s, top) => top.map(t => (s, t.id)) }
+      .toDF("source", "doc_id")
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    kept.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        max(col("n_chars")).as("max_kept_chars"),
+        min(col("n_chars")).as("min_kept_chars"))
+      .join(totals, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("kept_chars"),
+        col("max_kept_chars"), col("min_kept_chars"))
+  }
+
   def curateCorpusThrough(docs: DataFrame, table: graft.stages.MergeTable): DataFrame = {
     val spark = docs.sparkSession
     // pin the exact snapshot this recompute reads, and make the commit

@@ -299,6 +299,36 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** TF-IDF keyword extraction, log-free: score = tf × N / df with the
+    * raw inverse document frequency instead of its logarithm — the
+    * monotone transform preserves every ranking, and division of exact
+    * integers is IEEE-deterministic in both engines where `ln` (libm) is
+    * not (the same determinism boundary [[rarityStats]] documents). Top
+    * `topN` terms per document, ties to the lexicographically smaller
+    * term — the per-document keyword signature a curation/retrieval
+    * pipeline indexes.
+    *
+    * Scale shape: one explode → (doc, token) count, one |vocab|-sized df
+    * aggregate joined back on token (partial-aggregated both times), one
+    * rank window per document bounded at topN downstream. N is a scalar
+    * collected once.
+    */
+  def tfidfTopTerms(docs: DataFrame, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", col("tf").cast("double") * lit(n) / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Token-rarity signals — the log-free stand-in for a language-model
     * quality score: each document's tokens joined to the CORPUS frequency
     * table, then per-doc mean and min frequency (a document full of

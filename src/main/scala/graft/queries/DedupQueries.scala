@@ -204,7 +204,26 @@ object DedupQueries {
                      min(CASE WHEN r <= 50 THEN n_chars END) AS min_kept_chars
               FROM r GROUP BY source ORDER BY source"""),
       doc = "C4-style per-source domain cap: top-50 docs per source by length " +
-        "with the per-source census of what the cap cost")
+        "with the per-source census of what the cap cost"),
+
+    // The single-pass TopKAggregator form of the same cap — the
+    // hot-domain scale ladder, proven value-identical by sharing the
+    // window form's oracle (the sim_topk_brute_agg pattern).
+    GQuery("curate_domain_cap_agg",
+      (s, dir) => graft.ops.Curate.domainCapCensusAgg(Tables.documents(s, dir), cap = 50)
+        .orderBy(col("source")),
+      Some("""WITH r AS (
+                SELECT source, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS r
+                FROM documents)
+              SELECT source, count(*) AS n_docs,
+                     CAST(count(CASE WHEN r <= 50 THEN 1 END) AS BIGINT) AS n_kept,
+                     CAST(SUM(CASE WHEN r <= 50 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+                     max(CASE WHEN r <= 50 THEN n_chars END) AS max_kept_chars,
+                     min(CASE WHEN r <= 50 THEN n_chars END) AS min_kept_chars
+              FROM r GROUP BY source ORDER BY source"""),
+      doc = "bounded-buffer (TopKAggregator) domain cap == window form (shared oracle)")
   )
 
   /** DuckDB mirror of Curate.curateCorpus: each stage reuses the exact SQL

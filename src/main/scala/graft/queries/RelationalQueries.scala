@@ -306,6 +306,32 @@ object RelationalQueries {
       doc = "ROLLUP subtotal hierarchy (engine-completeness beyond the reference)"),
 
     // Ranking family over one window: the four rank flavors differ exactly
+    // Spark's native sliding event-time window operator: each event lands
+    // in size/slide = 7 epoch-aligned windows, planned as an Expand
+    // (per-row fan-out) + one hash aggregate — the batch twin of the
+    // streaming windowed aggregation. Oracle re-derives the assignment
+    // from epoch-day arithmetic (UTC session TZ; window starts are
+    // epoch-aligned multiples of the slide, exactly Spark's contract).
+    GQuery("agg_sliding_time_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "7 days", "1 day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("window_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start")),
+      Some("""WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day, value FROM events),
+              w AS (
+                SELECT day - i.i AS start_day, value
+                FROM d, (SELECT unnest(range(0, 7)) AS i) i)
+              SELECT strftime(to_timestamp(start_day * 86400), '%Y-%m-%d') AS window_start,
+                     count(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM w GROUP BY start_day ORDER BY window_start"""),
+      doc = "sliding event-time windows (7-day size, 1-day slide) via Spark's native " +
+        "window() operator == epoch-day fan-out oracle"),
+
     // where ties and partition size interact; percent_rank/cume_dist are
     // exact rational divisions (cross-engine bit-identical).
     GQuery("w4_ranks",

@@ -276,6 +276,27 @@ object TextQueries {
               GROUP BY doc_id ORDER BY doc_id"""),
       doc = "token-rarity signals vs the corpus frequency table (log-free LM-quality stand-in)"),
 
+    GQuery("text_tfidf_top_terms",
+      (s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), topN = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some(s"""WITH tf AS (
+              |  SELECT doc_id, t.term, count(*) AS tf
+              |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
+              |  GROUP BY doc_id, t.term),
+              |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |scored AS (
+              |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              |         CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / df.df AS score,
+              |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              |                            ORDER BY CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / df.df DESC,
+              |                                     tf.term) AS rank
+              |  FROM tf JOIN df USING (term))
+              |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+              |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+      doc = "log-free TF-IDF keyword extraction: top-3 terms per document by " +
+        "tf x N / df (raw idf preserves every ranking, stays IEEE-deterministic)"),
+
     GQuery("text_bpe_pairs",
       (s, dir) => TextAnalysis.bpePairCensus(Tables.documents(s, dir), topN = 30)
         .orderBy(col("freq").desc, col("pair")),

@@ -184,7 +184,12 @@ class PlanAuditSpec extends AnyFunSuite {
     ("prep_range_shards", 3, 0, Nil),
     // bottom-k sample: priority window + two median-rank windows (the
     // sample side reuses the group partitioning) + join + output sort
-    ("sketch_sample_quantiles", 4, 0, Nil))
+    ("sketch_sample_quantiles", 4, 0, Nil),
+    // native sliding window: per-row Expand fan-out (size/slide copies) +
+    // ONE aggregate + output sort — no join, no self-union
+    ("agg_sliding_time_window", 2, 0, Seq("Expand")),
+    // tf agg + df agg + token join + per-doc rank window + output sort
+    ("text_tfidf_top_terms", 6, 0, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)
