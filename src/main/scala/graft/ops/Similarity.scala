@@ -422,6 +422,55 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** IVF-PQ: the production ANN composition (the FAISS `IVFx,PQy` shape)
+    * — the deterministic-k-means coarse quantizer restricts each query to
+    * its `nprobe` nearest cells ([[ivfKmeansTopK]]) while candidates are
+    * scored on their PQ reconstruction ([[withPq]]) instead of the full
+    * vector. Memory = codes only; compute = nprobe cells × ADC; the two
+    * recall levers (nprobe, codebook size) compose independently. Output
+    * contract matches [[sq8TopK]]/[[pqTopK]]: per-hit exact-truth flags
+    * make the result its own recall report.
+    */
+  def ivfPqTopK(spark: SparkSession, emb: DataFrame, numQueries: Int, k: Int,
+                centroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
+                m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    val base = withNorm(emb)
+    val cents = kmeansCentroids(emb, centroids, iters).cache()
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    val ranked = base.crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
+      .withColumn("_r", row_number().over(wAssign))
+    val corpus = withPq(
+        ranked.filter(col("_r") === 1)
+          .select(col("vec_id"), col("embedding"), col("c_id").as("cell")),
+        m, ksub, dim)
+      .withColumn("recon_norm", expr(s"sqrt(${dotExpr("pq_recon", "pq_recon")})"))
+      .select(col("vec_id"), col("cell"), col("pq_recon"), col("recon_norm"))
+    val queries = ranked.filter(col("_r") <= nprobe && col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("c_id").as("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_pq").desc, col("vec_id"))
+    val hits = corpus.join(queries, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_pq",
+        expr(dotExpr("pq_recon", "q_emb")) / (col("recon_norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    hits
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine_pq"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine_pq"), col("exact_hit"))
+  }
+
   /** Measured ANN recall: for every approximate index, the EXACT integer
     * count of (query, neighbor) pairs it shares with the brute-force
     * ground truth on the same query set — recall as a driver-checkable

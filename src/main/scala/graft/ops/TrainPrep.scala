@@ -159,6 +159,32 @@ object TrainPrep {
       .withColumn("is_contaminated", col("contamination") >= tau)
   }
 
+  /** [[temperatureMixture]] APPLIED: each source's integer budget becomes
+    * a per-ten-thousand hash-bucket threshold (`⌊10⁴·budget/n⌋` — exact
+    * integer arithmetic, no float thresholds) and documents are kept by
+    * salted md5 bucket, giving a deterministic materialization of the
+    * computed mix. The census reports target vs achieved per source —
+    * hash granularity makes the achieved count binomial around the
+    * target, which is exactly what `sample()` would give, minus the
+    * nondeterminism. One narrow filter over the corpus after two bounded
+    * aggregates; the mix table is |sources| rows, broadcast.
+    */
+  def applyMixture(docs: DataFrame, budget: Long, salt: String = "mix:"): DataFrame = {
+    val mix = temperatureMixture(docs, budget)
+      .select(col("lang"), col("n_docs"), col("n_budgeted"),
+        expr("10000 * n_budgeted div n_docs").as("threshold"))
+    val bucket = expr(
+      s"CAST(conv(substring(md5(concat('$salt', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10000")
+    // one corpus pass: keep/drop decided inline and counted in the same
+    // census aggregate, so the mix lineage is built exactly once and no
+    // join-back is needed (a filter + re-join form costs the mixture
+    // aggregates twice)
+    docs.join(broadcast(mix), Seq("lang"))
+      .groupBy(col("lang"), col("n_docs"), col("n_budgeted"))
+      .agg(count(when(bucket < col("threshold"), lit(1))).as("n_sampled"))
+      .select(col("lang"), col("n_docs"), col("n_budgeted"), col("n_sampled"))
+  }
+
   /** Equal-population range sharding: documents are cut into `shards`
     * contiguous ranges of the sort key (text length, ties to doc_id) with
     * populations as equal as integer division allows — `ntile` semantics,

@@ -250,6 +250,32 @@ object ScaleOpsQueries {
               FROM est e JOIN exact x USING (event_type)
               ORDER BY e.event_type"""),
       doc = "bottom-k-by-hash uniform sample + per-group lower-median estimate " +
-        "vs exact (deterministic mergeable sampling — distributed order statistics)")
+        "vs exact (deterministic mergeable sampling — distributed order statistics)"),
+
+    // ---- partition-pruned scan: the 100 TB layout claim made checkable.
+    // Facts land PARTITIONED by their natural time key (the
+    // date-partitioned STG layout ARCHITECTURE.md prescribes); a
+    // month-restricted query then reads ONLY that month's directories —
+    // the predicate resolves at the FILE INDEX, before any footer or row
+    // is touched. PlanAuditSpec pins the PartitionFilters plan fragment.
+    GQuery("scan_partition_pruning",
+      (s, dir) => {
+        val out = graft.stages.TempDirs.scratch("graft_partprune_")
+        Tables.events(s, dir)
+          .withColumn("event_month", month(col("ts")))
+          .write.partitionBy("event_month").mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .filter(col("event_month") === 1)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM events WHERE month(ts) = 1
+              GROUP BY user_id ORDER BY user_id"""),
+      doc = "time-partitioned fact layout + month-restricted read: the predicate " +
+        "prunes whole partition directories at the file index (PartitionFilters)")
   )
 }

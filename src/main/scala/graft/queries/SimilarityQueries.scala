@@ -151,7 +151,12 @@ object SimilarityQueries {
     * side op-for-op (sequential list folds, integer-scaled centroid means,
     * one final double division) so the cosines hash-compare exactly.
     */
-  private def kmeansIvfSql(centroids: Int, nprobe: Int, numQueries: Int, topK: Int): String = {
+  /** The kmeans-quantizer CTE prefix shared by [[kmeansIvfSql]] and
+    * [[ivfPqSql]]: base/sv/c0 + two unrolled Lloyd iterations + the final
+    * assignment (`corpus`: every vector's cell; `q`: each query's nprobe
+    * cells).
+    */
+  private def kmeansAssignCtes(centroids: Int, nprobe: Int, numQueries: Int): String = {
     // assignment pass: nearest cell by dot(v, c)/|c|, ties to the lower c_id
     def assign(name: String, cents: String) =
       s"""$name AS (
@@ -175,7 +180,7 @@ object SimilarityQueries {
          |    SELECT c_id,
          |           list(CAST(ssum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)) ORDER BY pos) AS mc
          |    FROM ${next}_m GROUP BY c_id) mm ON mm.c_id = p.c_id)""".stripMargin
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT vec_id, embedding,
        |         sqrt(${dotSql("embedding", "embedding")}) AS norm
        |  FROM embeddings),
@@ -200,7 +205,11 @@ object SimilarityQueries {
        |  FROM base b, c2 c),
        |corpus AS (SELECT vec_id, cell FROM fin WHERE r = 1),
        |q AS (SELECT vec_id AS query_id, cell FROM fin
-       |      WHERE r <= $nprobe AND vec_id < $numQueries),
+       |      WHERE r <= $nprobe AND vec_id < $numQueries)""".stripMargin
+  }
+
+  private def kmeansIvfSql(centroids: Int, nprobe: Int, numQueries: Int, topK: Int): String = {
+    s"""WITH ${kmeansAssignCtes(centroids, nprobe, numQueries)},
        |scored AS (
        |  SELECT q.query_id, co.vec_id,
        |         ${dotSql("b.embedding", "qb.embedding")} / (b.norm * qb.norm) AS cosine
@@ -303,14 +312,14 @@ object SimilarityQueries {
     * codeword id, codeword-by-codeword reconstruction, asymmetric cosine
     * top-k flagged against brute-force truth.
     */
-  private def pqSql(numQueries: Int, k: Int, m: Int, ksub: Int, subDim: Int): String = {
+  /** The PQ encode/reconstruct CTE chain shared by [[pqSql]] and
+    * [[ivfPqSql]]: per-subspace codebooks → codes → reconstruction `rn`
+    * (vec_id, rv, recon_norm). Reads `embeddings` directly.
+    */
+  private def pqReconCtes(m: Int, ksub: Int, subDim: Int): String = {
     def subDot(a: String, b: String): String =
       s"list_sum(list_transform(range(1, ${subDim + 1}), i -> $a[i] * $b[i]))"
-    s"""WITH base AS (
-       |  SELECT vec_id, embedding,
-       |         sqrt(${dotSql("embedding", "embedding")}) AS norm
-       |  FROM embeddings),
-       |sp AS (SELECT unnest(range(0, $m)) AS s),
+    s"""sp AS (SELECT unnest(range(0, $m)) AS s),
        |cb AS (
        |  SELECT sp.s, e.vec_id AS c_id,
        |         list_transform(range(1, ${subDim + 1}),
@@ -336,7 +345,15 @@ object SimilarityQueries {
        |rn AS (
        |  SELECT vec_id, rv,
        |         sqrt(list_sum(list_transform(range(1, 65), i -> rv[i] * rv[i]))) AS recon_norm
-       |  FROM recon),
+       |  FROM recon)""".stripMargin
+  }
+
+  private def pqSql(numQueries: Int, k: Int, m: Int, ksub: Int, subDim: Int): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |${pqReconCtes(m, ksub, subDim)},
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
        |      FROM base WHERE vec_id < $numQueries),
        |ranked AS (
@@ -355,7 +372,34 @@ object SimilarityQueries {
        |FROM ranked r LEFT JOIN truth t
        |  ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
        |WHERE r.rank <= $k ORDER BY r.query_id, r.rank""".stripMargin
-  }
+
+  /** DuckDB mirror of Similarity.ivfPqTopK: the kmeans assignment prefix
+    * (cells) composed with the PQ reconstruction chain — candidates meet
+    * inside shared cells, scores come from the reconstruction.
+    */
+  private def ivfPqSql(centroids: Int, nprobe: Int, numQueries: Int, k: Int,
+                       m: Int, ksub: Int, subDim: Int): String =
+    s"""WITH ${kmeansAssignCtes(centroids, nprobe, numQueries)},
+       |${pqReconCtes(m, ksub, subDim)},
+       |ranked AS (
+       |  SELECT q.query_id, co.vec_id,
+       |         list_sum(list_transform(range(1, 65),
+       |           i -> r.rv[i] * CAST(qb.embedding[i] AS DOUBLE))) / (r.recon_norm * qb.norm) AS cosine_pq,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_sum(list_transform(range(1, 65),
+       |             i -> r.rv[i] * CAST(qb.embedding[i] AS DOUBLE))) / (r.recon_norm * qb.norm) DESC,
+       |             co.vec_id) AS rank
+       |  FROM corpus co JOIN q ON co.cell = q.cell
+       |  JOIN rn r ON r.vec_id = co.vec_id
+       |  JOIN base qb ON qb.vec_id = q.query_id
+       |  WHERE co.vec_id <> q.query_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t)
+       |SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id AS neighbor_id,
+       |       r.cosine_pq,
+       |       CAST(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_hit
+       |FROM ranked r LEFT JOIN truth t
+       |  ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
+       |WHERE r.rank <= $k ORDER BY r.query_id, r.rank""".stripMargin
 
   val all: Seq[GQuery] = Seq(
 
@@ -366,6 +410,17 @@ object SimilarityQueries {
       Some(pqSql(numQueries = 16, k = 5, m = 8, ksub = 16, subDim = 8)),
       doc = "product-quantized (PQ, 8 subspaces x 16 codewords = 32x memory cut) " +
         "asymmetric cosine top-5 with per-hit exact-truth flags"),
+
+    GQuery("sim_ivf_pq_topk",
+      (s, dir) => Similarity.ivfPqTopK(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3, centroids = 8, iters = 2, nprobe = 2,
+          m = 8, ksub = 16, dim = 64)
+        .orderBy(col("query_id"), col("rank")),
+      Some(ivfPqSql(centroids = 8, nprobe = 2, numQueries = 16, k = 3,
+        m = 8, ksub = 16, subDim = 8)),
+      doc = "IVF-PQ (the production FAISS composition): k-means cells restrict " +
+        "candidates, PQ reconstructions score them — memory = codes, compute = " +
+        "nprobe cells, with per-hit exact-truth flags"),
 
     GQuery("sim_sq8_topk",
       (s, dir) => Similarity.sq8TopK(Tables.embeddings(s, dir), numQueries = 16, k = 5)

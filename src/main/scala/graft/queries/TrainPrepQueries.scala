@@ -83,6 +83,30 @@ object TrainPrepQueries {
               FROM c ORDER BY doc_id"""),
       doc = "token-budget sharding via a scalable two-level prefix sum (== global window cumsum)"),
 
+    GQuery("prep_mix_apply",
+      (s, dir) => TrainPrep.applyMixture(Tables.documents(s, dir), budget = 300L)
+        .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+                   w AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS weight FROM c),
+                   t AS (SELECT list_sum(list(weight ORDER BY lang NULLS FIRST)) AS w_total FROM w),
+                   mix AS (
+                     SELECT lang, n_docs,
+                            CAST(floor(weight / w_total * 300) AS BIGINT) AS n_budgeted,
+                            10000 * CAST(floor(weight / w_total * 300) AS BIGINT) // n_docs AS threshold
+                     FROM w, t),
+                   s AS (
+                     SELECT d.lang, count(*) AS n_sampled
+                     FROM documents d JOIN mix USING (lang)
+                     WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+                           < mix.threshold
+                     GROUP BY d.lang)
+              SELECT mix.lang, mix.n_docs, mix.n_budgeted,
+                     CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+              FROM mix LEFT JOIN s USING (lang)
+              ORDER BY mix.lang NULLS FIRST"""),
+      doc = "temperature mixture APPLIED: integer per-10k hash thresholds materialize " +
+        "the computed mix deterministically; census reports target vs achieved"),
+
     GQuery("prep_range_shards",
       (s, dir) => TrainPrep.rangeShardCensus(Tables.documents(s, dir), shards = 8)
         .orderBy(col("shard")),

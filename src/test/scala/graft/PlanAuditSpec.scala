@@ -189,7 +189,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // ONE aggregate + output sort — no join, no self-union
     ("agg_sliding_time_window", 2, 0, Seq("Expand")),
     // tf agg + df agg + token join + per-doc rank window + output sort
-    ("text_tfidf_top_terms", 6, 0, Nil))
+    ("text_tfidf_top_terms", 6, 0, Nil),
+    // partitioned layout: the month predicate must resolve at the FILE
+    // INDEX (PartitionFilters), never as a data filter; agg + output sort
+    ("scan_partition_pruning", 2, 0, Seq("PartitionFilters: [isnotnull(event_month")),
+    // mixture apply: the |sources|-row mix table and the 1-row weight
+    // total must BOTH broadcast; corpus pays one narrow filter + census
+    ("prep_mix_apply", 6, 2, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)
