@@ -97,7 +97,11 @@ object GraftBloomIndex {
         if (name == "mBits" || name == "kHashes") None
         else Some(name -> mm.group(2).split(',').filter(_.nonEmpty)
           .map(java.lang.Long.parseUnsignedLong(_, 16)))
-      }.toMap
+      // an entry whose bitset length disagrees with the header's mBits
+      // (truncated/hand-edited sidecar) is DROPPED, not trusted: a probe
+      // into it would either crash or answer from garbage — absent
+      // entries answer the conservative "might match" instead
+      }.filter(_._2.length == m / 64).toMap
       Some(ColIndex(m, k, files))
     } catch { case NonFatal(_) => None }
   }
@@ -117,7 +121,10 @@ object GraftBloomIndex {
     }.toOption
 
   private def testBits(bits: Array[Long], ps: Seq[Int]): Boolean =
-    ps.forall(p => ((bits(p >>> 6) >>> (p & 63)) & 1L) == 1L)
+    // defense in depth behind load()'s length validation: an out-of-range
+    // position answers "might match" rather than throwing mid-statement
+    ps.forall(p => (p >>> 6) >= bits.length ||
+      ((bits(p >>> 6) >>> (p & 63)) & 1L) == 1L)
 
   /** Conservative per-file answer for ONE filter: false only when the
     * index PROVES no row of `fileName` can satisfy it. Handles the two

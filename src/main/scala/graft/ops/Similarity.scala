@@ -232,14 +232,17 @@ object Similarity {
         s"""transform(sequence(0, ${m - 1}), s ->
               transform(sequence(1, $subDim),
                 i -> CAST(element_at(embedding, s * $subDim + i) AS DOUBLE)))"""))
+      // distances materialized ONCE: Spark does not CSE inside
+      // higher-order-function lambda bodies, so inlining the distance
+      // transform into both array_position and array_min would run every
+      // m × ksub subspace distance twice per row
+      .withColumn("_dists", expr(
+        s"transform(_subs, (sub, s) -> transform(element_at(_cb, s + 1), cw -> $d2))"))
       .withColumn("pq_code", expr(
-        s"""transform(_subs, (sub, s) ->
-              CAST(array_position(
-                transform(element_at(_cb, s + 1), cw -> $d2),
-                array_min(transform(element_at(_cb, s + 1), cw -> $d2))) AS INT) - 1)"""))
+        "transform(_dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT) - 1)"))
       .withColumn("pq_recon", expr(
         "flatten(transform(pq_code, (c, s) -> element_at(element_at(_cb, s + 1), c + 1)))"))
-      .drop("_cb", "_subs")
+      .drop("_cb", "_subs", "_dists")
   }
 
   /** Top-k over the PQ-reconstructed corpus (asymmetric cosine), each hit

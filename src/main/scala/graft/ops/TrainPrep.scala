@@ -178,11 +178,16 @@ object TrainPrep {
     // one corpus pass: keep/drop decided inline and counted in the same
     // census aggregate, so the mix lineage is built exactly once and no
     // join-back is needed (a filter + re-join form costs the mixture
-    // aggregates twice)
-    docs.join(broadcast(mix), Seq("lang"))
-      .groupBy(col("lang"), col("n_docs"), col("n_budgeted"))
+    // aggregates twice). The join is NULL-SAFE (<=>): the mixture's
+    // groupBy keeps a NULL-lang stratum, and a null-unsafe equi-join
+    // would silently drop both it and its documents from the census
+    // (diverging from the oracle's LEFT JOIN, which preserves it).
+    val mixR = mix.withColumnRenamed("lang", "_mix_lang")
+    docs.join(broadcast(mixR), col("lang") <=> col("_mix_lang"))
+      .groupBy(col("_mix_lang"), col("n_docs"), col("n_budgeted"))
       .agg(count(when(bucket < col("threshold"), lit(1))).as("n_sampled"))
-      .select(col("lang"), col("n_docs"), col("n_budgeted"), col("n_sampled"))
+      .select(col("_mix_lang").as("lang"), col("n_docs"), col("n_budgeted"),
+        col("n_sampled"))
   }
 
   /** Equal-population range sharding: documents are cut into `shards`

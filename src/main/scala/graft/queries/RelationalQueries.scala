@@ -305,7 +305,6 @@ object RelationalQueries {
               ORDER BY o_orderpriority ASC NULLS FIRST, order_year ASC NULLS FIRST"""),
       doc = "ROLLUP subtotal hierarchy (engine-completeness beyond the reference)"),
 
-    // Ranking family over one window: the four rank flavors differ exactly
     // Spark's native sliding event-time window operator: each event lands
     // in size/slide = 7 epoch-aligned windows, planned as an Expand
     // (per-row fan-out) + one hash aggregate — the batch twin of the
@@ -332,6 +331,7 @@ object RelationalQueries {
       doc = "sliding event-time windows (7-day size, 1-day slide) via Spark's native " +
         "window() operator == epoch-day fan-out oracle"),
 
+    // Ranking family over one window: the four rank flavors differ exactly
     // where ties and partition size interact; percent_rank/cume_dist are
     // exact rational divisions (cross-engine bit-identical).
     GQuery("w4_ranks",

@@ -23,32 +23,43 @@ import org.apache.spark.sql.streaming.Trigger
   * microseconds (Spark TimestampType IS µs; the oracle uses epoch_us over
   * the ns values, flooring exactly like the engine's ns→µs rebuild), and
   * the output carries no raw timestamps (formatted strings only).
+  *
+  * The inner and LEFT OUTER forms share one side-shaping helper, one join
+  * plan builder, and one drain, so their semantics cannot drift apart.
   */
 object StreamJoin {
 
-  def viewPurchasePairs(spark: SparkSession, sfDir: String,
-                        windowMinutes: Int = 30): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    StateDefaults.ensureRocksDB(spark)
-    def eventStream(tpe: String, prefix: String): DataFrame =
-      spark.readStream
-        .schema(IncrementalLedger.rawEventSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .filter(col("event_type") === tpe)
-        .select(
-          col("user_id").as(s"${prefix}_user"),
-          expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"),
-          col("event_id").as(s"${prefix}_event"),
-          col("value").as(s"${prefix}_value"))
-        .withWatermark(s"${prefix}_ts", "1 hour")
+  /** One watermarked, type-filtered, prefix-renamed side of the join; with
+    * `sentinelDir`, a far-future flush row is unioned in BEFORE the
+    * watermark assigner (the only place it advances the watermark).
+    */
+  private def side(spark: SparkSession, sfDir: String, tpe: String, prefix: String,
+                   sentinelDir: Option[String]): DataFrame = {
+    def shape(df: DataFrame): DataFrame = df
+      .filter(col("event_type") === tpe)
+      .select(
+        col("user_id").as(s"${prefix}_user"),
+        expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"),
+        col("event_id").as(s"${prefix}_event"),
+        col("value").as(s"${prefix}_value"))
+    val real = shape(spark.readStream.schema(IncrementalLedger.rawEventSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    sentinelDir.fold(real)(dir => real.unionByName(
+        shape(spark.readStream.schema(IncrementalLedger.rawEventSchema).parquet(dir))))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+  }
 
-    val views = eventStream("view", "v")
-    val buys = eventStream("purchase", "b")
-    val joined = views.join(buys,
-      col("v_user") === col("b_user") &&
-        col("b_ts") >= col("v_ts") &&
-        col("b_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+  /** The shared join plan: views ⋈ buys on user + time range, projected to
+    * the one output contract both query forms share.
+    */
+  private def joinPlan(spark: SparkSession, sfDir: String, windowMinutes: Int,
+                       joinType: String, sentinelDir: Option[String]): DataFrame =
+    side(spark, sfDir, "view", "v", sentinelDir)
+      .join(side(spark, sfDir, "purchase", "b", sentinelDir),
+        col("v_user") === col("b_user") &&
+          col("b_ts") >= col("v_ts") &&
+          col("b_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        joinType)
       .select(
         col("v_user").as("user_id"),
         col("v_event").as("view_event"),
@@ -57,9 +68,14 @@ object StreamJoin {
         date_format(col("b_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_at"),
         col("b_value").as("purchase_value"))
 
-    val outDir = graft.stages.TempDirs.scratch("graft_sjoin_")
-    // stream-stream join keeps FOUR state stores per partition; see the
-    // shuffle-partition note in IncrementalLedger.monthlyUserTotals
+  /** Append-mode AvailableNow drain into a scratch parquet dir, returning
+    * the settled output. Stream-stream joins keep FOUR state stores per
+    * partition, so the drain narrows `spark.sql.shuffle.partitions` (see
+    * the note in IncrementalLedger.monthlyUserTotals) and restores it.
+    */
+  private def drainAppend(joined: DataFrame, scratchPrefix: String): DataFrame = {
+    val spark = joined.sparkSession
+    val outDir = graft.stages.TempDirs.scratch(scratchPrefix)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -73,6 +89,13 @@ object StreamJoin {
       try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     readDrainOutput(spark, outDir, joined.schema)
+  }
+
+  def viewPurchasePairs(spark: SparkSession, sfDir: String,
+                        windowMinutes: Int = 30): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    StateDefaults.ensureRocksDB(spark)
+    drainAppend(joinPlan(spark, sfDir, windowMinutes, "inner", None), "graft_sjoin_")
   }
 
   /** LEFT OUTER stream-stream interval join: every view, paired with the
@@ -92,6 +115,13 @@ object StreamJoin {
     * no-data micro-batch after the sentinel then flushes every pending
     * null row, making the drain equal the batch LEFT JOIN bit-for-bit.
     *
+    * NOTE: the sentinel must be filtered AFTER the drain, never in the
+    * streaming plan — a `v_user >= 0` filter there is pushed down the
+    * left side BELOW the watermark assigner, silently removing the
+    * sentinel before it is tracked; the view-side watermark then stalls
+    * at `max(real ts) − delay` and the final `window + delay` of
+    * unmatched views never flush (observed: 8 rows short at sf0.01).
+    *
     * State posture is the inner join's: the range bound lets both sides
     * evict, state O(events in window) per key — the null emission changes
     * WHEN rows leave state, not how much state exists.
@@ -104,16 +134,9 @@ object StreamJoin {
     val maxRow = spark.read.schema(raw)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .agg(max(col("ts"))).collect().head
-    val joinedSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("view_event", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("buy_event", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("view_at", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("buy_at", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("purchase_value", org.apache.spark.sql.types.DoubleType)))
-    if (maxRow.isNullAt(0))
+    if (maxRow.isNullAt(0))   // empty corpus: no views, legitimately empty
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        joinedSchema)
+        joinPlan(spark, sfDir, windowMinutes, "left_outer", None).schema)
     val maxNs = maxRow.getLong(0)
     // past every view's emission deadline: window + watermark delay + slack
     val marginNs = (windowMinutes.toLong + 60L + 120L) * 60L * 1000000000L
@@ -123,54 +146,10 @@ object StreamJoin {
         (-2L, maxNs + marginNs, -1L, "purchase", 0.0, "{}"))
       .toDF(raw.fieldNames: _*)
       .write.mode("overwrite").parquet(sentinelDir)
-
-    def side(tpe: String, prefix: String): DataFrame = {
-      def shape(df: DataFrame): DataFrame = df
-        .filter(col("event_type") === tpe)
-        .select(
-          col("user_id").as(s"${prefix}_user"),
-          expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"),
-          col("event_id").as(s"${prefix}_event"),
-          col("value").as(s"${prefix}_value"))
-      shape(spark.readStream.schema(raw)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
-        .unionByName(shape(spark.readStream.schema(raw).parquet(sentinelDir)))
-        .withWatermark(s"${prefix}_ts", "1 hour")
-    }
-
-    // NOTE: the sentinel must be filtered AFTER the drain, never here — a
-    // `v_user >= 0` filter in the streaming plan is pushed down the left
-    // side BELOW the watermark assigner, silently removing the sentinel
-    // before it is tracked; the view-side watermark then stalls at
-    // `max(real ts) − delay` and the final `window + delay` of unmatched
-    // views never flush (observed: 8 rows short at sf0.01)
-    val joined = side("view", "v").join(side("purchase", "b"),
-      col("v_user") === col("b_user") &&
-        col("b_ts") >= col("v_ts") &&
-        col("b_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
-      "left_outer")
-      .select(
-        col("v_user").as("user_id"),
-        col("v_event").as("view_event"),
-        col("b_event").as("buy_event"),
-        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("view_at"),
-        date_format(col("b_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_at"),
-        col("b_value").as("purchase_value"))
-
-    val outDir = graft.stages.TempDirs.scratch("graft_sjoin_outer_")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = joined.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("append").parquet(outDir)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    readDrainOutput(spark, outDir, joined.schema).filter(col("user_id") >= 0)
+    drainAppend(
+      joinPlan(spark, sfDir, windowMinutes, "left_outer", Some(sentinelDir)),
+      "graft_sjoin_outer_")
+      .filter(col("user_id") >= 0)
   }
 
   /** Read a foreachBatch parquet-append drain directory. An all-late /
