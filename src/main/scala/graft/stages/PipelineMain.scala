@@ -1,0 +1,146 @@
+package graft.stages
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The `spark-submit` packaging of the pipeline DAG — what each Airflow
+  * task actually launches in production (`tools/airflow_dag_graft.py`
+  * holds the DAG shape; the reference runs the same chain with
+  * `PostgresOperator`s, `dags/courier_ledger_dag.py:41-42`):
+  *
+  *   spark-submit --class graft.stages.PipelineMain <jar> <stage> <warehouse> [args]
+  *
+  * Stages, each a separate JVM sharing ONLY durable storage (every layer
+  * a [[MergeTable]] under the warehouse root — crash-safe pointer-flip
+  * commits, so a task retry resumes from the last committed version):
+  *
+  *   - `load_stg <warehouse> <sourceDir>` — land the source snapshot into
+  *     `stg/` (couriers SCD1, deliveries SCD0 on the business keys) — the
+  *     S1/S2 extraction boundary (a production deployment points this at
+  *     [[graft.sources.PagedJsonSource]]; the driver corpus stands in
+  *     here);
+  *   - `stg_to_dds <warehouse>` — the watermark-incremental
+  *     [[Pipeline.incrementalLoad]]: dims merged (SCD1/SCD0 with stable
+  *     surrogate ids), facts insert-ignored, CHECK violations quarantined,
+  *     and the cursor advanced ONLY after the fact commit
+  *     (write-then-advance, SURVEY.md §7.3);
+  *   - `ledger_update <warehouse>` — the full-recompute
+  *     [[Pipeline.ledgerRebuild]] upserted into `cdm/ledger`.
+  *
+  * Layout: `stg/{couriers,deliveries}`, `dds/{dm_couriers, dm_timestamps,
+  * dm_orders, fct_deliveries, quarantine}`, `cdm/ledger`, `state/wf` —
+  * `dds/dm_orders` is the pre-existing DWH dimension the reference
+  * assumes (`DWH Design (ENG).md:76`); seed it before the first run.
+  */
+object PipelineMain {
+
+  val WorkflowKey = "deliveries_stg_to_dds"
+
+  // declared layer schemas (FIXTURES.md A2-A4) — what an empty table reads as
+  private val stgDeliverySchema = StructType(Seq(
+    StructField("json_response", StringType), StructField("delivery_key", StringType),
+    StructField("delivery_ts", TimestampType)))
+  private val stgCourierSchema = StructType(Seq(
+    StructField("courier_key", StringType), StructField("courier_name", StringType)))
+  private val dmCourierSchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("courier_key", StringType),
+    StructField("courier_name", StringType)))
+  private val dmTimestampSchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("ts", TimestampType),
+    StructField("year", IntegerType), StructField("month", IntegerType),
+    StructField("day", IntegerType), StructField("time", StringType),
+    StructField("date", DateType)))
+  private val fctSchema = StructType(Seq(
+    StructField("delivery_key", StringType), StructField("order_id", IntegerType),
+    StructField("timestamp_id", IntegerType), StructField("order_sum", DecimalType(14, 2)),
+    StructField("courier_id", IntegerType), StructField("rating", IntegerType),
+    StructField("tips", DecimalType(14, 2))))
+  private val dmOrderSchema = StructType(Seq(
+    StructField("order_key", StringType), StructField("id", IntegerType),
+    StructField("timestamp_id", IntegerType)))
+
+  private def t(warehouse: String, rel: String, keys: String*) =
+    new MergeTable(s"$warehouse/$rel", keys)
+
+  private def read(spark: SparkSession, warehouse: String, rel: String,
+                   schema: StructType, keys: String*): DataFrame =
+    t(warehouse, rel, keys: _*).read(spark, schema)
+
+  /** `load_stg`: land the source snapshot. Deliveries carry their business
+    * key out of the payload so the SCD0 landing can dedup re-deliveries
+    * without parsing (`sql/DDL_stg.deliverysystem_deliveries.sql:12`).
+    */
+  def loadStg(spark: SparkSession, warehouse: String, sourceDir: String): Unit = {
+    val couriers = spark.read.parquet(s"$sourceDir/couriers")
+    val deliveries = spark.read.parquet(s"$sourceDir/deliveries")
+      .withColumn("delivery_key",
+        get_json_object(col("json_response"), "$.delivery_id"))
+      .select(col("json_response"), col("delivery_key"), col("delivery_ts"))
+    t(warehouse, "stg/couriers", "courier_key").upsert(couriers)
+    t(warehouse, "stg/deliveries", "delivery_key").insertIgnore(deliveries)
+  }
+
+  /** `stg_to_dds`: one watermark increment against durable DDS state. */
+  def stgToDds(spark: SparkSession, warehouse: String): Unit = {
+    val dds = Pipeline.DdsState(
+      read(spark, warehouse, "dds/dm_couriers", dmCourierSchema, "courier_key"),
+      read(spark, warehouse, "dds/dm_timestamps", dmTimestampSchema, "ts"),
+      read(spark, warehouse, "dds/fct_deliveries", fctSchema, "delivery_key"))
+    val wm = State.readWatermark(spark, s"$warehouse/state/wf", WorkflowKey,
+      Pipeline.coldStartWatermark)
+    val result = Pipeline.incrementalLoad(
+      read(spark, warehouse, "stg/deliveries", stgDeliverySchema, "delivery_key"),
+      read(spark, warehouse, "stg/couriers", stgCourierSchema, "courier_key"),
+      read(spark, warehouse, "dds/dm_orders", dmOrderSchema, "order_key"),
+      dds, wm)
+    // dims/facts merged against storage by BUSINESS KEY (replays converge);
+    // quarantine appends with the same idempotence
+    t(warehouse, "dds/dm_couriers", "courier_key").upsert(result.dds.dmCouriers)
+    t(warehouse, "dds/dm_timestamps", "ts").upsert(result.dds.dmTimestamps)
+    t(warehouse, "dds/fct_deliveries", "delivery_key").insertIgnore(result.dds.fctDeliveries)
+    if (!result.quarantined.isEmpty)
+      t(warehouse, "dds/quarantine", "delivery_key").upsert(result.quarantined)
+    // the cursor advances LAST — a crash above replays into idempotent merges
+    State.advanceWatermark(spark, s"$warehouse/state/wf", WorkflowKey, result.watermark)
+  }
+
+  /** `ledger_update`: DDS → CDM full recompute, upserted by the mart key. */
+  def ledgerUpdate(spark: SparkSession, warehouse: String): Unit = {
+    val dds = Pipeline.DdsState(
+      read(spark, warehouse, "dds/dm_couriers", dmCourierSchema, "courier_key"),
+      read(spark, warehouse, "dds/dm_timestamps", dmTimestampSchema, "ts"),
+      read(spark, warehouse, "dds/fct_deliveries", fctSchema, "delivery_key"))
+    val ledger = Pipeline.ledgerRebuild(dds,
+      read(spark, warehouse, "dds/dm_orders", dmOrderSchema, "order_key"))
+    t(warehouse, "cdm/ledger", "courier_id", "settlement_year", "settlement_month")
+      .upsert(ledger)
+  }
+
+  /** Seed helper: the pre-existing `dds.dm_orders` dimension. */
+  def seedOrders(spark: SparkSession, warehouse: String, dmOrders: DataFrame): Unit =
+    t(warehouse, "dds/dm_orders", "order_key").upsert(dmOrders)
+
+  def runStage(spark: SparkSession, stage: String, warehouse: String,
+               sourceDir: Option[String] = None): Unit = stage match {
+    case "load_stg"      => loadStg(spark, warehouse, sourceDir.getOrElse(
+      throw new IllegalArgumentException("load_stg needs <sourceDir>")))
+    case "stg_to_dds"    => stgToDds(spark, warehouse)
+    case "ledger_update" => ledgerUpdate(spark, warehouse)
+    case other => throw new IllegalArgumentException(
+      s"unknown stage '$other' (expected load_stg | stg_to_dds | ledger_update)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: PipelineMain <load_stg|stg_to_dds|ledger_update> <warehouse> [sourceDir]")
+    val spark = SparkSession.builder()
+      .appName(s"graft-${args(0)}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try runStage(spark, args(0), args(1), args.lift(2))
+    finally spark.stop()
+  }
+}
