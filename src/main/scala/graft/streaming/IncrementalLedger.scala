@@ -125,7 +125,7 @@ object IncrementalLedger {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = agg.writeStream
         .outputMode("update")
@@ -152,7 +152,7 @@ object IncrementalLedger {
     // batch. On a real cluster with a long-lived checkpoint, size this to
     // the key cardinality instead.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = agg.writeStream
         .outputMode("update")
@@ -195,7 +195,7 @@ object IncrementalLedger {
       "n_events BIGINT, total_value DOUBLE)")
     val agg = monthlyAggStream(spark, sfDir)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = agg.writeStream
         .outputMode("update")

@@ -92,7 +92,7 @@ object RunningState extends Serializable {
 
     val outDir = graft.stages.TempDirs.scratch("graft_tws_drain_")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = updates.writeStream
         .outputMode(OutputMode.Update)

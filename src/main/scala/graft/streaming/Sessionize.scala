@@ -128,7 +128,7 @@ object Sessionize extends Serializable {
 
     val outDir = graft.stages.TempDirs.scratch("graft_sess_drain_")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = sessions.writeStream
         .outputMode(OutputMode.Append)

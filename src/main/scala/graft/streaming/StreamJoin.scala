@@ -77,7 +77,7 @@ object StreamJoin {
     val spark = joined.sparkSession
     val outDir = graft.stages.TempDirs.scratch(scratchPrefix)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = joined.writeStream
         .outputMode("append")
