@@ -49,6 +49,62 @@ object Sketch {
         .otherwise(lit((k - 1).toDouble) / (col("kth_min_hash") / lit(HashSpace))))
   }
 
+  /** KMV SET OPERATIONS — the Theta-sketch capability: estimate
+    * |A ∪ B|, Jaccard(A, B), and |A ∩ B| for two sets from their O(k)
+    * sketches alone, never the sets (audience-overlap analytics at 100 TB:
+    * sketches are kilobytes, the sets are the corpus).
+    *
+    * Estimators (Beyer et al. / theta-sketch standard): the union sketch
+    * is the k smallest hashes of the two sketches' union (exactly the KMV
+    * merge law, so it is itself a valid sketch of A ∪ B); its kth minimum
+    * gives |A ∪ B| as in [[kmvDistinct]]; the fraction of union-sketch
+    * members present in BOTH input sketches estimates Jaccard; and
+    * |A ∩ B| = Jaccard × |A ∪ B|. Exact values are computed alongside —
+    * the output doubles as the sketch-accuracy report.
+    *
+    * Everything after the per-group distinct + rank window is ≤ 2k rows,
+    * so the set algebra costs nothing at any corpus scale.
+    */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
+                groupA: String, groupB: String, k: Int): DataFrame = {
+    val hashed = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("_g"), col(valueCol).as("_v")).distinct()
+      .withColumn("_h", expr(
+        s"CAST(conv(substring(md5(CAST(_v AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+    val wg = Window.partitionBy(col("_g")).orderBy(col("_h"))
+    val sketches = hashed
+      .withColumn("_r", row_number().over(wg)).filter(col("_r") <= k)
+      .select(col("_g"), col("_h"))
+    val unionK = sketches.select(col("_h")).distinct()
+      .withColumn("_r", row_number().over(Window.orderBy(col("_h"))))
+      .filter(col("_r") <= k)
+    val marked = unionK
+      .join(sketches.filter(col("_g") === groupA).select(col("_h"), lit(1).as("_ia")),
+        Seq("_h"), "left")
+      .join(sketches.filter(col("_g") === groupB).select(col("_h"), lit(1).as("_ib")),
+        Seq("_h"), "left")
+      .agg(
+        max(when(col("_r") === k, col("_h"))).as("kth_min_hash"),
+        count(lit(1)).as("sketch_size"),
+        sum(when(col("_ia").isNotNull && col("_ib").isNotNull, 1L).otherwise(0L))
+          .as("n_shared"))
+    val exact = hashed.groupBy(col("_v"))
+      .agg(countDistinct(col("_g")).as("_ng"))
+      .agg(count(lit(1)).as("exact_union"),
+        count(when(col("_ng") === 2, lit(1))).as("exact_intersection"))
+    marked.crossJoin(exact)
+      .withColumn("est_union",
+        when(col("kth_min_hash").isNull, col("sketch_size").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / (col("kth_min_hash") / lit(HashSpace))))
+      .withColumn("est_jaccard",
+        col("n_shared").cast("double") / col("sketch_size"))
+      .withColumn("est_intersection", col("est_jaccard") * col("est_union"))
+      .select(col("sketch_size"), col("n_shared"),
+        col("est_union"), col("est_jaccard"), col("est_intersection"),
+        col("exact_union"), col("exact_intersection"))
+  }
+
   /** Per-group order statistics from a BOTTOM-K-BY-HASH sample — the
     * deterministic, mergeable form of uniform sampling (keep the k rows
     * with the smallest md5 priorities; merging partitions = union then

@@ -252,6 +252,50 @@ object ScaleOpsQueries {
       doc = "bottom-k-by-hash uniform sample + per-group lower-median estimate " +
         "vs exact (deterministic mergeable sampling — distributed order statistics)"),
 
+    // ---- KMV set operations (ops/Sketch.kmvSetOps): |A∪B| / Jaccard /
+    // |A∩B| estimated from two O(k) sketches alone (the theta-sketch
+    // capability) — here the 'view' vs 'purchase' user audiences — with
+    // the exact values alongside as the accuracy report.
+    GQuery("sketch_kmv_setops",
+      (s, dir) => graft.ops.Sketch.kmvSetOps(
+        Tables.events(s, dir), "event_type", "user_id",
+        groupA = "view", groupB = "purchase", k = 64),
+      Some("""WITH hashed AS (
+                SELECT DISTINCT event_type AS g, user_id AS v,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                FROM events WHERE event_type IN ('view', 'purchase')),
+              sk AS (
+                SELECT g, h FROM (
+                  SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r
+                  FROM hashed) WHERE r <= 64),
+              uk AS (
+                SELECT h, r FROM (
+                  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+                  FROM (SELECT DISTINCT h FROM sk)) WHERE r <= 64),
+              m AS (
+                SELECT max(CASE WHEN uk.r = 64 THEN uk.h END) AS kth_min_hash,
+                       count(*) AS sketch_size,
+                       CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+                FROM uk
+                LEFT JOIN (SELECT h FROM sk WHERE g = 'view') a ON a.h = uk.h
+                LEFT JOIN (SELECT h FROM sk WHERE g = 'purchase') b ON b.h = uk.h),
+              x AS (
+                SELECT count(*) AS exact_union,
+                       count(CASE WHEN ng = 2 THEN 1 END) AS exact_intersection
+                FROM (SELECT v, count(DISTINCT g) AS ng FROM hashed GROUP BY v))
+              SELECT m.sketch_size, m.n_shared,
+                     CASE WHEN m.kth_min_hash IS NULL THEN CAST(m.sketch_size AS DOUBLE)
+                          ELSE 63.0 / (m.kth_min_hash / POWER(2.0, 60)) END AS est_union,
+                     CAST(m.n_shared AS DOUBLE) / m.sketch_size AS est_jaccard,
+                     (CAST(m.n_shared AS DOUBLE) / m.sketch_size) *
+                       (CASE WHEN m.kth_min_hash IS NULL THEN CAST(m.sketch_size AS DOUBLE)
+                             ELSE 63.0 / (m.kth_min_hash / POWER(2.0, 60)) END) AS est_intersection,
+                     x.exact_union, x.exact_intersection
+              FROM m, x"""),
+      doc = "KMV set operations: union/Jaccard/intersection estimated from two O(k) " +
+        "sketches (theta-sketch capability) with exact values as the accuracy report"),
+
     // ---- partition-pruned scan: the 100 TB layout claim made checkable.
     // Facts land PARTITIONED by their natural time key (the
     // date-partitioned STG layout ARCHITECTURE.md prescribes); a

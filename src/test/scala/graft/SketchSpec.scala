@@ -122,6 +122,25 @@ class SketchSpec extends AnyFunSuite {
     assert(HllAggregator.rho((1L << 53)) == 1)
   }
 
+  test("KMV set ops: union/Jaccard/intersection estimates near truth, partition-independent") {
+    import spark.implicits._
+    import graft.ops.Sketch
+    // A = 0..999, B = 500..1499: union 1500, intersection 500, J = 1/3
+    val rows = (0L until 1000L).map(("a", _)) ++ (500L until 1500L).map(("b", _))
+    val df = rows.toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketch.kmvSetOps(d, "g", "v", "a", "b", k = 64).collect().head
+    val r = run(df)
+    assert(r.getAs[Long]("exact_union") == 1500L)
+    assert(r.getAs[Long]("exact_intersection") == 500L)
+    // k=64 → ~13% standard error; allow 3 sigma
+    assert(math.abs(r.getAs[Double]("est_union") - 1500.0) / 1500.0 < 0.4)
+    assert(math.abs(r.getAs[Double]("est_jaccard") - 1.0 / 3.0) < 0.25)
+    assert(math.abs(r.getAs[Double]("est_intersection") - 500.0) / 500.0 < 0.75)
+    // sketches are merge-law deterministic: partitioning cannot move a bit
+    assert(run(df.repartition(17)).toSeq == r.toSeq)
+  }
+
   test("hash-sample quantiles: partition-independent, exact for small groups, sane for big") {
     import spark.implicits._
     import graft.ops.Sketch
