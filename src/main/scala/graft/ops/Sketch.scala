@@ -44,10 +44,18 @@ object Sketch {
       .agg(
         max(when(col("_rank") === k, col("_h"))).as("kth_min_hash"),
         count(lit(1)).as("exact"))
-    kth.withColumn("estimate",
-      when(col("kth_min_hash").isNull, col("exact").cast("double"))  // < k values: exact
-        .otherwise(lit((k - 1).toDouble) / (col("kth_min_hash") / lit(HashSpace))))
+    kth.withColumn("estimate", kmvEstimate(col("kth_min_hash"), col("exact"), k))
   }
+
+  /** THE kth-min estimator — `(k−1) / (kth_min / 2^60)`, falling back to
+    * the exact size when the set never filled the sketch — shared by
+    * [[kmvDistinct]] and [[kmvSetOps]] so the formula cannot drift.
+    */
+  private def kmvEstimate(kthMin: org.apache.spark.sql.Column,
+                          sizeWhenUnfilled: org.apache.spark.sql.Column,
+                          k: Int): org.apache.spark.sql.Column =
+    when(kthMin.isNull, sizeWhenUnfilled.cast("double"))
+      .otherwise(lit((k - 1).toDouble) / (kthMin / lit(HashSpace)))
 
   /** KMV SET OPERATIONS — the Theta-sketch capability: estimate
     * |A ∪ B|, Jaccard(A, B), and |A ∩ B| for two sets from their O(k)
@@ -67,15 +75,23 @@ object Sketch {
     */
   def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
                 groupA: String, groupB: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val hashed = df
       .filter(col(groupCol).isin(groupA, groupB))
       .select(col(groupCol).as("_g"), col(valueCol).as("_v")).distinct()
       .withColumn("_h", expr(
         s"CAST(conv(substring(md5(CAST(_v AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
     val wg = Window.partitionBy(col("_g")).orderBy(col("_h"))
-    val sketches = hashed
+    // the sketches are ≤ 2k rows BY CONSTRUCTION — collect them once so
+    // the set algebra below runs on a local relation instead of
+    // re-executing the corpus-scale distinct + rank lineage per consumer
+    // (union sketch, two membership sides = 3 extra passes otherwise)
+    val sketchRows = hashed
       .withColumn("_r", row_number().over(wg)).filter(col("_r") <= k)
       .select(col("_g"), col("_h"))
+      .as[(String, Long)].collect().toSeq
+    val sketches = sketchRows.toDF("_g", "_h")
     val unionK = sketches.select(col("_h")).distinct()
       .withColumn("_r", row_number().over(Window.orderBy(col("_h"))))
       .filter(col("_r") <= k)
@@ -89,14 +105,14 @@ object Sketch {
         count(lit(1)).as("sketch_size"),
         sum(when(col("_ia").isNotNull && col("_ib").isNotNull, 1L).otherwise(0L))
           .as("n_shared"))
+    // the exact reference pays the one remaining corpus pass — it exists
+    // only as the accuracy report (production consumers read the estimates)
     val exact = hashed.groupBy(col("_v"))
       .agg(countDistinct(col("_g")).as("_ng"))
       .agg(count(lit(1)).as("exact_union"),
         count(when(col("_ng") === 2, lit(1))).as("exact_intersection"))
     marked.crossJoin(exact)
-      .withColumn("est_union",
-        when(col("kth_min_hash").isNull, col("sketch_size").cast("double"))
-          .otherwise(lit((k - 1).toDouble) / (col("kth_min_hash") / lit(HashSpace))))
+      .withColumn("est_union", kmvEstimate(col("kth_min_hash"), col("sketch_size"), k))
       .withColumn("est_jaccard",
         col("n_shared").cast("double") / col("sketch_size"))
       .withColumn("est_intersection", col("est_jaccard") * col("est_union"))

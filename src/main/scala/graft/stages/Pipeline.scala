@@ -25,12 +25,17 @@ object Pipeline {
   val coldStartWatermark: Timestamp = Timestamp.valueOf("2022-01-01 00:00:00")
 
   /** One incremental run's outcome: the updated DDS state, the advanced
-    * watermark (None if the increment was empty), and the rows that failed
+    * watermark (None if the increment was empty), the rows that failed
     * the CHECK-constraint set — quarantined with their violation reasons
-    * instead of aborting the load (see [[Validate]]).
+    * instead of aborting the load (see [[Validate]]) — and `newFacts`,
+    * THIS increment's key-resolved fact rows alone. A storage-backed
+    * caller commits `newFacts` (an O(increment) incoming side for the
+    * merge), never the full merged `dds.fctDeliveries`, which would make
+    * every daily commit's incoming side O(table).
     */
   final case class LoadResult(
-      dds: DdsState, watermark: Option[Timestamp], quarantined: DataFrame)
+      dds: DdsState, watermark: Option[Timestamp], quarantined: DataFrame,
+      newFacts: DataFrame)
 
   /** One incremental run: the courier/timestamp/fact loads of
     * `couriers_stg_to_dds.sql` / `timestamps_stg_to_dds.sql` /
@@ -44,11 +49,21 @@ object Pipeline {
     */
   def incrementalLoad(stgDeliveries: DataFrame, stgCouriers: DataFrame,
                       dmOrders: DataFrame, dds: DdsState,
-                      watermark: Timestamp): LoadResult = {
+                      watermark: Timestamp): LoadResult =
     // O3: watermark filter with a driver-resolved literal → parquet pushdown
-    val parsed = StgToDds.parseDeliveries(
-      stgDeliveries.filter(col("delivery_ts") > lit(watermark)))
+    incrementalLoadParsed(
+      StgToDds.parseDeliveries(
+        stgDeliveries.filter(col("delivery_ts") > lit(watermark))),
+      stgCouriers, dmOrders, dds)
 
+  /** [[incrementalLoad]] from an ALREADY-PARSED increment — the entry for
+    * callers that materialize the parse at a stage boundary (the
+    * spark-submit packaging writes it to scratch parquet first: the load
+    * runs ~6 actions over this lineage, and without the boundary each one
+    * re-scans STG and re-runs from_json + the CHECK evaluation).
+    */
+  def incrementalLoadParsed(parsed: DataFrame, stgCouriers: DataFrame,
+                            dmOrders: DataFrame, dds: DdsState): LoadResult = {
     // S7 runtime CHECKs: violating rows are quarantined with reasons, not
     // loaded and not allowed to abort the batch (the reference's DDL CHECK
     // semantics, minus the Postgres batch abort)
@@ -78,7 +93,8 @@ object Pipeline {
     // rows DO advance it (they were read and dispositioned; re-reading them
     // forever would wedge the pipeline on one bad record).
     val maxTs = parsed.agg(max(col("ts"))).collect().head.getTimestamp(0)
-    LoadResult(DdsState(dmCouriers1, dmTimestamps1, fct1), Option(maxTs), quarantined)
+    LoadResult(DdsState(dmCouriers1, dmTimestamps1, fct1), Option(maxTs), quarantined,
+      newFacts = facts)
   }
 
   /** Stable surrogate ids across replays: rows whose business key already

@@ -1,8 +1,6 @@
 package graft.stages
 
-import java.sql.Timestamp
-
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -72,12 +70,24 @@ object PipelineMain {
   /** `load_stg`: land the source snapshot. Deliveries carry their business
     * key out of the payload so the SCD0 landing can dedup re-deliveries
     * without parsing (`sql/DDL_stg.deliverysystem_deliveries.sql:12`).
+    *
+    * A payload with NO extractable delivery_id gets a deterministic
+    * surrogate key (`_malformed_<md5(payload)>`): the landing key must be
+    * non-null or [[Merge]]'s equality joins mishandle it twice over —
+    * `dropDuplicates` would collapse ALL malformed rows to one (losing
+    * them before quarantine can record them) and the left-anti replay
+    * guard would never match, re-appending the row on every task retry.
+    * Downstream, `parseDeliveries` re-extracts NULL from the payload and
+    * the S7 `delivery_key_not_null` check quarantines the row with its
+    * reason — the disposition the reference's NOT NULL DDL enforces by
+    * aborting.
     */
   def loadStg(spark: SparkSession, warehouse: String, sourceDir: String): Unit = {
     val couriers = spark.read.parquet(s"$sourceDir/couriers")
     val deliveries = spark.read.parquet(s"$sourceDir/deliveries")
-      .withColumn("delivery_key",
-        get_json_object(col("json_response"), "$.delivery_id"))
+      .withColumn("delivery_key", coalesce(
+        get_json_object(col("json_response"), "$.delivery_id"),
+        concat(lit("_malformed_"), md5(col("json_response")))))
       .select(col("json_response"), col("delivery_key"), col("delivery_ts"))
     t(warehouse, "stg/couriers", "courier_key").upsert(couriers)
     t(warehouse, "stg/deliveries", "delivery_key").insertIgnore(deliveries)
@@ -91,18 +101,39 @@ object PipelineMain {
       read(spark, warehouse, "dds/fct_deliveries", fctSchema, "delivery_key"))
     val wm = State.readWatermark(spark, s"$warehouse/state/wf", WorkflowKey,
       Pipeline.coldStartWatermark)
-    val result = Pipeline.incrementalLoad(
-      read(spark, warehouse, "stg/deliveries", stgDeliverySchema, "delivery_key"),
+    // stage boundary: the load runs ~6 actions over the parsed increment;
+    // materialize the parse ONCE to scratch parquet so each action reads
+    // the compact columns instead of re-scanning STG + re-running
+    // from_json (the Validate.split caller contract)
+    val parsedDir = TempDirs.scratch("graft_pm_parsed_")
+    StgToDds.parseDeliveries(
+        read(spark, warehouse, "stg/deliveries", stgDeliverySchema, "delivery_key")
+          .filter(col("delivery_ts") > lit(wm)))
+      .write.mode("overwrite").parquet(parsedDir)
+    val parsed = spark.read.parquet(parsedDir)
+    val dmOrders = read(spark, warehouse, "dds/dm_orders", dmOrderSchema, "order_key")
+    // misconfiguration guard: an unseeded order dim would inner-join every
+    // fact away AND advance the cursor — silently consuming the increment
+    // forever. Fail loudly instead.
+    if (dmOrders.isEmpty && !parsed.isEmpty)
+      throw new IllegalStateException(
+        s"$warehouse/dds/dm_orders is empty but the increment is not — seed the " +
+          "pre-existing order dimension (PipelineMain.seedOrders) before loading facts")
+    val result = Pipeline.incrementalLoadParsed(parsed,
       read(spark, warehouse, "stg/couriers", stgCourierSchema, "courier_key"),
-      read(spark, warehouse, "dds/dm_orders", dmOrderSchema, "order_key"),
-      dds, wm)
-    // dims/facts merged against storage by BUSINESS KEY (replays converge);
-    // quarantine appends with the same idempotence
+      dmOrders, dds)
+    // dims merged by BUSINESS KEY (dim-sized full states); facts commit
+    // ONLY this increment's rows — an O(increment) incoming side
     t(warehouse, "dds/dm_couriers", "courier_key").upsert(result.dds.dmCouriers)
     t(warehouse, "dds/dm_timestamps", "ts").upsert(result.dds.dmTimestamps)
-    t(warehouse, "dds/fct_deliveries", "delivery_key").insertIgnore(result.dds.fctDeliveries)
-    if (!result.quarantined.isEmpty)
-      t(warehouse, "dds/quarantine", "delivery_key").upsert(result.quarantined)
+    t(warehouse, "dds/fct_deliveries", "delivery_key").insertIgnore(result.newFacts)
+    // quarantine idempotence cannot key on delivery_key (the rows this
+    // table exists for may have it NULL): key on a deterministic row
+    // digest so a crash-replay upserts, never duplicates
+    val quarantined = result.quarantined.withColumn("_q_key",
+      md5(to_json(struct(result.quarantined.columns.map(col): _*))))
+    if (!quarantined.isEmpty)
+      t(warehouse, "dds/quarantine", "_q_key").upsert(quarantined)
     // the cursor advances LAST — a crash above replays into idempotent merges
     State.advanceWatermark(spark, s"$warehouse/state/wf", WorkflowKey, result.watermark)
   }

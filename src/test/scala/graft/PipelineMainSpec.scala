@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.stages.PipelineMain
 
@@ -36,6 +36,51 @@ class PipelineMainSpec extends AnyFunSuite {
     val dir = s"$wh/cdm/ledger"
     spark.read.parquet(s"$dir/${new graft.stages.MergeTable(dir, Seq.empty).currentVersion.get}")
       .collect().map(r => r.getAs[String]("courier_name") -> r).toMap
+  }
+
+  test("malformed payload lands under a surrogate key, quarantines with reason, replays clean") {
+    import spark.implicits._
+    val wh = graft.stages.TempDirs.scratch("graft_pm_mal_wh_")
+    val src = graft.stages.TempDirs.scratch("graft_pm_mal_src_")
+    PipelineMain.seedOrders(spark, wh,
+      Seq(("o1", 11, 1)).toDF("order_key", "id", "timestamp_id"))
+    // one clean row + one payload with no delivery_id at all
+    writeSource(src, Seq("c1" -> "Ann"), Seq(
+      delivery("d1", "o1", "c1", "2024-05-01 11:00:00", 5, "100.00", "10.00"),
+      ("""{"order_id":"o1","courier_id":"c1","rate":5,"sum":"1.00","tip_sum":"0.00"}""",
+        ts("2024-05-01 13:00:00"))))
+    Seq("load_stg", "stg_to_dds").foreach(PipelineMain.runStage(spark, _, wh, Some(src)))
+
+    def table(rel: String): org.apache.spark.sql.DataFrame = {
+      val mt = new graft.stages.MergeTable(s"$wh/$rel", Seq.empty)
+      spark.read.parquet(s"$wh/$rel/${mt.currentVersion.get}")
+    }
+    // the malformed row LANDED (surrogate key), was not collapsed or lost
+    assert(table("stg/deliveries").count() == 2)
+    assert(table("stg/deliveries")
+      .filter(col("delivery_key").startsWith("_malformed_")).count() == 1)
+    // and was quarantined with the NOT NULL reason, not loaded as a fact
+    assert(table("dds/fct_deliveries").count() == 1)
+    val q = table("dds/quarantine").collect()
+    assert(q.length == 1 &&
+      q.head.getAs[scala.collection.Seq[String]]("_violations")
+        .contains("delivery_key_not_null"))
+    // full replay: landing, fact, and quarantine all stay exactly-once
+    Seq("load_stg", "stg_to_dds").foreach(PipelineMain.runStage(spark, _, wh, Some(src)))
+    assert(table("stg/deliveries").count() == 2)
+    assert(table("dds/fct_deliveries").count() == 1)
+    assert(table("dds/quarantine").count() == 1)
+  }
+
+  test("unseeded dm_orders with a non-empty increment fails loudly (no silent consume)") {
+    val wh = graft.stages.TempDirs.scratch("graft_pm_seed_wh_")
+    val src = graft.stages.TempDirs.scratch("graft_pm_seed_src_")
+    writeSource(src, Seq("c1" -> "Ann"), Seq(
+      delivery("d1", "o1", "c1", "2024-05-01 11:00:00", 5, "100.00", "10.00")))
+    PipelineMain.runStage(spark, "load_stg", wh, Some(src))
+    val e = intercept[IllegalStateException](
+      PipelineMain.runStage(spark, "stg_to_dds", wh, Some(src)))
+    assert(e.getMessage.contains("dm_orders"))
   }
 
   test("three-stage spark-submit chain: two days, replay, durable state, ledger") {

@@ -65,7 +65,7 @@ class PipelineSpec extends AnyFunSuite {
       delivery("d2", "o2", "c2", "2024-05-01 12:00:00", 3, "200.00", "0.00"))
     val snapshot1 = couriersOf("c1" -> "Ann", "c2" -> "Bob")
 
-    val Pipeline.LoadResult(dds1, wm1, q1) = Pipeline.incrementalLoad(
+    val Pipeline.LoadResult(dds1, wm1, q1, _) = Pipeline.incrementalLoad(
       day1, snapshot1, dmOrders, emptyDds, Pipeline.coldStartWatermark)
     assert(q1.count() == 0)
     assert(wm1.contains(ts("2024-05-01 12:00:00")))
@@ -78,7 +78,7 @@ class PipelineSpec extends AnyFunSuite {
       delivery("d3", "o3", "c1", "2024-05-02 09:30:00", 4, "300.00", "30.00"))
     val snapshot2 = couriersOf("c1" -> "Ann Smith", "c2" -> "Bob")
 
-    val Pipeline.LoadResult(dds2, wm2, _) = Pipeline.incrementalLoad(
+    val Pipeline.LoadResult(dds2, wm2, _, _) = Pipeline.incrementalLoad(
       day2, snapshot2, dmOrders, dds1, wm1.get)
     assert(wm2.contains(ts("2024-05-02 09:30:00")))
     // d2 re-delivery filtered by watermark; d3 appended
@@ -91,7 +91,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(c1.getAs[Int]("id") == c1IdBefore)
 
     // empty increment: nothing changes, watermark does not advance
-    val Pipeline.LoadResult(dds3, wm3, _) = Pipeline.incrementalLoad(
+    val Pipeline.LoadResult(dds3, wm3, _, _) = Pipeline.incrementalLoad(
       stgOf(), snapshot2, dmOrders, dds2, wm2.get)
     assert(wm3.isEmpty)
     assert(dds3.fctDeliveries.count() == 3)
@@ -117,7 +117,7 @@ class PipelineSpec extends AnyFunSuite {
       delivery("ok", "o1", "c1", "2024-06-01 10:00:00", 5, "100.00", "1.00"),
       delivery("bad_rate", "o2", "c2", "2024-06-01 11:00:00", 9, "50.00", "0.00"),
       delivery("bad_sum", "o3", "c1", "2024-06-01 12:00:00", 3, "-7.00", "0.00"))
-    val Pipeline.LoadResult(dds, wm, quarantined) = Pipeline.incrementalLoad(
+    val Pipeline.LoadResult(dds, wm, quarantined, _) = Pipeline.incrementalLoad(
       day, couriersOf("c1" -> "Ann", "c2" -> "Bob"), dmOrders, emptyDds,
       Pipeline.coldStartWatermark)
     // only the clean row loads
