@@ -252,6 +252,33 @@ object ScaleOpsQueries {
       doc = "bottom-k-by-hash uniform sample + per-group lower-median estimate " +
         "vs exact (deterministic mergeable sampling — distributed order statistics)"),
 
+    // ---- columnar-format breadth: the same declarative plan over an ORC
+    // round-trip — Spark's second first-class columnar format shares the
+    // vectorized-scan/pushdown machinery, so a lake deployed on ORC files
+    // (Hive estates) gets identical semantics; the oracle reads the
+    // original parquet, proving the round-trip lossless.
+    GQuery("scan_orc_roundtrip",
+      (s, dir) => {
+        val out = graft.stages.TempDirs.scratch("graft_orc_")
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("price_cents"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .filter(col("o_orderkey") % 10 === 0)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("total_cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+                     count(*) AS n_orders,
+                     CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+              FROM orders WHERE o_orderkey % 10 = 0
+              GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "ORC write + vectorized read round-trip == parquet-sourced oracle " +
+        "(format breadth: same declarative plan, same pushdown machinery)"),
+
     // ---- KMV set operations (ops/Sketch.kmvSetOps): |A∪B| / Jaccard /
     // |A∩B| estimated from two O(k) sketches alone (the theta-sketch
     // capability) — here the 'view' vs 'purchase' user audiences — with
