@@ -477,10 +477,11 @@ object Similarity {
   /** Measured ANN recall: for every approximate index, the EXACT integer
     * count of (query, neighbor) pairs it shares with the brute-force
     * ground truth on the same query set — recall as a driver-checkable
-    * query output rather than a spec-only assertion. The four methods are
-    * deliberately two ladders of the same recall lever: single-probe vs
-    * Hamming-1 multi-probe LSH on one index, and nprobe=1 vs nprobe=2 IVF
-    * on the other — the report quantifies what each extra probe buys.
+    * query output rather than a spec-only assertion. The methods cover
+    * both recall levers the engine exposes: probing (single- vs
+    * multi-probe LSH; nprobe=1 vs nprobe=2 IVF) and quantization (SQ8,
+    * PQ, and the IVF-PQ composition) — one table quantifies what each
+    * extra probe buys and what each memory rung costs.
     *
     * All counts are integers and the one recall division is the final
     * double op, so the output is bit-stable across engines and
@@ -513,8 +514,11 @@ object Similarity {
     hits("ivf_kmeans_nprobe2",
         ivfKmeansTopK(spark, emb, numQueries, k, centroids = 8, iters = 2, nprobe = 2))
       .unionByName(hits("ivf_nprobe1", ivfTopK(spark, emb, numQueries, k)))
+      .unionByName(hits("ivf_pq", ivfPqTopK(spark, emb, numQueries, k)))
       .unionByName(hits("lsh_multiprobe", lshMultiProbeTopK(spark, emb, numQueries, k)))
       .unionByName(hits("lsh_single", lshTopK(spark, emb, numQueries, k)))
+      .unionByName(hits("pq", pqTopK(emb, numQueries, k)))
+      .unionByName(hits("sq8", sq8TopK(emb, numQueries, k)))
   }
 
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH

@@ -234,8 +234,12 @@ object SimilarityQueries {
     s"""WITH truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t),
         km AS (SELECT query_id, neighbor_id FROM (${kmeansIvfSql(8, 2, numQueries, k)}) t),
         iv AS (SELECT query_id, neighbor_id FROM (${ivfSql(numQueries, k)}) t),
+        ip AS (SELECT query_id, neighbor_id
+               FROM (${ivfPqSql(8, 2, numQueries, k, 8, 16, 8)}) t),
         mp AS (SELECT query_id, neighbor_id FROM (${lshMultiprobeSql(numQueries, k)}) t),
-        ls AS (SELECT query_id, neighbor_id FROM (${lshSql(numQueries, k)}) t)
+        ls AS (SELECT query_id, neighbor_id FROM (${lshSql(numQueries, k)}) t),
+        pq AS (SELECT query_id, neighbor_id FROM (${pqSql(numQueries, k, 8, 16, 8)}) t),
+        s8 AS (SELECT query_id, neighbor_id FROM (${sq8Sql(numQueries, k)}) t)
         SELECT method, CAST($nTruth AS BIGINT) AS n_truth, n_hits,
                CAST(n_hits AS DOUBLE) / $nTruth AS recall
         FROM (
@@ -247,12 +251,24 @@ object SimilarityQueries {
                  (SELECT count(*) FROM iv a JOIN truth t
                     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
           UNION ALL
+          SELECT 'ivf_pq',
+                 (SELECT count(*) FROM ip a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+          UNION ALL
           SELECT 'lsh_multiprobe',
                  (SELECT count(*) FROM mp a JOIN truth t
                     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
           UNION ALL
           SELECT 'lsh_single',
                  (SELECT count(*) FROM ls a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+          UNION ALL
+          SELECT 'pq',
+                 (SELECT count(*) FROM pq a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+          UNION ALL
+          SELECT 'sq8',
+                 (SELECT count(*) FROM s8 a JOIN truth t
                     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
         ) ORDER BY method"""
   }
@@ -482,7 +498,8 @@ object SimilarityQueries {
         .orderBy(col("method")),
       Some(recallSql(numQueries = 16, k = 3)),
       doc = "measured ANN recall: integer truth-set hit counts per index, " +
-        "single- vs multi-probe LSH and nprobe=1 vs 2 IVF as the recall lever"),
+        "probing (single/multi-probe LSH, nprobe 1 vs 2 IVF) and quantization " +
+        "(SQ8, PQ, IVF-PQ) levers graded in one table"),
 
     GQuery("dedup_embedding_cosine",
       (s, dir) => Similarity.embeddingNearDupPairs(s, Tables.embeddings(s, dir), tau = 0.9)

@@ -77,14 +77,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRecall >= 0.5, s"mean recall@3 $meanRecall below floor; per-query $recalls")
   }
 
-  test("recall report: four methods, integer hits bounded by truth, multi-probe >= single-probe") {
+  test("recall report: all seven methods, integer hits bounded by truth, multi-probe >= single-probe") {
     val rows = Similarity.recallReport(spark, emb, numQueries = 8, k = 3)
       .collect()
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))
       .toMap
-    assert(rows.keySet == Set("ivf_kmeans_nprobe2", "ivf_nprobe1",
-      "lsh_multiprobe", "lsh_single"))
+    assert(rows.keySet == Set("ivf_kmeans_nprobe2", "ivf_nprobe1", "ivf_pq",
+      "lsh_multiprobe", "lsh_single", "pq", "sq8"))
     rows.values.foreach { case (truth, hits, recall) =>
       assert(truth == 24L)
       assert(hits >= 0L && hits <= truth)
