@@ -34,6 +34,23 @@ object StreamingQueries {
       doc = "update-mode stream drained through SQL MERGE INTO a lake catalog table " +
         "(exactly-once streaming upsert through the lakehouse surface)"),
 
+    GQuery("streaming_sliding_window",
+      (s, dir) => graft.streaming.RunningState.slidingWindowTotalsDrain(s, dir)
+        .orderBy(col("window_start")),
+      // identical oracle to the batch agg_sliding_time_window entry: the
+      // append-mode streaming drain must equal the batch window() plan
+      Some("""WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day, value FROM events),
+              w AS (
+                SELECT day - i.i AS start_day, value
+                FROM d, (SELECT unnest(range(0, 7)) AS i) i)
+              SELECT strftime(to_timestamp(start_day * 86400), '%Y-%m-%d') AS window_start,
+                     count(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM w GROUP BY start_day ORDER BY window_start"""),
+      doc = "append-mode streaming sliding windows: each 7d/1d window emitted once " +
+        "when the watermark completes it (sentinel-flushed) == batch window() plan"),
+
     GQuery("streaming_tws_running_totals",
       (s, dir) => graft.streaming.RunningState.runningTotalsDrain(s, dir)
         .orderBy(col("user_id")),

@@ -113,5 +113,68 @@ object RunningState extends Serializable {
       .filter(col("_r") === 1)
       .select(col("user_id"), col("n_events"), col("total_value"))
   }
+
+  /** APPEND-mode sliding event-time windows — the streaming twin of the
+    * batch `window(ts, 7d, 1d)` aggregation (they share one oracle): each
+    * window's row is emitted exactly once, when the watermark proves the
+    * window complete (passes its end), which is the semantics a
+    * downstream append-only consumer needs (update mode would re-emit a
+    * window on every batch that touches it).
+    *
+    * The bounded drain flushes via the sentinel technique: a single
+    * far-future event pushes the final watermark past every REAL
+    * window's end. No post-filter is needed — unlike the keyed drains,
+    * the sentinel cleans up after itself: its own windows end BEYOND the
+    * final watermark (which trails it by the delay), so append mode
+    * withholds them, and with the margin > window size + delay it shares
+    * no window with any real event.
+    */
+  def slidingWindowTotalsDrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StateDefaults.ensureRocksDB(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = IncrementalLedger.rawEventSchema
+    val maxRow = spark.read.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .agg(max(col("ts"))).collect().head
+    val agged = {
+      def windows(df: DataFrame) = df
+        .select(expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "7 days", "1 day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("window_start"),
+          col("n_events"), col("total_value"))
+      if (maxRow.isNullAt(0))
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          windows(spark.readStream.schema(raw).parquet(sfDir)).schema)
+      // margin > window size + watermark delay: the final watermark must
+      // pass every real window's end, and the sentinel must share no
+      // window with any real event
+      val marginNs = (8L * 24 + 2) * 3600L * 1000000000L
+      val sentinelDir = graft.stages.TempDirs.scratch("graft_swin_sentinel_")
+      Seq((-1L, maxRow.getLong(0) + marginNs, -1L, "view", 0.0, "{}"))
+        .toDF(raw.fieldNames: _*)
+        .write.mode("overwrite").parquet(sentinelDir)
+      windows(spark.readStream.schema(raw)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .unionByName(spark.readStream.schema(raw).parquet(sentinelDir)))
+    }
+    val outDir = graft.stages.TempDirs.scratch("graft_swin_drain_")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agged.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    StreamJoin.readDrainOutput(spark, outDir, agged.schema)
+  }
 }
 
