@@ -242,4 +242,41 @@ object TrainPrep {
       .withColumn("n_budgeted", floor(col("share") * budget).cast("long"))
       .select(col("lang"), col("n_docs"), col("weight"), col("share"), col("n_budgeted"))
   }
+
+  /** Deterministic GLOBAL corpus shuffle — the last step before training
+    * ingestion: every document gets a contiguous global position in a
+    * pseudo-random (salted-md5) order plus a round-robin shard, so a
+    * trainer streaming shard files in position order sees a fixed, evenly
+    * interleaved permutation of the corpus. `orderBy(rand())` cannot do
+    * this job: it is neither rerun-stable nor partitioning-stable, and a
+    * global `row_number()` window collapses the corpus onto one task.
+    *
+    * Scale shape: the md5 priority is one narrow projection; `orderBy` on
+    * it is a range-partitioned TOTAL sort (sampled boundaries, each
+    * partition sorted independently — the scalable global-order machinery);
+    * positions are then per-partition offsets + local indexes
+    * (`zipWithIndex`: one O(#partitions) count job, one narrow map — no
+    * corpus-scale collapse). Round-robin on position balances shards to
+    * ±1 document by construction.
+    */
+  def globalShuffle(docs: DataFrame, nShards: Int,
+                    salt: String = "shuffle:"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = docs.sparkSession
+    val sorted = docs
+      .select(col("doc_id"), col("lang"))
+      .withColumn("_h", expr(
+        s"CAST(conv(substring(md5(concat('$salt', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      // doc_id tie-break: the 60-bit hash prefix can collide at corpus
+      // scale and the permutation must stay a total order
+      .orderBy(col("_h"), col("doc_id"))
+    val schema = StructType(sorted.schema.fields :+
+      StructField("position", LongType, nullable = false))
+    val withPos = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(withPos, schema)
+      .withColumn("shard", ((col("position") - 1) % nShards).cast("int"))
+      .select(col("position"), col("shard"), col("doc_id"), col("lang"))
+  }
 }

@@ -347,6 +347,44 @@ object ScaleOpsQueries {
               FROM events WHERE month(ts) = 1
               GROUP BY user_id ORDER BY user_id"""),
       doc = "time-partitioned fact layout + month-restricted read: the predicate " +
-        "prunes whole partition directories at the file index (PartitionFilters)")
+        "prunes whole partition directories at the file index (PartitionFilters)"),
+
+    // ---- DYNAMIC partition pruning: the pruning predicate is not in the
+    // query at all — it arrives through a dim join at RUNTIME. The fact
+    // side is partitioned on the join key; the dim side carries the
+    // selective filter (quarter = 1), which no static rule can push to the
+    // fact scan. Catalyst plants a DynamicPruningSubquery on the fact's
+    // partition column that REUSES the dim's broadcast exchange, so whole
+    // fact partition directories are skipped per the dim rows that
+    // actually survive — the mechanism that makes star-schema queries
+    // over a date-partitioned 100 TB fact read only the quarter they
+    // touch. PlanAuditSpec pins `dynamicpruningexpression` in
+    // PartitionFilters.
+    GQuery("scan_dynamic_partition_pruning",
+      (s, dir) => {
+        val out = graft.stages.TempDirs.scratch("graft_dpp_")
+        // the testdata corpus is one calendar month, so DAY is its natural
+        // partition grain (30 directories); at production scale the same
+        // shape is date-partitioned years of data
+        Tables.events(s, dir)
+          .withColumn("event_day", dayofmonth(col("ts")))
+          .write.partitionBy("event_day").mode("overwrite").parquet(out)
+        val dayDim = s.range(1, 32)
+          .select(col("id").cast("int").as("event_day"),
+            (((col("id") - 1) / 7) + 1).cast("int").as("week_of_month"))
+        s.read.parquet(out)
+          .join(broadcast(dayDim.filter(col("week_of_month") === 2)), Seq("event_day"))
+          .groupBy(col("event_day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .orderBy(col("event_day"))
+      },
+      Some("""SELECT dayofmonth(ts) AS event_day, count(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM events WHERE dayofmonth(ts) BETWEEN 8 AND 14
+              GROUP BY event_day ORDER BY event_day"""),
+      doc = "join-driven dynamic partition pruning: the week filter lives on the " +
+        "day-dim side only; a DynamicPruningSubquery reusing the dim broadcast " +
+        "prunes 23 of 30 fact partition directories at runtime")
   )
 }

@@ -119,6 +119,23 @@ object TrainPrepQueries {
       doc = "equal-population range sharding (ntile) — the exact-boundary census " +
         "that feeds repartitionByRange"),
 
+    GQuery("prep_global_shuffle",
+      (s, dir) => TrainPrep.globalShuffle(Tables.documents(s, dir), nShards = 8)
+        .orderBy(col("position")),
+      Some("""WITH h AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                FROM documents),
+              p AS (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (ORDER BY h, doc_id) AS position
+                FROM h)
+              SELECT position, CAST((position - 1) % 8 AS INT) AS shard, doc_id, lang
+              FROM p ORDER BY position"""),
+      doc = "deterministic global corpus shuffle: salted-md5 total order → contiguous " +
+        "global positions (range sort + per-partition offsets, no single-task window) " +
+        "→ round-robin shards balanced to ±1 doc"),
+
     GQuery("prep_decontamination",
       (s, dir) => TrainPrep.decontaminationReport(Tables.documents(s, dir),
           n = 3, valPct = 5, testPct = 5, tau = 0.1)

@@ -193,6 +193,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // partitioned layout: the month predicate must resolve at the FILE
     // INDEX (PartitionFilters), never as a data filter; agg + output sort
     ("scan_partition_pruning", 2, 0, Seq("PartitionFilters: [isnotnull(event_month")),
+    // join-driven DPP: the runtime pruning subquery must sit in the fact
+    // scan's PartitionFilters, and the day dim must broadcast
+    ("scan_dynamic_partition_pruning", 2, 1, Seq("dynamicpruningexpression")),
+    // global shuffle: ONE range exchange for the total sort (zipWithIndex
+    // adds jobs, not exchanges) + the output re-sort
+    ("prep_global_shuffle", 2, 0, Nil),
     // mixture apply: the |sources|-row mix table and the 1-row weight
     // total must BOTH broadcast; corpus pays one narrow filter + census
     ("prep_mix_apply", 6, 2, Nil))
