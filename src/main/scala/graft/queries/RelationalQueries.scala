@@ -532,6 +532,67 @@ object RelationalQueries {
               ORDER BY user_id, event_id"""),
       doc = "sliding ROWS-frame moving sum/avg per user (decimal-exact frame arithmetic)"),
 
+    // Time-RANGE frame — the window class w2's ROWS frame can't express:
+    // "everything in the trailing 7 days", however many rows that is.
+    // Ordering is on µs epoch longs (`unix_micros` == DuckDB `epoch_us`)
+    // so the frame bounds are exact integers in both engines; a RANGE
+    // frame also includes ALL ties of the current order value, which is
+    // engine-independent given identical ordering longs.
+    GQuery("w5_range_interval_frame",
+      (s, dir) => {
+        val sevenDaysUs = 7L * 86400 * 1000000
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("at_us"))
+          .rangeBetween(-sevenDaysUs, 0)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            unix_micros(col("ts")).as("at_us"),
+            col("value").cast("decimal(18,2)").as("value_d"))
+          .withColumn("n_7d", count(lit(1)).over(w))
+          .withColumn("sum_7d", sum(col("value_d")).over(w).cast("double"))
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("at"),
+            col("n_7d"), col("sum_7d"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S') AS at,
+                     COUNT(*) OVER w AS n_7d,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, event_id"""),
+      doc = "trailing-7-day RANGE window frame per user: time-valued frame bounds " +
+        "on exact µs epoch ordering (the rows-vs-range distinction at scale)"),
+
+    // Higher-order array functions — the lambda surface (transform /
+    // filter / exists / aggregate) that makes array columns first-class
+    // without exploding them: per-row, codegen-free but shuffle-free.
+    GQuery("o15_higher_order_arrays",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          size(expr("filter(toks, t -> length(t) > 6)")).as("n_long"),
+          expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("sum_len"),
+          expr("exists(toks, t -> length(t) >= 12)").as("has_giant"),
+          expr("array_join(transform(slice(toks, 1, 3), t -> upper(t)), ' ')")
+            .as("head3_upper"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+              SELECT doc_id,
+                     CAST(len(toks) AS INT) AS n_tokens,
+                     CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+                     CAST(len(list_filter(toks, t -> length(t) > 6)) AS INT) AS n_long,
+                     CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+                     len(list_filter(toks, t -> length(t) >= 12)) > 0 AS has_giant,
+                     array_to_string(list_transform(toks[1:3], t -> upper(t)), ' ') AS head3_upper
+              FROM t ORDER BY doc_id"""),
+      doc = "higher-order array lambdas: filter/transform/exists/aggregate/slice over " +
+        "token arrays — array analytics without a Generate fan-out"),
+
     GQuery("agg_cube",
       (s, dir) => {
         Tables.lineitem(s, dir)

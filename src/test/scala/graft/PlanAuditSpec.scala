@@ -196,6 +196,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // join-driven DPP: the runtime pruning subquery must sit in the fact
     // scan's PartitionFilters, and the day dim must broadcast
     ("scan_dynamic_partition_pruning", 2, 1, Seq("dynamicpruningexpression")),
+    // RANGE frame: one per-user window exchange + the output sort
+    ("w5_range_interval_frame", 2, 0, Nil),
+    // array lambdas are per-row: only the output sort shuffles, and the
+    // plan must never grow a Generate (that's o14's explode shape)
+    ("o15_higher_order_arrays", 1, 0, Nil),
     // global shuffle: ONE range exchange for the total sort (zipWithIndex
     // adds jobs, not exchanges) + the output re-sort
     ("prep_global_shuffle", 2, 0, Nil),
