@@ -51,6 +51,25 @@ object StreamingQueries {
       doc = "append-mode streaming sliding windows: each 7d/1d window emitted once " +
         "when the watermark completes it (sentinel-flushed) == batch window() plan"),
 
+    GQuery("streaming_chained_aggs",
+      (s, dir) => graft.streaming.RunningState.chainedDailyAggDrain(s, dir)
+        .orderBy(col("day")),
+      Some("""WITH d AS (
+                SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                       event_type, value
+                FROM events),
+              a AS (
+                SELECT day, event_type, count(*) AS n,
+                       SUM(CAST(value AS DECIMAL(18,2))) AS sv
+                FROM d GROUP BY day, event_type)
+              SELECT day, count(*) AS n_types,
+                     CAST(SUM(n) AS BIGINT) AS n_events,
+                     CAST(CAST(SUM(sv) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+              FROM a GROUP BY day ORDER BY day"""),
+      doc = "two stacked windowed aggregations in ONE streaming query (multiple " +
+        "stateful operators): per-(day,type) then per-day, watermark propagated " +
+        "through both state stores, append-mode exactly-once emission"),
+
     GQuery("streaming_tws_running_totals",
       (s, dir) => graft.streaming.RunningState.runningTotalsDrain(s, dir)
         .orderBy(col("user_id")),

@@ -176,5 +176,75 @@ object RunningState extends Serializable {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     StreamJoin.readDrainOutput(spark, outDir, agged.schema)
   }
+
+  /** CHAINED stateful aggregations — two windowed aggs stacked in ONE
+    * streaming query (multiple-stateful-operator support, Spark ≥ 3.4):
+    * stage 1 aggregates per (1-day window, event_type); stage 2
+    * re-windows stage 1's `window` column into the same day and collapses
+    * across types. Pre-3.4 engines force an intermediate sink + second
+    * query for this shape; here the watermark propagates THROUGH the
+    * first stateful operator, so both state stores retire together and
+    * each day's final row is emitted exactly once (append mode).
+    *
+    * Money stays DECIMAL through both aggregation stages (stage 2 sums
+    * stage 1's decimal sums — exact, order-free); the one double cast is
+    * on the emitted row. Sentinel-flush margin covers both operators'
+    * windows: watermark_final ≈ sentinel_ts − delay must pass every real
+    * day-window end (≤ max_ts + 1 day), and the sentinel's own windows
+    * must end beyond watermark_final so append mode withholds them —
+    * 3 days + 2 h satisfies both with day-alignment slack.
+    */
+  def chainedDailyAggDrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    StateDefaults.ensureRocksDB(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = IncrementalLedger.rawEventSchema
+    val maxRow = spark.read.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .agg(max(col("ts"))).collect().head
+    val agged = {
+      def chain(df: DataFrame) = {
+        val daily = df
+          .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+            col("event_type"), col("value"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+        daily
+          .groupBy(window(col("window"), "1 day").as("day_w"))
+          .agg(count(lit(1)).as("n_types"),
+            sum(col("n")).as("n_events"),
+            sum(col("sv")).cast("double").as("total_value"))
+          .select(date_format(col("day_w.start"), "yyyy-MM-dd").as("day"),
+            col("n_types"), col("n_events"), col("total_value"))
+      }
+      if (maxRow.isNullAt(0))
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          chain(spark.readStream.schema(raw).parquet(sfDir)).schema)
+      val marginNs = (3L * 24 + 2) * 3600L * 1000000000L
+      val sentinelDir = graft.stages.TempDirs.scratch("graft_chain_sentinel_")
+      Seq((-1L, maxRow.getLong(0) + marginNs, -1L, "view", 0.0, "{}"))
+        .toDF(raw.fieldNames: _*)
+        .write.mode("overwrite").parquet(sentinelDir)
+      chain(spark.readStream.schema(raw)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .unionByName(spark.readStream.schema(raw).parquet(sentinelDir)))
+    }
+    val outDir = graft.stages.TempDirs.scratch("graft_chain_drain_")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agged.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    StreamJoin.readDrainOutput(spark, outDir, agged.schema)
+  }
 }
 
