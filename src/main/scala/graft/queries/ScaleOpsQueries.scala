@@ -279,6 +279,37 @@ object ScaleOpsQueries {
       doc = "ORC write + vectorized read round-trip == parquet-sourced oracle " +
         "(format breadth: same declarative plan, same pushdown machinery)"),
 
+    // CSV round-trip — the interchange format ingestion actually arrives
+    // in. Money rides as integer cents (CSV has no decimal type), the
+    // free-text column keeps embedded commas (quoting must hold), and the
+    // read side declares an explicit schema — schema inference is a
+    // full extra pass over 100 TB and is never the production shape. The
+    // comment-length sum proves the text survived quoting bit-for-bit.
+    GQuery("scan_csv_roundtrip",
+      (s, dir) => {
+        val out = graft.stages.TempDirs.scratch("graft_csv_")
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            concat_ws(", ", col("o_orderpriority"), col("o_orderstatus")).as("note"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("price_cents"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read
+          .schema("o_orderkey BIGINT, o_orderstatus STRING, note STRING, price_cents BIGINT")
+          .option("header", "true").csv(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("total_cents"),
+            sum(length(col("note"))).as("note_chars"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+                     count(*) AS n_orders,
+                     CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                     CAST(SUM(length(o_orderpriority || ', ' || o_orderstatus)) AS BIGINT) AS note_chars
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "CSV write + explicit-schema read round-trip == parquet-sourced oracle " +
+        "(quoted free text with embedded commas survives; no inference pass)"),
+
     // ---- KMV set operations (ops/Sketch.kmvSetOps): |A∪B| / Jaccard /
     // |A∩B| estimated from two O(k) sketches alone (the theta-sketch
     // capability) — here the 'view' vs 'purchase' user audiences — with
