@@ -231,6 +231,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding-window and chained-agg drains equal their batch twins (sentinel flush)") {
+    val dir = "/root/testdata/sf0.001"
+    val sw = graft.streaming.RunningState.slidingWindowTotalsDrain(spark, dir)
+      .orderBy("window_start").collect()
+    val swBatch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "7 days", "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("window_start"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start").collect()
+    assert(sw.length == swBatch.length && sw.length > 0)
+    sw.zip(swBatch).foreach { case (s, b) => assert(s == b) }
+    // the sentinel's own windows must NOT leak into the drained result
+    val ch = graft.streaming.RunningState.chainedDailyAggDrain(spark, dir)
+      .orderBy("day").collect()
+    val chBatch = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_events"),
+        sum(col("sv")).cast("double").as("total_value"))
+      .orderBy("day").collect()
+    assert(ch.length == chBatch.length && ch.length > 0)
+    ch.zip(chBatch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("sentinel drains on empty input return empty frames with the query schema") {
+    val dir = graft.stages.TempDirs.scratch("graft_drain_noinput_")
+    val sw = graft.streaming.RunningState.slidingWindowTotalsDrain(spark, dir)
+    assert(sw.count() == 0 &&
+      sw.columns.toSeq == Seq("window_start", "n_events", "total_value"))
+    val ch = graft.streaming.RunningState.chainedDailyAggDrain(spark, dir)
+    assert(ch.count() == 0 &&
+      ch.columns.toSeq == Seq("day", "n_types", "n_events", "total_value"))
+  }
+
   test("AvailableNow streaming drain equals batch aggregation on the corpus") {
     val streamed = IncrementalLedger.monthlyUserTotals(spark, "/root/testdata/sf0.001")
       .orderBy("user_id", "year", "month").collect()
