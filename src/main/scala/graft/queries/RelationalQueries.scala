@@ -593,6 +593,46 @@ object RelationalQueries {
       doc = "higher-order array lambdas: filter/transform/exists/aggregate/slice over " +
         "token arrays — array analytics without a Generate fan-out"),
 
+    // Funnel analysis — ordered-event product analytics without a
+    // sequence-pattern operator: per-user FIRST-occurrence times of each
+    // stage (conditional min — one map-side-combining aggregate), then
+    // the reached stage is the longest strictly-increasing prefix of the
+    // (view, click, purchase) first-times. Comparing first-occurrence µs
+    // longs is engine-exact; ties break the chain identically everywhere.
+    GQuery("funnel_stages",
+      (s, dir) => {
+        def firstOf(t: String) =
+          min(when(col("event_type") === t, unix_micros(col("ts")))).as(s"t_$t")
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+          .withColumn("stage",
+            when(col("t_view").isNull, 0)
+              .when(col("t_click").isNull || col("t_click") <= col("t_view"), 1)
+              .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), 2)
+              .otherwise(3).cast("int"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH f AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS t_view,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS t_click,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS t_purchase
+                FROM events GROUP BY user_id),
+              s AS (
+                SELECT user_id,
+                       CASE WHEN t_view IS NULL THEN 0
+                            WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                            WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+                            ELSE 3 END AS stage
+                FROM f)
+              SELECT CAST(stage AS INT) AS stage, count(*) AS n_users
+              FROM s GROUP BY stage ORDER BY stage"""),
+      doc = "view→click→purchase funnel census: per-user first-occurrence ordering " +
+        "(conditional min), stage = longest strictly-increasing prefix"),
+
     GQuery("agg_cube",
       (s, dir) => {
         Tables.lineitem(s, dir)

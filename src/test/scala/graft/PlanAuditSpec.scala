@@ -196,6 +196,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // join-driven DPP: the runtime pruning subquery must sit in the fact
     // scan's PartitionFilters, and the day dim must broadcast
     ("scan_dynamic_partition_pruning", 2, 1, Seq("dynamicpruningexpression")),
+    // funnel: per-user conditional-min agg + 3-row stage census + sort;
+    // the first aggregate must partial-combine map-side (no extra pass)
+    ("funnel_stages", 3, 0, Nil),
     // RANGE frame: one per-user window exchange + the output sort
     ("w5_range_interval_frame", 2, 0, Nil),
     // array lambdas are per-row: only the output sort shuffles, and the
