@@ -633,6 +633,44 @@ object RelationalQueries {
       doc = "view→click→purchase funnel census: per-user first-occurrence ordering " +
         "(conditional min), stage = longest strictly-increasing prefix"),
 
+    // Cohort retention — the other half of product analytics next to the
+    // funnel: users are cohorted by their FIRST active day, then counted
+    // distinct at fixed day offsets. All-day-index integer arithmetic
+    // (µs epoch `div` 86400e6), so the census is partitioning-independent
+    // and engine-exact.
+    GQuery("cohort_retention",
+      (s, dir) => {
+        val byDay = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val firsts = byDay.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        byDay.join(firsts, Seq("user_id"))
+          .withColumn("day_offset", (col("day") - col("cohort_day")).cast("int"))
+          .filter(col("day_offset").isin(0, 1, 7, 14))
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .select(
+            date_format(timestamp_seconds(col("cohort_day") * 86400), "yyyy-MM-dd")
+              .as("cohort"),
+            col("day_offset"), col("n_active"))
+          .orderBy(col("cohort"), col("day_offset"))
+      },
+      Some("""WITH d AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+              f AS (
+                SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+              j AS (
+                SELECT d.user_id, f.cohort_day, d.day - f.cohort_day AS day_offset
+                FROM d JOIN f USING (user_id))
+              SELECT strftime(to_timestamp(cohort_day * 86400), '%Y-%m-%d') AS cohort,
+                     CAST(day_offset AS INT) AS day_offset,
+                     count(DISTINCT user_id) AS n_active
+              FROM j WHERE day_offset IN (0, 1, 7, 14)
+              GROUP BY cohort_day, day_offset ORDER BY cohort, day_offset"""),
+      doc = "cohort retention: users cohorted by first active day, distinct-counted " +
+        "at day offsets 0/1/7/14 (integer day-index arithmetic)"),
+
     GQuery("agg_cube",
       (s, dir) => {
         Tables.lineitem(s, dir)

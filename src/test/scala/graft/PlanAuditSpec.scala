@@ -199,6 +199,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // funnel: per-user conditional-min agg + 3-row stage census + sort;
     // the first aggregate must partial-combine map-side (no extra pass)
     ("funnel_stages", 3, 0, Nil),
+    // cohort: first-day agg + user join + distinct-census (expand +
+    // final) + output sort; never a per-day self-join
+    ("cohort_retention", 5, 0, Nil),
     // RANGE frame: one per-user window exchange + the output sort
     ("w5_range_interval_frame", 2, 0, Nil),
     // array lambdas are per-row: only the output sort shuffles, and the
