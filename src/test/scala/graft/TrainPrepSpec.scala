@@ -93,6 +93,28 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(shards.map(_._1).distinct.length > 2, "expect several shards at this size")
   }
 
+  test("global shuffle: contiguous positions, ±1 shard balance, partitioning-independent") {
+    import spark.implicits._
+    val docs = (1L to 101L).map(i => (i, s"doc $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TrainPrep.globalShuffle(docs, nShards = 8).collect()
+    // positions are exactly 1..n with no gaps or dupes
+    assert(out.map(_.getAs[Long]("position")).sorted.toSeq == (1L to 101L))
+    // round-robin shards balance to ±1 document
+    val byShard = out.groupBy(_.getAs[Int]("shard")).view.mapValues(_.length)
+    assert(byShard.values.max - byShard.values.min <= 1 && byShard.size == 8)
+    // the permutation is a function of doc_id alone: a differently
+    // partitioned input yields the identical (position, shard, doc_id) map
+    val repart = TrainPrep.globalShuffle(docs.repartition(7), nShards = 8).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("position"), r.getAs[Int]("shard"),
+        r.getAs[Long]("doc_id"))).sortBy(_._1).toSeq
+    assert(key(out) == key(repart))
+    // and it is NOT the input order (it actually shuffles)
+    assert(out.sortBy(_.getAs[Long]("position")).map(_.getAs[Long]("doc_id")).toSeq
+      != (1L to 101L))
+  }
+
   test("decontamination counts exactly the shingles shared with the held-out split") {
     import spark.implicits._
     // craft ids whose split buckets we can read back, then verify hit math
