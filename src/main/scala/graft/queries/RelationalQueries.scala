@@ -593,6 +593,46 @@ object RelationalQueries {
       doc = "higher-order array lambdas: filter/transform/exists/aggregate/slice over " +
         "token arrays — array analytics without a Generate fan-out"),
 
+    // Corrupt-record ingestion path — real feeds carry malformed JSON, and
+    // at 100 TB the engine must quarantine-and-continue, never abort the
+    // job (PERMISSIVE semantics) and never silently drop. Rows are
+    // deterministically mangled in-query (leading garbage on
+    // event_id % 97 == 0 — Jackson tolerates TRAILING tokens, so the
+    // mangle must break the first token) so the oracle corrupts the SAME
+    // rows; the
+    // census proves corrupt rows are counted, excluded from the parsed
+    // sum, and everything else parses. `parsed.k` is the corruption
+    // signal (a valid row always carries k), robust to whether from_json
+    // nulls the struct or its fields.
+    GQuery("o16_bad_records",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("raw",
+          when(col("event_id") % 97 === 0, concat(lit("{"), col("props")))
+            .otherwise(col("props")))
+        .withColumn("parsed", from_json(col("raw"), {
+          import org.apache.spark.sql.types._
+          StructType(Seq(StructField("k", IntegerType)))
+        }))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("parsed.k")).as("n_parsed"),
+          (count(lit(1)) - count(col("parsed.k"))).as("n_corrupt"),
+          sum(coalesce(col("parsed.k"), lit(0))).as("sum_k"))
+        .orderBy(col("event_type")),
+      Some("""WITH r AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 97 = 0 THEN '{' || props ELSE props END AS raw
+                FROM events)
+              SELECT event_type, count(*) AS n,
+                     count(CASE WHEN json_valid(raw) THEN 1 END) AS n_parsed,
+                     CAST(count(*) - count(CASE WHEN json_valid(raw) THEN 1 END) AS BIGINT) AS n_corrupt,
+                     CAST(SUM(CASE WHEN json_valid(raw)
+                              THEN CAST(json_extract_string(raw, '$.k') AS INT)
+                              ELSE 0 END) AS BIGINT) AS sum_k
+              FROM r GROUP BY event_type ORDER BY event_type"""),
+      doc = "PERMISSIVE corrupt-JSON ingestion: malformed rows counted and excluded " +
+        "from parsed aggregates, job never aborts, nothing silently dropped"),
+
     // Funnel analysis — ordered-event product analytics without a
     // sequence-pattern operator: per-user FIRST-occurrence times of each
     // stage (conditional min — one map-side-combining aggregate), then
