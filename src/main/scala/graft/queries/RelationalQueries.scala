@@ -633,6 +633,39 @@ object RelationalQueries {
       doc = "PERMISSIVE corrupt-JSON ingestion: malformed rows counted and excluded " +
         "from parsed aggregates, job never aborts, nothing silently dropped"),
 
+    // Rolling 7-day distinct actives (WAU) — the engagement metric whose
+    // DISTINCT makes it non-decomposable over sliding windows: window
+    // sums can reuse partial aggregates (agg_sliding_time_window), window
+    // DISTINCTs cannot. The scale shape is the bounded ×7 fan-out of the
+    // per-(user, day) DISTINCT set — never a windows×events self-join —
+    // then one distinct count per window-start day.
+    GQuery("agg_rolling_distinct_users",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select(col("user_id"), (col("day") - col("i")).as("start_day"))
+        .groupBy(col("start_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(
+          date_format(timestamp_seconds(col("start_day") * 86400), "yyyy-MM-dd")
+            .as("window_start"),
+          col("wau"))
+        .orderBy(col("window_start")),
+      Some("""WITH d AS (
+                SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                FROM events),
+              w AS (
+                SELECT user_id, day - i.i AS start_day
+                FROM d, (SELECT unnest(range(0, 7)) AS i) i)
+              SELECT strftime(to_timestamp(start_day * 86400), '%Y-%m-%d') AS window_start,
+                     count(DISTINCT user_id) AS wau
+              FROM w GROUP BY start_day ORDER BY window_start"""),
+      doc = "rolling 7-day distinct active users (WAU): bounded ×7 fan-out of the " +
+        "(user, day) distinct set — sliding DISTINCT without a self-join"),
+
     // Funnel analysis — ordered-event product analytics without a
     // sequence-pattern operator: per-user FIRST-occurrence times of each
     // stage (conditional min — one map-side-combining aggregate), then

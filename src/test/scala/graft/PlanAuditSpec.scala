@@ -202,6 +202,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // cohort: first-day agg + user join + distinct-census (expand +
     // final) + output sort; never a per-day self-join
     ("cohort_retention", 5, 0, Nil),
+    // WAU: (user,day) distinct + ×7 Generate fan-out + distinct-census +
+    // output sort — never a windows×events self-join
+    ("agg_rolling_distinct_users", 4, 0, Seq("Generate")),
     // RANGE frame: one per-user window exchange + the output sort
     ("w5_range_interval_frame", 2, 0, Nil),
     // array lambdas are per-row: only the output sort shuffles, and the
