@@ -65,6 +65,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() == li.count())
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime (executed plan)") {
+    // the 32-partition static shuffle config is a CEILING: on a small
+    // aggregate AQE must collapse the post-shuffle partitions to a
+    // handful, which is the mechanism that keeps the same query efficient
+    // from sf0.001 to 100 TB without retuning shuffle.partitions
+    val agged = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    agged.collect()
+    val executed = agged.queryExecution.executedPlan.toString
+    assert(executed.contains("AQEShuffleRead") && executed.contains("coalesced"),
+      s"expected a runtime-coalesced shuffle read in:\n$executed")
+    val parts = agged.rdd.getNumPartitions
+    assert(parts < 32, s"AQE should coalesce below the static 32, got $parts")
+  }
+
   test("date-partitioned STG layout prunes partitions at scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.events(spark, "/root/testdata/sf0.001")
