@@ -62,8 +62,16 @@ object Pipeline {
     * runs ~6 actions over this lineage, and without the boundary each one
     * re-scans STG and re-runs from_json + the CHECK evaluation).
     */
+  /** @param maxTsHint the increment's max `ts`, when the caller already
+    *   knows it (e.g. observed on the stage-boundary write via
+    *   `Dataset.observe` — see `PipelineMain.stgToDds`). `Some(x)` skips
+    *   this function's cursor pass over `parsed` entirely; `None` keeps
+    *   the self-contained behavior. At 100 TB the saved pass is a full
+    *   scan of the increment.
+    */
   def incrementalLoadParsed(parsed: DataFrame, stgCouriers: DataFrame,
-                            dmOrders: DataFrame, dds: DdsState): LoadResult = {
+                            dmOrders: DataFrame, dds: DdsState,
+                            maxTsHint: Option[Option[Timestamp]] = None): LoadResult = {
     // S7 runtime CHECKs: violating rows are quarantined with reasons, not
     // loaded and not allowed to abort the batch (the reference's DDL CHECK
     // semantics, minus the Postgres batch abort)
@@ -92,8 +100,9 @@ object Pipeline {
     // A1 cursor: only advance when the increment was non-empty. Quarantined
     // rows DO advance it (they were read and dispositioned; re-reading them
     // forever would wedge the pipeline on one bad record).
-    val maxTs = parsed.agg(max(col("ts"))).collect().head.getTimestamp(0)
-    LoadResult(DdsState(dmCouriers1, dmTimestamps1, fct1), Option(maxTs), quarantined,
+    val watermark = maxTsHint.getOrElse(
+      Option(parsed.agg(max(col("ts"))).collect().head.getTimestamp(0)))
+    LoadResult(DdsState(dmCouriers1, dmTimestamps1, fct1), watermark, quarantined,
       newFacts = facts)
   }
 

@@ -106,22 +106,30 @@ object PipelineMain {
     // the compact columns instead of re-scanning STG + re-running
     // from_json (the Validate.split caller contract)
     val parsedDir = TempDirs.scratch("graft_pm_parsed_")
+    // the watermark cursor and the increment size RIDE the write action
+    // (Dataset.observe): at 100 TB a separate agg(max)/isEmpty pass over
+    // the increment is a second full scan for two scalars
+    val obs = org.apache.spark.sql.Observation(s"parsed_increment_$WorkflowKey")
     StgToDds.parseDeliveries(
         read(spark, warehouse, "stg/deliveries", stgDeliverySchema, "delivery_key")
           .filter(col("delivery_ts") > lit(wm)))
+      .observe(obs, max(col("ts")).as("max_ts"), count(lit(1)).as("n_rows"))
       .write.mode("overwrite").parquet(parsedDir)
+    val incrementMaxTs = Option(obs.get("max_ts"))
+      .map(_.asInstanceOf[java.sql.Timestamp])
+    val incrementRows = obs.get("n_rows").asInstanceOf[Long]
     val parsed = spark.read.parquet(parsedDir)
     val dmOrders = read(spark, warehouse, "dds/dm_orders", dmOrderSchema, "order_key")
     // misconfiguration guard: an unseeded order dim would inner-join every
     // fact away AND advance the cursor — silently consuming the increment
     // forever. Fail loudly instead.
-    if (dmOrders.isEmpty && !parsed.isEmpty)
+    if (dmOrders.isEmpty && incrementRows > 0)
       throw new IllegalStateException(
         s"$warehouse/dds/dm_orders is empty but the increment is not — seed the " +
           "pre-existing order dimension (PipelineMain.seedOrders) before loading facts")
     val result = Pipeline.incrementalLoadParsed(parsed,
       read(spark, warehouse, "stg/couriers", stgCourierSchema, "courier_key"),
-      dmOrders, dds)
+      dmOrders, dds, maxTsHint = Some(incrementMaxTs))
     // dims merged by BUSINESS KEY (dim-sized full states); facts commit
     // ONLY this increment's rows — an O(increment) incoming side
     t(warehouse, "dds/dm_couriers", "courier_key").upsert(result.dds.dmCouriers)
