@@ -706,6 +706,43 @@ object RelationalQueries {
       doc = "view→click→purchase funnel census: per-user first-occurrence ordering " +
         "(conditional min), stage = longest strictly-increasing prefix"),
 
+    // Funnel latency — how long conversion takes, not just whether it
+    // happens: per fully-converting user (strict view < click < purchase
+    // ordering, same chain as funnel_stages) the view→purchase delta in
+    // exact µs integers, reduced to count/min/avg/max. The avg is the one
+    // double, produced by a single BIGINT-sum / count division (exact in
+    // both engines); no percentile machinery, so no global-order window.
+    GQuery("funnel_time_to_convert",
+      (s, dir) => {
+        def firstOf(t: String) =
+          min(when(col("event_type") === t, unix_micros(col("ts")))).as(s"t_$t")
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+          .filter(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"))
+          .withColumn("delta_us", col("t_purchase") - col("t_view"))
+          .agg(count(lit(1)).as("n_converted"),
+            min(col("delta_us")).as("min_us"),
+            (sum(col("delta_us")).cast("double") / count(lit(1))).as("avg_us"),
+            max(col("delta_us")).as("max_us"))
+      },
+      Some("""WITH f AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS t_view,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS t_click,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS t_purchase
+                FROM events GROUP BY user_id),
+              c AS (
+                SELECT t_purchase - t_view AS delta_us FROM f
+                WHERE t_view < t_click AND t_click < t_purchase)
+              SELECT count(*) AS n_converted,
+                     min(delta_us) AS min_us,
+                     CAST(SUM(delta_us) AS DOUBLE) / count(*) AS avg_us,
+                     max(delta_us) AS max_us
+              FROM c"""),
+      doc = "funnel latency: exact µs view→purchase deltas for strictly-ordered " +
+        "converters, reduced to count/min/avg/max (one exact double division)"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
