@@ -593,6 +593,35 @@ object RelationalQueries {
       doc = "higher-order array lambdas: filter/transform/exists/aggregate/slice over " +
         "token arrays — array analytics without a Generate fan-out"),
 
+    // NULL semantics surface — the comparisons every engine defines
+    // differently enough to bite: NULLIF manufactures the nulls
+    // deterministically, then COALESCE defaulting, three-valued `=`
+    // (null), and NULL-SAFE equality (`<=>` == IS NOT DISTINCT FROM,
+    // false not null) are emitted side by side per row.
+    GQuery("o17_null_semantics",
+      (s, dir) => Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("seg_n"))
+        .select(col("c_custkey"),
+          col("seg_n").isNull.as("is_null"),
+          coalesce(col("seg_n"), lit("<none>")).as("seg_or_default"),
+          (col("seg_n") === "MACHINERY").as("eq_3vl"),
+          (col("seg_n") <=> "MACHINERY").as("eq_nullsafe"),
+          (col("seg_n") <=> lit(null.asInstanceOf[String])).as("is_null_nullsafe"))
+        .orderBy(col("c_custkey")),
+      Some("""WITH n AS (
+                SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg_n
+                FROM customer)
+              SELECT c_custkey,
+                     seg_n IS NULL AS is_null,
+                     COALESCE(seg_n, '<none>') AS seg_or_default,
+                     seg_n = 'MACHINERY' AS eq_3vl,
+                     seg_n IS NOT DISTINCT FROM 'MACHINERY' AS eq_nullsafe,
+                     seg_n IS NOT DISTINCT FROM NULL AS is_null_nullsafe
+              FROM n ORDER BY c_custkey"""),
+      doc = "NULL semantics side by side: NULLIF-manufactured nulls through COALESCE, " +
+        "three-valued equality (null result), and null-safe <=> / IS NOT DISTINCT FROM"),
+
     // Corrupt-record ingestion path — real feeds carry malformed JSON, and
     // at 100 TB the engine must quarantine-and-continue, never abort the
     // job (PERMISSIVE semantics) and never silently drop. Rows are
