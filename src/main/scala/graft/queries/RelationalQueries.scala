@@ -593,6 +593,36 @@ object RelationalQueries {
       doc = "higher-order array lambdas: filter/transform/exists/aggregate/slice over " +
         "token arrays — array analytics without a Generate fan-out"),
 
+    // Per-group MODE — the most-frequent value, the aggregate engines
+    // disagree on most (tie-breaking is engine-private in both Spark's
+    // `mode` and DuckDB's `mode`), so it is spelled as count + rank with
+    // an EXPLICIT deterministic tie-break (higher count, then
+    // lexicographic value): cross-engine exact and partitioning-stable.
+    GQuery("agg_mode_per_group",
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("_r", row_number().over(w))
+          .filter(col("_r") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY user_id, event_type),
+              r AS (
+                SELECT user_id, event_type, n,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY n DESC, event_type) AS rr
+                FROM c)
+              SELECT user_id, event_type AS mode_type, n
+              FROM r WHERE rr = 1 ORDER BY user_id"""),
+      doc = "per-user modal event type via count + rank with an explicit " +
+        "deterministic tie-break (native mode() tie-breaking is engine-private)"),
+
     // NULL semantics surface — the comparisons every engine defines
     // differently enough to bite: NULLIF manufactures the nulls
     // deterministically, then COALESCE defaulting, three-valued `=`
