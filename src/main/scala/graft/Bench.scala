@@ -47,8 +47,14 @@ object Bench {
     }
     val warm = (System.nanoTime() - t0) / 1e9
 
+    // SPARK_GRAFT_ONLY=a,b narrows the pass for single-query iteration,
+    // mirroring Verify's filter; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+
     def onePass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      queries.toSeq.map { case (name, fn) =>
         val t = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t) / 1e9 else -1.0)
@@ -61,16 +67,18 @@ object Bench {
       // any failed rep taints the query: report the failure, not a min
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
+    // a failed rep keeps the -1 sentinel in spread too: 0.0 would make an
+    // erroring query indistinguishable from a perfectly stable one
     val spread = names.map { n =>
       val ts = runs.map(_(n))
-      n -> (if (ts.exists(_ < 0)) 0.0 else ts.max - ts.min)
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.max - ts.min)
     }.toMap
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = warm + best.map(_._2).filter(_ >= 0).sum
-    val spreadMax = spread.values.max
+    val spreadMax = spread.values.filter(_ >= 0).foldLeft(0.0)(math.max)
 
     // full per-query detail → committed artifact (too big for the stdout tail)
     val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +

@@ -108,9 +108,9 @@ object IncrementalLedger {
     * update-mode MergeTable merge as [[monthlyUserTotals]]. Must equal the
     * all-batch join+aggregate bit-for-bit (decimal sums).
     */
-  def nationMonthlyTotals(spark: SparkSession, sfDir: String): DataFrame = {
+  def nationMonthlyTotals(spark: SparkSession, sfDir: String): DataFrame =
+      StateDefaults.withNanosRead(spark) {
     val target = MergeTable.scratch(Seq("c_nationkey", "year", "month"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     StateDefaults.ensureRocksDB(spark)
     val stream = spark.readStream
       .schema(rawEventSchema)
@@ -141,7 +141,8 @@ object IncrementalLedger {
 
   def monthlyUserTotals(spark: SparkSession, sfDir: String,
                         maxFilesPerTrigger: Option[Int] = None,
-                        glob: String = "events.parquet"): DataFrame = {
+                        glob: String = "events.parquet"): DataFrame =
+      StateDefaults.withNanosRead(spark) {
     val target = MergeTable.scratch(Seq("user_id", "year", "month"))
     val agg = monthlyAggStream(spark, sfDir,
       maxFilesPerTrigger = maxFilesPerTrigger, glob = glob)
@@ -188,7 +189,8 @@ object IncrementalLedger {
     * sink orders of magnitude smaller than the stream; per-file groups
     * with runtime filtering are the path when the SINK itself is huge.
     */
-  def monthlyUserTotalsToLake(spark: SparkSession, sfDir: String): DataFrame = {
+  def monthlyUserTotalsToLake(spark: SparkSession, sfDir: String): DataFrame =
+      StateDefaults.withNanosRead(spark) {
     val cat = graft.lake.GraftCatalog.ensureScratchCatalog(spark)
     val t = s"$cat.stream.ledger_${lakeSeq.incrementAndGet()}"
     spark.sql(s"CREATE TABLE $t (user_id BIGINT, year INT, month INT, " +

@@ -73,9 +73,8 @@ object RunningState extends Serializable {
       // PINNED RocksDB, not just the default: transformWithState requires
       // state-store column families, which the heap provider lacks — an
       // HDFS opt-out elsewhere in the session must not fail this operator
-      StateDefaults.withRocksDB(spark) {
+      StateDefaults.withRocksDB(spark) { StateDefaults.withNanosRead(spark) {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream
       .schema(IncrementalLedger.rawEventSchema)
       .option("pathGlobFilter", glob)
@@ -112,7 +111,7 @@ object RunningState extends Serializable {
     raw.withColumn("_r", row_number().over(w))
       .filter(col("_r") === 1)
       .select(col("user_id"), col("n_events"), col("total_value"))
-  }
+  }}
 
   /** APPEND-mode sliding event-time windows — the streaming twin of the
     * batch `window(ts, 7d, 1d)` aggregation (they share one oracle): each
@@ -129,10 +128,10 @@ object RunningState extends Serializable {
     * withholds them, and with the margin > window size + delay it shares
     * no window with any real event.
     */
-  def slidingWindowTotalsDrain(spark: SparkSession, sfDir: String): DataFrame = {
+  def slidingWindowTotalsDrain(spark: SparkSession, sfDir: String): DataFrame =
+      StateDefaults.withNanosRead(spark) {
     import spark.implicits._
     StateDefaults.ensureRocksDB(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = IncrementalLedger.rawEventSchema
     val maxRow = spark.read.schema(raw)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
@@ -194,10 +193,10 @@ object RunningState extends Serializable {
     * must end beyond watermark_final so append mode withholds them —
     * 3 days + 2 h satisfies both with day-alignment slack.
     */
-  def chainedDailyAggDrain(spark: SparkSession, sfDir: String): DataFrame = {
+  def chainedDailyAggDrain(spark: SparkSession, sfDir: String): DataFrame =
+      StateDefaults.withNanosRead(spark) {
     import spark.implicits._
     StateDefaults.ensureRocksDB(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = IncrementalLedger.rawEventSchema
     val maxRow = spark.read.schema(raw)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)

@@ -93,10 +93,10 @@ object Sessionize extends Serializable {
     * row is all it takes at any corpus size.
     */
   def sessionsStreamingDrain(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-                             gapMinutes: Int): DataFrame = {
+                             gapMinutes: Int): DataFrame =
+      StateDefaults.withNanosRead(spark) {
     import spark.implicits._
     StateDefaults.ensureRocksDB(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = IncrementalLedger.rawEventSchema
     val real = spark.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)

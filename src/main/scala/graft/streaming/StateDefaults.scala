@@ -21,14 +21,28 @@ object StateDefaults {
   val RocksDB =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
   /** Set RocksDB as the session's state-store provider unless the user
     * EXPLICITLY pinned one (sessionState.conf.contains sees only explicit
     * settings, never the built-in default — `conf.getOption` would report
     * the HDFS default as if the user had chosen it).
+    *
+    * Changelog checkpointing rides along: without it every store COMMIT
+    * zips and uploads a full RocksDB snapshot (per store, per partition,
+    * per micro-batch — a stream-stream join pays it 4 stores x partitions
+    * times per batch), which is both the dominant fixed cost at small
+    * scale and an O(state) upload at large scale. The changelog form
+    * uploads only the batch's delta and snapshots asynchronously in the
+    * background — strictly the production posture.
     */
   def ensureRocksDB(spark: SparkSession): Unit =
-    if (!spark.sessionState.conf.contains(ProviderKey))
+    if (!spark.sessionState.conf.contains(ProviderKey)) {
       spark.conf.set(ProviderKey, RocksDB)
+      if (!spark.sessionState.conf.contains(ChangelogKey))
+        spark.conf.set(ChangelogKey, "true")
+    }
 
   /** Run `body` with RocksDB PINNED, restoring any user-pinned provider
     * after. For operators that structurally require RocksDB —
@@ -36,16 +50,39 @@ object StateDefaults {
     * heap-backed provider does not implement — where honoring an HDFS
     * opt-out would mean failing the query.
     */
-  def withRocksDB[T](spark: SparkSession)(body: => T): T = {
-    val pinned =
-      if (spark.sessionState.conf.contains(ProviderKey))
-        Some(spark.conf.get(ProviderKey))
-      else None
-    spark.conf.set(ProviderKey, RocksDB)
+  /** Run `body` with the parquet ns-timestamp read shim set (the driver
+    * corpus writes INT64 TIMESTAMP(NANOS); reading `ts` as a plain LONG
+    * needs `nanosAsLong`), restoring the previous setting after — a
+    * bounded drain must not leak legacy read semantics into every later
+    * parquet read of a session that never called `graft.Tables.load`.
+    * Only for entry points that COMPLETE their streaming query inside
+    * `body`; a builder returning a live streaming plan must leave the
+    * conf set for the caller's drain.
+    */
+  def withNanosRead[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev =
+      if (spark.sessionState.conf.contains(k)) Some(spark.conf.get(k)) else None
+    spark.conf.set(k, "true")
     try body
-    finally pinned match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None    => spark.conf.unset(ProviderKey)
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None    => spark.conf.unset(k)
     }
+  }
+
+  def withRocksDB[T](spark: SparkSession)(body: => T): T = {
+    def save(k: String): Option[String] =
+      if (spark.sessionState.conf.contains(k)) Some(spark.conf.get(k)) else None
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(s) => spark.conf.set(k, s)
+      case None    => spark.conf.unset(k)
+    }
+    val pinned = save(ProviderKey)
+    val pinnedCl = save(ChangelogKey)
+    spark.conf.set(ProviderKey, RocksDB)
+    if (pinnedCl.isEmpty) spark.conf.set(ChangelogKey, "true")
+    try body
+    finally { restore(ProviderKey, pinned); restore(ChangelogKey, pinnedCl) }
   }
 }
