@@ -18,14 +18,15 @@ import org.apache.spark.sql.sources._
   * matching a pushed filter — the pruning primitive behind per-file
   * group replacement in [[GraftRowLevelOperation]].
   *
-  * This is deliberately footer-based and driver-side: O(files) metadata
-  * reads, no data I/O — the local stand-in for the manifest/stats index a
-  * lakehouse format keeps (Iceberg manifests, Delta's per-file stats in
-  * the log). At 100 TB the same `ColStats` shape would be persisted at
-  * commit time instead of re-read, but the pruning contract is identical:
-  * every answer errs on "might match", never on "cannot match", so
-  * pruning is a pure optimization — any unreadable footer, exotic type,
-  * or untranslatable predicate simply keeps the file.
+  * Footers are read ONCE per data file — at commit time, when
+  * [[graft.stages.MergeTable]] persists these stats into the version's
+  * `_STATS` manifest ([[StatsManifest]], the same shape Iceberg manifests
+  * / Delta log stats persist); statement planning reads the manifest and
+  * only falls back to a live footer read for files a manifest does not
+  * cover. Either way the pruning contract is identical: every answer errs
+  * on "might match", never on "cannot match", so pruning is a pure
+  * optimization — any unreadable footer, exotic type, or untranslatable
+  * predicate simply keeps the file.
   *
   * Comparisons normalize both the filter literal and the footer min/max
   * into a small comparable domain (Long, Double, String by code point,

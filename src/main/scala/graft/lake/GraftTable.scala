@@ -152,11 +152,15 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
     val plan = merge.currentVersion match {
       case None => Some((Option.empty[String], Set.empty[String])) // empty table: trivially metadata-only
       case Some(base) =>
-        val conf = SparkSession.active.sessionState.newHadoopConf()
+        val files = merge.dataFiles(base)
+        // manifest-first: one small JSON read instead of O(files) footer
+        // opens; footer reads survive only as the per-file fallback
+        val stats = StatsManifest.statsFor(dir.resolve(base), files,
+          SparkSession.active.sessionState.newHadoopConf())
         val bloom = bloomIndex
         val drop = Set.newBuilder[String]
-        val decidable = merge.dataFiles(base).forall { f =>
-          val st = FileStats.read(f, conf)
+        val decidable = files.forall { f =>
+          val st = stats(f.getFileName.toString)
           if (FileStats.mustMatchAll(st, key)) { drop += f.getFileName.toString; true }
           else !FileStats.mightMatch(st, key) ||
             // bloom no-match proof: a point-delete key absent from the
@@ -252,12 +256,15 @@ private[lake] final class GraftRowLevelOperation(table: GraftTable, info: RowLev
   @volatile private[lake] var replacedFiles: Set[String] =
     baseFiles.map(_.getFileName.toString).toSet
 
-  // footer stats, read lazily once per statement and shared by the
-  // static and runtime pruning passes — O(candidate files) driver-side
-  // metadata, the local stand-in for a manifest's per-file stats
-  private lazy val stats: Map[String, FileStats.FileStat] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    baseFiles.map(f => f.getFileName.toString -> FileStats.read(f, conf)).toMap
+  // per-file stats, loaded lazily once per statement and shared by the
+  // static and runtime pruning passes — manifest-first (`_STATS`, written
+  // at commit time), with per-file footer reads only as the fallback for
+  // versions that predate the manifest
+  private lazy val stats: Map[String, FileStats.FileStat] = base match {
+    case Some(v) => StatsManifest.statsFor(
+      java.nio.file.Paths.get(table.merge.root, v), baseFiles,
+      SparkSession.active.sessionState.newHadoopConf())
+    case None => Map.empty
   }
 
   /** Two independent no-match proofs, both conservative: footer min/max

@@ -224,6 +224,10 @@ final class MergeTable(val root: String, keys: Seq[String],
     val stage = Paths.get(root, s"_stage_$token")
     merge(base.map(v => spark.read.parquet(Paths.get(root, v).toString)))
       .write.mode("overwrite").parquet(stage.toString)
+    // per-file stats manifest, staged WITH the data (the atomic move below
+    // carries it into the version): a DataFrame commit rewrites every file,
+    // so each gets its one-and-only footer read here — outside the lock
+    writeStatsManifest(stage, carried = Map.empty)
     val lock = Paths.get(root, "_COMMIT_LOCK")
     try {
       acquireCommitLock(lock, token)
@@ -289,7 +293,13 @@ final class MergeTable(val root: String, keys: Seq[String],
       val carriedBase = if (carryForward) expectedBase.getOrElse(currentVersion) else None
       val effectiveExpected =
         if (carryForward) expectedBase.orElse(Some(carriedBase)) else expectedBase
+      // carried staged-name -> base manifest entry: name-stable hard links
+      // reuse their stats verbatim, so the manifest pass below only opens
+      // footers of genuinely NEW files
+      val carriedStats = Map.newBuilder[String, graft.lake.FileStats.FileStat]
       try carriedBase.foreach { v =>
+        val baseManifest = graft.lake.StatsManifest.read(Paths.get(root, v))
+          .getOrElse(Map.empty)
         eachDataFile(Paths.get(root, v)) { f =>
           if (!carryExclude.contains(f.getFileName.toString)) {
             val preferred = staged.resolve(f.getFileName.toString)
@@ -302,6 +312,8 @@ final class MergeTable(val root: String, keys: Seq[String],
               // includes a vanished link source: the copy then throws
               // NoSuchFileException into the outer conflict mapping
               Files.copy(f, dst) }
+            baseManifest.get(f.getFileName.toString)
+              .foreach(st => carriedStats += dst.getFileName.toString -> st)
           }
         }
       } catch {
@@ -313,6 +325,7 @@ final class MergeTable(val root: String, keys: Seq[String],
             s"MergeTable $root: base version disappeared during the append's " +
               "carry-forward (concurrent commit + vacuum) — re-run this batch")
       }
+      writeStatsManifest(staged, carriedStats.result())
       acquireCommitLock(lock, token)
       try {
         verifyLockOwner(lock, token)
@@ -463,6 +476,26 @@ final class MergeTable(val root: String, keys: Seq[String],
         }
     }
   }
+
+  /** Stage the per-file stats manifest (`_STATS`) next to the data it
+    * describes, BEFORE the commit lock: carried entries are reused,
+    * new files get their single footer read here, and the atomic
+    * directory move promotes data + manifest together — a visible version
+    * is born with its manifest. Best-effort by design: readers fall back
+    * to footer reads on a missing manifest, so a stats failure must not
+    * fail the commit (`graft.lake.StatsManifest`).
+    */
+  private def writeStatsManifest(staged: Path,
+                                 carried: Map[String, graft.lake.FileStats.FileStat]): Unit =
+    try {
+      val names = Seq.newBuilder[String]
+      eachDataFile(staged)(f => names += f.getFileName.toString)
+      val conf = SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      graft.lake.StatsManifest.write(staged,
+        graft.lake.StatsManifest.buildForCommit(staged, names.result(), carried, conf))
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Data files of a version/staging directory: skips `_SUCCESS`,
     * `_temporary` leftovers and hidden files, exactly as Spark's own file

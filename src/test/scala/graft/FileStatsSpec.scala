@@ -136,4 +136,82 @@ class FileStatsSpec extends AnyFunSuite {
     assert(FileStats.mightMatch(st, Seq(EqualTo("d", 1.0))),
       "bounds withheld (e.g. NaN present) must never prune")
   }
+
+  test("manifest round-trip: persisted stats answer exactly like the footers") {
+    import graft.lake.StatsManifest
+    // every bound domain the normalizer produces: Long, Double, String
+    // (incl. a supplementary code point), BigDecimal, nulls, an all-null
+    // column — written as real parquet so the footer is the ground truth
+    val df = spark.sql(
+      "SELECT id AS k, CAST(id AS DOUBLE) / 4 AS d, " +
+        "concat('s', id, IF(id = 3, char(128512), '')) AS s, " +
+        "CAST(id AS DECIMAL(12,2)) / 8 AS m, " +
+        "IF(id = 1, CAST(NULL AS BIGINT), id) AS holey, " +
+        "CAST(NULL AS STRING) AS dead FROM range(5)")
+    val dir = Files.createTempDirectory("graft_manifest_rt_")
+    dir.toFile.deleteOnExit()
+    df.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    val s = Files.list(dir)
+    val files = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq
+    } finally s.close()
+    val fromFooters = files.map(f => FileStats.read(f, conf))
+    StatsManifest.write(dir, fromFooters)
+    val manifest = StatsManifest.read(dir).get
+    assert(manifest.keySet == fromFooters.map(_.fileName).toSet)
+    // FileStat is a case class over exactly-round-tripping bound types, so
+    // structural equality IS the proof the manifest == the footers
+    fromFooters.foreach(st => assert(manifest(st.fileName) == st,
+      s"manifest entry for ${st.fileName} diverged from its footer"))
+    // and the answers agree on a probe battery including prune-positive,
+    // prune-negative, null, and absent-column cases
+    val probes: Seq[Seq[Filter]] = Seq(
+      Seq(EqualTo("k", 2L)), Seq(EqualTo("k", 99L)),
+      Seq(GreaterThan("d", 0.5)), Seq(LessThan("d", 0.0)),
+      Seq(EqualTo("s", "s3😀")), Seq(StringStartsWith("s", "z")),
+      Seq(GreaterThan("m", new java.math.BigDecimal("0.25"))),
+      Seq(IsNull("holey")), Seq(IsNotNull("dead")), Seq(EqualTo("added_later", 1L)))
+    for (st <- fromFooters; p <- probes) {
+      assert(FileStats.mightMatch(manifest(st.fileName), p) == FileStats.mightMatch(st, p))
+      assert(FileStats.mustMatchAll(manifest(st.fileName), p) == FileStats.mustMatchAll(st, p))
+    }
+    // statsFor prefers the manifest but footer-reads files it misses
+    StatsManifest.write(dir, fromFooters.tail)
+    val mixed = StatsManifest.statsFor(dir, files, conf)
+    fromFooters.foreach(st => assert(mixed(st.fileName) == st))
+    // unparsable manifest degrades to pure footer reads, never an error
+    Files.write(dir.resolve(StatsManifest.FileName), "{broken".getBytes)
+    val fallback = StatsManifest.statsFor(dir, files, conf)
+    fromFooters.foreach(st => assert(fallback(st.fileName) == st))
+  }
+
+  test("MergeTable commits persist the manifest; carried files reuse entries byte-for-byte") {
+    import graft.lake.StatsManifest
+    import graft.stages.MergeTable
+    import spark.implicits._
+    val mt = MergeTable.scratch(Seq("k"))
+    mt.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v0 = java.nio.file.Paths.get(mt.root, mt.currentVersion.get)
+    val m0 = StatsManifest.read(v0)
+    assert(m0.isDefined, "a DataFrame commit must stage a _STATS manifest")
+    assert(m0.get.nonEmpty && m0.get.keySet == mt.dataFiles(mt.currentVersion.get)
+      .map(_.getFileName.toString).toSet)
+    // file-level commit with carry-forward: the carried file's entry must
+    // be reused (same stats under the same name), the new file's added
+    val staged = java.nio.file.Files.createTempDirectory("graft_manifest_stage_")
+    Seq((3L, "c")).toDF("k", "v").coalesce(1).write.mode("overwrite")
+      .parquet(staged.toString)
+    java.nio.file.Files.deleteIfExists(staged.resolve("_SUCCESS"))
+    val stagedReal = java.nio.file.Files.createTempDirectory("graft_manifest_stage2_")
+    val ls = java.nio.file.Files.list(staged)
+    try ls.forEach(p => java.nio.file.Files.move(p, stagedReal.resolve(p.getFileName)))
+    finally ls.close()
+    val v1name = mt.commitStagedFiles(stagedReal, carryForward = true)
+    val m1 = StatsManifest.read(java.nio.file.Paths.get(mt.root, v1name)).get
+    assert(m1.keySet == mt.dataFiles(v1name).map(_.getFileName.toString).toSet)
+    for ((name, st) <- m0.get) assert(m1(name) == st,
+      s"carried file $name must reuse its base manifest entry")
+  }
 }
