@@ -257,14 +257,21 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // STORAGE-BOUNDARY the edges before iterating, at the session's full
+    // shuffle width (the override below must scope the tiny label
+    // iteration only, never the upstream dedup joins producing the
+    // pairs). A cache() would materialize the same rows but keep the
+    // corpus-scale pair-generation lineage attached to every round's
+    // logical plan — each round then re-optimizes and re-codegens the
+    // whole LSH pipeline, which measured as a cold first run an order of
+    // magnitude over the steady state. The scratch write makes every
+    // round's plan a leaf scan + join + agg; the edge set itself is tiny
+    // relative to the corpus (near-dup pairs), so the write is noise.
+    val edgesDir = graft.stages.TempDirs.scratch("graft_cc_edges_")
+    pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .cache()
-    // materialize the (possibly corpus-scale) pair lineage at the
-    // session's full shuffle width BEFORE narrowing it: the override below
-    // must scope the tiny label iteration only, never the upstream dedup
-    // joins that produce the pairs
-    edges.count()
+      .write.mode("overwrite").parquet(edgesDir)
+    val edges = spark.read.parquet(edgesDir).cache()
     // the label table is |docs in pairs| rows — corpus-scale shuffle width
     // for it is pure task overhead in the iteration; scope it down the way
     // the streaming drains do (on a cluster, size to the pair count)
