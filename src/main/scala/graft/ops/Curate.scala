@@ -166,4 +166,136 @@ object Curate {
     table.replace(survivorSet(unioned), expectedBase = Some(base))
     censusOf(table.read(spark, docs.schema))
   }
+
+  /** Schema of the curation INDEX table: one row per survivor carrying
+    * everything the dedup stages need — `text_md5` for exact-dup
+    * arbitration, `hbase` (hashed shingle set) for Jaccard verification,
+    * `sig` (MinHash signature) for LSH banding. `hbase`/`sig` are null
+    * for documents too short to shingle (they can never pair, but their
+    * md5 still participates in exact dedup).
+    */
+  val indexSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text_md5",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("hbase",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+
+  /** The index rows of a document set — the ONE place curation text is
+    * scanned into dedup features (md5 + shingle hashes + MinHash
+    * signature), shared by the batch side of every incremental run and
+    * by index bootstrap.
+    */
+  def curationIndexOf(docs: DataFrame): DataFrame = {
+    val sh = Dedup.withMinhashSignature(
+        Dedup.withShingleHashes(docs, Dedup.defaultShingle))
+      .select(col("doc_id"), col("hbase"), col("sig"))
+    docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(sh, Seq("doc_id"), "left")
+  }
+
+  /** [[curateCorpusThrough]] at the 100 TB shape: BATCH-vs-INDEX instead
+    * of corpus-vs-corpus. The survivor table's dedup features live in a
+    * persisted index table ([[indexSchema]]); an incremental run scans
+    * ONLY the batch's text — the table side contributes md5s for exact
+    * arbitration, band keys for LSH candidates, and shingle sets for
+    * verification straight from the index, never from a re-scan.
+    *
+    * Equivalence to the recompute form (spec-pinned, `CurateSpec`) rests
+    * on one invariant: a committed survivor set is PAIR-FREE — every
+    * verified pair in its generation had its higher id dropped, so a pair
+    * between two surviving table docs cannot exist, and the recompute's
+    * pair set over table ∪ batch is exactly (batch × batch) ∪
+    * (batch × table). Both runs therefore see the same exact-dup groups
+    * (md5 is in the index), the same candidate pairs (shared banding —
+    * [[Dedup.bandRowsOf]]), and the same verified losers (shared
+    * [[Dedup.verifyJaccard]] over the same hbase arrays): a new batch doc
+    * with a lower id still EVICTS a committed survivor it duplicates,
+    * exactly as the recompute does.
+    *
+    * Both commits CAS against the snapshots this run read (table and
+    * index move in lockstep; a concurrent curation fails loudly).
+    *
+    * @return the per-language census of the updated survivor table
+    */
+  def curateCorpusIncremental(batch: DataFrame, table: graft.stages.MergeTable,
+                              index: graft.stages.MergeTable,
+                              tau: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val baseT = table.currentVersion
+    val baseI = index.currentVersion
+    val tableRows = baseT.map(v => table.readVersion(spark, v))
+      .getOrElse(table.read(spark, batch.schema))
+    val indexRows = baseI.map(v => index.readVersion(spark, v))
+      .getOrElse(index.read(spark, indexSchema))
+
+    // batch REPLACES same-id table rows (the curateCorpusThrough contract)
+    val batchIds = batch.select(col("doc_id"))
+    val tPrevRows = tableRows.join(batchIds, Seq("doc_id"), "left_anti")
+    val tPrevIdx = indexRows.join(batchIds, Seq("doc_id"), "left_anti")
+
+    // the run's single text scan: batch features only. Materialized once —
+    // exact arbitration, banding, verification, and the index commit all
+    // reuse it (scratch boundary, not cache: the frames below join it
+    // repeatedly and the iteration must not drag the text-scan lineage)
+    val bIdxDir = graft.stages.TempDirs.scratch("graft_curate_bidx_")
+    curationIndexOf(batch).write.mode("overwrite").parquet(bIdxDir)
+    val bIdx = spark.read.parquet(bIdxDir)
+
+    // exact dedup over table ∪ batch, batch side first (min id per md5)...
+    val bCanon = bIdx
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("text_md5")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn")
+    // ...then cross-arbitrated against the index's md5s: lower id wins
+    val tMd5 = tPrevIdx.select(col("doc_id").as("t_id"), col("text_md5"))
+    val arbitrated = bCanon.join(tMd5, Seq("text_md5"), "left")
+    val bUnique = arbitrated
+      .filter(col("t_id").isNull || col("doc_id") < col("t_id"))
+      .drop("t_id")
+    val tEvictedExact = arbitrated
+      .filter(col("t_id").isNotNull && col("doc_id") < col("t_id"))
+      .select(col("t_id").as("doc_id"))
+    val tKeptIdx = tPrevIdx.join(tEvictedExact, Seq("doc_id"), "left_anti")
+
+    // near-dup candidates: batch×batch (LSH self-join) ∪ batch×table
+    // (batch bands vs INDEX bands) — table×table pairs cannot exist
+    // (pair-free invariant above). Pairs normalized to doc_a < doc_b.
+    val bBands = Dedup.bandRowsOf(bUnique.filter(col("sig").isNotNull))
+    val tBands = Dedup.bandRowsOf(tKeptIdx.filter(col("sig").isNotNull))
+    val bb = bBands.as("a").join(bBands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val bt = bBands.as("a").join(tBands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val candidates = bb.unionByName(bt).distinct()
+    val hbaseAll = bUnique.select(col("doc_id"), col("hbase"))
+      .unionByName(tKeptIdx.select(col("doc_id"), col("hbase")))
+    val losers = Dedup.verifyJaccard(candidates, hbaseAll, tau)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    val bFinalIdx = bUnique.join(losers, Seq("doc_id"), "left_anti")
+    val tFinalIdx = tKeptIdx.join(losers, Seq("doc_id"), "left_anti")
+
+    // commit survivors + index in lockstep, both CAS-pinned to the
+    // snapshots this run read
+    val survivors = tPrevRows.join(tFinalIdx.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .unionByName(batch.join(bFinalIdx.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    table.replace(survivors, expectedBase = Some(baseT))
+    index.replace(
+      tFinalIdx.select(col("doc_id"), col("text_md5"), col("hbase"), col("sig"))
+        .unionByName(bFinalIdx.select(col("doc_id"), col("text_md5"), col("hbase"), col("sig"))),
+      expectedBase = Some(baseI))
+    censusOf(table.read(spark, batch.schema))
+  }
 }

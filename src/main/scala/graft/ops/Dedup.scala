@@ -63,14 +63,7 @@ object Dedup {
                       tau: Double = 0.5): DataFrame = {
     val sigs = withMinhashSignature(withShingleHashes(docs, n))
       .select(col("doc_id"), col("hbase"), col("sig"))
-    // explode signature into (band, band_key) rows; key = the R sig values
-    val bandRows = sigs.select(
-        col("doc_id"),
-        explode(expr(s"sequence(0, ${bands - 1})")).as("band"),
-        col("sig"))
-      .select(col("doc_id"), col("band"), expr(
-        s"""concat_ws(',', transform(slice(sig, band * $rowsPerBand + 1, $rowsPerBand),
-           |  x -> CAST(x AS STRING)))""".stripMargin).as("band_key"))
+    val bandRows = bandRowsOf(sigs)
     val a = bandRows.as("a")
     val b = bandRows.as("b")
     val candidates = a.join(b,
@@ -329,8 +322,22 @@ object Dedup {
     }
   }
 
-  private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,
-                            tau: Double): DataFrame =
+  /** (doc_id, band, band_key) rows of a MinHash signature frame — THE
+    * banding used by [[minhashLshPairs]] and the incremental curation
+    * index ([[Curate.curateCorpusIncremental]]), shared so a persisted
+    * index can never band differently from the live LSH join.
+    */
+  private[ops] def bandRowsOf(sigs: DataFrame): DataFrame =
+    sigs.select(
+        col("doc_id"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"),
+        col("sig"))
+      .select(col("doc_id"), col("band"), expr(
+        s"""concat_ws(',', transform(slice(sig, band * $rowsPerBand + 1, $rowsPerBand),
+           |  x -> CAST(x AS STRING)))""".stripMargin).as("band_key"))
+
+  private[ops] def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,
+                                 tau: Double): DataFrame =
     pairs
       .join(shingleSets.select(col("doc_id").as("doc_a"), col("hbase").as("h_a")), Seq("doc_a"))
       .join(shingleSets.select(col("doc_id").as("doc_b"), col("hbase").as("h_b")), Seq("doc_b"))

@@ -61,6 +61,77 @@ class CurateSpec extends AnyFunSuite {
     assert(after.count() == beforeCount) // one evicted, one admitted
   }
 
+  test("batch-vs-index incremental curation equals the recompute form, evictions included") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, slice, split}
+    val all = docs
+    val b1 = all.filter(col("doc_id") % 2 === 0)
+    // recompute path (the oracle-checked semantics)
+    val tableR = MergeTable.scratch(Seq("doc_id"))
+    Curate.curateCorpusThrough(b1, tableR)
+    // incremental path over the same first batch
+    val tableI = MergeTable.scratch(Seq("doc_id"))
+    val index = MergeTable.scratch(Seq("doc_id"))
+    Curate.curateCorpusIncremental(b1, tableI, index)
+
+    // batch 2: the odd docs, PLUS an exact clone of a committed survivor
+    // under a lower id (exact eviction) and a near-dup of another survivor
+    // under a lower id (LSH eviction through the index)
+    val survivors = tableR.read(spark, all.schema).orderBy(col("doc_id").desc)
+    val exactVictim = survivors.limit(1)
+    val nearVictim = survivors.orderBy(col("doc_id")).limit(1)
+    val exactClone = exactVictim.withColumn("doc_id", lit(-1L))
+    val nearClone = nearVictim.withColumn("doc_id", lit(-2L))
+      .withColumn("text", concat_ws(" ",
+        slice(split(col("text"), " "), lit(1),
+          org.apache.spark.sql.functions.size(split(col("text"), " ")) - 1)))
+    val b2 = all.filter(col("doc_id") % 2 === 1)
+      .unionByName(exactClone).unionByName(nearClone)
+
+    val censusR = censusRows(Curate.curateCorpusThrough(b2, tableR))
+    val censusI = censusRows(Curate.curateCorpusIncremental(b2, tableI, index))
+    assert(censusI == censusR && censusI.nonEmpty)
+    def ids(t: MergeTable) = t.read(spark, all.schema)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(tableI) == ids(tableR), "survivor sets must be identical")
+    // the evictions actually happened (the clones carry the lower ids)
+    assert(ids(tableI).contains(-1L) && ids(tableI).contains(-2L))
+    assert(!ids(tableI).contains(exactVictim.collect().head.getAs[Long]("doc_id")))
+    // the index tracks the table exactly
+    val idxIds = index.read(spark, Curate.indexSchema)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idxIds == ids(tableI))
+  }
+
+  test("incremental curation reads the INDEX, not the table's text (poisoned-index proof)") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, slice, split}
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val table = MergeTable.scratch(Seq("doc_id"))
+    val index = MergeTable.scratch(Seq("doc_id"))
+    Curate.curateCorpusIncremental(b1, table, index)
+    val survivors = table.read(spark, docs.schema)
+    val victim = survivors.orderBy(col("doc_id")).limit(1)
+    val victimId = victim.collect().head.getAs[Long]("doc_id")
+    // poison the victim's index entry (no bands, no shingles): if the
+    // engine really answers from the index, the near-dup below goes
+    // UNDETECTED; a text rescan of the table would still catch it
+    val poisoned = index.read(spark, Curate.indexSchema)
+      .withColumn("hbase", org.apache.spark.sql.functions.when(
+        col("doc_id") === victimId, lit(null)).otherwise(col("hbase")))
+      .withColumn("sig", org.apache.spark.sql.functions.when(
+        col("doc_id") === victimId, lit(null)).otherwise(col("sig")))
+    index.replace(poisoned)
+    val nearClone = victim.withColumn("doc_id", lit(-2L))
+      .withColumn("text", concat_ws(" ",
+        slice(split(col("text"), " "), lit(1),
+          org.apache.spark.sql.functions.size(split(col("text"), " ")) - 1)))
+    Curate.curateCorpusIncremental(nearClone, table, index)
+    val ids = table.read(spark, docs.schema)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(victimId) && ids.contains(-2L),
+      "with the index entry poisoned the pair must go undetected — " +
+        "proving pair generation reads the index, never the table's text")
+  }
+
   test("domain cap census: per-source keep counts honor the cap, totals reconcile") {
     import spark.implicits._
     val tiny = (0L until 30L).map(i =>
