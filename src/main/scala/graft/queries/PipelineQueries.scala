@@ -147,6 +147,78 @@ object PipelineQueries {
                        AS workflow_settings
               FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
               HAVING COUNT(*) > 0"""),
-      doc = "S6: jsonb_build_object + only-if-nonempty guard")
+      doc = "S6: jsonb_build_object + only-if-nonempty guard"),
+
+    // ---- S3: the watermark read-with-default round trip — the reference's
+    // central incremental mechanism (load_deliveries.py:28-38): cold read
+    // falls to the default, the increment is bounded by that cursor, the
+    // advance persists its max ts, the warm re-read returns it, and a
+    // different workflow's cursor stays cold (per-key isolation,
+    // srv_wf_settings is keyed by workflow). All four probes ride one real
+    // State table (MergeTable-backed, fresh per invocation).
+    GQuery("s3_watermark_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val statePath = graft.stages.TempDirs.scratch("graft_state_s3_")
+        val dflt = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        val cold = graft.stages.State.readWatermark(s, statePath, "deliveries", dflt)
+        // increment bounded by the cursor just read — the S2 scan shape
+        val maxTs = Tables.events(s, dir).filter(col("ts") > lit(cold))
+          .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+        graft.stages.State.advanceWatermark(s, statePath, "deliveries", Option(maxTs))
+        val warm = graft.stages.State.readWatermark(s, statePath, "deliveries", dflt)
+        val other = graft.stages.State.readWatermark(s, statePath, "other_wf", dflt)
+        Seq(("cold", cold), ("warm", warm), ("other_cold", other))
+          .toDF("probe", "wm")
+          .select(col("probe"),
+            date_format(col("wm"), "yyyy-MM-dd HH:mm:ss").as("watermark_ts"))
+          .orderBy(col("probe"))
+      },
+      Some("""SELECT probe, watermark_ts FROM (
+                SELECT 'cold' AS probe,
+                       strftime(TIMESTAMP '2024-01-01 00:00:00', '%Y-%m-%d %H:%M:%S') AS watermark_ts
+                UNION ALL
+                SELECT 'warm',
+                       strftime(COALESCE((SELECT max(ts) FROM events
+                                          WHERE ts > TIMESTAMP '2024-01-01 00:00:00'),
+                                         TIMESTAMP '2024-01-01 00:00:00'),
+                                '%Y-%m-%d %H:%M:%S')
+                UNION ALL
+                SELECT 'other_cold',
+                       strftime(TIMESTAMP '2024-01-01 00:00:00', '%Y-%m-%d %H:%M:%S'))
+              ORDER BY probe"""),
+      doc = "S3: watermark cold-default read → bounded increment → advance → warm re-read; per-workflow isolation"),
+
+    // ---- O9: COALESCE((SELECT last_loaded_ts FROM srv_wf_settings WHERE
+    // workflow_key = ?), default) — the two branches of the reference's
+    // watermark expression (deliveries_stg_to_dds.sql:13-16): a present key
+    // returns its stored cursor, an absent key falls to the default.
+    GQuery("o9_watermark_coalesce_default",
+      (s, dir) => {
+        import s.implicits._
+        val statePath = graft.stages.TempDirs.scratch("graft_state_o9_")
+        val dflt = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+        val seeded = Tables.events(s, dir).agg(max(col("ts"))).collect()(0).getTimestamp(0)
+        graft.stages.State.advanceWatermark(s, statePath, "wf_present", Option(seeded))
+        val present = graft.stages.State.readWatermark(s, statePath, "wf_present", dflt)
+        val absent = graft.stages.State.readWatermark(s, statePath, "wf_absent", dflt)
+        Seq(("wf_present", present), ("wf_absent", absent))
+          .toDF("workflow_key", "wm")
+          .select(col("workflow_key"),
+            date_format(col("wm"), "yyyy-MM-dd HH:mm:ss").as("last_loaded_ts"))
+          .orderBy(col("workflow_key"))
+      },
+      Some("""SELECT workflow_key, last_loaded_ts FROM (
+                SELECT 'wf_present' AS workflow_key,
+                       strftime(COALESCE((SELECT max(ts) FROM events),
+                                         TIMESTAMP '2024-01-10 00:00:00'),
+                                '%Y-%m-%d %H:%M:%S') AS last_loaded_ts
+                UNION ALL
+                SELECT 'wf_absent',
+                       strftime(COALESCE((SELECT max(ts) FROM events WHERE 1=0),
+                                         TIMESTAMP '2024-01-10 00:00:00'),
+                                '%Y-%m-%d %H:%M:%S'))
+              ORDER BY workflow_key"""),
+      doc = "O9: COALESCE watermark default — stored-cursor branch vs default branch")
   )
 }
