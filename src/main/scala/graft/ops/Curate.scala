@@ -231,8 +231,29 @@ object Curate {
     val baseI = index.currentVersion
     val tableRows = baseT.map(v => table.readVersion(spark, v))
       .getOrElse(table.read(spark, batch.schema))
-    val indexRows = baseI.map(v => index.readVersion(spark, v))
+    val indexAsRead = baseI.map(v => index.readVersion(spark, v))
       .getOrElse(index.read(spark, indexSchema))
+
+    // --- coherence gate (driver ADVICE): an index that does not track the
+    // table would silently EVICT every committed survivor below (tKeptIdx
+    // empty ⇒ tFinalIdx empty ⇒ survivors lose all of tPrevRows). Covers a
+    // table bootstrapped via [[curateCorpusThrough]] (no index yet), a
+    // crashed run that committed the table but not the index, and any
+    // external desync. Detection is id-set equality — two column-pruned
+    // doc_id scans + one semi-join count, never the text; repair is the ONE
+    // case an incremental run pays a table text scan ([[curationIndexOf]]
+    // over the committed snapshot), after which runs are batch-vs-index
+    // again. Same-id-set feature corruption is out of detection reach by
+    // design — pair generation must answer from the index alone
+    // (`CurateSpec` poisoned-index proof).
+    val indexRows = {
+      val tIds = tableRows.select(col("doc_id"))
+      val iIds = indexAsRead.select(col("doc_id"))
+      val nT = tIds.count(); val nI = iIds.count()
+      val coherent = nT == nI &&
+        (nT == 0L || tIds.join(iIds, Seq("doc_id"), "left_semi").count() == nT)
+      if (coherent) indexAsRead else curationIndexOf(tableRows)
+    }
 
     // batch REPLACES same-id table rows (the curateCorpusThrough contract)
     val batchIds = batch.select(col("doc_id"))
@@ -292,10 +313,21 @@ object Curate {
     val survivors = tPrevRows.join(tFinalIdx.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .unionByName(batch.join(bFinalIdx.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     table.replace(survivors, expectedBase = Some(baseT))
-    index.replace(
+    val newIdx =
       tFinalIdx.select(col("doc_id"), col("text_md5"), col("hbase"), col("sig"))
-        .unionByName(bFinalIdx.select(col("doc_id"), col("text_md5"), col("hbase"), col("sig"))),
-      expectedBase = Some(baseI))
+        .unionByName(bFinalIdx.select(col("doc_id"), col("text_md5"), col("hbase"), col("sig")))
+    // The two CAS commits are not one transaction. Concurrent curations
+    // cannot interleave here (they commit table-first, so a racer fails its
+    // OWN table CAS before touching the index), but an index moved by
+    // anything else must not leave the index permanently behind the table:
+    // our table commit won its CAS, so `newIdx` — a deterministic function
+    // of the snapshot just committed — is the correct content regardless of
+    // what moved the index; re-commit it last-writer-wins. If even that
+    // fails, the next run's coherence gate rebuilds from the table.
+    try index.replace(newIdx, expectedBase = Some(baseI))
+    catch { case _: java.util.ConcurrentModificationException =>
+      index.replace(newIdx)
+    }
     censusOf(table.read(spark, batch.schema))
   }
 }

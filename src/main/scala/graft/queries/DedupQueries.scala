@@ -189,6 +189,26 @@ object DedupQueries {
       Some(curateSql),
       doc = "end-to-end corpus curation census per language (every stage oracle-mirrored)"),
 
+    // The 100 TB shape of curate_corpus, driven end-to-end: the corpus
+    // arrives as two incremental batches; each run scans only its batch's
+    // text and answers the table side from the persisted band-key INDEX
+    // (batch-vs-index, Curate.curateCorpusIncremental), and the converged
+    // survivor census must equal the single-shot recompute — which is
+    // exactly the curate_corpus oracle, shared verbatim.
+    GQuery("curate_corpus_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val table = graft.stages.MergeTable.scratch(Seq("doc_id"))
+        val index = graft.stages.MergeTable.scratch(Seq("doc_id"))
+        graft.ops.Curate.curateCorpusIncremental(
+          docs.filter(col("doc_id") % 2 === 0), table, index)
+        graft.ops.Curate.curateCorpusIncremental(
+          docs.filter(col("doc_id") % 2 === 1), table, index)
+          .orderBy(col("labeled_lang"), col("predicted_lang"))
+      },
+      Some(curateSql),
+      doc = "batch-vs-index incremental curation converges to the recompute census (shared oracle)"),
+
     GQuery("curate_domain_cap",
       (s, dir) => graft.ops.Curate.domainCapCensus(Tables.documents(s, dir), cap = 50)
         .orderBy(col("source")),

@@ -132,6 +132,53 @@ class CurateSpec extends AnyFunSuite {
         "proving pair generation reads the index, never the table's text")
   }
 
+  test("incremental curation bootstraps the index from a table it does not track") {
+    import org.apache.spark.sql.functions.col
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    // table populated WITHOUT an index — the curateCorpusThrough shape;
+    // before the coherence gate this run silently deleted every survivor
+    // (empty index ⇒ empty tFinalIdx ⇒ survivors = ∅) — driver ADVICE
+    val table = MergeTable.scratch(Seq("doc_id"))
+    Curate.curateCorpusThrough(b1, table)
+    assert(table.read(spark, docs.schema).count() > 0)
+    val index = MergeTable.scratch(Seq("doc_id"))
+    // recompute reference over the same batch sequence
+    val tableR = MergeTable.scratch(Seq("doc_id"))
+    Curate.curateCorpusThrough(b1, tableR)
+    val censusR = censusRows(Curate.curateCorpusThrough(b2, tableR))
+    val censusI = censusRows(Curate.curateCorpusIncremental(b2, table, index))
+    assert(censusI == censusR && censusI.nonEmpty)
+    def ids(t: MergeTable) = t.read(spark, docs.schema)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(table) == ids(tableR), "bootstrap must preserve committed survivors")
+    // and the rebuilt index now tracks the table exactly
+    val idxIds = index.read(spark, Curate.indexSchema)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idxIds == ids(table))
+  }
+
+  test("a desynced index (missing entries) is rebuilt instead of evicting survivors") {
+    import org.apache.spark.sql.functions.col
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    val table = MergeTable.scratch(Seq("doc_id"))
+    val index = MergeTable.scratch(Seq("doc_id"))
+    Curate.curateCorpusIncremental(b1, table, index)
+    // crashed-writer shape: the table committed but the index kept only a
+    // quarter of its entries
+    index.replace(index.read(spark, Curate.indexSchema)
+      .filter(col("doc_id") % 4 === 0))
+    val tableR = MergeTable.scratch(Seq("doc_id"))
+    Curate.curateCorpusThrough(b1, tableR)
+    val censusR = censusRows(Curate.curateCorpusThrough(b2, tableR))
+    val censusI = censusRows(Curate.curateCorpusIncremental(b2, table, index))
+    assert(censusI == censusR && censusI.nonEmpty)
+    def ids(t: MergeTable) = t.read(spark, docs.schema)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(table) == ids(tableR))
+  }
+
   test("domain cap census: per-source keep counts honor the cap, totals reconcile") {
     import spark.implicits._
     val tiny = (0L until 30L).map(i =>
