@@ -155,21 +155,42 @@ object StatsManifest {
   /** Build the manifest entries for a staged commit: `carried` entries are
     * reused verbatim under their (possibly collision-renamed) staged name;
     * every other data file — the commit's genuinely new bytes — gets one
-    * footer read, parallelized driver-side (metadata-only I/O; the commit
-    * already materialized the data).
+    * footer read.
+    *
+    * The footer reads run EXECUTOR-side when the commit is large enough
+    * (one Spark task per footer, the driver receives finished entries) —
+    * the posture a real format has at 100 TB, where a commit can stage
+    * thousands of files and the driver must not serialize O(increment)
+    * metadata I/O through itself; Delta/Iceberg go one step further and
+    * collect stats inside the write tasks themselves. Commits below
+    * `distributeAt` stay on the driver's `.par` pool: scheduling a job
+    * costs more than a handful of local footer reads, and the driver path
+    * doubles as the no-active-session fallback. Both paths produce
+    * identical entries (spec-pinned in `FileStatsSpec`).
     *
     * @param stagedNames data-file names in the staging directory
     * @param carried     staged name -> manifest entry reused from the base
     */
   def buildForCommit(stagedDir: Path, stagedNames: Seq[String],
                      carried: Map[String, FileStat],
-                     conf: Configuration): Seq[FileStat] = {
-    import scala.collection.parallel.CollectionConverters._
-    stagedNames.par.map { name =>
-      carried.get(name) match {
-        case Some(st) => st.copy(fileName = name)
-        case None     => FileStats.read(stagedDir.resolve(name), conf)
-      }
-    }.seq
+                     conf: Configuration,
+                     spark: Option[org.apache.spark.sql.SparkSession] = None,
+                     distributeAt: Int = 64): Seq[FileStat] = {
+    val carriedStats = stagedNames.flatMap(n => carried.get(n).map(_.copy(fileName = n)))
+    val newNames = stagedNames.filterNot(carried.contains)
+    val fresh = spark match {
+      case Some(s) if newNames.size >= distributeAt =>
+        val dir = stagedDir.toString
+        val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+        s.sparkContext
+          .parallelize(newNames, math.max(1,
+            math.min(newNames.size, s.sparkContext.defaultParallelism)))
+          .map(n => FileStats.read(java.nio.file.Paths.get(dir, n), serConf.value))
+          .collect().toSeq
+      case _ =>
+        import scala.collection.parallel.CollectionConverters._
+        newNames.par.map(n => FileStats.read(stagedDir.resolve(n), conf)).seq
+    }
+    carriedStats ++ fresh
   }
 }

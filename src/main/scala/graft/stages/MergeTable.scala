@@ -490,11 +490,13 @@ final class MergeTable(val root: String, keys: Seq[String],
     try {
       val names = Seq.newBuilder[String]
       eachDataFile(staged)(f => names += f.getFileName.toString)
-      val conf = SparkSession.getActiveSession
+      val session = SparkSession.getActiveSession
+      val conf = session
         .map(_.sessionState.newHadoopConf())
         .getOrElse(new org.apache.hadoop.conf.Configuration())
       graft.lake.StatsManifest.write(staged,
-        graft.lake.StatsManifest.buildForCommit(staged, names.result(), carried, conf))
+        graft.lake.StatsManifest.buildForCommit(staged, names.result(), carried, conf,
+          spark = session))
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Data files of a version/staging directory: skips `_SUCCESS`,

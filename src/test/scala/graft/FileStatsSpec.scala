@@ -214,4 +214,35 @@ class FileStatsSpec extends AnyFunSuite {
     for ((name, st) <- m0.get) assert(m1(name) == st,
       s"carried file $name must reuse its base manifest entry")
   }
+
+  test("executor-side commit stats equal the driver-side footer pass entry-for-entry") {
+    import graft.lake.StatsManifest
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_stats_dist_")
+    dir.toFile.deleteOnExit()
+    spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 7).as("m"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("s"), col("id")).as("s"))
+      .repartition(8).write.mode("overwrite").parquet(dir.toString)
+    val ls = Files.list(dir)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSeq.sorted
+    } finally ls.close()
+    assert(names.size == 8)
+    val conf = spark.sessionState.newHadoopConf()
+    val driver = StatsManifest.buildForCommit(dir, names, Map.empty, conf)
+    val dist = StatsManifest.buildForCommit(dir, names, Map.empty, conf,
+      spark = Some(spark), distributeAt = 1)
+    assert(dist.sortBy(_.fileName) == driver.sortBy(_.fileName),
+      "the Spark-job footer pass must produce identical manifest entries")
+    // carried entries are reused verbatim in the distributed path too —
+    // only genuinely new files reach the footer reader
+    val carried = driver.map(s => s.fileName -> s.copy(rowCount = 12345L)).toMap
+    val reused = StatsManifest.buildForCommit(dir, names, carried, conf,
+      spark = Some(spark), distributeAt = 1)
+    assert(reused.forall(_.rowCount == 12345L))
+  }
 }
