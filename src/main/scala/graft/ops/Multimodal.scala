@@ -47,6 +47,37 @@ object Multimodal {
     }
   }
 
+  /** A REAL image codec behind the same boundary — javax.imageio (JDK
+    * built-in readers: PNG, BMP, GIF, JPEG). Proves the `mapPartitions`
+    * plumbing carries an actual decoder unchanged: same input contract
+    * (opaque payload bytes), same [[MediaFeatures]] schema out.
+    * `brightness_sum` is the integer-luma sum over all pixels
+    * (Rec.601 weights in integer arithmetic — bit-reproducible across
+    * JVMs, no float accumulation), `n_frames` = 1 for stills. The stub
+    * remains the registry/oracle path because the synthetic corpus
+    * carries text bytes, not encoded images; `MultimodalSpec` drives this
+    * decoder over real generated PNGs.
+    */
+  object ImageIoDecoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      require(img != null, s"payload of doc ${row.doc_id} is not a decodable image")
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(row.doc_id, row.mime, row.payload.length,
+        math.min(sum, Int.MaxValue).toInt, 1)
+    }
+  }
+
   /** documents → media table: text bytes as the opaque payload, source as a
     * mime-ish tag. Real pipelines read binary parquet directly.
     */
@@ -58,14 +89,19 @@ object Multimodal {
         MediaRow(id, mime, text.getBytes(StandardCharsets.UTF_8)) }
   }
 
-  /** Batch decode: one iterator pass per partition, decoder state (here
-    * trivially stateless) instantiated once per partition, not per row.
+  /** Batch decode: one iterator pass per partition, decoder state
+    * instantiated once per partition, not per row. The codec is a plain
+    * function so the SAME plumbing carries the deterministic stub (the
+    * registry/oracle path) or a real codec ([[ImageIoDecoder]]) — swapping
+    * decoders changes zero plan shape.
     */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: Dataset[MediaRow],
+                     codec: MediaRow => MediaFeatures = StubDecoder.decode)
+      : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init of the (stub) codec happens here
-      rows.map(StubDecoder.decode)
+      // per-partition init of the codec happens here
+      rows.map(codec)
     }
   }
 

@@ -36,4 +36,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames((1L, 2))._1 == 88)
     assert(frames((1L, 0))._2 == 'x'.toInt * 4)
   }
+
+  test("real PNG decode through the same mapPartitions boundary (javax.imageio)") {
+    import spark.implicits._
+    import Multimodal.{ImageIoDecoder, MediaRow}
+    // deterministic 3x2 PNG: known RGB per pixel → known integer-luma sum
+    def png(pixels: Seq[Seq[Int]]): Array[Byte] = {
+      val h = pixels.size; val w = pixels.head.size
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def luma(rgb: Int): Long =
+      ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+    val pxA = Seq(Seq(0xffffff, 0x000000, 0x804020), Seq(0x123456, 0xabcdef, 0x00ff00))
+    val pxB = Seq(Seq(0x101010), Seq(0xfefefe))
+    val bytesA = png(pxA); val bytesB = png(pxB)
+    val media = Seq(MediaRow(1L, "image/png", bytesA), MediaRow(2L, "image/png", bytesB))
+      .toDS().repartition(2)
+    val feats = Multimodal.decodeFeatures(media, ImageIoDecoder.decode)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).brightness_sum == pxA.flatten.map(luma).sum)
+    assert(feats(2L).brightness_sum == pxB.flatten.map(luma).sum)
+    assert(feats(1L).byte_len == bytesA.length && feats(1L).n_frames == 1)
+    assert(feats(2L).mime == "image/png")
+    // a non-image payload fails loudly at the codec, not silently
+    val bad = Seq(MediaRow(3L, "image/png", Array[Byte](1, 2, 3))).toDS()
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(bad, ImageIoDecoder.decode).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
