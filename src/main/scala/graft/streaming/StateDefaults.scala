@@ -37,12 +37,18 @@ object StateDefaults {
     * uploads only the batch's delta and snapshots asynchronously in the
     * background — strictly the production posture.
     */
-  def ensureRocksDB(spark: SparkSession): Unit =
-    if (!spark.sessionState.conf.contains(ProviderKey)) {
+  def ensureRocksDB(spark: SparkSession): Unit = {
+    if (!spark.sessionState.conf.contains(ProviderKey))
       spark.conf.set(ProviderKey, RocksDB)
-      if (!spark.sessionState.conf.contains(ChangelogKey))
-        spark.conf.set(ChangelogKey, "true")
-    }
+    // the changelog default applies whenever the EFFECTIVE provider is
+    // RocksDB — including one the session pinned explicitly (driver
+    // ADVICE: the old placement inside the unpinned branch left a
+    // provider-pinned session paying full-snapshot uploads, inconsistent
+    // with withRocksDB) — but never overrides an explicit changelog choice
+    if (spark.conf.get(ProviderKey, "") == RocksDB &&
+        !spark.sessionState.conf.contains(ChangelogKey))
+      spark.conf.set(ChangelogKey, "true")
+  }
 
   /** Run `body` with RocksDB PINNED, restoring any user-pinned provider
     * after. For operators that structurally require RocksDB —

@@ -34,7 +34,9 @@ object StreamJoin {
     * watermark assigner (the only place it advances the watermark).
     */
   private def side(spark: SparkSession, sfDir: String, tpe: String, prefix: String,
-                   sentinelDir: Option[String]): DataFrame = {
+                   sentinelDir: Option[String],
+                   glob: String = "events.parquet",
+                   readOptions: Map[String, String] = Map.empty): DataFrame = {
     def shape(df: DataFrame): DataFrame = df
       .filter(col("event_type") === tpe)
       .select(
@@ -43,7 +45,7 @@ object StreamJoin {
         col("event_id").as(s"${prefix}_event"),
         col("value").as(s"${prefix}_value"))
     val real = shape(spark.readStream.schema(IncrementalLedger.rawEventSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      .option("pathGlobFilter", glob).options(readOptions).parquet(sfDir))
     sentinelDir.fold(real)(dir => real.unionByName(
         shape(spark.readStream.schema(IncrementalLedger.rawEventSchema).parquet(dir))))
       .withWatermark(s"${prefix}_ts", "1 hour")
@@ -53,9 +55,11 @@ object StreamJoin {
     * the one output contract both query forms share.
     */
   private def joinPlan(spark: SparkSession, sfDir: String, windowMinutes: Int,
-                       joinType: String, sentinelDir: Option[String]): DataFrame =
-    side(spark, sfDir, "view", "v", sentinelDir)
-      .join(side(spark, sfDir, "purchase", "b", sentinelDir),
+                       joinType: String, sentinelDir: Option[String],
+                       glob: String = "events.parquet",
+                       readOptions: Map[String, String] = Map.empty): DataFrame =
+    side(spark, sfDir, "view", "v", sentinelDir, glob, readOptions)
+      .join(side(spark, sfDir, "purchase", "b", sentinelDir, glob, readOptions),
         col("v_user") === col("b_user") &&
           col("b_ts") >= col("v_ts") &&
           col("b_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
@@ -73,22 +77,33 @@ object StreamJoin {
     * partition, so the drain narrows `spark.sql.shuffle.partitions` (see
     * the note in IncrementalLedger.monthlyUserTotals) and restores it.
     */
-  private def drainAppend(joined: DataFrame, scratchPrefix: String): DataFrame = {
+  private def drainAppend(joined: DataFrame, scratchPrefix: String,
+                          partitions: Int = 4): DataFrame =
+    drainAppendCounted(joined, scratchPrefix, partitions)._1
+
+  /** The drain, also reporting how many micro-batches committed — the
+    * scale probe asserts the multi-batch path actually exercised
+    * cross-batch state.
+    */
+  private def drainAppendCounted(joined: DataFrame, scratchPrefix: String,
+                                 partitions: Int): (DataFrame, Long) = {
     val spark = joined.sparkSession
     val outDir = graft.stages.TempDirs.scratch(scratchPrefix)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     try {
       val q = joined.writeStream
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batches.incrementAndGet()
           batch.write.mode("append").parquet(outDir)
         }
         .trigger(Trigger.AvailableNow())
         .start()
       try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    readDrainOutput(spark, outDir, joined.schema)
+    (readDrainOutput(spark, outDir, joined.schema), batches.get())
   }
 
   /** Bench adjudication (r5→r6): the r5 bench uptick on this query is NOT
@@ -165,6 +180,35 @@ object StreamJoin {
       joinPlan(spark, sfDir, windowMinutes, "left_outer", Some(sentinelDir)),
       "graft_sjoin_outer_")
       .filter(col("user_id") >= 0)
+  }
+
+  /** Scale probe — the SAME inner join plan drained WIDE and SPLIT:
+    * shuffle partitions at full executor width instead of the narrowed
+    * bench drain, and the input consumed one file per micro-batch
+    * (`maxFilesPerTrigger=1`), so join state builds and evicts across
+    * MANY changelog-checkpointed RocksDB commits instead of one
+    * AvailableNow macro-batch. `srcDir` must hold time-sliced event files
+    * (each file one contiguous ts range, slices in file-name order) —
+    * the multi-day arrival pattern a production stream sees, under which
+    * no row is ever late by more than the 1 h watermark delay.
+    *
+    * State-size bound (documented contract, independent of batch count):
+    * each side's store holds only rows within `window + delay` of its
+    * watermark — 4 stores × `partitions` × O(events in window+delay) —
+    * because the time-range bound lets eviction run at every commit;
+    * splitting the input changes how OFTEN state turns over, never how
+    * much exists. The spec pins the output equal to the single-drain /
+    * batch-join answer with the batch count > 1.
+    */
+  private[graft] def viewPurchasePairsSplit(spark: SparkSession, srcDir: String,
+                                            windowMinutes: Int = 30,
+                                            partitions: Int = 32): (DataFrame, Long) =
+      StateDefaults.withNanosRead(spark) {
+    StateDefaults.ensureRocksDB(spark)
+    drainAppendCounted(
+      joinPlan(spark, srcDir, windowMinutes, "inner", None,
+        glob = "events-*.parquet", readOptions = Map("maxFilesPerTrigger" -> "1")),
+      "graft_sjoin_split_", partitions)
   }
 
   /** Read a foreachBatch parquet-append drain directory. An all-late /

@@ -91,4 +91,40 @@ class ScaleSpec extends AnyFunSuite {
     val total = spark.read.parquet(dir).count()
     assert(pruned.count() > 0 && pruned.count() < total)
   }
+
+  test("interval join under batch splits: wide 32-partition drain, one file per micro-batch") {
+    import graft.streaming.{IncrementalLedger, StateDefaults, StreamJoin}
+    import org.apache.spark.sql.expressions.Window
+    // time-slice sf0.01 events into 5 contiguous-ts files, written in
+    // slice order (file-name AND mod-time order match event time) — the
+    // multi-day arrival pattern a production stream sees
+    val src = graft.stages.TempDirs.scratch("graft_split_events_")
+    StateDefaults.withNanosRead(spark) {
+      val raw = spark.read.schema(IncrementalLedger.rawEventSchema)
+        .option("pathGlobFilter", "events.parquet").parquet("/root/testdata/sf0.01")
+        .withColumn("_slice", ntile(5).over(Window.orderBy(col("ts"))))
+      for (i <- 1 to 5) {
+        val tmp = graft.stages.TempDirs.scratch(s"graft_split_tmp_${i}_")
+        raw.filter(col("_slice") === i).drop("_slice")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        val f = try part.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get() finally part.close()
+        java.nio.file.Files.move(f,
+          java.nio.file.Paths.get(src, s"events-$i.parquet"))
+      }
+    }
+    // the wide split drain: 32 shuffle partitions (4 stores × 32 stores
+    // total), 5 changelog-checkpointed RocksDB commits; state per side is
+    // bounded by window+delay of its watermark regardless of batch count
+    val (split, batches) = StreamJoin.viewPurchasePairsSplit(spark, src)
+    assert(batches >= 5, s"expected one micro-batch per slice file, got $batches")
+    // must equal the single AvailableNow macro-batch drain bit-for-bit
+    val single = StreamJoin.viewPurchasePairs(spark, "/root/testdata/sf0.01")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "view_event", "buy_event").collect().map(_.toSeq).toSeq
+    val splitRows = rows(split)
+    assert(splitRows == rows(single) && splitRows.nonEmpty,
+      "cross-batch join state must compose to the macro-batch answer")
+  }
 }
