@@ -6,6 +6,9 @@ import java.nio.file.{Files, Path, Paths}
 import scala.util.Try
 import scala.util.control.NonFatal
 
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.functions._
@@ -75,10 +78,14 @@ object GraftBloomIndex {
         .collect()   // one (file, bitset) row per data file — bounded
       val entries = perFile.map { case (path, bits) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        s""""$name":"${bits.map(java.lang.Long.toHexString).mkString(",")}""""
+        name -> (JString(bits.map(java.lang.Long.toHexString).mkString(",")): JValue)
       }
-      val json = s"""{"mBits":$mBits,"kHashes":$kHashes,"files":{${entries.mkString(",")}}}"""
-      Files.write(indexPath(mt.root, col0), json.getBytes(StandardCharsets.UTF_8))
+      // structural JSON (shared json4s discipline with StatsManifest): a
+      // file name is data, not syntax — quotes/backslashes get escaped
+      val json = JObject("mBits" -> JInt(mBits), "kHashes" -> JInt(kHashes),
+        "files" -> JObject(entries.toList))
+      Files.write(indexPath(mt.root, col0),
+        JsonMethods.compact(JsonMethods.render(json)).getBytes(StandardCharsets.UTF_8))
     }
   }
 
@@ -90,19 +97,31 @@ object GraftBloomIndex {
     if (!Files.exists(p)) return None
     try {
       val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val m = """"mBits":(\d+)""".r.findFirstMatchIn(text).get.group(1).toInt
-      val k = """"kHashes":(\d+)""".r.findFirstMatchIn(text).get.group(1).toInt
-      val files = """"([^"]+)":"([0-9a-f,]*)"""".r.findAllMatchIn(text).flatMap { mm =>
-        val name = mm.group(1)
-        if (name == "mBits" || name == "kHashes") None
-        else Some(name -> mm.group(2).split(',').filter(_.nonEmpty)
-          .map(java.lang.Long.parseUnsignedLong(_, 16)))
-      // an entry whose bitset length disagrees with the header's mBits
-      // (truncated/hand-edited sidecar) is DROPPED, not trusted: a probe
-      // into it would either crash or answer from garbage — absent
-      // entries answer the conservative "might match" instead
-      }.filter(_._2.length == m / 64).toMap
-      Some(ColIndex(m, k, files))
+      def int(j: JValue): Option[Int] = j match {
+        case JInt(n)  => Some(n.toInt)
+        case JLong(n) => Some(n.toInt)
+        case _        => None
+      }
+      JsonMethods.parse(text) match {
+        case JObject(fields) =>
+          val fm = fields.toMap
+          for {
+            m <- fm.get("mBits").flatMap(int)
+            k <- fm.get("kHashes").flatMap(int)
+            files <- fm.get("files").collect { case JObject(fs) =>
+              fs.collect { case (name, JString(hex)) =>
+                name -> hex.split(',').filter(_.nonEmpty)
+                  .map(java.lang.Long.parseUnsignedLong(_, 16))
+              // an entry whose bitset length disagrees with the header's
+              // mBits (truncated/hand-edited sidecar) is DROPPED, not
+              // trusted: a probe into it would either crash or answer from
+              // garbage — absent entries answer the conservative "might
+              // match" instead
+              }.filter(_._2.length == m / 64).toMap
+            }
+          } yield ColIndex(m, k, files)
+        case _ => None
+      }
     } catch { case NonFatal(_) => None }
   }
 

@@ -117,7 +117,21 @@ object PipelineMain {
       .write.mode("overwrite").parquet(parsedDir)
     val incrementMaxTs = Option(obs.get("max_ts"))
       .map(_.asInstanceOf[java.sql.Timestamp])
-    val incrementRows = obs.get("n_rows").asInstanceOf[Long]
+    // the guard's row count comes from the COMMITTED files' footers, not
+    // the observe metric: observed counts can skew under speculative /
+    // retried tasks (driver ADVICE), while footer counts describe exactly
+    // what the write landed. max_ts stays on observe — max is
+    // retry-insensitive, and re-deriving it would be a data scan.
+    val incrementRows = {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(parsedDir))
+      val parts = try ls.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".") && java.nio.file.Files.isRegularFile(p)
+      }.toSeq finally ls.close()
+      val conf = spark.sessionState.newHadoopConf()
+      parts.map(p => graft.lake.FileStats.read(p, conf).rowCount).sum
+    }
     val parsed = spark.read.parquet(parsedDir)
     val dmOrders = read(spark, warehouse, "dds/dm_orders", dmOrderSchema, "order_key")
     // misconfiguration guard: an unseeded order dim would inner-join every

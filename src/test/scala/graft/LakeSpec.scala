@@ -278,6 +278,26 @@ class LakeSpec extends AnyFunSuite {
     assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 100L)
   }
 
+  test("bloom sidecar is structural JSON: quote-in-filename round-trips, garbage degrades") {
+    import graft.lake.GraftBloomIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_json_")
+    root.toFile.deleteOnExit()
+    val dir = root.resolve("_BLOOM")
+    java.nio.file.Files.createDirectories(dir)
+    // m=128 bits → 2 longs per entry; the first name carries a literal
+    // quote, which the old regex parser mis-split on
+    val json = """{"mBits":128,"kHashes":2,"files":{"we\"ird-part.parquet":"ff,1","short.parquet":"ff"}}"""
+    java.nio.file.Files.write(dir.resolve("k.json"), json.getBytes)
+    val ci = GraftBloomIndex.load(root.toString, "k")
+    assert(ci.isDefined && ci.get.mBits == 128 && ci.get.kHashes == 2)
+    // quote-named entry parses; the length-mismatched entry is dropped
+    assert(ci.get.files.keySet == Set("we\"ird-part.parquet"))
+    assert(ci.get.files("we\"ird-part.parquet").toSeq == Seq(0xffL, 1L))
+    // unparsable sidecar still degrades to "no index", never an error
+    java.nio.file.Files.write(dir.resolve("b.json"), "{broken".getBytes)
+    assert(GraftBloomIndex.load(root.toString, "b").isEmpty)
+  }
+
   test("MERGE narrows the file groups at runtime via declared filter columns") {
     val t = freshTable(); val tn = n
     sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
