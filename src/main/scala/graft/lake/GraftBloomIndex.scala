@@ -109,9 +109,14 @@ object GraftBloomIndex {
             m <- fm.get("mBits").flatMap(int)
             k <- fm.get("kHashes").flatMap(int)
             files <- fm.get("files").collect { case JObject(fs) =>
-              fs.collect { case (name, JString(hex)) =>
-                name -> hex.split(',').filter(_.nonEmpty)
-                  .map(java.lang.Long.parseUnsignedLong(_, 16))
+              fs.flatMap { case (name, JString(hex)) =>
+                // per-entry Try: one malformed hex word loses ONE file's
+                // pruning (conservative "might match"), not the whole
+                // sidecar — the outer catch stays for structural damage
+                Try(hex.split(',').filter(_.nonEmpty)
+                  .map(java.lang.Long.parseUnsignedLong(_, 16))).toOption
+                  .map(name -> _)
+              case _ => None
               // an entry whose bitset length disagrees with the header's
               // mBits (truncated/hand-edited sidecar) is DROPPED, not
               // trusted: a probe into it would either crash or answer from

@@ -319,14 +319,26 @@ object Curate {
     // The two CAS commits are not one transaction. Concurrent curations
     // cannot interleave here (they commit table-first, so a racer fails its
     // OWN table CAS before touching the index), but an index moved by
-    // anything else must not leave the index permanently behind the table:
-    // our table commit won its CAS, so `newIdx` — a deterministic function
-    // of the snapshot just committed — is the correct content regardless of
-    // what moved the index; re-commit it last-writer-wins. If even that
-    // fails, the next run's coherence gate rebuilds from the table.
-    try index.replace(newIdx, expectedBase = Some(baseI))
-    catch { case _: java.util.ConcurrentModificationException =>
-      index.replace(newIdx)
+    // anything else must not leave the index permanently behind the table.
+    // `newIdx` is a deterministic function of the table snapshot this run
+    // committed — so it is the correct index content ONLY while that
+    // snapshot is still the table's current version. The retry therefore
+    // re-checks the table: if a newer run has already moved the table on,
+    // its index commit (not ours) is the fresh one, and a blind
+    // last-writer-wins here could land STALE features that the coherence
+    // gate cannot detect when the id set is unchanged (driver ADVICE). If
+    // retries exhaust, the next run's gate rebuilds from the table.
+    val committedT = table.currentVersion
+    def tryIndexCommit(base: Option[String]): Boolean =
+      try { index.replace(newIdx, expectedBase = Some(base)); true }
+      catch { case _: java.util.ConcurrentModificationException => false }
+    if (!tryIndexCommit(baseI)) {
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 3 && table.currentVersion == committedT) {
+        attempts += 1
+        done = tryIndexCommit(index.currentVersion)
+      }
     }
     censusOf(table.read(spark, batch.schema))
   }

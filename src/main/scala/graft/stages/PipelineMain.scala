@@ -122,6 +122,11 @@ object PipelineMain {
     // retried tasks (driver ADVICE), while footer counts describe exactly
     // what the write landed. max_ts stays on observe — max is
     // retry-insensitive, and re-deriving it would be a data scan.
+    // An unreadable footer reports rowCount = -1; summing that would
+    // UNDERCOUNT and could zero out the guard below, re-enabling the very
+    // data loss it prevents — so any unreadable footer makes the footer
+    // count unknown and the observe metric (an overcount at worst, which
+    // only makes the guard stricter) takes over.
     val incrementRows = {
       import scala.jdk.CollectionConverters._
       val ls = java.nio.file.Files.list(java.nio.file.Paths.get(parsedDir))
@@ -130,7 +135,9 @@ object PipelineMain {
         !n.startsWith("_") && !n.startsWith(".") && java.nio.file.Files.isRegularFile(p)
       }.toSeq finally ls.close()
       val conf = spark.sessionState.newHadoopConf()
-      parts.map(p => graft.lake.FileStats.read(p, conf).rowCount).sum
+      val counts = parts.map(p => graft.lake.FileStats.read(p, conf).rowCount)
+      if (counts.exists(_ < 0L)) obs.get("n_rows").asInstanceOf[Long]
+      else counts.sum
     }
     val parsed = spark.read.parquet(parsedDir)
     val dmOrders = read(spark, warehouse, "dds/dm_orders", dmOrderSchema, "order_key")

@@ -296,6 +296,13 @@ class LakeSpec extends AnyFunSuite {
     // unparsable sidecar still degrades to "no index", never an error
     java.nio.file.Files.write(dir.resolve("b.json"), "{broken".getBytes)
     assert(GraftBloomIndex.load(root.toString, "b").isEmpty)
+    // one malformed hex word loses only ITS entry, not the sidecar: the
+    // healthy file keeps pruning (driver ADVICE — the old all-or-nothing
+    // catch dropped every file's bloom for one bad entry)
+    val mixed = """{"mBits":128,"kHashes":2,"files":{"good.parquet":"ff,1","bad.parquet":"zz,1"}}"""
+    java.nio.file.Files.write(dir.resolve("m.json"), mixed.getBytes)
+    val cm = GraftBloomIndex.load(root.toString, "m")
+    assert(cm.isDefined && cm.get.files.keySet == Set("good.parquet"))
   }
 
   test("MERGE narrows the file groups at runtime via declared filter columns") {
