@@ -239,16 +239,19 @@ object Dedup {
     * constant. Deterministic (min is order-independent). Each round is
     * one join + one partial-aggregated groupBy; near-dup clusters are
     * shallow (dozens of docs, diameter ≲ 5), so rounds stay single-digit
-    * even at corpus scale. For adversarially long chains, swap in the
-    * large-star/small-star variant (same contract, O(log n) rounds);
-    * at very high round counts insert periodic checkpoints to truncate
-    * lineage.
+    * even at corpus scale; every round local-checkpoints its label table
+    * so plan size stays O(1) in the round count. For adversarially long
+    * chains [[connectedComponentsStar]] (same contract, O(log n) rounds)
+    * is the insurance path.
     *
     * @param pairs (doc_a, doc_b) undirected near-dup edges
     * @return (node, comp): every document appearing in a pair, labeled
     *         with its cluster's minimum doc id
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsCounted(pairs)._1
+
+  private[graft] def connectedComponentsCounted(pairs: DataFrame): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     // STORAGE-BOUNDARY the edges before iterating, at the session's full
     // shuffle width (the override below must scope the tiny label
@@ -270,11 +273,17 @@ object Dedup {
     // the streaming drains do (on a cluster, size to the pair count)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    var labels: DataFrame = null
-    var pendingPrev: DataFrame = null
     try {
-      labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("comp", col("node")).cache()
+      // every round LOCAL-CHECKPOINTS its label table: the round plan
+      // references `labels` twice, so a cache alone (which keeps the full
+      // logical lineage attached) grows the plan 2^rounds — at the ~40
+      // rounds a chain-shaped cluster forces, Catalyst re-analysis and
+      // AQE's eager plan-string rendering OOM'd the driver before any
+      // executor work. The checkpoint truncates each round to a leaf:
+      // O(1) plan size forever, at the price of edge-set-sized blocks the
+      // ContextCleaner frees as superseded rounds are collected.
+      var labels: DataFrame = edges.select(col("a").as("node")).distinct()
+        .withColumn("comp", col("node")).localCheckpoint()
       // convergence via the label-sum invariant: comps only ever DECREASE,
       // so the exact decimal sum strictly drops iff any label changed —
       // one aggregate per round instead of a join + count. Null sum ==
@@ -283,42 +292,142 @@ object Dedup {
         Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0))
       var prevSum = labelSum(labels)
       var converged = prevSum.isEmpty
+      var rounds = 0
       while (!converged) {
+        rounds += 1
         val next = edges
           .join(labels.select(col("node").as("b"), col("comp").as("n_comp")), Seq("b"))
           .select(col("a").as("node"), col("n_comp").as("comp"))
           .unionByName(labels)
           .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-          .cache()
-        // ownership handover order matters twice over: `labels = next`
-        // BEFORE the evaluating aggregate (a throw must release `next`,
-        // not a superseded frame), and `prev.unpersist()` AFTER it — the
-        // aggregate is what materializes next's cache, and next's lineage
-        // runs through prev, so releasing prev first would recompute every
-        // earlier round from `edges` (O(rounds²) joins instead of O(rounds))
-        pendingPrev = labels
+          .localCheckpoint()
         labels = next
         val nextSum = labelSum(next)
-        pendingPrev.unpersist()
-        pendingPrev = null
         converged = nextSum == prevSum
         prevSum = nextSum
       }
-      // hand back a storage-boundary copy and release the iteration cache:
-      // a cached result the caller can't know to unpersist would pin
-      // executor storage for the rest of the session (scratch parquet is
-      // removed at JVM exit)
+      // hand back a storage-boundary copy: scratch parquet is removed at
+      // JVM exit, and the caller holds no reference into the iteration's
+      // checkpoint blocks (freed by the cleaner once unreachable)
       val out = graft.stages.TempDirs.scratch("graft_cc_")
       labels.write.mode("overwrite").parquet(out)
-      spark.read.parquet(out)
+      (spark.read.parquet(out), rounds)
     } finally {
-      // release the corpus-scale caches on EVERY exit path — a thrown
-      // round must not leave edges/labels pinned in executor storage for
-      // the rest of the session (driver ADVICE.md finding)
+      // release the corpus-scale edge cache on EVERY exit path — a thrown
+      // round must not leave it pinned in executor storage for the rest
+      // of the session (driver ADVICE.md finding)
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       edges.unpersist()
-      if (pendingPrev != null) pendingPrev.unpersist()
-      if (labels != null) labels.unpersist()
+    }
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the adversarial-shape insurance for 100 TB
+    * dedup: convergence is O(log n) ROUNDS INDEPENDENT OF CLUSTER
+    * DIAMETER, where [[connectedComponents]]' label propagation pays one
+    * round per hop and a pathological chain (a boilerplate document
+    * mutating gradually across a crawl) makes the diameter — and the
+    * round count — unbounded.
+    *
+    * Per round, two edge rewrites, each one aggregate + one join over
+    * the current edge set:
+    *   - large-star: every node u links its LARGER neighbors (v > u) to
+    *     m(u) = min(Γ(u) ∪ u) — long chains fold toward local minima
+    *     from every node at once;
+    *   - small-star: every edge oriented (hi, lo); hi links its smaller
+    *     neighbors and itself to their minimum — stars flatten so the
+    *     next large-star sees them as one hop.
+    * Both rewrites preserve connectivity exactly (every replaced edge is
+    * re-expressed through the shared minimum), never introduce new
+    * components, and the fixpoint is a forest of stars centered at each
+    * component's minimum id — so the final labels read directly off the
+    * edges: comp(v) = least(v, min neighbor). Convergence is decided by
+    * an order-insensitive edge-set checksum (count + sum of per-edge
+    * xxhash64): the rewrite is deterministic, so an unchanged set is
+    * exactly the fixpoint.
+    *
+    * Output contract is identical to [[connectedComponents]] (same
+    * oracle, `dedup_components`): (node, comp) for every document
+    * appearing in a pair, comp = the cluster's minimum doc id. The same
+    * storage-boundary + scoped-shuffle-width discipline applies: edges
+    * iterate from a scratch-parquet leaf (round plans never re-derive
+    * the corpus-scale pair generation) at iteration-sized parallelism.
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    connectedComponentsStarCounted(pairs)._1
+
+  private[graft] def connectedComponentsStarCounted(pairs: DataFrame): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val edgesDir = graft.stages.TempDirs.scratch("graft_ccs_edges_")
+    pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .write.mode("overwrite").parquet(edgesDir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // each round rewrites the whole edge set through ~4 references to the
+    // previous round's frame, so (exactly as in [[connectedComponents]])
+    // only a LOCAL CHECKPOINT per round keeps the plan O(1); a cache alone
+    // would grow it ~4^rounds and OOM the driver in plan rendering
+    var edges: DataFrame = spark.read.parquet(edgesDir).localCheckpoint()
+    try {
+      // one aggregate decides convergence: edge COUNT plus an
+      // order-insensitive content checksum over canonicalized edges
+      def checksum(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
+        val r = df.agg(
+          count(lit(1)),
+          sum(xxhash64(least(col("a"), col("b")), greatest(col("a"), col("b")))
+            .cast("decimal(38,0)"))).collect().head
+        (r.getLong(0), Option(r.getDecimal(1)))
+      }
+
+      // large-star over the SYMMETRIC view; small-star over the (hi, lo)
+      // orientation. Each returns a distinct canonical edge set.
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.select(col("a"), col("b"))
+          .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        val mins = sym.groupBy(col("a").as("u"))
+          .agg(min(col("b")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        sym.filter(col("b") > col("a"))
+          .join(mins, col("a") === col("u"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+      }
+      def smallStar(e: DataFrame): DataFrame = {
+        val ori = e.select(greatest(col("a"), col("b")).as("hi"),
+            least(col("a"), col("b")).as("lo")).distinct()
+        val mins = ori.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+        ori.join(mins, Seq("hi"))
+          .select(col("lo").as("a"), col("m").as("b"))
+          .unionByName(mins.select(col("hi").as("a"), col("m").as("b")))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+      }
+
+      var prev = checksum(edges)
+      var rounds = 0
+      var converged = prev._1 == 0L
+      while (!converged) {
+        rounds += 1
+        edges = smallStar(largeStar(edges)).localCheckpoint()
+        val sum = checksum(edges)
+        converged = sum == prev
+        prev = sum
+      }
+      // fixpoint edges are stars on the component minimum: labels read
+      // directly off them (center = least of itself and its neighbors)
+      val labels = edges.select(col("a"), col("b"))
+        .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("node"), least(col("node"), col("mn")).as("comp"))
+      val out = graft.stages.TempDirs.scratch("graft_ccs_")
+      labels.write.mode("overwrite").parquet(out)
+      (spark.read.parquet(out), rounds)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
 

@@ -114,7 +114,10 @@ object DedupQueries {
       doc = "MinHash signature → LSH band join → exact-Jaccard verify (the 100 TB path)"),
 
     GQuery("dedup_components",
-      (s, dir) => Dedup.connectedComponents(
+      // the O(log n)-round large-star/small-star form — diameter-proof at
+      // 100 TB; label propagation (Dedup.connectedComponents) shares the
+      // contract and is spec-pinned equal (DedupSpec)
+      (s, dir) => Dedup.connectedComponentsStar(
           Dedup.minhashLshPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b")))
         .groupBy(col("comp").as("canonical_doc"))
         .agg(count(lit(1)).as("n_docs"))
@@ -134,7 +137,7 @@ object DedupQueries {
                comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
               SELECT comp AS canonical_doc, count(*) AS n_docs
               FROM comp GROUP BY 1 ORDER BY 1"""),
-      doc = "near-dup cluster resolution: connected components over LSH pairs (min-label propagation == recursive-CTE closure)"),
+      doc = "near-dup cluster resolution: connected components over LSH pairs (large-star/small-star == recursive-CTE closure)"),
 
     GQuery("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))

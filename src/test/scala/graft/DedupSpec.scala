@@ -131,6 +131,46 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(pairs.filter("doc_a < 0")).count() == 0)
   }
 
+  test("large-star/small-star components == label propagation, in O(log n) rounds on a chain") {
+    import spark.implicits._
+    // 41-node chain: diameter 40, so propagation pays ~40 rounds while the
+    // star alternation folds it in O(log n); plus a pair and a ring so the
+    // fixture has several shapes at once
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val ring = Seq((100L, 101L), (101L, 102L), (102L, 103L), (103L, 100L))
+    val pairs = (chain ++ ring ++ Seq((200L, 201L))).toDF("doc_a", "doc_b")
+    val (starDf, starRounds) = Dedup.connectedComponentsStarCounted(pairs)
+    val star = starDf.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert((0L to 40L).forall(star(_) == 0L))
+    assert((100L to 103L).forall(star(_) == 100L))
+    assert(star(200L) == 200L && star(201L) == 200L)
+    assert(star.size == 47)
+    val (propDf, propRounds) = Dedup.connectedComponentsCounted(pairs)
+    val prop = propDf.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(prop == star, "both algorithms must land on identical labels")
+    // the point of the star variant: rounds independent of the diameter
+    assert(propRounds > 10, s"chain fixture should force propagation deep, got $propRounds")
+    assert(starRounds <= 8, s"star alternation must fold the chain in O(log n), got $starRounds")
+  }
+
+  test("star components: LSH pairs at sf0.001 match propagation; partitioning-invariant") {
+    val lshPairs = Dedup.minhashLshPairs(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))
+    val star = Dedup.connectedComponentsStar(lshPairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    val prop = Dedup.connectedComponents(lshPairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(star == prop && star.nonEmpty)
+    val star7 = Dedup.connectedComponentsStar(lshPairs.repartition(7)).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(star7 == star)
+    // empty edge set stays an empty (not failing) result
+    assert(Dedup.connectedComponentsStar(lshPairs.filter("doc_a < 0")).count() == 0)
+  }
+
   test("edit-distance-1 blocking: substitution/insert/delete/equal found, distance-2 excluded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
