@@ -395,6 +395,22 @@ final class MergeTable(val root: String, keys: Seq[String],
     buf.result().sortBy(_.getFileName.toString)
   }
 
+  /** Committed row count of a version from its `_STATS` manifest — O(files)
+    * METADATA, no data scan (every commit persists per-file footer stats,
+    * and carried files reuse their manifest entries, so a healthy version
+    * is always fully covered). `None` when the manifest is absent, any
+    * data file lacks an entry, or any entry's footer was unreadable
+    * (rowCount < 0): an unknown count must never masquerade as a real one
+    * (driver ADVICE — summing -1 sentinels undercounts silently).
+    */
+  def manifestRowCount(version: String): Option[Long] =
+    graft.lake.StatsManifest.read(Paths.get(root, version)).flatMap { m =>
+      val files = dataFiles(version).map(_.getFileName.toString)
+      if (files.forall(f => m.get(f).exists(_.rowCount >= 0L)))
+        Some(files.map(f => m(f).rowCount).sum)
+      else None
+    }
+
   /** Row-level change feed (CDC) between two committed versions — what
     * Delta's Change Data Feed or an Iceberg changelog scan exposes,
     * derived here purely from version immutability, with no per-commit

@@ -90,6 +90,9 @@ class CurateSpec extends AnyFunSuite {
     val censusR = censusRows(Curate.curateCorpusThrough(b2, tableR))
     val censusI = censusRows(Curate.curateCorpusIncremental(b2, tableI, index))
     assert(censusI == censusR && censusI.nonEmpty)
+    // the delta-sized census (index feature columns, zero table text reads)
+    // must equal the text-scan census of the committed survivor table
+    assert(censusRows(Curate.censusOf(tableI.read(spark, all.schema))) == censusI)
     def ids(t: MergeTable) = t.read(spark, all.schema)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids(tableI) == ids(tableR), "survivor sets must be identical")
@@ -177,6 +180,30 @@ class CurateSpec extends AnyFunSuite {
     def ids(t: MergeTable) = t.read(spark, docs.schema)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids(table) == ids(tableR))
+  }
+
+  test("census from index feature columns equals the text-scan census") {
+    val stored = censusRows(Curate.censusOfIndex(Curate.curationIndexOf(docs)))
+    val scanned = censusRows(Curate.censusOf(docs))
+    assert(stored == scanned && stored.nonEmpty)
+  }
+
+  test("manifest-count coherence gate: equal counts skip the scan, desync still rebuilds") {
+    import org.apache.spark.sql.functions.col
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val table = MergeTable.scratch(Seq("doc_id"))
+    val index = MergeTable.scratch(Seq("doc_id"))
+    Curate.curateCorpusIncremental(b1, table, index)
+    // healthy lockstep commit: manifest counts agree and are real counts
+    val nT = table.manifestRowCount(table.currentVersion.get)
+    val nI = index.manifestRowCount(index.currentVersion.get)
+    assert(nT.isDefined && nT == nI && nT.get > 0L)
+    // crashed-writer shape: index a generation behind with a different
+    // count — the manifest gate alone must flag it (counts diverge)
+    index.replace(index.read(spark, Curate.indexSchema)
+      .filter(col("doc_id") % 4 === 0))
+    val nI2 = index.manifestRowCount(index.currentVersion.get)
+    assert(nI2.isDefined && nI2 != nT)
   }
 
   test("domain cap census: per-source keep counts honor the cap, totals reconcile") {
