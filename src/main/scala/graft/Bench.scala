@@ -33,6 +33,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // AQE eagerly renders the FULL physical-plan string on every stage
+      // update (SparkListenerSQLAdaptiveExecutionUpdate) even with the UI
+      // off; on the widest lineages (incremental curation) that driver-side
+      // stringification sampled as a top cost. Debug strings only — cap
+      // them; does not affect plans or results.
+      .config("spark.sql.maxPlanStringLength", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
