@@ -136,8 +136,10 @@ object PipelineQueries {
 
     // ---- S6: conditional watermark advance with JSON payload (load_deliveries.py:66-80)
     GQuery("s6_watermark_json",
-      (s, dir) => Tables.events(s, dir)
-        .filter(graft.Tables.tsAfter("ts", "2024-01-15 00:00:00"))
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.filter(graft.Tables.tsAfter(ev, "ts", "2024-01-15 00:00:00"))
+      }
         .agg(count(lit(1)).as("_n"),
              date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("_max_ts"))
         .filter(col("_n") > 0)
@@ -163,9 +165,10 @@ object PipelineQueries {
         val dflt = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
         val cold = graft.stages.State.readWatermark(s, statePath, "deliveries", dflt)
         // increment bounded by the cursor just read — the S2 scan shape
-        val maxTs = Tables.events(s, dir).filter(col("ts") > lit(cold))
-          .agg(max(col("ts"))).collect()(0).getTimestamp(0)
-        graft.stages.State.advanceWatermark(s, statePath, "deliveries", Option(maxTs))
+        val maxTs = graft.stages.State.tsValue(
+          Tables.events(s, dir).filter(col("ts") > lit(cold))
+            .agg(max(col("ts"))).collect()(0), 0)
+        graft.stages.State.advanceWatermark(s, statePath, "deliveries", maxTs)
         val warm = graft.stages.State.readWatermark(s, statePath, "deliveries", dflt)
         val other = graft.stages.State.readWatermark(s, statePath, "other_wf", dflt)
         Seq(("cold", cold), ("warm", warm), ("other_cold", other))
@@ -198,8 +201,9 @@ object PipelineQueries {
         import s.implicits._
         val statePath = graft.stages.TempDirs.scratch("graft_state_o9_")
         val dflt = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
-        val seeded = Tables.events(s, dir).agg(max(col("ts"))).collect()(0).getTimestamp(0)
-        graft.stages.State.advanceWatermark(s, statePath, "wf_present", Option(seeded))
+        val seeded = graft.stages.State.tsValue(
+          Tables.events(s, dir).agg(max(col("ts"))).collect()(0), 0)
+        graft.stages.State.advanceWatermark(s, statePath, "wf_present", seeded)
         val present = graft.stages.State.readWatermark(s, statePath, "wf_present", dflt)
         val absent = graft.stages.State.readWatermark(s, statePath, "wf_absent", dflt)
         Seq(("wf_present", present), ("wf_absent", absent))

@@ -48,8 +48,10 @@ object RelationalQueries {
 
     // ---- O3: watermark filter predicate (deliveries_stg_to_dds.sql:13-16)
     GQuery("o3_watermark_filter",
-      (s, dir) => Tables.events(s, dir)
-        .filter(graft.Tables.tsAfter("ts", "2024-01-15 00:00:00"))
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.filter(graft.Tables.tsAfter(ev, "ts", "2024-01-15 00:00:00"))
+      }
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .orderBy(col("event_id")),
@@ -96,8 +98,10 @@ object RelationalQueries {
 
     // ---- A2: scalar COUNT guard (load_deliveries.py:67-70)
     GQuery("a2_count_guard",
-      (s, dir) => Tables.events(s, dir)
-        .filter(graft.Tables.tsAfter("ts", "2024-01-15 00:00:00"))
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.filter(graft.Tables.tsAfter(ev, "ts", "2024-01-15 00:00:00"))
+      }
         .agg(count(lit(1)).as("n_rows")),
       Some("""SELECT COUNT(*) AS n_rows FROM events
               WHERE ts > TIMESTAMP '2024-01-15 00:00:00'"""),

@@ -101,7 +101,7 @@ object Pipeline {
     // rows DO advance it (they were read and dispositioned; re-reading them
     // forever would wedge the pipeline on one bad record).
     val watermark = maxTsHint.getOrElse(
-      Option(parsed.agg(max(col("ts"))).collect().head.getTimestamp(0)))
+      State.tsValue(parsed.agg(max(col("ts"))).collect().head, 0))
     LoadResult(DdsState(dmCouriers1, dmTimestamps1, fct1), watermark, quarantined,
       newFacts = facts)
   }

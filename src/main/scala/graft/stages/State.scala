@@ -37,6 +37,24 @@ object State {
 
   private def table(path: String) = new MergeTable(path, Seq("workflow_key"))
 
+  /** Type-agnostic timestamp scalar extraction. A collected max-ts probe
+    * must tolerate whichever external type the session's reader produced
+    * for the row — `java.sql.Timestamp` (TimestampType),
+    * `java.time.LocalDateTime` (TIMESTAMP_NTZ: the corpus has shipped
+    * event time as naive µs, read as UTC — sessions pin UTC), or
+    * `java.time.Instant` (java8 datetime API mode). Null → None.
+    */
+  def tsValue(row: org.apache.spark.sql.Row, i: Int): Option[Timestamp] =
+    if (row.isNullAt(i)) None
+    else row.get(i) match {
+      case t: Timestamp                 => Some(t)
+      case ldt: java.time.LocalDateTime =>
+        Some(Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC)))
+      case inst: java.time.Instant      => Some(Timestamp.from(inst))
+      case other => throw new IllegalArgumentException(
+        s"not a timestamp scalar: ${other.getClass.getName}")
+    }
+
   /** A state table written by the pre-MergeTable layout: bare parquet part
     * files directly at `path`, no `_CURRENT` pointer. Read transparently
     * (explicit file list — never directory-recursive, so orphan `v*` dirs
@@ -65,7 +83,7 @@ object State {
       else legacyTable(spark, path).getOrElse(t.read(spark, schema))
     val rows = df.filter(col("workflow_key") === workflowKey)
       .select(col("last_loaded_ts")).collect()
-    rows.headOption.map(_.getTimestamp(0)).getOrElse(default)
+    rows.headOption.flatMap(tsValue(_, 0)).getOrElse(default)
   }
 
   /** Advance the watermark only when the increment was non-empty

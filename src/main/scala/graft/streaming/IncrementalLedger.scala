@@ -33,17 +33,6 @@ import graft.stages.MergeTable
   */
 object IncrementalLedger {
 
-  /** Raw schema of the events parquet (ts read as INT64 nanos — see
-    * graft.Tables; rebuilt to µs TimestampType below).
-    */
-  val rawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Dedup watermark delay for the exactly-once BOUNDED drain: it must
     * exceed the corpus's whole event-time span, because an AvailableNow
     * drain can split the files across micro-batches (maxFilesPerTrigger,
@@ -71,15 +60,11 @@ object IncrementalLedger {
                        dedupDelay: String = boundedDrainDedupDelay,
                        maxFilesPerTrigger: Option[Int] = None,
                        glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     StateDefaults.ensureRocksDB(spark)
-    val reader = spark.readStream
-      .schema(rawEventSchema)
-      // file source wants a directory; select just the events table from it
-      .option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // schema-adaptive read (EventStream probes the live ts encoding);
+    // the file source wants a directory — the glob selects the events table
+    EventStream.readStream(spark, sfDir, glob,
+        maxFilesPerTrigger.map(n => "maxFilesPerTrigger" -> n.toString).toMap)
       .withWatermark("ts", dedupDelay)
       // WithinWatermark, not plain dropDuplicates: deduping on a key subset
       // that excludes the event-time column would keep one state entry per
@@ -112,11 +97,7 @@ object IncrementalLedger {
       StateDefaults.withNanosRead(spark) {
     val target = MergeTable.scratch(Seq("c_nationkey", "year", "month"))
     StateDefaults.ensureRocksDB(spark)
-    val stream = spark.readStream
-      .schema(rawEventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = EventStream.readStream(spark, sfDir)
     val dim = graft.Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_nationkey"))
     val agg = stream.join(dim, col("user_id") === col("c_custkey"))
@@ -134,7 +115,7 @@ object IncrementalLedger {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      StateDefaults.awaitDrain(q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     target.read(spark, agg.schema)
   }
@@ -162,12 +143,7 @@ object IncrementalLedger {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      try {
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-        q.awaitTermination()
-      }
+      StateDefaults.awaitDrain(q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     target.read(spark, agg.schema)
   }
@@ -216,12 +192,7 @@ object IncrementalLedger {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      try {
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-        q.awaitTermination()
-      }
+      StateDefaults.awaitDrain(q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.sql(s"SELECT user_id, year, month, n_events, total_value FROM $t")
   }

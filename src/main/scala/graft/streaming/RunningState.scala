@@ -75,11 +75,8 @@ object RunningState extends Serializable {
       // HDFS opt-out elsewhere in the session must not fail this operator
       StateDefaults.withRocksDB(spark) { StateDefaults.withNanosRead(spark) {
     import spark.implicits._
-    val reader = spark.readStream
-      .schema(IncrementalLedger.rawEventSchema)
-      .option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val events = reader.parquet(sfDir)
+    val events = EventStream.readStream(spark, sfDir, glob,
+        maxFilesPerTrigger.map(n => "maxFilesPerTrigger" -> n.toString).toMap)
       .select(col("user_id"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       .as[EventCents]
@@ -101,7 +98,7 @@ object RunningState extends Serializable {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      StateDefaults.awaitDrain(q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     val raw = StreamJoin.readDrainOutput(spark, outDir,
@@ -130,35 +127,30 @@ object RunningState extends Serializable {
     */
   def slidingWindowTotalsDrain(spark: SparkSession, sfDir: String): DataFrame =
       StateDefaults.withNanosRead(spark) {
-    import spark.implicits._
     StateDefaults.ensureRocksDB(spark)
-    val raw = IncrementalLedger.rawEventSchema
-    val maxRow = spark.read.schema(raw)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .agg(max(col("ts"))).collect().head
+    val maxUs = EventStream.maxTsMicros(spark, sfDir)
     val agged = {
       def windows(df: DataFrame) = df
-        .select(expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        .select(col("ts"), col("value"))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "7 days", "1 day"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("window_start"),
           col("n_events"), col("total_value"))
-      if (maxRow.isNullAt(0))
+      val us = maxUs.getOrElse {
         return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          windows(spark.readStream.schema(raw).parquet(sfDir)).schema)
+          windows(EventStream.readStream(spark, sfDir)).schema)
+      }
       // margin > window size + watermark delay: the final watermark must
       // pass every real window's end, and the sentinel must share no
       // window with any real event
-      val marginNs = (8L * 24 + 2) * 3600L * 1000000000L
+      val marginUs = (8L * 24 + 2) * 3600L * 1000000L
       val sentinelDir = graft.stages.TempDirs.scratch("graft_swin_sentinel_")
-      Seq((-1L, maxRow.getLong(0) + marginNs, -1L, "view", 0.0, "{}"))
-        .toDF(raw.fieldNames: _*)
-        .write.mode("overwrite").parquet(sentinelDir)
-      windows(spark.readStream.schema(raw)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .unionByName(spark.readStream.schema(raw).parquet(sentinelDir)))
+      EventStream.writeSentinel(spark, sentinelDir,
+        Seq((-1L, us + marginUs, -1L, "view", 0.0, "{}")))
+      windows(EventStream.readStream(spark, sfDir)
+        .unionByName(EventStream.sentinelStream(spark, sentinelDir)))
     }
     val outDir = graft.stages.TempDirs.scratch("graft_swin_drain_")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -171,7 +163,7 @@ object RunningState extends Serializable {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      StateDefaults.awaitDrain(q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     StreamJoin.readDrainOutput(spark, outDir, agged.schema)
   }
@@ -195,17 +187,12 @@ object RunningState extends Serializable {
     */
   def chainedDailyAggDrain(spark: SparkSession, sfDir: String): DataFrame =
       StateDefaults.withNanosRead(spark) {
-    import spark.implicits._
     StateDefaults.ensureRocksDB(spark)
-    val raw = IncrementalLedger.rawEventSchema
-    val maxRow = spark.read.schema(raw)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .agg(max(col("ts"))).collect().head
+    val maxUs = EventStream.maxTsMicros(spark, sfDir)
     val agged = {
       def chain(df: DataFrame) = {
         val daily = df
-          .select(expr("timestamp_micros(ts div 1000)").as("ts"),
-            col("event_type"), col("value"))
+          .select(col("ts"), col("event_type"), col("value"))
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -218,17 +205,16 @@ object RunningState extends Serializable {
           .select(date_format(col("day_w.start"), "yyyy-MM-dd").as("day"),
             col("n_types"), col("n_events"), col("total_value"))
       }
-      if (maxRow.isNullAt(0))
+      val us = maxUs.getOrElse {
         return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          chain(spark.readStream.schema(raw).parquet(sfDir)).schema)
-      val marginNs = (3L * 24 + 2) * 3600L * 1000000000L
+          chain(EventStream.readStream(spark, sfDir)).schema)
+      }
+      val marginUs = (3L * 24 + 2) * 3600L * 1000000L
       val sentinelDir = graft.stages.TempDirs.scratch("graft_chain_sentinel_")
-      Seq((-1L, maxRow.getLong(0) + marginNs, -1L, "view", 0.0, "{}"))
-        .toDF(raw.fieldNames: _*)
-        .write.mode("overwrite").parquet(sentinelDir)
-      chain(spark.readStream.schema(raw)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .unionByName(spark.readStream.schema(raw).parquet(sentinelDir)))
+      EventStream.writeSentinel(spark, sentinelDir,
+        Seq((-1L, us + marginUs, -1L, "view", 0.0, "{}")))
+      chain(EventStream.readStream(spark, sfDir)
+        .unionByName(EventStream.sentinelStream(spark, sentinelDir)))
     }
     val outDir = graft.stages.TempDirs.scratch("graft_chain_drain_")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -241,7 +227,7 @@ object RunningState extends Serializable {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      StateDefaults.awaitDrain(q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     StreamJoin.readDrainOutput(spark, outDir, agged.schema)
   }

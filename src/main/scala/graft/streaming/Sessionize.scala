@@ -97,17 +97,13 @@ object Sessionize extends Serializable {
       StateDefaults.withNanosRead(spark) {
     import spark.implicits._
     StateDefaults.ensureRocksDB(spark)
-    val raw = IncrementalLedger.rawEventSchema
-    val real = spark.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+    val real = EventStream.readStream(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
 
-    val maxRow = spark.read.schema(raw)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .agg(max(expr("ts div 1000"))).collect().head
-    if (maxRow.isNullAt(0))   // empty corpus: no sessions, legitimately
+    val maxMicros = EventStream.maxTsMicros(spark, sfDir).getOrElse {
+      // empty corpus: no sessions, legitimately
       return spark.emptyDataset[SessionOut].toDF()
-    val maxMicros = maxRow.getLong(0)
+    }
     val margin = (gapMinutes.toLong + 120L) * 60000000L  // gap + delay + slack
     val sentinelDir = graft.stages.TempDirs.scratch("graft_sess_sentinel_")
     Seq((-1L, maxMicros + margin, 0.0)).toDF("user_id", "us", "value")
@@ -137,7 +133,7 @@ object Sessionize extends Serializable {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      StateDefaults.awaitDrain(q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     StreamJoin.readDrainOutput(spark, outDir, sessions.toDF().schema)
   }

@@ -21,8 +21,9 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Determinism contract: both engines compare event times in exact integer
   * microseconds (Spark TimestampType IS µs; the oracle uses epoch_us over
-  * the ns values, flooring exactly like the engine's ns→µs rebuild), and
-  * the output carries no raw timestamps (formatted strings only).
+  * the same normalized values — [[EventStream]] reduces every corpus
+  * encoding to µs), and the output carries no raw timestamps (formatted
+  * strings only).
   *
   * The inner and LEFT OUTER forms share one side-shaping helper, one join
   * plan builder, and one drain, so their semantics cannot drift apart.
@@ -41,13 +42,12 @@ object StreamJoin {
       .filter(col("event_type") === tpe)
       .select(
         col("user_id").as(s"${prefix}_user"),
-        expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"),
+        col("ts").as(s"${prefix}_ts"),
         col("event_id").as(s"${prefix}_event"),
         col("value").as(s"${prefix}_value"))
-    val real = shape(spark.readStream.schema(IncrementalLedger.rawEventSchema)
-      .option("pathGlobFilter", glob).options(readOptions).parquet(sfDir))
+    val real = shape(EventStream.readStream(spark, sfDir, glob, readOptions))
     sentinelDir.fold(real)(dir => real.unionByName(
-        shape(spark.readStream.schema(IncrementalLedger.rawEventSchema).parquet(dir))))
+        shape(EventStream.sentinelStream(spark, dir))))
       .withWatermark(s"${prefix}_ts", "1 hour")
   }
 
@@ -101,7 +101,7 @@ object StreamJoin {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      StateDefaults.awaitDrain(q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     (readDrainOutput(spark, outDir, joined.schema), batches.get())
   }
@@ -160,22 +160,17 @@ object StreamJoin {
                             windowMinutes: Int = 30): DataFrame =
       StateDefaults.withNanosRead(spark) {
     StateDefaults.ensureRocksDB(spark)
-    val raw = IncrementalLedger.rawEventSchema
-    val maxRow = spark.read.schema(raw)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .agg(max(col("ts"))).collect().head
-    if (maxRow.isNullAt(0))   // empty corpus: no views, legitimately empty
+    val maxUs = EventStream.maxTsMicros(spark, sfDir).getOrElse {
+      // empty corpus: no views, legitimately empty
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         joinPlan(spark, sfDir, windowMinutes, "left_outer", None).schema)
-    val maxNs = maxRow.getLong(0)
+    }
     // past every view's emission deadline: window + watermark delay + slack
-    val marginNs = (windowMinutes.toLong + 60L + 120L) * 60L * 1000000000L
+    val marginUs = (windowMinutes.toLong + 60L + 120L) * 60L * 1000000L
     val sentinelDir = graft.stages.TempDirs.scratch("graft_sjoin_sentinel_")
-    import spark.implicits._
-    Seq((-1L, maxNs + marginNs, -1L, "view", 0.0, "{}"),
-        (-2L, maxNs + marginNs, -1L, "purchase", 0.0, "{}"))
-      .toDF(raw.fieldNames: _*)
-      .write.mode("overwrite").parquet(sentinelDir)
+    EventStream.writeSentinel(spark, sentinelDir, Seq(
+      (-1L, maxUs + marginUs, -1L, "view", 0.0, "{}"),
+      (-2L, maxUs + marginUs, -1L, "purchase", 0.0, "{}")))
     drainAppend(
       joinPlan(spark, sfDir, windowMinutes, "left_outer", Some(sentinelDir)),
       "graft_sjoin_outer_")

@@ -85,8 +85,12 @@ class PlanAuditSpec extends AnyFunSuite {
     ("a3_pricing_summary", 2, 0, Nil),
     // LIMIT must plan as TakeOrderedAndProject: zero exchanges; the scan
     // must read ONLY the three projected columns (column pruning)
+    // the scan-level type is TimestampType: Tables.load requests it in the
+    // read schema regardless of the corpus's physical encoding (naive µs /
+    // legacy nanos), so the pruned 3-column ReadSchema pins both the
+    // pruning AND the normalization happening AT the scan (no cast node)
     ("t1_topk_orders", 0, 0, Seq("TakeOrderedAndProject",
-      "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderdate:timestamp_ntz>")),
+      "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderdate:timestamp>")),
     // a 2-column distinct projection must prune the scan to those columns
     ("o4_distinct_projection", 2, 0,
       Seq("ReadSchema: struct<user_id:bigint,event_type:string>")),

@@ -99,9 +99,11 @@ class ScaleSpec extends AnyFunSuite {
     // slice order (file-name AND mod-time order match event time) — the
     // multi-day arrival pattern a production stream sees
     val src = graft.stages.TempDirs.scratch("graft_split_events_")
-    StateDefaults.withNanosRead(spark) {
-      val raw = spark.read.schema(IncrementalLedger.rawEventSchema)
-        .option("pathGlobFilter", "events.parquet").parquet("/root/testdata/sf0.01")
+    locally {
+      // EventStream.readBatch normalizes ts to TimestampType; the slice
+      // files are therefore µs-era, which viewPurchasePairsSplit's probe
+      // detects on read — the adaptive path under test end to end
+      val raw = graft.streaming.EventStream.readBatch(spark, "/root/testdata/sf0.01")
         .withColumn("_slice", ntile(5).over(Window.orderBy(col("ts"))))
       for (i <- 1 to 5) {
         val tmp = graft.stages.TempDirs.scratch(s"graft_split_tmp_${i}_")
