@@ -549,4 +549,57 @@ object Similarity {
       .filter(col("cosine") >= tau)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the deterministic
+    * k-means quantizer, then search for near-duplicates ONLY within a
+    * cluster — cross-cluster pairs are structurally excluded, which turns
+    * the O(n²) global pairwise search into Σ O(|cell|²) with the cell as
+    * the unit of distribution. At 100 TB the plan is one broadcast
+    * (k centroids) + one shuffle on the cell id + per-cell pair scans;
+    * no global comparison ever materializes, and cell sizes are bounded
+    * by raising `centroids` (cells ≈ n/k vectors each).
+    *
+    * Arbitration is deterministic min-id-wins, the same rule the banded
+    * text dedup uses: a vector is DROPPED iff a lower-id vector in its
+    * cell is within `tau` cosine (pairwise, not transitive-closure — a
+    * dropped vector still shields its own neighbors, so survivors are
+    * stable under replay and independent of evaluation order).
+    *
+    * Returns the per-cell census (`cell, n_vecs, n_dropped, n_kept`) —
+    * integer-only output, exactly hash-comparable with the SQL mirror.
+    */
+  def semDedupCensus(spark: SparkSession, emb: DataFrame,
+                     centroids: Int = 8, iters: Int = 2,
+                     tau: Double = 0.3): DataFrame = {
+    val base = withNorm(emb)
+    val cents = kmeansCentroids(emb, centroids, iters).cache()
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    val corpus = base.crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
+      .withColumn("_r", row_number().over(wAssign))
+      .filter(col("_r") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("c_id").as("cell"))
+    val a = corpus.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = corpus.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        expr(dotExpr("a_emb", "b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cosine") >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("_d", lit(1))
+    corpus.select(col("cell"), col("vec_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("_d")).as("n_dropped"),
+        (count(lit(1)) - count(col("_d"))).as("n_kept"))
+      .select(col("cell").cast("long").as("cell"),
+        col("n_vecs"), col("n_dropped"), col("n_kept"))
+  }
 }

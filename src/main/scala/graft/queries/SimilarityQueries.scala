@@ -208,6 +208,27 @@ object SimilarityQueries {
        |      WHERE r <= $nprobe AND vec_id < $numQueries)""".stripMargin
   }
 
+  /** DuckDB mirror of Similarity.semDedupCensus: the shared kmeans
+    * assignment CTEs (corpus = every vector's single nearest cell), then
+    * within-cell min-id-wins pruning and the integer census. The `q` CTE
+    * the prefix also defines goes unreferenced (numQueries = 0) and DuckDB
+    * never evaluates it.
+    */
+  private def semDedupSql(centroids: Int, tau: String): String =
+    s"""WITH ${kmeansAssignCtes(centroids, nprobe = 1, numQueries = 0)},
+       |dropped AS (
+       |  SELECT DISTINCT cb.vec_id
+       |  FROM corpus ca JOIN corpus cb
+       |    ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+       |  JOIN base a ON a.vec_id = ca.vec_id
+       |  JOIN base b ON b.vec_id = cb.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= $tau)
+       |SELECT CAST(co.cell AS BIGINT) AS cell, count(*) AS n_vecs,
+       |       count(d.vec_id) AS n_dropped,
+       |       count(*) - count(d.vec_id) AS n_kept
+       |FROM corpus co LEFT JOIN dropped d ON d.vec_id = co.vec_id
+       |GROUP BY co.cell ORDER BY cell""".stripMargin
+
   private def kmeansIvfSql(centroids: Int, nprobe: Int, numQueries: Int, topK: Int): String = {
     s"""WITH ${kmeansAssignCtes(centroids, nprobe, numQueries)},
        |scored AS (
@@ -500,6 +521,18 @@ object SimilarityQueries {
       doc = "measured ANN recall: integer truth-set hit counts per index, " +
         "probing (single/multi-probe LSH, nprobe 1 vs 2 IVF) and quantization " +
         "(SQ8, PQ, IVF-PQ) levers graded in one table"),
+
+    // SemDeDup (arXiv:2303.09540): the quantizer bounds the pairwise
+    // search to within-cell — the semantic twin of the banded text dedup's
+    // "never all-pairs" invariant. Census output is integer-only, so the
+    // oracle compare is exact regardless of float formatting.
+    GQuery("dedup_semantic",
+      (s, dir) => graft.ops.Similarity.semDedupCensus(s, Tables.embeddings(s, dir),
+          centroids = 8, iters = 2, tau = 0.3)
+        .orderBy(col("cell")),
+      Some(semDedupSql(centroids = 8, tau = "0.3")),
+      doc = "SemDeDup semantic dedup: deterministic k-means cells, min-id-wins " +
+        "cosine prune within cells only; per-cell kept/dropped census"),
 
     GQuery("dedup_embedding_cosine",
       (s, dir) => Similarity.embeddingNearDupPairs(s, Tables.embeddings(s, dir), tau = 0.9)

@@ -37,21 +37,41 @@ object EventStream {
   /** The canonical post-normalization schema (ts = TimestampType µs). */
   val normalizedSchema: StructType = schemaFor(TimestampType)
 
+  // A drain probes the same (dir, glob) several times (stream read,
+  // max-ts batch probe, both join sides) and each probe is a driver-side
+  // footer read; the encoding of a given corpus file set never changes
+  // within a JVM (a regeneration lands between rounds — CorpusContractSpec
+  // trips the next session), so successful probes are memoized. The
+  // empty-dir fallback is NOT cached: a scratch dir probed before its
+  // files land must re-probe once they exist.
+  private val encodingCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataType]()
+
   /** Probe the physical ts encoding of the files `glob` matches under
-    * `dir` — a footer-only read, one driver round trip. LongType means the
-    * legacy nanos corpus; anything timestamp-shaped reads as TimestampType.
+    * `dir` — a footer-only read, one driver round trip per (dir, glob) per
+    * JVM. LongType means the legacy nanos corpus; anything timestamp-shaped
+    * reads as TimestampType.
     */
-  def tsEncoding(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataType =
-    StateDefaults.withNanosRead(spark) {
-      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema("ts").dataType match {
-        case LongType => LongType
-        case _        => TimestampType
+  def tsEncoding(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataType = {
+    val key = (dir, glob)
+    val cached = encodingCache.get(key)
+    if (cached != null) cached
+    else StateDefaults.withNanosRead(spark) {
+      try {
+        val enc = spark.read.option("pathGlobFilter", glob)
+            .parquet(dir).schema("ts").dataType match {
+          case LongType => LongType
+          case _        => TimestampType
+        }
+        encodingCache.put(key, enc)
+        enc
       } catch {
         // no matching files → nothing to probe; any declared encoding
         // yields the same (empty) stream, so use the canonical one
         case _: org.apache.spark.sql.AnalysisException => TimestampType
       }
     }
+  }
 
   private def normalize(df: DataFrame, enc: DataType): DataFrame = enc match {
     case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -21,6 +21,39 @@ class SimilaritySpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
   }
 
+  test("SemDeDup census: planted twin dropped (min id survives), census sums to corpus") {
+    val census = Similarity.semDedupCensus(spark, emb, centroids = 4, iters = 2, tau = 0.99)
+      .collect()
+    // the twin pair (0,1) has cosine ~1 and the quantizer MUST co-locate
+    // them (nearest-cell by cosine: near-identical vectors share a cell),
+    // so exactly the higher id is dropped; the random remainder is below
+    // tau=0.99 everywhere
+    assert(census.map(_.getAs[Long]("n_vecs")).sum == 41L)
+    assert(census.map(_.getAs[Long]("n_dropped")).sum == 1L)
+    assert(census.map(r => r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped"))
+      .sum == 41L)
+  }
+
+  test("SemDeDup prunes within cells only: cross-cell twins both survive") {
+    import spark.implicits._
+    // two tight antipodal groups: k-means (init = first 2 vectors, one per
+    // group) puts the groups in different cells; each group holds an
+    // identical pair. Within-cell pruning drops one of each pair — and the
+    // cross-cell cosine is strongly negative, proving no cross-cell pair
+    // can have contributed.
+    val up = Array.tabulate(64)(i => if (i < 32) 1.0f else 0.1f)
+    val down = up.map(x => -x)
+    val near = (v: Array[Float]) => v.zipWithIndex.map { case (x, i) =>
+      if (i == 5) x + 0.001f else x }
+    val df = Seq((0L, up), (1L, down), (2L, near(up)), (3L, near(down)))
+      .toDF("vec_id", "embedding")
+    val census = Similarity.semDedupCensus(spark, df, centroids = 2, iters = 1, tau = 0.9)
+      .collect().sortBy(_.getAs[Long]("cell"))
+    assert(census.length == 2)
+    assert(census.forall(r => r.getAs[Long]("n_vecs") == 2L &&
+      r.getAs[Long]("n_dropped") == 1L && r.getAs[Long]("n_kept") == 1L))
+  }
+
   test("brute-force top-k ranks the planted twin first with cosine ~1") {
     val top = Similarity.bruteForceTopK(emb, numQueries = 1, k = 3).collect()
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
