@@ -97,6 +97,26 @@ object StreamingQueries {
               ORDER BY v.user_id, view_event, buy_event"""),
       doc = "stream-stream interval join (view→purchase attribution): watermarked, state bounded by the time-range condition; streaming result == batch join"),
 
+    GQuery("streaming_semi_join",
+      (s, dir) => graft.streaming.StreamJoin.viewPurchaseSemi(s, dir, windowMinutes = 30)
+        .orderBy(col("view_event")),
+      Some("""SELECT v.user_id,
+                     v.event_id AS view_event,
+                     strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_at,
+                     v.value AS view_value
+              FROM events v
+              WHERE v.event_type = 'view'
+                AND EXISTS (
+                  SELECT 1 FROM events b
+                  WHERE b.event_type = 'purchase'
+                    AND b.user_id = v.user_id
+                    AND epoch_us(b.ts) >= epoch_us(v.ts)
+                    AND epoch_us(b.ts) <= epoch_us(v.ts) + CAST(30 AS BIGINT) * 60000000)
+              ORDER BY view_event"""),
+      doc = "LEFT SEMI stream-stream interval join: funnel-conversion filter, each " +
+        "converting view emitted exactly once on its first match; no sentinel " +
+        "(match-driven emission) — bounded drain == batch EXISTS"),
+
     GQuery("streaming_outer_join",
       (s, dir) => graft.streaming.StreamJoin.viewPurchaseLeftOuter(s, dir, windowMinutes = 30)
         .orderBy(col("user_id"), col("view_event"), col("buy_event").asc_nulls_first),

@@ -128,6 +128,35 @@ object StreamJoin {
     drainAppend(joinPlan(spark, sfDir, windowMinutes, "inner", None), "graft_sjoin_")
   }
 
+  /** LEFT SEMI stream-stream interval join: the funnel-CONVERSION filter —
+    * each view that led to at least one purchase within the window,
+    * emitted exactly once (on its first match) and never duplicated by
+    * further purchases; the right side contributes existence, not columns.
+    * Unlike the outer form, the semi drain needs NO sentinel: emission is
+    * match-driven (inner-join-like), and an unmatched view is silently
+    * evicted when the purchase watermark passes `view_ts + window` —
+    * nothing is withheld pending a flush, so the bounded drain equals the
+    * batch `EXISTS` filter as-is. State posture is the inner join's
+    * (time-range eviction on both sides, matched-flag per buffered view).
+    */
+  def viewPurchaseSemi(spark: SparkSession, sfDir: String,
+                       windowMinutes: Int = 30): DataFrame =
+      StateDefaults.withNanosRead(spark) {
+    StateDefaults.ensureRocksDB(spark)
+    val joined = side(spark, sfDir, "view", "v", None)
+      .join(side(spark, sfDir, "purchase", "b", None),
+        col("v_user") === col("b_user") &&
+          col("b_ts") >= col("v_ts") &&
+          col("b_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_semi")
+      .select(
+        col("v_user").as("user_id"),
+        col("v_event").as("view_event"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("view_at"),
+        col("v_value").as("view_value"))
+    drainAppend(joined, "graft_sjoin_semi_")
+  }
+
   /** LEFT OUTER stream-stream interval join: every view, paired with the
     * purchases it led to within the window — or emitted once with NULL
     * purchase columns when the watermark proves no purchase can arrive
