@@ -117,6 +117,26 @@ object StreamingQueries {
         "converting view emitted exactly once on its first match; no sentinel " +
         "(match-driven emission) — bounded drain == batch EXISTS"),
 
+    GQuery("streaming_anti_join",
+      (s, dir) => graft.streaming.StreamJoin.viewPurchaseAnti(s, dir, windowMinutes = 30)
+        .orderBy(col("view_event")),
+      Some("""SELECT v.user_id,
+                     v.event_id AS view_event,
+                     strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_at
+              FROM events v
+              WHERE v.event_type = 'view'
+                AND NOT EXISTS (
+                  SELECT 1 FROM events b
+                  WHERE b.event_type = 'purchase'
+                    AND b.user_id = v.user_id
+                    AND epoch_us(b.ts) >= epoch_us(v.ts)
+                    AND epoch_us(b.ts) <= epoch_us(v.ts) + CAST(30 AS BIGINT) * 60000000)
+              ORDER BY view_event"""),
+      doc = "LEFT ANTI stream-stream interval join (as the outer drain's null rows " +
+        "- Spark's streaming engine rejects a streaming-right LeftAnti): a view " +
+        "emitted only once the watermark proves no purchase can arrive; " +
+        "sentinel-flushed bounded drain == batch NOT EXISTS"),
+
     GQuery("streaming_outer_join",
       (s, dir) => graft.streaming.StreamJoin.viewPurchaseLeftOuter(s, dir, windowMinutes = 30)
         .orderBy(col("user_id"), col("view_event"), col("buy_event").asc_nulls_first),

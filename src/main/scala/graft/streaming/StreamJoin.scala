@@ -157,6 +157,26 @@ object StreamJoin {
     drainAppend(joined, "graft_sjoin_semi_")
   }
 
+  /** LEFT ANTI stream-stream interval join: the funnel DROP-OFF filter —
+    * each view with NO purchase within the window, as bare left-side rows
+    * (the anti complement of [[viewPurchaseSemi]]).
+    *
+    * Engine boundary, discovered the hard way: Spark's streaming engine
+    * REJECTS LeftAnti with a streaming right side ("LeftAnti joins with a
+    * streaming DataFrame/Dataset on the right are not supported") — anti
+    * emission is watermark-driven exactly like outer-null emission, but
+    * only the outer form is implemented in the state store. So the anti
+    * operator is the prescribed composition instead: the LEFT OUTER
+    * drain's null rows, projected to the left columns. Same state, same
+    * sentinel flush, same eviction — only the projection differs, and the
+    * result equals the batch `NOT EXISTS` bit-for-bit.
+    */
+  def viewPurchaseAnti(spark: SparkSession, sfDir: String,
+                       windowMinutes: Int = 30): DataFrame =
+    viewPurchaseLeftOuter(spark, sfDir, windowMinutes)
+      .filter(col("buy_event").isNull)
+      .select(col("user_id"), col("view_event"), col("view_at"))
+
   /** LEFT OUTER stream-stream interval join: every view, paired with the
     * purchases it led to within the window — or emitted once with NULL
     * purchase columns when the watermark proves no purchase can arrive
