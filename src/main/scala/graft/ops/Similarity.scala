@@ -550,6 +550,102 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Persisted IVF index: build / extend / serve as three separate moments
+    * — the index-maintenance story a 100 TB ANN deployment actually runs,
+    * where training the quantizer is a rare heavy job and ingest is a
+    * steady stream of new vectors that must NOT retrain it.
+    *
+    *   - [[ivfIndexBuild]]: train the deterministic k-means quantizer on
+    *     the initial corpus and persist BOTH tables — `centroids(c_id, c)`
+    *     and `assignments(vec_id, cell)` — as versioned [[MergeTable]]s
+    *     (crash-safe pointer-flip commits, time travel for index audits).
+    *   - [[ivfIndexAdd]]: assign a NEW batch against the FROZEN persisted
+    *     centroids (one broadcast of k rows, no shuffle of the batch
+    *     beyond the per-vector window) and upsert the assignments —
+    *     incremental, idempotent on replay (same ids → same cells).
+    *   - [[ivfIndexSearch]]: serve nprobe-bounded top-k from the persisted
+    *     tables alone — no training lineage in the query plan.
+    *
+    * Because assignment against the final centroids is a pure function of
+    * (vector, centroids), build+add assignments equal a single-pass
+    * assignment of the full corpus — which is what the SQL oracle mirrors.
+    * Doubles round-trip parquet bit-exactly, so served cosines
+    * hash-compare with the oracle.
+    */
+  val centroidSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+
+  val assignSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Nearest persisted cell per vector (cosine score, ties to lower c_id)
+    * — the one assignment definition build, add, and the oracle share.
+    */
+  private def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val base = withNorm(emb)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+  }
+
+  def ivfIndexBuild(spark: SparkSession, embTrain: DataFrame,
+                    centroidTable: graft.stages.MergeTable,
+                    assignTable: graft.stages.MergeTable,
+                    centroids: Int, iters: Int): Unit = {
+    val cents = kmeansCentroids(embTrain, centroids, iters).cache()
+    centroidTable.replace(cents)
+    assignTable.replace(assignToCentroids(embTrain, cents))
+  }
+
+  def ivfIndexAdd(spark: SparkSession, embNew: DataFrame,
+                  centroidTable: graft.stages.MergeTable,
+                  assignTable: graft.stages.MergeTable): Unit = {
+    val cents = centroidTable.read(spark, centroidSchema)
+    assignTable.upsert(assignToCentroids(embNew, cents))
+  }
+
+  def ivfIndexSearch(spark: SparkSession, emb: DataFrame,
+                     centroidTable: graft.stages.MergeTable,
+                     assignTable: graft.stages.MergeTable,
+                     numQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroidTable.read(spark, centroidSchema)
+    val assigns = assignTable.read(spark, assignSchema)
+    val base = withNorm(emb)
+    val corpus = base.join(assigns, Seq("vec_id"))
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    val queries = base.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
+      .withColumn("_r", row_number().over(wq))
+      .filter(col("_r") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("c_id").as("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(queries, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the deterministic
     * k-means quantizer, then search for near-duplicates ONLY within a

@@ -156,7 +156,13 @@ object SimilarityQueries {
     * assignment (`corpus`: every vector's cell; `q`: each query's nprobe
     * cells).
     */
-  private def kmeansAssignCtes(centroids: Int, nprobe: Int, numQueries: Int): String = {
+  private def kmeansAssignCtes(centroids: Int, nprobe: Int, numQueries: Int,
+                               trainPred: String = "TRUE"): String = {
+    // `trainPred` (over bare vec_id) restricts the TRAINING set — init and
+    // Lloyd passes — while `fin`/`corpus` still assign EVERY vector
+    // (mirrors Similarity.ivfIndexBuild on a subset + ivfIndexAdd of the
+    // rest: assignment against the final centroids is a pure function, so
+    // build+add == one full assignment pass). Default TRUE = train on all.
     // assignment pass: nearest cell by dot(v, c)/|c|, ties to the lower c_id
     def assign(name: String, cents: String) =
       s"""$name AS (
@@ -165,7 +171,7 @@ object SimilarityQueries {
          |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
          |             ORDER BY ${dotSql("b.embedding", "c.c")} / sqrt(${dotSql("c.c", "c.c")}) DESC,
          |                      c.c_id) AS r
-         |    FROM base b, $cents c) WHERE r = 1)""".stripMargin
+         |    FROM base b, $cents c WHERE ($trainPred)) WHERE r = 1)""".stripMargin
     // update pass: component-wise mean over scaled-integer vectors;
     // empty cells keep the previous center
     def update(assigned: String, prev: String, next: String) =
@@ -192,7 +198,7 @@ object SimilarityQueries {
        |c0 AS (
        |  SELECT vec_id AS c_id,
        |         list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS c
-       |  FROM embeddings WHERE vec_id < $centroids),
+       |  FROM embeddings WHERE vec_id < $centroids AND ($trainPred)),
        |${assign("a1", "c0")},
        |${update("a1", "c0", "c1")},
        |${assign("a2", "c1")},
@@ -229,8 +235,9 @@ object SimilarityQueries {
        |FROM corpus co LEFT JOIN dropped d ON d.vec_id = co.vec_id
        |GROUP BY co.cell ORDER BY cell""".stripMargin
 
-  private def kmeansIvfSql(centroids: Int, nprobe: Int, numQueries: Int, topK: Int): String = {
-    s"""WITH ${kmeansAssignCtes(centroids, nprobe, numQueries)},
+  private def kmeansIvfSql(centroids: Int, nprobe: Int, numQueries: Int, topK: Int,
+                           trainPred: String = "TRUE"): String = {
+    s"""WITH ${kmeansAssignCtes(centroids, nprobe, numQueries, trainPred)},
        |scored AS (
        |  SELECT q.query_id, co.vec_id,
        |         ${dotSql("b.embedding", "qb.embedding")} / (b.norm * qb.norm) AS cosine
@@ -512,6 +519,32 @@ object SimilarityQueries {
       Some(kmeansIvfSql(centroids = 8, nprobe = 2, numQueries = 16, topK = 3)),
       doc = "IVF ANN with deterministic k-means quantizer (2 Lloyd iterations, " +
         "integer-scaled means) and nprobe=2 multi-probe search"),
+
+    // Persisted-IVF lifecycle: train the quantizer on the EVEN half only
+    // (centroids=16 is an id bound — the even ids below it give 8 cells),
+    // persist centroids + assignments as MergeTables, incrementally assign
+    // the ODD half against the frozen centroids, then serve the search
+    // from the persisted tables. The oracle trains on the same even-id
+    // subset and assigns everything in one pass — equal because
+    // assignment against the final centroids is a pure function.
+    GQuery("sim_ivf_index_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
+        val asgT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        graft.ops.Similarity.ivfIndexBuild(s, emb.filter(col("vec_id") % 2 === 0),
+          centT, asgT, centroids = 16, iters = 2)
+        graft.ops.Similarity.ivfIndexAdd(s, emb.filter(col("vec_id") % 2 === 1),
+          centT, asgT)
+        graft.ops.Similarity.ivfIndexSearch(s, emb, centT, asgT,
+          numQueries = 16, k = 3, nprobe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(kmeansIvfSql(centroids = 16, nprobe = 2, numQueries = 16, topK = 3,
+        trainPred = "vec_id % 2 = 0")),
+      doc = "persisted IVF index lifecycle: quantizer trained once on the initial " +
+        "half, centroids+assignments as versioned MergeTables, incremental add of " +
+        "the new half against frozen centroids, search served from the tables"),
 
     GQuery("sim_recall_report",
       (s, dir) => Similarity.recallReport(s, Tables.embeddings(s, dir),

@@ -54,6 +54,33 @@ class SimilaritySpec extends AnyFunSuite {
       r.getAs[Long]("n_dropped") == 1L && r.getAs[Long]("n_kept") == 1L))
   }
 
+  test("persisted IVF index: add is idempotent on replay; search finds the cross-batch twin") {
+    import org.apache.spark.sql.functions.col
+    val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
+    val asgT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+    val all = emb
+    graft.ops.Similarity.ivfIndexBuild(spark, all.filter(col("vec_id") % 2 === 0),
+      centT, asgT, centroids = 8, iters = 2)
+    graft.ops.Similarity.ivfIndexAdd(spark, all.filter(col("vec_id") % 2 === 1),
+      centT, asgT)
+    def snapshot() = asgT.read(spark, graft.ops.Similarity.assignSchema)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val first = snapshot()
+    assert(first.size == 41)
+    // replaying the same incremental batch converges to the same content
+    // (same ids -> same cells against the frozen centroids)
+    graft.ops.Similarity.ivfIndexAdd(spark, all.filter(col("vec_id") % 2 === 1),
+      centT, asgT)
+    assert(snapshot() == first)
+    // vec 0 trained in the build batch, its twin (vec 1) arrived in the
+    // incremental batch: near-identical vectors land in the same cell, so
+    // the served search must rank the twin first
+    val res = graft.ops.Similarity.ivfIndexSearch(spark, all, centT, asgT,
+      numQueries = 1, k = 3, nprobe = 2).collect()
+    assert(res.head.getAs[Long]("neighbor_id") == 1L)
+    assert(res.head.getAs[Double]("cosine") > 0.999)
+  }
+
   test("brute-force top-k ranks the planted twin first with cosine ~1") {
     val top = Similarity.bruteForceTopK(emb, numQueries = 1, k = 3).collect()
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
