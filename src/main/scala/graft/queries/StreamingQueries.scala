@@ -156,6 +156,26 @@ object StreamingQueries {
         "with NULLs when the watermark proves no match can arrive (sentinel-flushed " +
         "bounded drain == batch left join)"),
 
+    GQuery("streaming_full_outer_join",
+      (s, dir) => graft.streaming.StreamJoin.viewPurchaseFullOuter(s, dir, windowMinutes = 30)
+        .orderBy(col("user_id"), col("view_event").asc_nulls_first,
+          col("buy_event").asc_nulls_first),
+      Some("""SELECT COALESCE(v.user_id, b.user_id) AS user_id,
+                     v.event_id AS view_event,
+                     b.event_id AS buy_event,
+                     strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_at,
+                     strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS buy_at,
+                     b.value AS purchase_value
+              FROM (SELECT * FROM events WHERE event_type = 'view') v
+              FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+                ON v.user_id = b.user_id
+               AND epoch_us(b.ts) >= epoch_us(v.ts)
+               AND epoch_us(b.ts) <= epoch_us(v.ts) + CAST(30 AS BIGINT) * 60000000
+              ORDER BY user_id, view_event NULLS FIRST, buy_event NULLS FIRST"""),
+      doc = "FULL OUTER stream-stream interval join: pairs + unconverted views + " +
+        "unattributed purchases in one drain; null emission watermark-driven on " +
+        "both sides (one sentinel pair flushes both) == batch full join"),
+
     GQuery("sessionization",
       (s, dir) => graft.streaming.Sessionize.sessionsBatch(
           graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),

@@ -128,6 +128,51 @@ object StreamJoin {
     drainAppend(joinPlan(spark, sfDir, windowMinutes, "inner", None), "graft_sjoin_")
   }
 
+  /** FULL OUTER stream-stream interval join — the complete attribution
+    * ledger in one result: matched view→purchase pairs, views that never
+    * converted (right columns NULL), AND purchases with no preceding view
+    * (left columns NULL — e.g. direct/untracked purchases), completing
+    * the stream-stream join family (inner/left-outer/semi/anti/full).
+    * Null emission is watermark-driven on BOTH sides: an unmatched view
+    * releases when the purchase watermark passes `view_ts + window`; an
+    * unmatched purchase releases when the view watermark passes its
+    * `buy_ts` (a matching view must precede the purchase in event time).
+    * The bounded drain reuses the one sentinel pair — it advances both
+    * watermarks past both deadlines — and the sentinel filter keys on
+    * COALESCE of the two user columns (either side may be NULL here),
+    * applied AFTER the drain like the outer form.
+    */
+  def viewPurchaseFullOuter(spark: SparkSession, sfDir: String,
+                            windowMinutes: Int = 30): DataFrame =
+      StateDefaults.withNanosRead(spark) {
+    StateDefaults.ensureRocksDB(spark)
+    def plan(sentinelDir: Option[String]): DataFrame =
+      side(spark, sfDir, "view", "v", sentinelDir)
+        .join(side(spark, sfDir, "purchase", "b", sentinelDir),
+          col("v_user") === col("b_user") &&
+            col("b_ts") >= col("v_ts") &&
+            col("b_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+          "full_outer")
+        .select(
+          coalesce(col("v_user"), col("b_user")).as("user_id"),
+          col("v_event").as("view_event"),
+          col("b_event").as("buy_event"),
+          date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("view_at"),
+          date_format(col("b_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_at"),
+          col("b_value").as("purchase_value"))
+    val maxUs = EventStream.maxTsMicros(spark, sfDir).getOrElse {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        plan(None).schema)
+    }
+    val marginUs = (windowMinutes.toLong + 60L + 120L) * 60L * 1000000L
+    val sentinelDir = graft.stages.TempDirs.scratch("graft_sjoin_full_sentinel_")
+    EventStream.writeSentinel(spark, sentinelDir, Seq(
+      (-1L, maxUs + marginUs, -1L, "view", 0.0, "{}"),
+      (-2L, maxUs + marginUs, -1L, "purchase", 0.0, "{}")))
+    drainAppend(plan(Some(sentinelDir)), "graft_sjoin_full_")
+      .filter(col("user_id") >= 0)
+  }
+
   /** LEFT SEMI stream-stream interval join: the funnel-CONVERSION filter —
     * each view that led to at least one purchase within the window,
     * emitted exactly once (on its first match) and never duplicated by

@@ -44,7 +44,7 @@ class CorpusContractSpec extends AnyFunSuite {
     "streaming_ledger", "streaming_lake_merge", "streaming_static_join",
     "streaming_sliding_window", "streaming_chained_aggs",
     "streaming_interval_join", "streaming_outer_join", "streaming_semi_join",
-    "streaming_anti_join",
+    "streaming_anti_join", "streaming_full_outer_join",
     "streaming_tws_running_totals", "sessionization_streaming")
 
   test("every registered query analyzes against the live corpus") {
