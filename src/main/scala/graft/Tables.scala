@@ -37,16 +37,26 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "events"   -> Seq("ts"))
 
+  // The probe is a driver-side footer read and a table's physical encoding
+  // cannot change within a JVM (regenerations land between rounds —
+  // CorpusContractSpec trips the next session), so the amended read schema
+  // is memoized per path. Registry queries re-load the same tables dozens
+  // of times per Verify/Bench run.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val cols = tsColumns.getOrElse(name, Nil)
     if (cols.isEmpty) return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val inferred = spark.read.parquet(path).schema
-    val amended = StructType(inferred.map(f =>
-      if (cols.contains(f.name) && f.dataType == TimestampNTZType)
-        f.copy(dataType = TimestampType)
-      else f))
+    val amended = schemaCache.computeIfAbsent(path, _ => {
+      val inferred = spark.read.parquet(path).schema
+      StructType(inferred.map(f =>
+        if (cols.contains(f.name) && f.dataType == TimestampNTZType)
+          f.copy(dataType = TimestampType)
+        else f))
+    })
     val raw = spark.read.schema(amended).parquet(path)
     cols.foldLeft(raw) { (df, c) =>
       if (df.schema(c).dataType == LongType)
