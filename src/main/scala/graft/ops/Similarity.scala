@@ -579,12 +579,21 @@ object Similarity {
       org.apache.spark.sql.types.StructField("c",
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
 
+  /** The index stores the VECTORS, cell-assigned — like a real IVF
+    * inverted list — so the serve path never joins back to the source
+    * corpus: candidates, embeddings, and norms all come off the index
+    * table alone.
+    */
   val assignSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cell",
-        org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("norm",
+        org.apache.spark.sql.types.DoubleType)))
 
   /** Nearest persisted cell per vector (cosine score, ties to lower c_id)
     * — the one assignment definition build, add, and the oracle share.
@@ -598,7 +607,7 @@ object Similarity {
         expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
       .withColumn("_r", row_number().over(w))
       .filter(col("_r") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"))
+      .select(col("vec_id"), col("c_id").as("cell"), col("embedding"), col("norm"))
   }
 
   def ivfIndexBuild(spark: SparkSession, embTrain: DataFrame,
@@ -622,9 +631,10 @@ object Similarity {
                      assignTable: graft.stages.MergeTable,
                      numQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val cents = centroidTable.read(spark, centroidSchema)
-    val assigns = assignTable.read(spark, assignSchema)
+    // candidates come off the index table ALONE — `emb` supplies only the
+    // query vectors (in production the query side is external anyway)
+    val corpus = assignTable.read(spark, assignSchema)
     val base = withNorm(emb)
-    val corpus = base.join(assigns, Seq("vec_id"))
     val wq = Window.partitionBy(col("vec_id"))
       .orderBy(col("_c_cos").desc, col("c_id"))
     val queries = base.filter(col("vec_id") < numQueries)
