@@ -338,6 +338,39 @@ object TextAnalysis {
     * avoided because libm rounding differs across engines and would break
     * the oracle hash.
     */
+  /** 2-gram corpus-likelihood proxy — the SEQUENTIAL extension of
+    * [[rarityStats]] (the CCNet/KenLM-style fluency filter, without a
+    * model): every adjacent token pair scored by its corpus-wide
+    * frequency. Low mean/min transition frequency marks unnatural
+    * sequences — gibberish, shuffled text, OCR noise — whose tokens may
+    * each be common while the TRANSITIONS are not, which token-level
+    * rarity cannot see. Outputs are integer counts plus one exact double
+    * division (the [[rarityStats]] convention), so the oracle compare is
+    * exact. Docs with fewer than two tokens have no transitions and drop
+    * out (explode of an empty array).
+    *
+    * Scale: per-row bigram construction (no shuffle), one map-side-combined
+    * hash aggregation for the corpus frequency table, and a join back on
+    * the bigram key — the same shape as the token frequency path.
+    */
+  def bigramLmStats(docs: DataFrame): DataFrame = {
+    val withBi = withTokens(docs).withColumn("bigram",
+      explode(expr(
+        "transform(arrays_zip(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1)), " +
+          "p -> concat(p['0'], ' ', p['1']))")))
+    val freq = withBi.groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+    withBi.select(col("doc_id"), col("bigram"))
+      .join(freq, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("freq")).as("freq_sum"),
+        min(col("freq")).as("min_bigram_freq"),
+        count(when(col("freq") === 1, 1)).as("n_singletons"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("freq_sum").cast("double") / col("n_bigrams")).as("mean_bigram_freq"),
+        col("min_bigram_freq"), col("n_singletons"))
+  }
+
   def rarityStats(docs: DataFrame): DataFrame = {
     val freq = tokenFrequencies(docs)
     withTokens(docs)

@@ -276,6 +276,26 @@ object TextQueries {
               GROUP BY doc_id ORDER BY doc_id"""),
       doc = "token-rarity signals vs the corpus frequency table (log-free LM-quality stand-in)"),
 
+    GQuery("text_bigram_lm",
+      (s, dir) => TextAnalysis.bigramLmStats(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+                   bi AS (SELECT doc_id,
+                                 unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+                          FROM toks),
+                   freq AS (SELECT bigram, count(*) AS freq FROM bi GROUP BY 1)
+              SELECT doc_id,
+                     count(*) AS n_bigrams,
+                     CAST(SUM(freq) AS DOUBLE) / count(*) AS mean_bigram_freq,
+                     min(freq) AS min_bigram_freq,
+                     count(CASE WHEN freq = 1 THEN 1 END) AS n_singletons
+              FROM bi JOIN freq USING (bigram)
+              GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "2-gram corpus-likelihood proxy (KenLM-style fluency filter, model-free): " +
+        "adjacent-pair transition frequencies vs the corpus — catches unnatural " +
+        "sequences whose tokens are individually common"),
+
     GQuery("text_tfidf_top_terms",
       (s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), topN = 3)
         .orderBy(col("doc_id"), col("rank")),

@@ -16,6 +16,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "lang")
   }
 
+  test("bigram LM proxy: shuffled text scores rare transitions; single-token docs drop out") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the cat sat", "en"),
+      (1L, "the cat sat", "en"),       // duplicate: its transitions are common
+      (2L, "cat the sat", "en"),       // same tokens, shuffled: transitions unique
+      (3L, "word", "en")               // no bigrams — must not appear
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.bigramLmStats(d).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // docs 0/1 share both transitions ("the cat", "cat sat") -> freq 2 each
+    assert(r(0).getAs[Long]("n_bigrams") == 2 &&
+      r(0).getAs[Double]("mean_bigram_freq") == 2.0 &&
+      r(0).getAs[Long]("min_bigram_freq") == 2 &&
+      r(0).getAs[Long]("n_singletons") == 0)
+    // doc 2's transitions exist nowhere else: all singletons
+    assert(r(2).getAs[Long]("min_bigram_freq") == 1 &&
+      r(2).getAs[Long]("n_singletons") == 2)
+  }
+
   test("token stats: counts, types, TTR, mean length") {
     val r = TextAnalysis.tokenStats(docs).orderBy("doc_id").collect()
     assert(r(0).getAs[Int]("n_tokens") == 6)
