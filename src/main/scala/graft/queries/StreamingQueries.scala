@@ -225,6 +225,40 @@ object StreamingQueries {
       doc = "sessionization via Spark's native session_window operator (empirically " +
         "verified: an exact-threshold gap MERGES — the same > split boundary as the lag form)"),
 
+    GQuery("sessionization_dynamic_gap",
+      (s, dir) => graft.streaming.Sessionize.sessionsDynamicGap(
+          graft.Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("value"), col("event_type")))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH e AS (
+                SELECT user_id, ts, value, epoch_us(ts) AS us,
+                       CASE WHEN event_type = 'purchase'
+                            THEN CAST(300000000 AS BIGINT)
+                            ELSE CAST(21600000000 AS BIGINT) END AS gap_us
+                FROM events),
+              m AS (
+                SELECT *, max(us + gap_us) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                FROM e),
+              f AS (
+                SELECT *, CASE WHEN prev_end IS NULL OR us > prev_end
+                               THEN 1 ELSE 0 END AS new_s
+                FROM m),
+              sess AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                           ROWS UNBOUNDED PRECEDING) AS s
+                FROM f)
+              SELECT user_id,
+                     strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                     strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                     count(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM sess GROUP BY user_id, s
+              ORDER BY user_id, session_start"""),
+      doc = "dynamic-gap sessionization (session_window with a per-event gap column: " +
+        "purchase closes in 5 min, browsing idles 360): window merge == per-user " +
+        "running-max-of-ends islands, touching windows merge"),
+
     GQuery("streaming_static_join",
       (s, dir) => IncrementalLedger.nationMonthlyTotals(s, dir)
         .orderBy(col("c_nationkey"), col("year"), col("month")),

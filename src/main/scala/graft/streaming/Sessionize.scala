@@ -79,6 +79,28 @@ object Sessionize extends Serializable {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .drop("session_window")
 
+  /** DYNAMIC-gap sessions through the native `session_window` operator:
+    * the idle timeout depends on each EVENT — here a purchase closes its
+    * session after 5 minutes while anything else idles 360 — the shape
+    * real funnels use (a conversion ends the visit; browsing lingers).
+    * Spark merges the per-event windows `[ts, ts+gap)` transitively,
+    * touching windows included (same inclusive overlap rule verified for
+    * the static form in [[sessionsNativeWindow]]); the oracle mirrors it
+    * as a per-user running max of window ends — a new session starts
+    * strictly AFTER the max end of every earlier window.
+    */
+  def sessionsDynamicGap(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "purchase", lit("5 minutes"))
+          .otherwise(lit("360 minutes"))))
+      .agg(
+        date_format(min(col("ts")), fmt).as("session_start"),
+        date_format(max(col("ts")), fmt).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .drop("session_window")
+
   /** The streaming twin run as a BOUNDED drain over the events file(s),
     * returning exactly the batch result — which makes the
     * `flatMapGroupsWithState` path oracle-checkable, not just spec-tested.

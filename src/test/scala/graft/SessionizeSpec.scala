@@ -29,6 +29,26 @@ class SessionizeSpec extends AnyFunSuite {
     EventIn(8L, ts("2024-01-01 12:00:00"), 4.0),   // closes 09:00 session
     EventIn(7L, ts("2024-01-01 13:00:00"), 9.0))   // closes 11:00 session
 
+  test("dynamic-gap sessions: purchase windows split fast, a view window shields later events") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: two purchases 6 min apart — each window is [ts, ts+5m),
+      // no overlap → TWO sessions (the static 360-min gap would give one)
+      (1L, ts("2024-01-01 10:00:00"), 1.0, "purchase"),
+      (1L, ts("2024-01-01 10:06:00"), 2.0, "purchase"),
+      // user 2: the view's 360-min window covers the purchase AND an event
+      // 100 min later even though the purchase's own window ended long
+      // before → ONE session (running max of ends, not last event's gap)
+      (2L, ts("2024-01-01 10:00:00"), 1.0, "view"),
+      (2L, ts("2024-01-01 10:04:00"), 2.0, "purchase"),
+      (2L, ts("2024-01-01 11:40:00"), 3.0, "view")
+    ).toDF("user_id", "ts", "value", "event_type")
+    val r = Sessionize.sessionsDynamicGap(df)
+      .orderBy("user_id", "session_start").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 1L, 2L))
+    assert(r(2).getAs[Long]("n_events") == 3L)
+  }
+
   test("gap-closed sessions match batch; watermark timeout flushes idle tails") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
