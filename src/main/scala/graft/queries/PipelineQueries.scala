@@ -151,6 +151,62 @@ object PipelineQueries {
               HAVING COUNT(*) > 0"""),
       doc = "S6: jsonb_build_object + only-if-nonempty guard"),
 
+    // ---- SCD2 (beyond the reference — it ships only SCD0/SCD1): the full
+    // versioned history of each user's event_type, built INCREMENTALLY in
+    // two batches through Merge.scd2Upsert (delta-sized: only touched keys
+    // rebuild). The oracle is the single-shot full-log reconstruction, so
+    // a green row proves batch-split transparency of the incremental path.
+    GQuery("scd2_user_status",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts").as("change_ts"))
+        val empty = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("effective_from",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("effective_to",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("is_current",
+              org.apache.spark.sql.types.BooleanType))))
+        val cut = "2024-01-15 00:00:00"
+        val v1 = Merge.scd2Upsert(empty,
+          ev.filter(col("change_ts") < lit(cut).cast("timestamp")),
+          Seq("user_id"), Seq("event_type"))
+        Merge.scd2Upsert(v1,
+          ev.filter(col("change_ts") >= lit(cut).cast("timestamp")),
+          Seq("user_id"), Seq("event_type"))
+          .select(col("user_id"), col("event_type"),
+            date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss").as("effective_from"),
+            date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss").as("effective_to"),
+            col("is_current"))
+          .orderBy(col("user_id"), col("effective_from"))
+      },
+      Some("""WITH o AS (
+                SELECT user_id, event_type, ts,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_type) AS prev
+                FROM events),
+              ch AS (
+                SELECT user_id, event_type, ts FROM o
+                WHERE prev IS NULL OR prev <> event_type),
+              v AS (
+                SELECT user_id, event_type, ts AS f,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_type) AS t
+                FROM ch)
+              SELECT user_id, event_type,
+                     strftime(f, '%Y-%m-%d %H:%M:%S') AS effective_from,
+                     strftime(t, '%Y-%m-%d %H:%M:%S') AS effective_to,
+                     t IS NULL AS is_current
+              FROM v ORDER BY user_id, effective_from"""),
+      doc = "SCD2 validity-interval history (beyond the reference's SCD0/SCD1): " +
+        "incremental two-batch build == single-shot full-log reconstruction"),
+
     // ---- S3: the watermark read-with-default round trip — the reference's
     // central incremental mechanism (load_deliveries.py:28-38): cold read
     // falls to the default, the increment is bounded by that cursor, the
