@@ -276,6 +276,66 @@ object TextQueries {
               GROUP BY doc_id ORDER BY doc_id"""),
       doc = "token-rarity signals vs the corpus frequency table (log-free LM-quality stand-in)"),
 
+    // Robust per-source length outlier fences — Tukey's 1.5×IQR over the
+    // EXACT rank-selection quartiles (the agg_percentiles convention:
+    // ceil(q·n), interpolation-free, partitioning-independent), so the
+    // fences are exact doubles (1.5 × integer) and the census hash-compares.
+    // The classic scraped-corpus gate: truncated fragments below the low
+    // fence, concatenation/boilerplate blobs above the high one.
+    GQuery("text_outlier_iqr",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+        val wAll = Window.partitionBy(col("source"))
+        def atQ(q: String, name: String) =
+          max(when(col("rn") === expr(s"ceil($q * cnt)"), col("n_chars"))).as(name)
+        val fences = Tables.documents(s, dir)
+          .select(col("source"), col("n_chars"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+          .groupBy(col("source"))
+          .agg(atQ("0.25", "q1"), atQ("0.75", "q3"), max(col("cnt")).as("n_docs"))
+          .withColumn("lo_fence",
+            col("q1").cast("double") - lit(1.5) * (col("q3") - col("q1")).cast("double"))
+          .withColumn("hi_fence",
+            col("q3").cast("double") + lit(1.5) * (col("q3") - col("q1")).cast("double"))
+        Tables.documents(s, dir).select(col("source"), col("n_chars"))
+          .join(fences, Seq("source"))
+          .groupBy(col("source"))
+          .agg(max(col("n_docs")).as("n_docs"),
+            max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+            max(col("lo_fence")).as("lo_fence"), max(col("hi_fence")).as("hi_fence"),
+            count(when(col("n_chars") < col("lo_fence") ||
+              col("n_chars") > col("hi_fence"), 1)).as("n_outliers"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH r AS (
+                SELECT source, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY n_chars, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS cnt
+                FROM documents),
+              q AS (
+                SELECT source,
+                       MAX(CASE WHEN rn = CEIL(0.25 * cnt) THEN n_chars END) AS q1,
+                       MAX(CASE WHEN rn = CEIL(0.75 * cnt) THEN n_chars END) AS q3,
+                       MAX(cnt) AS n_docs
+                FROM r GROUP BY source),
+              f AS (
+                SELECT source, n_docs, q1, q3,
+                       CAST(q1 AS DOUBLE) - 1.5 * CAST(q3 - q1 AS DOUBLE) AS lo_fence,
+                       CAST(q3 AS DOUBLE) + 1.5 * CAST(q3 - q1 AS DOUBLE) AS hi_fence
+                FROM q)
+              SELECT d.source, MAX(f.n_docs) AS n_docs,
+                     MAX(f.q1) AS q1, MAX(f.q3) AS q3,
+                     MAX(f.lo_fence) AS lo_fence, MAX(f.hi_fence) AS hi_fence,
+                     COUNT(CASE WHEN d.n_chars < f.lo_fence
+                                  OR d.n_chars > f.hi_fence THEN 1 END) AS n_outliers
+              FROM documents d JOIN f USING (source)
+              GROUP BY d.source ORDER BY d.source"""),
+      doc = "Tukey 1.5-IQR length-outlier census per source over exact rank-selection " +
+        "quartiles: truncated fragments and boilerplate blobs flagged robustly"),
+
     GQuery("text_bigram_lm",
       (s, dir) => TextAnalysis.bigramLmStats(Tables.documents(s, dir))
         .orderBy(col("doc_id")),
