@@ -1010,7 +1010,45 @@ object RelationalQueries {
                AND f.ts > p.ts AND f.ts <= p.ts + INTERVAL 1 HOUR
               GROUP BY p.event_id
               ORDER BY p.event_id"""),
-      doc = "equi+range join (SMJ with range residual), follow-up window count"),
+      doc = "equi+range join: per-purchase follow-up census within the hour"),
+
+    // ---- Pure-temporal range join, NO equi key — the case Catalyst can
+    // only plan as a nested-loop product. The bucketed rewrite: each left
+    // row explodes into its ±60s bucket and both neighbors, the right side
+    // carries its single bucket, and the range condition becomes an
+    // EQUI-join on the bucket id plus a residual |Δus| filter. Work is
+    // bucket-local (expected rows-per-bucket × 3 probes), never all-pairs;
+    // a matching pair's bucket ids differ by at most 1, so exactly one of
+    // the three probes hits — no dedup pass needed. This is the standard
+    // range-join optimization large engines apply, expressed in plain
+    // DataFrame algebra.
+    GQuery("join_range_bucketed",
+      (s, dir) => {
+        val W = 60000000L   // ±60 s in µs == the bucket width
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        val probe = ev
+          .withColumn("bkt", expr(s"CAST(floor(us / ${W}D) AS BIGINT)"))
+          .withColumn("b", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+          .drop("bkt")
+        val build = ev
+          .select(col("event_id").as("e2"), col("us").as("us2"))
+          .withColumn("b", expr(s"CAST(floor(us2 / ${W}D) AS BIGINT)"))
+        probe.join(build, Seq("b"))
+          .filter(col("event_id") =!= col("e2") &&
+            abs(col("us2") - col("us")) <= W)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_neighbors"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT a.event_id, count(*) AS n_neighbors
+              FROM events a JOIN events b
+                ON a.event_id <> b.event_id
+               AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= CAST(60000000 AS BIGINT)
+              GROUP BY a.event_id
+              ORDER BY a.event_id"""),
+      doc = "no-equi-key range join via the bucketed rewrite: temporal neighbors " +
+        "within 60s corpus-wide, bucket equi-join + residual, never all-pairs"),
 
     // ---- Approximate distinct via deterministic KMV sketch (ops.Sketch)
     GQuery("kmv_distinct_users",
