@@ -276,6 +276,36 @@ object TextQueries {
               GROUP BY doc_id ORDER BY doc_id"""),
       doc = "token-rarity signals vs the corpus frequency table (log-free LM-quality stand-in)"),
 
+    // Heavy tokens via the Misra-Gries frequent-items sketch: the bounded
+    // k-counter summary prunes the unbounded vocabulary to ≤ k candidates
+    // (order-independent GUARANTEE: every token with count > n/(k+1)
+    // survives), then candidates are re-counted exactly and thresholded
+    // with pure integer arithmetic (count·(k+1) > n) — deterministic
+    // output from an order-dependent sketch, the prune-then-verify shape.
+    GQuery("sketch_mg_heavy_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val k = 30
+        val toks = TextAnalysis.withTokens(Tables.documents(s, dir))
+          .select(explode(col("toks")).as("token"))
+        val cands = toks.as[String]
+          .select(graft.functions.MgAggregator.mg(k).toColumn)
+          .collect().head
+        val total = toks.count()
+        toks.filter(col("token").isin(cands: _*))
+          .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+          .filter(col("n_occurrences") * (k + 1) > total)
+          .orderBy(col("token"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+                   n AS (SELECT count(*) AS n FROM tok)
+              SELECT token, count(*) AS n_occurrences
+              FROM tok GROUP BY token
+              HAVING count(*) * 31 > (SELECT n FROM n)
+              ORDER BY token"""),
+      doc = "Misra-Gries heavy hitters: bounded mergeable k-counter candidate sketch " +
+        "+ exact recount, integer threshold count*(k+1) > n"),
+
     // Robust per-source length outlier fences — Tukey's 1.5×IQR over the
     // EXACT rank-selection quartiles (the agg_percentiles convention:
     // ceil(q·n), interpolation-free, partitioning-independent), so the

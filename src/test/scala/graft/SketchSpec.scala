@@ -20,6 +20,26 @@ class SketchSpec extends AnyFunSuite {
       .orderBy(col("_h")).limit(k)
       .collect().map(_.getAs[Long]("_h")).toSeq
 
+  test("Misra-Gries: candidate set covers every true heavy hitter at any partitioning") {
+    import spark.implicits._
+    // 12 distinct tokens; "hot" is 40% of the stream, "warm" 20%, the
+    // rest split the remainder — with k=4, guarantee covers count > n/5
+    val rows = Seq.fill(200)("hot") ++ Seq.fill(100)("warm") ++
+      (1 to 10).flatMap(i => Seq.fill(20)(s"cold$i"))
+    val n = rows.size
+    val exactHeavy = rows.groupBy(identity).collect {
+      case (t, occ) if occ.size.toLong * 5 > n => t
+    }.toSet
+    for (parts <- Seq(1, 7, 32)) {
+      val ds = spark.createDataset(rows).repartition(parts).as[String]
+      val cands = ds.select(graft.functions.MgAggregator.mg(4).toColumn)
+        .collect().head
+      assert(cands.size <= 4, s"summary over capacity at $parts partitions")
+      assert(exactHeavy.subsetOf(cands.toSet),
+        s"guarantee broken at $parts partitions: $exactHeavy vs $cands")
+    }
+  }
+
   test("estimate is within 50% of exact on the corpus") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("g", lit(1))
