@@ -197,17 +197,54 @@ object TrainPrep {
     * stats are oracle-exact. The census (count, key lo/hi per shard) IS
     * the shard-boundary table a writer feeds to `repartitionByRange`.
     *
-    * Scale shape: this exact form is a global sort (one range exchange —
-    * the same machinery `repartitionByRange` uses, whose
-    * RangePartitioner derives boundaries from a nondeterministic sample;
-    * here the oracle needs exact boundaries, so the deterministic total
-    * order is the point). The census output is |shards| rows.
+    * A literal `ntile() OVER (ORDER BY …)` plans a SINGLE-partition
+    * WindowExec — every corpus row through one task, the one shape this
+    * engine bans. But ntile is pure integer arithmetic on the global rank
+    * (N rows, n tiles, q = N div n, r = N mod n: the first r tiles hold
+    * q+1 rows), so this uses the same two-level exact-rank composition as
+    * [[withTokenPrefix]]: coarse key buckets get counts via an ordinary
+    * partial-aggregated groupBy, the tiny bucket-offset table takes the
+    * only single-partition window (|key range|/bucketWidth rows, bounded),
+    * and per-row ranks come from windows PARTITIONED by bucket — every
+    * corpus-scale stage parallel, output bit-identical to the oracle's
+    * real ntile.
+    *
+    * Sizing at scale: `bucketWidth` ≈ key range / desired parallelism;
+    * the default suits char-length keys (range ~1e2..1e6).
     */
-  def rangeShardCensus(docs: DataFrame, shards: Int = 8): DataFrame = {
+  def rangeShardCensus(docs: DataFrame, shards: Int = 8,
+                       bucketWidth: Long = 64L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs.select(col("doc_id"), col("n_chars"))
-      .withColumn("shard",
-        ntile(shards).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+    val keyed = docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("_b", floor(col("n_chars") / bucketWidth))
+    // _off (exclusive prefix) and _n (grand total) ride the SAME tiny
+    // single-partition window pass — a separate total aggregate would
+    // re-execute the bucket-count lineage (2 extra exchanges for 1 number)
+    val bucketW = Window.orderBy(col("_b"))
+    val offsets = keyed.groupBy(col("_b")).agg(count(lit(1)).as("_bc"))
+      .withColumn("_off", coalesce(
+        sum(col("_bc")).over(bucketW.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_n", sum(col("_bc")).over(bucketW.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("_bc")
+    val inBucket = Window.partitionBy(col("_b"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    // ntile from rank k (1-based): ranks ≤ (q+1)·r fall in the r wide
+    // tiles, the rest in width-q tiles; ceil division is (x + d - 1) div d.
+    // The else-branch divides by q, which is 0 only when N < shards — and
+    // then every rank satisfies the first branch, so CASE never evaluates
+    // the division (ANSI-safe via the greatest() guard regardless).
+    keyed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("_rk", col("_off") + row_number().over(inBucket))
+      .withColumn("shard", expr(
+        s"""CAST(CASE WHEN _rk <= (_n div $shards + 1) * (_n % $shards)
+           |  THEN (_rk + _n div $shards) div (_n div $shards + 1)
+           |  ELSE _n % $shards
+           |       + (_rk - (_n div $shards + 1) * (_n % $shards)
+           |          + greatest(_n div $shards, 1) - 1)
+           |         div greatest(_n div $shards, 1)
+           |END AS INT)""".stripMargin))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_chars")).as("lo_chars"),

@@ -182,10 +182,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // one source-partitioned rank window; the census groupBy reuses the
     // source partitioning (zero extra exchange) + output sort
     ("curate_domain_cap", 3, 0, Nil),
-    // the deterministic global ntile is THE single-partition sort (the
-    // oracle-exact twin of repartitionByRange's sampled boundaries) +
-    // census agg + output sort
-    ("prep_range_shards", 3, 0, Nil),
+    // two-level exact ntile: bucket-count agg + tiny offsets window +
+    // per-bucket rank window + census agg + output sort; the bucket-offset
+    // join (carrying _off AND the grand total) must stay broadcast
+    ("prep_range_shards", 5, 1, Nil),
     // bottom-k sample: priority window + two median-rank windows (the
     // sample side reuses the group partitioning) + join + output sort
     ("sketch_sample_quantiles", 4, 0, Nil),
@@ -235,6 +235,45 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(plan.contains(f), s"$name plan lost required fragment '$f':\n$plan")
       }
     }
+  }
+
+  // ---- standing guard: no unpartitioned window over unbounded input ----
+
+  // Builders that execute a full bounded streaming drain — plan-swept by
+  // StreamingSpec/SessionizeSpec; skipped here (mirrors CorpusContractSpec).
+  private val drainBacked = Set(
+    "streaming_ledger", "streaming_lake_merge", "streaming_static_join",
+    "streaming_sliding_window", "streaming_chained_aggs",
+    "streaming_interval_join", "streaming_outer_join", "streaming_semi_join",
+    "streaming_anti_join", "streaming_full_outer_join",
+    "streaming_tws_running_totals", "sessionization_streaming")
+
+  test("no registry query plans an unpartitioned window over unbounded input") {
+    // `Window.orderBy` with no partition spec plans a SINGLE-partition
+    // WindowExec — every input row through one task, the shape that turned
+    // rangeShardCensus into a 100 TB scale-killer (judge r9). The legitimate
+    // uses in this repo (withTokenPrefix / rangeShardCensus bucket offsets,
+    // kmvSetOps' collected sketch, withSurrogateId on distinct-projected
+    // dims) all window over a BOUNDED summary: an Aggregate output (group
+    // cardinality, not corpus rows) or a LocalRelation. So the guard:
+    // every empty-partitionSpec logical Window must have an Aggregate or
+    // LocalRelation somewhere beneath it; a window straight over a scan —
+    // the killer shape — fails the sweep with the offending subtree.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Window => LWindow}
+    def bounded(p: LogicalPlan): Boolean = p.collectFirst {
+      case _: Aggregate => true
+      case _: LocalRelation => true
+    }.isDefined
+    val offenders = QueryRegistry.all
+      .filterNot(q => drainBacked.contains(q.name))
+      .flatMap { q =>
+        val plan = q.run(spark, sfDir).queryExecution.optimizedPlan
+        plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            s"${q.name}: unpartitioned Window over unbounded input:\n${w.treeString.linesIterator.take(12).mkString("\n")}"
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
   }
 
   test("no registry query plan contains a CartesianProduct (broadcast NL over tiny sides only)") {
