@@ -2,7 +2,7 @@ package graft.stages
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, concat_ws, lag, lead}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lag, lead, lit}
 
 /** SCD upsert semantics re-expressed as pure DataFrame algebra.
   *
@@ -61,8 +61,13 @@ object Merge {
     */
   def scd2Upsert(existing: DataFrame, incoming: DataFrame,
                  keys: Seq[String], attrs: Seq[String]): DataFrame = {
-    // U+0001 separator: ("ab","c") and ("a","bc") must fingerprint apart
-    val fp: Column = concat_ws("", attrs.map(col): _*)
+    // The fingerprint must be injective over attribute tuples: the U+0001
+    // separator keeps ("ab","c") != ("a","bc"), and the U+0000 NULL
+    // sentinel keeps ("a",NULL) != (NULL,"a") and NULL != "" -- concat_ws
+    // alone SKIPS null arguments, which would collapse a NULL-involving
+    // attribute change into a no-op and never open the new version.
+    val fp: Column = concat_ws("\u0001",
+      attrs.map(a => coalesce(col(a).cast("string"), lit("\u0000null"))): _*)
     val inKeys = incoming.select(keys.map(col): _*).distinct()
     val untouched = existing.join(inKeys, keys, "left_anti")
     val touchedLog = existing.join(inKeys, keys, "left_semi")

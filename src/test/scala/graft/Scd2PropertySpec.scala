@@ -14,7 +14,12 @@ import org.scalacheck.{Gen, Prop, Properties}
   * pins the structural invariants every SCD2 consumer relies on: per key,
   * intervals chain exactly (`effective_to` = next `effective_from`),
   * exactly one open current version, and no two consecutive versions
-  * carry the same attribute value.
+  * carry the same attribute tuple.
+  *
+  * Attributes are a PAIR drawn from {"a", "b", "", NULL} so the generator
+  * covers the fingerprint's adversarial tuples: ("a",NULL) vs (NULL,"a"),
+  * NULL vs "" — the cases a bare concat_ws collapses (it skips nulls),
+  * which would turn real changes into silent no-ops.
   *
   * Logs are generated with strictly distinct (key, ts) pairs — the same
   * uniqueness the event corpus provides — because simultaneous
@@ -27,46 +32,50 @@ object Scd2Properties extends Properties("Scd2") {
   private val scd2Schema = StructType(Seq(
     StructField("k", StringType),
     StructField("attr", StringType),
+    StructField("attr2", StringType),
     StructField("effective_from", TimestampType),
     StructField("effective_to", TimestampType),
     StructField("is_current", BooleanType)))
 
-  private val logGen: Gen[List[(String, String, Long)]] = for {
+  private val attrGen: Gen[String] = Gen.oneOf("a", "b", "", null)
+
+  private val logGen: Gen[List[(String, String, String, Long)]] = for {
     n <- Gen.choose(1, 40)
     keys <- Gen.listOfN(n, Gen.choose(1, 5).map(i => s"k$i"))
-    attrs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    attrs <- Gen.listOfN(n, attrGen)
+    attrs2 <- Gen.listOfN(n, attrGen)
     // distinct minutes per row -> (key, ts) pairs unique by construction
     mins <- Gen.pick(n, 0 until 2000).map(_.toList)
-  } yield keys.lazyZip(attrs).lazyZip(mins.map(_.toLong)).toList
+  } yield keys.lazyZip(attrs).lazyZip(attrs2).lazyZip(mins.map(_.toLong)).toList
 
-  private def incomingDf(rows: List[(String, String, Long)]): DataFrame = {
+  private def incomingDf(rows: List[(String, String, String, Long)]): DataFrame = {
     val schema = StructType(Seq(
       StructField("k", StringType), StructField("attr", StringType),
-      StructField("change_ts", TimestampType)))
+      StructField("attr2", StringType), StructField("change_ts", TimestampType)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.map { case (k, a, m) =>
-        Row(k, a, new Timestamp(1704067200000L + m * 60000L)) }, 2), schema)
+      spark.sparkContext.parallelize(rows.map { case (k, a, a2, m) =>
+        Row(k, a, a2, new Timestamp(1704067200000L + m * 60000L)) }, 2), schema)
   }
 
   private def emptyScd2: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], scd2Schema)
 
-  private def shape(d: DataFrame): Seq[(String, String, Timestamp, Option[Timestamp], Boolean)] =
-    d.collect().map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
-      Option(r.getTimestamp(3)), r.getBoolean(4)))
+  private def shape(d: DataFrame): Seq[(String, (String, String), Timestamp, Option[Timestamp], Boolean)] =
+    d.collect().map(r => (r.getString(0), (r.getString(1), r.getString(2)),
+      r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
       .sortBy(t => (t._1, t._3.getTime)).toSeq
 
   property("batch-split transparency + interval invariants") =
     Prop.forAllNoShrink(logGen, Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) {
       (log, cutA, cutB) =>
-        val sorted = log.sortBy(_._3)
+        val sorted = log.sortBy(_._4)
         val Seq(c1, c2) = Seq(cutA, cutB).sorted.map(c => (c * log.size).toInt)
         val (b1, rest) = sorted.splitAt(c1)
         val (b2, b3) = rest.splitAt(c2 - c1)
         val folded = Seq(b1, b2, b3).filter(_.nonEmpty).foldLeft(emptyScd2) {
-          (acc, batch) => Merge.scd2Upsert(acc, incomingDf(batch), Seq("k"), Seq("attr"))
+          (acc, batch) => Merge.scd2Upsert(acc, incomingDf(batch), Seq("k"), Seq("attr", "attr2"))
         }
-        val single = Merge.scd2Upsert(emptyScd2, incomingDf(sorted), Seq("k"), Seq("attr"))
+        val single = Merge.scd2Upsert(emptyScd2, incomingDf(sorted), Seq("k"), Seq("attr", "attr2"))
         val f = shape(folded)
         val equalsSingle = f == shape(single)
 
