@@ -104,6 +104,68 @@ object PipelineQueries {
               FROM stg ORDER BY delivery_key"""),
       doc = "S1/O1/O2: raw JSON landing → declared-schema extraction"),
 
+    // ---- S2: the time-windowed incremental scan THROUGH the DSv2 paginated
+    // connector (load_deliveries.py:40-53): the events corpus is rendered as
+    // the API's JSON-lines stream (s1's payload shape plus the delivery_ts
+    // field the endpoint windows on), then read back via `paged_json` with a
+    // Catalyst `[from, to)` predicate that pushFilters absorbs into the
+    // source's window — the Spark-native form of forwarding the watermark
+    // interval as REST query params. PlanAuditSpec pins the pushdown
+    // (PushedFilters must carry both bounds); this row pins the VALUES.
+    GQuery("s2_paged_window_scan",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val apiDir = graft.stages.TempDirs.scratch("graft_api_s2_")
+        ev.select(concat(
+            lit("{\"delivery_id\":\"d"), col("event_id"),
+            lit("\",\"order_id\":\"o"), col("event_id"),
+            lit("\",\"courier_id\":\"c"), col("user_id"),
+            lit("\",\"address\":\"addr\",\"delivery_ts\":\""),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("\",\"rate\":"),
+            get_json_object(col("props"), "$.k").cast("int") % 6,
+            lit(",\"sum\":"), col("value").cast("decimal(18,2)").cast("string"),
+            lit(",\"tip_sum\":0.00}")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(apiDir)
+        val file = new java.io.File(apiDir).listFiles()
+          .filter(_.getName.startsWith("part-")).head.getAbsolutePath
+        val windowed = s.read.format("graft.sources.PagedJsonSource")
+          .option("path", file)
+          .option("pageSize", "10000").option("maxPages", "1000")
+          .load()
+          .filter(col("delivery_ts") >= "2024-01-10 00:00:00" &&
+            col("delivery_ts") < "2024-01-20 00:00:00")
+        StgToDds.parseDeliveries(
+            windowed.withColumn("delivery_ts", col("delivery_ts").cast("timestamp")))
+          .select(col("delivery_key"), col("order_key"), col("courier_key"),
+            col("rating"), col("order_sum").cast("double").as("order_sum"),
+            date_format(col("ts"), "yyyy-MM-dd").as("delivery_day"))
+          .orderBy(col("delivery_key"))
+      },
+      Some("""WITH stg AS (
+                SELECT '{"delivery_id":"d' || event_id ||
+                       '","order_id":"o' || event_id ||
+                       '","courier_id":"c' || user_id ||
+                       '","address":"addr","delivery_ts":"' ||
+                       strftime(ts, '%Y-%m-%d %H:%M:%S') ||
+                       '","rate":' ||
+                       (CAST(json_extract_string(props, '$.k') AS INT) % 6) ||
+                       ',"sum":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
+                       ',"tip_sum":0.00}' AS json_response,
+                       ts
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                  AND ts <  TIMESTAMP '2024-01-20 00:00:00')
+              SELECT json_extract_string(json_response, '$.delivery_id') AS delivery_key,
+                     json_extract_string(json_response, '$.order_id') AS order_key,
+                     json_extract_string(json_response, '$.courier_id') AS courier_key,
+                     CAST(json_extract_string(json_response, '$.rate') AS INT) AS rating,
+                     CAST(CAST(json_extract_string(json_response, '$.sum') AS DECIMAL(14,2)) AS DOUBLE) AS order_sum,
+                     strftime(ts, '%Y-%m-%d') AS delivery_day
+              FROM stg ORDER BY delivery_key"""),
+      doc = "S2: [from,to) incremental window read THROUGH the DSv2 paginated " +
+        "source — predicate pushdown into the API window, then STG parse"),
+
     // ---- S4: SCD1 upsert rewrite (load_couriers.py:39-49, couriers_stg_to_dds.sql:21-27)
     GQuery("s4_scd1_upsert",
       (s, dir) => Merge.upsert(

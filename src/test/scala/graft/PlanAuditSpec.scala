@@ -219,7 +219,12 @@ class PlanAuditSpec extends AnyFunSuite {
     ("prep_global_shuffle", 2, 0, Nil),
     // mixture apply: the |sources|-row mix table and the 1-row weight
     // total must BOTH broadcast; corpus pays one narrow filter + census
-    ("prep_mix_apply", 6, 2, Nil))
+    ("prep_mix_apply", 6, 2, Nil),
+    // S2 windowed read through the DSv2 paginated source: BOTH window
+    // bounds must be absorbed into the connector (the REST-query-param
+    // analogue); the only exchange is the output sort
+    ("s2_paged_window_scan", 1, 0, Seq(
+      "GreaterThanOrEqual(delivery_ts", "LessThan(delivery_ts")))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)
