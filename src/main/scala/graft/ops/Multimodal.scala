@@ -117,23 +117,70 @@ object Multimodal {
     }.toDF("doc_id", "frame_no", "frame_bytes", "frame_header_sum")
   }
 
-  /** Audio-shaped pass: the payload as a PCM stream of unsigned 8-bit
-    * samples, per-window RMS energy + peak — the feature shape of a VAD /
+  /** PCM stand-in codec: the payload bytes read directly as unsigned 8-bit
+    * samples — the registry/oracle path (the synthetic corpus carries text
+    * bytes, not encoded audio; DuckDB mirrors u8 sample algebra exactly).
+    */
+  object StubPcm {
+    def samples(row: MediaRow): Array[Int] = row.payload.map(_ & 0xff)
+  }
+
+  /** A REAL audio codec behind the same boundary — javax.sound.sampled
+    * (JDK built-in WAV/AIFF/AU parsers), mirroring [[ImageIoDecoder]] on
+    * the image side. Decodes the container to channel-0 integer PCM
+    * amplitudes (8-bit unsigned or 16-bit signed, either endianness — the
+    * formats the JDK emits), which then flow through the SAME
+    * [[windowRms]] algebra as the stub: swapping codecs changes zero plan
+    * shape. A non-audio payload fails loudly at the codec.
+    */
+  object WavDecoder {
+    def samples(row: MediaRow): Array[Int] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.payload))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16,
+          s"doc ${row.doc_id}: unsupported sample size $bits")
+        val frameSize = fmt.getFrameSize
+        val bytes = in.readAllBytes()
+        val n = bytes.length / frameSize
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val off = i * frameSize // channel 0 leads each frame
+          out(i) =
+            if (bits == 8) bytes(off) & 0xff // WAV 8-bit is unsigned
+            else if (fmt.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+            else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+  }
+
+  /** Audio-shaped pass: the payload decoded to integer PCM samples,
+    * per-window RMS energy + peak — the feature shape of a VAD /
     * loudness-normalization stage, completing the modality trio next to
     * the image-shaped [[decodeFeatures]] and video-shaped
     * [[sampleFrames]]. Integer sum-of-squares per window with ONE final
     * division and sqrt (IEEE sqrt is correctly rounded, so the doubles
-    * are engine-reproducible). mapPartitions-shaped like the rest:
-    * payload bytes never shuffle.
+    * are engine-reproducible); peak is max |amplitude|. The codec is a
+    * plain function like [[decodeFeatures]]'s: [[StubPcm]] is the
+    * registry/oracle path, [[WavDecoder]] the real-container path
+    * (`MultimodalSpec` proves both through the same algebra).
+    * mapPartitions-shaped like the rest: payload bytes never shuffle.
     */
-  def windowRms(media: Dataset[MediaRow], windowBytes: Int = 128): DataFrame = {
+  def windowRms(media: Dataset[MediaRow], windowSamples: Int = 128,
+                codec: MediaRow => Array[Int] = StubPcm.samples): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      r.payload.grouped(windowBytes).zipWithIndex.map { case (bytes, i) =>
+      codec(r).grouped(windowSamples).zipWithIndex.map { case (s, i) =>
         var sumSq = 0L
         var peak = 0
-        bytes.foreach { b => val v = b & 0xff; sumSq += v.toLong * v; if (v > peak) peak = v }
-        (r.doc_id, i, bytes.length, math.sqrt(sumSq.toDouble / bytes.length), peak)
+        s.foreach { v => sumSq += v.toLong * v; if (math.abs(v) > peak) peak = math.abs(v) }
+        (r.doc_id, i, s.length, math.sqrt(sumSq.toDouble / s.length), peak)
       }
     }.toDF("doc_id", "window_no", "n_samples", "rms", "peak")
   }

@@ -309,7 +309,7 @@ object StreamingQueries {
 
     GQuery("mm_audio_rms",
       (s, dir) => Multimodal.windowRms(
-          Multimodal.asMediaTable(s, Tables.documents(s, dir)), windowBytes = 128)
+          Multimodal.asMediaTable(s, Tables.documents(s, dir)), windowSamples = 128)
         .orderBy(col("doc_id"), col("window_no")),
       Some("""WITH b AS (
                 SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents),

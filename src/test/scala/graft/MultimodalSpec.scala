@@ -37,6 +37,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames((1L, 0))._2 == 'x'.toInt * 4)
   }
 
+  test("real WAV decode through the same windowRms algebra (javax.sound.sampled)") {
+    import spark.implicits._
+    import Multimodal.{MediaRow, WavDecoder}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // deterministic 16-bit signed little-endian mono PCM: a ramp with
+    // negative excursions, so signedness and endianness both matter
+    val pcm: Array[Int] = (0 until 300).map(i => (i * 37) % 2000 - 1000).toArray
+    def wav(samples: Array[Int], bigEndian: Boolean): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        val (hi, lo) = ((v >> 8).toByte, (v & 0xff).toByte)
+        if (bigEndian) { bytes(2 * i) = hi; bytes(2 * i + 1) = lo }
+        else { bytes(2 * i) = lo; bytes(2 * i + 1) = hi }
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRow(1L, "audio/wav", wav(pcm, bigEndian = false)),
+      MediaRow(2L, "audio/wav", wav(pcm, bigEndian = true))).toDS().repartition(2)
+    val rows = Multimodal.windowRms(media, windowSamples = 128, codec = WavDecoder.samples)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getDouble(3), r.getInt(4))).toMap
+    // expected straight from the source samples
+    val expect = pcm.grouped(128).zipWithIndex.map { case (s, i) =>
+      i -> (s.length, math.sqrt(s.map(v => v.toLong * v).sum.toDouble / s.length),
+        s.map(math.abs).max)
+    }.toMap
+    for (doc <- Seq(1L, 2L); (i, (n, rms, peak)) <- expect) {
+      assert(rows((doc, i)) == ((n, rms, peak)),
+        s"doc $doc window $i: ${rows((doc, i))} != ${(n, rms, peak)}")
+    }
+    assert(rows.size == 2 * expect.size) // 300 samples -> 3 windows per doc
+    // a non-audio payload fails loudly at the codec, not silently
+    val bad = Seq(MediaRow(3L, "audio/wav", Array[Byte](9, 9, 9))).toDS()
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.windowRms(bad, codec = WavDecoder.samples).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("real PNG decode through the same mapPartitions boundary (javax.imageio)") {
     import spark.implicits._
     import Multimodal.{ImageIoDecoder, MediaRow}
