@@ -347,7 +347,10 @@ object TextAnalysis {
     * rarity cannot see. Outputs are integer counts plus one exact double
     * division (the [[rarityStats]] convention), so the oracle compare is
     * exact. Docs with fewer than two tokens have no transitions and drop
-    * out (explode of an empty array).
+    * out (explode of an empty array); the slice length is clamped to >= 0
+    * so that holds STRUCTURALLY for any tokenizer (a regex split can
+    * yield a genuinely empty array, where an unclamped size-1 slice
+    * length would throw at runtime instead of dropping the doc).
     *
     * Scale: per-row bigram construction (no shuffle), one map-side-combined
     * hash aggregation for the corpus frequency table, and a join back on
@@ -356,7 +359,8 @@ object TextAnalysis {
   def bigramLmStats(docs: DataFrame): DataFrame = {
     val withBi = withTokens(docs).withColumn("bigram",
       explode(expr(
-        "transform(arrays_zip(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1)), " +
+        "transform(arrays_zip(slice(toks, 1, greatest(size(toks)-1, 0)), " +
+          "slice(toks, 2, greatest(size(toks)-1, 0))), " +
           "p -> concat(p['0'], ' ', p['1']))")))
     val freq = withBi.groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
     withBi.select(col("doc_id"), col("bigram"))

@@ -87,9 +87,18 @@ object EventStream {
                  options: Map[String, String] = Map.empty): DataFrame = {
     val enc = tsEncoding(spark, dir, glob)
     // a legacy-nanos PLAN executes at drain time: leave the read shim set
-    // for the caller's drain (their withNanosRead wrapper restores it)
-    if (enc == LongType)
+    // for the caller's drain (their withNanosRead wrapper restores it).
+    // A call site OUTSIDE a wrapper would leak legacy read semantics into
+    // every later batch parquet read of the session — keep working (the
+    // plan itself is fine) but surface the leak loudly.
+    if (enc == LongType) {
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "EventStream.readStream on a legacy-nanos corpus called outside " +
+            "StateDefaults.withNanosRead: nanosAsLong will persist on the " +
+            "session after the drain — wrap the drain to restore it")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     normalize(
       spark.readStream.schema(schemaFor(enc))
         .option("pathGlobFilter", glob).options(options).parquet(dir),

@@ -40,6 +40,16 @@ class CorpusContractSpec extends AnyFunSuite {
 
   // Builders that execute a full bounded drain (covered on the live corpus
   // by StreamingSpec/SessionizeSpec); everything else must analyze here.
+  // Note: "analyze" is the MINIMUM this exercises — several builders run
+  // real driver-side actions while constructing their plan (watermark
+  // state writes in s3/o9, the MG sketch's collect+recount, scd2/IVF/lake
+  // scratch MergeTables, the s2 JSONL fixture write), so those execute
+  // small sf0.001 jobs here, not just analysis. That is deliberate: the
+  // tripwire's job is to fail on the NEXT corpus-encoding flip, and the
+  // action-heavy builders are exactly the ones that read the corpus
+  // through the most machinery. Keep them included; if the registry grows
+  // enough that this test stops being cheap, exclude action-heavy
+  // builders the way drain-backed ones are and list them explicitly.
   private val drainBacked = Set(
     "streaming_ledger", "streaming_lake_merge", "streaming_static_join",
     "streaming_sliding_window", "streaming_chained_aggs",
