@@ -375,6 +375,50 @@ object TextAnalysis {
         col("min_bigram_freq"), col("n_singletons"))
   }
 
+  /** Corpus-trained quality classifier — MODEL INFERENCE shape, not another
+    * heuristic: a per-token vote table is learned from the corpus (the
+    * heuristic [[qualityScore]] flag acts as the weak-supervision teacher,
+    * the role a curated seed set plays in CCNet/fastText quality filters),
+    * then every document is scored by summing its tokens' votes. A token
+    * votes +1 when its rate among quality-doc tokens exceeds its rate among
+    * junk-doc tokens — compared by INTEGER cross-multiplication
+    * (`n_q·t_j ? n_j·t_q`), never a float ratio, so train and apply are
+    * bit-exact cross-engine. Prediction = vote majority (score > 0).
+    *
+    * Scale shape: train = one token explode → map-side-combined
+    * `groupBy(token)` (vocabulary-sized output, orders below corpus size) +
+    * a 1-row total broadcast; apply = the token stream joined to the vote
+    * table (vocabulary-keyed equi-join; AQE broadcasts when the vocab
+    * fits) + one per-doc aggregation. The token stream feeds train AND
+    * apply — at corpus scale persist it once (the [[decontaminationReport]]
+    * scratch-stage pattern) instead of re-tokenizing; at oracle scale the
+    * double pass is cheaper than the materialization. Cross-products are
+    * `long×long`; beyond ~1e9 tokens per class move the comparison to
+    * decimal(38,0) (documented determinism boundary).
+    */
+  def qualityVoteClassifier(docs: DataFrame): DataFrame = {
+    val labels = qualityScore(docs).select(col("doc_id"), col("is_quality"))
+    val toks = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(labels, Seq("doc_id"))
+    val tokenCounts = toks.groupBy(col("token"))
+      .agg(count(when(col("is_quality"), 1)).as("n_q"),
+        count(when(!col("is_quality"), 1)).as("n_j"))
+    val totals = tokenCounts.agg(sum(col("n_q")).as("t_q"), sum(col("n_j")).as("t_j"))
+    val votes = tokenCounts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        when(col("n_q") * col("t_j") > col("n_j") * col("t_q"), lit(1))
+          .when(col("n_q") * col("t_j") < col("n_j") * col("t_q"), lit(-1))
+          .otherwise(lit(0)).as("vote"))
+    toks.join(votes, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens_scored"),
+        sum(col("vote")).cast("long").as("vote_score"))
+      .join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens_scored"), col("vote_score"),
+        (col("vote_score") > 0).as("predicted_quality"), col("is_quality"))
+  }
+
   def rarityStats(docs: DataFrame): DataFrame = {
     val freq = tokenFrequencies(docs)
     withTokens(docs)

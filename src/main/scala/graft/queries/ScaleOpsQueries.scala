@@ -310,6 +310,60 @@ object ScaleOpsQueries {
       doc = "CSV write + explicit-schema read round-trip == parquet-sourced oracle " +
         "(quoted free text with embedded commas survives; no inference pass)"),
 
+    // ---- JSON-lines round-trip: the corpus's free text (quotes, unicode,
+    // arbitrary punctuation) written as JSONL and read back with a DECLARED
+    // schema — schema-on-read without an inference pass, the reference's
+    // landing-format posture (its API speaks JSON). The census proves the
+    // payload survived encoding byte-for-byte (summed lengths + md5-derived
+    // checksum), compared against the parquet-sourced oracle.
+    GQuery("scan_json_roundtrip",
+      (s, dir) => {
+        val out = graft.stages.TempDirs.scratch("graft_json_")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+          .write.mode("overwrite").json(out)
+        s.read.schema("doc_id BIGINT, source STRING, text STRING").json(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("text_chars"),
+            // order-independent integer content checksum: md5-prefix of
+            // each text summed per group — any mangled byte moves it
+            sum(expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)"))
+              .as("text_checksum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+                     CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+                     CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT)
+                       AS text_checksum
+              FROM documents GROUP BY source ORDER BY source"""),
+      doc = "JSONL write + declared-schema read round-trip == parquet-sourced " +
+        "oracle (free-text escaping survives; no inference pass)"),
+
+    // ---- Spark 4 VariantType: the modern semi-structured path (binary
+    // variant encoding + typed path extraction) over the events props JSON —
+    // parse once with parse_json, extract with variant_get (typed) and
+    // try_variant_get (absent path → NULL, no error). The oracle reads the
+    // same fields with DuckDB's JSON functions — variant encoding must be
+    // value-transparent.
+    GQuery("o18_variant_json",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("try_variant_get(v, '$.absent', 'string')").as("absent"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k").cast("bigint")).as("sum_k"),
+          count(col("absent")).as("n_absent_hits"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n_events,
+                     CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                     CAST(COUNT(json_extract_string(props, '$.absent')) AS BIGINT) AS n_absent_hits
+              FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "O1 modern form: VariantType parse_json + typed variant_get paths " +
+        "(absent path NULL-safe) == DuckDB JSON extraction"),
+
     // ---- KMV set operations (ops/Sketch.kmvSetOps): |A∪B| / Jaccard /
     // |A∩B| estimated from two O(k) sketches alone (the theta-sketch
     // capability) — here the 'view' vs 'purchase' user audiences — with

@@ -119,6 +119,51 @@ object TextQueries {
               FROM documents ORDER BY doc_id"""),
       doc = "document quality signals + composite flag"),
 
+    // ---- Model-inference shape: per-token vote table LEARNED from the
+    // corpus (qualityScore as weak-supervision teacher), applied by summing
+    // token votes per doc — the CCNet/fastText quality-filter pattern with
+    // integer cross-multiplied rate comparisons so train+apply are
+    // bit-exact cross-engine.
+    GQuery("text_quality_model",
+      (s, dir) => TextAnalysis.qualityVoteClassifier(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH labels AS (
+                 SELECT doc_id,
+                        (len($toksSql) >= 20
+                         AND CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) >= 0.3
+                         AND CAST(length(text) - len($toksSql) + 1 AS DOUBLE) / len($toksSql)
+                             BETWEEN 2.0 AND 12.0) AS is_quality
+                 FROM documents),
+               toks AS (
+                 SELECT doc_id, unnest($toksSql) AS token FROM documents),
+               lt AS (
+                 SELECT t.doc_id, t.token, l.is_quality
+                 FROM toks t JOIN labels l USING (doc_id)),
+               tv AS (
+                 SELECT token,
+                        count(*) FILTER (WHERE is_quality) AS n_q,
+                        count(*) FILTER (WHERE NOT is_quality) AS n_j
+                 FROM lt GROUP BY token),
+               tot AS (
+                 SELECT CAST(sum(n_q) AS BIGINT) AS t_q,
+                        CAST(sum(n_j) AS BIGINT) AS t_j FROM tv),
+               votes AS (
+                 SELECT token,
+                        CASE WHEN n_q * t_j > n_j * t_q THEN 1
+                             WHEN n_q * t_j < n_j * t_q THEN -1
+                             ELSE 0 END AS vote
+                 FROM tv, tot),
+               scores AS (
+                 SELECT doc_id, count(*) AS n_tokens_scored,
+                        CAST(sum(vote) AS BIGINT) AS vote_score
+                 FROM lt JOIN votes USING (token) GROUP BY doc_id)
+              SELECT s.doc_id, s.n_tokens_scored, s.vote_score,
+                     s.vote_score > 0 AS predicted_quality, l.is_quality
+              FROM scores s JOIN labels l USING (doc_id)
+              ORDER BY s.doc_id"""),
+      doc = "corpus-trained token-vote quality classifier (weak-supervision " +
+        "train + inference, integer-exact)"),
+
     GQuery("text_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))
         .groupBy(col("fingerprint"))
