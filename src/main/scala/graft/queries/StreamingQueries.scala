@@ -259,6 +259,64 @@ object StreamingQueries {
         "purchase closes in 5 min, browsing idles 360): window merge == per-user " +
         "running-max-of-ends islands, touching windows merge"),
 
+    // ---- S2 STREAMING form: the paginated API connector as a Structured
+    // Streaming source. The events corpus becomes the API's JSONL record
+    // stream (the s2_paged_window_scan fixture), drained via
+    // Trigger.AvailableNow with the defensive page cap acting as per-trigger
+    // admission control (backlog → several paged micro-batches) and the
+    // [from,to) window filtering server-side in the readers (the REST
+    // query-param form). The drained landing zone is then parsed and
+    // aggregated per day — hash-equal to the batch window over parquet,
+    // proving the streaming path loses/duplicates nothing.
+    GQuery("streaming_paged_source",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val scratch = graft.stages.TempDirs.scratch("graft_pjq_")
+        ev.select(concat(
+            lit("{\"delivery_id\":\"d"), col("event_id"),
+            lit("\",\"order_id\":\"o"), col("event_id"),
+            lit("\",\"courier_id\":\"c"), col("user_id"),
+            lit("\",\"address\":\"addr\",\"delivery_ts\":\""),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("\",\"rate\":"),
+            get_json_object(col("props"), "$.k").cast("int") % 6,
+            lit(",\"sum\":"), col("value").cast("decimal(18,2)").cast("string"),
+            lit(",\"tip_sum\":0.00}")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(s"$scratch/api")
+        val file = new java.io.File(s"$scratch/api").listFiles()
+          .filter(_.getName.startsWith("part-")).head.getAbsolutePath
+        val q = s.readStream.format("graft.sources.PagedJsonSource")
+          .option("path", file)
+          .option("pageSize", "20000").option("maxPages", "10")
+          .option("from", "2024-01-10 00:00:00").option("to", "2024-01-20 00:00:00")
+          .load()
+          .writeStream.format("parquet")
+          .option("path", s"$scratch/out")
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        graft.streaming.StateDefaults.awaitDrain(q)
+        graft.stages.StgToDds.parseDeliveries(
+            s.read.parquet(s"$scratch/out")
+              .withColumn("delivery_ts", col("delivery_ts").cast("timestamp")))
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("delivery_day"))
+          .agg(count(lit(1)).as("n_deliveries"),
+            sum(col("rating").cast("long")).as("rating_sum"),
+            sum(col("order_sum")).cast("double").as("sum_total"))
+          .orderBy(col("delivery_day"))
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS delivery_day,
+                     count(*) AS n_deliveries,
+                     CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT) % 6) AS BIGINT)
+                       AS rating_sum,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+              GROUP BY 1 ORDER BY delivery_day"""),
+      doc = "S2 streaming form: DSv2 MicroBatchStream over the paginated API " +
+        "(page-cap admission control, windowed readers, exactly-once drain) " +
+        "== batch window aggregate"),
+
     GQuery("streaming_static_join",
       (s, dir) => IncrementalLedger.nationMonthlyTotals(s, dir)
         .orderBy(col("c_nationkey"), col("year"), col("month")),

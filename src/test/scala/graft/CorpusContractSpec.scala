@@ -55,7 +55,8 @@ class CorpusContractSpec extends AnyFunSuite {
     "streaming_sliding_window", "streaming_chained_aggs",
     "streaming_interval_join", "streaming_outer_join", "streaming_semi_join",
     "streaming_anti_join", "streaming_full_outer_join",
-    "streaming_tws_running_totals", "sessionization_streaming")
+    "streaming_tws_running_totals", "sessionization_streaming",
+    "streaming_paged_source")
 
   test("every registered query analyzes against the live corpus") {
     val failures = QueryRegistry.all

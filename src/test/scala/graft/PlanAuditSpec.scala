@@ -251,7 +251,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "streaming_sliding_window", "streaming_chained_aggs",
     "streaming_interval_join", "streaming_outer_join", "streaming_semi_join",
     "streaming_anti_join", "streaming_full_outer_join",
-    "streaming_tws_running_totals", "sessionization_streaming")
+    "streaming_tws_running_totals", "sessionization_streaming",
+    "streaming_paged_source")
 
   test("no registry query plans an unpartitioned window over unbounded input") {
     // `Window.orderBy` with no partition spec plans a SINGLE-partition
