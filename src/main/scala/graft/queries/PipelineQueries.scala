@@ -269,6 +269,80 @@ object PipelineQueries {
       doc = "SCD2 validity-interval history (beyond the reference's SCD0/SCD1): " +
         "incremental two-batch build == single-shot full-log reconstruction"),
 
+    // ---- Point-in-time (PIT) join — the temporal-correctness consumer of
+    // SCD2: every fact row joined to the dimension VERSION valid at its
+    // event time, never the current one (the leakage-free feature-store /
+    // warehouse semantics). The dim history is the user's purchase-tier
+    // status (built from purchase events only, so joined facts genuinely
+    // differ from it); the join runs as an AS-OF (last version opened at or
+    // before the fact ts — intervals chain gaplessly, so that IS the valid
+    // interval) via the union+window composition: ONE user-key shuffle, no
+    // interval nested-loop, no pair explosion. Facts before a user's first
+    // version surface as '(none)', count-preserving.
+    GQuery("scd2_pit_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val dimLog = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            concat(lit("tier_"),
+              get_json_object(col("props"), "$.k").cast("int") % 3).as("status"),
+            col("ts").as("change_ts"))
+        val empty = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("status",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("effective_from",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("effective_to",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("is_current",
+              org.apache.spark.sql.types.BooleanType))))
+        val versions = Merge.scd2Upsert(empty, dimLog, Seq("user_id"), Seq("status"))
+          .select(col("user_id"), col("status"), col("effective_from"))
+        graft.ops.AsOfJoin.asOf(
+            ev.select(col("user_id"), col("ts"), col("event_type")),
+            versions, Seq("user_id"), "ts", "effective_from", Seq("status"))
+          .groupBy(coalesce(col("status"), lit("(none)")).as("status_at_event"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("status_at_event"), col("event_type"))
+      },
+      Some("""WITH p AS (
+                SELECT user_id,
+                       'tier_' || (CAST(json_extract_string(props, '$.k') AS INT) % 3)
+                         AS status,
+                       ts
+                FROM events WHERE event_type = 'purchase'),
+              ch AS (
+                SELECT user_id, status, ts FROM (
+                  SELECT user_id, status, ts,
+                         lag(status) OVER (PARTITION BY user_id
+                                           ORDER BY ts, status) AS prev
+                  FROM p)
+                WHERE prev IS NULL OR prev <> status),
+              v AS (
+                SELECT user_id, status, ts AS f,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, status) AS t
+                FROM ch),
+              joined AS (
+                SELECT e.user_id, e.event_type,
+                       COALESCE(v.status, '(none)') AS status_at_event
+                FROM events e LEFT JOIN v
+                  ON e.user_id = v.user_id
+                 AND e.ts >= v.f AND (v.t IS NULL OR e.ts < v.t))
+              SELECT status_at_event, event_type,
+                     count(*) AS n_events,
+                     count(DISTINCT user_id) AS n_users
+              FROM joined GROUP BY 1, 2
+              ORDER BY status_at_event, event_type"""),
+      doc = "point-in-time join: facts x the SCD2 dim version valid AT EVENT TIME " +
+        "(as-of composition, one key shuffle) == oracle interval join"),
+
     // ---- S3: the watermark read-with-default round trip — the reference's
     // central incremental mechanism (load_deliveries.py:28-38): cold read
     // falls to the default, the increment is bounded by that cursor, the
