@@ -314,7 +314,8 @@ case class RollingHash(child: Expression)
   * the clamped recurrence is sequential and could not be mirrored
   * declaratively by the oracle.
   */
-case class CdcBoundaries(child: Expression, w: Int, divisor: Int)
+case class CdcBoundaries(child: Expression, w: Int, divisor: Int,
+                         appendFinal: Boolean = true)
     extends UnaryExpression with codegen.CodegenFallback {
   private val P = 1000000007L
   private lazy val powW: Long = {
@@ -344,7 +345,9 @@ case class CdcBoundaries(child: Expression, w: Int, divisor: Int)
       if (i + 1 >= w && acc % divisor == 0) out.add(i + 1)
       i += 1
     }
-    if (out.isEmpty || out.get(out.size() - 1) != L) out.add(L)
+    // chunking needs the forced final boundary (the last chunk must close);
+    // anchor sampling (graft_anchors) wants ONLY hash-selected positions
+    if (appendFinal && (out.isEmpty || out.get(out.size() - 1) != L)) out.add(L)
     val res = new Array[Int](out.size())
     var k = 0
     while (k < res.length) { res(k) = out.get(k); k += 1 }
@@ -497,6 +500,11 @@ object GraftFunctions {
       exprs => CdcBoundaries(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         exprs(2).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_anchors",
+      exprs => CdcBoundaries(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue(),
+        appendFinal = false), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bands",
       exprs => LshBandKeys(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),

@@ -96,6 +96,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact-substring duplication census — the "dedup exact substrings"
+    * signal (Lee et al. 2022, Deduplicating Training Data Makes Language
+    * Models Better) at a scalable ANCHOR grain. Indexing every position's
+    * L-gram is a corpus×length posting (suffix-array territory); instead
+    * only CONTENT-DEFINED anchor positions are indexed — window rolling
+    * hash ≡ 0 mod `d`, the CDC boundary condition (`graft_anchors`, the
+    * incremental O(len) kernel) — ≈1/d of positions. Identical text
+    * selects identical anchors, so a shared run of length `r ≥ L` yields
+    * shared anchored L-grams with probability 1-(1-1/d)^(r-L+1): the same
+    * deterministic-but-guarantee-free trade CDC chunking makes, at 1/d the
+    * index size of the exact method. Per doc: distinct anchored grams, how
+    * many are shared with ANY other document, and the duplicated fraction
+    * — the "how much of this document is copied text" curation signal.
+    *
+    * Scale shape: one text pass (per-row anchor kernel + md5 grams), a
+    * gram-keyed map-side-combined frequency aggregate, one join back, one
+    * per-doc aggregate. Nothing quadratic; hot boilerplate grams cost
+    * postings, not pairs (no pair enumeration anywhere).
+    */
+  def substringAnchorCensus(docs: DataFrame, L: Int = 48, d: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .withColumn("g", explode(expr(
+        s"array_distinct(transform(graft_anchors(text, $L, $d), " +
+          s"i -> md5(substring(text, i - ${L - 1}, $L))))")))
+      .select(col("doc_id"), col("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    grams.join(freq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("n_docs") > 1, 1)).as("n_shared"))
+      .withColumn("dup_fraction",
+        col("n_shared").cast("double") / col("n_grams"))
+  }
+
   /** 60-bit SimHash over hashed shingles: bit j is set when at least half
     * the shingles have bit j set. Pure column math, no shuffle.
     */

@@ -269,6 +269,50 @@ object TextQueries {
               |WHERE shared_chunks >= 2 ORDER BY doc_a, doc_b""".stripMargin),
       doc = "chunk-level near-dup pairs: shared CDC fingerprints with a hot-chunk document-frequency cap"),
 
+    // ---- Exact-substring duplication at the anchor grain (Lee et al. 2022):
+    // content-defined anchor positions (window hash % d == 0, the CDC
+    // condition WITHOUT the forced final boundary) index ~1/d of each doc's
+    // L-grams; shared anchored grams across docs = copied text. The oracle
+    // recomputes the same window hashes as a direct w-term sum (the
+    // text_cdc_chunks mirror convention).
+    GQuery("dedup_substring_anchors",
+      (s, dir) => graft.ops.Dedup.substringAnchorCensus(
+          Tables.documents(s, dir), L = 48, d = 8)
+        .orderBy(col("doc_id")),
+      Some {
+        val P = 1000000007L
+        val w = 48
+        val pows = Iterator.iterate(1L)(p => p * 131L % P).take(w).toSeq
+        s"""WITH codes AS (
+           |  SELECT doc_id, text, length(text) AS L,
+           |         list_transform(range(1, length(text) + 1),
+           |                        i -> ascii(substr(text, i, 1))) AS cs
+           |  FROM documents),
+           |anchors AS (
+           |  SELECT doc_id, text,
+           |         list_filter(range($w, L + 1),
+           |           i -> (list_sum(list_transform(range(0, $w),
+           |                  k -> CAST(cs[CAST(i - k AS INT)] AS BIGINT)
+           |                       * [${pows.mkString(", ")}][CAST(k AS INT) + 1]))
+           |                 % $P) % 8 = 0) AS ap
+           |  FROM codes WHERE L > 0),
+           |grams AS (
+           |  SELECT doc_id,
+           |         unnest(list_distinct(list_transform(ap,
+           |           i -> md5(substr(text, CAST(i AS INT) - ${w - 1}, $w))))) AS g
+           |  FROM anchors),
+           |freq AS (SELECT g, count(*) AS n_docs FROM grams GROUP BY g),
+           |census AS (
+           |  SELECT doc_id, count(*) AS n_grams,
+           |         count(*) FILTER (WHERE n_docs > 1) AS n_shared
+           |  FROM grams JOIN freq USING (g) GROUP BY doc_id)
+           |SELECT doc_id, n_grams, n_shared,
+           |       CAST(n_shared AS DOUBLE) / n_grams AS dup_fraction
+           |FROM census ORDER BY doc_id""".stripMargin
+      },
+      doc = "exact-substring duplication census via content-defined anchored " +
+        "48-grams (1/8 index of the full posting; no pair enumeration)"),
+
     GQuery("text_redact_pii",
       (s, dir) => TextAnalysis.redactPii(Tables.documents(s, dir))
         .orderBy(col("doc_id")),
