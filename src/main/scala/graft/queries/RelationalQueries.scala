@@ -862,6 +862,67 @@ object RelationalQueries {
               ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
       doc = "CUBE with grouping_id over all aggregation subsets"),
 
+    // Winsorized robust statistics — the outlier-tolerant numeric-feature
+    // prep a mix planner runs before averaging anything heavy-tailed:
+    // values clipped to the exact rank-selected [p05, p95] (the
+    // agg_percentiles convention — no interpolation), then aggregated
+    // with the money-decimal convention (clip in double, SUM as
+    // DECIMAL(18,2), one final double division) so the winsorized mean is
+    // bit-exact cross-engine. ONE partition shuffle: the rank window, the
+    // group-count window, and both bound-broadcast windows share the same
+    // partitioning, and the final groupBy reuses it.
+    GQuery("agg_winsorized",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        def bound(q: String, name: String) =
+          max(when(col("rn") === expr(s"ceil($q * cnt)"), col("l_extendedprice")))
+            .over(wAll).as(name)
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+          .select(col("*"), bound("0.05", "p05"), bound("0.95", "p95"))
+          .withColumn("clipped",
+            least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
+              .cast("decimal(18,2)"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+            count(when(col("l_extendedprice") < col("p05"), 1)).as("n_clipped_low"),
+            count(when(col("l_extendedprice") > col("p95"), 1)).as("n_clipped_high"),
+            sum(col("clipped")).cast("double").as("win_sum"))
+          .withColumn("win_mean", col("win_sum") / col("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH r AS (
+                SELECT l_returnflag, l_extendedprice,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+                FROM lineitem),
+              b AS (
+                SELECT *,
+                       MAX(CASE WHEN rn = CEIL(0.05 * cnt) THEN l_extendedprice END)
+                         OVER (PARTITION BY l_returnflag) AS p05,
+                       MAX(CASE WHEN rn = CEIL(0.95 * cnt) THEN l_extendedprice END)
+                         OVER (PARTITION BY l_returnflag) AS p95
+                FROM r)
+              SELECT l_returnflag,
+                     count(*) AS n_rows,
+                     MAX(p05) AS p05, MAX(p95) AS p95,
+                     count(*) FILTER (WHERE l_extendedprice < p05) AS n_clipped_low,
+                     count(*) FILTER (WHERE l_extendedprice > p95) AS n_clipped_high,
+                     CAST(SUM(CAST(least(greatest(l_extendedprice, p05), p95)
+                                   AS DECIMAL(18,2))) AS DOUBLE) AS win_sum,
+                     CAST(SUM(CAST(least(greatest(l_extendedprice, p05), p95)
+                                   AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS win_mean
+              FROM b GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "winsorized robust stats: exact rank-selected [p05,p95] clip + " +
+        "decimal-exact winsorized mean, one partition shuffle"),
+
     // Exact DISCRETE percentiles (value at rank ceil(q*n)) — no
     // interpolation arithmetic, so the picked values are raw column
     // doubles and hash-compare exactly; both engines evaluate the

@@ -310,6 +310,62 @@ object ScaleOpsQueries {
       doc = "CSV write + explicit-schema read round-trip == parquet-sourced oracle " +
         "(quoted free text with embedded commas survives; no inference pass)"),
 
+    // ---- Integer PageRank over a deterministic irregular link graph
+    // (edges k -> 2k, 2k+1, 3k over customer keys; a pure heap tree is
+    // DEGENERATE — uniform in/out degree keeps mass uniform forever, so
+    // the 3k chords vary both degrees): the link-authority prior
+    // CommonCrawl-style curation attaches to documents, in exact integer
+    // arithmetic so the iteration trajectory is bit-identical
+    // cross-engine. 3 rounds, each ONE src-keyed join + one dst groupBy,
+    // lineage cut per round (localCheckpoint). The mass histogram is the
+    // checkable surface.
+    GQuery("graph_pagerank_census",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("src"), (col("node") * 2).as("dst"))
+          .unionByName(nodes.select(col("node").as("src"), (col("node") * 2 + 1).as("dst")))
+          .unionByName(nodes.select(col("node").as("src"), (col("node") * 3).as("dst")))
+          .filter(col("src") >= 1 && col("dst") >= 1)
+        val edges = cand.join(nodes.withColumnRenamed("node", "dst"),
+          Seq("dst"), "left_semi")
+        graft.ops.GraphOps.pagerankInteger(nodes, edges, iters = 3)
+          .groupBy(col("mass")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("mass"))
+      },
+      Some("""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+              cand AS (
+                SELECT node AS src, node * 2 AS dst FROM nodes
+                UNION ALL
+                SELECT node AS src, node * 2 + 1 AS dst FROM nodes
+                UNION ALL
+                SELECT node AS src, node * 3 AS dst FROM nodes),
+              edges AS (
+                SELECT src, dst FROM cand e
+                WHERE src >= 1 AND dst >= 1
+                  AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.dst)),
+              deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+              ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+              r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+              c1 AS (SELECT ed.dst AS node,
+                            SUM((85 * r0.mass) // (100 * ed.outdeg)) AS im
+                     FROM ed JOIN r0 ON r0.node = ed.src GROUP BY ed.dst),
+              r1 AS (SELECT n.node, CAST(150000 + COALESCE(c1.im, 0) AS BIGINT) AS mass
+                     FROM nodes n LEFT JOIN c1 USING (node)),
+              c2 AS (SELECT ed.dst AS node,
+                            SUM((85 * r1.mass) // (100 * ed.outdeg)) AS im
+                     FROM ed JOIN r1 ON r1.node = ed.src GROUP BY ed.dst),
+              r2 AS (SELECT n.node, CAST(150000 + COALESCE(c2.im, 0) AS BIGINT) AS mass
+                     FROM nodes n LEFT JOIN c2 USING (node)),
+              c3 AS (SELECT ed.dst AS node,
+                            SUM((85 * r2.mass) // (100 * ed.outdeg)) AS im
+                     FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst),
+              r3 AS (SELECT n.node, CAST(150000 + COALESCE(c3.im, 0) AS BIGINT) AS mass
+                     FROM nodes n LEFT JOIN c3 USING (node))
+              SELECT mass, count(*) AS n_nodes FROM r3
+              GROUP BY mass ORDER BY mass"""),
+      doc = "integer PageRank (3 exact rounds over the heap-tree graph): " +
+        "iterative authority mass, per-round join+agg, lineage cut per round"),
+
     // ---- JSON-lines round-trip: the corpus's free text (quotes, unicode,
     // arbitrary punctuation) written as JSONL and read back with a DECLARED
     // schema — schema-on-read without an inference pass, the reference's
