@@ -139,6 +139,64 @@ object DedupQueries {
               FROM comp GROUP BY 1 ORDER BY 1"""),
       doc = "near-dup cluster resolution: connected components over LSH pairs (large-star/small-star == recursive-CTE closure)"),
 
+    // ---- The KEEP decision a dedup pass actually ships: per near-dup
+    // cluster, the surviving copy chosen by QUALITY (is_quality, then
+    // token count, then id as the deterministic tie-break) — the
+    // keep-best-not-keep-first policy real curation uses (min-id canonical
+    // keeps whatever crawled first; this keeps the best copy). One rank
+    // window per cluster over the component labels joined to per-doc
+    // features; clusters are tiny by construction, the window partitioning
+    // is by cluster — no global window anywhere.
+    GQuery("dedup_canonical_best",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val comp = Dedup.connectedComponentsStar(
+          Dedup.minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
+        val feats = graft.ops.TextAnalysis.qualityScore(docs)
+          .select(col("doc_id"), col("is_quality"), col("n_tokens"))
+        comp.join(feats, comp("node") === feats("doc_id"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("comp"))
+            .orderBy(col("is_quality").desc, col("n_tokens").desc, col("node").asc)))
+          .groupBy(col("comp").as("cluster"))
+          .agg(max(when(col("rk") === 1, col("node"))).as("keep_doc"),
+            count(lit(1)).as("n_docs"),
+            count(when(col("is_quality"), 1)).as("n_quality"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+                 SELECT doc_a, doc_b FROM ($minhashPairsSql) t),
+               edges AS (
+                 SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS a, doc_a AS b FROM pairs),
+               reach(node, r) AS (
+                 SELECT DISTINCT a, a FROM edges
+                 UNION
+                 SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+               comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+               feat AS (
+                 SELECT doc_id,
+                        (len(string_split(text, ' ')) >= 20
+                         AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                             / len(string_split(text, ' ')) >= 0.3
+                         AND CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                             / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0) AS is_quality,
+                        len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+               ranked AS (
+                 SELECT c.comp, c.node, f.is_quality,
+                        row_number() OVER (PARTITION BY c.comp
+                          ORDER BY f.is_quality DESC, f.n_tokens DESC, c.node ASC) AS rk
+                 FROM comp c JOIN feat f ON f.doc_id = c.node)
+              SELECT comp AS cluster,
+                     MAX(CASE WHEN rk = 1 THEN node END) AS keep_doc,
+                     count(*) AS n_docs,
+                     count(*) FILTER (WHERE is_quality) AS n_quality
+              FROM ranked GROUP BY comp ORDER BY cluster"""),
+      doc = "quality-aware canonical selection per near-dup cluster " +
+        "(keep the BEST copy, not the first-crawled one)"),
+
     GQuery("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b")),

@@ -29,6 +29,36 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(enRate > 0.02 && enRate < 0.25, s"en achieved rate $enRate far from 10%")
   }
 
+  test("range shards: two-level composition == direct ntile arithmetic across size regimes") {
+    import spark.implicits._
+    // regimes that exercise every branch of the rank->tile arithmetic:
+    // N < shards (all-wide-tiles branch), N == shards, N divisible
+    // (r == 0: first branch empty), remainders on both sides, and a size
+    // spanning many buckets of the two-level composition
+    for (n <- Seq(1, 3, 7, 8, 9, 16, 103, 240); shards <- Seq(5, 8)) {
+      val docs = (0 until n).map(i => (i.toLong, ((i * 37) % 101 + 1).toLong))
+        .toDF("doc_id", "n_chars")
+      val got = TrainPrep.rangeShardCensus(docs, shards, bucketWidth = 16L)
+        .orderBy("shard").collect()
+        .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("lo_chars"), r.getAs[Long]("hi_chars")))
+      // reference: explicit ntile over the sorted keys
+      val sorted = (0 until n).map(i => (i.toLong, ((i * 37) % 101 + 1).toLong))
+        .sortBy(t => (t._2, t._1))
+      val q = n / shards; val r = n % shards
+      val expected = sorted.zipWithIndex.map { case ((_, chars), idx) =>
+        val k = idx + 1
+        val tile =
+          if (k <= (q + 1) * r) (k + q) / (q + 1)
+          else r + (k - (q + 1) * r + q - 1) / math.max(q, 1)
+        (tile, chars)
+      }.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+        (t, g.size.toLong, g.map(_._2).min, g.map(_._2).max)
+      }
+      assert(got.toSeq == expected, s"n=$n shards=$shards")
+    }
+  }
+
   test("range shards: equal populations (ntile), ordered non-overlapping boundaries") {
     import spark.implicits._
     val docs = (0L until 103L).map(i => (i, (i * 37) % 101 + 1))
