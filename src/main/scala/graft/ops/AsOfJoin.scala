@@ -29,7 +29,7 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: Seq[String],
            leftTs: String, rightTs: String, rightPayload: Seq[String]): DataFrame = {
-    val leftCols = left.columns.filterNot(c => key.contains(c)).toSeq
+    val leftCols = left.columns.filterNot(c => key.contains(c) || c == leftTs).toSeq
     val l = left.select(
       (key.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side")) ++
         leftCols.map(col) ++
@@ -49,6 +49,41 @@ object AsOfJoin {
     }
     carried
       .filter(col("_side") === 1)
+      .drop("_side")
+      .withColumnRenamed("_ts", leftTs)
+  }
+
+  /** FORWARD as-of: for every left row, the EARLIEST right row of the same
+    * key with `rightTs >= leftTs` — next-touch attribution (the view's
+    * next purchase, the alert's next ack). Same union+window composition
+    * mirrored in time: the frame looks from the current row FORWARD and
+    * carries the first non-null right payload; at equal timestamps left
+    * rows sort before right rows so the `>=` tie matches (`first` over a
+    * currentRow..following frame then sees the right row). Ties inside
+    * the right side break on the first payload column, matching the
+    * oracle's `min()` reduction. One key shuffle, no pair explosion —
+    * identical scale posture to [[asOf]].
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, key: Seq[String],
+                  leftTs: String, rightTs: String, rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => key.contains(c) || c == leftTs).toSeq
+    val l = left.select(
+      (key.map(col) :+ col(leftTs).as("_ts") :+ lit(0).as("_side")) ++
+        leftCols.map(col) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      (key.map(col) :+ col(rightTs).as("_ts") :+ lit(1).as("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(col): _*)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy((Seq(col("_ts").asc, col("_side").asc) ++
+        rightPayload.headOption.map(c => col(c).asc_nulls_last).toSeq): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("_side") === 0)
       .drop("_side")
       .withColumnRenamed("_ts", leftTs)
   }

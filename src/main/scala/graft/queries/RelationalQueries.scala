@@ -1049,6 +1049,44 @@ object RelationalQueries {
               ORDER BY p.event_id"""),
       doc = "as-of join: latest signup at or before each purchase, per user"),
 
+    // ---- FORWARD as-of: per view event, the user's NEXT purchase (at or
+    // after the view) — next-touch attribution and per-event conversion
+    // latency, the time-mirror of asof_last_signup. Census per view day:
+    // views, converted views, exact-µs total wait (sum of bigints; the
+    // one double division is avg at the end in the consumer, not here).
+    GQuery("asof_next_purchase",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("ts").as("purchase_ts"))
+        graft.ops.AsOfJoin.asOfForward(views, purchases, Seq("user_id"),
+            leftTs = "ts", rightTs = "p_ts",
+            rightPayload = Seq("purchase_ts"))
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("view_day"))
+          .agg(count(lit(1)).as("n_views"),
+            count(col("purchase_ts")).as("n_converted"),
+            sum(unix_micros(col("purchase_ts")) - unix_micros(col("ts")))
+              .cast("long").as("total_wait_us"))
+          .orderBy(col("view_day"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+                   p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+                   nxt AS (
+                     SELECT v.user_id, v.ts, min(p.ts) AS pts
+                     FROM v LEFT JOIN p
+                       ON p.user_id = v.user_id AND p.ts >= v.ts
+                     GROUP BY v.user_id, v.ts)
+              SELECT strftime(ts, '%Y-%m-%d') AS view_day,
+                     count(*) AS n_views,
+                     count(pts) AS n_converted,
+                     CAST(SUM(epoch_us(pts) - epoch_us(ts)) AS BIGINT) AS total_wait_us
+              FROM nxt GROUP BY 1 ORDER BY view_day"""),
+      doc = "FORWARD as-of join: each view's next purchase (>= semantics), " +
+        "exact-µs conversion-wait census per day"),
+
     // ---- Equi + range join: follow-up events within 1 hour of each purchase
     GQuery("range_join_followups",
       (s, dir) => {
