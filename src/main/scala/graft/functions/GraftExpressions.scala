@@ -358,6 +358,51 @@ case class CdcBoundaries(child: Expression, w: Int, divisor: Int,
     copy(child = newChild)
 }
 
+/** All rolling window hashes of a string: element j (1-based) is the
+  * polynomial hash of the w-code-point window STARTING at code point j —
+  * the same incremental recurrence as [[CdcBoundaries]] (shared modulus,
+  * base, and oracle mirror), but exposing the hash VALUES instead of
+  * selected positions, so selection policies beyond divisibility (e.g.
+  * winnowing's min-of-each-window with its detection guarantee) can run
+  * as plain array lambdas over the output. O(len) per row, one pass.
+  */
+case class WindowHashes(child: Expression, w: Int)
+    extends UnaryExpression with codegen.CodegenFallback {
+  private val P = 1000000007L
+  private lazy val powW: Long = {
+    var p = 1L; var t = 0
+    while (t < w) { p = p * 131L % P; t += 1 }
+    p
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("WindowHashes expects string")
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = CodePoints.of(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    val L = cps.length
+    if (L < w) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](L - w + 1)
+    var acc = 0L
+    var i = 0
+    while (i < L) {
+      acc = (acc * 131L + cps(i)) % P
+      if (i >= w) {
+        acc = (acc - cps(i - w) * powW) % P
+        if (acc < 0) acc += P
+      }
+      if (i + 1 >= w) out(i + 1 - w) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH band keys as ONE per-row projection: returns an
   * array of `bands` keys, where key b packs the sign bits of the input
   * vector against `planesPerBand` hyperplanes (bit j = [v·w_{b·ppb+j} ≥ 0]).
@@ -505,6 +550,9 @@ object GraftFunctions {
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         exprs(2).eval(null).asInstanceOf[Number].intValue(),
         appendFinal = false), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_window_hashes",
+      exprs => WindowHashes(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bands",
       exprs => LshBandKeys(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),

@@ -131,6 +131,43 @@ object Dedup {
         col("n_shared").cast("double") / col("n_grams"))
   }
 
+  /** [[substringAnchorCensus]] with winnowing's DETECTION GUARANTEE
+    * (Schleimer et al. 2003, the MOSS scheme): instead of mod-divisibility
+    * anchors (deterministic but guarantee-free — a run's window hashes can
+    * all be non-divisible), select the argmin position of EVERY window of
+    * `W` consecutive window-hashes. By construction every W-window
+    * contains a selected position, and a window fully inside a shared run
+    * sees only run content — so ANY shared substring of length ≥ L+W-1 is
+    * guaranteed to produce a shared anchored gram in both documents.
+    * Density is the same ~2/(W+1) expected anchors per position family.
+    *
+    * The selection is plain array lambdas over `graft_window_hashes`
+    * (per-row O(len·W) — at corpus scale the monotonic-deque O(len) form
+    * would move into the native expression; the hash pass is already the
+    * O(len) kernel). Docs shorter than L+W-1 code points have no full
+    * window and drop out. Census columns match [[substringAnchorCensus]].
+    */
+  def winnowedAnchorCensus(docs: DataFrame, L: Int = 48, W: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .withColumn("hs", expr(s"graft_window_hashes(text, $L)"))
+      .filter(size(col("hs")) >= W)
+      .withColumn("g", explode(expr(
+        s"""array_distinct(transform(
+           |  array_distinct(transform(sequence(1, size(hs) - $W + 1),
+           |    a -> a + array_position(slice(hs, a, $W),
+           |                            array_min(slice(hs, a, $W))) - 1)),
+           |  p -> md5(substring(text, CAST(p AS INT), $L))))""".stripMargin)))
+      .select(col("doc_id"), col("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    grams.join(freq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("n_docs") > 1, 1)).as("n_shared"))
+      .withColumn("dup_fraction",
+        col("n_shared").cast("double") / col("n_grams"))
+  }
+
   /** 60-bit SimHash over hashed shingles: bit j is set when at least half
     * the shingles have bit j set. Pure column math, no shuffle.
     */

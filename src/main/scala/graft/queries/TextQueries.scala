@@ -313,6 +313,54 @@ object TextQueries {
       doc = "exact-substring duplication census via content-defined anchored " +
         "48-grams (1/8 index of the full posting; no pair enumeration)"),
 
+    // ---- The GUARANTEED variant: winnowing (Schleimer et al. / MOSS) —
+    // argmin of every 8-window of 48-gram hashes, so any shared substring
+    // of length >= 55 code points provably yields a shared anchored gram
+    // in both docs (the mod-anchor scheme above is guarantee-free).
+    GQuery("dedup_winnow_census",
+      (s, dir) => graft.ops.Dedup.winnowedAnchorCensus(
+          Tables.documents(s, dir), L = 48, W = 8)
+        .orderBy(col("doc_id")),
+      Some {
+        val P = 1000000007L
+        val w = 48; val W = 8
+        val pows = Iterator.iterate(1L)(p => p * 131L % P).take(w).toSeq
+        s"""WITH codes AS (
+           |  SELECT doc_id, text, length(text) AS L,
+           |         list_transform(range(1, length(text) + 1),
+           |                        i -> ascii(substr(text, i, 1))) AS cs
+           |  FROM documents),
+           |hs AS (
+           |  SELECT doc_id, text,
+           |         list_transform(range($w, L + 1),
+           |           i -> list_sum(list_transform(range(0, $w),
+           |                  k -> CAST(cs[CAST(i - k AS INT)] AS BIGINT)
+           |                       * [${pows.mkString(", ")}][CAST(k AS INT) + 1]))
+           |                % $P) AS h
+           |  FROM codes WHERE L >= $w + $W - 1),
+           |sel AS (
+           |  SELECT doc_id, text,
+           |         list_distinct(list_transform(range(1, len(h) - $W + 2),
+           |           a -> a + list_position(list_slice(h, a, a + $W - 1),
+           |                                  list_min(list_slice(h, a, a + $W - 1))) - 1)) AS ps
+           |  FROM hs),
+           |grams AS (
+           |  SELECT doc_id,
+           |         unnest(list_distinct(list_transform(ps,
+           |           p -> md5(substr(text, CAST(p AS INT), $w))))) AS g
+           |  FROM sel),
+           |freq AS (SELECT g, count(*) AS n_docs FROM grams GROUP BY g),
+           |census AS (
+           |  SELECT doc_id, count(*) AS n_grams,
+           |         count(*) FILTER (WHERE n_docs > 1) AS n_shared
+           |  FROM grams JOIN freq USING (g) GROUP BY doc_id)
+           |SELECT doc_id, n_grams, n_shared,
+           |       CAST(n_shared AS DOUBLE) / n_grams AS dup_fraction
+           |FROM census ORDER BY doc_id""".stripMargin
+      },
+      doc = "winnowed exact-substring census: argmin-per-8-window anchor " +
+        "selection GUARANTEES any shared run >= 55 code points is detected"),
+
     GQuery("text_redact_pii",
       (s, dir) => TextAnalysis.redactPii(Tables.documents(s, dir))
         .orderBy(col("doc_id")),

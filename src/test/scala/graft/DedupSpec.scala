@@ -111,6 +111,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("winnowing guarantee: any shared run >= L+W-1 yields a shared anchored gram") {
+    import spark.implicits._
+    // a 60-char shared run (>= 48+8-1 = 55) embedded in otherwise-different
+    // text, at DIFFERENT offsets — the guarantee must not depend on position
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    assert(shared.length >= 55)
+    val docs = Seq(
+      (1L, s"AAAA BBBB $shared CCCC DDDD"),
+      (2L, s"completely unrelated preamble text here $shared and a different tail"),
+      (3L, "no overlap with anything else in this corpus at all, " +
+        "padded until it is long enough to produce anchored grams of its own ok"))
+      .toDF("doc_id", "text")
+    val census = Dedup.winnowedAnchorCensus(docs, L = 48, W = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(census(1L) >= 1, s"doc 1 must share an anchored gram: $census")
+    assert(census(2L) >= 1, s"doc 2 must share an anchored gram: $census")
+    assert(census(3L) == 0, s"doc 3 shares nothing: $census")
+  }
+
   test("connected components resolve transitive chains to the minimum id") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
