@@ -213,10 +213,20 @@ object TrainPrep {
     * the default suits char-length keys (range ~1e2..1e6).
     */
   def rangeShardCensus(docs: DataFrame, shards: Int = 8,
-                       bucketWidth: Long = 64L): DataFrame = {
+                       bucketWidth: Long = 64L): DataFrame =
+    rangeStages(docs.select(col("doc_id"), col("n_chars")), "n_chars",
+      shards, bucketWidth.toDouble, "chars")
+
+  /** The generic form of [[rangeShardCensus]]: equal-population ntile
+    * stages over ANY numeric key column (text length, a difficulty score,
+    * a quality signal), same two-level exact-rank machinery. Output:
+    * `(shard, n_docs, lo_<prefix>, hi_<prefix>)`.
+    */
+  def rangeStages(docs: DataFrame, keyCol: String, shards: Int,
+                  bucketWidth: Double, outPrefix: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = docs.select(col("doc_id"), col("n_chars"))
-      .withColumn("_b", floor(col("n_chars") / bucketWidth))
+    val keyed = docs.select(col("doc_id"), col(keyCol))
+      .withColumn("_b", floor(col(keyCol) / bucketWidth))
     // _off (exclusive prefix) and _n (grand total) ride the SAME tiny
     // single-partition window pass — a separate total aggregate would
     // re-execute the bucket-count lineage (2 extra exchanges for 1 number)
@@ -229,7 +239,7 @@ object TrainPrep {
         Window.unboundedPreceding, Window.unboundedFollowing)))
       .drop("_bc")
     val inBucket = Window.partitionBy(col("_b"))
-      .orderBy(col("n_chars"), col("doc_id"))
+      .orderBy(col(keyCol), col("doc_id"))
     // ntile from rank k (1-based): ranks ≤ (q+1)·r fall in the r wide
     // tiles, the rest in width-q tiles; ceil division is (x + d - 1) div d.
     // The else-branch divides by q, which is 0 only when N < shards — and
@@ -247,8 +257,8 @@ object TrainPrep {
            |END AS INT)""".stripMargin))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
-        min(col("n_chars")).as("lo_chars"),
-        max(col("n_chars")).as("hi_chars"))
+        min(col(keyCol)).as(s"lo_$outPrefix"),
+        max(col(keyCol)).as(s"hi_$outPrefix"))
   }
 
   /** Temperature-scaled training mixture: per-source sampling weights

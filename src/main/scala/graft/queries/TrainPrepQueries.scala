@@ -107,6 +107,35 @@ object TrainPrepQueries {
       doc = "temperature mixture APPLIED: integer per-10k hash thresholds materialize " +
         "the computed mix deterministically; census reports target vs achieved"),
 
+    // ---- Curriculum staging: the corpus cut into equal-population
+    // difficulty stages (difficulty = mean corpus frequency of the doc's
+    // tokens, the text_rarity signal: LOW mean freq = rare-token-heavy =
+    // hard) — the ordering a curriculum-learning schedule consumes. Same
+    // two-level exact-ntile machinery as prep_range_shards, over a
+    // COMPUTED key instead of a stored one.
+    GQuery("prep_curriculum_stages",
+      (s, dir) => TrainPrep.rangeStages(
+          graft.ops.TextAnalysis.rarityStats(Tables.documents(s, dir))
+            .select(col("doc_id"), col("mean_token_freq").as("difficulty")),
+          "difficulty", shards = 6, bucketWidth = 25.0, outPrefix = "difficulty")
+        .orderBy(col("shard")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                           FROM documents),
+                   freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+                   r AS (SELECT doc_id,
+                                CAST(SUM(freq) AS DOUBLE) / count(*) AS difficulty
+                         FROM tok JOIN freq USING (token) GROUP BY doc_id),
+                   st AS (SELECT doc_id, difficulty,
+                                 CAST(ntile(6) OVER (ORDER BY difficulty, doc_id) AS INT)
+                                   AS shard
+                          FROM r)
+              SELECT shard, count(*) AS n_docs,
+                     min(difficulty) AS lo_difficulty,
+                     max(difficulty) AS hi_difficulty
+              FROM st GROUP BY shard ORDER BY shard"""),
+      doc = "curriculum stages: equal-population ntile over computed " +
+        "token-rarity difficulty (two-level machinery, no global window)"),
+
     GQuery("prep_range_shards",
       (s, dir) => TrainPrep.rangeShardCensus(Tables.documents(s, dir), shards = 8)
         .orderBy(col("shard")),
