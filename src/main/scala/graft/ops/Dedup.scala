@@ -75,6 +75,49 @@ object Dedup {
     verifyJaccard(candidates, sigs.select(col("doc_id"), col("hbase")), tau)
   }
 
+  /** LSH calibration report — the tuning table an operator reads before
+    * picking tau and band geometry: over the pairs the banding actually
+    * surfaces, the MinHash-ESTIMATED Jaccard (matching signature
+    * components / k) is thresholded against the EXACT shingle Jaccard at
+    * a ladder of taus, counting estimator-pass, exact-pass, and agreement
+    * — the estimator's precision/recall curve on real candidates. Bounded:
+    * |candidates| scored pairs fan out ×|taus| only in the final tiny
+    * aggregate; signatures and shingle sets ride the same two joins
+    * [[verifyJaccard]] pays, nothing extra touches the corpus.
+    */
+  def lshCalibrationSweep(docs: DataFrame, n: Int = defaultShingle,
+                          taus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val sigs = withMinhashSignature(withShingleHashes(docs, n))
+      .select(col("doc_id"), col("hbase"), col("sig"))
+    val bandRows = bandRowsOf(sigs)
+    val candidates = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val scored = candidates
+      .join(sigs.select(col("doc_id").as("doc_a"),
+        col("hbase").as("h_a"), col("sig").as("s_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("hbase").as("h_b"), col("sig").as("s_b")), Seq("doc_b"))
+      .withColumn("n_match", expr(
+        s"size(filter(sequence(1, $numHashes), i -> s_a[i - 1] = s_b[i - 1]))"))
+      .withColumn("est", col("n_match").cast("double") / numHashes)
+      .withColumn("n_inter", size(array_intersect(col("h_a"), col("h_b"))))
+      .withColumn("exact", col("n_inter").cast("double") /
+        (size(col("h_a")) + size(col("h_b")) - col("n_inter")))
+    scored
+      .select(col("est"), col("exact"),
+        explode(expr(s"array(${taus.map(t => s"${t}D").mkString(", ")})")).as("tau"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("est") >= col("tau"), 1)).as("n_est_pass"),
+        count(when(col("exact") >= col("tau"), 1)).as("n_exact_pass"),
+        count(when(col("est") >= col("tau") && col("exact") >= col("tau"), 1))
+          .as("n_agree"))
+  }
+
   /** Exact all-pairs n-gram Jaccard via inverted shingle index — the
     * bounded-frequency path (long shingles ⇒ tiny postings lists).
     */

@@ -197,6 +197,47 @@ object DedupQueries {
       doc = "quality-aware canonical selection per near-dup cluster " +
         "(keep the BEST copy, not the first-crawled one)"),
 
+    // ---- LSH estimator calibration: on the banding's real candidate
+    // pairs, estimated (signature-agreement) vs exact Jaccard thresholded
+    // at a tau ladder — the tuning table for tau / band geometry, with
+    // the estimator's precision/recall visible per threshold.
+    GQuery("dedup_threshold_sweep",
+      (s, dir) => Dedup.lshCalibrationSweep(Tables.documents(s, dir))
+        .orderBy(col("tau")),
+      Some(s"""WITH ${shCte(Dedup.defaultShingle)},
+               sigs AS (SELECT doc_id, hbase, $sigSql AS sig FROM sh),
+               bandrows AS (
+                 SELECT doc_id, b.band,
+                        array_to_string(list_transform(
+                          list_slice(sig, b.band * ${Dedup.rowsPerBand} + 1,
+                                     b.band * ${Dedup.rowsPerBand} + ${Dedup.rowsPerBand}),
+                          x -> CAST(x AS VARCHAR)), ',') AS band_key
+                 FROM sigs, (SELECT unnest(range(0, ${Dedup.bands})) AS band) b),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bandrows a JOIN bandrows b
+                   ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+               scored AS (
+                 SELECT CAST(len(list_filter(range(1, ${Dedup.numHashes} + 1),
+                               i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]))
+                             AS DOUBLE) / ${Dedup.numHashes} AS est,
+                        CAST(len(list_intersect(sa.hbase, sb.hbase)) AS DOUBLE)
+                          / (len(sa.hbase) + len(sb.hbase)
+                             - len(list_intersect(sa.hbase, sb.hbase))) AS exact
+                 FROM cand c
+                 JOIN sigs sa ON sa.doc_id = c.doc_a
+                 JOIN sigs sb ON sb.doc_id = c.doc_b)
+              SELECT t.tau,
+                     count(*) AS n_candidates,
+                     count(*) FILTER (WHERE est >= t.tau) AS n_est_pass,
+                     count(*) FILTER (WHERE exact >= t.tau) AS n_exact_pass,
+                     count(*) FILTER (WHERE est >= t.tau AND exact >= t.tau) AS n_agree
+              FROM scored, (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) t(tau)
+              GROUP BY t.tau ORDER BY t.tau"""),
+      doc = "LSH calibration sweep: estimated vs exact Jaccard across a tau " +
+        "ladder on the banding's candidate pairs"),
+
     GQuery("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b")),
