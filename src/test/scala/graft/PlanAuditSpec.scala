@@ -224,7 +224,29 @@ class PlanAuditSpec extends AnyFunSuite {
     // bounds must be absorbed into the connector (the REST-query-param
     // analogue); the only exchange is the output sort
     ("s2_paged_window_scan", 1, 0, Seq(
-      "GreaterThanOrEqual(delivery_ts", "LessThan(delivery_ts")))
+      "GreaterThanOrEqual(delivery_ts", "LessThan(delivery_ts")),
+    // round-10 additions — ceilings at their audited shapes
+    // shared-partition windows + census reusing the partitioning + sort
+    ("agg_winsorized", 2, 0, Nil),
+    // anchored-gram census: gram freq agg + gram join + doc agg + sort
+    ("dedup_substring_anchors", 5, 0, Nil),
+    ("dedup_winnow_census", 5, 0, Nil),
+    // forward as-of: ONE key-window exchange + day census + sort
+    ("asof_next_purchase", 3, 0, Nil),
+    // rarity joins + two-level ntile + census + sort
+    ("prep_curriculum_stages", 11, 0, Nil),
+    // calibration: band join + pair distinct + two sig joins + tau agg + sort
+    ("dedup_threshold_sweep", 6, 0, Nil),
+    // scd2 rebuild + as-of window + distinct census + sort
+    ("scd2_pit_join", 8, 0, Nil),
+    // post-checkpoint census only: mass agg + sort
+    ("graph_pagerank_census", 2, 0, Nil),
+    ("scan_json_roundtrip", 2, 0, Nil),
+    ("o18_variant_json", 2, 0, Nil),
+    // CC labels (checkpointed) joined to features + cluster window + sort
+    ("dedup_canonical_best", 4, 0, Nil),
+    // learned vote table joined back + per-doc agg + label join + sort
+    ("text_quality_model", 9, 0, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)
