@@ -317,6 +317,69 @@ object StreamingQueries {
         "(page-cap admission control, windowed readers, exactly-once drain) " +
         "== batch window aggregate"),
 
+    // ---- Event-time aggregation INSIDE the stream on the custom DSv2
+    // source: the paged connector feeds a watermarked per-day count/sum
+    // that closes windows in APPEND mode as the watermark passes them —
+    // across several admission-capped micro-batches, with the AvailableNow
+    // final no-data batch flushing the tail windows. The fixture is
+    // written in event-time order so watermark progression never drops
+    // rows and the batch oracle is exact; out-of-order tolerance itself
+    // is pinned by the event-corpus streaming queries.
+    GQuery("streaming_paged_windowed",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val scratch = graft.stages.TempDirs.scratch("graft_pjw_")
+        // the trailing sentinel (far beyond the corpus horizon) pushes the
+        // final watermark past the last real day's window end so append
+        // mode emits it; the sentinel's OWN window ends beyond the
+        // watermark and is therefore never emitted — no filtering needed
+        // (the StreamJoin sentinel-flush technique, API-stream form)
+        ev.select(col("ts"), col("event_id"), col("value"))
+          .unionByName(ev.sparkSession.range(1).select(
+            expr("timestamp'2024-03-01 00:00:00'").as("ts"),
+            lit(-1L).as("event_id"),
+            lit(0.0).as("value")))
+          .orderBy(col("ts"), col("event_id"))
+          .select(concat(
+            lit("{\"delivery_id\":\"d"), col("event_id"),
+            lit("\",\"delivery_ts\":\""),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("\",\"sum\":"), col("value").cast("decimal(18,2)").cast("string"),
+            lit("}")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(s"$scratch/api")
+        val file = new java.io.File(s"$scratch/api").listFiles()
+          .filter(_.getName.startsWith("part-")).head.getAbsolutePath
+        val q = s.readStream.format("graft.sources.PagedJsonSource")
+          .option("path", file)
+          .option("pageSize", "10000").option("maxPages", "2")
+          .load()
+          .select(col("delivery_ts").cast("timestamp").as("ts"),
+            get_json_object(col("json_response"), "$.sum")
+              .cast("decimal(18,2)").as("amount"))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).as("n_deliveries"),
+            sum(col("amount")).as("total"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("delivery_day"),
+            col("n_deliveries"), col("total"))
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", s"$scratch/out")
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        graft.streaming.StateDefaults.awaitDrain(q)
+        s.read.parquet(s"$scratch/out")
+          .select(col("delivery_day"), col("n_deliveries"),
+            col("total").cast("double").as("total"))
+          .orderBy(col("delivery_day"))
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS delivery_day,
+                     count(*) AS n_deliveries,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM events
+              GROUP BY 1 ORDER BY delivery_day"""),
+      doc = "watermarked event-time windows ON the custom DSv2 streaming " +
+        "source, append-mode across admission-capped batches == batch aggregate"),
+
     GQuery("streaming_static_join",
       (s, dir) => IncrementalLedger.nationMonthlyTotals(s, dir)
         .orderBy(col("c_nationkey"), col("year"), col("month")),
