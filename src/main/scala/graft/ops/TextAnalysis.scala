@@ -329,6 +329,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** BM25 top-k keyword retrieval (Robertson–Spärck Jones), the ranking
+    * function behind every inverted-index search engine — with the usual
+    * k1 = 1.2, b = 0.75 re-derived as EXACT integer rationals so the
+    * ranking is oracle-checkable: for tf-weight and raw idf,
+    *
+    *   wtf = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *       = 44·tf·L / (20·tf·L + 6·L + 18·dl·N)   with avgdl = L/N,
+    *   idf = (N−df+½)/(df+½) = (2N−2df+1)/(2df+1)  (log-free, like
+    *         [[tfidfTopTerms]] — log preserves no ranking here and libm
+    *         rounding differs across engines),
+    *
+    * and the score is (num1/den1)·(num2/den2): three correctly-rounded
+    * IEEE ops over integer operands that stay below 2^53 — bit-identical
+    * on any engine. Ties break by doc_id.
+    *
+    * Scale: the tf table for a bounded query-term set is a filtered
+    * explode (the inverted-index posting lists for exactly those terms —
+    * no full-vocabulary index materialized), corpus stats ride a 1-row
+    * broadcast, and the per-term top-k window partitions by term; for
+    * unbounded term sets swap the window for the bounded single-pass
+    * [[graft.functions.TopKAggregator]] as `sim_topk_brute_agg` does.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = withTokens(docs)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("corpus_len"))
+    val tf = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("score", expr(
+        "(CAST(44 * tf * corpus_len AS DOUBLE) " +
+          " / CAST(20 * tf * corpus_len + 6 * corpus_len + 18 * dl * n_docs AS DOUBLE)) " +
+          "* (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"))
+    val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("term"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("tf"), col("df"), col("dl"), col("score"))
+  }
+
   /** Token-rarity signals — the log-free stand-in for a language-model
     * quality score: each document's tokens joined to the CORPUS frequency
     * table, then per-doc mean and min frequency (a document full of

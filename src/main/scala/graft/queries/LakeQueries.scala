@@ -546,6 +546,53 @@ object LakeQueries {
                GROUP BY status ORDER BY status"""),
       doc = "metadata-only DELETE: both predicates align with whole-file key " +
         "ranges (insert-bounded), so footer proofs drop files without reading " +
-        "data; result matches the declarative range filter")
+        "data; result matches the declarative range filter"),
+
+    // ---- Zero-copy shallow clone: the cloned version's files become v0
+    // of a NEW table via hard links (O(files) metadata, no data bytes
+    // moved — at 100 TB an instant fork vs a multi-hour copy), then the
+    // two tables DIVERGE: the source bumps one key subset, the clone
+    // doubles another, and the combined census proves neither write leaked
+    // into the other. Isolation is inherited from version immutability —
+    // no commit path ever mutates a shared file in place. MergeTableSpec pins
+    // the physical claims (shared inodes at clone time; clone survives a
+    // source vacuum of the cloned version).
+    GQuery("lake_shallow_clone",
+      (s, dir) => {
+        val base = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+        val src = graft.stages.MergeTable.scratch(Seq("o_orderkey"))
+        src.replace(base)
+        val clone = src.cloneShallow(src.currentVersion.get,
+          graft.stages.TempDirs.scratch("graft_clone_"))
+        src.upsert(base.filter(col("o_orderkey") % 8 === 0)
+          .withColumn("cents", col("cents") + 100))
+        clone.upsert(base.filter(col("o_orderkey") % 12 === 0)
+          .withColumn("cents", col("cents") * 2))
+        val schema = org.apache.spark.sql.types.StructType(Seq())
+        src.read(s, schema).withColumn("side", lit("source"))
+          .unionByName(clone.read(s, schema).withColumn("side", lit("clone")))
+          .groupBy(col("side"), col("status"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("side"), col("status"))
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_orderstatus AS status,
+                                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                         FROM orders WHERE o_orderkey % 4 = 0),
+                   srcf AS (SELECT status,
+                                   CASE WHEN o_orderkey % 8 = 0
+                                        THEN cents + 100 ELSE cents END AS cents FROM b),
+                   clonef AS (SELECT status,
+                                     CASE WHEN o_orderkey % 12 = 0
+                                          THEN cents * 2 ELSE cents END AS cents FROM b),
+                   u AS (SELECT 'source' AS side, status, cents FROM srcf
+                         UNION ALL
+                         SELECT 'clone' AS side, status, cents FROM clonef)
+              SELECT side, status, count(*) AS n_rows,
+                     CAST(SUM(cents) AS BIGINT) AS sum_cents
+              FROM u GROUP BY side, status ORDER BY side, status"""),
+      doc = "hard-link shallow clone then divergent writes on source and clone: " +
+        "combined census proves zero-copy fork isolation (no cross-leak)")
   )
 }

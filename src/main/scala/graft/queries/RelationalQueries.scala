@@ -18,6 +18,8 @@ import graft.stages.StgToDds
   */
 object RelationalQueries {
 
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
   val all: Seq[GQuery] = Seq(
 
     // ---- O1: JSON field extraction (couriers_stg_to_dds.sql:4, deliveries_stg_to_dds.sql:4-10)
@@ -695,6 +697,45 @@ object RelationalQueries {
               FROM r GROUP BY event_type ORDER BY event_type"""),
       doc = "PERMISSIVE corrupt-JSON ingestion: malformed rows counted and excluded " +
         "from parsed aggregates, job never aborts, nothing silently dropped"),
+
+    // ---- observe(): pipeline metrics collected in the SAME pass as the
+    // query via the listener bus — at 100 TB the difference between "know
+    // your row counts" and "run the 100 TB scan twice". The per-flag
+    // census is the query's own output; the ALL row is built ONLY from
+    // the Observation's listener-delivered map (never re-aggregated), so
+    // the oracle match proves the metrics path end-to-end.
+    GQuery("o19_observed_metrics",
+      (s, dir) => {
+        val obs = org.apache.spark.sql.Observation(
+          "graft_o19_" + seq.incrementAndGet())
+        val grouped = Tables.lineitem(s, dir)
+          .observe(obs,
+            count(lit(1)).as("n_items"),
+            count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+          .collect()  // the one action: populates the observation as it runs
+        val m = obs.get
+        val rows = grouped.map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSeq :+
+          (("ALL", m("n_items").asInstanceOf[Long],
+            m("n_returned").asInstanceOf[Long]))
+        import s.implicits._
+        rows.toDF("l_returnflag", "n_items", "n_returned")
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+                     count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+              FROM lineitem GROUP BY l_returnflag
+              UNION ALL
+              SELECT 'ALL', count(*),
+                     count(CASE WHEN l_returnflag = 'R' THEN 1 END)
+              FROM lineitem
+              ORDER BY l_returnflag"""),
+      doc = "observe() in-pass metrics: global counts delivered on the listener " +
+        "bus during the census scan (no second job); ALL row from the " +
+        "Observation map only"),
 
     // Rolling 7-day distinct actives (WAU) — the engagement metric whose
     // DISTINCT makes it non-decomposable over sliding windows: window

@@ -366,6 +366,58 @@ object ScaleOpsQueries {
       doc = "integer PageRank (3 exact rounds over the heap-tree graph): " +
         "iterative authority mass, per-round join+agg, lineage cut per round"),
 
+    // ---- Triangle census by degree-ordered orientation over an irregular
+    // undirected graph (chords +1, +2, +3, x2 over customer keys — the x2
+    // edges skew degree so orientation actually reorders). The wedge join
+    // fans out ONLY from each node's oriented out-neighborhood, bounded
+    // O(sqrt(m)) per node regardless of hubs — the naive neighborhood
+    // self-join the oracle runs would enumerate deg^2 wedges per hub and
+    // is exactly what dies first on a power-law web graph at 100 TB. The
+    // per-node participation histogram is the checkable surface (triangle
+    // support is the classic spam/cohesion feature curation attaches).
+    GQuery("graph_triangle_census",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
+        // strict a < b canonical form: key 0 makes node*2 a self-loop, which
+        // is not an edge (and would fabricate degenerate "triangles")
+        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        graft.ops.GraphOps.trianglePerNode(nodes, und)
+          .groupBy(col("tri_count")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("tri_count"))
+      },
+      Some("""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+              und AS (
+                SELECT DISTINCT a, b FROM (
+                  SELECT node AS a, node + 1 AS b FROM nodes
+                  UNION ALL SELECT node, node + 2 FROM nodes
+                  UNION ALL SELECT node, node + 3 FROM nodes
+                  UNION ALL SELECT node, node * 2 FROM nodes) e
+                WHERE a < b
+                  AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+              tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+              per_node AS (
+                SELECT node, count(*) AS c FROM (
+                  SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri) GROUP BY node),
+              allc AS (
+                SELECT n.node, CAST(COALESCE(p.c, 0) AS BIGINT) AS tri_count
+                FROM nodes n LEFT JOIN per_node p USING (node))
+              SELECT tri_count, count(*) AS n_nodes FROM allc
+              GROUP BY tri_count ORDER BY tri_count"""),
+      doc = "degree-ordered triangle counting (oriented wedge join, O(sqrt(m)) " +
+        "fan-out per node) == naive 3-way closure oracle; per-node histogram"),
+
     // ---- JSON-lines round-trip: the corpus's free text (quotes, unicode,
     // arbitrary punctuation) written as JSONL and read back with a DECLARED
     // schema — schema-on-read without an inference pass, the reference's

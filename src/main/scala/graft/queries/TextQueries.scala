@@ -544,6 +544,43 @@ object TextQueries {
       doc = "log-free TF-IDF keyword extraction: top-3 terms per document by " +
         "tf x N / df (raw idf preserves every ranking, stays IEEE-deterministic)"),
 
+    // ---- BM25 keyword retrieval: the inverted-index ranking function,
+    // k1/b re-derived as exact integer rationals (three correctly-rounded
+    // IEEE ops, operands < 2^53) so the cross-engine ranking is
+    // hash-exact. The filtered explode IS the posting-list scan for the
+    // bounded query-term set — no full-vocabulary index materialized.
+    GQuery("text_bm25_search",
+      (s, dir) => TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        Seq("spark", "join", "stream", "filter"), topN = 5)
+        .orderBy(col("term"), col("rank")),
+      Some(s"""WITH dl AS (
+              |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+              |corpus AS (
+              |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS corpus_len FROM dl),
+              |tf AS (
+              |  SELECT doc_id, t.term, count(*) AS tf
+              |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
+              |  WHERE t.term IN ('spark', 'join', 'stream', 'filter')
+              |  GROUP BY doc_id, t.term),
+              |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |scored AS (
+              |  SELECT tf.term, tf.doc_id, tf.tf, dfx.df, dl.dl,
+              |         (CAST(44 * tf.tf * c.corpus_len AS DOUBLE)
+              |            / CAST(20 * tf.tf * c.corpus_len + 6 * c.corpus_len
+              |                   + 18 * dl.dl * c.n_docs AS DOUBLE))
+              |         * (CAST(2 * c.n_docs - 2 * dfx.df + 1 AS DOUBLE)
+              |            / CAST(2 * dfx.df + 1 AS DOUBLE)) AS score
+              |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+              |                               ORDER BY score DESC, doc_id) AS rank
+              |  FROM scored)
+              |SELECT term, CAST(rank AS INT) AS rank, doc_id, tf, df, dl, score
+              |FROM ranked WHERE rank <= 5 ORDER BY term, rank""".stripMargin),
+      doc = "BM25 top-5 retrieval per query term (k1=1.2, b=0.75 as exact " +
+        "integer rationals; posting-list tf via filtered explode; " +
+        "IEEE-deterministic score)"),
+
     GQuery("text_bpe_pairs",
       (s, dir) => TextAnalysis.bpePairCensus(Tables.documents(s, dir), topN = 30)
         .orderBy(col("freq").desc, col("pair")),

@@ -285,4 +285,36 @@ class MergeTableSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, "_COMMIT_LOCK")),
       "no lock may survive the stress")
   }
+
+  test("shallow clone: zero-copy fork, divergent isolation, survives source vacuum") {
+    import spark.implicits._
+    val src = MergeTable.scratch(Seq("k"))
+    src.upsert(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v"))  // v0
+    src.upsert(Seq(("d", 4)).toDF("k", "v"))                      // v1
+    val clone = src.cloneShallow("v1",
+      graft.stages.TempDirs.scratch("graft_clone_spec_"))
+    assert(clone.currentVersion.contains("v0"))
+    assert(rows(clone) == rows(src))
+    // zero-copy: every clone data file shares its inode with a source v1 file
+    val srcInodes = src.dataFiles("v1")
+      .map(f => java.nio.file.Files.getAttribute(f, "unix:ino")).toSet
+    val cloneFiles = clone.dataFiles("v0")
+    assert(cloneFiles.nonEmpty)
+    assert(cloneFiles.forall(f =>
+      srcInodes.contains(java.nio.file.Files.getAttribute(f, "unix:ino"))))
+    // the clone survives the source VACUUMING the cloned version: vacuum
+    // unlinks the source's directory entries, the clone's links keep the
+    // inodes alive (src head is v2 after another write)
+    src.upsert(Seq(("a", 100)).toDF("k", "v"))                    // v2
+    src.vacuum(keepLast = 1)
+    assert(!java.nio.file.Files.exists(Paths.get(src.root, "v1")))
+    assert(rows(clone) == Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4)))
+    // divergence: writes to one never leak into the other
+    clone.upsert(Seq(("b", 200)).toDF("k", "v"))
+    assert(rows(src) == Seq(("a", 100), ("b", 2), ("c", 3), ("d", 4)))
+    assert(rows(clone) == Seq(("a", 1), ("b", 200), ("c", 3), ("d", 4)))
+    // unknown version fails loudly, nothing created
+    intercept[IllegalArgumentException](
+      src.cloneShallow("v99", graft.stages.TempDirs.scratch("graft_clone_bad_")))
+  }
 }

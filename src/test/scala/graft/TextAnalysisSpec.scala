@@ -233,4 +233,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(rh(slice) == hash, s"chunk at $start len $len: hash mismatch")
     }
   }
+
+  test("BM25 ranking: tf raises, doc length penalizes, rare terms outscore common") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x y p q"),     // tf(x)=2, dl=5
+      (2L, "x y p q r"),     // tf(x)=1, dl=5
+      (3L, "x z"),           // tf(x)=1, dl=2  (shorter -> beats doc 2)
+      (4L, "y p q r s")      // no x
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("x", "z"), topN = 4)
+      .orderBy("term", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(6)))
+    val xs = out.filter(_._1 == "x")
+    // tf monotone at equal dl: doc1 (tf 2) above doc2 (tf 1); length
+    // normalization: doc3 (tf 1, dl 2) above doc2 (tf 1, dl 5)
+    assert(xs.map(_._3).toSeq == Seq(1L, 3L, 2L))
+    // z appears once in the corpus: its idf beats x's everywhere
+    val zTop = out.filter(_._1 == "z").head
+    assert(zTop._3 == 3L && zTop._4 > xs.head._4)
+    // scores strictly ordered with rank
+    assert(xs.sliding(2).forall { case Array(a, b) => a._4 >= b._4 case _ => true })
+    // partitioning cannot move a rank
+    val out2 = TextAnalysis.bm25TopK(docs.repartition(7), Seq("x", "z"), topN = 4)
+      .orderBy("term", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(6)))
+    assert(out2.toSeq == out.toSeq)
+  }
 }
