@@ -71,10 +71,17 @@ object GraphOps {
     *
     * @param und canonical undirected edges: columns `a` < `b`, distinct
     */
-  def trianglePerNode(nodes: DataFrame, und: DataFrame): DataFrame = {
-    // total degree per node over the undirected edge set
-    val deg = und.select(col("a").as("node"))
-      .unionByName(und.select(col("b").as("node")))
+  def trianglePerNode(nodes: DataFrame, undRaw: DataFrame): DataFrame = {
+    // DIAMOND-SHAPED reuse (edges feed degrees, orientation, wedges AND
+    // the closing probe): without a lineage cut each reference re-plans
+    // and re-executes the caller's whole edge-derivation subtree — the
+    // uncut plan here measured ~1800 physical nodes. The two interior
+    // cuts (edge set, oriented edges) are the [[pagerankInteger]]
+    // convention; everything downstream references each exactly once via
+    // explode(array(...)) instead of self-unions.
+    val und = undRaw.localCheckpoint(true)
+    // total degree per node over the undirected edge set — ONE pass
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // total order for orientation: (deg, id) packed into one comparable
     // long (ids are table keys << 10^12, degrees bounded by n)
@@ -90,6 +97,7 @@ object GraphOps {
       when(col("rank_a") < col("rank_b"), col("a")).otherwise(col("b")).as("src"),
       when(col("rank_a") < col("rank_b"), col("b")).otherwise(col("a")).as("dst"),
       greatest(col("rank_a"), col("rank_b")).as("rank_dst"))
+      .localCheckpoint(true)  // referenced by BOTH wedge sides + the probe
     // wedges from each center's oriented out-neighborhood; (v, w) ordered
     // by rank so the closing edge (v -> w) can exist in exactly one form
     val l = oriented.select(col("src").as("u"), col("dst").as("n1"), col("rank_dst").as("r1"))
@@ -98,9 +106,8 @@ object GraphOps {
       .select(col("u"), col("n1").as("v"), col("n2").as("w"))
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
     val triangles = wedges.join(closing, Seq("v", "w"), "left_semi")
-    val perCorner = triangles.select(col("u").as("node"))
-      .unionByName(triangles.select(col("v").as("node")))
-      .unionByName(triangles.select(col("w").as("node")))
+    val perCorner = triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_count"))
     nodes.select(col("node"))
       .join(perCorner, Seq("node"), "left")

@@ -375,6 +375,44 @@ object TextAnalysis {
         col("tf"), col("df"), col("dl"), col("score"))
   }
 
+  /** Collocation extraction by PMI proxy: adjacent pairs ranked by
+    * T·c(xy) / (c(x)·c(y)) — the log-free monotone transform of pointwise
+    * mutual information (log preserves no ranking; libm rounding differs
+    * across engines), with a min-count floor because PMI famously
+    * overweights hapax pairs. The score is one correctly-rounded double
+    * division of two exact integer products (T·c(xy) and c(x)·c(y) both
+    * < 2^53 through ~10^13-token corpora at the floored counts), so the
+    * ranking is bit-identical cross-engine. This is the phrase-mining
+    * pass (new-terminology surfacing, tokenizer-vocab candidates) a
+    * corpus pipeline runs beside [[bpePairCensus]]'s raw frequency.
+    *
+    * Scale: two map-side-combined aggregations (unigrams, bigrams), two
+    * hash joins keyed on single tokens, a 1-row broadcast total, and a
+    * TakeOrdered top-k — no all-pairs step, nothing driver-side.
+    */
+  def collocationTopK(docs: DataFrame, minCount: Long = 5L,
+                      topN: Int = 20): DataFrame = {
+    val toks = withTokens(docs).select(col("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(expr(
+        "transform(arrays_zip(slice(toks, 1, greatest(size(toks)-1, 0)), " +
+          "slice(toks, 2, greatest(size(toks)-1, 0))), " +
+          "p -> named_struct('w1', p['0'], 'w2', p['1']))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biCnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val t = bi.agg(count(lit(1)).as("t_bigrams"))
+    biCnt.filter(col("c_xy") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y"), Seq("w2"))
+      .crossJoin(broadcast(t))
+      .withColumn("score",
+        expr("CAST(t_bigrams * c_xy AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"), col("score"))
+  }
+
   /** Token-rarity signals — the log-free stand-in for a language-model
     * quality score: each document's tokens joined to the CORPUS frequency
     * table, then per-doc mean and min frequency (a document full of

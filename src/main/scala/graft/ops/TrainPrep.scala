@@ -119,6 +119,39 @@ object TrainPrep {
     withTokenPrefix(docs, bucketWidth)
       .withColumn("shard", expr(s"(cum_tokens - n_tokens) div $budget").cast("int"))
 
+  /** Systematic weighted sampling — the deterministic, PRNG-free form of
+    * weighted sampling a reproducible data pipeline wants: lay the corpus
+    * out on its exact cumulative token-weight axis (the scalable
+    * [[withTokenPrefix]] two-level prefix sum — no global window), then
+    * take the `n` midpoint positions p_k = (2k+1)·W/(2n), k < n. Each
+    * document's pick count is the number of positions inside its weight
+    * interval [cum−w, cum) — EXACT integer arithmetic via scaled
+    * positions (y = 2n·x; count of odd multiples of W below y is
+    * ((y−1) div W + 1) div 2, guarded at y=0 where floor- and
+    * truncating-division engines disagree). Inclusion multiplicity is
+    * proportional to weight, heavy docs (w > W/n) are ALWAYS picked, and
+    * the total pick count is exactly n — the properties survey sampling
+    * buys from systematic designs, with bit-identical output on any
+    * engine and any partitioning.
+    *
+    * Bounds: scaled positions need 2n·W < 2^63 — fine through n = 10^4
+    * samples over a 10^13-token (≈100 TB) corpus.
+    */
+  def systematicSample(docs: DataFrame, n: Long,
+                       bucketWidth: Long = 1000L): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val pref = withTokenPrefix(docs, bucketWidth)
+    val tot = pref.agg(max(col("cum_tokens")).as("w_total"))
+    def picksBelow(y: String): String =
+      s"(CASE WHEN $y <= 0 THEN 0 ELSE (($y - 1) div w_total + 1) div 2 END)"
+    pref.crossJoin(broadcast(tot))
+      .withColumn("hi_y", expr(s"2 * $n * cum_tokens"))
+      .withColumn("lo_y", expr(s"2 * $n * (cum_tokens - n_tokens)"))
+      .withColumn("n_picks", expr(s"${picksBelow("hi_y")} - ${picksBelow("lo_y")}"))
+      .filter(col("n_picks") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("n_picks"))
+  }
+
   /** Benchmark decontamination: for every training document, the exact
     * number of its distinct word-n-gram shingles that appear ANYWHERE in
     * the held-out (val/test) split, plus the contamination ratio — the

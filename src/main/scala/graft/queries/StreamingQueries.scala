@@ -34,6 +34,22 @@ object StreamingQueries {
       doc = "update-mode stream drained through SQL MERGE INTO a lake catalog table " +
         "(exactly-once streaming upsert through the lakehouse surface)"),
 
+    // ---- §2.6 dedup pin under REAL duplicates: two sources feed the same
+    // events (full + every-third-id re-delivery); the settled census must
+    // equal the single-copy batch aggregate. streaming_ledger's dedup is a
+    // pass-through (unique ids); this one actually drops rows.
+    GQuery("streaming_dedup_redelivery",
+      (s, dir) => IncrementalLedger.redeliveredMonthlyTotals(s, dir)
+        .orderBy(col("event_type"), col("year"), col("month")),
+      Some("""SELECT event_type, CAST(year(ts) AS INT) AS year,
+                     CAST(month(ts) AS INT) AS month,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+      doc = "dropDuplicatesWithinWatermark under genuine re-delivery (second " +
+        "source re-sends every third event, possibly cross-batch) == " +
+        "single-copy batch census"),
+
     GQuery("streaming_sliding_window",
       (s, dir) => graft.streaming.RunningState.slidingWindowTotalsDrain(s, dir)
         .orderBy(col("window_start")),

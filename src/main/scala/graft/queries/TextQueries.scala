@@ -596,6 +596,39 @@ object TextQueries {
       doc = "BPE vocabulary training's distributed core: corpus-wide adjacent-pair " +
         "census, top-30 merge candidates with deterministic tie-break"),
 
+    // ---- PMI-proxy collocations: adjacent pairs ranked by
+    // T·c(xy)/(c(x)·c(y)) with a min-count floor (PMI overweights hapax
+    // pairs) — the phrase-mining pass beside text_bpe_pairs' raw counts.
+    GQuery("text_collocations",
+      (s, dir) => TextAnalysis.collocationTopK(Tables.documents(s, dir),
+        minCount = 5L, topN = 20),
+      Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+              |bg AS (
+              |  SELECT unnest(CASE WHEN len(toks) >= 2
+              |                     THEN list_transform(range(1, len(toks)),
+              |                            i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+              |                     ELSE CAST([] AS VARCHAR[]) END) AS pair
+              |  FROM t),
+              |uni AS (SELECT t2.w, count(*) AS c
+              |        FROM (SELECT unnest($toksSql) AS w FROM documents) t2 GROUP BY t2.w),
+              |bc AS (SELECT string_split(pair, ' ')[1] AS w1,
+              |              string_split(pair, ' ')[2] AS w2,
+              |              count(*) AS c_xy
+              |       FROM bg GROUP BY pair),
+              |tot AS (SELECT count(*) AS t_bigrams FROM bg),
+              |scored AS (
+              |  SELECT bc.w1, bc.w2, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
+              |         CAST(tot.t_bigrams * bc.c_xy AS DOUBLE)
+              |           / CAST(ux.c * uy.c AS DOUBLE) AS score
+              |  FROM bc JOIN uni ux ON bc.w1 = ux.w
+              |          JOIN uni uy ON bc.w2 = uy.w
+              |          CROSS JOIN tot
+              |  WHERE bc.c_xy >= 5)
+              |SELECT w1, w2, c_xy, c_x, c_y, score
+              |FROM scored ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin),
+      doc = "top-20 collocations by log-free PMI (T*c_xy/(c_x*c_y), one exact " +
+        "double division; min-count 5 floors hapax noise)"),
+
     GQuery("text_token_freq",
       (s, dir) => TextAnalysis.tokenFrequencies(Tables.documents(s, dir))
         .orderBy(col("freq").desc, col("token")),

@@ -83,6 +83,35 @@ object TrainPrepQueries {
               FROM c ORDER BY doc_id"""),
       doc = "token-budget sharding via a scalable two-level prefix sum (== global window cumsum)"),
 
+    // ---- Systematic weighted sampling: n = 500 midpoint positions on the
+    // exact cumulative token-weight axis (scalable two-level prefix sum);
+    // pick counts by pure integer arithmetic — the PRNG-free weighted
+    // sample whose multiplicities are proportional to weight and total
+    // EXACTLY n. Oracle runs the naive global-window form.
+    GQuery("prep_systematic_sample",
+      (s, dir) => TrainPrep.systematicSample(Tables.documents(s, dir), n = 500L)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+                               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                        FROM documents),
+                   c AS (SELECT doc_id, n_tokens,
+                                CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                         FROM t),
+                   tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS w_total FROM t),
+                   p AS (SELECT doc_id, n_tokens, cum_tokens,
+                                (CASE WHEN 2 * 500 * cum_tokens <= 0 THEN 0
+                                      ELSE ((2 * 500 * cum_tokens - 1) // w_total + 1) // 2 END)
+                              - (CASE WHEN 2 * 500 * (cum_tokens - n_tokens) <= 0 THEN 0
+                                      ELSE ((2 * 500 * (cum_tokens - n_tokens) - 1) // w_total + 1) // 2 END)
+                                AS n_picks
+                         FROM c, tot)
+              SELECT doc_id, n_tokens, cum_tokens, CAST(n_picks AS BIGINT) AS n_picks
+              FROM p WHERE n_picks > 0 ORDER BY doc_id"""),
+      doc = "deterministic systematic weighted sampling (n=500 midpoints on the " +
+        "exact token-weight axis; integer pick counts, sum exactly n) == " +
+        "global-window oracle"),
+
     GQuery("prep_mix_apply",
       (s, dir) => TrainPrep.applyMixture(Tables.documents(s, dir), budget = 300L)
         .orderBy(col("lang")),

@@ -148,6 +148,48 @@ object IncrementalLedger {
     target.read(spark, agg.schema)
   }
 
+  /** Re-delivery torture for the streaming dedup: the SAME events table
+    * is fed through TWO file-stream sources — a full pass plus a second
+    * source re-delivering every third event — into one watermark +
+    * `dropDuplicatesWithinWatermark`, so the settled census must equal
+    * the batch aggregation of the events table alone. This pins the
+    * §2.6 dedup guarantee under REAL duplicates: `streaming_ledger`'s
+    * corpus has unique event_ids (its dedup is a pass-through), while
+    * here every third id genuinely arrives twice, and the two copies can
+    * land in different micro-batches (two independent sources feed each
+    * trigger). At-least-once upstream delivery + this operator is the
+    * standard exactly-once recipe; the span-covering delay is the
+    * bounded-drain state bound documented on [[boundedDrainDedupDelay]].
+    */
+  def redeliveredMonthlyTotals(spark: SparkSession, sfDir: String): DataFrame =
+      StateDefaults.withNanosRead(spark) {
+    StateDefaults.ensureRocksDB(spark)
+    val target = MergeTable.scratch(Seq("event_type", "year", "month"))
+    val full = EventStream.readStream(spark, sfDir)
+    val redelivered = EventStream.readStream(spark, sfDir)
+      .filter(col("event_id") % 3 === 0)
+    val agg = full.unionByName(redelivered)
+      .withWatermark("ts", boundedDrainDedupDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"),
+        year(col("ts")).as("year"), month(col("ts")).as("month"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          target.upsert(batch.toDF())
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      StateDefaults.awaitDrain(q)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    target.read(spark, agg.schema)
+  }
+
   private val lakeSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The same update-mode ledger drain, but the sink is a [[graft.lake]]

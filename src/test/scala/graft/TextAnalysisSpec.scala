@@ -260,4 +260,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(6)))
     assert(out2.toSeq == out.toSeq)
   }
+
+  test("collocations: pair that always co-occurs outranks independent pair; floor filters hapax") {
+    import spark.implicits._
+    // "a b" always adjacent (5 times); "x y" co-occur but x,y also appear
+    // apart (x 10 times, y 10 times, together 5); "q z" occurs once (hapax)
+    val docs = Seq(
+      (1L, "a b x p x p y r y r"),
+      (2L, "a b x p x p y r y r"),
+      (3L, "a b x y q z"),
+      (4L, "a b x y m m"),
+      (5L, "a b x y m m")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocationTopK(docs, minCount = 3L, topN = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    // hapax pair filtered by the count floor
+    assert(!out.contains(("q", "z")))
+    // exclusive pair (a,b): c_xy=5, c_x=5, c_y=5 -> T*5/25; diluted pair
+    // (x,y): c_xy=3, c_x=10, c_y=8 -> strictly smaller score
+    assert(out(("a", "b")) > out(("x", "y")))
+    // determinism across partitioning
+    val out2 = TextAnalysis.collocationTopK(docs.repartition(7), minCount = 3L, topN = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    assert(out2 == out)
+  }
 }

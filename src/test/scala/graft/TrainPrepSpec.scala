@@ -175,4 +175,35 @@ class TrainPrepSpec extends AnyFunSuite {
       s"verbatim benchmark copy must be 100% contaminated, got $twinRow")
     assert(twinRow.getAs[Boolean]("is_contaminated"))
   }
+
+  test("systematic sample: exactly n picks, weight-proportional, heavy docs always in") {
+    import spark.implicits._
+    // weights: one doc carries half the corpus mass, a tail of light docs
+    val docs = (
+      Seq((1L, Seq.fill(100)("w").mkString(" "))) ++       // w=100 (heavy)
+      (2L to 21L).map(i => (i, Seq.fill(5)("w").mkString(" ")))  // 20 × w=5
+    ).toDF("doc_id", "text")                               // W = 200
+    val n = 10L
+    val out = TrainPrep.systematicSample(docs, n).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // total multiplicity is exactly n
+    assert(out.map(_._2).sum == n)
+    // the heavy doc (weight 100 = W/2) takes picks proportional to mass: 5 of 10
+    assert(out.head == (1L, 5L))
+    // every pick count is >= 1 among returned rows, and no doc exceeds
+    // ceil(w * n / W) + 1 picks
+    assert(out.forall(_._2 >= 1))
+    // stride = W/n = 20 > light weight 5: light docs get at most 1 pick
+    assert(out.tail.forall(_._2 == 1))
+    // partitioning cannot move a pick
+    val out2 = TrainPrep.systematicSample(docs.repartition(7), n)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(out2 == out)
+    // a doc heavier than the stride W/n can never be skipped: any interval
+    // of length >= stride contains a midpoint position
+    val docs2 = (1L to 8L).map(i => (i, Seq.fill(if (i % 2 == 0) 30 else 2)("w").mkString(" "))).toDF("doc_id", "text")
+    // W=128, n=4, stride=32: every 30-token doc is near-stride; n=8 -> stride 16 < 30
+    val picked = TrainPrep.systematicSample(docs2, 8L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((1L to 8L).filter(_ % 2 == 0).forall(picked))
+  }
 }
