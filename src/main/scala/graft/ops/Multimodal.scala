@@ -184,4 +184,65 @@ object Multimodal {
       }
     }.toDF("doc_id", "window_no", "n_samples", "rms", "peak")
   }
+
+  /** Pure integer k×k box downsample of a row-major pixel grid — the
+    * resize kernel itself, decoder-agnostic: the census below feeds it
+    * stub-grid pixels (payload bytes as a `srcW`-wide u8 grid), and
+    * `MultimodalSpec` feeds it REAL decoded image luma (javax.imageio),
+    * proving the same arithmetic serves both paths. Integer mean
+    * (truncating div by k²) keeps every output bit-reproducible — no
+    * float accumulation, no platform rounding.
+    *
+    * @return (outH, outW, row-major downsampled pixels)
+    */
+  def boxDownsample(px: Array[Int], srcW: Int, factor: Int): (Int, Int, Array[Int]) = {
+    require(srcW > 0 && factor > 0 && srcW % factor == 0,
+      s"srcW=$srcW must be a positive multiple of factor=$factor")
+    val h = px.length / srcW          // full rows only; a ragged tail is cropped
+    val outH = h / factor
+    val outW = srcW / factor
+    val out = new Array[Int](outH * outW)
+    var r0 = 0
+    while (r0 < outH) {
+      var c0 = 0
+      while (c0 < outW) {
+        var s = 0
+        var i = 0
+        while (i < factor) {
+          var j = 0
+          while (j < factor) {
+            s += px((r0 * factor + i) * srcW + c0 * factor + j)
+            j += 1
+          }
+          i += 1
+        }
+        out(r0 * outW + c0) = s / (factor * factor)
+        c0 += 1
+      }
+      r0 += 1
+    }
+    (outH, outW, out)
+  }
+
+  /** Image-resize census: payload interpreted as a `srcW`-wide u8 pixel
+    * grid, box-downsampled by `factor`, summarized per document (the
+    * thumbnail-generation pass of a vision-data pipeline, with the same
+    * stub-codec convention as the other mm_* surfaces — the plumbing,
+    * schema, and integer kernel are real; a deployment swaps the grid
+    * source for decoded frames). mapPartitions-shaped: payload bytes
+    * never shuffle; emitting the per-doc census rather than per-pixel
+    * rows keeps output O(docs) however large the media.
+    */
+  def resizeBoxCensus(media: Dataset[MediaRow], srcW: Int = 16,
+                      factor: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val px = r.payload.map(_ & 0xff)
+      val (outH, outW, out) = boxDownsample(px, srcW, factor)
+      val sum = out.foldLeft(0L)(_ + _)
+      val mn = if (out.isEmpty) -1 else out.min
+      val mx = if (out.isEmpty) -1 else out.max
+      (r.doc_id, outH, outW, sum, mn, mx)
+    }.toDF("doc_id", "out_h", "out_w", "px_sum", "px_min", "px_max")
+  }
 }

@@ -119,6 +119,56 @@ object TrainPrep {
     withTokenPrefix(docs, bucketWidth)
       .withColumn("shard", expr(s"(cum_tokens - n_tokens) div $budget").cast("int"))
 
+  /** Train/serve distribution-drift census — the data-quality gate a
+    * continuously-fed training pipeline runs on every incoming batch:
+    * freeze `nBuckets` equal-population buckets on the REFERENCE
+    * distribution (exact integer-ceil rank boundaries over the per-value
+    * histogram — the `agg_percentiles_hist` machinery, so the boundary
+    * pass shuffles |distinct values| rows, never the corpus), then count
+    * both sides into those frozen buckets and report per-10k proportions
+    * and their absolute shift. All integer arithmetic — no PSI logs (libm
+    * differs across engines, and the per-bucket shift table is what an
+    * alerting rule thresholds anyway; Σ|shift| over buckets is 2×10⁴·TV
+    * distance, recoverable by the caller with one sum).
+    *
+    * Scale: one histogram aggregation on the reference, a cumulative
+    * window over that BOUNDED histogram, a broadcast 9-value boundary
+    * array, and one map-side-combined bucket census over ref ∪ cand.
+    */
+  def driftCensus(ref: DataFrame, cand: DataFrame, valueCol: String,
+                  nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = ref.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wOrd))
+    val nRef = hist.agg(sum(col("c")).as("n"))
+    // boundary_i = min v whose cumulative count reaches ceil(i·n/nBuckets)
+    val bounds = cum.crossJoin(broadcast(nRef))
+      .select(col("v"), col("cum"), col("n"),
+        explode(expr(s"sequence(1, ${nBuckets - 1})")).as("i"))
+      .filter(col("cum") >= expr(s"(i * n + ${nBuckets - 1}) div $nBuckets"))
+      .groupBy(col("i")).agg(min(col("v")).as("b"))
+      .agg(expr("transform(sort_array(collect_list(struct(i, b))), x -> x.b)").as("bs"))
+    val tagged = ref.select(col(valueCol).cast("long").as("v"), lit("ref").as("side"))
+      .unionByName(cand.select(col(valueCol).cast("long").as("v"), lit("cand").as("side")))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tagged.crossJoin(broadcast(bounds))
+      .withColumn("bucket", size(expr("filter(bs, b -> b < v)")) + 1)
+      .groupBy(col("bucket"))
+      .agg(count(when(col("side") === "ref", 1)).as("n_ref"),
+        count(when(col("side") === "cand", 1)).as("n_cand"))
+      .withColumn("t_ref", sum(col("n_ref")).over(wAll))
+      .withColumn("t_cand", sum(col("n_cand")).over(wAll))
+      .select(col("bucket"), col("n_ref"), col("n_cand"),
+        expr("n_ref * 10000 div t_ref").as("pct_ref"),
+        expr("n_cand * 10000 div t_cand").as("pct_cand"),
+        expr("abs(n_ref * 10000 div t_ref - n_cand * 10000 div t_cand)")
+          .as("shift_per_10k"))
+  }
+
   /** Systematic weighted sampling — the deterministic, PRNG-free form of
     * weighted sampling a reproducible data pipeline wants: lay the corpus
     * out on its exact cumulative token-weight axis (the scalable

@@ -737,6 +737,35 @@ object RelationalQueries {
         "bus during the census scan (no second job); ALL row from the " +
         "Observation map only"),
 
+    // ---- LATERAL correlated subquery with ORDER BY + LIMIT: the per-row
+    // dependent top-k join, exercised through the engine's DECORRELATION
+    // path (DomainJoin rewrite → ranked join) rather than the explicit
+    // window of w1_topn_per_customer — the same declarative ask, a
+    // different optimizer surface, and the form ad-hoc SQL users write.
+    GQuery("o20_lateral_topk",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("v_cust_lat")
+        Tables.orders(s, dir).createOrReplaceTempView("v_ord_lat")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.cents
+          FROM v_cust_lat c,
+          LATERAL (SELECT o_orderkey,
+                          CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM v_ord_lat o WHERE o.o_custkey = c.c_custkey
+                   ORDER BY cents DESC, o_orderkey LIMIT 2) t
+          ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.cents
+              FROM customer c,
+              LATERAL (SELECT o_orderkey,
+                              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                       FROM orders o WHERE o.o_custkey = c.c_custkey
+                       ORDER BY cents DESC, o_orderkey LIMIT 2) t
+              ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey"""),
+      doc = "LATERAL dependent top-2 per customer through the decorrelation " +
+        "rewrite == the same SQL in DuckDB (implicit inner lateral drops " +
+        "order-less customers)"),
+
     // Rolling 7-day distinct actives (WAU) — the engagement metric whose
     // DISTINCT makes it non-decomposable over sliding windows: window
     // sums can reuse partial aggregates (agg_sliding_time_window), window

@@ -472,6 +472,38 @@ object StreamingQueries {
       // A non-ASCII corpus would need a byte-level oracle, not a Spark fix.
       doc = "multimodal: audio-shaped per-window RMS energy + peak over the opaque payload"),
 
+    // ---- Image-resize census: k×k integer box downsample of the payload
+    // as a 16-wide u8 grid (the thumbnail pass; same stub-codec convention
+    // as the other mm_* — MultimodalSpec drives the SAME kernel over real
+    // javax.imageio-decoded luma). Per-doc census keeps output O(docs).
+    GQuery("mm_image_resize",
+      (s, dir) => Multimodal.resizeBoxCensus(
+          Multimodal.asMediaTable(s, Tables.documents(s, dir)),
+          srcW = 16, factor = 4)
+        .orderBy(col("doc_id")),
+      Some("""WITH b AS (
+                SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents),
+              dims AS (
+                SELECT doc_id, text, (L // 16) // 4 AS out_h FROM b),
+              vals AS (
+                SELECT doc_id, out_h,
+                       CASE WHEN out_h = 0 THEN CAST([] AS BIGINT[])
+                            ELSE list_transform(range(0, out_h * 4), p ->
+                              list_sum(list_transform(range(0, 16), q ->
+                                CAST(ascii(substr(text,
+                                  CAST(((p // 4) * 4 + (q // 4)) * 16
+                                       + (p % 4) * 4 + (q % 4) + 1 AS INT),
+                                  1)) AS BIGINT))) // 16)
+                       END AS v
+                FROM dims)
+              SELECT doc_id, CAST(out_h AS INT) AS out_h, CAST(4 AS INT) AS out_w,
+                     CAST(COALESCE(list_sum(v), 0) AS BIGINT) AS px_sum,
+                     CAST(COALESCE(list_min(v), -1) AS INT) AS px_min,
+                     CAST(COALESCE(list_max(v), -1) AS INT) AS px_max
+              FROM vals ORDER BY doc_id"""),
+      doc = "multimodal: 4x4 integer box-downsample census over the 16-wide " +
+        "payload grid (thumbnail pass; ragged tail cropped, per-doc census)"),
+
     GQuery("mm_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
           Multimodal.asMediaTable(s, Tables.documents(s, dir)), everyN = 2)

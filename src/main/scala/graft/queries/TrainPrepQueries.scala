@@ -112,6 +112,59 @@ object TrainPrepQueries {
         "exact token-weight axis; integer pick counts, sum exactly n) == " +
         "global-window oracle"),
 
+    // ---- Distribution-drift gate: token-length deciles FROZEN on the
+    // reference split (docs with id % 3 != 0), the candidate batch
+    // (id % 3 = 0) counted into them; per-10k integer proportions + L1
+    // shift per bucket. The boundary pass runs over the bounded per-value
+    // histogram, never the corpus.
+    GQuery("prep_drift_census",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        TrainPrep.driftCensus(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "n_tokens", nBuckets = 10)
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                               CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+                        FROM documents),
+                   ref AS (SELECT v FROM d WHERE doc_id % 3 <> 0),
+                   cand AS (SELECT v FROM d WHERE doc_id % 3 = 0),
+                   hist AS (SELECT v, count(*) AS c FROM ref GROUP BY v),
+                   cum AS (SELECT v, c,
+                                  SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+                           FROM hist),
+                   n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+                   bounds AS (
+                     SELECT i.i AS i, MIN(cum.v) AS b
+                     FROM cum, n, (SELECT unnest(range(1, 10)) AS i) i
+                     WHERE cum.cum >= (i.i * n.n + 9) // 10
+                     GROUP BY i.i),
+                   tagged AS (SELECT v, 'ref' AS side FROM ref
+                              UNION ALL SELECT v, 'cand' AS side FROM cand),
+                   bk AS (SELECT t.v, t.side,
+                                 CAST(1 + (SELECT count(*) FROM bounds b
+                                           WHERE b.b < t.v) AS INT) AS bucket
+                          FROM tagged t),
+                   cs AS (SELECT bucket,
+                                 count(CASE WHEN side = 'ref' THEN 1 END) AS n_ref,
+                                 count(CASE WHEN side = 'cand' THEN 1 END) AS n_cand
+                          FROM bk GROUP BY bucket),
+                   tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                                  CAST(SUM(n_cand) AS BIGINT) AS t_cand FROM cs)
+              SELECT bucket, n_ref, n_cand,
+                     CAST(n_ref * 10000 // t_ref AS BIGINT) AS pct_ref,
+                     CAST(n_cand * 10000 // t_cand AS BIGINT) AS pct_cand,
+                     CAST(abs(n_ref * 10000 // t_ref - n_cand * 10000 // t_cand) AS BIGINT)
+                       AS shift_per_10k
+              FROM cs, tot ORDER BY bucket"""),
+      doc = "train/serve drift census: candidate batch counted into frozen " +
+        "reference deciles (integer rank boundaries over the bounded " +
+        "histogram); per-10k proportions + L1 shift, all integer"),
+
     GQuery("prep_mix_apply",
       (s, dir) => TrainPrep.applyMixture(Tables.documents(s, dir), budget = 300L)
         .orderBy(col("lang")),

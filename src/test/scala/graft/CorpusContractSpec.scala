@@ -56,7 +56,8 @@ class CorpusContractSpec extends AnyFunSuite {
     "streaming_interval_join", "streaming_outer_join", "streaming_semi_join",
     "streaming_anti_join", "streaming_full_outer_join",
     "streaming_tws_running_totals", "sessionization_streaming",
-    "streaming_paged_source", "streaming_paged_windowed")
+    "streaming_paged_source", "streaming_paged_windowed",
+    "streaming_dedup_redelivery")
 
   test("every registered query analyzes against the live corpus") {
     val failures = QueryRegistry.all

@@ -115,4 +115,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }
+
+  test("box downsample: real decoded PNG luma through the same integer kernel") {
+    // 8x8 gradient, PNG round-trip (lossless), Rec.601 integer luma — the
+    // REAL-decode path feeding the SAME kernel the stub-grid census uses
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = y * 8 + x * 2
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val luma = (for (y <- 0 until 8; x <- 0 until 8) yield {
+      val rgb = decoded.getRGB(x, y)
+      ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+    }).toArray
+    val (h, w, out) = Multimodal.boxDownsample(luma, 8, 2)
+    assert(h == 4 && w == 4)
+    for (r0 <- 0 until 4; c0 <- 0 until 4) {
+      val s = (for (i <- 0 until 2; j <- 0 until 2)
+        yield luma((r0 * 2 + i) * 8 + c0 * 2 + j)).sum
+      assert(out(r0 * 4 + c0) == s / 4, s"block ($r0,$c0)")
+    }
+    // ragged tail is cropped: 6 extra pixels do not form a full row
+    val (h2, _, out2) = Multimodal.boxDownsample(luma ++ Array(9, 9, 9, 9, 9, 9), 8, 2)
+    assert(h2 == 4 && out2.toSeq == out.toSeq)
+    // width not a multiple of the factor fails loudly
+    intercept[IllegalArgumentException](Multimodal.boxDownsample(luma, 8, 3))
+  }
 }

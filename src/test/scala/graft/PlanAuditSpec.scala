@@ -274,7 +274,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "streaming_interval_join", "streaming_outer_join", "streaming_semi_join",
     "streaming_anti_join", "streaming_full_outer_join",
     "streaming_tws_running_totals", "sessionization_streaming",
-    "streaming_paged_source", "streaming_paged_windowed")
+    "streaming_paged_source", "streaming_paged_windowed",
+    "streaming_dedup_redelivery")
 
   test("no registry query plans an unpartitioned window over unbounded input") {
     // `Window.orderBy` with no partition spec plans a SINGLE-partition

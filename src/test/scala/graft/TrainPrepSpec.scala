@@ -206,4 +206,33 @@ class TrainPrepSpec extends AnyFunSuite {
     val picked = TrainPrep.systematicSample(docs2, 8L).select("doc_id").collect().map(_.getLong(0)).toSet
     assert((1L to 8L).filter(_ % 2 == 0).forall(picked))
   }
+
+  test("drift census: self-drift is zero, shifted batch concentrates in top buckets") {
+    import spark.implicits._
+    val ref = (1L to 1000L).map(i => (i, (i % 100) + 1)).toDF("doc_id", "v")
+    // identical distribution -> every bucket's per-10k shares agree exactly
+    val self = TrainPrep.driftCensus(ref, ref, "v", nBuckets = 10)
+      .orderBy("bucket").collect()
+    assert(self.length == 10)
+    assert(self.forall(_.getLong(5) == 0L), "identical distributions must show zero shift")
+    assert(self.map(_.getLong(1)).sum == 1000L)
+    // candidate shifted up by 90: its mass must land in the top reference
+    // buckets and the bottom buckets must drain
+    val cand = (1L to 1000L).map(i => (i, (i % 100) + 91)).toDF("doc_id", "v")
+    val drifted = TrainPrep.driftCensus(ref, cand, "v", nBuckets = 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSeq
+    val byBucket = drifted.map(d => d._1 -> d).toMap
+    // bottom bucket: reference has mass, candidate has none
+    assert(byBucket(1)._2 > 0 && byBucket(1)._3 == 0)
+    // the overflow bucket (> all 9 boundaries) holds most of the candidate
+    val top = drifted.maxBy(_._1)
+    assert(top._3 > top._2, "shifted mass must pool above the frozen top boundary")
+    assert(drifted.map(_._4).sum > 10000, "gross shift must flag a 90% displacement")
+    // partitioning invariance
+    val again = TrainPrep.driftCensus(ref.repartition(7), cand.repartition(3), "v", 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSeq
+    assert(again == drifted)
+  }
 }
