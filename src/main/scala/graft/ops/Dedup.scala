@@ -590,6 +590,21 @@ object Dedup {
     */
   def editDistance1Neighbors(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
     val base = df.select(col(keyCol).cast("long").as("k"), col(strCol).as("s"))
+    val candidates = editDistance1Pairs(df, keyCol, strCol)
+    val symmetric = candidates.select(col("ka").as("k"), col("kb").as("n"))
+      .unionByName(candidates.select(col("kb").as("k"), col("ka").as("n")))
+    base.join(symmetric, Seq("k"), "left")
+      .groupBy(col("k").as(keyCol))
+      .agg(count(col("n")).as("n_near"), min(col("n")).as("nearest_key"))
+  }
+
+  /** The verified edit-distance-1 pair list behind
+    * [[editDistance1Neighbors]] — FastSS deletion-neighborhood blocking +
+    * exact levenshtein verify, `ka < kb` canonical. Exposed separately so
+    * entity resolution can feed the pairs into connected components.
+    */
+  def editDistance1Pairs(df: DataFrame, keyCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(keyCol).cast("long").as("k"), col(strCol).as("s"))
     // array_union also dedups repeated variants of strings with runs of
     // the same character, keeping the explode minimal. The exploded frame
     // feeds BOTH sides of the self-join, but needs no explicit
@@ -603,17 +618,13 @@ object Dedup {
       """array_union(array(s),
            transform(sequence(1, length(s)),
              i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s)))))""")))
-    val candidates = variants.as("a")
+    variants.as("a")
       .join(variants.as("b"),
         col("a.variant") === col("b.variant") && col("a.k") < col("b.k"))
       .select(col("a.k").as("ka"), col("b.k").as("kb"),
         col("a.s").as("sa"), col("b.s").as("sb"))
       .distinct()
       .filter(expr("levenshtein(sa, sb) <= 1"))
-    val symmetric = candidates.select(col("ka").as("k"), col("kb").as("n"))
-      .unionByName(candidates.select(col("kb").as("k"), col("ka").as("n")))
-    base.join(symmetric, Seq("k"), "left")
-      .groupBy(col("k").as(keyCol))
-      .agg(count(col("n")).as("n_near"), min(col("n")).as("nearest_key"))
+      .select(col("ka"), col("kb"))
   }
 }

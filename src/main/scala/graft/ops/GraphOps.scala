@@ -71,6 +71,41 @@ object GraphOps {
     *
     * @param und canonical undirected edges: columns `a` < `b`, distinct
     */
+  /** Bounded-round k-core peeling census: each round recomputes degrees
+    * over the surviving undirected edge set, drops nodes with degree < k,
+    * and restricts edges to survivors; emitted per round are the alive
+    * node and edge counts. Fixed `rounds` keeps the trajectory
+    * oracle-checkable (the [[pagerankInteger]] convention — the full
+    * fixpoint is this loop run to emptiness of change); each round is one
+    * explode-degree aggregation plus two semi-joins, lineage cut per
+    * round so planning stays O(1) in rounds. The k-core is the densest
+    * robust scaffold of a link graph — the subgraph spam/authority
+    * analyses run on after peeling the tendrils.
+    *
+    * @param und canonical undirected edges: `a` < `b`, distinct
+    */
+  def kcorePeelCensus(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = und.sparkSession
+    var edges = und.localCheckpoint(true)
+    val out = Seq.newBuilder[(Int, Long, Long)]
+    var r = 1
+    while (r <= rounds) {
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val alive = deg.filter(col("deg") >= k).select(col("node"))
+        .localCheckpoint(true)
+      edges = edges
+        .join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      out += ((r, alive.count(), edges.count()))
+      r += 1
+    }
+    import spark.implicits._
+    out.result().toDF("round", "n_nodes_alive", "n_edges_alive")
+  }
+
   def trianglePerNode(nodes: DataFrame, undRaw: DataFrame): DataFrame = {
     // DIAMOND-SHAPED reuse (edges feed degrees, orientation, wedges AND
     // the closing probe): without a lineage cut each reference re-plans

@@ -73,6 +73,58 @@ object DedupQueries {
       doc = "edit-distance-1 fuzzy neighbor census: FastSS deletion-neighborhood " +
         "blocking + exact levenshtein verify, proven complete by the quadratic oracle"),
 
+    // ---- Entity resolution end-to-end: FastSS blocking → exact
+    // edit-distance verify → connected components → entity census with
+    // singleton fill — the record-linkage pipeline (one courier registered
+    // twice with a typo'd name must settle to ONE payee). Composition of
+    // the proven pieces: editDistance1Pairs (n·len blocking, never n²)
+    // and the O(log n)-round star CC; singletons resolve to themselves
+    // via one left join.
+    GQuery("dedup_entity_resolution",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        // blocking key = nation prefix + name: ER's standard "compare only
+        // within a block" — sequential synthetic names would otherwise
+        // chain the whole table into one entity through the ED1 ladder
+        // (names are unique, so a single edit can never bridge nations)
+        val keyed = cust.select(col("c_custkey"),
+          concat(col("c_nationkey").cast("string"), lit(":"), col("c_name"))
+            .as("blocked_name"))
+        val pairs = Dedup.editDistance1Pairs(keyed, "c_custkey", "blocked_name")
+          .select(col("ka").as("doc_a"), col("kb").as("doc_b"))
+        val comp = Dedup.connectedComponentsStar(pairs)
+        cust.select(col("c_custkey").as("node"))
+          .join(comp, Seq("node"), "left")
+          .select(col("node"), coalesce(col("comp"), col("node")).as("entity_id"))
+          .groupBy(col("entity_id"))
+          .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+          .orderBy(col("entity_id"))
+      },
+      Some("""WITH RECURSIVE pairs AS (
+                SELECT a.c_custkey AS ka, b.c_custkey AS kb
+                FROM customer a JOIN customer b
+                  ON a.c_custkey < b.c_custkey
+                 AND levenshtein(CAST(a.c_nationkey AS VARCHAR) || ':' || a.c_name,
+                                 CAST(b.c_nationkey AS VARCHAR) || ':' || b.c_name) <= 1),
+              edges AS (
+                SELECT ka AS a, kb AS b FROM pairs
+                UNION ALL
+                SELECT kb AS a, ka AS b FROM pairs),
+              reach(node, r) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+              comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+              ent AS (
+                SELECT c.c_custkey AS node,
+                       COALESCE(comp.comp, c.c_custkey) AS entity_id
+                FROM customer c LEFT JOIN comp ON comp.node = c.c_custkey)
+              SELECT entity_id, count(*) AS n_members,
+                     CAST(max(node) AS BIGINT) AS max_member
+              FROM ent GROUP BY entity_id ORDER BY entity_id"""),
+      doc = "entity resolution: FastSS ED1 blocking + exact verify + star CC + " +
+        "singleton fill == recursive-closure oracle over quadratic levenshtein"),
+
     GQuery("dedup_exact",
       (s, dir) => Dedup.exactDuplicateGroups(Tables.documents(s, dir))
         .orderBy(col("text_md5")),

@@ -548,6 +548,39 @@ object LakeQueries {
         "ranges (insert-bounded), so footer proofs drop files without reading " +
         "data; result matches the declarative range filter"),
 
+    // ---- TIMESTAMP AS OF time travel: the commit wall-clock log
+    // (_VERSION_LOG, appended under the commit lock) resolves a point in
+    // time to the newest version committed at or before it — the audit
+    // form of time travel ("what did the ledger say when the report
+    // ran?"). The query pins the instant right after the first commit,
+    // busy-waits one tick so the next commit's log line is strictly
+    // later, then proves the resolved read equals the v0 content even
+    // though the table has moved on.
+    GQuery("lake_timestamp_travel",
+      (s, dir) => {
+        val base = Tables.orders(s, dir).filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+        val t = graft.stages.MergeTable.scratch(Seq("o_orderkey"))
+        t.replace(base)                                           // v0
+        val afterV0 = t.versionLog.last._2
+        while (System.currentTimeMillis() <= afterV0) Thread.sleep(1)
+        t.upsert(base.withColumn("cents", col("cents") + 999))    // v1 (noise)
+        val v = t.versionAsOfTime(afterV0)
+          .getOrElse(sys.error("timestamp resolved to no version"))
+        t.readVersion(s, v)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n_rows,
+                     CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+              FROM orders WHERE o_orderkey % 5 = 0
+              GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "TIMESTAMP AS OF resolution against the commit log: the pinned " +
+        "instant reads v0 content although the table head has moved on"),
+
     // ---- Zero-copy shallow clone: the cloned version's files become v0
     // of a NEW table via hard links (O(files) metadata, no data bytes
     // moved — at 100 TB an instant fork vs a multi-hour copy), then the

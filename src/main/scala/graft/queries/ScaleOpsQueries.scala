@@ -418,6 +418,62 @@ object ScaleOpsQueries {
       doc = "degree-ordered triangle counting (oriented wedge join, O(sqrt(m)) " +
         "fan-out per node) == naive 3-way closure oracle; per-node histogram"),
 
+    // ---- k-core peeling census (k=5, 3 bounded rounds) over the same
+    // irregular graph: per round one explode-degree aggregation + two
+    // semi-joins, lineage cut per round — the iterative dense-subgraph
+    // scaffold extraction (peel tendrils, keep the robust core) with the
+    // same bounded-round oracle convention as the PageRank trajectory.
+    GQuery("graph_kcore_census",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
+        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        graft.ops.GraphOps.kcorePeelCensus(und, k = 5, rounds = 3)
+          .orderBy(col("round"))
+      },
+      Some("""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+              und AS (
+                SELECT DISTINCT a, b FROM (
+                  SELECT node AS a, node + 1 AS b FROM nodes
+                  UNION ALL SELECT node, node + 2 FROM nodes
+                  UNION ALL SELECT node, node + 3 FROM nodes
+                  UNION ALL SELECT node, node * 2 FROM nodes) e
+                WHERE a < b
+                  AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+              d1 AS (SELECT node, count(*) AS c FROM (
+                       SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                     GROUP BY node),
+              a1 AS (SELECT node FROM d1 WHERE c >= 5),
+              e1 AS (SELECT a, b FROM und
+                     WHERE a IN (SELECT node FROM a1) AND b IN (SELECT node FROM a1)),
+              d2 AS (SELECT node, count(*) AS c FROM (
+                       SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+                     GROUP BY node),
+              a2 AS (SELECT node FROM d2 WHERE c >= 5),
+              e2 AS (SELECT a, b FROM e1
+                     WHERE a IN (SELECT node FROM a2) AND b IN (SELECT node FROM a2)),
+              d3 AS (SELECT node, count(*) AS c FROM (
+                       SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+                     GROUP BY node),
+              a3 AS (SELECT node FROM d3 WHERE c >= 5),
+              e3 AS (SELECT a, b FROM e2
+                     WHERE a IN (SELECT node FROM a3) AND b IN (SELECT node FROM a3))
+              SELECT CAST(1 AS INT) AS round,
+                     (SELECT count(*) FROM a1) AS n_nodes_alive,
+                     (SELECT count(*) FROM e1) AS n_edges_alive
+              UNION ALL
+              SELECT 2, (SELECT count(*) FROM a2), (SELECT count(*) FROM e2)
+              UNION ALL
+              SELECT 3, (SELECT count(*) FROM a3), (SELECT count(*) FROM e3)
+              ORDER BY round"""),
+      doc = "5-core peeling, 3 exact rounds (alive node/edge trajectory): " +
+        "iterative degree-filter semi-join restriction, lineage cut per round"),
+
     // ---- JSON-lines round-trip: the corpus's free text (quotes, unicode,
     // arbitrary punctuation) written as JSONL and read back with a DECLARED
     // schema — schema-on-read without an inference pass, the reference's
