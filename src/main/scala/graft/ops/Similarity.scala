@@ -191,6 +191,56 @@ object Similarity {
         col("cosine_sq8"), col("exact_hit"))
   }
 
+  /** Matryoshka prefix-rerank ANN: candidates are coarse-scored on only
+    * the FIRST `prefixDims` dimensions (matryoshka-trained embeddings
+    * front-load their information, so the prefix is itself a usable
+    * embedding), the top `candidates` per query survive, and only the
+    * survivors are re-scored on the full vector. The memory/bandwidth
+    * story differs from SQ8/PQ's codes: the coarse pass reads
+    * `prefixDims/dim` of the bytes, and at scale the prefix lives as its
+    * own narrow column (or leading parquet column chunk) so COLUMN
+    * PRUNING delivers the cut — full vectors are fetched for C
+    * candidates per query, never the corpus. Output carries per-hit
+    * exact-truth flags (the [[sq8TopK]] convention), so the query doubles
+    * as its own recall report.
+    */
+  def matryoshkaTopK(emb: DataFrame, numQueries: Int, k: Int,
+                     prefixDims: Int = 16, candidates: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    def pdot(a: String, b: String) =
+      dotExpr(s"slice($a, 1, $prefixDims)", s"slice($b, 1, $prefixDims)")
+    val base = withNorm(emb)
+      .withColumn("pnorm", expr(s"sqrt(${pdot("embedding", "embedding")})"))
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("pnorm").as("q_pnorm"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val survivors = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("pcos",
+        expr(pdot("embedding", "q_emb")) / (col("pnorm") * col("q_pnorm")))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= candidates)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ranked = survivors
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    ranked
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("exact_hit"))
+  }
+
   /** Product quantization (PQ): the embedding is cut into `m` subspaces of
     * `dim/m` dims; each subvector is replaced by the id of its nearest
     * codeword in a per-subspace `ksub`-entry codebook — `m` small codes

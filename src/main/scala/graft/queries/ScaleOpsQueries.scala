@@ -504,6 +504,45 @@ object ScaleOpsQueries {
       doc = "JSONL write + declared-schema read round-trip == parquet-sourced " +
         "oracle (free-text escaping survives; no inference pass)"),
 
+    // ---- Schema-merge scan: two parquet epochs with DIFFERENT schemas
+    // (a column added mid-stream — the normal life of a landing zone) read
+    // as ONE relation via mergeSchema; the old epoch's missing column
+    // surfaces as NULL, counted and summed to prove nothing is dropped or
+    // fabricated. mergeSchema costs a footer read per file, which is why
+    // it is an explicit option — the census proves the semantic part.
+    GQuery("scan_schema_merge",
+      (s, dir) => {
+        val out = graft.stages.TempDirs.scratch("graft_schemamerge_")
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"))
+          .write.mode("overwrite").parquet(out + "/epoch1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+          .write.mode("overwrite").parquet(out + "/epoch2")
+        s.read.option("mergeSchema", "true")
+          .parquet(out + "/epoch1", out + "/epoch2")
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("cents")).as("n_with_cents"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH u AS (
+                SELECT o_orderkey, o_orderstatus AS status, CAST(NULL AS BIGINT) AS cents
+                FROM orders WHERE o_orderkey % 2 = 0
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus,
+                       CAST(floor(o_totalprice * 100) AS BIGINT)
+                FROM orders WHERE o_orderkey % 2 = 1)
+              SELECT status, count(*) AS n_rows,
+                     count(cents) AS n_with_cents,
+                     CAST(SUM(cents) AS BIGINT) AS sum_cents
+              FROM u GROUP BY status ORDER BY status"""),
+      doc = "mergeSchema read across two parquet epochs (column added " +
+        "mid-stream): NULL backfill censused == declarative union oracle"),
+
     // ---- Spark 4 VariantType: the modern semi-structured path (binary
     // variant encoding + typed path extraction) over the events props JSON —
     // parse once with parse_json, extract with variant_get (typed) and

@@ -45,6 +45,46 @@ object SimilarityQueries {
         SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** DuckDB mirror of Similarity.matryoshkaTopK: prefix-dim coarse rank,
+    * top-C survivors, full-vector rerank, brute-truth flags.
+    */
+  private def matryoshkaSql(numQueries: Int, k: Int,
+                            prefixDims: Int, candidates: Int): String = {
+    def pdot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${prefixDims + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH base AS (
+          SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS norm,
+                 sqrt(${pdot("embedding", "embedding")}) AS pnorm
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                     norm AS q_norm, pnorm AS q_pnorm
+              FROM base WHERE vec_id < $numQueries),
+        coarse AS (
+          SELECT q.query_id, b.vec_id, b.embedding, b.norm, q.q_emb, q.q_norm,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY ${pdot("b.embedding", "q.q_emb")} / (b.pnorm * q.q_pnorm) DESC,
+                            b.vec_id) AS crank
+          FROM base b, q WHERE b.vec_id <> q.query_id),
+        reranked AS (
+          SELECT query_id, vec_id,
+                 ${dotSql("embedding", "q_emb")} / (norm * q_norm) AS cosine
+          FROM coarse WHERE crank <= $candidates),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM reranked),
+        truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t)
+        SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id AS neighbor_id,
+               r.cosine,
+               CAST(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                 AS exact_hit
+        FROM ranked r LEFT JOIN truth t
+          ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
+        WHERE r.rank <= $k ORDER BY r.query_id, r.rank"""
+  }
+
   /** DuckDB mirror of Similarity.lshTopK (single-probe). */
   private def lshSql(numQueries: Int, k: Int): String =
     s"""WITH $planesSql,
@@ -472,6 +512,18 @@ object SimilarityQueries {
       Some(sq8Sql(numQueries = 16, k = 5)),
       doc = "int8 scalar-quantized (SQ8) asymmetric cosine top-5 — 4x memory cut " +
         "with per-hit exact-truth flags, so the output doubles as the recall report"),
+
+    // ---- Matryoshka prefix rerank: coarse rank on the first 16 dims
+    // (column pruning delivers the byte cut at scale), top-32 survivors
+    // re-scored on the full vector; per-hit truth flags double as the
+    // recall report.
+    GQuery("sim_matryoshka_rerank",
+      (s, dir) => Similarity.matryoshkaTopK(Tables.embeddings(s, dir),
+          numQueries = 16, k = 5, prefixDims = 16, candidates = 32)
+        .orderBy(col("query_id"), col("rank")),
+      Some(matryoshkaSql(numQueries = 16, k = 5, prefixDims = 16, candidates = 32)),
+      doc = "matryoshka prefix-rerank ANN: 16-dim coarse pass (1/4 of the " +
+        "bytes), 32 survivors exact-reranked, truth-flagged top-5"),
 
     GQuery("sim_topk_brute",
       (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir),

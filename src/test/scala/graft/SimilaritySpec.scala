@@ -208,4 +208,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
     assert(top.head.getAs[Int]("exact_hit") == 1)
   }
+
+  test("matryoshka rerank: degenerate full-prefix form equals brute force exactly") {
+    // prefixDims = dim and candidates >= corpus: the coarse pass IS the
+    // exact ranking, so the rerank must reproduce brute force bit-for-bit
+    // and every hit must be flagged exact
+    val full = Similarity.matryoshkaTopK(emb, numQueries = 4, k = 3,
+        prefixDims = 64, candidates = 64)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    val brute = Similarity.bruteForceTopK(emb, numQueries = 4, k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(full.map(t => (t._1, t._2, t._3, t._4)).toSeq == brute.toSeq)
+    assert(full.forall(_._5 == 1), "full-prefix hits must all be exact")
+    // a short prefix still finds the planted twin for query 0: the twin
+    // differs in ONE coordinate, so even the 8-dim prefix ranks it first
+    val short0 = Similarity.matryoshkaTopK(emb, numQueries = 1, k = 1,
+        prefixDims = 8, candidates = 8).collect().head
+    assert(short0.getLong(2) == 1L && short0.getInt(4) == 1)
+  }
 }
