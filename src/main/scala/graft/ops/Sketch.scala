@@ -168,4 +168,41 @@ object Sketch {
       .select((gcols :+ col("n_total") :+ col("n_sample") :+
         col("est_median") :+ col("exact_median")): _*)
   }
+
+  /** Measured Bloom false-positive census — the TUNING TABLE for the
+    * semi-join reduction ([[graft.ops.BloomJoin]]): for geometry (m, k)
+    * and md5-derived positions (the oracle-shared hash primitive — the
+    * engine path uses codegen'd xxhash64, same math, different hash), a
+    * DISJOINT probe set measures the real false-pass rate, alongside the
+    * fill factor that predicts it. A saturated filter shows up as
+    * fpr→10000 here BEFORE someone ships it as a join prune. Everything
+    * is exact integers; no estimate formulas.
+    *
+    * Scale shape: k-explode of both key sets, one distinct on set
+    * positions (≤ m rows), one anti-join, four 1-row aggregates
+    * cross-joined — no driver-side bitset, no collect.
+    */
+  def bloomFprCensus(build: DataFrame, probe: DataFrame, keyCol: String,
+                     mBits: Int = 65536, k: Int = 3): DataFrame = {
+    def positions(df: DataFrame) = df
+      .select(col(keyCol).cast("long").as("key")).distinct()
+      .withColumn("j", explode(expr(s"sequence(0, ${k - 1})")))
+      .withColumn("pos", expr(
+        s"CAST(conv(substring(md5(concat(CAST(key AS STRING), '_', CAST(j AS STRING))), 1, 12), 16, 10) AS BIGINT) % $mBits"))
+    val setPos = positions(build).select(col("pos")).distinct()
+    val probeKeys = probe.select(col(keyCol).cast("long").as("key")).distinct()
+    val missing = positions(probe)
+      .join(setPos, Seq("pos"), "left_anti")
+      .select(col("key")).distinct()
+      .agg(count(lit(1)).as("n_rejected"))
+    build.select(col(keyCol).cast("long").as("key")).distinct()
+      .agg(count(lit(1)).as("n_build"))
+      .crossJoin(probeKeys.agg(count(lit(1)).as("n_probe")))
+      .crossJoin(setPos.agg(count(lit(1)).as("n_bits_set")))
+      .crossJoin(missing)
+      .select(col("n_build"), col("n_probe"), col("n_bits_set"),
+        (col("n_probe") - col("n_rejected")).as("n_false_pass"),
+        expr("(n_probe - n_rejected) * 10000 div n_probe").as("fpr_per_10k"),
+        expr(s"n_bits_set * 10000 div $mBits").as("fill_per_10k"))
+  }
 }

@@ -737,6 +737,35 @@ object RelationalQueries {
         "bus during the census scan (no second job); ALL row from the " +
         "Observation map only"),
 
+    // ---- MapType surface: per-user event-type histogram built AS A MAP
+    // (map_from_entries over sorted entries), then consumed with
+    // element_at / map_keys / map_values + a higher-order fold — the
+    // collection type the o15 array lambdas don't cover. The oracle
+    // checks the VALUES through plain conditional aggregation, so the
+    // whole map round-trip must be semantically transparent.
+    GQuery("o21_map_ops",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).as("n_types"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("m"), "view"), lit(0L)).as("n_view"),
+          expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("n_events"),
+          concat_ws(",", map_keys(col("m"))).as("types_csv"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+                     CAST(count(DISTINCT event_type) AS INT) AS n_types,
+                     count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+                     count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+                     count(*) AS n_events,
+                     string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+              FROM events GROUP BY user_id ORDER BY user_id"""),
+      doc = "MapType round-trip: map_from_entries histogram consumed via " +
+        "element_at/map_keys/map_values/aggregate == plain conditional-agg oracle"),
+
     // ---- LATERAL correlated subquery with ORDER BY + LIMIT: the per-row
     // dependent top-k join, exercised through the engine's DECORRELATION
     // path (DomainJoin rewrite → ranked join) rather than the explicit

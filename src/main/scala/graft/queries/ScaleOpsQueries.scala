@@ -504,6 +504,40 @@ object ScaleOpsQueries {
       doc = "JSONL write + declared-schema read round-trip == parquet-sourced " +
         "oracle (free-text escaping survives; no inference pass)"),
 
+    // ---- Bloom FPR census: geometry (m=65536, k=3), md5 positions, a
+    // DISJOINT probe set — the measured false-pass + fill table that
+    // tunes BloomJoin.prune's mBits before it ships (a saturated filter
+    // reads fpr→10000 here instead of silently shuffling everything).
+    GQuery("sketch_bloom_fpr",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        graft.ops.Sketch.bloomFprCensus(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1),
+          "o_orderkey", mBits = 65536, k = 3)
+      },
+      Some("""WITH bk AS (SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 0),
+                   pk AS (SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 1),
+                   bp AS (SELECT DISTINCT
+                            CAST('0x' || substr(md5(CAST(key AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 12) AS BIGINT) % 65536 AS pos
+                          FROM bk, (SELECT unnest(range(0, 3)) AS j) j),
+                   pp AS (SELECT key,
+                            CAST('0x' || substr(md5(CAST(key AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 12) AS BIGINT) % 65536 AS pos
+                          FROM pk, (SELECT unnest(range(0, 3)) AS j) j),
+                   rejected AS (SELECT DISTINCT key FROM pp
+                                WHERE pos NOT IN (SELECT pos FROM bp)),
+                   c AS (SELECT (SELECT count(*) FROM bk) AS n_build,
+                                (SELECT count(*) FROM pk) AS n_probe,
+                                (SELECT count(*) FROM bp) AS n_bits_set,
+                                (SELECT count(*) FROM rejected) AS n_rejected)
+              SELECT n_build, n_probe, n_bits_set,
+                     CAST(n_probe - n_rejected AS BIGINT) AS n_false_pass,
+                     CAST((n_probe - n_rejected) * 10000 // n_probe AS BIGINT) AS fpr_per_10k,
+                     CAST(n_bits_set * 10000 // 65536 AS BIGINT) AS fill_per_10k
+              FROM c"""),
+      doc = "measured Bloom false-positive census (m=65536, k=3, md5 positions, " +
+        "disjoint probes): exact integer fpr + fill — the mBits tuning table"),
+
     // ---- Schema-merge scan: two parquet epochs with DIFFERENT schemas
     // (a column added mid-stream — the normal life of a landing zone) read
     // as ONE relation via mergeSchema; the old epoch's missing column

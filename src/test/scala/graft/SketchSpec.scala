@@ -184,4 +184,28 @@ class SketchSpec extends AnyFunSuite {
       .orderBy("g").collect().map(x => (x.getAs[String]("g"), x.getAs[Double]("est_median")))
     assert(r13.toSeq == r.map(x => (x._1, x._4)).toSeq)
   }
+
+  test("bloom FPR census: zero false negatives, saturation reads full-pass") {
+    import spark.implicits._
+    val a = (1L to 400L).map(i => Tuple1(i * 7)).toDF("k")
+    val b = (1L to 400L).map(i => Tuple1(i * 7 + 3)).toDF("k")  // disjoint
+    // probing the filter with ITS OWN keys: every key passes (the no-false-
+    // negative guarantee), reported as n_false_pass == n_probe here because
+    // the census labels every pass on a probe set as a pass
+    val self = graft.ops.Sketch.bloomFprCensus(a, a, "k", mBits = 65536, k = 3)
+      .collect().head
+    assert(self.getAs[Long]("n_false_pass") == self.getAs[Long]("n_probe"))
+    assert(self.getAs[Long]("fpr_per_10k") == 10000L)
+    // a disjoint probe set at healthy fill: FPR far below fill^k upper noise
+    val dis = graft.ops.Sketch.bloomFprCensus(a, b, "k", mBits = 65536, k = 3)
+      .collect().head
+    assert(dis.getAs[Long]("n_build") == 400L && dis.getAs[Long]("n_probe") == 400L)
+    assert(dis.getAs[Long]("fpr_per_10k") < 100L, s"unexpected FPR: $dis")
+    // a saturated filter (m tiny) passes EVERYTHING — the failure mode the
+    // census exists to surface before a join prune ships
+    val sat = graft.ops.Sketch.bloomFprCensus(a, b, "k", mBits = 64, k = 3)
+      .collect().head
+    assert(sat.getAs[Long]("fpr_per_10k") == 10000L)
+    assert(sat.getAs[Long]("fill_per_10k") == 10000L)
+  }
 }
