@@ -90,6 +90,8 @@ object DedupQueries {
         val keyed = cust.select(col("c_custkey"),
           concat(col("c_nationkey").cast("string"), lit(":"), col("c_name"))
             .as("blocked_name"))
+        // no lineage cut needed: connectedComponentsStar materializes its
+        // pair input to parquet before iterating (its own round-0 cut)
         val pairs = Dedup.editDistance1Pairs(keyed, "c_custkey", "blocked_name")
           .select(col("ka").as("doc_a"), col("kb").as("doc_b"))
         val comp = Dedup.connectedComponentsStar(pairs)
