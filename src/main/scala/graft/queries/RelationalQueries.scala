@@ -737,6 +737,32 @@ object RelationalQueries {
         "bus during the census scan (no second job); ALL row from the " +
         "Observation map only"),
 
+    // ---- try_* error-safe arithmetic: the ANSI-adjacent surface a
+    // pipeline uses where a single malformed row must become NULL, not a
+    // job abort — division by zero, bigint overflow, unparseable cast.
+    // The oracle re-derives each NULL with explicit CASE guards, so the
+    // null-production rules must agree exactly.
+    GQuery("o22_try_arith",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("try_divide(CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey % 7)")
+            .as("per_bucket"),
+          expr("try_add(9223372036854775807L, o_orderkey % 3)").as("max_plus"),
+          expr("try_cast(CASE WHEN o_orderkey % 5 = 0 THEN 'x' " +
+            "ELSE CAST(o_orderkey AS STRING) END AS BIGINT)").as("parsed"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                          ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+                               / (o_orderkey % 7) END AS per_bucket,
+                     CASE WHEN o_orderkey % 3 = 0
+                          THEN 9223372036854775807 ELSE NULL END AS max_plus,
+                     TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN 'x'
+                              ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS parsed
+              FROM orders ORDER BY o_orderkey"""),
+      doc = "try_divide / try_add / try_cast null-on-error semantics == explicit " +
+        "CASE-guard oracle (divide-by-zero, overflow, bad parse)"),
+
     // ---- MapType surface: per-user event-type histogram built AS A MAP
     // (map_from_entries over sorted entries), then consumed with
     // element_at / map_keys / map_values + a higher-order fold — the

@@ -275,6 +275,89 @@ object StreamingQueries {
         "purchase closes in 5 min, browsing idles 360): window merge == per-user " +
         "running-max-of-ends islands, touching windows merge"),
 
+    // ---- CDC → SCD2 through the streaming surface: the ts-ordered change
+    // log rides the paginated DSv2 source in several admission-capped
+    // micro-batches, and each batch folds into the dimension history via
+    // scd2Upsert — the streaming materialization of the warehouse's
+    // slowly-changing dimension. Ordered batches are exactly the premise
+    // Scd2PropertySpec proves transparent (random ordered splits ==
+    // single-shot), so the drained history must equal the full-log oracle.
+    // State rides a driver var + lineage cut for the bounded drain; a
+    // durable deployment holds it in a MergeTable exactly like
+    // streaming_lake_merge's sink.
+    GQuery("streaming_scd2_cdc",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val scratch = graft.stages.TempDirs.scratch("graft_scd2s_")
+        ev.select(col("ts"), col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("user_id"), col("event_type"))
+          .select(concat(
+            lit("{\"user_id\":"), col("user_id"),
+            lit(",\"status\":\""), col("event_type"),
+            lit("\",\"delivery_ts\":\""),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit("\"}")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(s"$scratch/api")
+        val file = new java.io.File(s"$scratch/api").listFiles()
+          .filter(_.getName.startsWith("part-")).head.getAbsolutePath
+        var state: org.apache.spark.sql.DataFrame = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("effective_from",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("effective_to",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("is_current",
+              org.apache.spark.sql.types.BooleanType))))
+        val q = s.readStream.format("graft.sources.PagedJsonSource")
+          .option("path", file)
+          .option("pageSize", "2000").option("maxPages", "2")
+          .load()
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           _: Long) =>
+            val changes = batch.toDF().select(
+              get_json_object(col("json_response"), "$.user_id")
+                .cast("long").as("user_id"),
+              get_json_object(col("json_response"), "$.status").as("event_type"),
+              col("delivery_ts").cast("timestamp").as("change_ts"))
+            state = graft.stages.Merge.scd2Upsert(state, changes,
+              Seq("user_id"), Seq("event_type")).localCheckpoint(true)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        graft.streaming.StateDefaults.awaitDrain(q)
+        state.select(col("user_id"), col("event_type"),
+            date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss").as("effective_from"),
+            date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss").as("effective_to"),
+            col("is_current"))
+          .orderBy(col("user_id"), col("effective_from"))
+      },
+      Some("""WITH o AS (
+                SELECT user_id, event_type, ts,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_type) AS prev
+                FROM events),
+              ch AS (
+                SELECT user_id, event_type, ts FROM o
+                WHERE prev IS NULL OR prev <> event_type),
+              v AS (
+                SELECT user_id, event_type, ts AS f,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_type) AS t
+                FROM ch)
+              SELECT user_id, event_type,
+                     strftime(f, '%Y-%m-%d %H:%M:%S') AS effective_from,
+                     strftime(t, '%Y-%m-%d %H:%M:%S') AS effective_to,
+                     t IS NULL AS is_current
+              FROM v ORDER BY user_id, effective_from"""),
+      doc = "CDC -> SCD2 streamed through the paginated DSv2 source in ordered " +
+        "admission-capped micro-batches, folded per batch by scd2Upsert == " +
+        "full-log single-shot oracle"),
+
     // ---- S2 STREAMING form: the paginated API connector as a Structured
     // Streaming source. The events corpus becomes the API's JSONL record
     // stream (the s2_paged_window_scan fixture), drained via

@@ -57,7 +57,7 @@ class CorpusContractSpec extends AnyFunSuite {
     "streaming_anti_join", "streaming_full_outer_join",
     "streaming_tws_running_totals", "sessionization_streaming",
     "streaming_paged_source", "streaming_paged_windowed",
-    "streaming_dedup_redelivery")
+    "streaming_dedup_redelivery", "streaming_scd2_cdc")
 
   test("every registered query analyzes against the live corpus") {
     val failures = QueryRegistry.all

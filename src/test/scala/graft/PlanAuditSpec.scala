@@ -275,7 +275,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "streaming_anti_join", "streaming_full_outer_join",
     "streaming_tws_running_totals", "sessionization_streaming",
     "streaming_paged_source", "streaming_paged_windowed",
-    "streaming_dedup_redelivery")
+    "streaming_dedup_redelivery", "streaming_scd2_cdc")
 
   test("no registry query plans an unpartitioned window over unbounded input") {
     // `Window.orderBy` with no partition spec plans a SINGLE-partition
