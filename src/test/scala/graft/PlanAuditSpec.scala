@@ -309,7 +309,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // Queries whose ALGORITHM is a bounded small-side cross join (IVF centroid
     // assignment, brute-force baseline) use BroadcastNestedLoopJoin, never a
     // shuffle CartesianProduct.
-    val names = Seq("sim_ivf_topk", "sim_topk_brute", "sim_ann_lsh", "dedup_embedding_cosine")
+    val names = Seq("sim_ivf_topk", "sim_topk_brute", "sim_ann_lsh", "dedup_embedding_cosine",
+      "sim_matryoshka_rerank", "graph_triangle_census", "graph_kcore_census",
+      "text_bm25_search", "text_collocations", "sketch_bloom_fpr")
     names.foreach { n =>
       val plan = formattedPlan(n)
       assert(!plan.contains("CartesianProduct"), s"$n plans a shuffle cartesian product:\n$plan")
