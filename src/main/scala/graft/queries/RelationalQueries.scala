@@ -1236,6 +1236,63 @@ object RelationalQueries {
               ORDER BY p.event_id"""),
       doc = "equi+range join: per-purchase follow-up census within the hour"),
 
+    // ---- INTERVAL OVERLAP join via the grid-bucket rewrite: per-(user,
+    // day) activity intervals joined to non-aligned 3-hour maintenance
+    // windows on `a.start < w.end AND w.start < a.end` — the variable-
+    // length sibling of join_range_bucketed's fixed ±W band. Each interval
+    // explodes into the 6-hour grid cells it COVERS (bounded: a day-capped
+    // interval touches ≤ 5 cells), each window carries its one home cell,
+    // the overlap becomes an equi-join on cell id + the exact residual,
+    // and a window's cell-disjoint candidates never meet — bucket-local
+    // work where Catalyst alone would plan a nested-loop product. Windows
+    // sit INSIDE cells (offset 1h, length 3h) so the residual genuinely
+    // filters; pairs meet in exactly one cell (the window's), so no dedup
+    // pass is needed.
+    GQuery("join_interval_overlap",
+      (s, dir) => {
+        val B = 21600000000L  // 6h grid, µs
+        val a = Tables.events(s, dir)
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(min(expr("unix_micros(ts)")).as("s"),
+            (max(expr("unix_micros(ts)")) + 1).as("e"))
+        val maxK = a.agg((max(col("e")) / lit(B)).cast("long").as("max_k"))
+        val w = maxK.select(explode(expr("sequence(0, max_k)")).as("k"))
+          .filter(col("k") % 2 === 1)
+          .select(col("k"), (col("k") * B + 3600000000L).as("ws"),
+            (col("k") * B + 14400000000L).as("we"))
+        val covered = a.withColumn("k",
+          explode(expr(s"sequence(s div $B, (e - 1) div $B)")))
+        covered.join(w, Seq("k"))
+          .filter(col("s") < col("we") && col("ws") < col("e"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_intervals"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(
+            date_format(expr("timestamp_seconds(k * 21600 + 3600)"),
+              "yyyy-MM-dd HH:mm").as("window_start"),
+            col("n_intervals"), col("n_users"))
+          .orderBy(col("window_start"))
+      },
+      Some("""WITH a AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                       min(epoch_us(ts)) AS s, max(epoch_us(ts)) + 1 AS e
+                FROM events GROUP BY 1, 2),
+              mk AS (SELECT CAST(max(e) // 21600000000 AS BIGINT) AS max_k FROM a),
+              k AS (SELECT unnest(range(0, (SELECT max_k + 1 FROM mk))) AS k),
+              w AS (SELECT k, k * 21600000000 + 3600000000 AS ws,
+                           k * 21600000000 + 14400000000 AS we
+                    FROM k WHERE k % 2 = 1),
+              ov AS (SELECT w.k, a.user_id
+                     FROM a JOIN w ON a.s < w.we AND w.ws < a.e)
+              SELECT strftime(to_timestamp(k * 21600 + 3600), '%Y-%m-%d %H:%M')
+                       AS window_start,
+                     count(*) AS n_intervals,
+                     count(DISTINCT user_id) AS n_users
+              FROM ov GROUP BY k ORDER BY window_start"""),
+      doc = "interval-overlap join via grid-cell explode + equi-join + exact " +
+        "residual (bounded cover, no dedup pass) == quadratic overlap oracle"),
+
     // ---- Pure-temporal range join, NO equi key — the case Catalyst can
     // only plan as a nested-loop product. The bucketed rewrite: each left
     // row explodes into its ±60s bucket and both neighbors, the right side

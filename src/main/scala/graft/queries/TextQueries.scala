@@ -544,6 +544,66 @@ object TextQueries {
       doc = "log-free TF-IDF keyword extraction: top-3 terms per document by " +
         "tf x N / df (raw idf preserves every ranking, stays IEEE-deterministic)"),
 
+    // ---- Dataset card: the one-query corpus summary a dataset release
+    // ships (docs/tokens/chars, language and source breadth, exact-dup
+    // content ratio, median length) — every number an exact integer, the
+    // median via the bounded per-value histogram (never a corpus-wide
+    // window), stacked to (metric, value) rows.
+    GQuery("curate_dataset_card",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, dir).select(
+          col("lang"), col("source"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("nt"),
+          length(col("text")).cast("long").as("nc"))
+        val base = t.agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"))
+        val hist = t.groupBy(col("nt")).agg(count(lit(1)).as("c"))
+        val cum = hist.withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("nt"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val med = cum.crossJoin(broadcast(base.select(col("n_docs").as("nd"))))
+          .filter(col("cum") >= expr("(nd + 1) div 2"))
+          .agg(min(col("nt")).as("median_tokens"))
+        base.crossJoin(med).select(expr(
+          "stack(7, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+            "'n_chars', n_chars, 'n_langs', n_langs, 'n_sources', n_sources, " +
+            "'n_unique_texts', n_unique_texts, 'median_tokens', median_tokens) " +
+            "AS (metric, value)"))
+          .orderBy(col("metric"))
+      },
+      Some("""WITH t AS (
+                SELECT lang, source, text,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+                FROM documents),
+              base AS (
+                SELECT count(*) AS n_docs,
+                       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                       count(DISTINCT lang) AS n_langs,
+                       count(DISTINCT source) AS n_sources,
+                       count(DISTINCT md5(text)) AS n_unique_texts
+                FROM t),
+              h AS (SELECT nt, count(*) AS c FROM t GROUP BY nt),
+              cum AS (SELECT nt, SUM(c) OVER (ORDER BY nt ROWS UNBOUNDED PRECEDING) AS cum
+                      FROM h),
+              med AS (SELECT CAST(min(nt) AS BIGINT) AS median_tokens
+                      FROM cum, base WHERE cum >= (n_docs + 1) // 2)
+              SELECT metric, value FROM (
+                SELECT 'n_docs' AS metric, n_docs AS value FROM base
+                UNION ALL SELECT 'n_tokens', n_tokens FROM base
+                UNION ALL SELECT 'n_chars', n_chars FROM base
+                UNION ALL SELECT 'n_langs', n_langs FROM base
+                UNION ALL SELECT 'n_sources', n_sources FROM base
+                UNION ALL SELECT 'n_unique_texts', n_unique_texts FROM base
+                UNION ALL SELECT 'median_tokens', median_tokens FROM med)
+              ORDER BY metric"""),
+      doc = "dataset card: exact corpus summary (counts, breadth, dup ratio, " +
+        "histogram-derived median length) as (metric, value) rows"),
+
     // ---- BM25 keyword retrieval: the inverted-index ranking function,
     // k1/b re-derived as exact integer rationals (three correctly-rounded
     // IEEE ops, operands < 2^53) so the cross-engine ranking is
