@@ -737,6 +737,36 @@ object RelationalQueries {
         "bus during the census scan (no second job); ALL row from the " +
         "Observation map only"),
 
+    // ---- Spark 4 collations: UNICODE_CI comparison/distinct semantics on
+    // a mixed-case column, censused as integers (never emitting a collated
+    // group representative, whose rendering is engine-private). The oracle
+    // lower()s instead — equivalent for the ASCII corpus, which is exactly
+    // the claim being checked.
+    GQuery("o23_collation",
+      (s, dir) => Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("seg"),
+          when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")).as("mixed"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("mixed") === col("seg"), 1)).as("n_eq_binary"),
+          count(when(expr("collate(mixed, 'UNICODE_CI') = collate(seg, 'UNICODE_CI')"), 1))
+            .as("n_eq_ci"),
+          countDistinct(col("mixed")).as("n_distinct_binary"),
+          countDistinct(expr("collate(mixed, 'UNICODE_CI')")).as("n_distinct_ci")),
+      Some("""WITH t AS (
+                SELECT c_mktsegment AS seg,
+                       CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                            ELSE c_mktsegment END AS mixed
+                FROM customer)
+              SELECT count(*) AS n_rows,
+                     count(CASE WHEN mixed = seg THEN 1 END) AS n_eq_binary,
+                     count(CASE WHEN lower(mixed) = lower(seg) THEN 1 END) AS n_eq_ci,
+                     count(DISTINCT mixed) AS n_distinct_binary,
+                     count(DISTINCT lower(mixed)) AS n_distinct_ci
+              FROM t"""),
+      doc = "UNICODE_CI collation: case-insensitive equality and DISTINCT == " +
+        "lower() oracle on the ASCII corpus; binary counts differ, CI counts halve"),
+
     // ---- try_* error-safe arithmetic: the ANSI-adjacent surface a
     // pipeline uses where a single malformed row must become NULL, not a
     // job abort — division by zero, bigint overflow, unparseable cast.
@@ -1453,6 +1483,35 @@ object RelationalQueries {
               SELECT 'except' AS kind, o_orderkey FROM (SELECT o_orderkey FROM high EXCEPT SELECT o_orderkey FROM y94)
               ORDER BY kind, o_orderkey"""),
       doc = "UNION / INTERSECT / EXCEPT in one tagged result"),
+
+    // ---- BAG (ALL) set semantics: INTERSECT ALL keeps min(multiplicity),
+    // EXCEPT ALL subtracts multiplicities — the multiset laws the DISTINCT
+    // forms above erase, checked over two supplier-key bags with real
+    // duplicate counts. Census keeps the output bounded.
+    GQuery("set_ops_all",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val a = li.filter(col("l_orderkey") % 2 === 0).select(col("l_suppkey"))
+        val b = li.filter(col("l_orderkey") % 2 === 1).select(col("l_suppkey"))
+        a.intersectAll(b).select(lit("intersect_all").as("kind"), col("l_suppkey"))
+          .unionByName(a.exceptAll(b).select(lit("except_all").as("kind"), col("l_suppkey")))
+          .groupBy(col("kind"), col("l_suppkey"))
+          .agg(count(lit(1)).as("n_copies"))
+          .orderBy(col("kind"), col("l_suppkey"))
+      },
+      Some("""WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 0),
+                   b AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 1),
+                   u AS (
+                     SELECT 'intersect_all' AS kind, l_suppkey
+                     FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+                     UNION ALL
+                     SELECT 'except_all' AS kind, l_suppkey
+                     FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b))
+              SELECT kind, l_suppkey, count(*) AS n_copies
+              FROM u GROUP BY kind, l_suppkey
+              ORDER BY kind, l_suppkey"""),
+      doc = "INTERSECT ALL / EXCEPT ALL multiset semantics (min / subtracted " +
+        "multiplicities) censused per key"),
 
     // ---- GROUPING SETS: the general form cube/rollup specialize. Emitting
     // the grouping id makes every output row unambiguous (a NULL key from

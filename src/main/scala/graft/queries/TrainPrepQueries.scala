@@ -165,6 +165,35 @@ object TrainPrepQueries {
         "reference deciles (integer rank boundaries over the bounded " +
         "histogram); per-10k proportions + L1 shift, all integer"),
 
+    // ---- Length-bucketed batching census: group documents into 32-token
+    // length buckets and report the padding cost of batching per bucket
+    // versus padding the whole corpus to its max — the dynamic-batching
+    // decision a trainer makes to cut pad FLOPs, quantified exactly.
+    GQuery("prep_length_buckets",
+      (s, dir) => {
+        val t = Tables.documents(s, dir).select(
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        val g = t.agg(max(col("nt")).as("gmax"))
+        t.crossJoin(broadcast(g))
+          .withColumn("bucket", expr("nt div 32"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("n_tokens"),
+            sum(expr("(bucket + 1) * 32 - nt")).as("bucket_pad_waste"),
+            sum(expr("gmax - nt")).as("global_pad_waste"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+                         FROM documents),
+                   g AS (SELECT CAST(max(nt) AS BIGINT) AS gmax FROM t)
+              SELECT nt // 32 AS bucket, count(*) AS n_docs,
+                     CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                     CAST(SUM((nt // 32 + 1) * 32 - nt) AS BIGINT) AS bucket_pad_waste,
+                     CAST(SUM(gmax - nt) AS BIGINT) AS global_pad_waste
+              FROM t, g GROUP BY bucket ORDER BY bucket"""),
+      doc = "length-bucketed batching census: per-bucket exact padding waste vs " +
+        "pad-to-corpus-max — the dynamic-batching FLOPs case, in integers"),
+
     GQuery("prep_mix_apply",
       (s, dir) => TrainPrep.applyMixture(Tables.documents(s, dir), budget = 300L)
         .orderBy(col("lang")),
