@@ -1484,6 +1484,58 @@ object RelationalQueries {
               ORDER BY kind, o_orderkey"""),
       doc = "UNION / INTERSECT / EXCEPT in one tagged result"),
 
+    // ---- A5+: the argmax aggregate family — max_by/min_by (keyed on the
+    // UNIQUE custkey so the pick is well-defined; ties in these functions
+    // are engine-private), count_if, bool_and/bool_or. The breadth row of
+    // §2.4 beyond sums and counts.
+    GQuery("a5_argmax_aggregates",
+      (s, dir) => Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(expr("max_by(c_name, c_custkey)").as("last_customer"),
+          expr("min_by(c_name, c_custkey)").as("first_customer"),
+          expr("count_if(c_acctbal > 0)").as("n_positive"),
+          expr("bool_and(c_acctbal > -1000)").as("all_above_floor"),
+          expr("bool_or(c_acctbal > 9000)").as("any_rich"))
+        .orderBy(col("c_nationkey")),
+      Some("""SELECT c_nationkey,
+                     arg_max(c_name, c_custkey) AS last_customer,
+                     arg_min(c_name, c_custkey) AS first_customer,
+                     CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_positive,
+                     bool_and(c_acctbal > -1000) AS all_above_floor,
+                     bool_or(c_acctbal > 9000) AS any_rich
+              FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      doc = "argmax aggregate family: max_by/min_by on a unique key, count_if, " +
+        "bool_and/bool_or per nation"),
+
+    // ---- NULL-safe equality JOIN: `<=>` as the join key matches the NULL
+    // bucket with the NULL dim row — the semantics a plain equi-join
+    // silently drops (NULL = NULL is NULL, so those rows vanish). The
+    // label census proves the null bucket survives the join.
+    GQuery("join_null_safe",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val facts = o.select(expr("nullif(o_custkey % 10, 3)").as("k"),
+          col("o_orderkey"))
+        val dim = o.select(expr("nullif(o_custkey % 10, 3)").as("dk")).distinct()
+          .withColumn("bucket_label",
+            concat(lit("b"), coalesce(col("dk").cast("string"), lit("null"))))
+        facts.join(dim, facts("k") <=> dim("dk"))
+          .groupBy(col("bucket_label"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("bucket_label"))
+      },
+      Some("""WITH facts AS (SELECT nullif(o_custkey % 10, 3) AS k, o_orderkey
+                             FROM orders),
+                   dim AS (SELECT DISTINCT nullif(o_custkey % 10, 3) AS dk
+                           FROM orders),
+                   d2 AS (SELECT dk, 'b' || COALESCE(CAST(dk AS VARCHAR), 'null')
+                                      AS bucket_label FROM dim)
+              SELECT bucket_label, count(*) AS n_orders
+              FROM facts JOIN d2 ON facts.k IS NOT DISTINCT FROM d2.dk
+              GROUP BY bucket_label ORDER BY bucket_label"""),
+      doc = "null-safe <=> join key: the NULL bucket matches its NULL dim row " +
+        "instead of vanishing; label census per bucket"),
+
     // ---- BAG (ALL) set semantics: INTERSECT ALL keeps min(multiplicity),
     // EXCEPT ALL subtracts multiplicities — the multiset laws the DISTINCT
     // forms above erase, checked over two supplier-key bags with real
