@@ -504,6 +504,36 @@ object ScaleOpsQueries {
       doc = "JSONL write + declared-schema read round-trip == parquet-sourced " +
         "oracle (free-text escaping survives; no inference pass)"),
 
+    // ---- Corrupt-FILE resilience (the file-level sibling of
+    // o16_bad_records' row-level PERMISSIVE parse): a landing zone with a
+    // planted garbage member is read under ignoreCorruptFiles — the scan
+    // skips the unreadable file and the census equals the good subset,
+    // instead of 100 TB of backfill dying on one truncated upload. The
+    // option is scoped to this read, never session-wide.
+    GQuery("scan_ignore_corrupt_files",
+      (s, dir) => {
+        val out = graft.stages.TempDirs.scratch("graft_corrupt_")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").parquet(out + "/zone")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out + "/zone", "part-junk.parquet"),
+          "this is not a parquet file".getBytes("UTF-8"))
+        s.read.option("ignoreCorruptFiles", "true").parquet(out + "/zone")
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n_rows,
+                     CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+              FROM orders WHERE o_orderkey % 2 = 0
+              GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "ignoreCorruptFiles scan: a planted garbage file is skipped, the " +
+        "census equals the good subset (file-level resilience, read-scoped)"),
+
     // ---- Bloom FPR census: geometry (m=65536, k=3), md5 positions, a
     // DISJOINT probe set — the measured false-pass + fill table that
     // tunes BloomJoin.prune's mBits before it ships (a saturated filter

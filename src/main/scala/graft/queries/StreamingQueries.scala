@@ -587,6 +587,45 @@ object StreamingQueries {
       doc = "multimodal: 4x4 integer box-downsample census over the 16-wide " +
         "payload grid (thumbnail pass; ragged tail cropped, per-doc census)"),
 
+    // ---- Shot-boundary detection shape: adjacent-frame signature deltas
+    // (here the 4-byte header sum of every 256-byte stub frame) thresholded
+    // per document — the temporal-discontinuity pass video curation runs,
+    // with the same stub-codec convention as the other mm_* surfaces. The
+    // per-doc census keeps output O(docs); the window partitions by doc.
+    GQuery("mm_shot_boundaries",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val fr = Multimodal.sampleFrames(
+          Multimodal.asMediaTable(s, Tables.documents(s, dir)), everyN = 1)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+        fr.withColumn("delta",
+            abs(col("frame_header_sum") - lag(col("frame_header_sum"), 1).over(w)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            count(when(col("delta") > 40, 1)).as("n_boundaries"),
+            coalesce(max(col("delta")), lit(0)).as("max_delta"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH frames AS (
+                SELECT doc_id, f.f AS frame_no,
+                       CAST(list_sum(list_transform(range(1, 5),
+                         i -> CASE WHEN f.f * 256 + i <= length(text)
+                                   THEN ascii(substr(text, f.f * 256 + i, 1)) ELSE 0 END)) AS INT)
+                         AS hs
+                FROM documents,
+                     (SELECT unnest(range(0, 64)) AS f) f
+                WHERE f.f * 256 < octet_length(encode(text))),
+              d AS (SELECT doc_id, frame_no, hs,
+                           abs(hs - lag(hs) OVER (PARTITION BY doc_id
+                                                  ORDER BY frame_no)) AS delta
+                    FROM frames)
+              SELECT doc_id, count(*) AS n_frames,
+                     count(CASE WHEN delta > 40 THEN 1 END) AS n_boundaries,
+                     CAST(COALESCE(max(delta), 0) AS INT) AS max_delta
+              FROM d GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "multimodal: shot-boundary census (adjacent-frame signature deltas " +
+        "thresholded per doc; single-frame docs report zero)"),
+
     GQuery("mm_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
           Multimodal.asMediaTable(s, Tables.documents(s, dir)), everyN = 2)
