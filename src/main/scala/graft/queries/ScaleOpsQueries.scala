@@ -504,6 +504,34 @@ object ScaleOpsQueries {
       doc = "JSONL write + declared-schema read round-trip == parquet-sourced " +
         "oracle (free-text escaping survives; no inference pass)"),
 
+    // ---- Materialized-view substitution through a user-provided Catalyst
+    // rule: the registered aggregate materializes once, and the SAME
+    // logical ask is then served from the parquet summary — the builder
+    // asserts the served plan contains NO Aggregate (substitution fired),
+    // and the oracle recomputes from the base table, proving the rewrite
+    // result-transparent. Exact-match scope keeps it provably safe.
+    GQuery("opt_materialized_rewrite",
+      (s, dir) => {
+        graft.plans.MaterializedViews.clear()
+        def ask = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+        graft.plans.MaterializedViews.register(s, "flag_qty", ask)
+        val served = ask
+        require(!served.queryExecution.optimizedPlan
+          .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+          "materialized-view substitution did not fire")
+        served.orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+                     SUM(l_quantity) AS sum_qty,
+                     count(*) AS n_items
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "materialized-view substitution (extraOptimizations rule, " +
+        "exact canonical-plan match): the repeated aggregate is served from " +
+        "the parquet summary — no Aggregate in the served plan — yet equals " +
+        "the base-table oracle"),
+
     // ---- Corrupt-FILE resilience (the file-level sibling of
     // o16_bad_records' row-level PERMISSIVE parse): a landing zone with a
     // planted garbage member is read under ignoreCorruptFiles — the scan
