@@ -413,6 +413,71 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"), col("score"))
   }
 
+  /** Persisted inverted-index lifecycle — the text-retrieval sibling of
+    * the IVF index tables ([[graft.ops.Similarity.ivfIndexBuild]]): the
+    * postings (term, doc_id) → tf and the doc-length sidecar live as
+    * versioned [[graft.stages.MergeTable]]s, a new corpus batch is an
+    * UPSERT of just its own postings (delta-sized, idempotent on replay —
+    * re-adding a batch rewrites identical rows), and search is served
+    * ENTIRELY from the tables: the query-term filter on the postings
+    * table IS the posting-list read, corpus stats ride the doc-length
+    * sidecar, and scoring is [[bm25TopK]]'s exact integer-rational BM25.
+    * An incrementally-built index must therefore answer bit-identically
+    * to a direct scan of the whole corpus — the oracle checks exactly
+    * that.
+    */
+  def invertedIndexBuild(docs: DataFrame,
+                         postings: graft.stages.MergeTable,
+                         docStats: graft.stages.MergeTable): Unit = {
+    postings.replace(termPostings(docs))
+    docStats.replace(docLengths(docs))
+  }
+
+  def invertedIndexAdd(docsNew: DataFrame,
+                       postings: graft.stages.MergeTable,
+                       docStats: graft.stages.MergeTable): Unit = {
+    postings.upsert(termPostings(docsNew))
+    docStats.upsert(docLengths(docsNew))
+  }
+
+  def invertedIndexSearch(spark: org.apache.spark.sql.SparkSession,
+                          postings: graft.stages.MergeTable,
+                          docStats: graft.stages.MergeTable,
+                          terms: Seq[String], topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val postingsSchema = StructType(Seq(StructField("term", StringType),
+      StructField("doc_id", LongType), StructField("tf", LongType)))
+    val statsSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("dl", LongType)))
+    val dl = docStats.read(spark, statsSchema)
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("corpus_len"))
+    val tf = postings.read(spark, postingsSchema)
+      .filter(col("term").isin(terms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("score", expr(
+        "(CAST(44 * tf * corpus_len AS DOUBLE) " +
+          " / CAST(20 * tf * corpus_len + 6 * corpus_len + 18 * dl * n_docs AS DOUBLE)) " +
+          "* (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"))
+    val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("term"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("tf"), col("df"), col("dl"), col("score"))
+  }
+
+  private def termPostings(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  private def docLengths(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+
   /** Token-rarity signals — the log-free stand-in for a language-model
     * quality score: each document's tokens joined to the CORPUS frequency
     * table, then per-doc mean and min frequency (a document full of

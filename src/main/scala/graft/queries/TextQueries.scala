@@ -12,6 +12,36 @@ object TextQueries {
 
   private val toksSql = "string_split(text, ' ')"
 
+  /** Shared BM25 oracle: text_bm25_search (direct scan) and
+    * text_index_search_incremental (served from the persisted index) must
+    * both equal it. */
+  private lazy val bm25Sql: String =
+    s"""WITH dl AS (
+                |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+                |corpus AS (
+                |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS corpus_len FROM dl),
+                |tf AS (
+                |  SELECT doc_id, t.term, count(*) AS tf
+                |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
+                |  WHERE t.term IN ('spark', 'join', 'stream', 'filter')
+                |  GROUP BY doc_id, t.term),
+                |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                |scored AS (
+                |  SELECT tf.term, tf.doc_id, tf.tf, dfx.df, dl.dl,
+                |         (CAST(44 * tf.tf * c.corpus_len AS DOUBLE)
+                |            / CAST(20 * tf.tf * c.corpus_len + 6 * c.corpus_len
+                |                   + 18 * dl.dl * c.n_docs AS DOUBLE))
+                |         * (CAST(2 * c.n_docs - 2 * dfx.df + 1 AS DOUBLE)
+                |            / CAST(2 * dfx.df + 1 AS DOUBLE)) AS score
+                |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c),
+                |ranked AS (
+                |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                |                               ORDER BY score DESC, doc_id) AS rank
+                |  FROM scored)
+                |SELECT term, CAST(rank AS INT) AS rank, doc_id, tf, df, dl, score
+                |FROM ranked WHERE rank <= 5 ORDER BY term, rank""".stripMargin
+
+
   private def hitsSql(words: Seq[String]): String = {
     val cond = words.map(w => s"t = '$w'").mkString(" OR ")
     s"len(list_filter($toksSql, t -> $cond))"
@@ -613,33 +643,33 @@ object TextQueries {
       (s, dir) => TextAnalysis.bm25TopK(Tables.documents(s, dir),
         Seq("spark", "join", "stream", "filter"), topN = 5)
         .orderBy(col("term"), col("rank")),
-      Some(s"""WITH dl AS (
-              |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
-              |corpus AS (
-              |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS corpus_len FROM dl),
-              |tf AS (
-              |  SELECT doc_id, t.term, count(*) AS tf
-              |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
-              |  WHERE t.term IN ('spark', 'join', 'stream', 'filter')
-              |  GROUP BY doc_id, t.term),
-              |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-              |scored AS (
-              |  SELECT tf.term, tf.doc_id, tf.tf, dfx.df, dl.dl,
-              |         (CAST(44 * tf.tf * c.corpus_len AS DOUBLE)
-              |            / CAST(20 * tf.tf * c.corpus_len + 6 * c.corpus_len
-              |                   + 18 * dl.dl * c.n_docs AS DOUBLE))
-              |         * (CAST(2 * c.n_docs - 2 * dfx.df + 1 AS DOUBLE)
-              |            / CAST(2 * dfx.df + 1 AS DOUBLE)) AS score
-              |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c),
-              |ranked AS (
-              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term
-              |                               ORDER BY score DESC, doc_id) AS rank
-              |  FROM scored)
-              |SELECT term, CAST(rank AS INT) AS rank, doc_id, tf, df, dl, score
-              |FROM ranked WHERE rank <= 5 ORDER BY term, rank""".stripMargin),
+      Some(bm25Sql),
       doc = "BM25 top-5 retrieval per query term (k1=1.2, b=0.75 as exact " +
         "integer rationals; posting-list tf via filtered explode; " +
         "IEEE-deterministic score)"),
+
+    // ---- Persisted inverted-index lifecycle: postings + doc-length
+    // sidecar as versioned MergeTables, built from half the corpus and
+    // incrementally UPSERTED with the other half (delta-sized, idempotent
+    // on replay), then BM25 search served ENTIRELY from the tables — must
+    // equal the direct-scan bm25 oracle over the whole corpus. The text
+    // sibling of sim_ivf_index_incremental.
+    GQuery("text_index_search_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val postings = graft.stages.MergeTable.scratch(Seq("term", "doc_id"))
+        val stats = graft.stages.MergeTable.scratch(Seq("doc_id"))
+        TextAnalysis.invertedIndexBuild(
+          docs.filter(col("doc_id") % 2 === 0), postings, stats)
+        TextAnalysis.invertedIndexAdd(
+          docs.filter(col("doc_id") % 2 === 1), postings, stats)
+        TextAnalysis.invertedIndexSearch(s, postings, stats,
+          Seq("spark", "join", "stream", "filter"), topN = 5)
+          .orderBy(col("term"), col("rank"))
+      },
+      Some(bm25Sql),
+      doc = "inverted index as versioned MergeTables (build + incremental " +
+        "add + served BM25 search) == direct-scan oracle over the full corpus"),
 
     GQuery("text_bpe_pairs",
       (s, dir) => TextAnalysis.bpePairCensus(Tables.documents(s, dir), topN = 30)

@@ -284,4 +284,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
     assert(out2 == out)
   }
+
+  test("inverted index: incremental add is idempotent, served search == direct scan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x y p q"), (2L, "x y y p r"), (3L, "x z q q r"), (4L, "y p q r s")
+    ).toDF("doc_id", "text")
+    val postings = graft.stages.MergeTable.scratch(Seq("term", "doc_id"))
+    val stats = graft.stages.MergeTable.scratch(Seq("doc_id"))
+    TextAnalysis.invertedIndexBuild(docs.filter($"doc_id" <= 2), postings, stats)
+    TextAnalysis.invertedIndexAdd(docs.filter($"doc_id" > 2), postings, stats)
+    def searched = TextAnalysis.invertedIndexSearch(spark, postings, stats,
+        Seq("x", "q"), topN = 3)
+      .orderBy("term", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(6))).toSeq
+    val direct = TextAnalysis.bm25TopK(docs, Seq("x", "q"), topN = 3)
+      .orderBy("term", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(6))).toSeq
+    val first = searched
+    assert(first == direct, "index-served search must equal the direct scan")
+    // replaying the add (failure re-run) changes nothing
+    TextAnalysis.invertedIndexAdd(docs.filter($"doc_id" > 2), postings, stats)
+    assert(searched == first)
+  }
 }
