@@ -314,7 +314,7 @@ object StreamingQueries {
               org.apache.spark.sql.types.BooleanType))))
         val q = s.readStream.format("graft.sources.PagedJsonSource")
           .option("path", file)
-          .option("pageSize", "2000").option("maxPages", "2")
+          .option("pageSize", "4000").option("maxPages", "2")
           .load()
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
