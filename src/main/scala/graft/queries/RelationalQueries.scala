@@ -1484,6 +1484,103 @@ object RelationalQueries {
               ORDER BY kind, o_orderkey"""),
       doc = "UNION / INTERSECT / EXCEPT in one tagged result"),
 
+    // ---- ExistenceJoin: an IN-subquery under OR cannot become a plain
+    // semi-join (the other disjunct must still pass rows), so the engine
+    // plans the marker-column existence join — the join TYPE the
+    // semi/anti pair doesn't cover.
+    GQuery("join_existence",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("v_ord_ex")
+        Tables.customer(s, dir).createOrReplaceTempView("v_cust_ex")
+        s.sql("""
+          SELECT o_orderstatus AS status, count(*) AS n_orders
+          FROM v_ord_ex o
+          WHERE o.o_custkey IN (SELECT c_custkey FROM v_cust_ex
+                                WHERE c_acctbal > 9000)
+             OR o.o_totalprice > 400000
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n_orders
+              FROM orders o
+              WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                                    WHERE c_acctbal > 9000)
+                 OR o.o_totalprice > 400000
+              GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "existence join (IN-subquery under OR): marker-column join type, " +
+        "irreducible to semi/anti"),
+
+    // ---- Market-basket frequent pairs (the distributed A-priori step):
+    // baskets = each customer's distinct clerk set; candidate pairs are
+    // generated ONLY within a basket (per-customer self-join on a
+    // bounded-size set — never clerks × clerks), then support-filtered.
+    // At 100 TB the basket-local generation is what keeps candidate count
+    // Σ|basket|² instead of |items|².
+    GQuery("agg_frequent_pairs",
+      (s, dir) => {
+        val b = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val l = b.withColumnRenamed("l_suppkey", "s1")
+        val r = b.withColumnRenamed("l_suppkey", "s2")
+        l.join(r, Seq("l_orderkey")).filter(col("s1") < col("s2"))
+          .groupBy(col("s1"), col("s2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 3)
+          .orderBy(col("s1"), col("s2"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+              SELECT l.l_suppkey AS s1, r.l_suppkey AS s2, count(*) AS support
+              FROM b l JOIN b r
+                ON l.l_orderkey = r.l_orderkey AND l.l_suppkey < r.l_suppkey
+              GROUP BY 1, 2 HAVING count(*) >= 3
+              ORDER BY s1, s2"""),
+      doc = "frequent supplier pairs co-occurring in orders (basket-local " +
+        "candidate generation + support floor — the A-priori join step)"),
+
+    // ---- Pearson correlation from EXACT integer moments: n, Σx, Σy, Σxy,
+    // Σx², Σy² accumulate as DECIMAL(38,0) (order-independent integer
+    // sums), and r is derived by a fixed five-op IEEE expression (two
+    // correctly-rounded subtractions-products inside casts, one sqrt, one
+    // multiply, one divide) — the statistical aggregate family without the
+    // engine's float-accumulating corr(), which no oracle can match.
+    GQuery("agg_pearson_exact",
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          floor(col("l_quantity")).cast("decimal(18,0)").as("x"),
+          floor(col("l_extendedprice")).cast("decimal(18,0)").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("n_rows"),
+          col("sx").cast("long").as("sum_x"), col("sy").cast("long").as("sum_y"),
+          expr("CAST(n * sxy - sx * sy AS DOUBLE) " +
+            "/ (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) " +
+            "* sqrt(CAST(n * syy - sy * sy AS DOUBLE)))").as("pearson_r"))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH t AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity) AS HUGEINT) AS x,
+                       CAST(floor(l_extendedprice) AS HUGEINT) AS y
+                FROM lineitem),
+              m AS (
+                SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                       SUM(x * x) AS sxx, SUM(y * y) AS syy
+                FROM t GROUP BY l_returnflag)
+              SELECT l_returnflag,
+                     CAST(n AS BIGINT) AS n_rows,
+                     CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+              FROM m ORDER BY l_returnflag"""),
+      doc = "Pearson r per group from exact integer moments (decimal sums, " +
+        "five correctly-rounded IEEE ops) — deterministic where native corr() " +
+        "is accumulation-order-dependent"),
+
     // ---- A5+: the argmax aggregate family — max_by/min_by (keyed on the
     // UNIQUE custkey so the pick is well-defined; ties in these functions
     // are engine-private), count_if, bool_and/bool_or. The breadth row of
