@@ -139,6 +139,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| over the
+    * same exact shingle machinery as [[ngramJaccardPairs]], emitted as
+    * DIRECTED pairs. This is the subset case symmetric Jaccard
+    * structurally misses — a 20-shingle quote fully embedded in a
+    * 500-shingle page has J ≈ 0.04 but C = 1.0 — and the signal that
+    * catches quotations, boilerplate-wrapped copies, and doc-in-doc
+    * duplication. Same inverted-index shape (posting join + one divide);
+    * the directed join doubles candidates versus the `<`-canonical form,
+    * nothing more.
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 5,
+                            tau: Double = 0.8): DataFrame = {
+    val sh = withShingleHashes(docs, n).select(col("doc_id"), col("hbase"))
+    val posting = sh.select(col("doc_id"), explode(col("hbase")).as("h"))
+    val inter = posting.as("a")
+      .join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.select(col("doc_id"), size(col("hbase")).as("n_sh"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_small"), Seq("doc_small"))
+      .withColumn("containment", col("n_inter").cast("double") / col("n_sh"))
+      .filter(col("containment") >= tau)
+      .select(col("doc_small"), col("doc_big"), col("n_inter"),
+        col("n_sh"), col("containment"))
+  }
+
   /** Exact-substring duplication census — the "dedup exact substrings"
     * signal (Lee et al. 2022, Deduplicating Training Data Makes Language
     * Models Better) at a scalable ANCHOR grain. Indexing every position's

@@ -311,6 +311,31 @@ object DedupQueries {
               ORDER BY doc_a, doc_b"""),
       doc = "exact 5-gram Jaccard via inverted shingle index (bounded-df path)"),
 
+    // ---- Asymmetric containment |A∩B|/|A| ≥ 0.8 as DIRECTED pairs: the
+    // doc-in-doc / quotation case symmetric Jaccard structurally misses
+    // (a fully-embedded small doc scores J≈0.04 but C=1.0). Same exact
+    // inverted shingle index, one divide per candidate.
+    GQuery("dedup_containment",
+      (s, dir) => Dedup.ngramContainmentPairs(Tables.documents(s, dir))
+        .orderBy(col("doc_small"), col("doc_big")),
+      Some(s"""WITH ${shCte(5)},
+                   posting AS (SELECT doc_id, unnest(hbase) AS h FROM sh),
+                   inter AS (
+                     SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+                            count(*) AS n_inter
+                     FROM posting a JOIN posting b
+                       ON a.h = b.h AND a.doc_id <> b.doc_id
+                     GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, len(hbase) AS n_sh FROM sh)
+              SELECT i.doc_small, i.doc_big, i.n_inter,
+                     CAST(s.n_sh AS INT) AS n_sh,
+                     CAST(i.n_inter AS DOUBLE) / s.n_sh AS containment
+              FROM inter i JOIN sizes s ON s.doc_id = i.doc_small
+              WHERE CAST(i.n_inter AS DOUBLE) / s.n_sh >= 0.8
+              ORDER BY doc_small, doc_big"""),
+      doc = "directed shingle containment (doc-in-doc dedup signal) over the " +
+        "exact inverted index == quadratic oracle"),
+
     GQuery("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))

@@ -504,6 +504,44 @@ object ScaleOpsQueries {
       doc = "JSONL write + declared-schema read round-trip == parquet-sourced " +
         "oracle (free-text escaping survives; no inference pass)"),
 
+    // ---- Parquet AGGREGATE pushdown (DSv2): MIN/MAX/COUNT answered from
+    // footer statistics — zero data pages read, the same footer stats the
+    // lakehouse pruning uses, surfaced through the engine's own pushdown
+    // rule. The builder routes this one read through the v2 path, asserts
+    // `PushedAggregation` landed in the scan, collects the row UNDER that
+    // plan, and restores both confs — session state is untouched for every
+    // other query.
+    GQuery("scan_agg_pushdown",
+      (s, dir) => {
+        val prevList = s.conf.get("spark.sql.sources.useV1SourceList")
+        val prevPush = s.conf.get("spark.sql.parquet.aggregatePushdown")
+        val row = try {
+          s.conf.set("spark.sql.sources.useV1SourceList", "")
+          s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+          val df = s.read.parquet(s"$dir/orders.parquet")
+            .agg(min(col("o_orderkey")).as("min_key"),
+              max(col("o_orderkey")).as("max_key"),
+              count(lit(1)).as("n_rows"))
+          val plan = df.queryExecution.executedPlan.toString
+          require(plan.contains("PushedAggregation: [MIN(o_orderkey), " +
+            "MAX(o_orderkey), COUNT(*)]"),
+            s"aggregate pushdown did not reach the scan:\n$plan")
+          df.collect().head
+        } finally {
+          s.conf.set("spark.sql.sources.useV1SourceList", prevList)
+          s.conf.set("spark.sql.parquet.aggregatePushdown", prevPush)
+        }
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
+          .toDF("min_key", "max_key", "n_rows")
+      },
+      Some("""SELECT CAST(min(o_orderkey) AS BIGINT) AS min_key,
+                     CAST(max(o_orderkey) AS BIGINT) AS max_key,
+                     count(*) AS n_rows
+              FROM orders"""),
+      doc = "DSv2 parquet aggregate pushdown: MIN/MAX/COUNT served from footer " +
+        "stats (PushedAggregation asserted in the scan; zero data pages)"),
+
     // ---- Materialized-view substitution through a user-provided Catalyst
     // rule: the registered aggregate materializes once, and the SAME
     // logical ask is then served from the parquet summary — the builder
