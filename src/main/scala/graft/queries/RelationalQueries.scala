@@ -1204,6 +1204,37 @@ object RelationalQueries {
               ORDER BY p.event_id"""),
       doc = "as-of join: latest signup at or before each purchase, per user"),
 
+    // ---- As-of with TOLERANCE (pandas merge_asof's `tolerance`, the
+    // production guard on every as-of API): the nearest backward match
+    // still resolves, but matches older than 7 days are nulled — a
+    // purchase "attributed" to a signup from two years ago is noise, not
+    // attribution. Same one-shuffle as-of composition plus one CASE.
+    GQuery("asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("s_ts"),
+            col("event_id").as("signup_event_id"))
+        graft.ops.AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+            leftTs = "ts", rightTs = "s_ts",
+            rightPayload = Seq("signup_event_id", "s_ts"))
+          .select(col("event_id"), col("user_id"),
+            when(expr("unix_micros(ts) - unix_micros(s_ts) <= 7 * 86400000000"),
+              col("signup_event_id")).as("signup_within_7d"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id,
+                     CASE WHEN epoch_us(p.ts) - epoch_us(s.ts) <= 7 * 86400000000
+                          THEN s.event_id END AS signup_within_7d
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+                ON p.user_id = s.user_id AND s.ts <= p.ts
+              ORDER BY p.event_id"""),
+      doc = "as-of join with a 7-day tolerance: stale nearest matches null out " +
+        "(merge_asof tolerance semantics)"),
+
     // ---- FORWARD as-of: per view event, the user's NEXT purchase (at or
     // after the view) — next-touch attribution and per-event conversion
     // latency, the time-mirror of asof_last_signup. Census per view day:
