@@ -148,4 +148,37 @@ object GraphOps {
       .join(perCorner, Seq("node"), "left")
       .select(col("node"), coalesce(col("tri_count"), lit(0L)).as("tri_count"))
   }
+
+  /** Bounded-round BFS hop distances from a seed set over an undirected
+    * edge list — monotone frontier relaxation: after round k every node
+    * within k hops of a seed holds its EXACT hop distance (induction: a
+    * shortest path of length d relaxes one edge per round), so a fixed
+    * round count is both the scalability bound and the oracle-checkable
+    * trajectory (the [[pagerankInteger]] convention — full BFS is this
+    * loop run to no-change). Nodes beyond `rounds` hops are absent.
+    *
+    * Scale shape: per round ONE node-keyed join of the distance table
+    * against the symmetrized adjacency plus one map-side-combined min-agg
+    * — the Pregel BFS step; lineage cut per round (`localCheckpoint`) so
+    * plan depth stays O(1) in rounds. Distances only shrink, so the
+    * min-agg is idempotent under re-delivery of any frontier row.
+    *
+    * @param seeds one `node` column (distance 0)
+    * @param und   canonical undirected edges: columns `a` < `b`, distinct
+    */
+  def bfsHops(seeds: DataFrame, und: DataFrame, rounds: Int): DataFrame = {
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    var dist = seeds.select(col("node"), lit(0).as("dist")).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      dist = dist
+        .unionByName(adj.join(dist, adj("u") === dist("node"))
+          .select(col("v").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist
+  }
 }

@@ -1741,6 +1741,246 @@ object RelationalQueries {
                                FROM events GROUP BY user_id) e
                 ON c_custkey = user_id
               ORDER BY uid"""),
-      doc = "FULL OUTER JOIN with null-safe projection (both unmatched sides kept)")
+      doc = "FULL OUTER JOIN with null-safe projection (both unmatched sides kept)"),
+
+    // ---- Time-series resample + gap fill: per-user daily calendar spine
+    // (sequence over the user's [min,max] day range), left-joined activity,
+    // LOCF forward fill via last(ignoreNulls) — the standard "regularize an
+    // irregular series" op a feature pipeline runs before any rolling
+    // computation. Census output (per-user day/gap/fill totals) keeps the
+    // result |users|-bounded while still proving every filled value.
+    // Scale: the day agg and both windows partition by user_id — the spine
+    // explode is |user| x |day range| rows but never concentrates; integer
+    // counts only (no float sums), so the fill total hash-compares.
+    GQuery("ts_gapfill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byDay = Tables.events(s, dir)
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val spine = byDay.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(byDay, Seq("user_id", "day"), "left")
+          .withColumn("filled_n", last(col("n_events"), ignoreNulls = true).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_days"),
+            count(col("n_events")).as("n_active_days"),
+            count(when(col("n_events").isNull, 1)).as("n_gap_days"),
+            coalesce(sum(when(col("n_events").isNull, col("filled_n"))), lit(0L))
+              .as("filled_gap_total"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH byday AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                       count(*) AS n_events
+                FROM events GROUP BY 1, 2),
+              spine AS (
+                SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+                FROM byday GROUP BY user_id),
+              f AS (
+                SELECT s.user_id, s.day, b.n_events,
+                       last_value(b.n_events IGNORE NULLS) OVER (
+                         PARTITION BY s.user_id ORDER BY s.day
+                         ROWS UNBOUNDED PRECEDING) AS filled_n
+                FROM spine s LEFT JOIN byday b
+                  ON s.user_id = b.user_id AND s.day = b.day)
+              SELECT user_id,
+                     count(*) AS n_days,
+                     count(n_events) AS n_active_days,
+                     CAST(count(*) FILTER (n_events IS NULL) AS BIGINT) AS n_gap_days,
+                     CAST(COALESCE(SUM(CASE WHEN n_events IS NULL THEN filled_n END), 0)
+                          AS BIGINT) AS filled_gap_total
+              FROM f GROUP BY user_id ORDER BY user_id"""),
+      doc = "time-series resample + LOCF gap fill: per-user daily spine, " +
+        "forward-filled activity, |users|-bounded census of days/gaps/fills"),
+
+    // ---- Pareto frontier (skyline) over (order date, total price), both
+    // maximized: the multi-criteria "best documents" selection a curation
+    // pipeline runs (quality x recency here stood in by price x date). The
+    // naive form is an all-pairs NOT EXISTS — O(n^2) and impossible at
+    // corpus scale. This is the standard prune-then-verify rewrite: a
+    // per-day max-price table (bounded: |distinct days| rows) takes one
+    // tiny reverse-cumulative window; any order whose price <= the max of
+    // a strictly later day is dominated by that day's argmax (its date is
+    // strictly greater), so the broadcast prune kills ~all of the corpus.
+    // True skyline points can never be pruned (no later-or-equal-day order
+    // with >= price exists for them), and every dominated survivor is
+    // dominated by some maximal survivor (dominance is a finite strict
+    // partial order), so the exact pairwise verify runs only on the
+    // bounded candidate set.
+    GQuery("agg_skyline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("d"),
+          col("o_totalprice"))
+        val days = o.groupBy(col("d")).agg(max(col("o_totalprice")).as("pmax"))
+        val wRev = Window.orderBy(col("d").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cm = days
+          .withColumn("later_max", max(col("pmax")).over(wRev))
+          .select(col("d"), col("later_max"))
+        val cand = o.join(broadcast(cm), Seq("d"))
+          .filter(col("later_max").isNull || col("o_totalprice") > col("later_max"))
+          .drop("later_max")
+        val c2 = cand.select(col("d").as("d2"), col("o_totalprice").as("p2"))
+        cand.join(broadcast(c2),
+            col("p2") >= col("o_totalprice") && col("d2") >= col("d") &&
+              (col("p2") > col("o_totalprice") || col("d2") > col("d")), "left_anti")
+          .select(col("o_orderkey"), col("d"), col("o_totalprice"))
+          .orderBy(col("d"), col("o_orderkey"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+                                epoch_us(o_orderdate) // 86400000000 AS d,
+                                o_totalprice
+                         FROM orders)
+              SELECT o_orderkey, d, o_totalprice
+              FROM o
+              WHERE NOT EXISTS (
+                SELECT 1 FROM o o2
+                WHERE o2.o_totalprice >= o.o_totalprice AND o2.d >= o.d
+                  AND (o2.o_totalprice > o.o_totalprice OR o2.d > o.d))
+              ORDER BY d, o_orderkey"""),
+      doc = "Pareto frontier (skyline) on date x price via prune-then-verify: " +
+        "bounded per-day reverse-cummax prune, exact pairwise only on survivors " +
+        "(oracle runs the quadratic NOT EXISTS form)"),
+
+    // ---- Gaps-and-islands: longest consecutive-day activity streak per
+    // user — the discrete-calendar sibling of time-gap sessionization
+    // (sessionization groups by elapsed time; this groups by the classic
+    // day-minus-row_number island key). Both windows and the run agg
+    // partition by user_id; ties resolved deterministically (longest, then
+    // earliest start) so the pick hash-compares.
+    GQuery("w6_streaks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val runs = days.withColumn("grp", col("day") - row_number().over(wU))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).cast("int").as("streak_len"),
+            min(col("day")).as("start_day"), max(col("day")).as("end_day"))
+        val pick = Window.partitionBy(col("user_id"))
+          .orderBy(col("streak_len").desc, col("start_day"))
+        runs.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+          .select(col("user_id"), col("streak_len"),
+            col("start_day"), col("end_day"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+                                epoch_us(ts) // 86400000000 AS day
+                         FROM events),
+                   r AS (SELECT user_id, day,
+                                day - row_number() OVER (
+                                  PARTITION BY user_id ORDER BY day) AS grp
+                         FROM d),
+                   s AS (SELECT user_id, CAST(count(*) AS INT) AS streak_len,
+                                min(day) AS start_day, max(day) AS end_day
+                         FROM r GROUP BY user_id, grp)
+              SELECT user_id, streak_len, start_day, end_day
+              FROM s
+              QUALIFY row_number() OVER (PARTITION BY user_id
+                        ORDER BY streak_len DESC, start_day) = 1
+              ORDER BY user_id"""),
+      doc = "gaps-and-islands longest consecutive-day streak per user " +
+        "(day-minus-row_number island key, deterministic tie-break)"),
+
+    // ---- Time-weighted average over an irregular series: each event's
+    // value held (LOCF) until the next event, weighted by the held
+    // duration — the telemetry/finance aggregate a plain AVG gets wrong
+    // (it overweights bursts). Everything integral: cents x whole seconds
+    // accumulate as exact bigint sums, one final integer division — so
+    // TWAP hash-compares where a float formulation couldn't (corpus values
+    // are positive; Spark `div` and DuckDB `//` agree on non-negatives).
+    // One window + one agg, both partitioned by user_id.
+    GQuery("ts_twap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("us"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        e.withColumn("next_us", lead(col("us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .withColumn("dt_s", expr("(next_us - us) div 1000000"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dt_s")).as("duration_s"),
+            sum(col("cents") * col("dt_s")).as("weighted_cents_s"))
+          .filter(col("duration_s") > 0)
+          .withColumn("twap_cents", expr("weighted_cents_s div duration_s"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                                CAST(floor(value * 100) AS BIGINT) AS cents
+                         FROM events),
+                   iv AS (SELECT user_id, cents, us,
+                                 lead(us) OVER (PARTITION BY user_id
+                                                ORDER BY us, event_id) AS next_us
+                          FROM e),
+                   d AS (SELECT user_id, cents, (next_us - us) // 1000000 AS dt_s
+                         FROM iv WHERE next_us IS NOT NULL),
+                   g AS (SELECT user_id, count(*) AS n_intervals,
+                                CAST(SUM(dt_s) AS BIGINT) AS duration_s,
+                                CAST(SUM(cents * dt_s) AS BIGINT) AS weighted_cents_s
+                         FROM d GROUP BY user_id)
+              SELECT user_id, n_intervals, duration_s, weighted_cents_s,
+                     weighted_cents_s // duration_s AS twap_cents
+              FROM g WHERE duration_s > 0 ORDER BY user_id"""),
+      doc = "time-weighted average (LOCF value x held duration) per user: exact " +
+        "integer cents x seconds sums, one final integer division"),
+
+    // ---- Per-group OLS line from exact integer moments — the regression
+    // sibling of agg_pearson_exact (same decimal moment machinery): slope
+    // and intercept derived by a fixed IEEE op sequence over exact sums,
+    // deterministic where the engines' native regr_slope/regr_intercept
+    // accumulate floats in partial-aggregation order.
+    GQuery("agg_regression_exact",
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          floor(col("l_quantity")).cast("decimal(18,0)").as("x"),
+          floor(col("l_extendedprice")).cast("decimal(18,0)").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("n_rows"),
+          expr("CAST(n * sxy - sx * sy AS DOUBLE) " +
+            "/ CAST(n * sxx - sx * sx AS DOUBLE)").as("slope"),
+          expr("(CAST(sy AS DOUBLE) " +
+            "- CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) " +
+            "* CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)").as("intercept"))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH t AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity) AS HUGEINT) AS x,
+                       CAST(floor(l_extendedprice) AS HUGEINT) AS y
+                FROM lineitem),
+              m AS (
+                SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                       SUM(x * x) AS sxx
+                FROM t GROUP BY l_returnflag)
+              SELECT l_returnflag,
+                     CAST(n AS BIGINT) AS n_rows,
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                     (CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+              FROM m ORDER BY l_returnflag"""),
+      doc = "per-group OLS slope/intercept from exact integer moments (decimal " +
+        "sums, fixed IEEE op sequence) — deterministic where native " +
+        "regr_slope/regr_intercept are accumulation-order-dependent")
   )
 }

@@ -803,6 +803,70 @@ object ScaleOpsQueries {
               GROUP BY event_day ORDER BY event_day"""),
       doc = "join-driven dynamic partition pruning: the week filter lives on the " +
         "day-dim side only; a DynamicPruningSubquery reusing the dim broadcast " +
-        "prunes 23 of 30 fact partition directories at runtime")
+        "prunes 23 of 30 fact partition directories at runtime"),
+
+    // ---- BFS hop distances from a sparse seed set over the same irregular
+    // undirected graph as the triangle census (+1/+2/+3/x2 chords): the
+    // seed-expansion primitive behind "documents within k link-hops of a
+    // trusted set" curation. Four Pregel-style rounds — per round one
+    // node-keyed join + one min-agg, lineage cut per round; the oracle
+    // unrolls the identical monotone relaxation (distances are small ints,
+    // exact on both engines). Census over hop distance, -1 = unreached.
+    GQuery("graph_bfs_hops",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
+        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        val seeds = nodes.filter(col("node") % 97 === 0)
+        val dist = graft.ops.GraphOps.bfsHops(seeds, und, rounds = 4)
+        nodes.join(dist, Seq("node"), "left")
+          .select(coalesce(col("dist"), lit(-1)).as("dist"))
+          .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("dist"))
+      },
+      Some("""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+              und AS (
+                SELECT DISTINCT a, b FROM (
+                  SELECT node AS a, node + 1 AS b FROM nodes
+                  UNION ALL SELECT node, node + 2 FROM nodes
+                  UNION ALL SELECT node, node + 3 FROM nodes
+                  UNION ALL SELECT node, node * 2 FROM nodes) e
+                WHERE a < b
+                  AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+              adj AS (SELECT a AS u, b AS v FROM und
+                      UNION ALL SELECT b, a FROM und),
+              d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % 97 = 0),
+              d1 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d0
+                       UNION ALL
+                       SELECT adj.v, d0.dist + 1 FROM adj JOIN d0 ON adj.u = d0.node)
+                     GROUP BY node),
+              d2 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d1
+                       UNION ALL
+                       SELECT adj.v, d1.dist + 1 FROM adj JOIN d1 ON adj.u = d1.node)
+                     GROUP BY node),
+              d3 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d2
+                       UNION ALL
+                       SELECT adj.v, d2.dist + 1 FROM adj JOIN d2 ON adj.u = d2.node)
+                     GROUP BY node),
+              d4 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d3
+                       UNION ALL
+                       SELECT adj.v, d3.dist + 1 FROM adj JOIN d3 ON adj.u = d3.node)
+                     GROUP BY node)
+              SELECT CAST(COALESCE(d.dist, -1) AS INT) AS dist,
+                     count(*) AS n_nodes
+              FROM nodes n LEFT JOIN d4 d USING (node)
+              GROUP BY 1 ORDER BY dist"""),
+      doc = "BFS hop distances from a seed set (4 Pregel rounds: join + min-agg " +
+        "per round, lineage cut) == unrolled monotone-relaxation oracle; " +
+        "hop-distance census with -1 for unreached")
   )
 }
