@@ -139,6 +139,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Prefix-filtered set-similarity join (the AllPairs/PPJoin candidate
+    * principle, Bayardo et al. "Scaling Up All Pairs Similarity Search" /
+    * Xiao et al. PPJoin): shingle-set Jaccard ≥ τ pairs WITHOUT a df cap
+    * and with ZERO false negatives by construction — the exact complement
+    * to [[minhashLshPairs]] (probabilistic recall) and
+    * [[ngramJaccardPairs]] (full inverted index). Each document's
+    * distinct shingle hashes are ordered rarest-first (global df asc,
+    * hash asc — one canonical order corpus-wide); J(A,B) ≥ τ implies
+    * |A∩B| ≥ ⌈τ·|A|⌉, so two qualifying sets MUST share an element inside
+    * their first |T| − ⌈τ·|T|⌉ + 1 elements (the prefix lemma: disjoint
+    * prefixes leave too few remaining elements to reach the overlap
+    * bound). Only prefixes are indexed — and because prefixes keep the
+    * RAREST shingles, the boilerplate postings that blow up a full
+    * inverted index (df² pairs per common shingle) never enter the join;
+    * the AllPairs length filter (τ·max ≤ min of the two set sizes) kills
+    * size-discordant collisions inside the join condition. τ rides as
+    * the rational tauNum/tauDen so ⌈τ·n⌉ = (tauNum·n + tauDen − 1) div
+    * tauDen stays integer-exact cross-engine (a float 0.6·n can straddle
+    * the ceiling).
+    *
+    * Scale shape: one hash-keyed df join + a per-doc window for ranks,
+    * the prefix self-join (Σ_h prefix-df² — bounded by rarity), and a
+    * doc-keyed join-back of the bounded candidates onto the full sets for
+    * the exact array_intersect verify. No all-pairs stage; the
+    * no-false-negative property is spec-proven against brute force.
+    * Massive EXACT-duplicate clusters remain pairwise-quadratic in the
+    * OUTPUT by definition — collapse them first with
+    * [[exactDuplicateGroups]] when a corpus has them.
+    */
+  def prefixFilterPairs(docs: DataFrame, n: Int = defaultShingle,
+                        tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = withShingleHashes(docs, n).select(col("doc_id"), col("hbase"))
+    val toks = sets.select(col("doc_id"), size(col("hbase")).as("sz"),
+      explode(col("hbase")).as("h"))
+    val dfT = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfT, Seq("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+    val pre = ranked
+      .filter(col("rn") <= col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col("doc_id"), col("sz"), col("h"))
+    // length filter (the AllPairs companion bound): J >= tau forces
+    // tau·max(|A|,|B|) <= min(|A|,|B|), so size-discordant prefix
+    // collisions die inside the join condition, before the distinct
+    val cand = pre.as("a")
+      .join(pre.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * tauNum <= col("b.sz") * tauDen &&
+          col("b.sz") * tauNum <= col("a.sz") * tauDen)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+    val s1 = sets.select(col("doc_id").as("id1"), col("hbase").as("s1"))
+    val s2 = sets.select(col("doc_id").as("id2"), col("hbase").as("s2"))
+    cand.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .withColumn("inter_sz", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("union_sz", size(col("s1")) + size(col("s2")) - col("inter_sz"))
+      .filter(col("inter_sz") * tauDen >= col("union_sz") * tauNum)
+      .select(col("id1"), col("id2"), col("inter_sz"), col("union_sz"),
+        (col("inter_sz").cast("double") / col("union_sz")).as("jaccard"))
+  }
+
   /** Asymmetric CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| over the
     * same exact shingle machinery as [[ngramJaccardPairs]], emitted as
     * DIRECTED pairs. This is the subset case symmetric Jaccard

@@ -424,7 +424,53 @@ object DedupQueries {
                      max(CASE WHEN r <= 50 THEN n_chars END) AS max_kept_chars,
                      min(CASE WHEN r <= 50 THEN n_chars END) AS min_kept_chars
               FROM r GROUP BY source ORDER BY source"""),
-      doc = "bounded-buffer (TopKAggregator) domain cap == window form (shared oracle)")
+      doc = "bounded-buffer (TopKAggregator) domain cap == window form (shared oracle)"),
+
+    // ---- Prefix-filtered set-similarity join (AllPairs/PPJoin): shingle
+    // Jaccard >= 3/5 with only rarest-first PREFIXES indexed plus the
+    // length filter — the boilerplate df^2 blowup of a full inverted
+    // index never enters the join, and the prefix lemma guarantees zero
+    // false negatives (the property DedupSpec proves against brute
+    // force; the oracle mirrors the same prefix mechanics element for
+    // element, pinning rank order, ceiling arithmetic, the length bound,
+    // and the exact verify cross-engine).
+    GQuery("dedup_prefix_filter",
+      (s, dir) => Dedup.prefixFilterPairs(Tables.documents(s, dir))
+        .orderBy(col("id1"), col("id2")),
+      Some(s"""WITH ${shCte(Dedup.defaultShingle)},
+              toks AS (
+                SELECT doc_id, len(hbase) AS sz, unnest(hbase) AS h FROM sh),
+              dft AS (SELECT h, count(*) AS df FROM toks GROUP BY h),
+              ranked AS (
+                SELECT t.doc_id, t.h, t.sz,
+                       ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                          ORDER BY d.df, t.h) AS rn
+                FROM toks t JOIN dft d USING (h)),
+              pre AS (
+                SELECT doc_id, sz, h FROM ranked
+                WHERE rn <= sz - ((3 * sz + 4) // 5) + 1),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                FROM pre a JOIN pre b
+                  ON a.h = b.h AND a.doc_id < b.doc_id
+                 AND a.sz * 3 <= b.sz * 5 AND b.sz * 3 <= a.sz * 5),
+              ver AS (
+                SELECT id1, id2,
+                       len(list_intersect(x.hbase, y.hbase)) AS inter_sz,
+                       len(x.hbase) + len(y.hbase)
+                         - len(list_intersect(x.hbase, y.hbase)) AS union_sz
+                FROM cand
+                JOIN sh x ON x.doc_id = cand.id1
+                JOIN sh y ON y.doc_id = cand.id2)
+              SELECT id1, id2,
+                     CAST(inter_sz AS INT) AS inter_sz,
+                     CAST(union_sz AS INT) AS union_sz,
+                     CAST(inter_sz AS DOUBLE) / union_sz AS jaccard
+              FROM ver WHERE inter_sz * 5 >= union_sz * 3
+              ORDER BY id1, id2"""),
+      doc = "prefix-filtered set-similarity join (AllPairs/PPJoin): rarest-first " +
+        "prefix index + length filter, integer-exact ceiling, exact intersect " +
+        "verify — no df cap, no false negatives")
   )
 
   /** DuckDB mirror of Curate.curateCorpus: each stage reuses the exact SQL

@@ -213,4 +213,36 @@ class DedupSpec extends AnyFunSuite {
       (5L, 4L, 1L),   // mirror of id 1
       (6L, 0L, -1L))) // sitting: no neighbors within distance 1
   }
+
+  test("prefix filter: exactly the brute-force Jaccard >= 3/5 pairs (no false negatives)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // deterministic overlapping-text corpus: doc i covers tokens
+    // [7i/8, 7i/8 + len_i) of a shared vocabulary, so adjacent docs share
+    // long shingle runs (pairs above tau) and distant docs share few
+    val gen = (0 until 40).map { i =>
+      val start = i * 7 / 8
+      val len = 12 + (i % 5)
+      (i.toLong, (start until start + len).map(t => s"t$t").mkString(" "))
+    }
+    val df = gen.toDF("doc_id", "text")
+    // brute force over the SAME shingle-hash sets the op uses (all pairs,
+    // no prefix/length pruning) — any candidate the filters wrongly drop
+    // shows up as a missing pair here
+    val sets = Dedup.withShingleHashes(df, Dedup.defaultShingle)
+      .select(col("doc_id"), col("hbase")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if inter * 5 >= uni * 3
+    } yield (a, b, inter, uni)).toSet
+    assert(brute.nonEmpty && brute.size < (40 * 39) / 2, s"fixture degenerate: ${brute.size}")
+    val got = Dedup.prefixFilterPairs(df).orderBy(col("id1"), col("id2")).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Int]("inter_sz"), r.getAs[Int]("union_sz"))).toSet
+    assert(got == brute, s"prefix filter diverged from brute force: " +
+      s"missing=${brute -- got} extra=${got -- brute}")
+  }
 }
