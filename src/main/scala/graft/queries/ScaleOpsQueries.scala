@@ -867,6 +867,61 @@ object ScaleOpsQueries {
               GROUP BY 1 ORDER BY dist"""),
       doc = "BFS hop distances from a seed set (4 Pregel rounds: join + min-agg " +
         "per round, lineage cut) == unrolled monotone-relaxation oracle; " +
-        "hop-distance census with -1 for unreached")
+        "hop-distance census with -1 for unreached"),
+
+    // ---- Shard-topology rebalance census: when a sharded corpus grows
+    // from 8 to 10 nodes, rendezvous (highest-random-weight) hashing —
+    // shard = argmax over nodes of md5(node : doc) — moves only the docs
+    // the NEW nodes win (~2/10), while naive doc_id % n reassigns almost
+    // everything (the full-reshuffle failure mode of modular sharding).
+    // Pure per-row md5 integer arithmetic + one census aggregate, so the
+    // movement table is exact cross-engine; ties in 60-bit weights are
+    // broken by first-position (never observed, still deterministic).
+    GQuery("prep_rebalance_census",
+      (s, dir) => {
+        def w(k: Int) =
+          s"CAST(conv(substring(md5(concat('node$k:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        def hrw(n: Int) = {
+          val arr = (0 until n).map(w).mkString(", ")
+          s"array_position(array($arr), array_max(array($arr))) - 1"
+        }
+        val r = Tables.documents(s, dir).select(col("doc_id"))
+          .withColumn("mod_old", col("doc_id") % 8)
+          .withColumn("mod_new", col("doc_id") % 10)
+          .withColumn("hrw_old", expr(hrw(8)))
+          .withColumn("hrw_new", expr(hrw(10)))
+        r.select(lit("mod").as("method"),
+            (col("mod_old") =!= col("mod_new")).as("moved"))
+          .unionByName(r.select(lit("rendezvous").as("method"),
+            (col("hrw_old") =!= col("hrw_new")).as("moved")))
+          .groupBy(col("method"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("moved"), 1)).as("n_moved"))
+          .withColumn("moved_per_10k", expr("n_moved * 10000 div n_docs"))
+          .orderBy(col("method"))
+      },
+      Some("""WITH w AS (
+                SELECT doc_id,
+                       list_transform(range(0, 10), k ->
+                         CAST('0x' || substr(md5('node' || CAST(k AS VARCHAR)
+                           || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)) AS ws
+                FROM documents),
+              a AS (
+                SELECT doc_id,
+                       list_position(ws[1:8], list_max(ws[1:8])) - 1 AS hrw_old,
+                       list_position(ws, list_max(ws)) - 1 AS hrw_new,
+                       doc_id % 8 AS mod_old, doc_id % 10 AS mod_new
+                FROM w),
+              u AS (
+                SELECT 'mod' AS method, mod_old <> mod_new AS moved FROM a
+                UNION ALL
+                SELECT 'rendezvous', hrw_old <> hrw_new FROM a)
+              SELECT method, count(*) AS n_docs,
+                     CAST(count(*) FILTER (moved) AS BIGINT) AS n_moved,
+                     count(*) FILTER (moved) * 10000 // count(*) AS moved_per_10k
+              FROM u GROUP BY method ORDER BY method"""),
+      doc = "rendezvous (HRW) vs modular sharding under an 8 -> 10 node " +
+        "topology change: exact md5-argmax movement census — consistent " +
+        "hashing moves ~2/10 of the corpus, mod moves ~9/10")
   )
 }
