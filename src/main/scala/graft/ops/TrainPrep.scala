@@ -373,6 +373,33 @@ object TrainPrep {
       .select(col("lang"), col("n_docs"), col("weight"), col("share"), col("n_budgeted"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment of a fixed document budget
+    * across strata: base_i = ⌊B·n_i/N⌋, then the B − Σbase shortfall goes
+    * one each to the strata with the LARGEST remainders (B·n_i mod N, ties
+    * to stratum order) — so Σ alloc_i = B EXACTLY, every stratum is within
+    * 1 of its real share, and the result is pure integer arithmetic (the
+    * floor-only [[temperatureMixture]] budget under-allocates by up to
+    * |strata|−1 documents; this is the standard fix, same algorithm as
+    * parliamentary seat apportionment). All windows run over the BOUNDED
+    * per-stratum aggregate (|langs| rows), never the corpus.
+    */
+  def apportionBudget(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy(col("rem").desc, col("lang").asc_nulls_first)
+    counts
+      .withColumn("n_total", sum(col("n_docs")).over(wAll))
+      .withColumn("base", expr(s"$budget * n_docs div n_total"))
+      .withColumn("rem", expr(s"$budget * n_docs % n_total"))
+      .withColumn("short", lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("lang"), col("n_docs"),
+        (col("base") + when(col("rk") <= col("short"), lit(1L)).otherwise(lit(0L)))
+          .as("n_alloc"))
+  }
+
   /** Deterministic GLOBAL corpus shuffle — the last step before training
     * ingestion: every document gets a contiguous global position in a
     * pseudo-random (salted-md5) order plus a round-robin shard, so a

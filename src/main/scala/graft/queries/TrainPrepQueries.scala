@@ -298,6 +298,36 @@ object TrainPrepQueries {
                      CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / len(t.hbase) >= 0.1 AS is_contaminated
               FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
               ORDER BY t.doc_id"""),
-      doc = "benchmark decontamination: train-doc shingle overlap against the held-out split")
+      doc = "benchmark decontamination: train-doc shingle overlap against the held-out split"),
+
+    // ---- Largest-remainder (Hamilton) apportionment: the exact-allocation
+    // fix for temperatureMixture's floor-only budgets — Σ n_alloc equals
+    // the budget EXACTLY, each stratum within 1 of its real share, all
+    // integer arithmetic over the bounded per-stratum table (the same
+    // algorithm as parliamentary seats). Tie order pinned (rem desc, lang
+    // asc NULLS FIRST) so the +1 winners hash-compare cross-engine.
+    GQuery("prep_apportion_budget",
+      (s, dir) => TrainPrep.apportionBudget(Tables.documents(s, dir), budget = 10000L)
+        .orderBy(asc_nulls_first("lang")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+                   b AS (SELECT lang, n_docs,
+                                CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total
+                         FROM c),
+                   e AS (SELECT lang, n_docs,
+                                10000 * n_docs // n_total AS base,
+                                10000 * n_docs % n_total AS rem
+                         FROM b),
+                   s AS (SELECT *,
+                                10000 - CAST(SUM(base) OVER () AS BIGINT) AS short,
+                                ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                                   lang ASC NULLS FIRST) AS rk
+                         FROM e)
+              SELECT lang, n_docs,
+                     CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END
+                          AS BIGINT) AS n_alloc
+              FROM s ORDER BY lang NULLS FIRST"""),
+      doc = "largest-remainder (Hamilton) budget apportionment across language " +
+        "strata: exact integer allocation summing to the budget, each stratum " +
+        "within 1 of its real share")
   )
 }
