@@ -16,6 +16,42 @@ object ScaleOpsQueries {
 
   private val seq = new AtomicLong(0)
 
+  /** Shared by sketch_hll_distinct and sketch_hll_reaggregated: daily
+    * max-then-max register merge equals the direct per-bucket max, so one
+    * oracle pins both the direct and the re-aggregated form.
+    */
+  private val hllOracleSql: String =
+    """WITH hashed AS (
+         SELECT event_type,
+                CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM events),
+       rhos AS (
+         SELECT event_type, h % 64 AS bucket,
+                MAX(CASE WHEN h // 64 = 0 THEN 55
+                         ELSE instr(lpad(bin(h // 64), 54, '0'), '1') END) AS rho
+         FROM hashed GROUP BY 1, 2),
+       grid AS (
+         SELECT t.event_type, g.bucket
+         FROM (SELECT DISTINCT event_type FROM events) t,
+              (SELECT unnest(range(0, 64)) AS bucket) g),
+       regs AS (
+         SELECT grid.event_type, grid.bucket, COALESCE(r.rho, 0) AS m
+         FROM grid LEFT JOIN rhos r
+           ON r.event_type = grid.event_type AND r.bucket = grid.bucket),
+       agg AS (
+         SELECT event_type,
+                string_agg(CAST(m AS VARCHAR), ',' ORDER BY bucket) AS registers,
+                CAST(SUM(CAST(POWER(2, 55 - m) AS BIGINT)) AS BIGINT) AS sum_scaled
+         FROM regs GROUP BY 1),
+       exact AS (
+         SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+         FROM events GROUP BY 1)
+       SELECT a.event_type, a.registers, a.sum_scaled,
+              CAST(2904.064 AS DOUBLE) * POWER(2.0, 55) / a.sum_scaled AS hll_estimate,
+              e.exact_distinct
+       FROM agg a JOIN exact e USING (event_type)
+       ORDER BY a.event_type"""
+
   val all: Seq[GQuery] = Seq(
 
     // ---- Recursive CTE through Spark's native UnionLoop operator. The
@@ -182,37 +218,54 @@ object ScaleOpsQueries {
           .agg(countDistinct(col("user_id")).as("exact_distinct"))
         sketch.join(exact, Seq("event_type")).orderBy(col("event_type"))
       },
-      Some("""WITH hashed AS (
-                SELECT event_type,
-                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-                FROM events),
-              rhos AS (
-                SELECT event_type, h % 64 AS bucket,
-                       MAX(CASE WHEN h // 64 = 0 THEN 55
-                                ELSE instr(lpad(bin(h // 64), 54, '0'), '1') END) AS rho
-                FROM hashed GROUP BY 1, 2),
-              grid AS (
-                SELECT t.event_type, g.bucket
-                FROM (SELECT DISTINCT event_type FROM events) t,
-                     (SELECT unnest(range(0, 64)) AS bucket) g),
-              regs AS (
-                SELECT grid.event_type, grid.bucket, COALESCE(r.rho, 0) AS m
-                FROM grid LEFT JOIN rhos r
-                  ON r.event_type = grid.event_type AND r.bucket = grid.bucket),
-              agg AS (
-                SELECT event_type,
-                       string_agg(CAST(m AS VARCHAR), ',' ORDER BY bucket) AS registers,
-                       CAST(SUM(CAST(POWER(2, 55 - m) AS BIGINT)) AS BIGINT) AS sum_scaled
-                FROM regs GROUP BY 1),
-              exact AS (
-                SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
-                FROM events GROUP BY 1)
-              SELECT a.event_type, a.registers, a.sum_scaled,
-                     CAST(2904.064 AS DOUBLE) * POWER(2.0, 55) / a.sum_scaled AS hll_estimate,
-                     e.exact_distinct
-              FROM agg a JOIN exact e USING (event_type)
-              ORDER BY a.event_type"""),
+      Some(hllOracleSql),
       doc = "HyperLogLog distinct sketch: registers, exact harmonic sum, and raw estimate oracle-reproduced"),
+
+    // ---- HLL RE-AGGREGATION: the storage pattern the sketch exists for —
+    // persist one 64-register sketch per (event_type, day) (here a real
+    // scratch-parquet daily table), answer the month by elementwise-max
+    // MERGE of the stored sketches, never rescanning raw events. Daily
+    // max-then-max equals the direct per-bucket max, so this query shares
+    // sketch_hll_distinct's oracle verbatim (the curate_domain_cap_agg
+    // shared-oracle convention): value-identical output proves merge
+    // transparency. At 100 TB the rollup reads |days|x|types| sketch rows
+    // (64 bytes each), not the corpus.
+    GQuery("sketch_hll_reaggregated",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.HllAggregator
+        val out = graft.stages.TempDirs.scratch("graft_hll_daily_")
+        Tables.events(s, dir)
+          .select(col("event_type"), dayofmonth(col("ts")).as("day"), expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          .as[(String, Int, Long)]
+          .groupByKey(t => (t._1, t._2))
+          .mapValues(_._3)
+          .agg(HllAggregator.hll().toColumn)
+          .map { case ((t, d), o) => (t, d, o.registers) }
+          .toDF("event_type", "day", "registers")
+          .write.mode("overwrite").parquet(out)
+        val merged = s.read.parquet(out)
+          .select(col("event_type"),
+            posexplode(split(col("registers"), ",")).as(Seq("bucket", "mstr")))
+          .select(col("event_type"), col("bucket"), col("mstr").cast("int").as("m"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("m")).as("m"))
+          .groupBy(col("event_type"))
+          .agg(
+            expr("array_join(transform(sort_array(collect_list(struct(bucket, m))), " +
+              "x -> CAST(x.m AS STRING)), ',')").as("registers"),
+            expr("SUM(shiftleft(CAST(1 AS BIGINT), 55 - m))").as("sum_scaled"))
+          .withColumn("hll_estimate",
+            expr("CAST(2904.064 AS DOUBLE) * power(2.0, 55) / sum_scaled"))
+        val exact = Tables.events(s, dir).groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        merged.join(exact, Seq("event_type")).orderBy(col("event_type"))
+      },
+      Some(hllOracleSql),
+      doc = "month-level HLL answered by merging persisted per-day sketches " +
+        "(elementwise register max) == direct sketch (shared oracle): the " +
+        "mergeable-summaries storage pattern"),
 
     // ---- bottom-k-by-hash sampling (ops/Sketch.hashSampleQuantiles): the
     // deterministic, mergeable uniform sample (keep the k smallest md5
