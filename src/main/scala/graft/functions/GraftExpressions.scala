@@ -403,6 +403,83 @@ case class WindowHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Winnowing anchor selection (Schleimer et al. 2003) fused with the
+  * rolling-hash pass: returns the DISTINCT 1-based code-point start
+  * positions of the selected `w`-code-point grams — the leftmost-minimum
+  * of every window of `k` consecutive gram hashes — in increasing order.
+  *
+  * Same hash recurrence as [[WindowHashes]] (shared modulus/base/oracle
+  * mirror), but the argmin-per-window selection runs as a MONOTONIC DEQUE:
+  * each index is pushed and popped at most once, so the whole selection is
+  * O(len), vs the O(len·k) array-lambda formulation (slice + array_min +
+  * array_position per window) it replaces — the round-10 suite's slowest
+  * query at W=8. Tie-break parity with that formulation: the deque pops
+  * strictly-greater tails only, so equal minima keep the EARLIER index —
+  * exactly `array_position(slice, array_min(slice))`'s first-occurrence
+  * semantics, and selections are provably non-decreasing across windows,
+  * so skip-if-equal-to-last IS array_distinct of first-appearance order.
+  * Docs shorter than w+k-1 code points have no full window → empty array.
+  */
+case class WinnowPositions(child: Expression, w: Int, k: Int)
+    extends UnaryExpression with codegen.CodegenFallback {
+  private val P = 1000000007L
+  private lazy val powW: Long = {
+    var p = 1L; var t = 0
+    while (t < w) { p = p * 131L % P; t += 1 }
+    p
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("WinnowPositions expects string")
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = CodePoints.of(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    val L = cps.length
+    val nGrams = L - w + 1 // gram hash j (0-based) starts at code point j+1
+    if (nGrams < k) return new GenericArrayData(Array.empty[Int])
+    val hs = new Array[Long](nGrams)
+    var acc = 0L
+    var i = 0
+    while (i < L) {
+      acc = (acc * 131L + cps(i)) % P
+      if (i >= w) {
+        acc = (acc - cps(i - w) * powW) % P
+        if (acc < 0) acc += P
+      }
+      if (i + 1 >= w) hs(i + 1 - w) = acc
+      i += 1
+    }
+    // sliding-window minimum, leftmost tie-break, via monotonic deque of
+    // indices with non-decreasing hash values (strict pop keeps ties'
+    // earlier index at the front)
+    val dq = new Array[Int](nGrams)
+    var head = 0; var tail = 0 // deque is dq[head, tail)
+    val out = new java.util.ArrayList[Integer]()
+    var last = -1
+    var j = 0
+    while (j < nGrams) {
+      while (tail > head && hs(dq(tail - 1)) > hs(j)) tail -= 1
+      dq(tail) = j; tail += 1
+      val a = j - k + 1 // window [a, j] complete once a >= 0
+      if (a >= 0) {
+        if (dq(head) < a) head += 1
+        val sel = dq(head)
+        if (sel != last) { out.add(sel + 1); last = sel }
+      }
+      j += 1
+    }
+    val res = new Array[Int](out.size())
+    var t = 0
+    while (t < res.length) { res(t) = out.get(t); t += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPositions =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH band keys as ONE per-row projection: returns an
   * array of `bands` keys, where key b packs the sign bits of the input
   * vector against `planesPerBand` hyperplanes (bit j = [v·w_{b·ppb+j} ≥ 0]).
@@ -553,6 +630,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_window_hashes",
       exprs => WindowHashes(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_winnow_positions",
+      exprs => WinnowPositions(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bands",
       exprs => LshBandKeys(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),

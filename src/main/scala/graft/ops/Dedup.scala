@@ -273,23 +273,20 @@ object Dedup {
     * guaranteed to produce a shared anchored gram in both documents.
     * Density is the same ~2/(W+1) expected anchors per position family.
     *
-    * The selection is plain array lambdas over `graft_window_hashes`
-    * (per-row O(len·W) — at corpus scale the monotonic-deque O(len) form
-    * would move into the native expression; the hash pass is already the
-    * O(len) kernel). Docs shorter than L+W-1 code points have no full
-    * window and drop out. Census columns match [[substringAnchorCensus]].
+    * The selection runs inside `graft_winnow_positions` — the hash pass
+    * fused with a monotonic-deque argmin, O(len) per row with first-
+    * occurrence tie-break parity to the array-lambda form it replaced
+    * (see [[graft.functions.WinnowPositions]]). Docs shorter than L+W-1
+    * code points have no full window and drop out (empty position array →
+    * explode emits nothing). Census columns match
+    * [[substringAnchorCensus]].
     */
   def winnowedAnchorCensus(docs: DataFrame, L: Int = 48, W: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = docs
-      .withColumn("hs", expr(s"graft_window_hashes(text, $L)"))
-      .filter(size(col("hs")) >= W)
       .withColumn("g", explode(expr(
-        s"""array_distinct(transform(
-           |  array_distinct(transform(sequence(1, size(hs) - $W + 1),
-           |    a -> a + array_position(slice(hs, a, $W),
-           |                            array_min(slice(hs, a, $W))) - 1)),
-           |  p -> md5(substring(text, CAST(p AS INT), $L))))""".stripMargin)))
+        s"""array_distinct(transform(graft_winnow_positions(text, $L, $W),
+           |  p -> md5(substring(text, p, $L))))""".stripMargin)))
       .select(col("doc_id"), col("g"))
     val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
     grams.join(freq, Seq("g"))
@@ -561,7 +558,22 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame): DataFrame =
     connectedComponentsStarCounted(pairs)._1
 
-  private[graft] def connectedComponentsStarCounted(pairs: DataFrame): (DataFrame, Int) = {
+  /** Edge-count bound under which star CC solves on the DRIVER with a
+    * union-find instead of iterating distributed rounds. The verified
+    * pair set of a mostly-clean corpus is tiny (entity resolution at
+    * sf0.1: a handful of typo pairs), and each star round pays several
+    * fixed shuffle jobs regardless of size — a bounded collect (≤ ~1.6 MB
+    * of long pairs at this bound) plus O(E·α) union-find replaces all of
+    * them. Above the bound (real near-dup corpora) the O(log n)-round
+    * distributed alternation runs unchanged; the count is free — it is
+    * the round-0 convergence checksum over the already-materialized
+    * edge parquet.
+    */
+  private[graft] val ccDriverEdgeThreshold = 100000L
+
+  private[graft] def connectedComponentsStarCounted(
+      pairs: DataFrame,
+      driverThreshold: Long = ccDriverEdgeThreshold): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val edgesDir = graft.stages.TempDirs.scratch("graft_ccs_edges_")
     pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -611,6 +623,36 @@ object Dedup {
       }
 
       var prev = checksum(edges)
+      // driver fast path: bounded verified pair set + long node ids →
+      // union-find with union-by-min-root (roots only ever decrease, and
+      // every node starts as its own root, so the fixpoint root IS the
+      // component minimum — the exact distributed contract)
+      if (prev._1 > 0L && prev._1 <= driverThreshold &&
+          edges.schema.fields.forall(_.dataType ==
+            org.apache.spark.sql.types.LongType)) {
+        import spark.implicits._
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        edges.collect().foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val labelRows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+        parent.keySet().forEach(n => labelRows += ((n, find(n))))
+        val out = graft.stages.TempDirs.scratch("graft_ccs_")
+        labelRows.toSeq.toDF("node", "comp").write.mode("overwrite").parquet(out)
+        return (spark.read.parquet(out), 0)
+      }
       var rounds = 0
       var converged = prev._1 == 0L
       while (!converged) {

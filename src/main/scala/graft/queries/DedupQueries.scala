@@ -94,6 +94,11 @@ object DedupQueries {
         // pair input to parquet before iterating (its own round-0 cut)
         val pairs = Dedup.editDistance1Pairs(keyed, "c_custkey", "blocked_name")
           .select(col("ka").as("doc_a"), col("kb").as("doc_b"))
+        // tiny-pair-set fast path lives INSIDE connectedComponentsStar:
+        // a mostly-clean corpus verifies a bounded pair set, which the CC
+        // entry point detects from its round-0 edge count (the pairs are
+        // materialized to parquet exactly once) and solves with a driver
+        // union-find instead of paying fixed multi-round iteration cost
         val comp = Dedup.connectedComponentsStar(pairs)
         cust.select(col("c_custkey").as("node"))
           .join(comp, Seq("node"), "left")

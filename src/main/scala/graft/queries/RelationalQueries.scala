@@ -1811,7 +1811,13 @@ object RelationalQueries {
     // with >= price exists for them), and every dominated survivor is
     // dominated by some maximal survivor (dominance is a finite strict
     // partial order), so the exact pairwise verify runs only on the
-    // bounded candidate set.
+    // bounded candidate set. DATA-SHAPE ASSUMPTION: the prune is effective
+    // when per-day maxima are not monotonically decreasing over days — on
+    // independent price/date data (this corpus, any realistic one)
+    // survivors ~ O(skyline); an adversarial corpus where every later day
+    // is strictly cheaper keeps O(n) candidates and the broadcast verify
+    // degrades — such data needs the sort-based sweep (one global sort by
+    // d desc + running cummax filter), not this rewrite.
     GQuery("agg_skyline",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -1952,12 +1958,15 @@ object RelationalQueries {
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
+        // nullif-guard the variance denominator: a zero-variance-x group
+        // yields Spark NULL (non-ANSI div-by-zero) vs DuckDB IEEE inf/NaN
+        // — pin both engines to NULL so the contract holds on ANY fixture
         .select(col("l_returnflag"),
           col("n").cast("long").as("n_rows"),
           expr("CAST(n * sxy - sx * sy AS DOUBLE) " +
-            "/ CAST(n * sxx - sx * sx AS DOUBLE)").as("slope"),
+            "/ nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0D)").as("slope"),
           expr("(CAST(sy AS DOUBLE) " +
-            "- CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) " +
+            "- CAST(n * sxy - sx * sy AS DOUBLE) / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0D) " +
             "* CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)").as("intercept"))
         .orderBy(col("l_returnflag")),
       Some("""WITH t AS (
@@ -1973,10 +1982,10 @@ object RelationalQueries {
               SELECT l_returnflag,
                      CAST(n AS BIGINT) AS n_rows,
                      CAST(n * sxy - sx * sy AS DOUBLE)
-                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                       / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS slope,
                      (CAST(sy AS DOUBLE)
                       - CAST(n * sxy - sx * sy AS DOUBLE)
-                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0)
                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
               FROM m ORDER BY l_returnflag"""),
       doc = "per-group OLS slope/intercept from exact integer moments (decimal " +

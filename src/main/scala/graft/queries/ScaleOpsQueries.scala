@@ -234,7 +234,7 @@ object ScaleOpsQueries {
       (s, dir) => {
         import s.implicits._
         import graft.functions.HllAggregator
-        val out = graft.stages.TempDirs.scratch("graft_hll_daily_")
+        val out = graft.stages.TempDirs.scratchStable("graft_hll_daily_")
         Tables.events(s, dir)
           .select(col("event_type"), dayofmonth(col("ts")).as("day"), expr(
             "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))

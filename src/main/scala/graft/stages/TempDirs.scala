@@ -28,6 +28,16 @@ object TempDirs {
     dir.toString
   }
 
+  private val stable = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One scratch path PER NAME per JVM — for queries whose scratch write is
+    * overwrite-mode and re-run many times in a bench session. A fresh
+    * [[scratch]] per invocation leaks a full copy of the data per run until
+    * JVM exit; reusing the path bounds the session's disk at one copy.
+    */
+  def scratchStable(name: String): String =
+    stable.computeIfAbsent(name, n => scratch(n))
+
   /** Recursive delete — THE one definition of destructive tree removal
     * (MergeTable commits, catalog drops, write aborts all route here, so a
     * fix to e.g. concurrent-delete races reaches every caller).

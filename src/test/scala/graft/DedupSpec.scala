@@ -158,7 +158,9 @@ class DedupSpec extends AnyFunSuite {
     val chain = (0L until 40L).map(i => (i, i + 1))
     val ring = Seq((100L, 101L), (101L, 102L), (102L, 103L), (103L, 100L))
     val pairs = (chain ++ ring ++ Seq((200L, 201L))).toDF("doc_a", "doc_b")
-    val (starDf, starRounds) = Dedup.connectedComponentsStarCounted(pairs)
+    // driverThreshold = 0 forces the distributed alternation — this test
+    // exists to prove the O(log n) round bound, not the tiny-set fast path
+    val (starDf, starRounds) = Dedup.connectedComponentsStarCounted(pairs, driverThreshold = 0L)
     val star = starDf.collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
     assert((0L to 40L).forall(star(_) == 0L))
@@ -172,6 +174,13 @@ class DedupSpec extends AnyFunSuite {
     // the point of the star variant: rounds independent of the diameter
     assert(propRounds > 10, s"chain fixture should force propagation deep, got $propRounds")
     assert(starRounds <= 8, s"star alternation must fold the chain in O(log n), got $starRounds")
+    // the driver union-find fast path (edge count under the threshold)
+    // must land on byte-identical labels in ZERO distributed rounds
+    val (fastDf, fastRounds) = Dedup.connectedComponentsStarCounted(pairs)
+    val fast = fastDf.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(fastRounds == 0, s"fixture is under the driver threshold, got $fastRounds rounds")
+    assert(fast == star, "driver union-find must match the distributed labels")
   }
 
   test("star components: LSH pairs at sf0.001 match propagation; partitioning-invariant") {
