@@ -297,6 +297,77 @@ object Dedup {
         col("n_shared").cast("double") / col("n_grams"))
   }
 
+  /** Span-level exact-substring CUT — the deliverable the anchored/
+    * winnowed censuses exist to feed (Lee et al. 2022: after the census
+    * says 20% of bytes are copies, emit the CLEANED corpus). For every
+    * winnow-selected gram shared by ≥ 2 DISTINCT documents (cross-doc
+    * sharing, matching [[winnowedAnchorCensus]]'s signal; intra-doc
+    * repeats are not cut), the witnessed span [p, p+L-1] is removed from
+    * EVERY document containing it (cut-all semantics — the guarantee
+    * below needs no canonical survivor), overlapping/adjacent witnessed
+    * spans are merged first, and the surviving segments re-join in
+    * original order.
+    *
+    * Guarantee (inherited from winnowing's detection property): any run
+    * of length ≥ L+W-1 shared between two docs contains a full W-window
+    * of identical gram hashes in both, whose leftmost-argmin selection is
+    * content-determined — so the run witnesses a shared cut span in BOTH
+    * docs, and inductively every surviving fragment of a shared run is
+    * shorter than L+W-1 (SubstringCutSpec proves it pairwise brute-force).
+    *
+    * Scale shape: one O(len) winnow pass + frequency aggregate (the
+    * census plan), then spans only — (doc_id, pos) rows for SHARED
+    * anchors, a doc-partitioned lag/island window and a per-doc bounded
+    * span-list aggregate — joined back to the corpus for one final O(len)
+    * segment-fold per row. Corpus text crosses exactly one shuffle (the
+    * doc_id join); the window machinery sees positions, never text.
+    *
+    * Output: doc_id, n_spans, chars_cut, clean_len, clean_md5 — the
+    * cleaned text is pinned by md5+length rather than dumped (the
+    * [[paragraphDedup]] convention).
+    */
+  def substringSpanCut(docs: DataFrame, L: Int = 48, W: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .withColumn("p", explode(expr(s"graft_winnow_positions(text, $L, $W)")))
+      .select(col("doc_id"), col("p"),
+        expr(s"md5(substring(text, p, $L))").as("g"))
+    val freq = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val shared = grams.join(freq.filter(col("n_docs") > 1), Seq("g"))
+      .select(col("doc_id"), col("p"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = shared
+      .withColumn("prev_p", lag(col("p"), 1).over(wOrd))
+      // a new island starts when this anchor's span [p, p+L-1] neither
+      // overlaps nor touches the previous one ([prev, prev+L-1])
+      .withColumn("flag",
+        when(col("prev_p").isNull || col("p") <= col("prev_p") + L, 0)
+          .otherwise(1))
+      .withColumn("island",
+        sum(col("flag")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + lit(L - 1)).as("e"))
+    val spanList = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("chars_cut"),
+        array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs.join(spanList, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          """aggregate(spans,
+            |  struct(CAST(1 AS INT) AS cur, CAST('' AS STRING) AS acc),
+            |  (st, sp) -> struct(CAST(sp.e + 1 AS INT) AS cur,
+            |    concat(st.acc, substring(text, st.cur, sp.s - st.cur)) AS acc),
+            |  st -> concat(st.acc, substring(text, st.cur)))""".stripMargin)))
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("chars_cut"), lit(0L)).as("chars_cut"),
+        length(col("clean_text")).as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"))
+  }
+
   /** 60-bit SimHash over hashed shingles: bit j is set when at least half
     * the shingles have bit j set. Pure column math, no shuffle.
     */
