@@ -480,6 +480,53 @@ case class WinnowPositions(child: Expression, w: Int, k: Int)
     copy(child = newChild)
 }
 
+/** One BPE merge applied to a symbol sequence: every GREEDY LEFT-TO-RIGHT
+  * non-overlapping occurrence of adjacent pair (a, b) is replaced by the
+  * concatenated symbol a+b — the application step of byte-pair-encoding
+  * training (Sennrich et al. 2016) and of the trained tokenizer. Greedy
+  * semantics matter for runs: tokens "x x x" with merge (x,x) become
+  * ["xx", "x"], never ["x", "xx"] — the DuckDB oracle mirrors this with
+  * the island/parity list formulation, and equality is oracle-proven.
+  * O(len) per row; a and b are literal per query round (constant per row).
+  */
+case class BpeMerge(tokens: Expression, a: Expression, b: Expression)
+    extends TernaryExpression with codegen.CodegenFallback {
+  override def first: Expression = tokens
+  override def second: Expression = a
+  override def third: Expression = b
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tokens.dataType.isInstanceOf[ArrayType] &&
+        a.dataType == StringType && b.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("BpeMerge expects (array<string>, string, string)")
+
+  override def nullSafeEval(ts: Any, av: Any, bv: Any): Any = {
+    val arr = ts.asInstanceOf[ArrayData]
+    val aS = av.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val bS = bv.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && arr.getUTF8String(i).equals(aS) &&
+          arr.getUTF8String(i + 1).equals(bS)) {
+        out.add(org.apache.spark.unsafe.types.UTF8String.concat(aS, bS))
+        i += 2
+      } else {
+        out.add(arr.getUTF8String(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BpeMerge =
+    copy(tokens = newFirst, a = newSecond, b = newThird)
+}
+
 /** Random-hyperplane LSH band keys as ONE per-row projection: returns an
   * array of `bands` keys, where key b packs the sign bits of the input
   * vector against `planesPerBand` hyperplanes (bit j = [v·w_{b·ppb+j} ≥ 0]).
@@ -634,6 +681,8 @@ object GraftFunctions {
       exprs => WinnowPositions(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         exprs(2).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_merge",
+      exprs => BpeMerge(exprs.head, exprs(1), exprs(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bands",
       exprs => LshBandKeys(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),

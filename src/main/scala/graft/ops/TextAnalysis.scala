@@ -299,6 +299,75 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** BPE merge-table TRAINING (Sennrich et al. 2016) — the iterative loop
+    * [[bpePairCensus]] is the per-round census of. Classic vocabulary-table
+    * formulation: training runs over the DISTINCT-word frequency table
+    * (vocab-scale — millions of rows at 100 TB, never the corpus), each
+    * word starting as its character sequence. Per round: weighted adjacent
+    * -pair census over the vocab (one explode + partial-aggregated sum),
+    * argmax with deterministic (freq DESC, pair ASC) tie-break — a 1-row
+    * bounded collect, the selection is inherently sequential — then the
+    * merge applied per word by the native greedy kernel
+    * ([[graft.functions.BpeMerge]]), with a `localCheckpoint` lineage cut
+    * per round (the [[GraphOps]] bounded-round convention).
+    *
+    * Returns (merges, vocab): merges = (round, lhs, rhs, freq) — the
+    * trained merge table, `rounds` rows; vocab = (word, freq, toks) after
+    * all merges — the trained tokenizer's word → symbols map.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    var vocab = withTokens(docs)
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // sequence(1, 0) steps DOWNWARD in Spark (the repetitionStats
+      // guard): empty-string words get an explicitly empty symbol list
+      .withColumn("toks", when(length(col("word")) >= 1,
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .localCheckpoint()
+    val pairsExpr = when(size(col("toks")) >= 2,
+      expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = vocab.select(col("freq"), explode(pairsExpr).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("p")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = best.head.getAs[String]("p").split(" ", 2)
+        merges += ((r, a, b, best.head.getAs[Long]("f")))
+        vocab = vocab.withColumn("toks",
+            call_function("graft_bpe_merge", col("toks"), lit(a), lit(b)))
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    import docs.sparkSession.implicits._
+    (merges.toSeq.toDF("round", "lhs", "rhs", "freq"), vocab)
+  }
+
+  /** Trained-tokenizer APPLICATION: tokenize the corpus with the vocab
+    * produced by [[bpeTrain]] — one corpus-scale explode to (doc, word),
+    * one join against the vocab map (word-keyed; broadcastable when the
+    * vocab is small, shuffle-joined at 100 TB), one per-doc aggregate.
+    * Per doc: whitespace words, BPE symbols after the trained merges, and
+    * characters — n_chars / n_bpe_tokens is the compression the merge
+    * table bought, the metric a tokenizer-training monitor tracks.
+    */
+  def bpeApply(docs: DataFrame, vocab: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .join(vocab.select(col("word"), size(col("toks")).as("n_sym"),
+        length(col("word")).as("n_chr")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_bpe_tokens"),
+        sum(col("n_chr")).cast("long").as("n_chars"))
+
   /** TF-IDF keyword extraction, log-free: score = tf × N / df with the
     * raw inverse document frequency instead of its logarithm — the
     * monotone transform preserves every ranking, and division of exact

@@ -12,6 +12,82 @@ object TextQueries {
 
   private val toksSql = "string_split(text, ' ')"
 
+  private val bpeRounds = 6
+
+  /** Unrolled BPE training rounds as a DuckDB CTE chain: w0 = distinct-word
+    * vocab with per-character symbol lists; per round r, pr = weighted pair
+    * census, br = deterministic argmax, wr = the merge applied with GREEDY
+    * LEFT-TO-RIGHT semantics via islands + parity (ms = match positions;
+    * within a run of consecutive matches only every other one merges,
+    * starting from the first — `ds[j] = ms[j]-j` is constant within a run
+    * and non-decreasing, so list_position finds the run's start).
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""w0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |         list_transform(range(1, length(word) + 1),
+         |                        i -> substr(word, CAST(i AS INT), 1)) AS toks
+         |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |  GROUP BY word)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+         |p$r AS (
+         |  SELECT p, CAST(sum(freq) AS BIGINT) AS f
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(toks)),
+         |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS p
+         |        FROM w$p)
+         |  GROUP BY p),
+         |b$r AS (
+         |  SELECT f, string_split(p, ' ')[1] AS a, string_split(p, ' ')[2] AS b
+         |  FROM p$r ORDER BY f DESC, p LIMIT 1),
+         |w$r AS (
+         |  SELECT word, freq,
+         |         list_transform(
+         |           list_filter(range(1, len(toks) + 1),
+         |                       i -> NOT list_contains(kp, i - 1)),
+         |           i -> CASE WHEN list_contains(kp, i) THEN a || b
+         |                     ELSE toks[CAST(i AS INT)] END) AS toks
+         |  FROM (
+         |    SELECT word, freq, toks, a, b,
+         |           list_transform(
+         |             list_filter(range(1, len(ms) + 1),
+         |               j -> (j - list_position(ds, ds[CAST(j AS INT)])) % 2 = 0),
+         |             j -> ms[CAST(j AS INT)]) AS kp
+         |    FROM (
+         |      SELECT word, freq, toks, a, b, ms,
+         |             list_transform(range(1, len(ms) + 1),
+         |                            k -> ms[CAST(k AS INT)] - k) AS ds
+         |      FROM (
+         |        SELECT word, freq, toks, a, b,
+         |               list_filter(range(1, len(toks)),
+         |                 i -> toks[CAST(i AS INT)] = a
+         |                      AND toks[CAST(i AS INT) + 1] = b) AS ms
+         |        FROM w$p CROSS JOIN b$r))))""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private lazy val bpeTrainSql: String = {
+    val rows = (1 to bpeRounds)
+      .map(r => s"SELECT $r AS round, a AS lhs, b AS rhs, f AS freq FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${bpeCtes(bpeRounds)}\n$rows\nORDER BY round"
+  }
+
+  private lazy val bpeApplySql: String =
+    s"""WITH ${bpeCtes(bpeRounds)}
+       |SELECT d.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(w.toks)) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(length(d.word)) AS BIGINT) AS n_chars
+       |FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents) d
+       |JOIN w$bpeRounds w ON d.word = w.word
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Shared BM25 oracle: text_bm25_search (direct scan) and
     * text_index_search_incremental (served from the persisted index) must
     * both equal it. */
@@ -762,6 +838,30 @@ object TextQueries {
               |GROUP BY pair ORDER BY freq DESC, pair LIMIT 30""".stripMargin),
       doc = "BPE vocabulary training's distributed core: corpus-wide adjacent-pair " +
         "census, top-30 merge candidates with deterministic tie-break"),
+
+    // ---- The full BPE training LOOP over the distinct-word vocab table
+    // (bounded rounds, localCheckpoint cuts, native greedy merge kernel)
+    // and the trained tokenizer applied corpus-wide. The oracle UNROLLS
+    // the rounds as a CTE chain; its merge application is the island/
+    // parity list formulation (greedy left-to-right non-overlapping — the
+    // exact BpeMerge kernel semantics, including "x x x" -> ["xx","x"]).
+    GQuery("text_bpe_train",
+      (s, dir) => TextAnalysis.bpeTrain(Tables.documents(s, dir), rounds = bpeRounds)._1
+        .orderBy(col("round")),
+      Some(bpeTrainSql),
+      doc = s"BPE merge-table training: $bpeRounds rounds of weighted pair census " +
+        "+ deterministic argmax + greedy merge over the distinct-word vocab " +
+        "== unrolled-rounds oracle"),
+
+    GQuery("text_bpe_apply",
+      (s, dir) => {
+        val (_, vocab) = TextAnalysis.bpeTrain(Tables.documents(s, dir), rounds = bpeRounds)
+        TextAnalysis.bpeApply(Tables.documents(s, dir), vocab)
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeApplySql),
+      doc = "trained BPE tokenizer applied corpus-wide: per-doc word/BPE-symbol/" +
+        "char counts via one vocab join — compression the merge table bought"),
 
     // ---- PMI-proxy collocations: adjacent pairs ranked by
     // T·c(xy)/(c(x)·c(y)) with a min-count floor (PMI overweights hapax

@@ -307,4 +307,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     TextAnalysis.invertedIndexAdd(docs.filter($"doc_id" > 2), postings, stats)
     assert(searched == first)
   }
+
+  test("BPE merge kernel: greedy left-to-right, runs merge alternating from the left") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    graft.functions.GraftFunctions.register(spark)
+    val t = Seq(
+      (1L, Seq("x", "x", "x")),           // -> [xx, x], never [x, xx]
+      (2L, Seq("x", "x", "x", "x")),      // -> [xx, xx]
+      (3L, Seq("a", "x", "x", "b")),      // -> [a, xx, b]
+      (4L, Seq("x")),                     // no pair
+      (5L, Seq.empty[String])             // empty
+    ).toDF("id", "toks")
+      .withColumn("m", call_function("graft_bpe_merge", col("toks"), lit("x"), lit("x")))
+      .orderBy(col("id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(t(1L) == Seq("xx", "x"))
+    assert(t(2L) == Seq("xx", "xx"))
+    assert(t(3L) == Seq("a", "xx", "b"))
+    assert(t(4L) == Seq("x"))
+    assert(t(5L) == Seq.empty)
+  }
+
+  test("BPE training: hand-computed merges and tokenizer application on a tiny vocab") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // corpus words: "aaab" x3, "ab" x2 -> round 1 pairs: (a,a):6 [two per
+    // aaab], (a,b):5, so merge1 = (a,a) freq 6 ("aaab" -> [aa,a,b] greedily);
+    // round 2: (aa,a):3, (a,b):5 -> merge2 = (a,b)?? careful: after merge1,
+    // "aaab" = [aa, a, b] with pairs (aa,a):3, (a,b):3; "ab" = [a, b] with
+    // (a,b):2 -> (a,b):5 wins round 2; round 3: "aaab" = [aa, ab] -> (aa,ab):3
+    val d = Seq(
+      (0L, "aaab aaab ab"),
+      (1L, "aaab ab")
+    ).toDF("doc_id", "text")
+    val (merges, vocab) = TextAnalysis.bpeTrain(d, rounds = 3)
+    val m = merges.orderBy(col("round")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+    val v = vocab.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(v("aaab") == Seq("aaab"))
+    assert(v("ab") == Seq("ab"))
+    val applied = TextAnalysis.bpeApply(d, vocab).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 0: 3 words, symbols 1+1+1, chars 4+4+2; doc 1: 2 words
+    assert(applied.toSeq == Seq((0L, 3L, 3L, 10L), (1L, 2L, 2L, 6L)))
+  }
 }
