@@ -304,9 +304,12 @@ object Dedup {
     * sharing, matching [[winnowedAnchorCensus]]'s signal; intra-doc
     * repeats are not cut), the witnessed span [p, p+L-1] is removed from
     * EVERY document containing it (cut-all semantics — the guarantee
-    * below needs no canonical survivor), overlapping/adjacent witnessed
-    * spans are merged first, and the surviving segments re-join in
-    * original order.
+    * below needs no canonical survivor) — or, with `keepOne`, from every
+    * holder EXCEPT the gram's minimum-doc-id canonical, retaining exactly
+    * one copy of each duplicate (the curation default; the no-surviving-
+    * run guarantee then applies to non-canonical pairs). Overlapping/
+    * adjacent witnessed spans are merged first, and the surviving
+    * segments re-join in original order.
     *
     * Guarantee (inherited from winnowing's detection property): any run
     * of length ≥ L+W-1 shared between two docs contains a full W-window
@@ -326,7 +329,8 @@ object Dedup {
     * cleaned text is pinned by md5+length rather than dumped (the
     * [[paragraphDedup]] convention).
     */
-  def substringSpanCut(docs: DataFrame, L: Int = 48, W: Int = 8): DataFrame = {
+  def substringSpanCut(docs: DataFrame, L: Int = 48, W: Int = 8,
+      keepOne: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = docs
@@ -334,8 +338,14 @@ object Dedup {
       .select(col("doc_id"), col("p"),
         expr(s"md5(substring(text, p, $L))").as("g"))
     val freq = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"))
+    // keepOne = the Lee-et-al curation default: the gram's CANONICAL
+    // holder (minimum doc id) keeps its span, every other holder cuts —
+    // the corpus retains exactly one copy of each witnessed duplicate
+    // instead of none (cut-all, the guarantee-bearing mode)
     val shared = grams.join(freq.filter(col("n_docs") > 1), Seq("g"))
+      .filter(if (keepOne) col("doc_id") =!= col("min_doc") else lit(true))
       .select(col("doc_id"), col("p"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val spans = shared

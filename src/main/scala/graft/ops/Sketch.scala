@@ -144,14 +144,56 @@ object Sketch {
     */
   def hashSampleQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                           idCol: String, k: Int): DataFrame = {
+    val sample = bottomKSample(df, groupCols, Nil, valueCol, idCol, k)
+    quantileReport(df, sample, groupCols, valueCol, idCol)
+  }
+
+  /** [[hashSampleQuantiles]] answered from PERSISTED per-day sketches —
+    * the sample-sketch lifecycle sibling of the HLL daily rollup: each
+    * (group, day) stores its k smallest-priority rows (64 rows of id,
+    * value, priority), and the month's sample is the k smallest of the
+    * UNION of daily sketches. Bottom-k-by-hash merge is EXACTLY
+    * transparent — any row in the month's true bottom-k is a fortiori in
+    * its own day's bottom-k, so the union always contains the true
+    * bottom-k — hence this shares the direct query's oracle verbatim and
+    * must hash-equal it. At 100 TB the rollup reads |groups|×|days|×k
+    * sketch rows, never the corpus (the corpus pass here is only the
+    * exact-median error report both variants carry).
+    */
+  def hashSampleQuantilesFromDaily(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, dayCol: org.apache.spark.sql.Column,
+      k: Int, scratchDir: String): DataFrame = {
+    bottomKSample(df.withColumn("_day", dayCol), groupCols, Seq("_day"),
+        valueCol, idCol, k)
+      .write.mode("overwrite").parquet(scratchDir)
+    val daily = df.sparkSession.read.parquet(scratchDir)
     val gcols = groupCols.map(col)
+    val wPri = Window.partitionBy(gcols: _*).orderBy(col("_pri"), col(idCol))
+    val merged = daily.withColumn("_r2", row_number().over(wPri))
+      .filter(col("_r2") <= k)
+    quantileReport(df, merged, groupCols, valueCol, idCol)
+  }
+
+  /** k smallest-by-(md5 priority, id) rows per (groupCols ++ extraKeys). */
+  private def bottomKSample(df: DataFrame, groupCols: Seq[String],
+      extraKeys: Seq[String], valueCol: String, idCol: String, k: Int): DataFrame = {
+    val keyCols = (groupCols ++ extraKeys).map(col)
     val pri = expr(
       s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-    val wPri = Window.partitionBy(gcols: _*).orderBy(col("_pri"), col(idCol))
-    val sample = df.select((gcols :+ col(idCol) :+ col(valueCol)): _*)
+    val wPri = Window.partitionBy(keyCols: _*).orderBy(col("_pri"), col(idCol))
+    df.select((keyCols :+ col(idCol) :+ col(valueCol)): _*)
       .withColumn("_pri", pri)
       .withColumn("_r", row_number().over(wPri))
       .filter(col("_r") <= k)
+      .drop("_r")
+  }
+
+  /** Shared tail of the two sample-quantile variants: per-group lower
+    * median of the sample next to the exact corpus median (error report).
+    */
+  private def quantileReport(df: DataFrame, sample: DataFrame,
+      groupCols: Seq[String], valueCol: String, idCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
     def lowerMedian(in: DataFrame, out: String): DataFrame = {
       val wVal = Window.partitionBy(gcols: _*)
         .orderBy(col(valueCol), col(idCol))

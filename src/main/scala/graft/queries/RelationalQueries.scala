@@ -1943,6 +1943,45 @@ object RelationalQueries {
       doc = "time-weighted average (LOCF value x held duration) per user: exact " +
         "integer cents x seconds sums, one final integer division"),
 
+    // ---- Exponentially-weighted moving average over each user's daily
+    // series, the smoothing a telemetry/quality monitor tracks. α = 1/2
+    // on purpose: every step is s := (s + x)/2 — one IEEE add and one
+    // EXACT halving — evaluated as the identical left fold in both
+    // engines (Spark `aggregate` HOF with first-element init == DuckDB
+    // `list_reduce`), so the result hash-compares where a generic-α
+    // closed form (libm pow, engine-ordered summation) could not. Scale
+    // shape: one map-side-combined daily aggregate, then per-user BOUNDED
+    // day lists (≤ 31 here; a year is still bounded) folded per row — no
+    // window, no cross-user state.
+    GQuery("ts_ewma",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        daily.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_days"),
+            expr("sort_array(collect_list(struct(d, cents)))").as("xs"))
+          .withColumn("vals", expr("transform(xs, x -> CAST(x.cents AS DOUBLE))"))
+          .withColumn("ewma_cents", expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), vals[0], (s, x) -> (s + x) / 2D)"))
+          .select(col("user_id"), col("n_days"), col("ewma_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH daily AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2),
+              agg AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                       list(CAST(cents AS DOUBLE) ORDER BY d) AS vals
+                FROM daily GROUP BY user_id)
+              SELECT user_id, n_days,
+                     list_reduce(vals, (s, x) -> (s + x) / 2) AS ewma_cents
+              FROM agg ORDER BY user_id"""),
+      doc = "per-user daily EWMA with alpha=1/2: identical left fold (one add + " +
+        "exact halving per step) in both engines — deterministic smoothing"),
+
     // ---- Per-group OLS line from exact integer moments — the regression
     // sibling of agg_pearson_exact (same decimal moment machinery): slope
     // and intercept derived by a fixed IEEE op sequence over exact sums,

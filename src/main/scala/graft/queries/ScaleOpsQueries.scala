@@ -16,6 +16,39 @@ object ScaleOpsQueries {
 
   private val seq = new AtomicLong(0)
 
+  /** Shared by sketch_sample_quantiles (direct) and
+    * sketch_bottomk_reaggregated (rolled up from persisted daily
+    * sketches): bottom-k-of-union == true bottom-k, so both must equal
+    * this — value-identical output is the merge-transparency proof.
+    */
+  private val sampleQuantilesOracle: String =
+    """WITH pri AS (
+                SELECT event_type, event_id, value,
+                       CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS p
+                FROM events),
+              samp AS (
+                SELECT event_type, event_id, value FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                               ORDER BY p, event_id) AS r
+                  FROM pri) WHERE r <= 64),
+              est AS (
+                SELECT event_type, value AS est_median, n AS n_sample FROM (
+                  SELECT event_type, value,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY value, event_id) AS vr,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM samp) WHERE vr = CAST(ceil(n / 2.0) AS BIGINT)),
+              exact AS (
+                SELECT event_type, value AS exact_median, n AS n_total FROM (
+                  SELECT event_type, value,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY value, event_id) AS vr,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM events) WHERE vr = CAST(ceil(n / 2.0) AS BIGINT))
+              SELECT e.event_type, x.n_total, e.n_sample, e.est_median, x.exact_median
+              FROM est e JOIN exact x USING (event_type)
+              ORDER BY e.event_type"""
+
   /** Shared by sketch_hll_distinct and sketch_hll_reaggregated: daily
     * max-then-max register merge equals the direct per-bucket max, so one
     * oracle pins both the direct and the re-aggregated form.
@@ -276,34 +309,72 @@ object ScaleOpsQueries {
       (s, dir) => graft.ops.Sketch.hashSampleQuantiles(
           Tables.events(s, dir), Seq("event_type"), "value", "event_id", k = 64)
         .orderBy(col("event_type")),
-      Some("""WITH pri AS (
-                SELECT event_type, event_id, value,
-                       CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS p
-                FROM events),
-              samp AS (
-                SELECT event_type, event_id, value FROM (
-                  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-                                               ORDER BY p, event_id) AS r
-                  FROM pri) WHERE r <= 64),
-              est AS (
-                SELECT event_type, value AS est_median, n AS n_sample FROM (
-                  SELECT event_type, value,
-                         ROW_NUMBER() OVER (PARTITION BY event_type
-                                            ORDER BY value, event_id) AS vr,
-                         COUNT(*) OVER (PARTITION BY event_type) AS n
-                  FROM samp) WHERE vr = CAST(ceil(n / 2.0) AS BIGINT)),
-              exact AS (
-                SELECT event_type, value AS exact_median, n AS n_total FROM (
-                  SELECT event_type, value,
-                         ROW_NUMBER() OVER (PARTITION BY event_type
-                                            ORDER BY value, event_id) AS vr,
-                         COUNT(*) OVER (PARTITION BY event_type) AS n
-                  FROM events) WHERE vr = CAST(ceil(n / 2.0) AS BIGINT))
-              SELECT e.event_type, x.n_total, e.n_sample, e.est_median, x.exact_median
-              FROM est e JOIN exact x USING (event_type)
-              ORDER BY e.event_type"""),
+      Some(sampleQuantilesOracle),
       doc = "bottom-k-by-hash uniform sample + per-group lower-median estimate " +
         "vs exact (deterministic mergeable sampling — distributed order statistics)"),
+
+    // ---- The same answer from PERSISTED per-day bottom-k sketches: the
+    // sample-sketch LIFECYCLE (store |types|x|days|x64 sketch rows daily,
+    // roll the month up from sketches alone). Bottom-k merge is exactly
+    // transparent — the month's true bottom-k is contained in the union
+    // of daily bottom-ks — so this shares sketch_sample_quantiles' oracle
+    // VERBATIM (the sketch_hll_reaggregated convention): value-identical
+    // output IS the merge-transparency proof.
+    GQuery("sketch_bottomk_reaggregated",
+      (s, dir) => graft.ops.Sketch.hashSampleQuantilesFromDaily(
+          Tables.events(s, dir), Seq("event_type"), "value", "event_id",
+          dayofmonth(col("ts")), k = 64,
+          graft.stages.TempDirs.scratchStable("graft_bk_daily_"))
+        .orderBy(col("event_type")),
+      Some(sampleQuantilesOracle),
+      doc = "month quantile report rolled up from persisted DAILY bottom-k " +
+        "sketches — bottom-k-of-union == true bottom-k, proven by sharing the " +
+        "direct query's oracle"),
+
+    // ---- Misra-Gries daily-sketch lifecycle: one MG(k) candidate sketch
+    // per day persisted (≤ k keys × |days| rows), the month's heavy
+    // hitters answered from the sketch UNION + one exact candidate
+    // recount. Completeness is provable without sketch-merge semantics:
+    // a key with monthly count > n/(k+1) = Σ n_d/(k+1) must exceed
+    // n_d/(k+1) on at least one day (else the sum bounds it), so it
+    // survives THAT day's sketch — the union is a complete candidate set,
+    // and the exact recount + integer threshold make the output
+    // deterministic (the sketch_mg_heavy_tokens prune-then-verify shape,
+    // lifted to the persisted-daily lifecycle). k=4 over 5 event types
+    // exercises eviction daily; at 100 TB the rollup reads the sketch
+    // table and one candidate-filtered recount, never an unbounded
+    // key-space aggregate.
+    GQuery("sketch_mg_daily_merge",
+      (s, dir) => {
+        import s.implicits._
+        val k = 4
+        val out = graft.stages.TempDirs.scratchStable("graft_mg_daily_")
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), dayofmonth(col("ts")).as("day"))
+        ev.select(col("day"), col("event_type")).as[(Int, String)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(graft.functions.MgAggregator.mg(k).toColumn)
+          .toDF("day", "cands")
+          .write.mode("overwrite").parquet(out)
+        val cands = s.read.parquet(out)
+          .select(explode(col("cands")).as("t")).distinct()
+          .collect().map(_.getString(0)).toSeq // bounded: <= k x |days|
+        val total = ev.count()
+        ev.filter(col("event_type").isin(cands: _*))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .filter(col("n_events") * (k + 1) > total)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM events)
+              SELECT event_type, count(*) AS n_events
+              FROM events GROUP BY event_type
+              HAVING count(*) * 5 > (SELECT n FROM n)
+              ORDER BY event_type"""),
+      doc = "monthly heavy hitters from persisted DAILY Misra-Gries sketches: " +
+        "union of daily candidates (provably complete) + exact recount + " +
+        "integer threshold == the quadratic-free exact answer"),
 
     // ---- columnar-format breadth: the same declarative plan over an ORC
     // round-trip — Spark's second first-class columnar format shares the

@@ -544,6 +544,83 @@ object TextQueries {
         "cross-doc shared span (merged, cut-all) and emit the cleaned corpus " +
         "— no shared run >= 55 code points survives (SubstringCutSpec)"),
 
+    // ---- keep-one variant: the gram's minimum-doc-id holder KEEPS its
+    // span; every other holder cuts — the curation default (retain one
+    // copy of the boilerplate, delete the rest). Oracle = the cut-all
+    // mirror plus min_doc per gram and the canonical-holder filter.
+    GQuery("dedup_substring_cut_keepone",
+      (s, dir) => graft.ops.Dedup.substringSpanCut(
+          Tables.documents(s, dir), L = 48, W = 8, keepOne = true)
+        .orderBy(col("doc_id")),
+      Some {
+        val P = 1000000007L
+        val w = 48; val W = 8
+        val pows = Iterator.iterate(1L)(p => p * 131L % P).take(w).toSeq
+        s"""WITH codes AS (
+           |  SELECT doc_id, text, length(text) AS L,
+           |         list_transform(range(1, length(text) + 1),
+           |                        i -> ascii(substr(text, i, 1))) AS cs
+           |  FROM documents),
+           |hs AS (
+           |  SELECT doc_id, text,
+           |         list_transform(range($w, L + 1),
+           |           i -> list_sum(list_transform(range(0, $w),
+           |                  k -> CAST(cs[CAST(i - k AS INT)] AS BIGINT)
+           |                       * [${pows.mkString(", ")}][CAST(k AS INT) + 1]))
+           |                % $P) AS h
+           |  FROM codes WHERE L >= $w + $W - 1),
+           |sel AS (
+           |  SELECT doc_id, text,
+           |         list_distinct(list_transform(range(1, len(h) - $W + 2),
+           |           a -> a + list_position(list_slice(h, a, a + $W - 1),
+           |                                  list_min(list_slice(h, a, a + $W - 1))) - 1)) AS ps
+           |  FROM hs),
+           |grams AS (
+           |  SELECT doc_id, p, md5(substr(text, p, $w)) AS g
+           |  FROM (SELECT doc_id, text, CAST(unnest(ps) AS INT) AS p FROM sel)),
+           |freq AS (SELECT g, count(DISTINCT doc_id) AS n_docs,
+           |                min(doc_id) AS min_doc
+           |         FROM grams GROUP BY g),
+           |shared AS (
+           |  SELECT doc_id, p FROM grams JOIN freq USING (g)
+           |  WHERE n_docs > 1 AND doc_id <> min_doc),
+           |flagged AS (
+           |  SELECT doc_id, p,
+           |         CASE WHEN lag(p) OVER wp IS NULL
+           |                OR p <= lag(p) OVER wp + $w THEN 0 ELSE 1 END AS flag
+           |  FROM shared WINDOW wp AS (PARTITION BY doc_id ORDER BY p)),
+           |islands AS (
+           |  SELECT doc_id, p,
+           |         sum(flag) OVER (PARTITION BY doc_id ORDER BY p
+           |                         ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM flagged),
+           |spans AS (
+           |  SELECT doc_id, min(p) AS s, max(p) + ${w - 1} AS e
+           |  FROM islands GROUP BY doc_id, island),
+           |pieces AS (
+           |  SELECT doc_id, s, e,
+           |         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+           |  FROM spans),
+           |assembled AS (
+           |  SELECT p.doc_id,
+           |         CAST(count(*) AS BIGINT) AS n_spans,
+           |         CAST(sum(p.e - p.s + 1) AS BIGINT) AS chars_cut,
+           |         string_agg(substr(d.text, p.prev_e + 1, p.s - p.prev_e - 1),
+           |                    '' ORDER BY p.s)
+           |           || substr(any_value(d.text), max(p.e) + 1) AS clean
+           |  FROM pieces p JOIN documents d USING (doc_id)
+           |  GROUP BY p.doc_id)
+           |SELECT d.doc_id,
+           |       COALESCE(a.n_spans, 0) AS n_spans,
+           |       COALESCE(a.chars_cut, 0) AS chars_cut,
+           |       CAST(length(COALESCE(a.clean, d.text)) AS INT) AS clean_len,
+           |       md5(COALESCE(a.clean, d.text)) AS clean_md5
+           |FROM documents d LEFT JOIN assembled a USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      },
+      doc = "keep-one span cut: the minimum-doc-id holder keeps each witnessed " +
+        "span, every other holder cuts — the corpus retains exactly one copy"),
+
     GQuery("text_redact_pii",
       (s, dir) => TextAnalysis.redactPii(Tables.documents(s, dir))
         .orderBy(col("doc_id")),

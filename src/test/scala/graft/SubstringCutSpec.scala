@@ -133,6 +133,31 @@ class SubstringCutSpec extends AnyFunSuite {
       byId(4L).getAs[Int]("clean_len") < sharedA.length)
   }
 
+  test("keep-one: the minimum-doc-id holder keeps each span, other holders cut") {
+    import org.apache.spark.sql.functions.col
+    def byId(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r).toMap
+    val keepOne = byId(Dedup.substringSpanCut(fixture, L = L, W = W, keepOne = true)
+      .orderBy(col("doc_id")).collect())
+    val cutAll = byId(Dedup.substringSpanCut(fixture, L = L, W = W)
+      .orderBy(col("doc_id")).collect())
+    val raw = fixture.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // doc 0 is the canonical (min-id) holder of every sharedA gram: untouched
+    assert(keepOne(0L).getLong(1) == 0L &&
+      keepOne(0L).getAs[Int]("clean_len") == raw(0L).length)
+    // clean doc still untouched
+    assert(keepOne(3L).getLong(1) == 0L)
+    // doc 1 cuts sharedA (doc 0 is canonical) but KEEPS sharedB (doc 1 is
+    // its canonical) — strictly fewer chars cut than cut-all mode
+    assert(keepOne(1L).getLong(2) > 0L &&
+      keepOne(1L).getLong(2) < cutAll(1L).getLong(2))
+    // doc 2 is never canonical (sharedB's min holder is 1): cuts identically
+    assert(keepOne(2L).getLong(2) == cutAll(2L).getLong(2) &&
+      keepOne(2L).getLong(2) > 0L)
+    // doc 4 cuts sharedA (doc 0 canonical)
+    assert(keepOne(4L).getLong(2) > 0L)
+  }
+
   test("disjoint corpus: zero spans, every doc byte-identical") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
