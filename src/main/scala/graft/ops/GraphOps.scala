@@ -181,4 +181,32 @@ object GraphOps {
     }
     dist
   }
+
+  /** Bounded-round Bellman-Ford over WEIGHTED undirected edges — the
+    * weighted sibling of [[bfsHops]] (same per-round shape: one node-keyed
+    * join + one min-agg with map-side combine, `localCheckpoint` lineage
+    * cut per round; distances are exact integers on both engines). After
+    * `rounds` relaxations every node holds the exact shortest distance
+    * among paths of ≤ `rounds` edges — the oracle unrolls the identical
+    * monotone recurrence, so truncation is part of the contract, not an
+    * approximation gap. Negative weights are fine for the relaxation but
+    * the fixtures use positive ones.
+    *
+    * @param und (a, b, w) undirected weighted edges
+    */
+  def ssspWeighted(seeds: DataFrame, und: DataFrame, rounds: Int): DataFrame = {
+    val adj = und.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v"), col("w")))
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      dist = dist
+        .unionByName(adj.join(dist, adj("u") === dist("node"))
+          .select(col("v").as("node"), (col("dist") + col("w")).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist
+  }
 }

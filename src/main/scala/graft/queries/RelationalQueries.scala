@@ -961,6 +961,45 @@ object RelationalQueries {
       doc = "funnel latency: exact µs view→purchase deltas for strictly-ordered " +
         "converters, reduced to count/min/avg/max (one exact double division)"),
 
+    // ---- First-order Markov transition matrix over each user's ordered
+    // event stream — the behavioral model next to the funnel/cohort pair
+    // (what follows what, and with what probability). One user-partitioned
+    // lag window + two map-side-combined aggregates; probabilities are ONE
+    // exact double division of exact integer counts, so the matrix
+    // hash-compares.
+    GQuery("markov_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val tr = Tables.events(s, dir)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+        val tot = tr.groupBy(col("prev_type"))
+          .agg(sum(col("n_transitions")).as("t"))
+        tr.join(tot, Seq("prev_type"))
+          .select(col("prev_type"), col("event_type").as("next_type"),
+            col("n_transitions"),
+            (col("n_transitions").cast("double") / col("t")).as("p"))
+          .orderBy(col("prev_type"), col("next_type"))
+      },
+      Some("""WITH tr AS (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type,
+                       event_type AS next_type
+                FROM events),
+              c AS (SELECT prev_type, next_type, count(*) AS n_transitions
+                    FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+              t AS (SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS t
+                    FROM c GROUP BY 1)
+              SELECT c.prev_type, c.next_type, c.n_transitions,
+                     CAST(c.n_transitions AS DOUBLE) / t.t AS p
+              FROM c JOIN t USING (prev_type)
+              ORDER BY prev_type, next_type"""),
+      doc = "per-user Markov transition matrix: lag window + exact counts, " +
+        "row-normalized by one exact double division"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic

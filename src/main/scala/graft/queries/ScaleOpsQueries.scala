@@ -993,6 +993,70 @@ object ScaleOpsQueries {
         "per round, lineage cut) == unrolled monotone-relaxation oracle; " +
         "hop-distance census with -1 for unreached"),
 
+    // ---- Weighted single-source shortest paths: bounded-round
+    // Bellman-Ford over the same deterministic customer-key graph with
+    // integer weights w = 1 + (a+b) % 7 — graph_bfs_hops' weighted
+    // sibling (identical per-round join + min-agg shape; exact integer
+    // distances on both engines; the oracle unrolls the same monotone
+    // relaxation, so the ≤4-edge truncation is part of the contract).
+    GQuery("graph_sssp_weighted",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
+        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+          .withColumn("w", (col("a") + col("b")) % 7 + 1)
+        val seeds = nodes.filter(col("node") % 97 === 0)
+        val dist = graft.ops.GraphOps.ssspWeighted(seeds, und, rounds = 4)
+        nodes.join(dist, Seq("node"), "left")
+          .select(coalesce(col("dist"), lit(-1L)).as("dist"))
+          .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("dist"))
+      },
+      Some("""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+              und AS (
+                SELECT a, b, (a + b) % 7 + 1 AS w FROM (
+                  SELECT DISTINCT a, b FROM (
+                    SELECT node AS a, node + 1 AS b FROM nodes
+                    UNION ALL SELECT node, node + 2 FROM nodes
+                    UNION ALL SELECT node, node + 3 FROM nodes
+                    UNION ALL SELECT node, node * 2 FROM nodes) e
+                  WHERE a < b
+                    AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b))),
+              adj AS (SELECT a AS u, b AS v, w FROM und
+                      UNION ALL SELECT b, a, w FROM und),
+              d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 97 = 0),
+              d1 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d0
+                       UNION ALL
+                       SELECT adj.v, d0.dist + adj.w FROM adj JOIN d0 ON adj.u = d0.node)
+                     GROUP BY node),
+              d2 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d1
+                       UNION ALL
+                       SELECT adj.v, d1.dist + adj.w FROM adj JOIN d1 ON adj.u = d1.node)
+                     GROUP BY node),
+              d3 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d2
+                       UNION ALL
+                       SELECT adj.v, d2.dist + adj.w FROM adj JOIN d2 ON adj.u = d2.node)
+                     GROUP BY node),
+              d4 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT node, dist FROM d3
+                       UNION ALL
+                       SELECT adj.v, d3.dist + adj.w FROM adj JOIN d3 ON adj.u = d3.node)
+                     GROUP BY node)
+              SELECT CAST(COALESCE(d.dist, -1) AS BIGINT) AS dist,
+                     count(*) AS n_nodes
+              FROM nodes n LEFT JOIN d4 d USING (node)
+              GROUP BY 1 ORDER BY dist"""),
+      doc = "weighted SSSP: 4 Bellman-Ford rounds (join + min-agg, lineage cut) " +
+        "over integer weights == unrolled relaxation oracle; distance census"),
+
     // ---- Shard-topology rebalance census: when a sharded corpus grows
     // from 8 to 10 nodes, rendezvous (highest-random-weight) hashing —
     // shard = argmax over nodes of md5(node : doc) — moves only the docs
