@@ -1000,6 +1000,105 @@ object RelationalQueries {
       doc = "per-user Markov transition matrix: lag window + exact counts, " +
         "row-normalized by one exact double division"),
 
+    // ---- k-anonymity census over the generalization ladder — the
+    // governance gate a curation pipeline runs before releasing records
+    // keyed by quasi-identifiers: at each generalization level (full QI
+    // tuple → drop the finest attribute → fully generalized) count the
+    // equivalence classes per class size and the rows living in classes
+    // below k=5 (the re-identifiable remainder suppression must handle).
+    // Three map-side-combined aggregates over (nation, segment) — at
+    // 100 TB the class table is |QI-domain|-bounded, never row-bounded.
+    GQuery("privacy_k_anon_census",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        def level(l: Int, qi: Seq[String]) = cust
+          .groupBy(qi.map(col): _*).agg(count(lit(1)).as("class_size"))
+          .groupBy(col("class_size"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(col("class_size")).as("n_rows"))
+          .withColumn("level", lit(l))
+        level(0, Seq("c_nationkey", "c_mktsegment"))
+          .unionByName(level(1, Seq("c_nationkey")))
+          .select(col("level"), col("class_size"), col("n_classes"),
+            col("n_rows"), (col("class_size") < 5).as("violates_k5"))
+          .orderBy(col("level"), col("class_size"))
+      },
+      Some("""WITH l0 AS (
+                SELECT 0 AS level, class_size,
+                       CAST(count(*) AS BIGINT) AS n_classes,
+                       CAST(sum(class_size) AS BIGINT) AS n_rows
+                FROM (SELECT count(*) AS class_size FROM customer
+                      GROUP BY c_nationkey, c_mktsegment)
+                GROUP BY class_size),
+              l1 AS (
+                SELECT 1 AS level, class_size,
+                       CAST(count(*) AS BIGINT) AS n_classes,
+                       CAST(sum(class_size) AS BIGINT) AS n_rows
+                FROM (SELECT count(*) AS class_size FROM customer
+                      GROUP BY c_nationkey)
+                GROUP BY class_size)
+              SELECT level, class_size, n_classes, n_rows,
+                     class_size < 5 AS violates_k5
+              FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1)
+              ORDER BY level, class_size"""),
+      doc = "k-anonymity census over the QI generalization ladder: class-size " +
+        "histogram per level + k=5 violation flag — the pre-release governance gate"),
+
+    // ---- Shuffle-key skew census — the diagnostic a join/agg planner
+    // consults BEFORE picking salting (join_skew_salted) or AQE skew
+    // handling. Order statistics come from the VALUE-DOMAIN histogram of
+    // per-key counts (|distinct count values| rows — bounded however many
+    // keys exist), not a rank window over the corpus-scale key table: the
+    // exact p50/p99 is the smallest count value whose cumulative key tally
+    // reaches the rank (the agg_percentiles_hist convention, and the shape
+    // the unpartitioned-window plan guard admits). The heaviest key is one
+    // lexicographic struct-max over the key table — an aggregate, not a
+    // window.
+    GQuery("agg_key_skew",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+        val top = counts.agg(
+          count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(struct(col("c"), col("l_orderkey"))).as("mx"))
+          .select(col("n_keys"), col("n_rows"),
+            col("mx.c").as("max_rows"), col("mx.l_orderkey").as("top_key"))
+        val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+        val wC = Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = hist.withColumn("cum", sum(col("nk")).over(wC))
+        def pick(alias: String, rankSql: String) = cum.crossJoin(top)
+          .filter(expr(s"cum >= $rankSql"))
+          .agg(min(col("c")).as(alias))
+        top.crossJoin(pick("p50_rows", "CAST(ceil(n_keys / 2.0) AS BIGINT)"))
+          .crossJoin(pick("p99_rows", "CAST(ceil(n_keys * 99 / 100.0) AS BIGINT)"))
+          .select(col("n_keys"), col("n_rows"), col("max_rows"),
+            col("p50_rows"), col("p99_rows"), col("top_key"),
+            (col("max_rows").cast("double") / col("p50_rows")).as("skew_ratio"))
+      },
+      Some("""WITH c AS (SELECT l_orderkey, count(*) AS c
+                         FROM lineitem GROUP BY l_orderkey),
+              s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                           CAST(sum(c) AS BIGINT) AS n_rows,
+                           CAST(max({'c': c, 'k': l_orderkey}).c AS BIGINT) AS max_rows,
+                           max({'c': c, 'k': l_orderkey}).k AS top_key
+                    FROM c),
+              h AS (SELECT c, count(*) AS nk FROM c GROUP BY c),
+              cum AS (SELECT c, sum(nk) OVER (ORDER BY c
+                               ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+              p50 AS (SELECT min(c) AS p50_rows FROM cum, s
+                      WHERE cum >= CAST(ceil(s.n_keys / 2.0) AS BIGINT)),
+              p99 AS (SELECT min(c) AS p99_rows FROM cum, s
+                      WHERE cum >= CAST(ceil(s.n_keys * 99 / 100.0) AS BIGINT))
+              SELECT s.n_keys, s.n_rows, s.max_rows, p50.p50_rows, p99.p99_rows,
+                     s.top_key,
+                     CAST(s.max_rows AS DOUBLE) / p50.p50_rows AS skew_ratio
+              FROM s, p50, p99"""),
+      doc = "shuffle-key skew census: exact p50/p99/max of per-key row counts " +
+        "from the bounded count-value histogram + lexicographic struct-max " +
+        "heaviest key — the salting/AQE decision input"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic

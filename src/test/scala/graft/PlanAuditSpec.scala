@@ -297,6 +297,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // window, which the r10 "any Aggregate beneath" guard accepted silently)
   // fails the sweep until a human adds its site here with a rationale.
   private val adjudicatedWindowSites: Map[String, Set[Set[String]]] = Map(
+    // count-value histogram: grouping key is itself a COUNT (resolves to
+    // zero source refs) — |distinct per-key counts| rows, value-bounded
+    "agg_key_skew" -> Set(Set.empty[String]),
     // per-day max-price prune table: |distinct days| rows
     "agg_skyline" -> Set(Set("o_orderdate")),
     // token-count histogram for the median: |distinct counts| values
