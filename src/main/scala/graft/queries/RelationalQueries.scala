@@ -2120,6 +2120,43 @@ object RelationalQueries {
       doc = "per-user daily EWMA with alpha=1/2: identical left fold (one add + " +
         "exact halving per step) in both engines — deterministic smoothing"),
 
+    // ---- Sliding exact MEDIAN over each user's trailing 7-day window —
+    // the robust moving statistic w2's moving AVERAGE can't give (one
+    // outlier day wrecks a mean; the median shrugs). No native moving-
+    // median exists in either engine: both sides materialize the BOUNDED
+    // frame (≤ 7 values) as a list and rank-select the lower median —
+    // frame-bounded per-row work, user-partitioned window, exact integer
+    // cents throughout.
+    GQuery("w7_sliding_median",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        val w7 = Window.partitionBy(col("user_id")).orderBy(col("d"))
+          .rowsBetween(-6, 0)
+        daily.withColumn("arr", sort_array(collect_list(col("cents")).over(w7)))
+          .select(col("user_id"), col("d"),
+            element_at(col("arr"),
+              ceil(size(col("arr")) / 2.0).cast("int")).as("med7_cents"))
+          .orderBy(col("user_id"), col("d"))
+      },
+      Some("""WITH daily AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2),
+              fr AS (
+                SELECT user_id, d,
+                       list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY d
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS ls
+                FROM daily)
+              SELECT user_id, d,
+                     ls[CAST(ceil(len(ls) / 2.0) AS INT)] AS med7_cents
+              FROM fr ORDER BY user_id, d"""),
+      doc = "trailing 7-day moving exact median per user: bounded frame " +
+        "materialized as a sorted list + lower-median rank selection"),
+
     // ---- Per-group OLS line from exact integer moments — the regression
     // sibling of agg_pearson_exact (same decimal moment machinery): slope
     // and intercept derived by a fixed IEEE op sequence over exact sums,

@@ -204,6 +204,35 @@ object ScaleOpsQueries {
               FROM per_order GROUP BY n_lines ORDER BY n_lines"""),
       doc = "bucketed tables co-locate the join: zero-exchange SMJ + partial agg on the bucket key"),
 
+    // ---- Bucket PRUNING on point lookups: a table clustered into 16
+    // buckets by customer key serves an equality probe from exactly ONE
+    // bucket's files (the plan shows SelectedBucketsCount: 1 out of 16 —
+    // pinned in PlanAuditSpec). At 100 TB this is the storage-layout
+    // mechanism that turns a needle query from a full scan into 1/16th
+    // of one, orthogonal to partition pruning (scan_partition_pruning)
+    // and file-stats row-group pruning (lake_rowlevel_pruned).
+    GQuery("scan_bucket_pruned",
+      (s, dir) => {
+        val id = seq.incrementAndGet()
+        val scratch = graft.stages.TempDirs.scratch("graft_bprune_")
+        val t = s"orders_bp_$id"
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+          .write.bucketBy(16, "o_custkey").sortBy("o_orderkey")
+          .option("path", s"$scratch/$t").mode("overwrite").saveAsTable(t)
+        s.table(t).filter(col("o_custkey") === 19)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("total_cents"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+              FROM orders WHERE o_custkey = 19
+              GROUP BY o_custkey ORDER BY o_custkey"""),
+      doc = "bucket pruning: equality probe on the bucket key reads 1 of 16 " +
+        "buckets (plan-pinned SelectedBucketsCount) — needle lookups without " +
+        "a full scan"),
+
     // ---- Bloom-filter semi-join reduction (ops/BloomJoin): the build side
     // folds to one m-bit bitset row, broadcasts, and prunes the probe side
     // with a per-row codegen'd expression BEFORE the exact join. The oracle

@@ -940,6 +940,42 @@ object TextQueries {
       doc = "trained BPE tokenizer applied corpus-wide: per-doc word/BPE-symbol/" +
         "char counts via one vocab join — compression the merge table bought"),
 
+    // ---- Positional-index PHRASE search — the capability BM25's
+    // bag-of-words ranking can't express: "slow hash batch" must match as
+    // CONSECUTIVE tokens. The classic positional-postings algorithm: one
+    // (token, doc, pos) index pass, then one equi-join per phrase term on
+    // (doc, aligned position) — cost bounded by the phrase terms'
+    // postings lists (the rarest term bounds the chain), never the
+    // corpus. Output: per-doc match count + first occurrence.
+    GQuery("text_phrase_search",
+      (s, dir) => {
+        val post = TextAnalysis.withTokens(Tables.documents(s, dir))
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+        def term(t: String, off: Int) = post.filter(col("token") === t)
+          .select(col("doc_id"), (col("pos") - off).as("pos"))
+        term("slow", 0)
+          .join(term("hash", 1), Seq("doc_id", "pos"))
+          .join(term("batch", 2), Seq("doc_id", "pos"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |post AS (
+              |  SELECT doc_id, CAST(p AS INT) - 1 AS pos, toks[CAST(p AS INT)] AS token
+              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM t)),
+              |m AS (
+              |  SELECT a.doc_id, a.pos FROM post a
+              |  JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              |             AND b.token = 'hash'
+              |  JOIN post c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              |             AND c.token = 'batch'
+              |  WHERE a.token = 'slow')
+              |SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+              |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "positional-index phrase search: consecutive-position equi-joins " +
+        "over (token, doc, pos) postings — cost bounded by the phrase terms' lists"),
+
     // ---- PMI-proxy collocations: adjacent pairs ranked by
     // T·c(xy)/(c(x)·c(y)) with a min-count floor (PMI overweights hapax
     // pairs) — the phrase-mining pass beside text_bpe_pairs' raw counts.

@@ -74,6 +74,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private val guards: Seq[(String, Int, Int, Seq[String])] = Seq(
     // 1 shuffle = the deterministic output sort; watermark bound pushed to parquet
     ("o3_watermark_filter", 1, 0, Seq("GreaterThan(ts")),
+    // the equality probe on the bucket key must read exactly ONE of the
+    // 16 buckets — the bucket-pruning mechanism the query exists to pin
+    ("scan_bucket_pruned", 2, 0, Seq("SelectedBucketsCount: 1 out of 16")),
     // agg exchange + output sort; courier dim broadcast
     ("ledger_monthly", 2, 1, Nil),
     ("j1_dim_lookup", 2, 1, Nil),
