@@ -436,4 +436,49 @@ object TrainPrep {
       .withColumn("shard", ((col("position") - 1) % nShards).cast("int"))
       .select(col("position"), col("shard"), col("doc_id"), col("lang"))
   }
+
+  /** Greedy maximum-coverage data selection — the coreset/facility-
+    * location family's workhorse (Nemhauser's 1−1/e guarantee): pick k
+    * documents maximizing the number of DISTINCT shingles covered, one
+    * document per round, marginal gain recomputed against everything
+    * already covered. The selection is inherently sequential, so each
+    * round pays exactly one bounded driver action (the 1-row argmax with
+    * gain DESC, doc ASC tie-break); the gain table itself is one
+    * anti-join + map-side-combined count over the shingle postings (built
+    * once, lineage-cut), and the covered set grows by at most the chosen
+    * document's shingles per round — never corpus-quadratic.
+    *
+    * Returns (round, doc_id, gain, covered_total); covered_total is the
+    * exact covered-universe size after each pick (gains telescope because
+    * postings are per-doc distinct).
+    */
+  def greedyCoverage(docs: DataFrame, k: Int, n: Int = Dedup.defaultShingle): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val posting = Dedup.withShingleHashes(docs, n)
+      .select(col("doc_id"), explode(col("hbase")).as("h"))
+      .localCheckpoint()
+    var covered = spark.emptyDataset[Long].toDF("h")
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var coveredTotal = 0L
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val best = posting.join(covered, Seq("h"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val doc = best.head.getLong(0)
+        val gain = best.head.getLong(1)
+        coveredTotal += gain
+        picks += ((r, doc, gain, coveredTotal))
+        covered = covered
+          .unionByName(posting.filter(col("doc_id") === doc).select(col("h")))
+          .distinct().localCheckpoint()
+      }
+      r += 1
+    }
+    picks.toSeq.toDF("round", "doc_id", "gain", "covered_total")
+  }
 }

@@ -23,6 +23,35 @@ object DedupQueries {
        |  SELECT doc_id, ${hbaseSql(n, modP = true)} AS hbase
        |  FROM $src WHERE len(string_split(text, ' ')) >= $n)""".stripMargin
 
+  /** Unrolled greedy max-coverage rounds: per round, gain = per-doc count
+    * of postings not yet covered, argmax with (gain DESC, doc ASC)
+    * tie-break, covered set grown by the winner's shingles (UNION dedups).
+    */
+  private lazy val greedyCoverageSql: String = {
+    val rounds = 5
+    val sb = new StringBuilder(
+      s"WITH ${shCte(graft.ops.Dedup.defaultShingle)},\n" +
+        "p AS (SELECT doc_id, unnest(hbase) AS h FROM sh)")
+    for (r <- 1 to rounds) {
+      val prev = r - 1
+      val notCovered =
+        if (prev == 0) ""
+        else s"WHERE NOT EXISTS (SELECT 1 FROM c$prev c WHERE c.h = p.h)"
+      val carry = if (prev == 0) "" else s"SELECT h FROM c$prev UNION "
+      sb.append(s""",
+         |g$r AS (SELECT doc_id, count(*) AS gain FROM p $notCovered GROUP BY doc_id),
+         |b$r AS (SELECT doc_id, gain FROM g$r ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$r AS (${carry}SELECT DISTINCT h FROM p
+         |        WHERE doc_id = (SELECT doc_id FROM b$r))""".stripMargin)
+    }
+    sb.append("\n" + (1 to rounds).map(r =>
+      s"SELECT $r AS round, doc_id, gain, " +
+        s"(SELECT count(*) FROM c$r) AS covered_total FROM b$r")
+      .mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY round")
+    sb.toString
+  }
+
   private val sigSql =
     s"""list_transform(range(0, ${Dedup.numHashes}),
        |  i -> list_min(list_transform(hbase,
@@ -315,6 +344,18 @@ object DedupQueries {
               WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
               ORDER BY doc_a, doc_b"""),
       doc = "exact 5-gram Jaccard via inverted shingle index (bounded-df path)"),
+
+    // ---- Greedy maximum-coverage selection (coreset / facility-location
+    // family, Nemhauser 1−1/e guarantee): k docs maximizing distinct
+    // shingles covered, marginal gain per round. The oracle unrolls the
+    // k rounds as a CTE chain (gain table → argmax → covered-set union).
+    GQuery("prep_greedy_coverage",
+      (s, dir) => graft.ops.TrainPrep.greedyCoverage(
+          Tables.documents(s, dir), k = 5)
+        .orderBy(col("round")),
+      Some(greedyCoverageSql),
+      doc = "greedy max-coverage data selection: 5 rounds of anti-join gain " +
+        "census + deterministic argmax == unrolled-rounds oracle"),
 
     // ---- Asymmetric containment |A∩B|/|A| ≥ 0.8 as DIRECTED pairs: the
     // doc-in-doc / quotation case symmetric Jaccard structurally misses

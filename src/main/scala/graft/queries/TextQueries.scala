@@ -709,6 +709,73 @@ object TextQueries {
     // fences are exact doubles (1.5 × integer) and the census hash-compares.
     // The classic scraped-corpus gate: truncated fragments below the low
     // fence, concatenation/boilerplate blobs above the high one.
+    // ---- MAD robust outliers — the rank-based sibling of the IQR fences
+    // below: median absolute deviation tolerates up to 50% contamination
+    // where quartile fences break down earlier. Everything integer-exact:
+    // lower-median rank selection for the center, the same selection over
+    // |x − med| for the MAD, and the 3×MAD flag compares integers — no
+    // float constant (the usual 1.4826 normal-consistency factor is a
+    // presentation scale, irrelevant to flagging).
+    GQuery("text_outlier_mad",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("n_chars"), col("doc_id"))
+        def lowerMedian(in: org.apache.spark.sql.DataFrame, valueCol: String,
+            out: String) = {
+          val w = Window.partitionBy(col("source"))
+            .orderBy(col(valueCol), col("doc_id"))
+          val wAll = Window.partitionBy(col("source"))
+          in.withColumn("rn", row_number().over(w))
+            .withColumn("cnt", count(lit(1)).over(wAll))
+            .filter(col("rn") === expr("CAST(ceil(cnt / 2.0) AS BIGINT)"))
+            .select(col("source"), col(valueCol).as(out), col("cnt"))
+        }
+        val med = lowerMedian(docs, "n_chars", "med_chars")
+        val withAd = docs.join(med.select(col("source"), col("med_chars")), Seq("source"))
+          .withColumn("ad", abs(col("n_chars") - col("med_chars")))
+        val mad = lowerMedian(withAd, "ad", "mad_chars")
+        withAd.join(mad.select(col("source"), col("mad_chars")), Seq("source"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("med_chars")).as("med_chars"),
+            max(col("mad_chars")).as("mad_chars"),
+            count(when(col("ad") > lit(3) * col("mad_chars"), 1)).as("n_outliers"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH r AS (
+                SELECT source, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY n_chars, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS cnt
+                FROM documents),
+              med AS (
+                SELECT source, n_chars AS med_chars FROM r
+                WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT)),
+              ad AS (
+                SELECT d.source, d.doc_id, abs(d.n_chars - m.med_chars) AS ad,
+                       m.med_chars
+                FROM documents d JOIN med m USING (source)),
+              r2 AS (
+                SELECT source, ad,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY ad, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS cnt
+                FROM ad),
+              mad AS (
+                SELECT source, ad AS mad_chars FROM r2
+                WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT))
+              SELECT a.source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(max(a.med_chars) AS BIGINT) AS med_chars,
+                     CAST(max(m.mad_chars) AS BIGINT) AS mad_chars,
+                     CAST(count(*) FILTER (WHERE a.ad > 3 * m.mad_chars) AS BIGINT)
+                       AS n_outliers
+              FROM ad a JOIN mad m USING (source)
+              GROUP BY a.source ORDER BY a.source"""),
+      doc = "MAD robust outliers per source: integer-exact lower-median center, " +
+        "MAD by the same rank selection over |x - med|, 3xMAD integer flag"),
+
     GQuery("text_outlier_iqr",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
