@@ -329,6 +329,76 @@ object ScaleOpsQueries {
         "(elementwise register max) == direct sketch (shared oracle): the " +
         "mergeable-summaries storage pattern"),
 
+    // ---- ROLLING 7-day distinct-user estimate from the SAME persisted
+    // daily sketches: the query shape the daily-sketch table exists for —
+    // 31 overlapping answers (one per day) from one table of
+    // |types|×|days|×64 registers, where the exact rolling-distinct form
+    // (agg_rolling_distinct_users) pays a ×7 fan-out of the corpus-scale
+    // (user, day) set every time. Register max over a trailing ROWS frame
+    // per (type, bucket) — bounded partitions, day-ordered — then the
+    // same harmonic estimate, oracle-reproduced bit-exactly.
+    GQuery("sketch_hll_rolling7d",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.HllAggregator
+        import org.apache.spark.sql.expressions.Window
+        val out = graft.stages.TempDirs.scratchStable("graft_hll_daily7_")
+        Tables.events(s, dir)
+          .select(col("event_type"), dayofmonth(col("ts")).as("day"), expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          .as[(String, Int, Long)]
+          .groupByKey(t => (t._1, t._2))
+          .mapValues(_._3)
+          .agg(HllAggregator.hll().toColumn)
+          .map { case ((t, d), o) => (t, d, o.registers) }
+          .toDF("event_type", "day", "registers")
+          .write.mode("overwrite").parquet(out)
+        val w7 = Window.partitionBy(col("event_type"), col("bucket"))
+          .orderBy(col("day")).rowsBetween(-6, 0)
+        s.read.parquet(out)
+          .select(col("event_type"), col("day"),
+            posexplode(split(col("registers"), ",")).as(Seq("bucket", "mstr")))
+          .select(col("event_type"), col("day"), col("bucket"),
+            col("mstr").cast("int").as("m"))
+          .withColumn("rm", max(col("m")).over(w7))
+          .groupBy(col("event_type"), col("day"))
+          .agg(expr("SUM(shiftleft(CAST(1 AS BIGINT), 55 - rm))").as("sum_scaled"))
+          .withColumn("hll_estimate",
+            expr("CAST(2904.064 AS DOUBLE) * power(2.0, 55) / sum_scaled"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH hashed AS (
+                SELECT event_type, date_part('day', ts) AS day,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                FROM events),
+              rhos AS (
+                SELECT event_type, day, h % 64 AS bucket,
+                       MAX(CASE WHEN h // 64 = 0 THEN 55
+                                ELSE instr(lpad(bin(h // 64), 54, '0'), '1') END) AS rho
+                FROM hashed GROUP BY 1, 2, 3),
+              days AS (SELECT DISTINCT event_type, day FROM hashed),
+              grid AS (SELECT d.event_type, d.day, g.bucket
+                       FROM days d, (SELECT unnest(range(0, 64)) AS bucket) g),
+              regs AS (SELECT grid.event_type, grid.day, grid.bucket,
+                              COALESCE(r.rho, 0) AS m
+                       FROM grid LEFT JOIN rhos r
+                         ON r.event_type = grid.event_type
+                        AND r.day = grid.day AND r.bucket = grid.bucket),
+              roll AS (SELECT event_type, day, bucket,
+                              MAX(m) OVER (PARTITION BY event_type, bucket
+                                           ORDER BY day
+                                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rm
+                       FROM regs),
+              agg AS (SELECT event_type, day,
+                             CAST(SUM(CAST(POWER(2, 55 - rm) AS BIGINT)) AS BIGINT) AS sum_scaled
+                      FROM roll GROUP BY 1, 2)
+              SELECT event_type, CAST(day AS INT) AS day, sum_scaled,
+                     CAST(2904.064 AS DOUBLE) * POWER(2.0, 55) / sum_scaled AS hll_estimate
+              FROM agg ORDER BY event_type, day"""),
+      doc = "rolling 7-day distinct estimate from persisted daily HLL sketches: " +
+        "trailing register-max frame per (type, bucket) + harmonic estimate — " +
+        "31 overlapping answers from the sketch table, never the corpus"),
+
     // ---- bottom-k-by-hash sampling (ops/Sketch.hashSampleQuantiles): the
     // deterministic, mergeable uniform sample (keep the k smallest md5
     // priorities — union + keep-k-smallest merges, the KMV property), with
