@@ -1009,11 +1009,14 @@ object TextQueries {
 
     // ---- Positional-index PHRASE search — the capability BM25's
     // bag-of-words ranking can't express: "slow hash batch" must match as
-    // CONSECUTIVE tokens. The classic positional-postings algorithm: one
-    // (token, doc, pos) index pass, then one equi-join per phrase term on
-    // (doc, aligned position) — cost bounded by the phrase terms'
-    // postings lists (the rarest term bounds the chain), never the
-    // corpus. Output: per-doc match count + first occurrence.
+    // CONSECUTIVE tokens. The classic positional-postings algorithm: a
+    // (token, doc, pos) postings relation, then one equi-join per phrase
+    // term on (doc, aligned position) — join cost bounded by the phrase
+    // terms' postings lists (the rarest term bounds the chain). Here the
+    // postings derive inline (three pruned corpus passes); at 100 TB they
+    // are the PERSISTED positional index — the position-carrying sibling
+    // of text_index_search_incremental's postings table, same lifecycle.
+    // Output: per-doc match count + first occurrence.
     GQuery("text_phrase_search",
       (s, dir) => {
         val post = TextAnalysis.withTokens(Tables.documents(s, dir))

@@ -235,4 +235,27 @@ class TrainPrepSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSeq
     assert(again == drifted)
   }
+
+  test("greedy coverage: picks maximize marginal gain with deterministic tie-break") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 3-gram shingle counts: doc 0 has 6 distinct shingles, doc 1 shares
+    // doc 0's text plus adds 2 more words (2 extra shingles), doc 2 is
+    // fully disjoint with 3, doc 3 duplicates doc 2 exactly (gain 0 after
+    // doc 2 is taken; ties on gain 0 go to the smaller id)
+    val d = Seq(
+      (0L, "a b c d e f g h"),          // 6 shingles
+      (1L, "a b c d e f g h x y"),      // 8 shingles, 6 shared with doc 0
+      (2L, "p q r s t"),                // 3 shingles
+      (3L, "p q r s t")                 // same 3
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TrainPrep.greedyCoverage(d, k = 4)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // round 1: doc 1 (8 new) > doc 0 (6); round 2: doc 2 (3 new, id < 3).
+    // After that every shingle is covered — zero-gain docs vanish from the
+    // anti-joined gain table, so selection EXHAUSTS at 2 picks (k=4 is a
+    // cap, not a quota; the oracle's empty bN CTEs drop the same rounds)
+    assert(out.toSeq == Seq((1, 1L, 8L, 8L), (2, 2L, 3L, 11L)))
+  }
 }
