@@ -35,6 +35,52 @@ object TrainPrepQueries {
         "integer budget; sqrt is IEEE-exact so shares hash-compare, and the weight " +
         "total folds in sorted source order (float addition is order-sensitive)"),
 
+    // ---- ENTITY-CONSISTENT cross-table sampling: the same deterministic
+    // hash predicate on the entity key samples BOTH the dim and the fact,
+    // so every sampled event's user is in the sampled dim (the census
+    // COMPUTES the orphan count rather than assuming it) and per-entity
+    // aggregates stay unbiased. Independent Bernoulli per table would
+    // orphan ~90% of joined rows at a 10% rate; this is the correlated-
+    // sampling technique a warehouse uses to build a coherent 1/10 dev
+    // environment. Pure per-row hash + three aggregates; the 10× scale-up
+    // estimate lands next to the exact total as the built-in error report.
+    GQuery("prep_consistent_sample",
+      (s, dir) => {
+        def keep(c: String) = expr(
+          s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100 < 10")
+        val cust = Tables.customer(s, dir)
+        val ev = Tables.events(s, dir)
+        val sCust = cust.filter(keep("c_custkey"))
+        val sEv = ev.filter(keep("user_id"))
+        val orphans = sEv.join(
+          sCust.select(col("c_custkey").as("user_id")), Seq("user_id"), "left_anti")
+        val nonCust = ev.join(
+          cust.select(col("c_custkey").as("user_id")), Seq("user_id"), "left_anti")
+        sCust.agg(count(lit(1)).as("n_users_sampled")).crossJoin(
+            sEv.agg(count(lit(1)).as("n_events_sampled")))
+          .crossJoin(orphans.agg(count(lit(1)).as("orphan_events")))
+          .crossJoin(nonCust.agg(count(lit(1)).as("noncustomer_events")))
+          .crossJoin(ev.agg(count(lit(1)).as("n_events_total")))
+          .withColumn("scaled_estimate", col("n_events_sampled") * 10)
+      },
+      Some("""WITH sc AS (SELECT c_custkey FROM customer
+                          WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10),
+                   se AS (SELECT user_id FROM events
+                          WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10)
+              SELECT (SELECT count(*) FROM sc) AS n_users_sampled,
+                     (SELECT count(*) FROM se) AS n_events_sampled,
+                     (SELECT count(*) FROM se
+                      WHERE NOT EXISTS (SELECT 1 FROM sc WHERE sc.c_custkey = se.user_id))
+                       AS orphan_events,
+                     (SELECT count(*) FROM events e
+                      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+                       AS noncustomer_events,
+                     (SELECT count(*) FROM events) AS n_events_total,
+                     (SELECT count(*) FROM se) * 10 AS scaled_estimate"""),
+      doc = "entity-consistent 10% sampling across dim + fact by one hash " +
+        "predicate: computed orphan census (join integrity) + 10x scale-up " +
+        "estimate vs exact total"),
+
     GQuery("prep_stratified_sample",
       (s, dir) => TrainPrep.sampleCensus(Tables.documents(s, dir),
           rates = mixRates, defaultRate = 10)
