@@ -53,7 +53,7 @@ object ScaleOpsQueries {
     * max-then-max register merge equals the direct per-bucket max, so one
     * oracle pins both the direct and the re-aggregated form.
     */
-  private val hllOracleSql: String =
+  private[queries] val hllOracleSql: String =
     """WITH hashed AS (
          SELECT event_type,
                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h

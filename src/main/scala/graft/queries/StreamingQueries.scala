@@ -118,6 +118,20 @@ object StreamingQueries {
       doc = "transformWithState (Spark 4 arbitrary-state API): ValueState running " +
         "totals per user; each key's last update-mode emission == batch groupBy"),
 
+    // ---- HLL as STREAMING STATE: the live distinct-user counter — 64
+    // registers per event type in one ValueState, folded incrementally,
+    // running estimate emitted per batch. Same register algebra as the
+    // batch sketch, so the drained final emission SHARES
+    // sketch_hll_distinct's oracle verbatim: constant state per key where
+    // a per-user dedup state grows with the user space.
+    GQuery("streaming_hll_state",
+      (s, dir) => graft.streaming.SketchState.hllStateDrain(s, dir)
+        .orderBy(col("event_type")),
+      Some(ScaleOpsQueries.hllOracleSql),
+      doc = "HyperLogLog in transformWithState: 64-register ValueState per type, " +
+        "incremental fold, final emission == batch sketch (shared oracle) — " +
+        "constant-memory streaming cardinality"),
+
     GQuery("streaming_interval_join",
       (s, dir) => graft.streaming.StreamJoin.viewPurchasePairs(s, dir, windowMinutes = 30)
         .orderBy(col("user_id"), col("view_event"), col("buy_event")),

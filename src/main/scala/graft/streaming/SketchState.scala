@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, Trigger, ValueState}
+
+import graft.functions.HllAggregator
+
+/** HyperLogLog AS STREAMING STATE — the live distinct-user counter a
+  * fleet dashboard holds per event type: 64 registers (a single
+  * `ValueState[Array[Int]]`, 64 ints in RocksDB) folded incrementally by
+  * each micro-batch, the running estimate emitted in update mode. This is
+  * the composition the mergeable-sketch family exists for — the SAME
+  * register algebra as the batch aggregate ([[HllAggregator]]: shared
+  * `rho`, shared harmonic-sum finish), so the drained stream's final
+  * emission per key must equal the batch sketch bit-for-bit and the query
+  * SHARES `sketch_hll_distinct`'s oracle verbatim.
+  *
+  * Scale posture: state is 64 ints per key regardless of user
+  * cardinality — the unbounded-distinct problem (a per-user dedup state
+  * grows with users; `dropDuplicates` state is corpus-bound) reduced to
+  * constant memory per key, the reason HLL is THE streaming cardinality
+  * tool. Update mode ships only touched keys per batch.
+  */
+object SketchState extends Serializable {
+
+  final case class TypedHash(event_type: String, h: Long)
+
+  final case class HllEmit(event_type: String, registers: String,
+                           sum_scaled: Long, hll_estimate: Double)
+
+  final class HllProcessor extends StatefulProcessor[String, TypedHash, HllEmit] {
+    @transient private var regs: ValueState[Array[Int]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getValueState[Array[Int]]("regs",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]](),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TypedHash],
+                                 timers: TimerValues): Iterator[HllEmit] = {
+      val buf = if (regs.exists()) regs.get() else new Array[Int](HllAggregator.M)
+      rows.foreach { e =>
+        val bucket = (e.h % HllAggregator.M).toInt
+        val r = HllAggregator.rho(e.h / HllAggregator.M)
+        if (r > buf(bucket)) buf(bucket) = r
+      }
+      regs.update(buf)
+      var sum = 0L
+      var i = 0
+      while (i < HllAggregator.M) { sum += 1L << (55 - buf(i)); i += 1 }
+      val est = 2904.064 * math.pow(2.0, 55) / sum.toDouble
+      Iterator.single(HllEmit(key, buf.mkString(","), sum, est))
+    }
+  }
+
+  /** Drain the events through the HLL state processor (AvailableNow) and
+    * return each type's FINAL emission joined with the exact distinct
+    * count — the exact output contract of `sketch_hll_distinct`, shared
+    * oracle and all.
+    */
+  def hllStateDrain(spark: SparkSession, sfDir: String): DataFrame =
+      StateDefaults.withRocksDB(spark) { StateDefaults.withNanosRead(spark) {
+    import spark.implicits._
+    val events = EventStream.readStream(spark, sfDir, "events.parquet", Map.empty)
+      .select(col("event_type"), expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .as[TypedHash]
+
+    val updates = events
+      .groupByKey(_.event_type)
+      .transformWithState(new HllProcessor, TimeMode.None(), OutputMode.Update())
+
+    val outDir = graft.stages.TempDirs.scratch("graft_hllst_drain_")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = updates.writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[HllEmit], id: Long) =>
+          batch.withColumn("_batch", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      StateDefaults.awaitDrain(q)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    val raw = StreamJoin.readDrainOutput(spark, outDir,
+      updates.toDF().withColumn("_batch", lit(0L)).schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("_batch").desc)
+    val sketch = raw.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("event_type"), col("registers"), col("sum_scaled"),
+        col("hll_estimate"))
+    val exact = graft.Tables.events(spark, sfDir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sketch.join(exact, Seq("event_type"))
+  }}
+}
