@@ -480,6 +480,49 @@ case class WinnowPositions(child: Expression, w: Int, k: Int)
     copy(child = newChild)
 }
 
+/** 63-bit Walsh-Hadamard sign hash of a string's first 64 bytes read as
+  * an 8×8 luma grid — the pHash shape (coarse spectral signature → sign
+  * bits) with WHT in place of the DCT: H[i] = Σ_j (−1)^popcount(i&j)·x[j]
+  * is pure integer add/subtract, so the signature is exact cross-engine
+  * where DCT's libm cosines are not. Bit i−1 (i = 1..63, DC skipped) is
+  * set when H[i] > 0. Strings shorter than 64 code points yield NULL
+  * (callers filter). One fused O(64²) pass per row — the layered
+  * HOF formulation recomputes inner arrays per element access once
+  * CollapseProject inlines the projections (O(64⁴) per row, measured
+  * minutes at sf0.01), which is exactly why this is a native kernel.
+  */
+case class WhtSignHash(child: Expression)
+    extends UnaryExpression with codegen.CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("WhtSignHash expects string")
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = CodePoints.of(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    if (cps.length < 64) return null
+    var sig = 0L
+    var i = 1
+    while (i < 64) {
+      var h = 0L
+      var j = 0
+      while (j < 64) {
+        val x = cps(j).toLong
+        if (java.lang.Long.bitCount((i & j).toLong) % 2 == 0) h += x else h -= x
+        j += 1
+      }
+      if (h > 0) sig |= 1L << (i - 1)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WhtSignHash =
+    copy(child = newChild)
+}
+
 /** One BPE merge applied to a symbol sequence: every GREEDY LEFT-TO-RIGHT
   * non-overlapping occurrence of adjacent pair (a, b) is replaced by the
   * concatenated symbol a+b — the application step of byte-pair-encoding
@@ -683,6 +726,8 @@ object GraftFunctions {
         exprs(2).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bpe_merge",
       exprs => BpeMerge(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wht_sign_hash",
+      exprs => WhtSignHash(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bands",
       exprs => LshBandKeys(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),

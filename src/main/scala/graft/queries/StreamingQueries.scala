@@ -637,6 +637,75 @@ object StreamingQueries {
       doc = "multimodal: 4x4 integer box-downsample census over the 16-wide " +
         "payload grid (thumbnail pass; ragged tail cropped, per-doc census)"),
 
+    // ---- Perceptual-hash near-dup for IMAGES: the pHash shape (coarse
+    // spectral signature → sign bits → Hamming near-dup) with the
+    // Walsh-Hadamard transform in place of the DCT — WHT is pure integer
+    // add/subtract (sign = parity of popcount(i & j)), so the 63-bit
+    // signature is EXACT cross-engine where DCT's libm cosines are not.
+    // Candidate generation is the SimHash banding discipline: 4 bands ×
+    // 16 bits, a pair with Hamming ≤ 3 provably shares an untouched band
+    // (pigeonhole), and the exact popcount verify runs only on band
+    // collisions — no all-pairs step. Stub 8×8 luma grid = the payload's
+    // first 64 bytes (the mm_* codec convention; swapping in a real
+    // decoder changes zero plan shape).
+    GQuery("mm_phash_neardup",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        // fused native kernel: the layered px/hh/sig HOF formulation is
+        // O(64^4) per row after CollapseProject inlines the projections
+        // (see functions.WhtSignHash) — the kernel is one O(64^2) pass
+        val sig = Tables.documents(s, dir)
+          .withColumn("sig", expr("graft_wht_sign_hash(text)"))
+          .filter(col("sig").isNotNull)
+          .select(col("doc_id"), col("sig"))
+        val bands = sig
+          .withColumn("b", explode(expr("sequence(0, 3)")))
+          .withColumn("v", expr("shiftright(sig, CAST(b * 16 AS INT)) & 65535"))
+        val cand = bands.as("a")
+          .join(bands.as("c"),
+            col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+              col("a.doc_id") < col("c.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("a.sig").as("sa"),
+            col("c.doc_id").as("doc_b"), col("c.sig").as("sb"))
+          .distinct()
+        cand
+          .withColumn("hamming",
+            expr("CAST(bit_count(sa ^ sb) AS INT)"))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+              px AS (SELECT doc_id,
+                            list_transform(range(0, 64),
+                              j -> CAST(ascii(substr(text, CAST(j AS INT) + 1, 1)) AS BIGINT)) AS px
+                     FROM d),
+              wht AS (SELECT doc_id,
+                             list_transform(range(0, 64), i ->
+                               list_sum(list_transform(range(0, 64), j ->
+                                 CASE WHEN bit_count(CAST(i AS BIGINT) & j) % 2 = 0
+                                      THEN px[CAST(j AS INT) + 1]
+                                      ELSE -px[CAST(j AS INT) + 1] END))) AS hh
+                      FROM px),
+              sig AS (SELECT doc_id,
+                             CAST(list_sum(list_transform(range(1, 64), i ->
+                               CASE WHEN hh[CAST(i AS INT) + 1] > 0
+                                    THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+                                    ELSE 0 END)) AS BIGINT) AS sig
+                      FROM wht),
+              bv AS (SELECT doc_id, sig, b, (sig >> CAST(b * 16 AS INT)) & 65535 AS v
+                     FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS b FROM sig)),
+              cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sa,
+                              c.doc_id AS doc_b, c.sig AS sb
+                       FROM bv a JOIN bv c
+                         ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
+              SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+              FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+              ORDER BY doc_a, doc_b"""),
+      doc = "perceptual image-hash near-dup: 8x8 Walsh-Hadamard sign signature " +
+        "(exact integer spectral hash, the pHash shape without libm DCT) + " +
+        "4x16 banded Hamming join, <=3-bit pairs guaranteed by pigeonhole"),
+
     // ---- Shot-boundary detection shape: adjacent-frame signature deltas
     // (here the 4-byte header sum of every 256-byte stub frame) thresholded
     // per document — the temporal-discontinuity pass video curation runs,
