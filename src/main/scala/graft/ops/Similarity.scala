@@ -758,4 +758,43 @@ object Similarity {
       .select(col("cell").cast("long").as("cell"),
         col("n_vecs"), col("n_dropped"), col("n_kept"))
   }
+
+  /** Contrastive hard-negative mining: for each anchor (vec_id < numQueries)
+    * the top-k most-cosine-similar vectors with a DIFFERENT label, flagged
+    * `semi_hard` when the negative sits inside the FaceNet margin band
+    * (cos_neg < cos_hardest_pos, cos_neg > cos_hardest_pos − margin) — the
+    * negatives a triplet-loss batch builder wants first.
+    *
+    * Scale shape identical to [[bruteForceTopK]]: the anchor set is the
+    * broadcast side, the corpus is scanned once, and the only shuffle is the
+    * per-anchor top-k (swap in [[graft.functions.TopKAggregator]] or restrict
+    * candidates to LSH buckets via [[withLshBucket]] when the anchor set
+    * itself is corpus-scale). The hardest-positive table is one row per
+    * anchor — broadcast back onto the k·numQueries result.
+    */
+  def hardNegatives(emb: DataFrame, numQueries: Int, k: Int,
+                    margin: Double): DataFrame = {
+    val base = withNorm(emb)
+    val anchors = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val scored = base.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+    // hardest positive per anchor: max is order-independent — deterministic
+    val posBest = scored.filter(col("label") === col("q_label"))
+      .groupBy(col("query_id")).agg(max(col("cosine")).as("pos_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(posBest), Seq("query_id"))
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+        col("cosine"),
+        (col("cosine") < col("pos_cos") &&
+          col("cosine") > col("pos_cos") - lit(margin)).as("semi_hard"))
+  }
 }

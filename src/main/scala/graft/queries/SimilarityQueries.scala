@@ -648,6 +648,39 @@ object SimilarityQueries {
               JOIN base vb ON vb.vec_id = c.vec_b
               WHERE ${dotSql("va.embedding", "vb.embedding")} / (va.norm * vb.norm) >= 0.9
               ORDER BY vec_a, vec_b"""),
-      doc = "embedding-cosine near-dup pairs via banded hyperplane LSH + exact verify")
+      doc = "embedding-cosine near-dup pairs via banded hyperplane LSH + exact verify"),
+
+    // Contrastive-pair mining: the batch-builder input for triplet /
+    // InfoNCE training. semi_hard applies the FaceNet margin band against
+    // the anchor's hardest positive; both engines compare the same
+    // bit-identical doubles, so the boolean is exact.
+    GQuery("sim_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(Tables.embeddings(s, dir),
+          numQueries = 16, k = 5, margin = 0.05)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH base AS (
+                 SELECT vec_id, label, embedding,
+                        sqrt(${dotSql("embedding", "embedding")}) AS norm
+                 FROM embeddings),
+               q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                            norm AS q_norm, label AS q_label
+                     FROM base WHERE vec_id < 16),
+               scored AS (
+                 SELECT q.query_id, q.q_label, b.vec_id, b.label,
+                        ${dotSql("b.embedding", "q.q_emb")} / (b.norm * q.q_norm) AS cosine
+                 FROM base b, q WHERE b.vec_id <> q.query_id),
+               pos AS (SELECT query_id, max(cosine) AS pos_cos
+                       FROM scored WHERE label = q_label GROUP BY query_id),
+               neg AS (SELECT query_id, vec_id, label, cosine,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+                       FROM scored WHERE label <> q_label)
+               SELECT n.query_id, CAST(n.rank AS INT) AS rank,
+                      n.vec_id AS neighbor_id, n.label AS neg_label, n.cosine,
+                      (n.cosine < p.pos_cos AND n.cosine > p.pos_cos - 0.05) AS semi_hard
+               FROM neg n JOIN pos p USING (query_id) WHERE n.rank <= 5
+               ORDER BY n.query_id, n.rank"""),
+      doc = "contrastive hard-negative mining: top-5 cross-label cosine " +
+        "neighbors per anchor, FaceNet semi-hard margin flag vs the hardest positive")
   )
 }
