@@ -209,4 +209,45 @@ object GraphOps {
     }
     dist
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) community
+    * detection, made deterministic and oracle-checkable: every node starts
+    * labeled with its own id; each round every node with ≥1 neighbor
+    * adopts the most frequent label among its neighbors, ties broken by
+    * SMALLEST label (the lexicographic struct-argmax, exact on both
+    * engines); isolated nodes keep their label. Fixed `rounds` pins the
+    * trajectory — synchronous LPA can oscillate on bipartite structure, so
+    * the bounded-round prefix IS the contract (the [[ssspWeighted]] /
+    * [[pagerankInteger]] convention).
+    *
+    * Scale shape: per round ONE nbr-keyed join of the label table against
+    * the doubled edge list, one (node,label) count, one per-node
+    * struct-max — all map-side-combinable aggregations keyed by node;
+    * lineage cut per round.
+    *
+    * @param nodes one `node` column, distinct
+    * @param und canonical undirected edges: `a` < `b`, distinct
+    */
+  def labelPropagation(nodes: DataFrame, und: DataFrame, rounds: Int): DataFrame = {
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    var r = 0
+    while (r < rounds) {
+      val votes = nbrs
+        .join(labels.select(col("node").as("nbr"), col("label").as("nbr_label")),
+          Seq("nbr"))
+        .groupBy(col("node"), col("nbr_label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("nbr_label")).as("neg"))).as("best"))
+        .select(col("node"), (-col("best.neg")).as("new_label"))
+      labels = labels.join(votes, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).cast("long").as("label"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels
+  }
 }

@@ -1209,6 +1209,58 @@ object ScaleOpsQueries {
               FROM u GROUP BY method ORDER BY method"""),
       doc = "rendezvous (HRW) vs modular sharding under an 8 -> 10 node " +
         "topology change: exact md5-argmax movement census — consistent " +
-        "hashing moves ~2/10 of the corpus, mod moves ~9/10")
+        "hashing moves ~2/10 of the corpus, mod moves ~9/10"),
+
+    // ---- Label-propagation communities over a block star+path graph
+    // (blocks of 10 customer keys: path k—k+1 within the block plus a
+    // star from the block head). Round 1 is the all-ties min-label path;
+    // rounds 2-3 exercise the FREQUENCY argmax (head labels reach count
+    // 2-3), so both halves of the vote are oracle-covered. Deterministic
+    // synchronous LPA: most-frequent neighbor label, smallest label on
+    // ties, bounded rounds — the community-size table is the surface.
+    GQuery("graph_label_propagation",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val path = nodes.filter(col("node") % 10 =!= 0)
+          .select(col("node").as("a"), (col("node") + 1).as("b"))
+        val star = nodes
+          .select(expr("((node - 1) div 10) * 10 + 1").as("a"), col("node").as("b"))
+          .filter(col("a") =!= col("b"))
+        val und = path.unionByName(star).distinct()
+          .join(nodes.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+        graft.ops.GraphOps.labelPropagation(nodes, und, rounds = 3)
+          .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("label"))
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""v$r AS (SELECT t.node, -(max({'c': t.cnt, 'k': -t.lbl}).k) AS new_label
+                      FROM (SELECT nb.node AS node, l.label AS lbl, count(*) AS cnt
+                            FROM nbrs nb JOIN l${r - 1} l ON l.node = nb.nbr
+                            GROUP BY nb.node, l.label) t
+                      GROUP BY t.node),
+              l$r AS (SELECT n.node, CAST(COALESCE(v.new_label, n.label) AS BIGINT) AS label
+                      FROM l${r - 1} n LEFT JOIN v$r v USING (node))"""
+        }.mkString(",\n")
+        s"""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+            cand AS (
+              SELECT node AS a, node + 1 AS b FROM nodes WHERE node % 10 <> 0
+              UNION
+              SELECT ((node - 1) // 10) * 10 + 1 AS a, node AS b FROM nodes
+               WHERE ((node - 1) // 10) * 10 + 1 <> node),
+            und AS (SELECT a, b FROM cand e
+                    WHERE EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.a)
+                      AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+            nbrs AS (SELECT a AS node, b AS nbr FROM und
+                     UNION ALL SELECT b AS node, a AS nbr FROM und),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            $rounds
+            SELECT label, count(*) AS n_nodes FROM l3
+            GROUP BY label ORDER BY label"""
+      },
+      doc = "synchronous label-propagation communities (3 exact rounds, " +
+        "most-frequent neighbor label, min-label ties): per-community size table")
   )
 }
