@@ -2120,6 +2120,66 @@ object RelationalQueries {
       doc = "per-user daily EWMA with alpha=1/2: identical left fold (one add + " +
         "exact halving per step) in both engines — deterministic smoothing"),
 
+    // ---- CUSUM changepoint statistic per event type: Page's test
+    // computed NOT as a sequential fold but via the exact prefix-sum
+    // identity S+_t = C_t − min_{0≤j≤t} C_j (and mirrored for S−), where
+    // C is the running sum of (cents − target). That turns the stateful
+    // recurrence into two plain cumulative windows partitioned by type —
+    // shuffle-free beyond one type-keyed exchange, exact integers
+    // throughout, and the identity (not the engine's fold order) is the
+    // cross-engine contract. Target = per-type mean floor; alarm when
+    // either side exceeds it.
+    GQuery("ts_cusum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        val target = daily.groupBy(col("event_type"))
+          .agg(expr("sum(cents) div count(1)").as("mu"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(broadcast(target), Seq("event_type"))
+          .withColumn("c", sum(col("cents") - col("mu")).over(w))
+          .withColumn("cusum_pos",
+            col("c") - least(lit(0L), min(col("c")).over(w)))
+          .withColumn("cusum_neg",
+            greatest(lit(0L), max(col("c")).over(w)) - col("c"))
+          .withColumn("changepoint",
+            col("cusum_pos") > col("mu") || col("cusum_neg") > col("mu"))
+          .select(col("event_type"), col("d"), col("cents"),
+            col("cusum_pos"), col("cusum_neg"), col("changepoint"))
+          .orderBy(col("event_type"), col("d"))
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2),
+              tgt AS (
+                SELECT event_type,
+                       CAST(SUM(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+                FROM daily GROUP BY event_type),
+              c AS (
+                SELECT d.event_type, d.d, d.cents, t.mu,
+                       SUM(d.cents - t.mu) OVER (PARTITION BY d.event_type
+                         ORDER BY d.d ROWS UNBOUNDED PRECEDING) AS c
+                FROM daily d JOIN tgt t USING (event_type)),
+              s AS (
+                SELECT event_type, d, cents, mu,
+                       c - LEAST(0, MIN(c) OVER w) AS cusum_pos,
+                       GREATEST(0, MAX(c) OVER w) - c AS cusum_neg
+                FROM c WINDOW w AS (PARTITION BY event_type ORDER BY d
+                                    ROWS UNBOUNDED PRECEDING))
+              SELECT event_type, d, cents,
+                     CAST(cusum_pos AS BIGINT) AS cusum_pos,
+                     CAST(cusum_neg AS BIGINT) AS cusum_neg,
+                     (cusum_pos > mu OR cusum_neg > mu) AS changepoint
+              FROM s ORDER BY event_type, d"""),
+      doc = "CUSUM changepoint detection per event type via the exact " +
+        "prefix-sum identity (two cumulative windows, no sequential fold); " +
+        "integer cents, per-type mean target, both-sided alarm"),
+
     // ---- Sliding exact MEDIAN over each user's trailing 7-day window —
     // the robust moving statistic w2's moving AVERAGE can't give (one
     // outlier day wrecks a mean; the median shrugs). No native moving-
