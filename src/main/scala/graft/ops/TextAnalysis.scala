@@ -650,4 +650,48 @@ object TextAnalysis {
         (col("freq_sum").cast("double") / col("n_tokens")).as("mean_token_freq"),
         col("min_token_freq"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
+    * maximal stopword-free token runs (gaps-and-islands: pos −
+    * row_number over non-stop tokens per doc), each word scores
+    * deg/freq where deg sums the lengths of the phrases its occurrences
+    * sit in, and a phrase scores the sum of its member-word scores.
+    * Scores ride as milli-scaled integers ((1000·deg) div freq — both
+    * engines truncate identically on positive operands), so the whole
+    * pipeline is exact. Top-`topN` phrases per doc, ties broken by first
+    * occurrence.
+    *
+    * Scale: every shuffle is keyed by doc_id or (doc_id, token); per-doc
+    * work is linear in document length. The doc-partitioned windows never
+    * see more rows than the longest document.
+    */
+  def rakeKeywords(docs: DataFrame, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopList = stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    val toks = withTokens(docs)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val wGrp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val member = toks.filter(not(expr(s"tok IN ($stopList)")))
+      .withColumn("grp", col("pos") - row_number().over(wGrp))
+    val phrases = member.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("n_words"), min(col("pos")).as("ppos"),
+        concat_ws(" ",
+          expr("transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("phrase"))
+    val wordScores = member
+      .join(phrases.select(col("doc_id"), col("grp"), col("n_words")),
+        Seq("doc_id", "grp"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(expr("(1000 * sum(n_words)) div count(1)").as("wscore"))
+    val scored = member.join(wordScores, Seq("doc_id", "tok"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("wscore")).as("score_milli"))
+      .join(phrases, Seq("doc_id", "grp"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_milli").desc, col("ppos"))
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("rank"), col("phrase"),
+        col("n_words"), col("score_milli"))
+  }
 }

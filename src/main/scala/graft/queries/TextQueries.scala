@@ -1085,6 +1085,44 @@ object TextQueries {
       Some(s"""SELECT t.token, count(*) AS freq
               FROM (SELECT unnest($toksSql) AS token FROM documents) t
               GROUP BY t.token ORDER BY freq DESC, t.token"""),
-      doc = "corpus token histogram (explode → shuffle-bearing count)")
+      doc = "corpus token histogram (explode → shuffle-bearing count)"),
+
+    // ---- RAKE keywords: stopword-delimited candidate phrases scored by
+    // summed member deg/freq — the unsupervised keyword pass next to
+    // TF-IDF (corpus-relative) and BM25 (query-relative). Integer
+    // milli-scores keep it hash-exact.
+    GQuery("text_rake_keywords",
+      (s, dir) => TextAnalysis.rakeKeywords(Tables.documents(s, dir), topN = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |post AS (
+              |  SELECT doc_id, CAST(p AS INT) - 1 AS pos, toks[CAST(p AS INT)] AS tok
+              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM t)),
+              |member AS (
+              |  SELECT doc_id, pos, tok,
+              |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              |  FROM post WHERE tok NOT IN ('the', 'a', 'of', 'and', 'is')),
+              |phrases AS (
+              |  SELECT doc_id, grp, count(*) AS n_words, min(pos) AS ppos,
+              |         string_agg(tok, ' ' ORDER BY pos) AS phrase
+              |  FROM member GROUP BY doc_id, grp),
+              |ws AS (
+              |  SELECT m.doc_id, m.tok,
+              |         (1000 * CAST(SUM(p.n_words) AS BIGINT)) // CAST(count(*) AS BIGINT) AS wscore
+              |  FROM member m JOIN phrases p USING (doc_id, grp)
+              |  GROUP BY m.doc_id, m.tok),
+              |sc AS (
+              |  SELECT m.doc_id, m.grp, CAST(SUM(w.wscore) AS BIGINT) AS score_milli
+              |  FROM member m JOIN ws w ON w.doc_id = m.doc_id AND w.tok = m.tok
+              |  GROUP BY m.doc_id, m.grp),
+              |ranked AS (
+              |  SELECT s.doc_id, s.score_milli, p.phrase, p.n_words, p.ppos,
+              |         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+              |           ORDER BY s.score_milli DESC, p.ppos) AS rank
+              |  FROM sc s JOIN phrases p USING (doc_id, grp))
+              |SELECT doc_id, CAST(rank AS INT) AS rank, phrase, n_words, score_milli
+              |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+      doc = "RAKE keyword extraction: stopword-free phrase islands, " +
+        "integer milli-scaled deg/freq word scores, top-3 phrases per doc")
   )
 }
