@@ -1099,6 +1099,38 @@ object RelationalQueries {
         "from the bounded count-value histogram + lexicographic struct-max " +
         "heaviest key — the salting/AQE decision input"),
 
+    // ---- Join-cardinality explosion census — the OTHER planner input
+    // next to agg_key_skew: the exact output size of a planned self-equi-
+    // join (Σ_k n_k²) and the keys that dominate it. One map-side-combined
+    // count per key, one scalar total, top-10 via TakeOrderedAndProject —
+    // no window, no second corpus pass. The per-10k contribution column is
+    // the "this one key is 30% of your join output" signal that decides
+    // salting/filtering BEFORE the 100-TB shuffle is launched.
+    GQuery("join_cardinality_census",
+      (s, dir) => {
+        val counts = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+          .withColumn("pairs", col("c") * col("c"))
+        val tot = counts.agg(sum(col("pairs")).as("total_pairs"),
+          count(lit(1)).as("n_keys"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("l_partkey"), col("c").as("n_rows"), col("pairs"),
+            expr("pairs * 10000 div total_pairs").as("pairs_per_10k"),
+            col("total_pairs"), col("n_keys"))
+          .orderBy(col("pairs").desc, col("l_partkey"))
+          .limit(10)
+      },
+      Some("""WITH k AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+                         FROM lineitem GROUP BY l_partkey),
+              t AS (SELECT CAST(SUM(c * c) AS BIGINT) AS total_pairs,
+                           CAST(count(*) AS BIGINT) AS n_keys FROM k)
+              SELECT k.l_partkey, k.c AS n_rows, k.c * k.c AS pairs,
+                     k.c * k.c * 10000 // t.total_pairs AS pairs_per_10k,
+                     t.total_pairs, t.n_keys
+              FROM k, t ORDER BY pairs DESC, l_partkey LIMIT 10"""),
+      doc = "join-cardinality explosion census: exact self-join output size " +
+        "per key (n_k^2) + total + top-10 dominating keys, no window/second pass"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
