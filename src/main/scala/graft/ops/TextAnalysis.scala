@@ -651,6 +651,48 @@ object TextAnalysis {
         col("min_token_freq"))
   }
 
+  /** χ² (chi-square) token↔class feature selection (the Manning-IR
+    * alternative to mutual information, chosen because it is LOG-FREE and
+    * therefore exact cross-engine): for each (token, class) presence
+    * 2×2 table — N11 docs of the class containing the token, N10/N01/N00
+    * derived from the marginals — the statistic
+    * N·(N11·N00 − N10·N01)² / (df_w·(N−df_w)·n_c·(N−n_c)) rides as a
+    * 10⁴-scaled integer; intermediates go through decimal(38,0)
+    * (HUGEINT on the oracle side) because the squared delta times N·10⁴
+    * overflows int64 beyond ~5k docs. Low-df tokens are floored out
+    * (χ² is unreliable below ~5 observations) and all-docs tokens are
+    * dropped (zero denominator).
+    *
+    * Scale: presence lists are distinct (doc, token) pairs — the TF-IDF
+    * posting shape; marginals are one combinable count each; the class
+    * table and scalar total are broadcast. No window, no second pass.
+    */
+  def chi2FeatureSelection(docs: DataFrame, classCol: String = "lang",
+                           minDf: Long = 5L, topN: Int = 20): DataFrame = {
+    val d = withTokens(docs)
+      .select(col("doc_id"), col(classCol).as("cls"),
+        explode(array_distinct(col("toks"))).as("token"))
+    val nTotal = docs.agg(count(lit(1)).as("n_docs"))
+    val nClass = docs.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("n_c"))
+    val dfW = d.groupBy(col("token")).agg(count(lit(1)).as("df_w"))
+    d.groupBy(col("token"), col("cls")).agg(count(lit(1)).as("df_wc"))
+      .join(dfW, Seq("token"))
+      .join(broadcast(nClass), Seq("cls"))
+      .crossJoin(broadcast(nTotal))
+      .filter(col("df_w") >= minDf && col("df_w") < col("n_docs"))
+      .withColumn("delta",
+        col("df_wc") * (col("n_docs") - col("n_c") - (col("df_w") - col("df_wc"))) -
+          (col("df_w") - col("df_wc")) * (col("n_c") - col("df_wc")))
+      .withColumn("chi2_e4", expr(
+        """(10000 * CAST(n_docs AS DECIMAL(38,0)) * CAST(delta AS DECIMAL(38,0)) * CAST(delta AS DECIMAL(38,0)))
+           div (CAST(df_w AS DECIMAL(38,0)) * (n_docs - df_w) * n_c * (n_docs - n_c))"""))
+      .select(col("token"), col("cls"), col("df_wc"), col("df_w"),
+        col("n_c"), col("chi2_e4"))
+      .orderBy(col("chi2_e4").desc, col("token"), col("cls"))
+      .limit(topN)
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
     * maximal stopword-free token runs (gaps-and-islands: pos −
     * row_number over non-stop tokens per doc), each word scores

@@ -1123,6 +1123,36 @@ object TextQueries {
               |SELECT doc_id, CAST(rank AS INT) AS rank, phrase, n_words, score_milli
               |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
       doc = "RAKE keyword extraction: stopword-free phrase islands, " +
-        "integer milli-scaled deg/freq word scores, top-3 phrases per doc")
+        "integer milli-scaled deg/freq word scores, top-3 phrases per doc"),
+
+    // ---- χ² token↔class feature selection: which tokens are the
+    // language's signature — the supervised sibling of TF-IDF. Log-free
+    // (unlike MI), so exact; decimal/HUGEINT intermediates because
+    // N·delta²·10⁴ overflows int64 past ~5k docs.
+    GQuery("text_feature_chi2",
+      (s, dir) => TextAnalysis.chi2FeatureSelection(Tables.documents(s, dir),
+        classCol = "lang", minDf = 5L, topN = 20),
+      Some(s"""WITH d AS (
+              |  SELECT DISTINCT doc_id, lang AS cls, t.tok AS token
+              |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents) t),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              |ncls AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_c
+              |         FROM documents GROUP BY lang),
+              |dfw AS (SELECT token, CAST(count(*) AS BIGINT) AS df_w FROM d GROUP BY token),
+              |dfwc AS (SELECT token, cls, CAST(count(*) AS BIGINT) AS df_wc
+              |         FROM d GROUP BY token, cls),
+              |j AS (
+              |  SELECT w.token, w.cls, w.df_wc, f.df_w, c.n_c, t.n_docs,
+              |         w.df_wc * (t.n_docs - c.n_c - (f.df_w - w.df_wc))
+              |           - (f.df_w - w.df_wc) * (c.n_c - w.df_wc) AS delta
+              |  FROM dfwc w JOIN dfw f USING (token) JOIN ncls c USING (cls), tot t
+              |  WHERE f.df_w >= 5 AND f.df_w < t.n_docs)
+              |SELECT token, cls, df_wc, df_w, n_c,
+              |       CAST((10000 * CAST(n_docs AS HUGEINT) * delta * delta)
+              |            // (CAST(df_w AS HUGEINT) * (n_docs - df_w) * n_c * (n_docs - n_c))
+              |            AS BIGINT) AS chi2_e4
+              |FROM j ORDER BY chi2_e4 DESC, token, cls LIMIT 20""".stripMargin),
+      doc = "chi-square token/class feature selection: exact log-free 2x2 " +
+        "presence statistic, 1e4-scaled integer, top-20 class-signature tokens")
   )
 }
