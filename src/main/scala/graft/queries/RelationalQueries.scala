@@ -1131,6 +1131,57 @@ object RelationalQueries {
       doc = "join-cardinality explosion census: exact self-join output size " +
         "per key (n_k^2) + total + top-10 dominating keys, no window/second pass"),
 
+    // ---- Last-touch marketing attribution: each purchase's cents go to
+    // the user's most recent click/view inside a 3-day lookback, else
+    // 'direct'. Deliberately NOT the ASOF-join shape: equal-timestamp
+    // touches make ASOF nondeterministic in both engines, so the touch is
+    // a lexicographic struct-argmax (ts, then channel) over a BANDED
+    // interval join — per-purchase fan-out bounded by the user's 3-day
+    // touch count (the unbounded-lookback alternative is ops/AsOfJoin's
+    // union+window form). One user-keyed shuffle; cents exact.
+    GQuery("attr_last_touch",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        val t = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+            col("event_type").as("ch"))
+        p.join(t, col("t_user") === col("user_id") &&
+            col("t_ts") <= col("p_ts") &&
+            expr("unix_micros(p_ts) - unix_micros(t_ts) <= 3 * 86400000000"),
+            "left")
+          .groupBy(col("event_id"), col("cents"))
+          .agg(max(when(col("t_ts").isNotNull,
+            struct(col("t_ts"), col("ch")))).as("touch"))
+          .select(col("cents"),
+            coalesce(col("touch.ch"), lit("direct")).as("channel"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("cents")).as("attributed_cents"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts AS p_ts,
+                                CAST(floor(value * 100) AS BIGINT) AS cents
+                         FROM events WHERE event_type = 'purchase'),
+              t AS (SELECT user_id AS t_user, ts AS t_ts, event_type AS ch
+                    FROM events WHERE event_type IN ('click', 'view')),
+              lt AS (
+                SELECT p.event_id, p.cents,
+                       max(CASE WHEN t.t_ts IS NOT NULL
+                                THEN {'t': t.t_ts, 'ch': t.ch} END) AS touch
+                FROM p LEFT JOIN t ON t.t_user = p.user_id AND t.t_ts <= p.p_ts
+                     AND epoch_us(p.p_ts) - epoch_us(t.t_ts) <= 3 * 86400000000
+                GROUP BY p.event_id, p.cents)
+              SELECT COALESCE(touch.ch, 'direct') AS channel,
+                     count(*) AS n_purchases,
+                     CAST(SUM(cents) AS BIGINT) AS attributed_cents
+              FROM lt GROUP BY 1 ORDER BY 1"""),
+      doc = "last-touch attribution: purchase cents to the latest click/view " +
+        "in a 3-day lookback via deterministic struct-argmax (ASOF ties are " +
+        "nondeterministic), 'direct' fallback; per-channel exact report"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
