@@ -185,6 +185,41 @@ object Multimodal {
     }.toDF("doc_id", "window_no", "n_samples", "rms", "peak")
   }
 
+  /** Voice-activity segmentation over the decoded PCM stream: per-window
+    * integer energy (sum of squares — no division, no floats), a window is
+    * SPEECH when energy ≥ thr²·n (the integer form of rms ≥ thr), and
+    * maximal consecutive speech runs become segments via gaps-and-islands
+    * (window_no − row_number per doc). The silence-split deliverable a
+    * speech pipeline cuts clips with, one step past [[windowRms]]'s raw
+    * feature pass; same codec boundary, payload bytes never shuffle, the
+    * islands windows are doc-partitioned.
+    */
+  def silenceSegments(media: Dataset[MediaRow], windowSamples: Int = 128,
+                      thr: Int = 100,
+                      codec: MediaRow => Array[Int] = StubPcm.samples): DataFrame = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wins = media.flatMap { r =>
+      codec(r).grouped(windowSamples).zipWithIndex.map { case (s, i) =>
+        var sumSq = 0L
+        s.foreach { v => sumSq += v.toLong * v }
+        (r.doc_id, i, s.length, sumSq)
+      }
+    }.toDF("doc_id", "window_no", "n_samples", "energy")
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("window_no"))
+    wins.filter(col("energy") >= lit(thr.toLong * thr) * col("n_samples"))
+      .withColumn("grp", col("window_no") - row_number().over(wOrd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("window_no")).as("start_window"),
+        max(col("window_no")).as("end_window"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("energy_sum"))
+      .withColumn("seg_no", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("start_window"))).cast("int"))
+      .select(col("doc_id"), col("seg_no"), col("start_window"),
+        col("end_window"), col("n_windows"), col("energy_sum"))
+  }
+
   /** Pure integer k×k box downsample of a row-major pixel grid — the
     * resize kernel itself, decoder-agnostic: the census below feeds it
     * stub-grid pixels (payload bytes as a `srcW`-wide u8 grid), and

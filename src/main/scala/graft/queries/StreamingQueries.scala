@@ -605,6 +605,49 @@ object StreamingQueries {
       // A non-ASCII corpus would need a byte-level oracle, not a Spark fix.
       doc = "multimodal: audio-shaped per-window RMS energy + peak over the opaque payload"),
 
+    // ---- Silence-split segmentation (the VAD deliverable one step past
+    // mm_audio_rms's features): integer energy ≥ thr²·n marks speech,
+    // consecutive speech windows island into segments. Same stub-codec
+    // convention (see mm_audio_rms NOTE: ASCII corpus ⇒ byte == char).
+    GQuery("mm_audio_silence_segments",
+      (s, dir) => Multimodal.silenceSegments(
+          Multimodal.asMediaTable(s, Tables.documents(s, dir)),
+          windowSamples = 128, thr = 100)
+        .orderBy(col("doc_id"), col("seg_no")),
+      Some("""WITH b AS (
+                SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents),
+              w AS (
+                SELECT doc_id, text, L,
+                       unnest(range(0, CAST(ceil(L / 128.0) AS BIGINT))) AS wn
+                FROM b),
+              sized AS (
+                SELECT doc_id, text, wn,
+                       CASE WHEN (wn + 1) * 128 <= L THEN 128 ELSE L - wn * 128 END AS n
+                FROM w),
+              en AS (
+                SELECT doc_id, CAST(wn AS INT) AS window_no, n,
+                       CAST(list_sum(list_transform(range(wn * 128 + 1, wn * 128 + n + 1),
+                              j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)
+                                   * CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))) AS BIGINT) AS energy
+                FROM sized),
+              sp AS (
+                SELECT doc_id, window_no, energy,
+                       window_no - ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY window_no) AS grp
+                FROM en WHERE energy >= 10000 * n),
+              seg AS (
+                SELECT doc_id, grp, min(window_no) AS start_window,
+                       max(window_no) AS end_window, count(*) AS n_windows,
+                       CAST(SUM(energy) AS BIGINT) AS energy_sum
+                FROM sp GROUP BY doc_id, grp)
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY start_window) AS INT) AS seg_no,
+                     start_window, end_window, n_windows, energy_sum
+              FROM seg ORDER BY doc_id, seg_no"""),
+      doc = "multimodal: silence-split VAD segmentation — integer speech " +
+        "threshold (energy >= thr^2 * n), gaps-and-islands speech segments"),
+
     // ---- Image-resize census: k×k integer box downsample of the payload
     // as a 16-wide u8 grid (the thumbnail pass; same stub-codec convention
     // as the other mm_* — MultimodalSpec drives the SAME kernel over real
