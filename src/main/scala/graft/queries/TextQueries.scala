@@ -1153,6 +1153,57 @@ object TextQueries {
               |            AS BIGINT) AS chi2_e4
               |FROM j ORDER BY chi2_e4 DESC, token, cls LIMIT 20""".stripMargin),
       doc = "chi-square token/class feature selection: exact log-free 2x2 " +
-        "presence statistic, 1e4-scaled integer, top-20 class-signature tokens")
+        "presence statistic, 1e4-scaled integer, top-20 class-signature tokens"),
+
+    // ---- Heaps'-law vocabulary growth: cumulative distinct types vs
+    // cumulative tokens across corpus deciles. "First occurrence" makes
+    // cumulative-distinct ONE min per token (no per-prefix re-distinct);
+    // deciles contract everything to 10 rows before the only
+    // unpartitioned window (adjudicated in PlanAuditSpec).
+    GQuery("text_vocab_growth",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val md = docs.agg((max(col("doc_id")) + 1).as("md"))
+        val docAgg = docs.crossJoin(broadcast(md))
+          .groupBy(expr("doc_id * 10 div md").as("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("n_tokens"))
+        val firstDoc = TextAnalysis.withTokens(docs)
+          .select(col("doc_id"), explode(col("toks")).as("token"))
+          .groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+        val newTypes = firstDoc.crossJoin(broadcast(md))
+          .groupBy(expr("fd * 10 div md").as("decile"))
+          .agg(count(lit(1)).as("new_types"))
+        val w = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docAgg.join(newTypes, Seq("decile"), "left")
+          .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("cum_types", sum(col("new_types")).over(w))
+          .select(col("decile"), col("n_docs"), col("n_tokens"),
+            col("cum_tokens"), col("new_types"), col("cum_types"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""WITH md AS (SELECT max(doc_id) + 1 AS md FROM documents),
+              |docagg AS (
+              |  SELECT doc_id * 10 // md.md AS decile, count(*) AS n_docs,
+              |         CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tokens
+              |  FROM documents, md GROUP BY 1),
+              |tk AS (SELECT t.tok AS token, min(doc_id) AS fd
+              |       FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) t
+              |       GROUP BY t.tok),
+              |nt AS (SELECT fd * 10 // md.md AS decile, count(*) AS new_types
+              |       FROM tk, md GROUP BY 1)
+              |SELECT d.decile, d.n_docs, d.n_tokens,
+              |       CAST(SUM(d.n_tokens) OVER (ORDER BY d.decile
+              |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+              |       COALESCE(n.new_types, 0) AS new_types,
+              |       CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY d.decile
+              |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+              |FROM docagg d LEFT JOIN nt n USING (decile)
+              |ORDER BY d.decile""".stripMargin),
+      doc = "Heaps'-law vocab growth: cumulative types vs tokens per corpus " +
+        "decile — first-occurrence min per token, 10-row bounded window")
   )
 }

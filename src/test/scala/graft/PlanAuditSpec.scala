@@ -321,7 +321,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // tiny bucket-offset window
     "prep_range_shards" -> Set(Set("n_chars")),
     "prep_shard_assignment" -> Set(Set("doc_id")),
-    "prep_systematic_sample" -> Set(Set("doc_id")))
+    "prep_systematic_sample" -> Set(Set("doc_id")),
+    // decile contraction: grouping expr doc_id*10 div md (md = scalar
+    // max+1 broadcast) yields exactly 10 rows before the cumulative window
+    "text_vocab_growth" -> Set(Set("doc_id", "md")))
 
   private def windowOffenders(name: String,
       df: org.apache.spark.sql.DataFrame): Seq[String] = {
