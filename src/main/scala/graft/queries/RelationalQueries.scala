@@ -20,6 +20,35 @@ object RelationalQueries {
 
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** ts_cusum's oracle — shared verbatim by streaming_cusum_state, whose
+    * drained final emission must equal the batch trajectory.
+    */
+  private[queries] val cusumOracleSql: String =
+    """WITH daily AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2),
+       tgt AS (
+         SELECT event_type,
+                CAST(SUM(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+         FROM daily GROUP BY event_type),
+       c AS (
+         SELECT d.event_type, d.d, d.cents, t.mu,
+                SUM(d.cents - t.mu) OVER (PARTITION BY d.event_type
+                  ORDER BY d.d ROWS UNBOUNDED PRECEDING) AS c
+         FROM daily d JOIN tgt t USING (event_type)),
+       s AS (
+         SELECT event_type, d, cents, mu,
+                c - LEAST(0, MIN(c) OVER w) AS cusum_pos,
+                GREATEST(0, MAX(c) OVER w) - c AS cusum_neg
+         FROM c WINDOW w AS (PARTITION BY event_type ORDER BY d
+                             ROWS UNBOUNDED PRECEDING))
+       SELECT event_type, d, cents,
+              CAST(cusum_pos AS BIGINT) AS cusum_pos,
+              CAST(cusum_neg AS BIGINT) AS cusum_neg,
+              (cusum_pos > mu OR cusum_neg > mu) AS changepoint
+       FROM s ORDER BY event_type, d"""
+
   val all: Seq[GQuery] = Seq(
 
     // ---- O1: JSON field extraction (couriers_stg_to_dds.sql:4, deliveries_stg_to_dds.sql:4-10)
@@ -2235,30 +2264,7 @@ object RelationalQueries {
             col("cusum_pos"), col("cusum_neg"), col("changepoint"))
           .orderBy(col("event_type"), col("d"))
       },
-      Some("""WITH daily AS (
-                SELECT event_type, epoch_us(ts) // 86400000000 AS d,
-                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
-                FROM events GROUP BY 1, 2),
-              tgt AS (
-                SELECT event_type,
-                       CAST(SUM(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
-                FROM daily GROUP BY event_type),
-              c AS (
-                SELECT d.event_type, d.d, d.cents, t.mu,
-                       SUM(d.cents - t.mu) OVER (PARTITION BY d.event_type
-                         ORDER BY d.d ROWS UNBOUNDED PRECEDING) AS c
-                FROM daily d JOIN tgt t USING (event_type)),
-              s AS (
-                SELECT event_type, d, cents, mu,
-                       c - LEAST(0, MIN(c) OVER w) AS cusum_pos,
-                       GREATEST(0, MAX(c) OVER w) - c AS cusum_neg
-                FROM c WINDOW w AS (PARTITION BY event_type ORDER BY d
-                                    ROWS UNBOUNDED PRECEDING))
-              SELECT event_type, d, cents,
-                     CAST(cusum_pos AS BIGINT) AS cusum_pos,
-                     CAST(cusum_neg AS BIGINT) AS cusum_neg,
-                     (cusum_pos > mu OR cusum_neg > mu) AS changepoint
-              FROM s ORDER BY event_type, d"""),
+      Some(cusumOracleSql),
       doc = "CUSUM changepoint detection per event type via the exact " +
         "prefix-sum identity (two cumulative windows, no sequential fold); " +
         "integer cents, per-type mean target, both-sided alarm"),

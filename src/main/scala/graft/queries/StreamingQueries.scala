@@ -132,6 +132,19 @@ object StreamingQueries {
         "incremental fold, final emission == batch sketch (shared oracle) — " +
         "constant-memory streaming cardinality"),
 
+    // ---- CUSUM as STREAMING STATE: the live drift monitor. The
+    // order-dependent fold is made streamable by keeping the calendar-
+    // bounded day→cents MapState (additive, arrival-order-independent)
+    // and deriving the exact trajectory at emission; final drain ==
+    // batch ts_cusum, oracle shared verbatim.
+    GQuery("streaming_cusum_state",
+      (s, dir) => graft.streaming.CusumState.cusumStateDrain(s, dir)
+        .orderBy(col("event_type"), col("d")),
+      Some(RelationalQueries.cusumOracleSql),
+      doc = "CUSUM in transformWithState: calendar-bounded day->cents MapState " +
+        "per type, exact trajectory derived per emission; drained final == " +
+        "batch ts_cusum (shared oracle)"),
+
     GQuery("streaming_interval_join",
       (s, dir) => graft.streaming.StreamJoin.viewPurchasePairs(s, dir, windowMinutes = 30)
         .orderBy(col("user_id"), col("view_event"), col("buy_event")),
