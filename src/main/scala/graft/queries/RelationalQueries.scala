@@ -1211,6 +1211,74 @@ object RelationalQueries {
         "in a 3-day lookback via deterministic struct-argmax (ASOF ties are " +
         "nondeterministic), 'direct' fallback; per-channel exact report"),
 
+    // ---- Table-level expectation suite (the dbt-tests / Great-
+    // Expectations deliverable; row-level constraint quarantine is S7):
+    // uniqueness, two referential-integrity checks, not-null, accepted
+    // range, event freshness, minimum row count — each ONE aggregate or
+    // anti-join over its table, unioned into a single pass/fail report.
+    // At 100 TB each check is an independent scan-shaped job; none holds
+    // state beyond a count, and the anti-joins broadcast the key side
+    // when small or shuffle on the FK otherwise — planner's choice.
+    GQuery("audit_expectations",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        val cust = Tables.customer(s, dir)
+        val ev = Tables.events(s, dir)
+        def named(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(name).as("check_name"),
+            col("n_violations").cast("long").as("n_violations"))
+        named("fk_lineitem_orders",
+            li.join(orders.select(col("o_orderkey")),
+                col("l_orderkey") === col("o_orderkey"), "left_anti")
+              .agg(count(lit(1)).as("n_violations")))
+          .unionByName(named("fk_orders_customer",
+            orders.join(cust.select(col("c_custkey")),
+                col("o_custkey") === col("c_custkey"), "left_anti")
+              .agg(count(lit(1)).as("n_violations"))))
+          .unionByName(named("freshness_events_jan2024",
+            ev.agg(count(when(col("ts") < lit("2024-01-01").cast("timestamp") ||
+                col("ts") >= lit("2024-02-01").cast("timestamp"), lit(1)))
+              .as("n_violations"))))
+          .unionByName(named("not_null_o_orderdate",
+            orders.agg(count(when(col("o_orderdate").isNull, lit(1)))
+              .as("n_violations"))))
+          .unionByName(named("range_l_quantity_1_50",
+            li.agg(count(when(col("l_quantity") < 1 || col("l_quantity") > 50,
+              lit(1))).as("n_violations"))))
+          .unionByName(named("rowcount_lineitem_min1000",
+            li.agg(when(count(lit(1)) >= 1000, lit(0L)).otherwise(lit(1L))
+              .as("n_violations"))))
+          .unionByName(named("unique_o_orderkey",
+            orders.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+              .as("n_violations"))))
+          .withColumn("pass", col("n_violations") === 0)
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH checks AS (
+                SELECT 'fk_lineitem_orders' AS check_name,
+                       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+                UNION ALL SELECT 'fk_orders_customer',
+                       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                UNION ALL SELECT 'freshness_events_jan2024',
+                       (SELECT count(*) FROM events
+                        WHERE ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2024-02-01')
+                UNION ALL SELECT 'not_null_o_orderdate',
+                       (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+                UNION ALL SELECT 'range_l_quantity_1_50',
+                       (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+                UNION ALL SELECT 'rowcount_lineitem_min1000',
+                       (SELECT CASE WHEN count(*) >= 1000 THEN 0 ELSE 1 END FROM lineitem)
+                UNION ALL SELECT 'unique_o_orderkey',
+                       (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
+              SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+                     n_violations = 0 AS pass
+              FROM checks ORDER BY check_name"""),
+      doc = "table-level expectation suite: uniqueness, referential integrity, " +
+        "not-null, range, freshness, min row count — one pass/fail report"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic

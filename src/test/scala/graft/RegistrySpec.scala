@@ -25,8 +25,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("inventory count tripwire") {
-    assert(QueryRegistry.all.size == 242,
-      s"expected 242 queries, found ${QueryRegistry.all.size} — if you added " +
+    assert(QueryRegistry.all.size == 243,
+      s"expected 243 queries, found ${QueryRegistry.all.size} — if you added " +
         "one on purpose, bump this count and sync COVERAGE.md/README.md")
   }
 }
