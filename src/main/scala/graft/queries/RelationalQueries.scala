@@ -1279,6 +1279,85 @@ object RelationalQueries {
       doc = "table-level expectation suite: uniqueness, referential integrity, " +
         "not-null, range, freshness, min row count — one pass/fail report"),
 
+    // ---- Merkle-style anti-entropy diff: is replica == primary, WITHOUT
+    // comparing every row across the wire? Level 1: per-bucket digests
+    // (bit_xor of row hashes — order-independent, overflow-free — plus a
+    // row count for xor-cancellation blindness) from ONE scan per side;
+    // level 2: the row-level full-outer compare runs ONLY inside
+    // mismatched buckets (left_semi prune). At 100 TB with drift confined
+    // to few buckets, level 2 touches a vanishing fraction of the data —
+    // the Cassandra/DynamoDB repair shape as a declarative plan. The
+    // replica is the primary with injected drift (1 changed + 1 deleted
+    // key per 1000) so the diff surface is deterministic.
+    GQuery("audit_merkle_diff",
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val replica = base.filter(col("o_orderkey") % 1000 =!= 13)
+          .withColumn("cents", when(col("o_orderkey") % 1000 === 7,
+            col("cents") + 1).otherwise(col("cents")))
+        def hashed(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("rh", expr(
+            "CAST(conv(substring(md5(concat_ws('|', o_orderkey, o_orderstatus, cents)), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("bucket", expr("o_orderkey div 100"))
+        val pb = hashed(base).groupBy(col("bucket"))
+          .agg(expr("bit_xor(rh)").as("p_dig"), count(lit(1)).as("p_n"))
+        val rb = hashed(replica).groupBy(col("bucket"))
+          .agg(expr("bit_xor(rh)").as("r_dig"), count(lit(1)).as("r_n"))
+        val bad = pb.join(rb, Seq("bucket"), "full_outer")
+          .filter(not(col("p_dig") <=> col("r_dig")) || not(col("p_n") <=> col("r_n")))
+          .select(col("bucket"))
+        val pd = hashed(base).join(bad, Seq("bucket"), "left_semi")
+          .select(col("o_orderkey"), col("rh").as("p_rh"))
+        val rd = hashed(replica).join(bad, Seq("bucket"), "left_semi")
+          .select(col("o_orderkey"), col("rh").as("r_rh"))
+        pd.join(rd, Seq("o_orderkey"), "full_outer")
+          .withColumn("diff_type", when(col("r_rh").isNull, "missing_replica")
+            .when(col("p_rh").isNull, "missing_primary")
+            .when(col("p_rh") =!= col("r_rh"), "changed"))
+          .filter(col("diff_type").isNotNull)
+          .select(col("o_orderkey"), col("diff_type"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders),
+              replica AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 1000 = 7 THEN cents + 1
+                            ELSE cents END AS cents
+                FROM base WHERE o_orderkey % 1000 <> 13),
+              ph AS (SELECT *,
+                       CAST('0x' || substr(md5(o_orderkey || '|' || o_orderstatus || '|' || cents), 1, 15) AS BIGINT) AS rh,
+                       o_orderkey // 100 AS bucket FROM base),
+              rh AS (SELECT *,
+                       CAST('0x' || substr(md5(o_orderkey || '|' || o_orderstatus || '|' || cents), 1, 15) AS BIGINT) AS rh,
+                       o_orderkey // 100 AS bucket FROM replica),
+              pb AS (SELECT bucket, bit_xor(rh) AS p_dig, count(*) AS p_n FROM ph GROUP BY bucket),
+              rb AS (SELECT bucket, bit_xor(rh) AS r_dig, count(*) AS r_n FROM rh GROUP BY bucket),
+              bad AS (
+                SELECT COALESCE(pb.bucket, rb.bucket) AS bucket
+                FROM pb FULL OUTER JOIN rb ON pb.bucket = rb.bucket
+                WHERE pb.p_dig IS DISTINCT FROM rb.r_dig
+                   OR pb.p_n IS DISTINCT FROM rb.r_n),
+              pd AS (SELECT o_orderkey, rh AS p_rh FROM ph
+                     WHERE bucket IN (SELECT bucket FROM bad)),
+              rd AS (SELECT o_orderkey, rh AS r_rh FROM rh
+                     WHERE bucket IN (SELECT bucket FROM bad))
+              SELECT COALESCE(pd.o_orderkey, rd.o_orderkey) AS o_orderkey,
+                     CASE WHEN rd.r_rh IS NULL THEN 'missing_replica'
+                          WHEN pd.p_rh IS NULL THEN 'missing_primary'
+                          WHEN pd.p_rh <> rd.r_rh THEN 'changed' END AS diff_type
+              FROM pd FULL OUTER JOIN rd ON pd.o_orderkey = rd.o_orderkey
+              WHERE (CASE WHEN rd.r_rh IS NULL THEN 'missing_replica'
+                          WHEN pd.p_rh IS NULL THEN 'missing_primary'
+                          WHEN pd.p_rh <> rd.r_rh THEN 'changed' END) IS NOT NULL
+              ORDER BY o_orderkey"""),
+      doc = "Merkle-style anti-entropy diff: order-independent bit_xor bucket " +
+        "digests + counts, row-level compare only inside mismatched buckets"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
