@@ -1358,6 +1358,74 @@ object RelationalQueries {
       doc = "Merkle-style anti-entropy diff: order-independent bit_xor bucket " +
         "digests + counts, row-level compare only inside mismatched buckets"),
 
+    // ---- Mann-Whitney U (Wilcoxon rank-sum) A/B comparison — the
+    // nonparametric experiment readout. Ranks come from the VALUE-DOMAIN
+    // cents histogram (the agg_key_skew / prep_range_shards convention),
+    // never a rank window over raw rows: ties collapse to one histogram
+    // row whose doubled average rank 2·cum + n + 1 is INTEGER-exact (the
+    // ×2 absorbs the .5 of averaged tied ranks), so U×2 = 2R − n(n+1) is
+    // exact on both engines. The only window is a cumulative sum over the
+    // bounded histogram (adjudicated in PlanAuditSpec).
+    GQuery("ab_mann_whitney",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select((col("user_id") % 2).cast("int").as("variant"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        val hist = ev.groupBy(col("cents")).agg(
+          count(when(col("variant") === 0, lit(1))).as("n0"),
+          count(when(col("variant") === 1, lit(1))).as("n1"))
+        val w = Window.orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = hist
+          .withColumn("cum", coalesce(sum(col("n0") + col("n1")).over(w), lit(0L)))
+          .withColumn("ar2", lit(2L) * col("cum") + col("n0") + col("n1") + 1)
+        val sums = ranked.agg(
+          sum(col("n0")).as("na"), sum(col("n1")).as("nb"),
+          sum(col("n0") * col("ar2")).as("r2a"),
+          sum(col("n1") * col("ar2")).as("r2b"),
+          sum(col("n0") * col("cents")).as("ca"),
+          sum(col("n1") * col("cents")).as("cb"))
+        sums.select(lit(0).as("variant"), col("na").as("n"),
+            (col("ca").cast("double") / col("na")).as("mean_cents"),
+            col("r2a").as("r2_sum"),
+            (col("r2a") - col("na") * (col("na") + 1)).as("u2"))
+          .unionByName(sums.select(lit(1).as("variant"), col("nb").as("n"),
+            (col("cb").cast("double") / col("nb")).as("mean_cents"),
+            col("r2b").as("r2_sum"),
+            (col("r2b") - col("nb") * (col("nb") + 1)).as("u2")))
+          .orderBy(col("variant"))
+      },
+      Some("""WITH ev AS (
+                SELECT CAST(user_id % 2 AS INT) AS variant,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events),
+              hist AS (
+                SELECT cents,
+                       CAST(count(*) FILTER (variant = 0) AS BIGINT) AS n0,
+                       CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n1
+                FROM ev GROUP BY cents),
+              ranked AS (
+                SELECT cents, n0, n1,
+                       COALESCE(CAST(SUM(n0 + n1) OVER (ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+                FROM hist),
+              ar AS (SELECT *, 2 * cum + n0 + n1 + 1 AS ar2 FROM ranked),
+              sums AS (
+                SELECT CAST(SUM(n0) AS BIGINT) AS na, CAST(SUM(n1) AS BIGINT) AS nb,
+                       CAST(SUM(n0 * ar2) AS BIGINT) AS r2a,
+                       CAST(SUM(n1 * ar2) AS BIGINT) AS r2b,
+                       CAST(SUM(n0 * cents) AS BIGINT) AS ca,
+                       CAST(SUM(n1 * cents) AS BIGINT) AS cb
+                FROM ar)
+              SELECT 0 AS variant, na AS n, CAST(ca AS DOUBLE) / na AS mean_cents,
+                     r2a AS r2_sum, r2a - na * (na + 1) AS u2 FROM sums
+              UNION ALL
+              SELECT 1, nb, CAST(cb AS DOUBLE) / nb, r2b, r2b - nb * (nb + 1) FROM sums
+              ORDER BY variant"""),
+      doc = "Mann-Whitney U A/B readout: integer-exact doubled tied ranks from " +
+        "the value-domain histogram (no raw-row rank window), U2 = 2R - n(n+1)"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic

@@ -325,7 +325,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "prep_systematic_sample" -> Set(Set("doc_id")),
     // decile contraction: grouping expr doc_id*10 div md (md = scalar
     // max+1 broadcast) yields exactly 10 rows before the cumulative window
-    "text_vocab_growth" -> Set(Set("doc_id", "md")))
+    "text_vocab_growth" -> Set(Set("doc_id", "md")),
+    // cents value-domain histogram (floor(value*100) resolves to {value}):
+    // |distinct cents| rows before the cumulative-rank window
+    "ab_mann_whitney" -> Set(Set("value")))
 
   private def windowOffenders(name: String,
       df: org.apache.spark.sql.DataFrame): Seq[String] = {
