@@ -1426,6 +1426,76 @@ object RelationalQueries {
       doc = "Mann-Whitney U A/B readout: integer-exact doubled tied ranks from " +
         "the value-domain histogram (no raw-row rank window), U2 = 2R - n(n+1)"),
 
+    // ---- Kaplan-Meier survival (user churn with right-censoring): users
+    // still active on the corpus' last day are CENSORED, not churned —
+    // the estimator cohort_retention can't give. Observation time is
+    // last − first activity day; everything reduces to the ≤31-row
+    // lifetime-day table, at-risk counts come from one cumulative window
+    // over it, and S(t) = Π(1 − d/n) is a left fold over the collected
+    // prefix (aggregate HOF == list_reduce with prepended init — the
+    // ts_ewma exact-fold-parity trick), so the doubles are bit-identical.
+    GQuery("cohort_survival_km",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+        val maxd = ev.agg(max(col("d")).as("endd"))
+        val users = ev.groupBy(col("user_id"))
+          .agg(min(col("d")).as("fd"), max(col("d")).as("ld"))
+          .crossJoin(broadcast(maxd))
+          .select((col("ld") - col("fd")).as("t_obs"),
+            (col("ld") === col("endd")).as("censored"))
+        val byT = users.groupBy(col("t_obs").as("t")).agg(
+          count(lit(1)).as("n_ending"),
+          count(when(not(col("censored")), lit(1))).as("n_deaths"),
+          count(when(col("censored"), lit(1))).as("n_censored"))
+        val tot = users.agg(count(lit(1)).as("n_users"))
+        val wPrev = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byT.crossJoin(broadcast(tot))
+          .withColumn("n_risk",
+            col("n_users") - coalesce(sum(col("n_ending")).over(wPrev), lit(0L)))
+          .withColumn("factor",
+            lit(1.0) - col("n_deaths").cast("double") / col("n_risk"))
+          .withColumn("factors", collect_list(col("factor")).over(wAll))
+          .withColumn("survival",
+            expr("aggregate(factors, CAST(1.0 AS DOUBLE), (s, x) -> s * x)"))
+          .select(col("t"), col("n_risk"), col("n_deaths"),
+            col("n_censored"), col("survival"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+              mx AS (SELECT max(d) AS endd FROM ev),
+              users AS (
+                SELECT max(d) - min(d) AS t_obs, max(d) = mx.endd AS censored
+                FROM ev, mx GROUP BY user_id, mx.endd),
+              byt AS (
+                SELECT t_obs AS t, count(*) AS n_ending,
+                       CAST(count(*) FILTER (NOT censored) AS BIGINT) AS n_deaths,
+                       CAST(count(*) FILTER (censored) AS BIGINT) AS n_censored
+                FROM users GROUP BY t_obs),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM users),
+              risk AS (
+                SELECT t, n_deaths, n_censored,
+                       t2.n_users - COALESCE(CAST(SUM(n_ending) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+                FROM byt, tot t2),
+              fx AS (SELECT *,
+                       CAST(1.0 AS DOUBLE) - CAST(n_deaths AS DOUBLE) / n_risk AS factor
+                     FROM risk),
+              fl AS (SELECT *, list(factor) OVER (ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS factors FROM fx)
+              SELECT t, n_risk, n_deaths, n_censored,
+                     list_reduce(list_prepend(CAST(1.0 AS DOUBLE), factors),
+                       (s, x) -> s * x) AS survival
+              FROM fl ORDER BY t"""),
+      doc = "Kaplan-Meier churn survival with right-censoring at corpus end: " +
+        "lifetime-day table (<=31 rows), cumulative at-risk window, exact " +
+        "left-fold product parity for S(t)"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic

@@ -328,7 +328,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_vocab_growth" -> Set(Set("doc_id", "md")),
     // cents value-domain histogram (floor(value*100) resolves to {value}):
     // |distinct cents| rows before the cumulative-rank window
-    "ab_mann_whitney" -> Set(Set("value")))
+    "ab_mann_whitney" -> Set(Set("value")),
+    // lifetime-day table: t_obs = ld − fd groups users into ≤|corpus days|
+    // rows (calendar-bounded) before the at-risk / survival-fold windows
+    "cohort_survival_km" -> Set(Set("fd", "ld")))
 
   private def windowOffenders(name: String,
       df: org.apache.spark.sql.DataFrame): Seq[String] = {
