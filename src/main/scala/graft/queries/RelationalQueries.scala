@@ -1496,6 +1496,63 @@ object RelationalQueries {
         "lifetime-day table (<=31 rows), cumulative at-risk window, exact " +
         "left-fold product parity for S(t)"),
 
+    // ---- Lead-lag cross-correlation between the click and purchase
+    // daily-cents series: Pearson r at lags −3..+3 (does click activity
+    // LEAD purchases?). Lags come from a broadcast 7-row literal table
+    // joined on shifted day index — no window, no per-lag rescan (the
+    // daily series is built once); moments are exact decimals with the
+    // agg_pearson_exact IEEE finishing sequence. Pairs exist only where
+    // both shifted days do, so each lag's n is part of the output.
+    GQuery("ts_cross_correlation",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        val a = daily.filter(col("event_type") === "click")
+          .select(col("d"), col("cents").cast("decimal(18,0)").as("x"))
+        val b = daily.filter(col("event_type") === "purchase")
+          .select(col("d").as("db"), col("cents").cast("decimal(18,0)").as("y"))
+        val lags = a.sparkSession.range(-3, 4)
+          .select(col("id").cast("long").as("lag"))
+        a.crossJoin(broadcast(lags))
+          .join(b, col("db") === col("d") + col("lag"))
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("lag"), col("n").cast("long").as("n_pairs"),
+            expr("CAST(n * sxy - sx * sy AS DOUBLE) " +
+              "/ (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) " +
+              "* sqrt(CAST(n * syy - sy * sy AS DOUBLE)))").as("xcorr_r"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS HUGEINT) AS cents
+                FROM events WHERE event_type IN ('click', 'purchase')
+                GROUP BY 1, 2),
+              a AS (SELECT d, cents AS x FROM daily WHERE event_type = 'click'),
+              b AS (SELECT d AS db, cents AS y FROM daily WHERE event_type = 'purchase'),
+              lags AS (SELECT unnest(range(-3, 4)) AS lag),
+              m AS (
+                SELECT l.lag, CAST(count(*) AS HUGEINT) AS n,
+                       SUM(a.x) AS sx, SUM(b.y) AS sy, SUM(a.x * b.y) AS sxy,
+                       SUM(a.x * a.x) AS sxx, SUM(b.y * b.y) AS syy
+                FROM a, lags l JOIN b ON b.db = a.d + l.lag
+                GROUP BY l.lag)
+              SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS xcorr_r
+              FROM m ORDER BY lag"""),
+      doc = "lead-lag cross-correlation (click vs purchase daily cents, lags " +
+        "-3..+3): broadcast literal lag table on shifted day index, exact " +
+        "decimal moments, agg_pearson_exact IEEE finish"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
