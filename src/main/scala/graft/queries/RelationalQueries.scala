@@ -1553,6 +1553,48 @@ object RelationalQueries {
         "-3..+3): broadcast literal lag table on shifted day index, exact " +
         "decimal moments, agg_pearson_exact IEEE finish"),
 
+    // ---- Benford first-digit audit: fabricated or unit-mixed monetary
+    // data drifts from log10(1+1/d). First digit via integer-floor →
+    // string head (NO log10 — float log near powers of ten is the
+    // classic cross-engine divergence); expected shares are the same
+    // 1e4-scaled literals on both sides. One groupBy(9 values) + scalar
+    // total.
+    GQuery("audit_benford",
+      (s, dir) => {
+        import s.implicits._
+        val expected = Seq(1 -> 3010, 2 -> 1761, 3 -> 1249, 4 -> 969,
+          5 -> 792, 6 -> 669, 7 -> 580, 8 -> 512, 9 -> 458)
+          .toDF("digit", "expected_e4")
+        val digits = Tables.orders(s, dir)
+          .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)")
+            .as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+        val tot = digits.agg(sum(col("n_orders")).as("n_total"))
+        digits.crossJoin(broadcast(tot))
+          .join(broadcast(expected), Seq("digit"))
+          .select(col("digit"), col("n_orders"),
+            expr("n_orders * 10000 div n_total").as("share_e4"),
+            col("expected_e4"),
+            expr("abs(n_orders * 10000 div n_total - expected_e4)").as("dev_e4"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH e(digit, expected_e4) AS (VALUES
+                (1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
+                (6, 669), (7, 580), (8, 512), (9, 458)),
+              d AS (
+                SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                       count(*) AS n_orders
+                FROM orders GROUP BY 1),
+              t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM d)
+              SELECT d.digit, d.n_orders,
+                     d.n_orders * 10000 // t.n_total AS share_e4,
+                     e.expected_e4,
+                     abs(d.n_orders * 10000 // t.n_total - e.expected_e4) AS dev_e4
+              FROM d, t JOIN e ON e.digit = d.digit
+              ORDER BY d.digit"""),
+      doc = "Benford first-digit audit: integer-floor string-head digit (no " +
+        "log10), observed vs literal expected shares at 1e4 scale"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
