@@ -60,6 +60,26 @@ object DedupQueries {
   /** Full mirror of Dedup.minhashLshPairs — shared by the pairs query and
     * the connected-components closure built on top of it.
     */
+  /** Shared by dedup_components (direct) and dedup_components_incremental
+    * (persisted labels + contracted star edges): the incremental
+    * composition provably equals the full-batch closure, so one oracle
+    * pins both — the merge-transparency convention.
+    */
+  private lazy val componentsOracleSql: String =
+    s"""WITH RECURSIVE pairs AS (
+         SELECT doc_a, doc_b FROM ($minhashPairsSql) t),
+       edges AS (
+         SELECT doc_a AS a, doc_b AS b FROM pairs
+         UNION ALL
+         SELECT doc_b AS a, doc_a AS b FROM pairs),
+       reach(node, r) AS (
+         SELECT DISTINCT a, a FROM edges
+         UNION
+         SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+       comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+      SELECT comp AS canonical_doc, count(*) AS n_docs
+      FROM comp GROUP BY 1 ORDER BY 1"""
+
   private val minhashPairsSql: String =
     s"""WITH ${shCte(Dedup.defaultShingle)},
             sigs AS (SELECT doc_id, hbase, $sigSql AS sig FROM sh),
@@ -212,20 +232,50 @@ object DedupQueries {
         .orderBy(col("canonical_doc")),
       // the oracle computes the transitive closure with a recursive CTE —
       // per-node min reachable id == the propagation fixpoint
-      Some(s"""WITH RECURSIVE pairs AS (
-                 SELECT doc_a, doc_b FROM ($minhashPairsSql) t),
-               edges AS (
-                 SELECT doc_a AS a, doc_b AS b FROM pairs
-                 UNION ALL
-                 SELECT doc_b AS a, doc_a AS b FROM pairs),
-               reach(node, r) AS (
-                 SELECT DISTINCT a, a FROM edges
-                 UNION
-                 SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
-               comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
-              SELECT comp AS canonical_doc, count(*) AS n_docs
-              FROM comp GROUP BY 1 ORDER BY 1"""),
+      Some(componentsOracleSql),
       doc = "near-dup cluster resolution: connected components over LSH pairs (large-star/small-star == recursive-CTE closure)"),
+
+    // ---- INCREMENTAL near-dup clustering — the persisted-index lifecycle
+    // (the sim_ivf_index_incremental convention) applied to components:
+    // the historical (even-id) corpus is clustered once and its labels
+    // persisted as a MergeTable; when the new (odd-id) batch arrives, CC
+    // re-runs over ONLY the new batch's candidate pairs plus the old
+    // clusters CONTRACTED to star edges (doc → persisted root) — the old
+    // corpus participates as |old nodes| zero-width edges, never as
+    // re-verified pairs. Correctness argument: band keys and Jaccard
+    // verification are per-doc/per-pair pure functions, so
+    // pairs(even) ∪ pairs(touching-odd) = pairs(all), and a cluster's
+    // star closure equals its pair closure with the same min root —
+    // hence the incremental result EQUALS the full-batch run and SHARES
+    // dedup_components' oracle verbatim.
+    GQuery("dedup_components_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val labels = graft.stages.MergeTable.scratch(Seq("doc_id"))
+        val oldComp = Dedup.connectedComponentsStar(
+          Dedup.minhashLshPairs(hist).select(col("doc_a"), col("doc_b")))
+        labels.replace(oldComp.select(col("node").as("doc_id"), col("comp")))
+        val persisted = labels.read(s,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("comp",
+              org.apache.spark.sql.types.LongType))))
+        val starEdges = persisted.filter(col("doc_id") =!= col("comp"))
+          .select(col("doc_id").as("doc_a"), col("comp").as("doc_b"))
+        val newPairs = Dedup.minhashLshPairs(docs)
+          .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+          .select(col("doc_a"), col("doc_b"))
+        Dedup.connectedComponentsStar(newPairs.unionByName(starEdges))
+          .groupBy(col("comp").as("canonical_doc"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("canonical_doc"))
+      },
+      Some(componentsOracleSql),
+      doc = "incremental near-dup clustering: persisted labels + new-batch " +
+        "pairs + old clusters contracted to star edges == full-batch CC " +
+        "(shared oracle)"),
 
     // ---- The KEEP decision a dedup pass actually ships: per near-dup
     // cluster, the surviving copy chosen by QUALITY (is_quality, then
