@@ -759,6 +759,63 @@ object Similarity {
         col("n_vecs"), col("n_dropped"), col("n_kept"))
   }
 
+  /** Maximal Marginal Relevance (Carbonell-Goldstein 1998) diverse top-k:
+    * greedy selection maximizing λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s) —
+    * the anti-redundancy pick a RAG context builder or a diverse
+    * curation sampler ships where plain top-k returns k near-copies.
+    * Round 1 scores pure relevance; each later round penalizes by the
+    * worst similarity to the already-picked set.
+    *
+    * Scale shape (the greedyCoverage convention): the candidate pool is
+    * ONE corpus scan + TakeOrdered to `poolSize` rows, lineage-cut; each
+    * of the k rounds is a pool×selected (≤ poolSize×k) broadcast join +
+    * one bounded single-row argmax collect. Ties break by vec_id;
+    * doubles are the shared deterministic dot folds, so the greedy
+    * trajectory is bit-identical cross-engine.
+    */
+  def mmrSelect(emb: DataFrame, queryId: Long, poolSize: Int, k: Int,
+                lambda: Double = 0.5): DataFrame = {
+    val spark = emb.sparkSession
+    val base = withNorm(emb)
+    val qdf = base.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val pool = base.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qdf))
+      .withColumn("rel",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(poolSize)
+      .localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    var r = 1
+    while (r <= k) {
+      val remaining = pool.filter(!col("vec_id").isInCollection(
+        picked.map(p => java.lang.Long.valueOf(p._2))))
+      val scored =
+        if (picked.isEmpty) remaining.withColumn("score", col("rel"))
+        else {
+          val sel = pool.filter(col("vec_id").isInCollection(
+              picked.map(p => java.lang.Long.valueOf(p._2))))
+            .select(col("embedding").as("s_emb"), col("norm").as("s_norm"))
+          val pen = remaining.crossJoin(broadcast(sel))
+            .withColumn("s",
+              expr(dotExpr("embedding", "s_emb")) / (col("norm") * col("s_norm")))
+            .groupBy(col("vec_id")).agg(max(col("s")).as("max_sim"))
+          remaining.join(pen, Seq("vec_id"))
+            .withColumn("score",
+              lit(lambda) * col("rel") - lit(1.0 - lambda) * col("max_sim"))
+        }
+      val top = scored.orderBy(col("score").desc, col("vec_id"))
+        .select(col("vec_id"), col("rel"), col("score"))
+        .limit(1).collect()(0) // bounded single-row argmax per round
+      picked += ((r, top.getLong(0), top.getDouble(1), top.getDouble(2)))
+      r += 1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rank", "vec_id", "rel", "mmr_score")
+  }
+
   /** Contrastive hard-negative mining: for each anchor (vec_id < numQueries)
     * the top-k most-cosine-similar vectors with a DIFFERENT label, flagged
     * `semi_hard` when the negative sits inside the FaceNet margin band

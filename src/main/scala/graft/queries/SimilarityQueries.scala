@@ -681,6 +681,58 @@ object SimilarityQueries {
                FROM neg n JOIN pos p USING (query_id) WHERE n.rank <= 5
                ORDER BY n.query_id, n.rank"""),
       doc = "contrastive hard-negative mining: top-5 cross-label cosine " +
-        "neighbors per anchor, FaceNet semi-hard margin flag vs the hardest positive")
+        "neighbors per anchor, FaceNet semi-hard margin flag vs the hardest positive"),
+
+    // MMR diverse top-k: where sim_topk_brute returns near-copies, the
+    // greedy λ-tradeoff pick penalizes each candidate by its worst
+    // similarity to the already-selected set. The oracle unrolls the 3
+    // greedy rounds; the Spark side is the bounded-round loop with one
+    // single-row argmax collect per round.
+    GQuery("sim_mmr_diverse",
+      (s, dir) => Similarity.mmrSelect(Tables.embeddings(s, dir),
+          queryId = 0L, poolSize = 16, k = 3, lambda = 0.5)
+        .orderBy(col("rank")),
+      Some {
+        val cos = (a: String, an: String, b: String, bn: String) =>
+          s"${dotSql(a, b)} / ($an * $bn)"
+        s"""WITH base AS (
+              SELECT vec_id, embedding,
+                     sqrt(${dotSql("embedding", "embedding")}) AS norm
+              FROM embeddings),
+            q AS (SELECT embedding AS q_emb, norm AS q_norm FROM base WHERE vec_id = 0),
+            pool AS (
+              SELECT b.vec_id, b.embedding, b.norm,
+                     ${cos("b.embedding", "b.norm", "q.q_emb", "q.q_norm")} AS rel
+              FROM base b, q WHERE b.vec_id <> 0
+              ORDER BY rel DESC, b.vec_id LIMIT 16),
+            pair AS (
+              SELECT a.vec_id AS ai, b.vec_id AS bi,
+                     ${cos("a.embedding", "a.norm", "b.embedding", "b.norm")} AS s
+              FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+            p1 AS (SELECT vec_id, rel, rel AS score FROM pool
+                   ORDER BY rel DESC, vec_id LIMIT 1),
+            c2 AS (SELECT p.vec_id, p.rel,
+                          0.5 * p.rel - 0.5 * (SELECT s FROM pair
+                            WHERE ai = p.vec_id AND bi = (SELECT vec_id FROM p1)) AS score
+                   FROM pool p WHERE p.vec_id <> (SELECT vec_id FROM p1)),
+            p2 AS (SELECT vec_id, rel, score FROM c2
+                   ORDER BY score DESC, vec_id LIMIT 1),
+            c3 AS (SELECT p.vec_id, p.rel,
+                          0.5 * p.rel - 0.5 * greatest(
+                            (SELECT s FROM pair WHERE ai = p.vec_id
+                               AND bi = (SELECT vec_id FROM p1)),
+                            (SELECT s FROM pair WHERE ai = p.vec_id
+                               AND bi = (SELECT vec_id FROM p2))) AS score
+                   FROM pool p WHERE p.vec_id NOT IN (
+                     (SELECT vec_id FROM p1) UNION ALL (SELECT vec_id FROM p2))),
+            p3 AS (SELECT vec_id, rel, score FROM c3
+                   ORDER BY score DESC, vec_id LIMIT 1)
+            SELECT CAST(1 AS INT) AS rank, vec_id, rel, score AS mmr_score FROM p1
+            UNION ALL SELECT CAST(2 AS INT), vec_id, rel, score FROM p2
+            UNION ALL SELECT CAST(3 AS INT), vec_id, rel, score FROM p3
+            ORDER BY rank"""
+      },
+      doc = "MMR diverse top-3 (lambda=0.5, pool 16): greedy relevance-vs-" +
+        "redundancy selection, unrolled-rounds oracle, bit-identical trajectory")
   )
 }
