@@ -1261,6 +1261,78 @@ object ScaleOpsQueries {
             GROUP BY label ORDER BY label"""
       },
       doc = "synchronous label-propagation communities (3 exact rounds, " +
-        "most-frequent neighbor label, min-label ties): per-community size table")
+        "most-frequent neighbor label, min-label ties): per-community size table"),
+
+    // ---- Quantile-sketch quality report (the sim_recall_report
+    // convention for order statistics): the bottom-64-by-hash sample's
+    // p25/p50/p75/p90/p99 estimates, each graded by its EXACT achieved
+    // rank in the full data — the measured error bar a planner consults
+    // before trusting sampled percentiles for partition sizing. The only
+    // corpus-scale work is one scan for totals and one broadcast-est
+    // conditional count (5 rows/type); everything else is over the
+    // 64-row-per-type sample.
+    GQuery("sketch_quantile_error_report",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+        val wPri = Window.partitionBy(col("event_type"))
+          .orderBy(col("pri"), col("event_id"))
+        val samp = ev.withColumn("pri", expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("r", row_number().over(wPri)).filter(col("r") <= 64)
+        val wVal = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        val ranked = samp.withColumn("vr", row_number().over(wVal))
+          .withColumn("ns",
+            count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        val ps = Seq(25, 50, 75, 90, 99).toDF("pct")
+        val est = ranked.crossJoin(broadcast(ps))
+          .filter(col("vr") === expr("(pct * ns + 99) div 100"))
+          .select(col("event_type"), col("pct"), col("value").as("est_value"))
+        val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+        ev.join(broadcast(est), Seq("event_type"))
+          .groupBy(col("event_type"), col("pct"), col("est_value"))
+          .agg(count(when(col("value") < col("est_value"), lit(1))).as("n_lt"))
+          .join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("pct"), col("est_value"), col("n_lt"),
+            expr("n_lt * 10000 div n_total").as("rank_e4"),
+            expr("abs(n_lt * 10000 div n_total - pct * 100)").as("err_e4"))
+          .orderBy(col("event_type"), col("pct"))
+      },
+      Some("""WITH pri AS (
+                SELECT event_type, event_id, value,
+                       CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS pri
+                FROM events),
+              samp AS (
+                SELECT event_type, event_id, value FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY pri, event_id) AS r FROM pri)
+                WHERE r <= 64),
+              ranked AS (
+                SELECT event_type, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS vr,
+                       COUNT(*) OVER (PARTITION BY event_type) AS ns
+                FROM samp),
+              ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct),
+              est AS (
+                SELECT r.event_type, p.pct, r.value AS est_value
+                FROM ranked r, ps p WHERE r.vr = (p.pct * r.ns + 99) // 100),
+              tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+                      FROM events GROUP BY 1),
+              cnt AS (
+                SELECT e.event_type, e.pct, e.est_value,
+                       CAST(count(*) FILTER (ev.value < e.est_value) AS BIGINT) AS n_lt
+                FROM est e JOIN events ev USING (event_type)
+                GROUP BY 1, 2, 3)
+              SELECT c.event_type, c.pct, c.est_value, c.n_lt,
+                     c.n_lt * 10000 // t.n_total AS rank_e4,
+                     abs(c.n_lt * 10000 // t.n_total - c.pct * 100) AS err_e4
+              FROM cnt c JOIN tot t USING (event_type)
+              ORDER BY c.event_type, c.pct"""),
+      doc = "quantile-sketch error report: bottom-64-by-hash estimates at 5 " +
+        "percentiles, graded by exact achieved rank (1e4 scale) in full data")
   )
 }
