@@ -1595,6 +1595,41 @@ object RelationalQueries {
       doc = "Benford first-digit audit: integer-floor string-head digit (no " +
         "log10), observed vs literal expected shares at 1e4 scale"),
 
+    // ---- Sequential path motifs — the order-k sibling of
+    // markov_transitions' bigrams: the top 3-step event paths users
+    // actually walk. Two lead() taps on ONE user-partitioned window
+    // (same shuffle as any per-user sequence op), then a bounded
+    // (|event types|³) census and a TakeOrdered top-10; ties
+    // lexicographic so the cut is deterministic.
+    GQuery("funnel_path_motifs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e3").isNotNull)
+          .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+            col("e3").as("step3"))
+          .agg(count(lit(1)).as("n_paths"))
+          .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+          .limit(10)
+      },
+      Some("""WITH seq AS (
+                SELECT event_type AS step1,
+                       LEAD(event_type, 1) OVER w AS step2,
+                       LEAD(event_type, 2) OVER w AS step3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT step1, step2, step3, count(*) AS n_paths
+              FROM seq WHERE step3 IS NOT NULL
+              GROUP BY 1, 2, 3
+              ORDER BY n_paths DESC, step1, step2, step3 LIMIT 10"""),
+      doc = "top-10 3-step user path motifs: two lead() taps on one " +
+        "user-partitioned window, |types|^3-bounded census, deterministic cut"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic

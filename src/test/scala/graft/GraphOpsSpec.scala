@@ -69,4 +69,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(oriented.map(_._2).sum % 3 == 0)  // every triangle counted at 3 corners
     assert(oriented.map(_._2).sum > 0)       // the graph actually has triangles
   }
+
+  test("label propagation: disconnected cliques converge to one min label each, partitioning-invariant") {
+    import spark.implicits._
+    // two K4s with no bridge: by round 2 every member holds the clique
+    // minimum (round 1 sends the min everywhere except the min node
+    // itself, which flips back once the majority carries it)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L), (12L, 14L), (13L, 14L))
+    val nodes = (Seq(1L, 2L, 3L, 4L) ++ Seq(11L, 12L, 13L, 14L)).toDF("node")
+    for (parts <- Seq(1, 7)) {
+      val labels = graft.ops.GraphOps.labelPropagation(
+          nodes, und.toDF("a", "b").repartition(parts), rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"parts=$parts: $labels")
+      assert(Seq(11L, 12L, 13L, 14L).forall(labels(_) == 11L), s"parts=$parts: $labels")
+    }
+  }
 }

@@ -146,4 +146,17 @@ class MultimodalSpec extends AnyFunSuite {
     // width not a multiple of the factor fails loudly
     intercept[IllegalArgumentException](Multimodal.boxDownsample(luma, 8, 3))
   }
+
+  test("silence segmentation: a quiet middle window splits speech into two segments") {
+    import spark.implicits._
+    // 'z' (122² = 14884 ≥ thr²=10000) is speech; ' ' (32² = 1024) is
+    // silence — windows 0 and 2 are speech islands split by window 1
+    val d = Seq((7L, "z" * 128 + " " * 128 + "z" * 128, "src"))
+      .toDF("doc_id", "text", "source")
+    val segs = Multimodal.silenceSegments(Multimodal.asMediaTable(spark, d),
+        windowSamples = 128, thr = 100)
+      .orderBy("seg_no").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(segs.toSeq == Seq((1, 0, 0, 1L), (2, 2, 2, 1L)))
+  }
 }

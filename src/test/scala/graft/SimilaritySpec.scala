@@ -228,4 +228,45 @@ class SimilaritySpec extends AnyFunSuite {
         prefixDims = 8, candidates = 8).collect().head
     assert(short0.getLong(2) == 1L && short0.getInt(4) == 1)
   }
+
+  test("hard negatives: planted cross-label twin is rank 1 and semi-hard") {
+    import spark.implicits._
+    // vec 2 (same label as anchor 0) is the hardest positive, slightly
+    // closer than the cross-label twin 1 — so 1 is a semi-hard negative
+    // (below pos_cos but inside the 0.05 margin); all negatives cross-label
+    val pos = vec(0).zipWithIndex.map { case (v, i) => if (i == 5) v + 0.005f else v }
+    val twin = vec(0).zipWithIndex.map { case (v, i) => if (i == 3) v + 0.02f else v }
+    val labeled = (Seq((0L, vec(0), 0), (1L, twin, 1), (2L, pos, 0)) ++
+        (3L to 20L).map(s => (s, vec(s.toInt * 7 + 2), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val negs = Similarity.hardNegatives(labeled, numQueries = 1, k = 3, margin = 0.05)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3), r.getBoolean(5)))
+    assert(negs.head._2 == 1L, s"rank-1 negative must be the cross-label twin: ${negs.toSeq}")
+    assert(negs.head._4, "twin sits inside the semi-hard margin band")
+    assert(negs.forall(_._3 != 0), "no same-label vector may appear as a negative")
+  }
+
+  test("MMR: redundant near-copy is displaced by a diverse candidate") {
+    import spark.implicits._
+    // hand-computable geometry: q = e0; 1 and 2 are the SAME (e0+e1)/√2
+    // (rel .707, mutual sim 1.0); 3 = (e0+e2)/√2 (rel .707, sim .5 to 1);
+    // fillers are pure off-axis basis vectors (rel 0, sim 0). Round 2:
+    // score(2) = .5·.707 − .5·1 ≈ −.146 < score(filler) = 0 <
+    // score(3) = .5·.707 − .5·.5 ≈ .104 — the diverse 3 must win.
+    def basis(i: Int, j: Int = -1): Array[Float] =
+      Array.tabulate(64)(d => if (d == i || d == j) 0.70710677f
+        else 0.0f).updated(i, if (j == -1) 1.0f else 0.70710677f)
+    val emb3 = (Seq(
+        (0L, basis(0)), (1L, basis(0, 1)), (2L, basis(0, 1)), (3L, basis(0, 2))) ++
+        (4L to 8L).map(s => (s, basis(s.toInt))))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb3, numQueries = 1, k = 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSet
+    assert(brute == Set(1L, 2L), s"plain top-2 is the redundant pair: $brute")
+    val mmr = Similarity.mmrSelect(emb3, queryId = 0L, poolSize = 8, k = 2)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(mmr.head == 1L && mmr(1) == 3L,
+      s"MMR must keep the best and swap its near-copy for diversity: ${mmr.toSeq}")
+  }
 }
