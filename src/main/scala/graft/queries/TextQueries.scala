@@ -1204,6 +1204,37 @@ object TextQueries {
               |FROM docagg d LEFT JOIN nt n USING (decile)
               |ORDER BY d.decile""".stripMargin),
       doc = "Heaps'-law vocab growth: cumulative types vs tokens per corpus " +
-        "decile — first-occurrence min per token, 10-row bounded window")
+        "decile — first-occurrence min per token, 10-row bounded window"),
+
+    // ---- Sentence segmentation stats: the sentence granularity nothing
+    // else in the text family exposes (token ops are word-level, CDC
+    // chunks are byte-level) — sentence-aware packing and per-sentence
+    // quality filters start here. Split on the literal '. ' boundary,
+    // per-doc census; one doc-keyed shuffle.
+    GQuery("text_sentence_stats",
+      (s, dir) => {
+        val sents = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), "\\. ")).as(Seq("sent_no", "sent")))
+        sents.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sentences"),
+            sum(length(col("sent"))).as("total_chars"),
+            max(length(col("sent"))).as("longest_chars"),
+            expr("CAST(sum(size(split(sent, ' '))) AS BIGINT)").as("total_tokens"))
+          .withColumn("mean_sent_tokens",
+            col("total_tokens").cast("double") / col("n_sentences"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (
+                SELECT doc_id, unnest(string_split(text, '. ')) AS sent
+                FROM documents)
+              SELECT doc_id, count(*) AS n_sentences,
+                     CAST(SUM(length(sent)) AS BIGINT) AS total_chars,
+                     CAST(MAX(length(sent)) AS INT) AS longest_chars,
+                     CAST(SUM(len(string_split(sent, ' '))) AS BIGINT) AS total_tokens,
+                     CAST(SUM(len(string_split(sent, ' '))) AS DOUBLE) / count(*) AS mean_sent_tokens
+              FROM s GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "sentence segmentation census: per-doc sentence count, char/token " +
+        "totals, longest sentence, mean tokens per sentence")
   )
 }
