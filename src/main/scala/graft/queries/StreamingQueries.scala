@@ -801,6 +801,61 @@ object StreamingQueries {
       doc = "multimodal: shot-boundary census (adjacent-frame signature deltas " +
         "thresholded per doc; single-frame docs report zero)"),
 
+    // ---- Keyframe selection — the deliverable the boundary census feeds:
+    // frames partition into shots (cumulative boundary count), each shot
+    // contributes its brightest frame (struct-argmax, earliest on ties)
+    // as the thumbnail/embedding representative. Same stub-codec
+    // convention; windows doc-partitioned, shots via one cumulative sum.
+    GQuery("mm_keyframe_select",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val fr = Multimodal.sampleFrames(
+          Multimodal.asMediaTable(s, Tables.documents(s, dir)), everyN = 1)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+        val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fr.withColumn("delta",
+            abs(col("frame_header_sum") - lag(col("frame_header_sum"), 1).over(w)))
+          .withColumn("cut", when(col("delta") > 40, lit(1L)).otherwise(lit(0L)))
+          .withColumn("shot", sum(col("cut")).over(wCum))
+          .groupBy(col("doc_id"), col("shot"))
+          .agg(min(col("frame_no")).as("start_frame"),
+            count(lit(1)).as("n_frames"),
+            max(struct(col("frame_header_sum"), (-col("frame_no")).as("nf")))
+              .as("kf"))
+          .select(col("doc_id"), col("shot").as("shot_no"),
+            col("start_frame"), col("n_frames"),
+            (-col("kf.nf")).as("key_frame"),
+            col("kf.frame_header_sum").as("key_hs"))
+          .orderBy(col("doc_id"), col("shot_no"))
+      },
+      Some("""WITH frames AS (
+                SELECT doc_id, f.f AS frame_no,
+                       CAST(list_sum(list_transform(range(1, 5),
+                         i -> CASE WHEN f.f * 256 + i <= length(text)
+                                   THEN ascii(substr(text, f.f * 256 + i, 1)) ELSE 0 END)) AS INT)
+                         AS hs
+                FROM documents,
+                     (SELECT unnest(range(0, 64)) AS f) f
+                WHERE f.f * 256 < octet_length(encode(text))),
+              d AS (SELECT doc_id, frame_no, hs,
+                           abs(hs - lag(hs) OVER w) AS delta
+                    FROM frames
+                    WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+              sh AS (SELECT doc_id, frame_no, hs,
+                            CAST(SUM(CASE WHEN delta > 40 THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY doc_id ORDER BY frame_no
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot
+                     FROM d)
+              SELECT doc_id, shot AS shot_no,
+                     CAST(min(frame_no) AS INT) AS start_frame,
+                     count(*) AS n_frames,
+                     CAST(-(max({'h': hs, 'n': -frame_no}).n) AS INT) AS key_frame,
+                     max({'h': hs, 'n': -frame_no}).h AS key_hs
+              FROM sh GROUP BY doc_id, shot
+              ORDER BY doc_id, shot_no"""),
+      doc = "multimodal: per-shot keyframe selection — cumulative-boundary shot " +
+        "ids, brightest-frame struct-argmax (earliest on ties) per shot"),
+
     GQuery("mm_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
           Multimodal.asMediaTable(s, Tables.documents(s, dir)), everyN = 2)
