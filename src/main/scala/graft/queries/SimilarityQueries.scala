@@ -733,6 +733,63 @@ object SimilarityQueries {
             ORDER BY rank"""
       },
       doc = "MMR diverse top-3 (lambda=0.5, pool 16): greedy relevance-vs-" +
-        "redundancy selection, unrolled-rounds oracle, bit-identical trajectory")
+        "redundancy selection, unrolled-rounds oracle, bit-identical trajectory"),
+
+    // Label-noise detection (the confident-learning shape): every vector's
+    // 5-NN majority label vs its own — high per-label disagreement means
+    // mislabeled or boundary-heavy data. All-corpus kNN rides the
+    // bounded-buffer TopKAggregator (k-row buffers through the shuffle);
+    // at 100 TB the candidate set drops to LSH/IVF buckets first
+    // (withLshBucket), brute here is the oracle-checkable truth.
+    GQuery("sim_label_noise",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val knn = Similarity.bruteForceTopKAgg(emb,
+          numQueries = Int.MaxValue, k = 5)
+        val vote = knn
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("label").as("n_label")), Seq("neighbor_id"))
+          .groupBy(col("query_id"), col("n_label"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("query_id"))
+          .agg(max(struct(col("c"),
+            (-col("n_label")).cast("long").as("neg"))).as("b"))
+          .select(col("query_id").as("vec_id"),
+            (-col("b.neg")).cast("int").as("maj_label"))
+        emb.join(vote, Seq("vec_id"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            count(when(col("maj_label") =!= col("label"), lit(1))).as("n_disagree"))
+          .select(col("label"), col("n_vecs"), col("n_disagree"),
+            expr("n_disagree * 10000 div n_vecs").as("disagree_e4"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH base AS (
+                 SELECT vec_id, label, embedding,
+                        sqrt(${dotSql("embedding", "embedding")}) AS norm
+                 FROM embeddings),
+               scored AS (
+                 SELECT q.vec_id AS query_id, b.vec_id AS nid, b.label AS n_label,
+                        ${dotSql("b.embedding", "q.embedding")} / (b.norm * q.norm) AS cosine
+                 FROM base b, base q WHERE b.vec_id <> q.vec_id),
+               knn AS (
+                 SELECT query_id, n_label FROM (
+                   SELECT query_id, n_label,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nid) AS r
+                   FROM scored) WHERE r <= 5),
+               vote AS (
+                 SELECT query_id, -(max({'c': c, 'k': -n_label}).k) AS maj FROM (
+                   SELECT query_id, n_label, count(*) AS c
+                   FROM knn GROUP BY 1, 2) GROUP BY query_id),
+               j AS (SELECT e.label, v.maj FROM embeddings e
+                     JOIN vote v ON v.query_id = e.vec_id)
+               SELECT label, count(*) AS n_vecs,
+                      CAST(count(*) FILTER (maj <> label) AS BIGINT) AS n_disagree,
+                      CAST(count(*) FILTER (maj <> label) AS BIGINT) * 10000
+                        // count(*) AS disagree_e4
+               FROM j GROUP BY label ORDER BY label"""),
+      doc = "label-noise detection: 5-NN majority label vs own label per " +
+        "vector (min-label ties), per-label disagreement census at 1e4 scale")
   )
 }
