@@ -744,6 +744,8 @@ object SimilarityQueries {
     GQuery("sim_label_noise",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
+        // ~n² exact dots (25M at sf0.1, ~7 s loaded: real kernel compute,
+        // measured equal to the window form — not plan waste)
         val knn = Similarity.bruteForceTopKAgg(emb,
           numQueries = Int.MaxValue, k = 5)
         val vote = knn
