@@ -1630,6 +1630,75 @@ object RelationalQueries {
       doc = "top-10 3-step user path motifs: two lead() taps on one " +
         "user-partitioned window, |types|^3-bounded census, deterministic cut"),
 
+    // ---- Forecast backtest: last-value vs seasonal-naive (lag-7)
+    // baselines scored on the final week — the model-free accuracy floor
+    // any real forecaster must beat, and the capacity-planning readout
+    // itself. Errors stay integer cents (SAE + signed bias compare
+    // exactly); MAE is the one double division at the end. Two lag taps
+    // on one type-partitioned window; the winner verdict compares
+    // integer SAEs, never floats.
+    GQuery("ts_backtest_naive",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val mx = daily.agg(max(col("d")).as("maxd"))
+        daily
+          .withColumn("prev1", lag(col("cents"), 1).over(w))
+          .withColumn("prev7", lag(col("cents"), 7).over(w))
+          .crossJoin(broadcast(mx))
+          .filter(col("d") > col("maxd") - 7 && col("prev7").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days_eval"),
+            sum(abs(col("cents") - col("prev1"))).as("sae_naive"),
+            sum(abs(col("cents") - col("prev7"))).as("sae_seasonal"),
+            sum(col("cents") - col("prev1")).as("bias_naive"),
+            sum(col("cents") - col("prev7")).as("bias_seasonal"))
+          .select(col("event_type"), col("n_days_eval"),
+            col("sae_naive"), col("sae_seasonal"),
+            (col("sae_naive").cast("double") / col("n_days_eval")).as("mae_naive"),
+            (col("sae_seasonal").cast("double") / col("n_days_eval")).as("mae_seasonal"),
+            col("bias_naive"), col("bias_seasonal"),
+            when(col("sae_seasonal") < col("sae_naive"), lit("seasonal"))
+              .when(col("sae_seasonal") > col("sae_naive"), lit("naive"))
+              .otherwise(lit("tie")).as("winner"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2),
+              mx AS (SELECT max(d) AS maxd FROM daily),
+              f AS (
+                SELECT event_type, d, cents,
+                       lag(cents, 1) OVER w AS prev1,
+                       lag(cents, 7) OVER w AS prev7
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+              e AS (SELECT f.* FROM f, mx
+                    WHERE f.d > mx.maxd - 7 AND f.prev7 IS NOT NULL),
+              m AS (
+                SELECT event_type, count(*) AS n_days_eval,
+                       CAST(SUM(abs(cents - prev1)) AS BIGINT) AS sae_naive,
+                       CAST(SUM(abs(cents - prev7)) AS BIGINT) AS sae_seasonal,
+                       CAST(SUM(cents - prev1) AS BIGINT) AS bias_naive,
+                       CAST(SUM(cents - prev7) AS BIGINT) AS bias_seasonal
+                FROM e GROUP BY event_type)
+              SELECT event_type, n_days_eval, sae_naive, sae_seasonal,
+                     CAST(sae_naive AS DOUBLE) / n_days_eval AS mae_naive,
+                     CAST(sae_seasonal AS DOUBLE) / n_days_eval AS mae_seasonal,
+                     bias_naive, bias_seasonal,
+                     CASE WHEN sae_seasonal < sae_naive THEN 'seasonal'
+                          WHEN sae_seasonal > sae_naive THEN 'naive'
+                          ELSE 'tie' END AS winner
+              FROM m ORDER BY event_type"""),
+      doc = "forecast backtest: last-value vs seasonal-naive (lag-7) on the " +
+        "final week; exact integer SAE/bias, one double division for MAE, " +
+        "integer-compared winner verdict"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
