@@ -1699,6 +1699,59 @@ object RelationalQueries {
         "final week; exact integer SAE/bias, one double division for MAE, " +
         "integer-compared winner verdict"),
 
+    // ---- Theil-Sen robust trend: the median of all pairwise daily
+    // slopes — a 29%-breakdown estimator where OLS (agg_regression_exact)
+    // is wrecked by one outlier day. The pairwise join is over the
+    // CALENDAR-BOUNDED daily table (≤31 rows/type → ≤465 pairs), so the
+    // quadratic is bounded, never corpus-scale; each slope is one IEEE
+    // division, the lower median is a rank pick with a full
+    // deterministic order (slope, d1, d2).
+    GQuery("ts_theilsen_trend",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        val a = daily.select(col("event_type"), col("d").as("d1"),
+          col("cents").as("c1"))
+        val b = daily.select(col("event_type"), col("d").as("d2"),
+          col("cents").as("c2"))
+        val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+          .withColumn("slope",
+            (col("c2") - col("c1")).cast("double") / (col("d2") - col("d1")))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("slope"), col("d1"), col("d2"))
+        pairs.withColumn("r", row_number().over(w))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .filter(col("r") === expr("CAST(ceil(n / 2.0) AS BIGINT)"))
+          .select(col("event_type"), col("n").as("n_pairs"),
+            col("slope").as("theilsen_cents_per_day"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2),
+              p AS (
+                SELECT a.event_type, a.d AS d1, b.d AS d2,
+                       CAST(b.cents - a.cents AS DOUBLE) / (b.d - a.d) AS slope
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type AND a.d < b.d),
+              r AS (
+                SELECT event_type, slope,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY slope, d1, d2) AS r,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM p)
+              SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                     slope AS theilsen_cents_per_day
+              FROM r WHERE r = CAST(ceil(n / 2.0) AS BIGINT)
+              ORDER BY event_type"""),
+      doc = "Theil-Sen robust trend per type: lower median of all pairwise " +
+        "slopes over the calendar-bounded daily table (<=465 pairs/type)"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
