@@ -392,7 +392,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // shuffle CartesianProduct.
     val names = Seq("sim_ivf_topk", "sim_topk_brute", "sim_ann_lsh", "dedup_embedding_cosine",
       "sim_matryoshka_rerank", "graph_triangle_census", "graph_kcore_census",
-      "text_bm25_search", "text_collocations", "sketch_bloom_fpr")
+      "text_bm25_search", "text_collocations", "sketch_bloom_fpr",
+      // round-11 additions whose algorithm cross-joins a bounded side
+      // (scalar totals, literal lag/percentile tables, anchor sets)
+      "sim_hard_negatives", "sim_label_noise", "join_cardinality_census",
+      "ab_mann_whitney", "cohort_survival_km", "ts_cross_correlation",
+      "audit_benford", "sketch_quantile_error_report", "ts_backtest_naive",
+      "text_vocab_growth", "audit_merkle_diff", "attr_last_touch")
     names.foreach { n =>
       val plan = formattedPlan(n)
       assert(!plan.contains("CartesianProduct"), s"$n plans a shuffle cartesian product:\n$plan")
