@@ -277,6 +277,84 @@ object DedupQueries {
         "pairs + old clusters contracted to star edges == full-batch CC " +
         "(shared oracle)"),
 
+    // ---- Golden-record survivorship — the MDM deliverable AFTER entity
+    // resolution says "these rows are one customer": per multi-member
+    // entity, one consolidated record by explicit survivorship rules
+    // (name: longest-then-lexicographic-min via struct-min; balance: max;
+    // nation/segment: min). Duplicate records are INJECTED
+    // deterministically (every custkey ≡ 3 mod 100 re-registered with a
+    // last-char-dropped name and a stale balance — the audit_merkle_diff
+    // convention) so the ER fixture provably produces clusters at every
+    // SF. Blocking + ED1 + star CC are the proven pieces; the merge is
+    // one groupBy over cluster labels.
+    GQuery("dedup_golden_record",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        val typos = cust.filter(col("c_custkey") % 100 === 3)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            expr("substring(c_name, 1, length(c_name) - 1)").as("c_name"),
+            col("c_nationkey"), (col("c_acctbal") - 1).as("c_acctbal"),
+            col("c_mktsegment"))
+        val all = cust.unionByName(typos)
+        val keyed = all.select(col("c_custkey"),
+          concat(col("c_nationkey").cast("string"), lit(":"), col("c_name"))
+            .as("blocked_name"))
+        val pairs = Dedup.editDistance1Pairs(keyed, "c_custkey", "blocked_name")
+          .select(col("ka").as("doc_a"), col("kb").as("doc_b"))
+        val comp = Dedup.connectedComponentsStar(pairs)
+        all.join(comp, all("c_custkey") === comp("node"), "left")
+          .withColumn("entity_id", coalesce(col("comp"), col("c_custkey")))
+          .groupBy(col("entity_id"))
+          .agg(count(lit(1)).as("n_members"),
+            min(struct((-length(col("c_name"))).as("l"), col("c_name").as("n")))
+              .as("best"),
+            max(col("c_acctbal")).as("acctbal"),
+            min(col("c_nationkey")).as("nation"),
+            min(col("c_mktsegment")).as("segment"))
+          .filter(col("n_members") > 1)
+          .select(col("entity_id"), col("n_members"),
+            col("best.n").as("golden_name"), col("acctbal"),
+            col("nation"), col("segment"))
+          .orderBy(col("entity_id"))
+      },
+      Some("""WITH RECURSIVE cust AS (
+                SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+                FROM customer),
+              typos AS (
+                SELECT c_custkey + 10000000 AS c_custkey,
+                       substr(c_name, 1, length(c_name) - 1) AS c_name,
+                       c_nationkey, c_acctbal - 1 AS c_acctbal, c_mktsegment
+                FROM cust WHERE c_custkey % 100 = 3),
+              a AS (SELECT * FROM cust UNION ALL SELECT * FROM typos),
+              pairs AS (
+                SELECT x.c_custkey AS ka, y.c_custkey AS kb
+                FROM a x JOIN a y
+                  ON x.c_custkey < y.c_custkey
+                 AND levenshtein(CAST(x.c_nationkey AS VARCHAR) || ':' || x.c_name,
+                                 CAST(y.c_nationkey AS VARCHAR) || ':' || y.c_name) <= 1),
+              edges AS (
+                SELECT ka AS u, kb AS v FROM pairs
+                UNION ALL SELECT kb AS u, ka AS v FROM pairs),
+              reach(node, r) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v),
+              comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+              ent AS (
+                SELECT a.*, COALESCE(comp.comp, a.c_custkey) AS entity_id
+                FROM a LEFT JOIN comp ON comp.node = a.c_custkey)
+              SELECT entity_id, count(*) AS n_members,
+                     min({'l': -length(c_name), 'n': c_name}).n AS golden_name,
+                     max(c_acctbal) AS acctbal,
+                     min(c_nationkey) AS nation,
+                     min(c_mktsegment) AS segment
+              FROM ent GROUP BY entity_id HAVING count(*) > 1
+              ORDER BY entity_id"""),
+      doc = "golden-record survivorship after ER: injected typo duplicates " +
+        "resolved to clusters, merged by explicit rules (longest-then-min " +
+        "name, max balance, min nation/segment)"),
+
     // ---- The KEEP decision a dedup pass actually ships: per near-dup
     // cluster, the surviving copy chosen by QUALITY (is_quality, then
     // token count, then id as the deterministic tie-break) — the
