@@ -355,6 +355,56 @@ object DedupQueries {
         "resolved to clusters, merged by explicit rules (longest-then-min " +
         "name, max balance, min nation/segment)"),
 
+    // ---- Dedup-aware effective token budget: after the cluster census
+    // says which docs are copies, what does each source REALLY contribute
+    // to training? Every doc's tokens are down-weighted by its cluster
+    // size (tokens·100 div csize — deterministic truncation both
+    // engines), so a 5-copy cluster counts once. The raw-vs-effective gap
+    // per source is the mixture-weight correction input.
+    GQuery("dedup_effective_tokens",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val comp = Dedup.connectedComponentsStar(
+          Dedup.minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
+        val sized = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+        docs.join(comp, docs("doc_id") === comp("node"), "left")
+          .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+          .join(sized.select(col("comp").as("cluster"), col("csize")),
+            Seq("cluster"), "left")
+          .withColumn("csize", coalesce(col("csize"), lit(1L)))
+          .withColumn("toks", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("raw_tokens"),
+            sum(expr("toks * 100 div csize")).as("effective_tokens_e2"),
+            count(when(col("csize") > 1, lit(1))).as("n_in_clusters"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+                 SELECT doc_a, doc_b FROM ($minhashPairsSql) t),
+               edges AS (
+                 SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+               reach(node, r) AS (
+                 SELECT DISTINCT u, u FROM edges
+                 UNION
+                 SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v),
+               comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+               lbl AS (
+                 SELECT d.doc_id, d.source, COALESCE(c.comp, d.doc_id) AS cluster,
+                        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks
+                 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+               sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+                      FROM lbl GROUP BY cluster)
+               SELECT l.source, count(*) AS n_docs,
+                      CAST(SUM(l.toks) AS BIGINT) AS raw_tokens,
+                      CAST(SUM(l.toks * 100 // s.csize) AS BIGINT) AS effective_tokens_e2,
+                      CAST(count(*) FILTER (s.csize > 1) AS BIGINT) AS n_in_clusters
+               FROM lbl l JOIN sz s USING (cluster)
+               GROUP BY l.source ORDER BY l.source"""),
+      doc = "dedup-aware effective tokens per source: cluster-size " +
+        "down-weighting (tokens*100 div csize), raw-vs-effective mixture input"),
+
     // ---- The KEEP decision a dedup pass actually ships: per near-dup
     // cluster, the surviving copy chosen by QUALITY (is_quality, then
     // token count, then id as the deterministic tie-break) — the
