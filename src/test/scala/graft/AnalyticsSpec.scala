@@ -83,4 +83,33 @@ class AnalyticsSpec extends AnyFunSuite {
     // the fan-out emits exactly the windows touching an active day
     assert(df.keys.min == day10 - 6 && df.keys.max == day12)
   }
+
+  test("CUSUM prefix-sum identity equals Page's sequential recurrence (property)") {
+    // ts_cusum / streaming CusumState compute S+ = C − runmin(C),
+    // S− = runmax(C) − C instead of the stateful fold; the identity must
+    // hold for ANY integer series, not just the corpus. 200 seeded
+    // pseudo-random series, including negatives and zeros.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(40)
+      val xs = Array.fill(n)(rnd.nextInt(2001) - 500L)
+      val mu = xs.sum / xs.length
+      // direct recurrence (Page 1954)
+      var sp = 0L; var sn = 0L
+      val direct = xs.map { x =>
+        sp = math.max(0L, sp + (x - mu))
+        sn = math.max(0L, sn - (x - mu))
+        (sp, sn)
+      }
+      // prefix-sum identity
+      var c = 0L; var mn = 0L; var mx = 0L
+      val identity = xs.map { x =>
+        c += x - mu
+        mn = math.min(mn, c); mx = math.max(mx, c)
+        (c - mn, mx - c)
+      }
+      assert(direct.toSeq == identity.toSeq,
+        s"identity diverged for series ${xs.toSeq} (mu=$mu)")
+    }
+  }
 }
