@@ -1752,6 +1752,89 @@ object RelationalQueries {
       doc = "Theil-Sen robust trend per type: lower median of all pairwise " +
         "slopes over the calendar-bounded daily table (<=465 pairs/type)"),
 
+    // ---- NEAREST as-of (merge_asof direction='nearest'): the closest
+    // signup in EITHER direction, ties toward the past — completing the
+    // backward/forward/tolerance family by COMPOSING the two union+window
+    // as-of ops and arbitrating with integer-µs distances. Tie semantics
+    // inherit the ops' deterministic payload-column ordering (backward:
+    // greatest id at equal ts; forward: smallest), which the oracle's
+    // struct-extrema mirror exactly. Two key shuffles total, no pair
+    // explosion.
+    GQuery("asof_nearest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("s_ts"),
+            col("event_id").as("signup_event_id"))
+        val back = graft.ops.AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+            "ts", "s_ts", Seq("signup_event_id", "s_ts"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("signup_event_id").as("b_id"), col("s_ts").as("b_ts"))
+        val fwd = graft.ops.AsOfJoin.asOfForward(purchases, signups,
+            Seq("user_id"), "ts", "s_ts", Seq("signup_event_id", "s_ts"))
+          .select(col("event_id"), col("signup_event_id").as("f_id"),
+            col("s_ts").as("f_ts"))
+        back.join(fwd, Seq("event_id"))
+          .withColumn("b_diff", expr("unix_micros(ts) - unix_micros(b_ts)"))
+          .withColumn("f_diff", expr("unix_micros(f_ts) - unix_micros(ts)"))
+          .withColumn("nearest_signup",
+            when(col("b_ts").isNull && col("f_ts").isNull, lit(null))
+              .when(col("f_ts").isNull, col("b_id"))
+              .when(col("b_ts").isNull, col("f_id"))
+              .when(col("b_diff") <= col("f_diff"), col("b_id"))
+              .otherwise(col("f_id")))
+          .withColumn("direction",
+            when(col("b_ts").isNull && col("f_ts").isNull,
+              lit(null).cast("string"))
+              .when(col("f_ts").isNull ||
+                (col("b_ts").isNotNull && col("b_diff") <= col("f_diff")),
+                lit("backward"))
+              .otherwise(lit("forward")))
+          .withColumn("wait_us",
+            when(col("direction") === "backward", col("b_diff"))
+              .when(col("direction") === "forward", col("f_diff")))
+          .select(col("event_id"), col("user_id"), col("nearest_signup"),
+            col("direction"), col("wait_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'purchase'),
+              s AS (SELECT user_id, ts AS s_ts, event_id AS sid FROM events
+                    WHERE event_type = 'signup'),
+              agg AS (
+                SELECT p.event_id, p.user_id, p.ts,
+                       max(CASE WHEN s.s_ts <= p.ts
+                                THEN {'t': s.s_ts, 'id': s.sid} END) AS b,
+                       min(CASE WHEN s.s_ts >= p.ts
+                                THEN {'t': s.s_ts, 'id': s.sid} END) AS f
+                FROM p LEFT JOIN s ON s.user_id = p.user_id
+                GROUP BY p.event_id, p.user_id, p.ts),
+              d AS (
+                SELECT event_id, user_id,
+                       epoch_us(ts) - epoch_us(b.t) AS b_diff,
+                       epoch_us(f.t) - epoch_us(ts) AS f_diff,
+                       b.id AS b_id, f.id AS f_id
+                FROM agg)
+              SELECT event_id, user_id,
+                     CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                          WHEN f_id IS NULL THEN b_id
+                          WHEN b_id IS NULL THEN f_id
+                          WHEN b_diff <= f_diff THEN b_id
+                          ELSE f_id END AS nearest_signup,
+                     CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                          WHEN f_id IS NULL OR (b_id IS NOT NULL AND b_diff <= f_diff)
+                            THEN 'backward'
+                          ELSE 'forward' END AS direction,
+                     CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                          WHEN f_id IS NULL OR (b_id IS NOT NULL AND b_diff <= f_diff)
+                            THEN b_diff
+                          ELSE f_diff END AS wait_us
+              FROM d ORDER BY event_id"""),
+      doc = "nearest as-of (merge_asof direction='nearest'): backward + " +
+        "forward as-of composed, integer-us arbitration, ties toward the past"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
