@@ -1835,6 +1835,33 @@ object RelationalQueries {
       doc = "nearest as-of (merge_asof direction='nearest'): backward + " +
         "forward as-of composed, integer-us arbitration, ties toward the past"),
 
+    // ---- The typed TopKAggregator registered as a SQL-callable UDAF —
+    // the §2.7 surface for ANALYSTS: the same bounded-buffer partial-agg
+    // machinery the Scala API uses, reachable from spark.sql() as
+    // `graft_top3(id, score)` (the udaf() bridge flattens the case-class
+    // input to positional args); the exploded array is the per-type top-3.
+    GQuery("sql_registered_udaf",
+      (s, dir) => {
+        s.udf.register("graft_top3",
+          org.apache.spark.sql.functions.udaf(graft.functions.TopKAggregator.topK(3)))
+        Tables.events(s, dir).createOrReplaceTempView("graft_events_udaf")
+        s.sql("""SELECT event_type,
+                        posexplode(graft_top3(event_id, value)) AS (pos, top)
+                 FROM graft_events_udaf GROUP BY event_type""")
+          .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+            col("top.id").as("event_id"), col("top.score").as("value"))
+          .orderBy(col("event_type"), col("rank"))
+      },
+      Some("""SELECT event_type, CAST(r AS INT) AS rank, event_id, value
+              FROM (
+                SELECT event_type, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY value DESC, event_id) AS r
+                FROM events)
+              WHERE r <= 3 ORDER BY event_type, rank"""),
+      doc = "typed TopKAggregator registered as a SQL UDAF (udaf() bridge): " +
+        "spark.sql top-3 per type == the window formulation"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic

@@ -25,8 +25,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("inventory count tripwire") {
-    assert(QueryRegistry.all.size == 260,
-      s"expected 260 queries, found ${QueryRegistry.all.size} — if you added " +
+    assert(QueryRegistry.all.size == 261,
+      s"expected 261 queries, found ${QueryRegistry.all.size} — if you added " +
         "one on purpose, bump this count and sync COVERAGE.md/README.md")
   }
 }
