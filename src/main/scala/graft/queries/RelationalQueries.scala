@@ -1862,6 +1862,49 @@ object RelationalQueries {
       doc = "typed TopKAggregator registered as a SQL UDAF (udaf() bridge): " +
         "spark.sql top-3 per type == the window formulation"),
 
+    // ---- Out-of-orderness census — the measured input behind every
+    // `withWatermark` delay in streaming/: per type, how far events
+    // arrive (arrival order = event_id) behind the running event-time
+    // high-water mark. Disorder = prior running max ts − own ts (µs,
+    // clamped at 0); the report gives the exact late-row count any
+    // candidate watermark delay would drop. One type-partitioned window.
+    GQuery("streaming_disorder_census",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .withColumn("us", expr("unix_micros(ts)"))
+          .withColumn("disorder",
+            greatest(lit(0L), coalesce(max(col("us")).over(w), lit(0L)) - col("us")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("disorder") > 0, lit(1))).as("n_out_of_order"),
+            max(col("disorder")).as("max_disorder_us"),
+            count(when(col("disorder") > 3600L * 1000000, lit(1)))
+              .as("n_dropped_by_1h_watermark"),
+            count(when(col("disorder") > 24L * 3600 * 1000000, lit(1)))
+              .as("n_dropped_by_1d_watermark"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (
+                SELECT event_type,
+                       GREATEST(0, COALESCE(MAX(epoch_us(ts)) OVER (
+                         PARTITION BY event_type ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         - epoch_us(ts)) AS disorder
+                FROM events)
+              SELECT event_type, count(*) AS n_events,
+                     CAST(count(*) FILTER (disorder > 0) AS BIGINT) AS n_out_of_order,
+                     CAST(MAX(disorder) AS BIGINT) AS max_disorder_us,
+                     CAST(count(*) FILTER (disorder > CAST(3600 AS BIGINT) * 1000000) AS BIGINT)
+                       AS n_dropped_by_1h_watermark,
+                     CAST(count(*) FILTER (disorder > CAST(24 AS BIGINT) * 3600 * 1000000) AS BIGINT)
+                       AS n_dropped_by_1d_watermark
+              FROM d GROUP BY event_type ORDER BY event_type"""),
+      doc = "out-of-orderness census: running event-time high-water-mark lag " +
+        "per type (us), exact late-row counts for candidate watermark delays"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
