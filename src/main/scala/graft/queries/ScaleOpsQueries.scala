@@ -1333,6 +1333,71 @@ object ScaleOpsQueries {
               FROM cnt c JOIN tot t USING (event_type)
               ORDER BY c.event_type, c.pct"""),
       doc = "quantile-sketch error report: bottom-64-by-hash estimates at 5 " +
-        "percentiles, graded by exact achieved rank (1e4 scale) in full data")
+        "percentiles, graded by exact achieved rank (1e4 scale) in full data"),
+
+    // ---- Link prediction by common neighbors + Jaccard — the "who
+    // should be connected" score over the same chord graph the triangle
+    // census walks. Wedge enumeration through shared middles (bounded by
+    // the graph's max degree here; a power-law graph routes this through
+    // the degree-ordered orientation exactly as trianglePerNode does),
+    // existing edges anti-joined away, Jaccard as a 1e4-scaled exact
+    // integer; deterministic top-20 cut.
+    GQuery("graph_link_prediction",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
+        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+          .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+        val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val common = nbrs.select(col("node").as("mid"), col("nbr").as("u"))
+          .join(nbrs.select(col("node").as("mid"), col("nbr").as("v")), Seq("mid"))
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))
+        common
+          .join(und.select(col("a").as("u"), col("b").as("v")),
+            Seq("u", "v"), "left_anti")
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+          .withColumn("jaccard_e4",
+            expr("n_common * 10000 div (du + dv - n_common)"))
+          .select(col("u"), col("v"), col("n_common"), col("jaccard_e4"))
+          .orderBy(col("jaccard_e4").desc, col("u"), col("v"))
+          .limit(20)
+      },
+      Some("""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+              und AS (
+                SELECT DISTINCT a, b FROM (
+                  SELECT node AS a, node + 1 AS b FROM nodes
+                  UNION ALL SELECT node, node + 2 FROM nodes
+                  UNION ALL SELECT node, node + 3 FROM nodes
+                  UNION ALL SELECT node, node * 2 FROM nodes) e
+                WHERE a < b
+                  AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+              nbrs AS (SELECT a AS node, b AS nbr FROM und
+                       UNION ALL SELECT b, a FROM und),
+              deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                      FROM nbrs GROUP BY node),
+              com AS (
+                SELECT x.nbr AS u, y.nbr AS v, CAST(count(*) AS BIGINT) AS n_common
+                FROM nbrs x JOIN nbrs y ON x.node = y.node AND x.nbr < y.nbr
+                GROUP BY 1, 2),
+              ne AS (
+                SELECT c.u, c.v, c.n_common FROM com c
+                WHERE NOT EXISTS (SELECT 1 FROM und e
+                                  WHERE e.a = c.u AND e.b = c.v))
+              SELECT ne.u, ne.v, ne.n_common,
+                     ne.n_common * 10000 // (da.deg + db.deg - ne.n_common) AS jaccard_e4
+              FROM ne JOIN deg da ON da.node = ne.u
+                      JOIN deg db ON db.node = ne.v
+              ORDER BY jaccard_e4 DESC, ne.u, ne.v LIMIT 20"""),
+      doc = "link prediction: common-neighbor wedge counts + exact 1e4 " +
+        "Jaccard over non-edges, deterministic top-20 (orientation-bounded " +
+        "wedges at power-law scale)")
   )
 }
