@@ -1235,6 +1235,54 @@ object TextQueries {
                      CAST(SUM(len(string_split(sent, ' '))) AS DOUBLE) / count(*) AS mean_sent_tokens
               FROM s GROUP BY doc_id ORDER BY doc_id"""),
       doc = "sentence segmentation census: per-doc sentence count, char/token " +
-        "totals, longest sentence, mean tokens per sentence")
+        "totals, longest sentence, mean tokens per sentence"),
+
+    // ---- Corpus concentration (Herfindahl) across sources and langs —
+    // the "is this dataset dominated by one crawl" governance number a
+    // dataset card quotes. Token shares as 1e4-scaled truncated integers
+    // (deterministic both engines), HHI = Σ share² div 10⁴ ∈ [0,10⁴];
+    // one bounded groupBy per dimension + a scalar total.
+    GQuery("curate_source_hhi",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def hhi(dim: String) = {
+          val g = docs.groupBy(col(dim))
+            .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("toks"))
+          val tot = g.agg(sum(col("toks")).as("tot"),
+            count(lit(1)).as("n_groups"))
+          g.crossJoin(broadcast(tot))
+            .withColumn("share_e4", expr("toks * 10000 div tot"))
+            .agg(max(col("n_groups")).as("n_groups"),
+              expr("sum(share_e4 * share_e4) div 10000").as("hhi_e4"),
+              max(col("share_e4")).as("top_share_e4"))
+            .select(lit(dim).as("dimension"), col("n_groups"),
+              col("hhi_e4"), col("top_share_e4"))
+        }
+        hhi("source").unionByName(hhi("lang")).orderBy(col("dimension"))
+      },
+      Some("""WITH t AS (SELECT source, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+                     FROM documents),
+              bysrc AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS toks
+                        FROM t GROUP BY source),
+              bylang AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS toks
+                         FROM t GROUP BY lang),
+              s AS (
+                SELECT 'source' AS dimension,
+                       CAST(count(*) AS BIGINT) AS n_groups,
+                       CAST(SUM(sh * sh) // 10000 AS BIGINT) AS hhi_e4,
+                       CAST(MAX(sh) AS BIGINT) AS top_share_e4
+                FROM (SELECT toks * 10000 // (SELECT SUM(toks) FROM bysrc) AS sh
+                      FROM bysrc)),
+              l AS (
+                SELECT 'lang' AS dimension,
+                       CAST(count(*) AS BIGINT) AS n_groups,
+                       CAST(SUM(sh * sh) // 10000 AS BIGINT) AS hhi_e4,
+                       CAST(MAX(sh) AS BIGINT) AS top_share_e4
+                FROM (SELECT toks * 10000 // (SELECT SUM(toks) FROM bylang) AS sh
+                      FROM bylang))
+              SELECT * FROM l UNION ALL SELECT * FROM s ORDER BY dimension"""),
+      doc = "corpus concentration census: 1e4-scaled HHI + top share across " +
+        "sources and langs (the dataset-card dominance number)")
   )
 }
