@@ -1905,6 +1905,51 @@ object RelationalQueries {
       doc = "out-of-orderness census: running event-time high-water-mark lag " +
         "per type (us), exact late-row counts for candidate watermark delays"),
 
+    // ---- Gini inequality per type — the distribution-shape sibling of
+    // the HHI concentration census: G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)
+    // over value-ranked cents. Σi·x is invariant under permutation of
+    // equal values, so tie order cannot move the result (still pinned by
+    // event_id for plan determinism); numerator/denominator stay exact
+    // int64, one terminal double division. Rank window is type-partitioned.
+    GQuery("agg_gini_concentration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+            sum(col("i") * col("cents")).as("six"))
+          .select(col("event_type"), col("n"), col("sx"),
+            (lit(2L) * col("six") - (col("n") + 1) * col("sx")).as("gini_num"),
+            (col("n") * col("sx")).as("gini_den"))
+          .withColumn("gini",
+            col("gini_num").cast("double") / col("gini_den"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH r AS (
+                SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY CAST(floor(value * 100) AS BIGINT), event_id)
+                         AS BIGINT) AS i
+                FROM events),
+              m AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(cents) AS BIGINT) AS sx,
+                       CAST(SUM(i * cents) AS BIGINT) AS six
+                FROM r GROUP BY event_type)
+              SELECT event_type, n, sx,
+                     2 * six - (n + 1) * sx AS gini_num,
+                     n * sx AS gini_den,
+                     CAST(2 * six - (n + 1) * sx AS DOUBLE) / (n * sx) AS gini
+              FROM m ORDER BY event_type"""),
+      doc = "Gini inequality per type: tie-invariant ranked-sum formula, " +
+        "exact int64 numerator/denominator, one terminal double division"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
