@@ -386,6 +386,46 @@ class PlanAuditSpec extends AnyFunSuite {
       "groupBy(doc_id) under an unpartitioned window must read as UNBOUNDED")
   }
 
+  test("CBO: ANALYZE column stats let a selective filter flip the join to broadcast") {
+    // Without statistics a filtered side keeps its raw file-size estimate
+    // (above a small broadcast threshold → shuffle join). With table +
+    // COLUMN stats and CBO on, the filter's selectivity shrinks the
+    // estimate below the threshold and the planner broadcasts — the
+    // stats-driven decision a 100 TB warehouse lives on.
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS cbo_dim")
+    Tables.customer(s, sfDir).write.saveAsTable("cbo_dim")
+    try {
+      val orders = Tables.orders(s, sfDir)
+      def plan(): String = {
+        val dim = s.table("cbo_dim").filter(col("c_custkey") < 3)
+        orders.join(dim, orders("o_custkey") === dim("c_custkey"))
+          .groupBy(col("c_mktsegment")).count()
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      }
+      val restore = Seq(
+        "spark.sql.cbo.enabled" -> s.conf.get("spark.sql.cbo.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold" ->
+          s.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.enabled" -> s.conf.get("spark.sql.adaptive.enabled"))
+      try {
+        // AQE off so the compile-time (stats-driven) decision is visible
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+        val before = plan()
+        assert(broadcasts(before) == 0,
+          s"without stats the filtered dim must NOT broadcast under a 2 KB threshold:\n$before")
+        s.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS")
+        s.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR COLUMNS c_custkey")
+        val after = plan()
+        assert(broadcasts(after) >= 1,
+          s"with column stats the c_custkey < 3 filter must shrink the estimate to broadcast:\n$after")
+      } finally restore.foreach { case (k, v) => s.conf.set(k, v) }
+    } finally s.sql("DROP TABLE IF EXISTS cbo_dim")
+  }
+
   test("no registry query plan contains a CartesianProduct (broadcast NL over tiny sides only)") {
     // Queries whose ALGORITHM is a bounded small-side cross join (IVF centroid
     // assignment, brute-force baseline) use BroadcastNestedLoopJoin, never a
