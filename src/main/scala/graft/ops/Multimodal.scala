@@ -220,6 +220,30 @@ object Multimodal {
         col("end_window"), col("n_windows"), col("energy_sum"))
   }
 
+  /** Contrast (luma variance) census — the flat/blurred-image filter an
+    * image-curation pass runs before spending embedding compute: per doc
+    * the exact integer pixel moments (n, Σ, Σ²) and the variance
+    * numerator n·Σ² − (Σ)², with variance itself as the one terminal
+    * double division. Same stub-codec convention as the other mm_*
+    * surfaces; one map over payload bytes, nothing shuffles but the
+    * per-doc census row.
+    */
+  def contrastCensus(media: Dataset[MediaRow],
+                     codec: MediaRow => Array[Int] = StubPcm.samples): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val px = codec(r)
+      var s = 0L; var s2 = 0L
+      px.foreach { v => s += v; s2 += v.toLong * v }
+      (r.doc_id, px.length, s, s2)
+    }.toDF("doc_id", "n_px", "lum_sum", "lum_sumsq")
+      .withColumn("var_num",
+        col("n_px") * col("lum_sumsq") - col("lum_sum") * col("lum_sum"))
+      .withColumn("contrast_var",
+        col("var_num").cast("double") /
+          (col("n_px").cast("double") * col("n_px").cast("double")))
+  }
+
   /** Pure integer k×k box downsample of a row-major pixel grid — the
     * resize kernel itself, decoder-agnostic: the census below feeds it
     * stub-grid pixels (payload bytes as a `srcW`-wide u8 grid), and

@@ -856,6 +856,30 @@ object StreamingQueries {
       doc = "multimodal: per-shot keyframe selection — cumulative-boundary shot " +
         "ids, brightest-frame struct-argmax (earliest on ties) per shot"),
 
+    // ---- Contrast census: the flat/blurred-image pre-filter (variance
+    // of luma) before embedding compute — exact integer moments, one
+    // terminal division. Same stub-codec convention (ASCII ⇒ byte==char).
+    GQuery("mm_image_contrast",
+      (s, dir) => Multimodal.contrastCensus(
+          Multimodal.asMediaTable(s, Tables.documents(s, dir)))
+        .orderBy(col("doc_id")),
+      Some("""WITH m AS (
+                SELECT doc_id,
+                       CAST(octet_length(encode(text)) AS INT) AS n_px,
+                       CAST(list_sum(list_transform(range(1, length(text) + 1),
+                            j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))) AS BIGINT) AS lum_sum,
+                       CAST(list_sum(list_transform(range(1, length(text) + 1),
+                            j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)
+                                 * CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))) AS BIGINT) AS lum_sumsq
+                FROM documents)
+              SELECT doc_id, n_px, lum_sum, lum_sumsq,
+                     CAST(n_px * lum_sumsq - lum_sum * lum_sum AS BIGINT) AS var_num,
+                     CAST(n_px * lum_sumsq - lum_sum * lum_sum AS DOUBLE)
+                       / (CAST(n_px AS DOUBLE) * n_px) AS contrast_var
+              FROM m ORDER BY doc_id"""),
+      doc = "multimodal: luma-variance contrast census (flat/blur pre-filter) " +
+        "— exact integer moments, one terminal double division"),
+
     GQuery("mm_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
           Multimodal.asMediaTable(s, Tables.documents(s, dir)), everyN = 2)
