@@ -1950,6 +1950,49 @@ object RelationalQueries {
       doc = "Gini inequality per type: tie-invariant ranked-sum formula, " +
         "exact int64 numerator/denominator, one terminal double division"),
 
+    // ---- Inter-event gap histogram — the measured input behind the
+    // sessionization gap parameter (as streaming_disorder_census is to
+    // the watermark delay): per-user consecutive gaps bucketed by
+    // floor(log2(µs)) WITHOUT float log — the bucket is the binary
+    // string length (Spark bin() == DuckDB printf('%b')), exact on both
+    // engines. The knee in this histogram IS the session gap.
+    GQuery("sessionization_gap_histogram",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("us", expr("unix_micros(ts)"))
+          .withColumn("prev", lag(col("us"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("gap_us", col("us") - col("prev"))
+          .withColumn("log2_bucket",
+            when(col("gap_us") === 0, lit(-1))
+              .otherwise(length(expr("bin(gap_us)")) - 1).cast("int"))
+          .groupBy(col("log2_bucket"))
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("gap_us")).as("min_gap_us"),
+            max(col("gap_us")).as("max_gap_us"))
+          .orderBy(col("log2_bucket"))
+      },
+      Some("""WITH g AS (
+                SELECT epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap_us
+                FROM events),
+              b AS (
+                SELECT gap_us,
+                       CASE WHEN gap_us = 0 THEN -1
+                            ELSE CAST(length(printf('%b', gap_us)) - 1 AS INT)
+                       END AS log2_bucket
+                FROM g WHERE gap_us IS NOT NULL)
+              SELECT log2_bucket, count(*) AS n_gaps,
+                     CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+                     CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+              FROM b GROUP BY log2_bucket ORDER BY log2_bucket"""),
+      doc = "inter-event gap log2 histogram (the session-gap decision " +
+        "input): float-free buckets via binary-string length, exact both engines"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
