@@ -163,6 +163,43 @@ object LakeQueries {
       doc = "INSERT INTO appends (hard-link carry-forward of previous version) and " +
         "INSERT OVERWRITE truncate semantics, both time-travel-visible"),
 
+    // ---- DYNAMIC partition overwrite — the backfill semantic
+    // lake_insert_append_overwrite's truncate-overwrite can't give: a
+    // corrected batch for ONE day replaces ONLY that day's partition
+    // directory; every untouched partition survives byte-for-byte. The
+    // oracle proves it: all slots carry their original sums except the
+    // rewritten slot's +1-per-row correction. At 100 TB this is how a
+    // late-arriving day is repaired without rewriting the table.
+    GQuery("lake_dynamic_partition_overwrite",
+      (s, dir) => {
+        val out = graft.stages.TempDirs.scratch("graft_dpo_")
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+            expr("unix_micros(ts) div 86400000000 % 31").as("day_slot"))
+        ev.write.partitionBy("day_slot").mode("overwrite").parquet(out)
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          ev.filter(col("day_slot") === 3)
+            .withColumn("cents", col("cents") + 1)
+            .write.partitionBy("day_slot").mode("overwrite").parquet(out)
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.read.parquet(out)
+          .groupBy(col("day_slot").cast("long").as("day_slot"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+          .orderBy(col("day_slot"))
+      },
+      Some("""SELECT epoch_us(ts) // 86400000000 % 31 AS day_slot,
+                     count(*) AS n_events,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                          + CASE WHEN epoch_us(ts) // 86400000000 % 31 = 3
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS total_cents
+              FROM events GROUP BY 1 ORDER BY day_slot"""),
+      doc = "dynamic partition overwrite: a corrected one-day batch replaces " +
+        "only its partition directory; untouched partitions survive (backfill " +
+        "repair without a table rewrite)"),
+
     GQuery("lake_schema_evolution",
       (s, dir) => {
         val (t, view) = freshTable(s, dir, "evo")
