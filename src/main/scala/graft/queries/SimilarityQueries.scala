@@ -792,6 +792,31 @@ object SimilarityQueries {
                         // count(*) AS disagree_e4
                FROM j GROUP BY label ORDER BY label"""),
       doc = "label-noise detection: 5-NN majority label vs own label per " +
-        "vector (min-label ties), per-label disagreement census at 1e4 scale")
+        "vector (min-label ties), per-label disagreement census at 1e4 scale"),
+
+    // The embeddings-table QA card (curate_dataset_card's sibling for the
+    // vector modality): zero vectors and wrong dims break every cosine
+    // downstream — catch them before index build. min/max of norms are
+    // order-independent, so the doubles hash-compare exactly.
+    GQuery("sim_embedding_qa",
+      (s, dir) => Similarity.withNorm(Tables.embeddings(s, dir))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count(when(col("norm") === 0, lit(1))).as("n_zero_vectors"),
+          count(when(expr("size(embedding) != 64"), lit(1))).as("n_bad_dim"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"))
+        .orderBy(col("label")),
+      Some(s"""WITH b AS (
+                 SELECT label, len(embedding) AS dim,
+                        sqrt(${dotSql("embedding", "embedding")}) AS norm
+                 FROM embeddings)
+               SELECT label, count(*) AS n_vecs,
+                      CAST(count(*) FILTER (norm = 0) AS BIGINT) AS n_zero_vectors,
+                      CAST(count(*) FILTER (dim != 64) AS BIGINT) AS n_bad_dim,
+                      MIN(norm) AS min_norm, MAX(norm) AS max_norm
+               FROM b GROUP BY label ORDER BY label"""),
+      doc = "embeddings QA card per label: zero-vector and wrong-dim counts, " +
+        "norm range (order-independent doubles) — the pre-index gate")
   )
 }
