@@ -1993,6 +1993,52 @@ object RelationalQueries {
       doc = "inter-event gap log2 histogram (the session-gap decision " +
         "input): float-free buckets via binary-string length, exact both engines"),
 
+    // ---- Exact WEIGHTED median — the estimator agg_percentiles can't
+    // give (every row votes with its quantity, not once): smallest price
+    // whose cumulative quantity reaches half the group's total. Integer
+    // cents/quantities, one flag-partitioned cumulative window, the
+    // qualifying-row minimum is an aggregate (no second window).
+    GQuery("agg_weighted_median",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          floor(col("l_quantity")).cast("long").as("qty"),
+          col("l_orderkey"), col("l_linenumber"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = li.groupBy(col("l_returnflag"))
+          .agg(sum(col("qty")).as("tot_qty"))
+        li.withColumn("cumw", sum(col("qty")).over(w))
+          .join(broadcast(tot), Seq("l_returnflag"))
+          .filter(col("cumw") * 2 >= col("tot_qty"))
+          .groupBy(col("l_returnflag"))
+          .agg(max(col("tot_qty")).as("tot_qty"),
+            min(col("cents")).as("wmedian_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH li AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                       CAST(floor(l_quantity) AS BIGINT) AS qty,
+                       l_orderkey, l_linenumber
+                FROM lineitem),
+              c AS (
+                SELECT l_returnflag, cents, qty,
+                       SUM(qty) OVER (PARTITION BY l_returnflag
+                         ORDER BY cents, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS cumw,
+                       SUM(qty) OVER (PARTITION BY l_returnflag) AS tot_qty
+                FROM li)
+              SELECT l_returnflag,
+                     CAST(MAX(tot_qty) AS BIGINT) AS tot_qty,
+                     CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+              FROM c WHERE cumw * 2 >= tot_qty
+              GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "exact weighted median per flag: every row votes with its " +
+        "quantity; integer cumulative-weight rank selection, no second window"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
