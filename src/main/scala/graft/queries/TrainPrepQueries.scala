@@ -374,6 +374,32 @@ object TrainPrepQueries {
               FROM s ORDER BY lang NULLS FIRST"""),
       doc = "largest-remainder (Hamilton) budget apportionment across language " +
         "strata: exact integer allocation summing to the budget, each stratum " +
-        "within 1 of its real share")
+        "within 1 of its real share"),
+
+    // ---- Shard shipping manifest — what a training run's data loader
+    // verifies before reading a shard: per shard the doc count, token
+    // total, id range, and an order-independent content checksum
+    // (bit_xor of per-doc md5 longs — the audit_merkle_diff digest
+    // algebra applied to the shard grain). One doc-keyed pass, one
+    // 16-row output.
+    GQuery("prep_shard_manifest",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("shard", (col("doc_id") % 16).cast("int"))
+        .withColumn("rh", expr(
+          "CAST(conv(substring(md5(concat_ws('|', doc_id, text)), 1, 15), 16, 10) AS BIGINT)"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("total_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+          expr("bit_xor(rh)").as("content_checksum"))
+        .orderBy(col("shard")),
+      Some("""SELECT CAST(doc_id % 16 AS INT) AS shard,
+                     count(*) AS n_docs,
+                     CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+                     MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+                     bit_xor(CAST('0x' || substr(md5(doc_id || '|' || text), 1, 15) AS BIGINT)) AS content_checksum
+              FROM documents GROUP BY 1 ORDER BY shard"""),
+      doc = "shard shipping manifest: per-shard doc/token counts, id range, " +
+        "order-independent bit_xor content checksum (loader-side integrity gate)")
   )
 }
