@@ -1398,6 +1398,69 @@ object ScaleOpsQueries {
               ORDER BY jaccard_e4 DESC, ne.u, ne.v LIMIT 20"""),
       doc = "link prediction: common-neighbor wedge counts + exact 1e4 " +
         "Jaccard over non-edges, deterministic top-20 (orientation-bounded " +
-        "wedges at power-law scale)")
+        "wedges at power-law scale)"),
+
+    // ---- Degree assortativity (Newman) — do hubs link to hubs? Pearson r
+    // over the degree pairs of every edge end (each edge counted in both
+    // directions, the standard convention). Exact decimal moments with the
+    // agg_pearson_exact IEEE finish; degrees from one count, the edge
+    // table joined twice (broadcastable degree side at any realistic
+    // |nodes|... the DEGREE TABLE is |nodes| rows, not corpus rows).
+    GQuery("graph_assortativity",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
+        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+          .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+        val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        nbrs
+          .join(deg.select(col("node"), col("deg").cast("decimal(18,0)").as("x")),
+            Seq("node"))
+          .join(deg.select(col("node").as("nbr"),
+            col("deg").cast("decimal(18,0)").as("y")), Seq("nbr"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n").cast("long").as("n_edge_ends"),
+            expr("CAST(n * sxy - sx * sy AS DOUBLE) " +
+              "/ (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) " +
+              "* sqrt(CAST(n * syy - sy * sy AS DOUBLE)))").as("assortativity"))
+      },
+      Some("""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+              und AS (
+                SELECT DISTINCT a, b FROM (
+                  SELECT node AS a, node + 1 AS b FROM nodes
+                  UNION ALL SELECT node, node + 2 FROM nodes
+                  UNION ALL SELECT node, node + 3 FROM nodes
+                  UNION ALL SELECT node, node * 2 FROM nodes) e
+                WHERE a < b
+                  AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+              nbrs AS (SELECT a AS node, b AS nbr FROM und
+                       UNION ALL SELECT b, a FROM und),
+              deg AS (SELECT node, CAST(count(*) AS HUGEINT) AS deg
+                      FROM nbrs GROUP BY node),
+              m AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       SUM(dx.deg) AS sx, SUM(dy.deg) AS sy,
+                       SUM(dx.deg * dy.deg) AS sxy,
+                       SUM(dx.deg * dx.deg) AS sxx,
+                       SUM(dy.deg * dy.deg) AS syy
+                FROM nbrs e JOIN deg dx ON dx.node = e.node
+                            JOIN deg dy ON dy.node = e.nbr)
+              SELECT CAST(n AS BIGINT) AS n_edge_ends,
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+              FROM m"""),
+      doc = "Newman degree assortativity: Pearson over per-edge-end degree " +
+        "pairs (both directions), exact decimal moments, IEEE finish")
   )
 }
