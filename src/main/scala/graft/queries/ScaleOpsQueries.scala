@@ -1461,6 +1461,62 @@ object ScaleOpsQueries {
                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
               FROM m"""),
       doc = "Newman degree assortativity: Pearson over per-edge-end degree " +
-        "pairs (both directions), exact decimal moments, IEEE finish")
+        "pairs (both directions), exact decimal moments, IEEE finish"),
+
+    // ---- Global clustering coefficient: C = 3·triangles / wedges with
+    // BOTH counts exact integers — Σ per-node triangle participation is
+    // 3T by construction (each triangle counted at its three corners),
+    // wedges = Σ deg·(deg−1)/2 from the degree table. Triangle side rides
+    // the degree-ordered orientation (O(√m) fan-out); one double division
+    // at the end.
+    GQuery("graph_clustering_coefficient",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
+        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        val tri3 = graft.ops.GraphOps.trianglePerNode(nodes, und)
+          .agg(sum(col("tri_count")).as("tri_x3"))
+        val wedges = und
+          .select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+            count(lit(1)).as("n_nodes"))
+        val edges = und.agg(count(lit(1)).as("n_edges"))
+        wedges.crossJoin(broadcast(tri3)).crossJoin(broadcast(edges))
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("tri_x3"),
+            (col("tri_x3").cast("double") / col("n_wedges")).as("global_cc"))
+      },
+      Some("""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+              und AS (
+                SELECT DISTINCT a, b FROM (
+                  SELECT node AS a, node + 1 AS b FROM nodes
+                  UNION ALL SELECT node, node + 2 FROM nodes
+                  UNION ALL SELECT node, node + 3 FROM nodes
+                  UNION ALL SELECT node, node * 2 FROM nodes) e
+                WHERE a < b
+                  AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+              tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+              deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                  SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                GROUP BY node),
+              w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+                           CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+              t AS (SELECT CAST(count(*) * 3 AS BIGINT) AS tri_x3 FROM tri),
+              e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+              SELECT w.n_nodes, e.n_edges, w.n_wedges, t.tri_x3,
+                     CAST(t.tri_x3 AS DOUBLE) / w.n_wedges AS global_cc
+              FROM w, t, e"""),
+      doc = "global clustering coefficient: exact 3T (per-node participation " +
+        "sum) over exact wedge count, oriented triangle side, one division")
   )
 }
