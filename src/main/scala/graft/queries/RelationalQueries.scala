@@ -2039,6 +2039,31 @@ object RelationalQueries {
       doc = "exact weighted median per flag: every row votes with its " +
         "quantity; integer cumulative-weight rank selection, no second window"),
 
+    // ---- parse_url breadth — the host/path/query splitter a web-corpus
+    // pipeline runs on every crawl record (registered-domain grouping,
+    // dedup keys, robots scoping). URLs are synthesized from corpus
+    // columns so the oracle can mirror the extraction with plain string
+    // algebra (DuckDB has no parse_url).
+    GQuery("o24_url_parse",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example/doc/"), col("doc_id"), lit("?lang="), col("lang")))
+        .select(
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("qlang"),
+          expr("parse_url(url, 'PATH')").as("path"))
+        .groupBy(col("host"), col("qlang"))
+        .agg(count(lit(1)).as("n_urls"),
+          min(col("path")).as("min_path"), max(col("path")).as("max_path"))
+        .orderBy(col("host"), col("qlang")),
+      Some("""SELECT source || '.example' AS host, lang AS qlang,
+                     count(*) AS n_urls,
+                     MIN('/doc/' || doc_id) AS min_path,
+                     MAX('/doc/' || doc_id) AS max_path
+              FROM documents GROUP BY 1, 2 ORDER BY host, qlang"""),
+      doc = "parse_url host/path/query extraction (web-corpus splitter) == " +
+        "string-algebra oracle; per-host/lang census"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
