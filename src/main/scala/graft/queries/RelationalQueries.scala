@@ -2064,6 +2064,50 @@ object RelationalQueries {
       doc = "parse_url host/path/query extraction (web-corpus splitter) == " +
         "string-algebra oracle; per-host/lang census"),
 
+    // ---- Day-of-week seasonality profile — the decomposition input the
+    // seasonal-naive backtest (lag-7) implicitly assumes: per (type, dow)
+    // the seasonal index as an EXACT rational, (dow_sum·N·10⁴) div
+    // (total_sum·n_dow) — means never materialize as floats. Epoch day 0
+    // is a Thursday, so dow = (d + 4) % 7 with Sunday = 0.
+    GQuery("ts_weekday_profile",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+          .withColumn("dow", expr("(d + 4) % 7"))
+        val tot = daily.groupBy(col("event_type"))
+          .agg(sum(col("cents")).as("s_all"), count(lit(1)).as("n_all"))
+        daily.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("dow_cents"))
+          .join(broadcast(tot), Seq("event_type"))
+          .withColumn("seasonal_index_e4", expr(
+            """CAST(dow_cents AS DECIMAL(38,0)) * n_all * 10000
+               div (CAST(s_all AS DECIMAL(38,0)) * n_days)"""))
+          .select(col("event_type"), col("dow"), col("n_days"),
+            col("dow_cents"), col("seasonal_index_e4"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2),
+              dw AS (SELECT event_type, (d + 4) % 7 AS dow, cents FROM daily),
+              tot AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) AS s_all,
+                             CAST(count(*) AS BIGINT) AS n_all
+                      FROM dw GROUP BY event_type),
+              g AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+                           CAST(SUM(cents) AS BIGINT) AS dow_cents
+                    FROM dw GROUP BY 1, 2)
+              SELECT g.event_type, g.dow, g.n_days, g.dow_cents,
+                     CAST(CAST(g.dow_cents AS HUGEINT) * t.n_all * 10000
+                          // (CAST(t.s_all AS HUGEINT) * g.n_days) AS BIGINT)
+                       AS seasonal_index_e4
+              FROM g JOIN tot t USING (event_type)
+              ORDER BY g.event_type, g.dow"""),
+      doc = "day-of-week seasonality profile: exact rational seasonal index " +
+        "(dow_sum*N*1e4 div total*n_dow), no float means; Sunday = 0"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
