@@ -21,7 +21,7 @@ object ScaleOpsQueries {
     * sketches): bottom-k-of-union == true bottom-k, so both must equal
     * this — value-identical output is the merge-transparency proof.
     */
-  private val sampleQuantilesOracle: String =
+  private[queries] val sampleQuantilesOracle: String =
     """WITH pri AS (
                 SELECT event_type, event_id, value,
                        CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS p

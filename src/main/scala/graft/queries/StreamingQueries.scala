@@ -145,6 +145,18 @@ object StreamingQueries {
         "per type, exact trajectory derived per emission; drained final == " +
         "batch ts_cusum (shared oracle)"),
 
+    // ---- Bottom-k sample as STREAMING STATE — the third sketch-state
+    // twin: the KMV property (bottom-k of a union is a function of the
+    // union only) makes the fold order-insensitive, so the drained state
+    // equals the batch sample exactly and shares its oracle verbatim.
+    GQuery("streaming_bottomk_state",
+      (s, dir) => graft.streaming.SampleState.bottomKStateDrain(s, dir, k = 64)
+        .orderBy(col("event_type")),
+      Some(ScaleOpsQueries.sampleQuantilesOracle),
+      doc = "bottom-k-by-hash sample in transformWithState: k-row ValueState " +
+        "per type, order-insensitive KMV fold; drained final == batch " +
+        "sketch_sample_quantiles (shared oracle)"),
+
     GQuery("streaming_interval_join",
       (s, dir) => graft.streaming.StreamJoin.viewPurchasePairs(s, dir, windowMinutes = 30)
         .orderBy(col("user_id"), col("view_event"), col("buy_event")),
