@@ -2108,6 +2108,75 @@ object RelationalQueries {
       doc = "day-of-week seasonality profile: exact rational seasonal index " +
         "(dow_sum*N*1e4 div total*n_dow), no float means; Sunday = 0"),
 
+    // ---- Wald-Wolfowitz runs test — is the daily series RANDOM around
+    // its median, or trending/cyclic? Signs vs the exact per-type lower
+    // median (ties discarded, the classic convention), runs counted as
+    // sign-change islands on the calendar-bounded table, and the null
+    // expectation 1 + 2ab/(a+b) carried as an exact 1e4 rational. Too few
+    // runs ⇒ trend; too many ⇒ oscillation — the CUSUM/Theil-Sen
+    // cross-check.
+    GQuery("ts_runs_test",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        val wVal = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("d"))
+        val wAll = Window.partitionBy(col("event_type"))
+        val med = daily.withColumn("_vr", row_number().over(wVal))
+          .withColumn("_n", count(lit(1)).over(wAll))
+          .filter(col("_vr") === ceil(col("_n") / 2.0))
+          .select(col("event_type"), col("cents").as("med"))
+        val signed = daily.join(broadcast(med), Seq("event_type"))
+          .filter(col("cents") =!= col("med"))
+          .withColumn("above", col("cents") > col("med"))
+        val wSeq = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        signed
+          .withColumn("chg",
+            when(lag(col("above"), 1).over(wSeq).isNull ||
+              lag(col("above"), 1).over(wSeq) =!= col("above"), 1L).otherwise(0L))
+          .groupBy(col("event_type"))
+          .agg(count(when(col("above"), lit(1))).as("n_above"),
+            count(when(not(col("above")), lit(1))).as("n_below"),
+            sum(col("chg")).as("n_runs"))
+          .withColumn("expected_runs_e4", expr(
+            "10000 + 2 * n_above * n_below * 10000 div (n_above + n_below)"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2),
+              med AS (
+                SELECT event_type, cents AS med FROM (
+                  SELECT event_type, cents,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY cents, d) AS vr,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM daily) WHERE vr = CAST(ceil(n / 2.0) AS BIGINT)),
+              s AS (
+                SELECT d.event_type, d.d, d.cents > m.med AS above
+                FROM daily d JOIN med m USING (event_type)
+                WHERE d.cents <> m.med),
+              c AS (
+                SELECT event_type, above,
+                       CASE WHEN lag(above) OVER w IS NULL
+                              OR lag(above) OVER w <> above THEN 1 ELSE 0 END AS chg
+                FROM s WINDOW w AS (PARTITION BY event_type ORDER BY d))
+              SELECT event_type,
+                     CAST(count(*) FILTER (above) AS BIGINT) AS n_above,
+                     CAST(count(*) FILTER (NOT above) AS BIGINT) AS n_below,
+                     CAST(SUM(chg) AS BIGINT) AS n_runs,
+                     10000 + 2 * CAST(count(*) FILTER (above) AS BIGINT)
+                       * CAST(count(*) FILTER (NOT above) AS BIGINT) * 10000
+                       // (CAST(count(*) AS BIGINT)) AS expected_runs_e4
+              FROM c GROUP BY event_type ORDER BY event_type"""),
+      doc = "Wald-Wolfowitz runs test per type: sign islands vs the exact " +
+        "median (ties discarded), null expectation 1 + 2ab/(a+b) as an exact " +
+        "1e4 rational — trend/oscillation cross-check"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
