@@ -400,6 +400,35 @@ object TrainPrepQueries {
                      bit_xor(CAST('0x' || substr(md5(doc_id || '|' || text), 1, 15) AS BIGINT)) AS content_checksum
               FROM documents GROUP BY 1 ORDER BY shard"""),
       doc = "shard shipping manifest: per-shard doc/token counts, id range, " +
-        "order-independent bit_xor content checksum (loader-side integrity gate)")
+        "order-independent bit_xor content checksum (loader-side integrity gate)"),
+
+    // ---- Balanced class weights (sklearn's class_weight='balanced'):
+    // w_c = N / (K·n_c) as an exact 1e4 rational — the loss-reweighting
+    // table for a skewed label distribution, dual of the apportionment
+    // query (which moves the DATA; this moves the GRADIENT). One bounded
+    // groupBy + two broadcast scalars.
+    GQuery("prep_class_weights",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val tot = emb.agg(count(lit(1)).as("n_total"),
+          countDistinct(col("label")).as("n_classes"))
+        emb.groupBy(col("label")).agg(count(lit(1)).as("n_c"))
+          .crossJoin(broadcast(tot))
+          .withColumn("weight_e4",
+            expr("n_total * 10000 div (n_classes * n_c)"))
+          .select(col("label"), col("n_c"), col("n_total"),
+            col("n_classes"), col("weight_e4"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                                CAST(count(DISTINCT label) AS BIGINT) AS n_classes
+                         FROM embeddings),
+              g AS (SELECT label, CAST(count(*) AS BIGINT) AS n_c
+                    FROM embeddings GROUP BY label)
+              SELECT g.label, g.n_c, t.n_total, t.n_classes,
+                     t.n_total * 10000 // (t.n_classes * g.n_c) AS weight_e4
+              FROM g, t ORDER BY g.label"""),
+      doc = "balanced class weights: N/(K*n_c) as exact 1e4 rationals — the " +
+        "loss-reweighting dual of data-side apportionment")
   )
 }
