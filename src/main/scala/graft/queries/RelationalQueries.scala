@@ -2177,6 +2177,72 @@ object RelationalQueries {
         "median (ties discarded), null expectation 1 + 2ab/(a+b) as an exact " +
         "1e4 rational — trend/oscillation cross-check"),
 
+    // ---- Deterministic bootstrap — uncertainty quantification WITHOUT
+    // RNG state (engine RNGs never hash-match across systems): replicate
+    // b's j-th draw is the row at index md5(b,variant,j) mod n, a pure
+    // function of the data, so the whole resampling distribution is
+    // reproducible anywhere. 8 replicate means per variant (8n fan-out —
+    // one deterministic-index join, no per-row state), spread reported as
+    // the sorted replicate extremes + lower median. The A/B error-bar
+    // companion to ab_mann_whitney's point test.
+    GQuery("ab_bootstrap_means",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select((col("user_id") % 2).cast("int").as("variant"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+            col("event_id"))
+        val w = Window.partitionBy(col("variant")).orderBy(col("event_id"))
+        val idxed = ev.withColumn("idx", (row_number().over(w) - 1).cast("long"))
+        val nTab = idxed.groupBy(col("variant")).agg(count(lit(1)).as("n"))
+        val reps = s.range(8).select(col("id").as("b"))
+        val draws = idxed.select(col("variant"), col("idx").as("j"))
+          .crossJoin(broadcast(reps))
+          .join(broadcast(nTab), Seq("variant"))
+          .withColumn("tgt", expr(
+            "CAST(conv(substring(md5(concat_ws('_', b, variant, j)), 1, 15), 16, 10) AS BIGINT) % n"))
+        draws
+          .join(idxed.select(col("variant"), col("idx").as("tgt"), col("cents")),
+            Seq("variant", "tgt"))
+          .groupBy(col("variant"), col("b"))
+          .agg((sum(col("cents")).cast("double") / count(lit(1))).as("mean_cents"))
+          .groupBy(col("variant"))
+          .agg(sort_array(collect_list(col("mean_cents"))).as("ms"))
+          .select(col("variant"),
+            expr("element_at(ms, 1)").as("boot_lo"),
+            expr("element_at(ms, 4)").as("boot_med"),
+            expr("element_at(ms, 8)").as("boot_hi"))
+          .orderBy(col("variant"))
+      },
+      Some("""WITH ev AS (
+                SELECT CAST(user_id % 2 AS INT) AS variant,
+                       CAST(floor(value * 100) AS BIGINT) AS cents, event_id
+                FROM events),
+              ix AS (
+                SELECT variant, cents,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY variant
+                         ORDER BY event_id) - 1 AS BIGINT) AS idx
+                FROM ev),
+              nn AS (SELECT variant, CAST(count(*) AS BIGINT) AS n
+                     FROM ix GROUP BY variant),
+              reps AS (SELECT unnest(range(0, 8)) AS b),
+              draws AS (
+                SELECT i.variant, r.b,
+                       CAST('0x' || substr(md5(r.b || '_' || i.variant || '_' || i.idx), 1, 15)
+                            AS BIGINT) % t.n AS tgt
+                FROM ix i JOIN nn t USING (variant) CROSS JOIN reps r),
+              means AS (
+                SELECT d.variant, d.b,
+                       CAST(SUM(x.cents) AS DOUBLE) / count(*) AS mean_cents
+                FROM draws d JOIN ix x ON x.variant = d.variant AND x.idx = d.tgt
+                GROUP BY d.variant, d.b),
+              ms AS (SELECT variant, list(mean_cents ORDER BY mean_cents) AS l
+                     FROM means GROUP BY variant)
+              SELECT variant, l[1] AS boot_lo, l[4] AS boot_med, l[8] AS boot_hi
+              FROM ms ORDER BY variant"""),
+      doc = "deterministic bootstrap CI: md5-indexed resampling (no RNG " +
+        "state), 8 replicate means per variant, sorted extremes + lower median"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic
