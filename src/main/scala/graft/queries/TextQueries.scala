@@ -1283,6 +1283,43 @@ object TextQueries {
                       FROM bylang))
               SELECT * FROM l UNION ALL SELECT * FROM s ORDER BY dimension"""),
       doc = "corpus concentration census: 1e4-scaled HHI + top share across " +
-        "sources and langs (the dataset-card dominance number)")
+        "sources and langs (the dataset-card dominance number)"),
+
+    // ---- Suffix morphology census — the character-level signal the
+    // stopword langid doesn't use: top-5 three-char token suffixes per
+    // language (inflectional morphology is suffix-heavy in the corpus
+    // languages). One explode + (lang, suffix) count + lang-partitioned
+    // rank; deterministic ties by suffix.
+    GQuery("text_suffix_census",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sfx = TextAnalysis.withTokens(Tables.documents(s, dir))
+          .select(col("lang"), explode(col("toks")).as("tok"))
+          .filter(length(col("tok")) >= 4)
+          .select(col("lang"), expr("substring(tok, -3, 3)").as("suffix"))
+          .groupBy(col("lang"), col("suffix"))
+          .agg(count(lit(1)).as("n_tokens"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_tokens").desc, col("suffix"))
+        sfx.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank").cast("int").as("rank"),
+            col("suffix"), col("n_tokens"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT lang, u.tok FROM (
+              |    SELECT lang, unnest($toksSql) AS tok FROM documents) u
+              |  WHERE length(u.tok) >= 4),
+              |c AS (SELECT lang, right(tok, 3) AS suffix, count(*) AS n_tokens
+              |      FROM t GROUP BY 1, 2),
+              |r AS (SELECT lang, suffix, n_tokens,
+              |             ROW_NUMBER() OVER (PARTITION BY lang
+              |               ORDER BY n_tokens DESC, suffix) AS rank
+              |      FROM c)
+              |SELECT lang, CAST(rank AS INT) AS rank, suffix, n_tokens
+              |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin),
+      doc = "suffix morphology census: top-5 three-char token suffixes per " +
+        "language (char-level signal beside stopword langid)")
   )
 }
