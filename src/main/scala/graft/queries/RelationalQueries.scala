@@ -2243,6 +2243,65 @@ object RelationalQueries {
       doc = "deterministic bootstrap CI: md5-indexed resampling (no RNG " +
         "state), 8 replicate means per variant, sorted extremes + lower median"),
 
+    // ---- Two-sample Kolmogorov-Smirnov — the SHAPE test beside
+    // ab_mann_whitney's location test: D = max |F_A − F_B| computed
+    // EXACTLY as max |cumA·n_B − cumB·n_A| / (n_A·n_B) over the
+    // value-domain cents histogram — no float CDFs, no raw-row sort; the
+    // only window is cumulative counts over |distinct cents| rows
+    // (guard-adjudicated). The argmax cents (struct-max, min-cents ties)
+    // says WHERE the distributions diverge.
+    GQuery("ab_ks_test",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select((col("user_id") % 2).cast("int").as("variant"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        val hist = ev.groupBy(col("cents")).agg(
+          count(when(col("variant") === 0, lit(1))).as("n0"),
+          count(when(col("variant") === 1, lit(1))).as("n1"))
+        val w = Window.orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cum0", sum(col("n0")).over(w))
+          .withColumn("cum1", sum(col("n1")).over(w))
+        val tot = hist.agg(sum(col("n0")).as("na"), sum(col("n1")).as("nb"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("d_num", abs(col("cum0") * col("nb") - col("cum1") * col("na")))
+          .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+            max(struct(col("d_num"), (-col("cents")).as("nc"))).as("mx"))
+          .select(col("n_a"), col("n_b"),
+            expr("mx.d_num * 10000 div (n_a * n_b)").as("ks_e4"),
+            (-col("mx.nc")).as("at_cents"))
+      },
+      Some("""WITH ev AS (
+                SELECT CAST(user_id % 2 AS INT) AS variant,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events),
+              hist AS (
+                SELECT cents,
+                       CAST(count(*) FILTER (variant = 0) AS BIGINT) AS n0,
+                       CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n1
+                FROM ev GROUP BY cents),
+              cum AS (
+                SELECT cents,
+                       CAST(SUM(n0) OVER w AS BIGINT) AS cum0,
+                       CAST(SUM(n1) OVER w AS BIGINT) AS cum1
+                FROM hist
+                WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
+              tot AS (SELECT CAST(SUM(n0) AS BIGINT) AS na,
+                             CAST(SUM(n1) AS BIGINT) AS nb FROM hist),
+              d AS (
+                SELECT c.cents, abs(c.cum0 * t.nb - c.cum1 * t.na) AS d_num,
+                       t.na, t.nb
+                FROM cum c, tot t)
+              SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+                     CAST(max({'d': d_num, 'nc': -cents}).d * 10000
+                          // (MAX(na) * MAX(nb)) AS BIGINT) AS ks_e4,
+                     -(max({'d': d_num, 'nc': -cents}).nc) AS at_cents
+              FROM d"""),
+      doc = "two-sample KS test: exact D = max|cumA*nB - cumB*nA|/(nA*nB) " +
+        "over the value-domain histogram, argmax cents via struct-max"),
+
     // Cohort retention — the other half of product analytics next to the
     // funnel: users are cohorted by their FIRST active day, then counted
     // distinct at fixed day offsets. All-day-index integer arithmetic

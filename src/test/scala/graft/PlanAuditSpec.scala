@@ -331,7 +331,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "ab_mann_whitney" -> Set(Set("value")),
     // lifetime-day table: t_obs = ld − fd groups users into ≤|corpus days|
     // rows (calendar-bounded) before the at-risk / survival-fold windows
-    "cohort_survival_km" -> Set(Set("fd", "ld")))
+    "cohort_survival_km" -> Set(Set("fd", "ld")),
+    // same cents value-domain histogram as ab_mann_whitney before the
+    // cumulative-CDF window
+    "ab_ks_test" -> Set(Set("value")))
 
   private def windowOffenders(name: String,
       df: org.apache.spark.sql.DataFrame): Seq[String] = {
