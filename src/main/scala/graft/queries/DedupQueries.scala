@@ -405,6 +405,85 @@ object DedupQueries {
       doc = "dedup-aware effective tokens per source: cluster-size " +
         "down-weighting (tokens*100 div csize), raw-vs-effective mixture input"),
 
+    // ---- Near-dup-aware train/test split — the leakage split_train_val
+    // cannot prevent: hashing DOCS sends near-copies of training docs
+    // into test (inflated eval). Hashing the CLUSTER id instead keeps
+    // every near-dup family on one side BY CONSTRUCTION. The census
+    // proves it: per method the split sizes plus the count of near-dup
+    // pairs CROSSING the split — nonzero for by_doc, structurally zero
+    // for by_cluster. The eval-integrity sibling of decontamination.
+    GQuery("dedup_aware_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val comp = Dedup.connectedComponentsStar(
+          Dedup.minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
+        val lbl = docs.select(col("doc_id"))
+          .join(comp, docs("doc_id") === comp("node"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+        def bucket(c: org.apache.spark.sql.Column) =
+          when(expr(s"CAST(conv(substring(md5(CAST(${c} AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100") < 10,
+            lit("test")).otherwise(lit("train"))
+        val assigned = lbl
+          .withColumn("by_doc", bucket(col("doc_id")))
+          .withColumn("by_cluster", bucket(col("cluster")))
+        val pairs = Dedup.minhashLshPairs(docs)
+          .select(col("doc_a"), col("doc_b"))
+        def census(method: String) = {
+          val sizes = assigned.groupBy(col(method).as("split"))
+            .agg(count(lit(1)).as("n_docs"))
+          val cross = pairs
+            .join(assigned.select(col("doc_id").as("doc_a"),
+              col(method).as("sa")), Seq("doc_a"))
+            .join(assigned.select(col("doc_id").as("doc_b"),
+              col(method).as("sb")), Seq("doc_b"))
+            .agg(count(when(col("sa") =!= col("sb"), lit(1))).as("n_cross_pairs"))
+          sizes.crossJoin(broadcast(cross))
+            .select(lit(method).as("method"), col("split"),
+              col("n_docs"), col("n_cross_pairs"))
+        }
+        census("by_doc").unionByName(census("by_cluster"))
+          .orderBy(col("method"), col("split"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+                 SELECT doc_a, doc_b FROM ($minhashPairsSql) t),
+               edges AS (
+                 SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+               reach(node, r) AS (
+                 SELECT DISTINCT u, u FROM edges
+                 UNION
+                 SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v),
+               comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+               lbl AS (
+                 SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster
+                 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+               assigned AS (
+                 SELECT doc_id, cluster,
+                        CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 10
+                             THEN 'test' ELSE 'train' END AS by_doc,
+                        CASE WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 10
+                             THEN 'test' ELSE 'train' END AS by_cluster
+                 FROM lbl),
+               cx AS (
+                 SELECT
+                   CAST(count(*) FILTER (a.by_doc <> b.by_doc) AS BIGINT) AS cross_doc,
+                   CAST(count(*) FILTER (a.by_cluster <> b.by_cluster) AS BIGINT) AS cross_cluster
+                 FROM pairs p
+                 JOIN assigned a ON a.doc_id = p.doc_a
+                 JOIN assigned b ON b.doc_id = p.doc_b)
+               SELECT method, split, n_docs, n_cross_pairs FROM (
+                 SELECT 'by_doc' AS method, by_doc AS split, count(*) AS n_docs,
+                        (SELECT cross_doc FROM cx) AS n_cross_pairs
+                 FROM assigned GROUP BY by_doc
+                 UNION ALL
+                 SELECT 'by_cluster', by_cluster, count(*),
+                        (SELECT cross_cluster FROM cx)
+                 FROM assigned GROUP BY by_cluster)
+               ORDER BY method, split"""),
+      doc = "near-dup-aware train/test split: cluster-hash assignment keeps " +
+        "every near-dup family on one side (cross-pairs structurally 0) vs " +
+        "doc-hash's measured leakage — the eval-integrity gate"),
+
     // ---- The KEEP decision a dedup pass actually ships: per near-dup
     // cluster, the surviving copy chosen by QUALITY (is_quality, then
     // token count, then id as the deterministic tie-break) — the
