@@ -393,6 +393,128 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** All-corpus kNN at scale: multi-probe LSH candidate generation (each
+    * query reads its own sign bucket + every Hamming-1 bucket, the corpus
+    * stays in ONE bucket) with the per-query top-k taken by the bounded
+    * [[graft.functions.TopKAggregator]] instead of a whole-group window.
+    *
+    * This is the shape [[bruteForceTopKAgg]] cannot survive at 100 TB when
+    * the query set IS the corpus: brute broadcasts the entire query side and
+    * computes n² dots. Here the candidate pairing is an EQUI-join on
+    * bucket == probe — a plain shuffle hash join with no broadcast at all —
+    * and expected candidate volume is (planes+1)·n²/2^planes (9/256 of n²
+    * at the defaults), each per-query group bounded to k rows per map
+    * partition through the shuffle. Bucket skew is the one risk; AQE
+    * skew-join splitting covers it (buckets are md5-hyperplane-balanced).
+    *
+    * Queries whose probe set holds no other vector produce no rows — the
+    * documented LSH recall trade-off; [[labelNoiseFidelity]] measures the
+    * resulting census error against the exact truth on a query sample.
+    */
+  def multiProbeTopKAgg(emb: DataFrame, numQueries: Int, k: Int,
+                        planes: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.functions.TopKAggregator
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bucketed = withNorm(withLshBucket(emb, planes, dim))
+    val probes = bucketed.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket"))
+      .withColumn("probe", explode(expr(
+        s"concat(array(bucket), transform(sequence(0, ${planes - 1}), m -> bucket ^ shiftleft(CAST(1 AS BIGINT), m)))")))
+      .drop("bucket")
+    val scored = bucketed.join(probes, col("bucket") === col("probe"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        (expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm"))).as("score"))
+      .as[(Long, Long, Double)]
+    scored
+      .map { case (q, id, s) => (q, TopKAggregator.Scored(id, s)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKAggregator.topK(k).toColumn)
+      .flatMap { case (q, top) => top.zipWithIndex.map { case (s, i) => (q, i + 1, s.id, s.score) } }
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+      .withColumn("rank", col("rank").cast("int"))
+  }
+
+  /** kNN majority-label vote: each query's neighbors' labels counted, the
+    * winner is the highest count with ties to the LOWER label (the
+    * max(struct(c, -label)) trick keeps the argmax order-independent).
+    * Output: (vec_id, maj_label) — one row per query that had neighbors.
+    */
+  def labelMajorityVote(knn: DataFrame, emb: DataFrame): DataFrame =
+    knn
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("c"),
+        (-col("n_label")).cast("long").as("neg"))).as("b"))
+      .select(col("query_id").as("vec_id"),
+        (-col("b.neg")).cast("int").as("maj_label"))
+
+  /** Label-noise census, SCALE form (the shipping deliverable): every
+    * vector's 5-NN majority label vs its own, with the neighbor search
+    * bucketed through [[multiProbeTopKAgg]] — no corpus broadcast, no n²
+    * kernel; candidate volume is ~(planes+1)/2^planes of all-pairs and the
+    * only shuffles are the bucket equi-join and the bounded top-k
+    * aggregation. Per-label output: vector count, votes received (bucketed
+    * coverage), disagreements, disagreement rate ×10⁴ over the covered set.
+    *
+    * The exact-truth error of this census is itself measured by
+    * [[labelNoiseFidelity]] (the sim_recall_report convention: ship the
+    * bucketed path, grade it against a sampled brute truth).
+    */
+  def labelNoiseCensusBucketed(emb: DataFrame, k: Int = 5,
+                               planes: Int = 8, dim: Int = 64): DataFrame = {
+    val vote = labelMajorityVote(
+      multiProbeTopKAgg(emb, numQueries = Int.MaxValue, k = k, planes, dim), emb)
+    emb.join(vote, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("maj_label")).as("n_voted"),
+        count(when(col("maj_label") =!= col("label"), lit(1))).as("n_disagree"))
+      .select(col("label"), col("n_vecs"), col("n_voted"), col("n_disagree"),
+        when(col("n_voted") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_disagree * 10000 div n_voted")).as("disagree_e4"))
+      .orderBy(col("label"))
+  }
+
+  /** Truth grader for [[labelNoiseCensusBucketed]]: on a bounded query
+    * sample (vec_id < numQueries — the broadcast side is the SAMPLE, never
+    * the corpus) run BOTH the exact brute kNN vote and the bucketed vote,
+    * and report per-label deltas: how often each method disagrees with the
+    * stored label, and how often the two methods' majority labels agree
+    * with each other. The e4 rates are integer-exact; uncovered sampled
+    * queries (empty probe set) surface in n_sample − n_covered.
+    */
+  def labelNoiseFidelity(emb: DataFrame, numQueries: Int, k: Int = 5,
+                         planes: Int = 8, dim: Int = 64): DataFrame = {
+    val truthVote = labelMajorityVote(
+        bruteForceTopKAgg(emb, numQueries, k), emb)
+      .withColumnRenamed("maj_label", "truth_maj")
+    val buckVote = labelMajorityVote(
+        multiProbeTopKAgg(emb, numQueries, k, planes, dim), emb)
+      .withColumnRenamed("maj_label", "bucketed_maj")
+    emb.filter(col("vec_id") < numQueries)
+      .join(truthVote, Seq("vec_id"))
+      .join(buckVote, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_sample"),
+        count(col("bucketed_maj")).as("n_covered"),
+        count(when(col("truth_maj") =!= col("label"), lit(1))).as("n_truth_disagree"),
+        count(when(col("bucketed_maj") =!= col("label"), lit(1))).as("n_bucketed_disagree"),
+        count(when(col("bucketed_maj") === col("truth_maj"), lit(1))).as("n_maj_agree"))
+      .select(col("label"), col("n_sample"), col("n_covered"),
+        col("n_truth_disagree"), col("n_bucketed_disagree"), col("n_maj_agree"),
+        expr("n_truth_disagree * 10000 div n_sample").as("truth_disagree_e4"),
+        when(col("n_covered") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_maj_agree * 10000 div n_covered")).as("maj_agree_e4"))
+      .orderBy(col("label"))
+  }
+
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer.
     *
     * Determinism contract (what makes the oracle reproducible):

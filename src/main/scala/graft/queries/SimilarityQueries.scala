@@ -737,62 +737,137 @@ object SimilarityQueries {
 
     // Label-noise detection (the confident-learning shape): every vector's
     // 5-NN majority label vs its own — high per-label disagreement means
-    // mislabeled or boundary-heavy data. All-corpus kNN rides the
-    // bounded-buffer TopKAggregator (k-row buffers through the shuffle);
-    // at 100 TB the candidate set drops to LSH/IVF buckets first
-    // (withLshBucket), brute here is the oracle-checkable truth.
-    GQuery("sim_label_noise",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        // ~n² exact dots (25M at sf0.1, ~7 s loaded: real kernel compute,
-        // measured equal to the window form — not plan waste)
-        val knn = Similarity.bruteForceTopKAgg(emb,
-          numQueries = Int.MaxValue, k = 5)
-        val vote = knn
-          .join(emb.select(col("vec_id").as("neighbor_id"),
-            col("label").as("n_label")), Seq("neighbor_id"))
-          .groupBy(col("query_id"), col("n_label"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("query_id"))
-          .agg(max(struct(col("c"),
-            (-col("n_label")).cast("long").as("neg"))).as("b"))
-          .select(col("query_id").as("vec_id"),
-            (-col("b.neg")).cast("int").as("maj_label"))
-        emb.join(vote, Seq("vec_id"))
-          .groupBy(col("label"))
-          .agg(count(lit(1)).as("n_vecs"),
-            count(when(col("maj_label") =!= col("label"), lit(1))).as("n_disagree"))
-          .select(col("label"), col("n_vecs"), col("n_disagree"),
-            expr("n_disagree * 10000 div n_vecs").as("disagree_e4"))
-          .orderBy(col("label"))
-      },
-      Some(s"""WITH base AS (
+    // mislabeled or boundary-heavy data. SHIPPED form is bucketed: the
+    // r11 brute form broadcast the entire corpus as the query side of an
+    // n² kernel (flagged scale-weak); here candidates come from multi-probe
+    // LSH (equi-join on bucket — NO broadcast, ~9/256 of all-pairs) and
+    // the per-query top-5 rides the bounded TopKAggregator. The exact
+    // truth lives on as the sampled grader in sim_label_noise_fidelity.
+    GQuery("sim_label_noise_bucketed",
+      (s, dir) => Similarity.labelNoiseCensusBucketed(
+        Tables.embeddings(s, dir), k = 5),
+      Some(s"""WITH $planesSql,
+               base AS (
+                 SELECT vec_id, embedding,
+                        sqrt(${dotSql("embedding", "embedding")}) AS norm
+                 FROM embeddings),
+               bits AS (
+                 SELECT b.vec_id,
+                        sum(CASE WHEN ${dotSql("b.embedding", "p.w")} >= 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(p.m AS INT))
+                                 ELSE 0 END) AS bucket
+                 FROM base b, planes p GROUP BY b.vec_id),
+               bucketed AS (
+                 SELECT b.vec_id, b.embedding, b.norm, bt.bucket
+                 FROM base b JOIN bits bt ON b.vec_id = bt.vec_id),
+               probes AS (
+                 SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+                        unnest(list_prepend(bucket,
+                          list_transform(range(0, 8),
+                            m -> xor(bucket, CAST(1 AS BIGINT) << CAST(m AS INT))))) AS probe
+                 FROM bucketed),
+               knn AS (
+                 SELECT query_id, nid FROM (
+                   SELECT p.query_id, c.vec_id AS nid,
+                          ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY ${dotSql("c.embedding", "p.q_emb")} / (c.norm * p.q_norm) DESC,
+                                     c.vec_id) AS r
+                   FROM bucketed c JOIN probes p ON c.bucket = p.probe
+                   WHERE c.vec_id <> p.query_id) WHERE r <= 5),
+               vote AS (
+                 SELECT query_id, -(max({'c': c, 'k': -n_label}).k) AS maj FROM (
+                   SELECT k.query_id, e.label AS n_label, count(*) AS c
+                   FROM knn k JOIN embeddings e ON e.vec_id = k.nid
+                   GROUP BY 1, 2) GROUP BY query_id),
+               j AS (SELECT e.label, v.maj FROM embeddings e
+                     LEFT JOIN vote v ON v.query_id = e.vec_id)
+               SELECT label, count(*) AS n_vecs,
+                      CAST(count(maj) AS BIGINT) AS n_voted,
+                      CAST(count(*) FILTER (maj <> label) AS BIGINT) AS n_disagree,
+                      CASE WHEN count(maj) = 0 THEN NULL
+                           ELSE CAST(count(*) FILTER (maj <> label) AS BIGINT)
+                                  * 10000 // CAST(count(maj) AS BIGINT) END AS disagree_e4
+               FROM j GROUP BY label ORDER BY label"""),
+      doc = "label-noise census, scale form: 5-NN majority vote over " +
+        "multi-probe LSH candidates (bucket equi-join, zero broadcast, " +
+        "bounded top-k buffers), per-label disagreement at 1e4 scale"),
+
+    // The truth grader for the bucketed census (sim_recall_report
+    // convention): on a 256-query sample, exact brute 5-NN vote vs the
+    // bucketed vote — per-label deltas say how much census error the LSH
+    // candidate cut costs. The broadcast side is the SAMPLE (bounded),
+    // never the corpus.
+    GQuery("sim_label_noise_fidelity",
+      (s, dir) => Similarity.labelNoiseFidelity(
+        Tables.embeddings(s, dir), numQueries = 256, k = 5),
+      Some(s"""WITH $planesSql,
+               base AS (
                  SELECT vec_id, label, embedding,
                         sqrt(${dotSql("embedding", "embedding")}) AS norm
                  FROM embeddings),
-               scored AS (
+               tscored AS (
                  SELECT q.vec_id AS query_id, b.vec_id AS nid, b.label AS n_label,
                         ${dotSql("b.embedding", "q.embedding")} / (b.norm * q.norm) AS cosine
-                 FROM base b, base q WHERE b.vec_id <> q.vec_id),
-               knn AS (
+                 FROM base b, base q
+                 WHERE b.vec_id <> q.vec_id AND q.vec_id < 256),
+               tknn AS (
                  SELECT query_id, n_label FROM (
                    SELECT query_id, n_label,
                           ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, nid) AS r
-                   FROM scored) WHERE r <= 5),
-               vote AS (
-                 SELECT query_id, -(max({'c': c, 'k': -n_label}).k) AS maj FROM (
+                   FROM tscored) WHERE r <= 5),
+               tvote AS (
+                 SELECT query_id, -(max({'c': c, 'k': -n_label}).k) AS truth_maj FROM (
                    SELECT query_id, n_label, count(*) AS c
-                   FROM knn GROUP BY 1, 2) GROUP BY query_id),
-               j AS (SELECT e.label, v.maj FROM embeddings e
-                     JOIN vote v ON v.query_id = e.vec_id)
-               SELECT label, count(*) AS n_vecs,
-                      CAST(count(*) FILTER (maj <> label) AS BIGINT) AS n_disagree,
-                      CAST(count(*) FILTER (maj <> label) AS BIGINT) * 10000
-                        // count(*) AS disagree_e4
+                   FROM tknn GROUP BY 1, 2) GROUP BY query_id),
+               bits AS (
+                 SELECT b.vec_id,
+                        sum(CASE WHEN ${dotSql("b.embedding", "p.w")} >= 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(p.m AS INT))
+                                 ELSE 0 END) AS bucket
+                 FROM base b, planes p GROUP BY b.vec_id),
+               bucketed AS (
+                 SELECT b.vec_id, b.embedding, b.norm, bt.bucket
+                 FROM base b JOIN bits bt ON b.vec_id = bt.vec_id),
+               probes AS (
+                 SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+                        unnest(list_prepend(bucket,
+                          list_transform(range(0, 8),
+                            m -> xor(bucket, CAST(1 AS BIGINT) << CAST(m AS INT))))) AS probe
+                 FROM bucketed WHERE vec_id < 256),
+               bknn AS (
+                 SELECT query_id, nid FROM (
+                   SELECT p.query_id, c.vec_id AS nid,
+                          ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY ${dotSql("c.embedding", "p.q_emb")} / (c.norm * p.q_norm) DESC,
+                                     c.vec_id) AS r
+                   FROM bucketed c JOIN probes p ON c.bucket = p.probe
+                   WHERE c.vec_id <> p.query_id) WHERE r <= 5),
+               bvote AS (
+                 SELECT query_id, -(max({'c': c, 'k': -n_label}).k) AS bucketed_maj FROM (
+                   SELECT k.query_id, e.label AS n_label, count(*) AS c
+                   FROM bknn k JOIN embeddings e ON e.vec_id = k.nid
+                   GROUP BY 1, 2) GROUP BY query_id),
+               j AS (
+                 SELECT e.label, t.truth_maj, b.bucketed_maj
+                 FROM embeddings e
+                 JOIN tvote t ON t.query_id = e.vec_id
+                 LEFT JOIN bvote b ON b.query_id = e.vec_id
+                 WHERE e.vec_id < 256)
+               SELECT label, count(*) AS n_sample,
+                      CAST(count(bucketed_maj) AS BIGINT) AS n_covered,
+                      CAST(count(*) FILTER (truth_maj <> label) AS BIGINT) AS n_truth_disagree,
+                      CAST(count(*) FILTER (bucketed_maj <> label) AS BIGINT) AS n_bucketed_disagree,
+                      CAST(count(*) FILTER (bucketed_maj = truth_maj) AS BIGINT) AS n_maj_agree,
+                      CAST(count(*) FILTER (truth_maj <> label) AS BIGINT)
+                        * 10000 // count(*) AS truth_disagree_e4,
+                      CASE WHEN count(bucketed_maj) = 0 THEN NULL
+                           ELSE CAST(count(*) FILTER (bucketed_maj = truth_maj) AS BIGINT)
+                                  * 10000 // CAST(count(bucketed_maj) AS BIGINT) END AS maj_agree_e4
                FROM j GROUP BY label ORDER BY label"""),
-      doc = "label-noise detection: 5-NN majority label vs own label per " +
-        "vector (min-label ties), per-label disagreement census at 1e4 scale"),
+      doc = "label-noise truth grader: 256-query sample, exact brute 5-NN " +
+        "vote vs bucketed LSH vote, per-label disagreement + method-" +
+        "agreement deltas (the measured cost of the candidate cut)"),
 
     // The embeddings-table QA card (curate_dataset_card's sibling for the
     // vector modality): zero vectors and wrong dims break every cosine

@@ -438,7 +438,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_bm25_search", "text_collocations", "sketch_bloom_fpr",
       // round-11 additions whose algorithm cross-joins a bounded side
       // (scalar totals, literal lag/percentile tables, anchor sets)
-      "sim_hard_negatives", "sim_label_noise", "join_cardinality_census",
+      "sim_hard_negatives", "sim_label_noise_fidelity", "join_cardinality_census",
       "ab_mann_whitney", "cohort_survival_km", "ts_cross_correlation",
       "audit_benford", "sketch_quantile_error_report", "ts_backtest_naive",
       "text_vocab_growth", "audit_merkle_diff", "attr_last_touch")
@@ -446,5 +446,119 @@ class PlanAuditSpec extends AnyFunSuite {
       val plan = formattedPlan(n)
       assert(!plan.contains("CartesianProduct"), s"$n plans a shuffle cartesian product:\n$plan")
     }
+  }
+
+  // ---- BNLJ broadcast adjudication (closes the r11 blind spot) ----
+  //
+  // The no-cartesian sweep above forbids shuffle CartesianProduct but used
+  // to accept ANY BroadcastNestedLoopJoin — so a corpus-scale broadcast
+  // (the r11 sim_label_noise shape: crossJoin(broadcast(entire embeddings
+  // table))) passed green. This sweep adjudicates WHAT each BNLJ build
+  // side is. Auto-accepted shapes (every leaf path must pass through one):
+  //   - LocalTableScan (collected literals: centroids, codebooks, lag tables)
+  //   - a Limit / TakeOrderedAndProject (explicit row cap)
+  //   - a GLOBAL aggregate (scalar totals — 1 row)
+  //   - a Filter with a ≤65536 literal key bound (vec_id < 16 anchor
+  //     samples; the 65536 ceiling is what turns the old
+  //     `filter(vec_id < Int.MaxValue)` corpus-query trick red)
+  // Anything else needs a per-call-site entry below, keyed by (query name,
+  // build-side output columns), with a WHY-bounded rationale — a new
+  // corpus-scale broadcast anywhere fails the sweep until a human
+  // adjudicates it.
+
+  /** (query, build-side output names) -> rationale for why that build side
+    * is bounded despite not auto-classifying.
+    */
+  private val adjudicatedBnljBuilds: Map[(String, Set[String]), String] = Map(
+    // per-day max-price prune table: |distinct days| rows, calendar-bounded
+    // (same adjudication as its window-guard entry)
+    ("agg_skyline", Set("d2", "p2")) ->
+      "groupBy(day).max — |corpus days| rows, calendar-bounded",
+    // k-means centroid tables: k<=16 rows by construction (kmeansCentroids
+    // folds cell,pos aggregates down to the centroid count each Lloyd
+    // round); they surface as reused shuffle stages, not literals
+    ("sim_ivf_kmeans", Set("c", "c_id")) ->
+      "Lloyd centroids — k=8 rows by construction",
+    ("sim_ivf_pq_topk", Set("c", "c_id")) ->
+      "Lloyd centroids — k=8 rows by construction",
+    ("sim_recall_report", Set("c", "c_id")) ->
+      "Lloyd centroids — k<=16 rows by construction",
+    ("dedup_semantic", Set("c", "c_id")) ->
+      "Lloyd centroids — k=8 rows by construction",
+    // the persisted-IVF centroid MergeTable: a parquet scan, but of the
+    // 16-row centroid table ivfIndexBuild wrote (bounded at build time)
+    ("sim_ivf_index_incremental", Set("c", "c_id")) ->
+      "persisted IVF centroid table — 16 rows written by ivfIndexBuild")
+
+  private def bnljOffenders(name: String, df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.{FilterExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def smallLit(e: Expression): Boolean = e match {
+      case Literal(v: Int, _) => v <= 65536
+      case Literal(v: Long, _) => v <= 65536L
+      case _ => false
+    }
+    def boundedFilter(c: Expression): Boolean = c.exists {
+      case LessThan(_: AttributeReference, l) => smallLit(l)
+      case LessThanOrEqual(_: AttributeReference, l) => smallLit(l)
+      case GreaterThan(l, _: AttributeReference) => smallLit(l)
+      case GreaterThanOrEqual(l, _: AttributeReference) => smallLit(l)
+      case EqualTo(_: AttributeReference, _: Literal) => true
+      case EqualTo(_: Literal, _: AttributeReference) => true
+      case _ => false
+    }
+    def bounding(n: SparkPlan): Boolean = n match {
+      case _: LocalTableScanExec => true
+      case _: GlobalLimitExec | _: LocalLimitExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      case f: FilterExec if boundedFilter(f.condition) => true
+      case r: org.apache.spark.sql.execution.RangeExec
+        if r.range.numElements <= BigInt(65536) => true // literal lag/draw tables
+      case _ => false
+    }
+    // bounded = every root-to-leaf path passes through a bounding node
+    def bounded(n: SparkPlan): Boolean =
+      bounding(n) || (n.children.nonEmpty && n.children.forall(bounded))
+    df.queryExecution.sparkPlan.collect {
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        val outs = build.output.map(_.name).toSet
+        if (bounded(build) ||
+            adjudicatedBnljBuilds.contains((name, outs))) Nil
+        else Seq(s"$name: BNLJ broadcasts an unbounded build side " +
+          s"(outputs ${outs.toSeq.sorted.mkString(",")}):\n" +
+          build.treeString.linesIterator.take(10).mkString("\n"))
+    }.flatten
+  }
+
+  test("no registry query broadcasts an unbounded side through a BroadcastNestedLoopJoin") {
+    val offenders = QueryRegistry.all
+      .filterNot(q => drainBacked.contains(q.name))
+      .flatMap(q => bnljOffenders(q.name, q.run(spark, sfDir)))
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+  }
+
+  test("the BNLJ guard flags a corpus-scale broadcast (the r11 sim_label_noise shape)") {
+    import org.apache.spark.sql.functions.broadcast
+    val emb = Tables.embeddings(spark, sfDir)
+    // deliberate killer shape 1: broadcast of the raw corpus
+    val bad1 = emb.crossJoin(broadcast(
+      emb.select(col("vec_id").as("q"), col("embedding").as("q_emb"))))
+    assert(bnljOffenders("negative_fixture", bad1).nonEmpty,
+      "broadcast of an unfiltered corpus table must read red")
+    // deliberate killer shape 2: the exact r11 trick — a filter whose
+    // literal bound (Int.MaxValue) is no bound at all
+    val bad2 = emb.crossJoin(broadcast(
+      emb.filter(col("vec_id") < Int.MaxValue)
+        .select(col("vec_id").as("q"), col("embedding").as("q_emb"))))
+    assert(bnljOffenders("negative_fixture", bad2).nonEmpty,
+      "a corpus-sized literal bound must NOT count as bounded")
   }
 }

@@ -269,4 +269,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mmr.head == 1L && mmr(1) == 3L,
       s"MMR must keep the best and swap its near-copy for diversity: ${mmr.toSeq}")
   }
+
+  test("label noise: planted mislabel recovered by the bucketed census; fidelity reads bucketed == truth") {
+    import spark.implicits._
+    // two tight clusters of 8 (tiny per-member perturbations keep each
+    // cluster in one LSH bucket, multi-probe covers any single sign flip);
+    // member 0 of cluster A carries cluster B's label — the planted noise
+    def near(v: Array[Float], d: Int): Array[Float] = v.updated(d, v(d) + 0.001f)
+    val a = vec(1); val b = vec(50)
+    val df = ((0 until 8).map(i => (i.toLong, near(a, i), if (i == 0) 1 else 0)) ++
+        (0 until 8).map(i => (8L + i, near(b, i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val census = Similarity.labelNoiseCensusBucketed(df, k = 5).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(census(0).getAs[Long]("n_disagree") == 0L,
+      "clean cluster-A members all vote their own label")
+    assert(census(1).getAs[Long]("n_disagree") == 1L,
+      "the planted mislabel's 5-NN (all cluster A, label 0) must out-vote its stored label")
+    val fid = Similarity.labelNoiseFidelity(df, numQueries = 16, k = 5).collect()
+    assert(fid.map(_.getAs[Long]("n_truth_disagree")).sum == 1L,
+      "exact truth finds exactly the one planted mislabel")
+    fid.foreach { r =>
+      assert(r.getAs[Long]("n_covered") == r.getAs[Long]("n_sample"),
+        "co-located clusters leave no query uncovered")
+      assert(r.getAs[Long]("n_maj_agree") == r.getAs[Long]("n_covered"),
+        "bucketed vote must equal the exact vote when clusters share buckets")
+    }
+  }
 }
