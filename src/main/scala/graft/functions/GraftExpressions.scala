@@ -541,6 +541,7 @@ case class BpeMerge(tokens: Expression, a: Expression, b: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     if (tokens.dataType.isInstanceOf[ArrayType] &&
+        tokens.dataType.asInstanceOf[ArrayType].elementType == StringType &&
         a.dataType == StringType && b.dataType == StringType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("BpeMerge expects (array<string>, string, string)")
@@ -568,6 +569,91 @@ case class BpeMerge(tokens: Expression, a: Expression, b: Expression)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): BpeMerge =
     copy(tokens = newFirst, a = newSecond, b = newThird)
+}
+
+/** Viterbi segmentation of one word under a unigram language model — the
+  * application/E-step kernel of SentencePiece-style tokenizer training
+  * (Kudo 2018). `pieces`/`probs` are LITERAL arrays (the bounded trained
+  * vocabulary, the codebook convention), so the lookup map is built once
+  * per expression instance, and the per-row work is the O(len × maxLen) DP.
+  *
+  * Determinism contract (what lets the DuckDB oracle hash-match): dp values
+  * are single IEEE double products `dp(j-L) * p(piece)` — no reassociation
+  * — and the argmax scans L = 1..maxLen with a STRICT greater-than, so ties
+  * go to the SHORTEST piece; the oracle's unrolled per-position CTE chain
+  * evaluates the identical products and the identical first-match
+  * tie-break. Every single character of the corpus is in the trained
+  * vocabulary (chars are never pruned), so a best path always exists.
+  */
+case class UnigramSegment(word: Expression, pieces: Expression, probs: Expression,
+                          maxLen: Int)
+    extends TernaryExpression with codegen.CodegenFallback {
+  override def first: Expression = word
+  override def second: Expression = pieces
+  override def third: Expression = probs
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = (pieces.dataType, probs.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(DoubleType, _))
+      if word.dataType == StringType && pieces.foldable && probs.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "UnigramSegment expects (string, literal array<string>, literal array<double>)")
+  }
+
+  @transient private lazy val probMap: java.util.HashMap[String, java.lang.Double] = {
+    val ps = pieces.eval(null).asInstanceOf[ArrayData]
+    val qs = probs.eval(null).asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[String, java.lang.Double](ps.numElements() * 2)
+    var i = 0
+    while (i < ps.numElements()) {
+      m.put(ps.getUTF8String(i).toString, qs.getDouble(i))
+      i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(w: Any, p: Any, q: Any): Any = {
+    val s = w.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val dp = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    dp(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var bestS = -1.0
+      var bestL = 0
+      var l = 1
+      while (l <= maxLen && l <= j) {
+        val prob = probMap.get(s.substring(j - l, j))
+        if (prob != null) {
+          val cand = dp(j - l) * prob.doubleValue()
+          if (cand > bestS) { bestS = cand; bestL = l } // strict: shortest piece wins ties
+        }
+        l += 1
+      }
+      // out-of-vocabulary char (never the training corpus — chars are kept
+      // unconditionally — but possible when applying to unseen text):
+      // emit it as a zero-probability single-char piece rather than loop
+      if (bestL == 0) { bestS = 0.0; bestL = 1 }
+      dp(j) = bestS
+      back(j) = bestL
+      j += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var k = n
+    while (k > 0) {
+      val l = back(k)
+      out.prepend(org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(k - l, k)))
+      k -= l
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): UnigramSegment =
+    copy(word = newFirst, pieces = newSecond, probs = newThird)
 }
 
 /** Random-hyperplane LSH band keys as ONE per-row projection: returns an
@@ -726,6 +812,9 @@ object GraftFunctions {
         exprs(2).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bpe_merge",
       exprs => BpeMerge(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_unigram_segment",
+      exprs => UnigramSegment(exprs.head, exprs(1), exprs(2),
+        exprs(3).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_wht_sign_hash",
       exprs => WhtSignHash(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bands",

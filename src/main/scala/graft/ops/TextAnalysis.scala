@@ -368,6 +368,110 @@ object TextAnalysis {
         sum(col("n_sym")).cast("long").as("n_bpe_tokens"),
         sum(col("n_chr")).cast("long").as("n_chars"))
 
+  /** Unigram-LM tokenizer TRAINING (SentencePiece-style, Kudo 2018) — the
+    * EM-prune sibling of [[bpeTrain]], in a deterministic hard-EM (Viterbi)
+    * formulation both engines can replay bit-for-bit:
+    *
+    *   1. SEED: candidate pieces = every substring of length ≤ `maxPieceLen`
+    *      of the DISTINCT-word vocabulary (vocab-scale, never the corpus),
+    *      freq-weighted occurrence counts; the seed vocabulary keeps ALL
+    *      single characters plus the top `seedMultis` multi-char pieces
+    *      (count DESC, piece ASC ties).
+    *   2. Per EM round: probabilities p = count / total over the current
+    *      vocabulary; every vocab word Viterbi-segmented under p by the
+    *      native [[graft.functions.UnigramSegment]] kernel (dp products are
+    *      single IEEE multiplies, ties to the shortest piece — the oracle
+    *      replays the identical DP as an unrolled per-position CTE chain);
+    *      new counts = freq-weighted piece usage over the segmentations.
+    *   3. PRUNE between rounds: chars always survive (counts floored at 1
+    *      so coverage never collapses — the SentencePiece invariant), and
+    *      only the top `pruneMultis` multi-char pieces stay.
+    *
+    * Scale shape: training state is the distinct-word table (one shuffle to
+    * build, `localCheckpoint` lineage cuts per round) plus a BOUNDED piece
+    * vocabulary (≤ |charset| + seedMultis rows) collected per round — the
+    * codebook convention, same contract as IVF centroids. The corpus text
+    * itself is touched exactly once (the word census).
+    *
+    * Returns (counts, segmented): counts = (round, piece, cnt) — each EM
+    * round's freq-weighted usage census over that round's vocabulary (the
+    * pruning evidence); segmented = the final word → pieces map, the
+    * trained tokenizer [[unigramApply]] serves.
+    */
+  def unigramTrain(docs: DataFrame, rounds: Int = 2, seedMultis: Int = 20,
+                   pruneMultis: Int = 12, maxPieceLen: Int = 4): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.functions.typedLit
+    val words = withTokens(docs)
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    // seed census: all (start, len≤maxPieceLen) substring occurrences,
+    // freq-weighted (overlaps counted — each start position is one occurrence)
+    val subExpr = expr(
+      s"""flatten(transform(sequence(1, $maxPieceLen),
+            l -> CASE WHEN length(word) >= l
+                 THEN transform(sequence(1, length(word) - l + 1),
+                                s -> substring(word, s, l))
+                 ELSE CAST(array() AS ARRAY<STRING>) END))""")
+    val seed = words.select(col("freq"), explode(subExpr).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    // bounded collects: chars ≤ |charset|, multis ≤ seedMultis
+    val chars = seed.filter(length(col("piece")) === 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val multis = seed.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(seedMultis).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Seq[(String, Long)] = (chars ++ multis).toSeq
+    val roundRows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var segmented: DataFrame = null
+    var r = 1
+    while (r <= rounds) {
+      val total = vocab.map(_._2).sum
+      val ps = vocab.map(_._1)
+      val qs = vocab.map(_._2.toDouble / total.toDouble)
+      segmented = words.withColumn("seg",
+          call_function("graft_unigram_segment", col("word"),
+            typedLit(ps), typedLit(qs), lit(maxPieceLen)))
+        .localCheckpoint()
+      val used = segmented.select(col("freq"), explode(col("seg")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .collect() // bounded: ≤ current vocab size
+        .map(row => row.getString(0) -> row.getLong(1)).toMap
+      val counted = vocab.map { case (p, _) => (p, used.getOrElse(p, 0L)) }
+      roundRows ++= counted.map { case (p, c) => (r, p, c) }
+      if (r < rounds) {
+        // prune: chars floored at 1 (coverage), top pruneMultis multis
+        // (zero-count multis may survive the cut on tiny vocabs — their
+        // probability 0 can never beat an all-char path, so harmless)
+        val nextChars = counted.filter(_._1.length == 1)
+          .map { case (p, c) => (p, math.max(c, 1L)) }
+        val nextMultis = counted.filter(_._1.length >= 2)
+          .sortBy { case (p, c) => (-c, p) }.take(pruneMultis)
+        vocab = nextChars ++ nextMultis
+      }
+      r += 1
+    }
+    import docs.sparkSession.implicits._
+    (roundRows.toSeq.toDF("round", "piece", "cnt"), segmented)
+  }
+
+  /** Trained unigram tokenizer APPLICATION — [[bpeApply]]'s sibling: one
+    * corpus-scale explode to (doc, word), one join against the trained
+    * word → pieces map (word-keyed; broadcastable small, shuffle-joined at
+    * 100 TB), one per-doc aggregate. n_chars / n_pieces is the compression
+    * the learned vocabulary bought.
+    */
+  def unigramApply(docs: DataFrame, segmented: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .join(segmented.select(col("word"), size(col("seg")).as("n_sym"),
+        length(col("word")).as("n_chr")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_pieces"),
+        sum(col("n_chr")).cast("long").as("n_chars"))
+
   /** TF-IDF keyword extraction, log-free: score = tf × N / df with the
     * raw inverse document frequency instead of its logarithm — the
     * monotone transform preserves every ranking, and division of exact

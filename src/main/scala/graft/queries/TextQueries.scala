@@ -88,6 +88,132 @@ object TextQueries {
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- unigram-LM tokenizer oracle (text_unigram_train / _apply) ----
+
+  private val uniMaxWordLen = 16   // corpus max word length is 8; 2× margin
+  private val uniMaxPieceLen = 4
+  private val uniSeedMultis = 20
+  private val uniPruneMultis = 12
+
+  /** One EM round's Viterbi DP as an unrolled per-position CTE chain
+    * (`s{r}_0` .. `s{r}_16`): state carries the dp list (position 0..j best
+    * path probability — single IEEE double products, no reassociation) and
+    * the per-position best path. Candidates at position j are pieces of
+    * length 1..4 ending at j, looked up in `piecesCte` via LEFT JOINs;
+    * argmax tie-breaks to the SHORTEST piece (first CASE match), matching
+    * the native kernel's strict-greater L-ascending scan. Words shorter
+    * than the step index pass through frozen.
+    */
+  private def uniViterbiChain(r: Int, piecesCte: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""s${r}_0 AS MATERIALIZED (
+         |  SELECT word, freq, length(word) AS len,
+         |         [CAST(1.0 AS DOUBLE)] AS dp,
+         |         CAST([[]] AS VARCHAR[][]) AS paths
+         |  FROM w0)""".stripMargin)
+    for (j <- 1 to uniMaxWordLen) {
+      val cands = (1 to uniMaxPieceLen).map { l =>
+        if (j >= l) s"d.dp[${j - l + 1}] * q$l.prob AS c$l"
+        else s"CAST(NULL AS DOUBLE) AS c$l"
+      }.mkString(",\n               ")
+      val joins = (1 to uniMaxPieceLen).filter(_ <= j).map { l =>
+        s"LEFT JOIN $piecesCte q$l ON q$l.piece = substr(d.word, ${j - l + 1}, $l)"
+      }.mkString("\n        ")
+      sb.append(s""",
+         |s${r}_$j AS MATERIALIZED (
+         |  SELECT word, freq, len,
+         |         CASE WHEN $j > len THEN dp ELSE list_append(dp, bs) END AS dp,
+         |         CASE WHEN $j > len THEN paths
+         |              ELSE list_append(paths,
+         |                     list_append(paths[$j - bl + 1],
+         |                                 substr(word, $j - bl + 1, bl))) END AS paths
+         |  FROM (
+         |    SELECT word, freq, len, dp, paths, bs,
+         |           CASE WHEN c1 = bs THEN 1 WHEN c2 = bs THEN 2
+         |                WHEN c3 = bs THEN 3 ELSE 4 END AS bl
+         |    FROM (
+         |      SELECT word, freq, len, dp, paths,
+         |             greatest(coalesce(c1, -1), coalesce(c2, -1),
+         |                      coalesce(c3, -1), coalesce(c4, -1)) AS bs,
+         |             c1, c2, c3, c4
+         |      FROM (
+         |        SELECT d.word, d.freq, d.len, d.dp, d.paths,
+         |               $cands
+         |        FROM s${r}_${j - 1} d
+         |        $joins))))""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** The full two-round unigram training CTE prefix: seed census (all
+    * substrings ≤ 4 chars, freq-weighted, overlaps counted) → seed vocab
+    * (all chars + top-20 multis) → round-1 Viterbi + usage census →
+    * prune (chars floored at 1, top-12 multis) → round-2 Viterbi + census.
+    */
+  private lazy val uniCtes: String = {
+    def probCte(raw: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece, CAST(cnt AS DOUBLE)
+         |           / CAST((SELECT CAST(SUM(cnt) AS BIGINT) FROM $raw) AS DOUBLE) AS prob
+         |  FROM $raw)""".stripMargin
+    def usageCte(r: Int, vocabRaw: String): String =
+      s"""u$r AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq, unnest(paths[len + 1]) AS piece FROM s${r}_$uniMaxWordLen)
+         |  GROUP BY piece),
+         |cnt$r AS MATERIALIZED (
+         |  SELECT v.piece, COALESCE(u.c, CAST(0 AS BIGINT)) AS cnt
+         |  FROM $vocabRaw v LEFT JOIN u$r u ON u.piece = v.piece)""".stripMargin
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |  GROUP BY word),
+       |sub AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(flatten(list_transform(range(1, ${uniMaxPieceLen + 1}),
+       |          l -> CASE WHEN length(word) >= l
+       |               THEN list_transform(range(1, length(word) - l + 2),
+       |                      s -> substr(word, CAST(s AS INT), CAST(l AS INT)))
+       |               ELSE CAST([] AS VARCHAR[]) END))) AS piece
+       |        FROM w0)
+       |  GROUP BY piece),
+       |v1raw AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM sub WHERE length(piece) >= 2
+       |                          ORDER BY cnt DESC, piece LIMIT $uniSeedMultis)),
+       |${probCte("v1raw", "v1")},
+       |${uniViterbiChain(1, "v1")},
+       |${usageCte(1, "v1raw")},
+       |v2raw AS MATERIALIZED (
+       |  SELECT piece, greatest(cnt, 1) AS cnt FROM cnt1 WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM cnt1 WHERE length(piece) >= 2
+       |                          ORDER BY cnt DESC, piece LIMIT $uniPruneMultis)),
+       |${probCte("v2raw", "v2")},
+       |${uniViterbiChain(2, "v2")},
+       |${usageCte(2, "v2raw")}""".stripMargin
+  }
+
+  private lazy val uniTrainSql: String =
+    s"""WITH $uniCtes
+       |SELECT CAST(1 AS INT) AS round, piece, cnt FROM cnt1
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS round, piece, cnt FROM cnt2
+       |ORDER BY round, cnt DESC, piece""".stripMargin
+
+  private lazy val uniApplySql: String =
+    s"""WITH $uniCtes
+       |SELECT d.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(len(s.paths[s.len + 1])) AS BIGINT) AS n_pieces,
+       |       CAST(SUM(length(d.word)) AS BIGINT) AS n_chars
+       |FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents) d
+       |JOIN s2_$uniMaxWordLen s ON d.word = s.word
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Shared BM25 oracle: text_bm25_search (direct scan) and
     * text_index_search_incremental (served from the persisted index) must
     * both equal it. */
@@ -1006,6 +1132,26 @@ object TextQueries {
       Some(bpeApplySql),
       doc = "trained BPE tokenizer applied corpus-wide: per-doc word/BPE-symbol/" +
         "char counts via one vocab join — compression the merge table bought"),
+
+    GQuery("text_unigram_train",
+      (s, dir) => TextAnalysis.unigramTrain(Tables.documents(s, dir))._1
+        .orderBy(col("round"), col("cnt").desc, col("piece")),
+      Some(uniTrainSql),
+      doc = "unigram-LM (SentencePiece-style) tokenizer training: substring " +
+        "seed vocab (all chars + top-20 multis), 2 hard-EM rounds of native " +
+        "Viterbi segmentation + freq-weighted usage census, prune to top-12 " +
+        "multis with char floor — per-round census == unrolled-DP oracle"),
+
+    GQuery("text_unigram_apply",
+      (s, dir) => {
+        val (_, seg) = TextAnalysis.unigramTrain(Tables.documents(s, dir))
+        TextAnalysis.unigramApply(Tables.documents(s, dir), seg)
+          .orderBy(col("doc_id"))
+      },
+      Some(uniApplySql),
+      doc = "trained unigram tokenizer applied corpus-wide: per-doc word/piece/" +
+        "char counts via one word-keyed vocab join — the compression the " +
+        "learned piece vocabulary bought"),
 
     // ---- Positional-index PHRASE search — the capability BM25's
     // bag-of-words ranking can't express: "slow hash batch" must match as

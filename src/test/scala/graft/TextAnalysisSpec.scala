@@ -353,4 +353,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     // doc 0: 3 words, symbols 1+1+1, chars 4+4+2; doc 1: 2 words
     assert(applied.toSeq == Seq((0L, 3L, 3L, 10L), (1L, 2L, 2L, 6L)))
   }
+
+  test("unigram Viterbi kernel: multi-piece wins, ties prefer shortest, OOV falls back to chars") {
+    graft.functions.GraftFunctions.register(spark)
+    def seg(word: String, pieces: Seq[String], probs: Seq[Double]): Seq[String] = {
+      import org.apache.spark.sql.functions.{call_function, lit, typedLit}
+      spark.range(1).select(call_function("graft_unigram_segment",
+          lit(word), typedLit(pieces), typedLit(probs), lit(4)).as("s"))
+        .collect().head.getSeq[String](0)
+    }
+    // "ab" piece beats the char path: 0.6 > 0.2*0.2
+    assert(seg("abab", Seq("a", "b", "ab"), Seq(0.2, 0.2, 0.6)) == Seq("ab", "ab"))
+    // exact tie (0.5*0.5 vs 0.25): strict-greater scan keeps the SHORTER piece
+    assert(seg("aa", Seq("a", "aa"), Seq(0.5, 0.25)) == Seq("a", "a"))
+    // out-of-vocabulary char is emitted as its own zero-probability piece
+    assert(seg("axb", Seq("a", "b"), Seq(0.5, 0.5)) == Seq("a", "x", "b"))
+    assert(seg("", Seq("a"), Seq(1.0)) == Seq())
+  }
+
+  test("unigram training: planted frequent bigram enters the vocab and survives pruning") {
+    import spark.implicits._
+    // 'xy' dominates: seed census must rank it top multi, round-1 Viterbi
+    // must USE it (usage count > 0), and it must survive the prune
+    val d = Seq((0L, "xy xy xy xy zq"), (1L, "xy xy w"))
+      .toDF("doc_id", "text")
+    val (counts, segd) = TextAnalysis.unigramTrain(d)
+    val byRound = counts.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val r2 = byRound.filter(_._1 == 2)
+    assert(r2.exists { case (_, p, c) => p == "xy" && c == 6L },
+      s"round-2 census must count 6 freq-weighted uses of 'xy': ${r2.toSeq}")
+    val segs = segd.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(segs("xy") == Seq("xy"), "the planted bigram segments as one piece")
+    val applied = TextAnalysis.unigramApply(d, segd).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 0: 5 words → 4×[xy] + zq-as-pieces; chars 2*4+2=10
+    assert(applied.head._1 == 0L && applied.head._2 == 5L && applied.head._4 == 10L)
+  }
 }
