@@ -29,7 +29,8 @@ object QueryRegistry {
     queries.TrainPrepQueries.all ++
     queries.LakeQueries.all ++
     queries.LayoutQueries.all ++
-    queries.ScaleOpsQueries.all
+    queries.ScaleOpsQueries.all ++
+    queries.ReleaseQueries.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -167,6 +167,108 @@ object Curate {
     censusOf(table.read(spark, docs.schema))
   }
 
+  /** The END-TO-END corpus-release pipeline — every shipping deliverable
+    * chained into the one run a training-data team actually executes, with
+    * the released corpus committed through a durable [[graft.stages
+    * .MergeTable]] and the shard manifest served from what storage holds:
+    *
+    *   1. span-level exact-substring CUT, keep-one-canonical
+    *      ([[Dedup.substringSpanCutText]] — the Lee-et-al pass);
+    *   2. paragraph/boilerplate removal over the cut text
+    *      ([[Dedup.paragraphDedupText]], C4/CCNet segments);
+    *   3. quality + repetition gate ([[TextAnalysis.qualityScore]] ∧
+    *      ¬[[TextAnalysis.repetitionStats]].is_repetitive);
+    *   4. near-dup-aware TRAIN split: minhash-LSH pairs → star CC →
+    *      cluster-hash bucketing (the dedup_aware_split rule — no near-dup
+    *      family straddles the split);
+    *   5. temperature-mixture application ([[TrainPrep.temperatureMixture]]
+    *      thresholds, the prep_mix_apply rule) down to `budget` docs;
+    *   6. snapshot commit to `release`, then the per-shard shipping
+    *      manifest computed FROM THE TABLE.
+    *
+    * Output: the release REPORT — one funnel row per stage (docs, tokens,
+    * order-independent bit_xor content checksum) plus the 16-shard
+    * manifest. Re-running converges: every stage is a deterministic
+    * function of the input corpus and the commit is a snapshot replace.
+    *
+    * Scale shape = the sum of its parts (each stage is its own
+    * oracle-checked operator); `localCheckpoint` at every stage boundary
+    * keeps the composed plan O(stage), and the corpus text crosses each
+    * stage's documented shuffles only.
+    */
+  def releaseCorpus(docs: DataFrame, release: graft.stages.MergeTable,
+                    budget: Long = 300L): DataFrame = {
+    val spark = docs.sparkSession
+    val checksum = expr(
+      "bit_xor(CAST(conv(substring(md5(concat_ws('|', doc_id, text)), 1, 15), 16, 10) AS BIGINT))")
+    val toksOf = expr("CAST(size(split(text, ' ')) AS BIGINT)")
+    def stageRow(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(toksOf).as("total_tokens"),
+          checksum.as("checksum"))
+        .select(lit(stage).as("stage"), lit(0).cast("int").as("shard"),
+          col("n_docs"), col("total_tokens"), col("checksum"))
+    // stage boundaries are CACHED, not checkpointed: the commit action
+    // populates every cache in one pass through the chain, and the funnel
+    // aggregates reuse them — six eager localCheckpoints here measured 3×
+    // the whole pipeline's compute. The report is bounded (6 + 16 rows),
+    // so it is collected eagerly and every cache released before returning
+    // (the curateCorpus convention).
+    val raw = docs.select(col("doc_id"), col("text"), col("lang")).cache()
+    val meta = raw.select(col("doc_id"), col("lang"))
+    val s1 = Dedup.substringSpanCutText(raw, L = 48, W = 8, keepOne = true)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(meta, Seq("doc_id")).cache()
+    val s2 = Dedup.paragraphDedupText(s1, k = 4, maxDf = 2)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(meta, Seq("doc_id")).cache()
+    val qual = TextAnalysis.qualityScore(s2)
+      .filter(col("is_quality")).select(col("doc_id"))
+    val notRep = TextAnalysis.repetitionFlags(s2)
+      .filter(!col("is_repetitive")).select(col("doc_id"))
+    val s3 = s2.join(qual, Seq("doc_id"), "left_semi")
+      .join(notRep, Seq("doc_id"), "left_semi").cache()
+    // near-dup-aware split over the CLEANED survivors (clusters computed
+    // on what ships, not on raw text)
+    val comp = Dedup.connectedComponentsStar(
+      Dedup.minhashLshPairs(s3).select(col("doc_a"), col("doc_b")))
+    val s4 = s3.join(comp, s3("doc_id") === comp("node"), "left")
+      .select(s3("doc_id").as("doc_id"), col("text"), col("lang"),
+        coalesce(col("comp"), s3("doc_id")).as("cluster"))
+      .filter(expr(
+        "CAST(conv(substring(md5(CAST(cluster AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100") >= 10)
+      .select(col("doc_id"), col("text"), col("lang")).cache()
+    val mix = TrainPrep.temperatureMixture(s4, budget)
+      .select(col("lang").as("_mix_lang"),
+        expr("10000 * n_budgeted div n_docs").as("threshold"))
+    val s5 = s4.join(broadcast(mix), col("lang") <=> col("_mix_lang"))
+      .filter(expr(
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10000")
+        < col("threshold"))
+      .select(col("doc_id"), col("text"), col("lang"))
+    release.replace(s5) // the one corpus-scale pass: fills every stage cache
+    val rel = release.read(spark, s5.schema).cache()
+    val manifest = rel
+      .withColumn("shard", (col("doc_id") % 16).cast("int"))
+      .withColumn("rh", expr(
+        "CAST(conv(substring(md5(concat_ws('|', doc_id, text)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(toksOf).as("total_tokens"),
+        expr("bit_xor(rh)").as("checksum"))
+      .select(lit("6_shard").as("stage"), col("shard"), col("n_docs"),
+        col("total_tokens"), col("checksum"))
+    val report = stageRow("0_raw", raw)
+      .unionByName(stageRow("1_span_cut", s1))
+      .unionByName(stageRow("2_paragraph", s2))
+      .unionByName(stageRow("3_quality", s3))
+      .unionByName(stageRow("4_train", s4))
+      .unionByName(stageRow("5_mixture", rel))
+      .unionByName(manifest)
+    val rows = report.collect().toSeq
+    Seq(raw, s1, s2, s3, s4, rel).foreach(_.unpersist())
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), report.schema)
+  }
+
   /** Schema of the curation INDEX table: one row per survivor carrying
     * everything the dedup stages need — `text_md5` for exact-dup
     * arbitration, `hbase` (hashed shingle set) for Jaccard verification,

@@ -378,6 +378,48 @@ object Dedup {
         md5(col("clean_text")).as("clean_md5"))
   }
 
+  /** [[substringSpanCut]] returning the cleaned TEXT itself instead of its
+    * fingerprint — the form downstream curation stages chain on
+    * ([[Curate.releaseCorpus]]). Same spans, same reassembly; the
+    * fingerprint query stays the oracle-checked witness of this pipeline.
+    */
+  def substringSpanCutText(docs: DataFrame, L: Int = 48, W: Int = 8,
+      keepOne: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .withColumn("p", explode(expr(s"graft_winnow_positions(text, $L, $W)")))
+      .select(col("doc_id"), col("p"),
+        expr(s"md5(substring(text, p, $L))").as("g"))
+    val freq = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"))
+    val shared = grams.join(freq.filter(col("n_docs") > 1), Seq("g"))
+      .filter(if (keepOne) col("doc_id") =!= col("min_doc") else lit(true))
+      .select(col("doc_id"), col("p"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = shared
+      .withColumn("prev_p", lag(col("p"), 1).over(wOrd))
+      .withColumn("flag",
+        when(col("prev_p").isNull || col("p") <= col("prev_p") + L, 0)
+          .otherwise(1))
+      .withColumn("island",
+        sum(col("flag")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + lit(L - 1)).as("e"))
+    val spanList = spans.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs.join(spanList, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          """aggregate(spans,
+            |  struct(CAST(1 AS INT) AS cur, CAST('' AS STRING) AS acc),
+            |  (st, sp) -> struct(CAST(sp.e + 1 AS INT) AS cur,
+            |    concat(st.acc, substring(text, st.cur, sp.s - st.cur)) AS acc),
+            |  st -> concat(st.acc, substring(text, st.cur)))""".stripMargin))
+          .as("clean_text"))
+  }
+
   /** 60-bit SimHash over hashed shingles: bit j is set when at least half
     * the shingles have bit j set. Pure column math, no shuffle.
     */
@@ -503,6 +545,25 @@ object Dedup {
       .select(col("doc_id"), col("n_segs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+  }
+
+  /** [[paragraphDedup]] returning the reassembled TEXT (boilerplate
+    * segments removed, '' when nothing survives) — the chaining form for
+    * [[Curate.releaseCorpus]]; the fingerprint query stays the oracle.
+    */
+  def paragraphDedupText(docs: DataFrame, k: Int = 4, maxDf: Int = 2): DataFrame = {
+    val segs = withSegments(docs, k).withColumn("h", md5(col("seg")))
+    val boilerplate = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= maxDf)
+    val kept = segs.join(boilerplate, Seq("h"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seg_no"), col("seg")))),
+          s => s.getField("seg")), " ").as("clean"))
+    docs.select(col("doc_id"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean"), lit("")).as("clean_text"))
   }
 
   /** Connected components over near-dup PAIRS — the cluster-resolution

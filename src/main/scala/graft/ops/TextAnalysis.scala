@@ -273,6 +273,37 @@ object TextAnalysis {
         col("top_token_frac") > topTokenTau || col("dup_bigram_frac") > dupBigramTau)
   }
 
+  /** [[repetitionStats]]' flags in a PUSHDOWN-SAFE aggregate formulation —
+    * the form to compose FILTERS on. Filtering the projection form on
+    * `is_repetitive` lets Catalyst push the predicate through the
+    * projections, inlining (and duplicating ~6×) the whole
+    * split+transform bigram expression into one filter predicate —
+    * measured 9× the honest cost at sf0.1. Here the fracs come from
+    * explode + groupBy aggregates, so a downstream filter lands on
+    * aggregated scalars and the text kernels evaluate exactly once.
+    * Flag values are identical (CurateSpec pins the equivalence).
+    */
+  def repetitionFlags(docs: DataFrame,
+                      topTokenTau: Double = 0.2,
+                      dupBigramTau: Double = 0.2): DataFrame = {
+    val toks = withTokens(docs)
+    val top = toks.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_tokens"))
+    val bigrams = when(size(col("toks")) >= 2,
+      expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    val bg = toks.select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), countDistinct(col("b")).as("n_bg_d"))
+    top.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        ((col("top_cnt").cast("double") / col("n_tokens")) > topTokenTau ||
+          coalesce((col("n_bg") - col("n_bg_d")).cast("double") / col("n_bg"),
+            lit(0.0)) > dupBigramTau).as("is_repetitive"))
+  }
+
   /** The distributed core of BPE vocabulary training: the corpus-wide
     * adjacent-token-pair census. Each training round counts every adjacent
     * symbol pair, merges the most frequent one, and repeats; at corpus

@@ -219,4 +219,37 @@ class CurateSpec extends AnyFunSuite {
       ("cold.example", 5L, 5L, 129L),
       ("hot.example", 25L, 10L, 124L)))
   }
+
+  test("repetitionFlags (pushdown-safe aggregate form) == repetitionStats flags") {
+    val a = graft.ops.TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "is_repetitive").orderBy("doc_id").collect().toSeq
+    val b = graft.ops.TextAnalysis.repetitionFlags(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("release pipeline replay: same corpus, same table -> identical report, converged release") {
+    def reportRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("stage", "shard").collect()
+        .map(r => (r.getAs[String]("stage"), r.getAs[Int]("shard"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("checksum"))).toSeq
+    val table = MergeTable.scratch(Seq("doc_id"))
+    val first = reportRows(Curate.releaseCorpus(docs, table))
+    assert(first.exists { case (s, _, n, _, _) => s == "0_raw" && n > 0 },
+      "raw funnel row must count the corpus")
+    // the funnel is monotone: each stage keeps at most the previous stage's docs
+    val funnel = first.filter(_._1 != "6_shard").map(t => (t._1, t._3)).sortBy(_._1)
+    assert(funnel.sliding(2).forall {
+      case Seq((_, a), (_, b)) => b <= a; case _ => true },
+      s"funnel must be monotone non-increasing: $funnel")
+    // shard rows reconcile with the released (post-mixture) funnel row
+    val released = first.find(_._1 == "5_mixture").get
+    val shards = first.filter(_._1 == "6_shard")
+    assert(shards.map(_._3).sum == released._3 && shards.map(_._4).sum == released._4,
+      "shard manifest must tile the released corpus exactly")
+    val second = reportRows(Curate.releaseCorpus(docs, table))
+    assert(second == first, "replay must converge to the identical report")
+    assert(table.currentVersion.contains("v1"), "replay commits a new version, same content")
+  }
 }
