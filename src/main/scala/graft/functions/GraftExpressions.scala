@@ -480,13 +480,15 @@ case class WinnowPositions(child: Expression, w: Int, k: Int)
     copy(child = newChild)
 }
 
-/** 63-bit Walsh-Hadamard sign hash of a string's first 64 bytes read as
-  * an 8×8 luma grid — the pHash shape (coarse spectral signature → sign
-  * bits) with WHT in place of the DCT: H[i] = Σ_j (−1)^popcount(i&j)·x[j]
-  * is pure integer add/subtract, so the signature is exact cross-engine
-  * where DCT's libm cosines are not. Bit i−1 (i = 1..63, DC skipped) is
-  * set when H[i] > 0. Strings shorter than 64 code points yield NULL
-  * (callers filter). One fused O(64²) pass per row — the layered
+/** 63-bit Walsh-Hadamard sign hash of a string's first 64 CODE POINTS
+  * read as an 8×8 luma grid (the mm_* ASCII stub-codec convention —
+  * CodePoints.of, mirrored by the oracle's ascii() per position) — the
+  * pHash shape (coarse spectral signature → sign bits) with WHT in place
+  * of the DCT: H[i] = Σ_j (−1)^popcount(i&j)·x[j] is pure integer
+  * add/subtract, so the signature is exact cross-engine where DCT's libm
+  * cosines are not. Bit i−1 (i = 1..63, DC skipped) is set when
+  * H[i] > 0. Strings shorter than 64 code points yield NULL (callers
+  * filter). One fused O(64²) pass per row — the layered
   * HOF formulation recomputes inner arrays per element access once
   * CollapseProject inlines the projections (O(64⁴) per row, measured
   * minutes at sf0.01), which is exactly why this is a native kernel.

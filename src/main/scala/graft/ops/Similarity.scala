@@ -930,9 +930,12 @@ object Similarity {
         }
       val top = scored.orderBy(col("score").desc, col("vec_id"))
         .select(col("vec_id"), col("rel"), col("score"))
-        .limit(1).collect()(0) // bounded single-row argmax per round
-      picked += ((r, top.getLong(0), top.getDouble(1), top.getDouble(2)))
-      r += 1
+        .limit(1).collect() // bounded single-row argmax per round
+      if (top.isEmpty) r = k + 1 // pool exhausted (k > candidates): return picks so far
+      else {
+        picked += ((r, top.head.getLong(0), top.head.getDouble(1), top.head.getDouble(2)))
+        r += 1
+      }
     }
     import spark.implicits._
     picked.toSeq.toDF("rank", "vec_id", "rel", "mmr_score")

@@ -816,9 +816,16 @@ object TextAnalysis {
       .join(broadcast(nClass), Seq("cls"))
       .crossJoin(broadcast(nTotal))
       .filter(col("df_w") >= minDf && col("df_w") < col("n_docs"))
-      .withColumn("delta",
-        col("df_wc") * (col("n_docs") - col("n_c") - (col("df_w") - col("df_wc"))) -
-          (col("df_w") - col("df_wc")) * (col("n_c") - col("df_wc")))
+      // delta in decimal(38,0) end-to-end: the raw int64 products
+      // df_wc·(n_docs−…) overflow once n_docs exceeds ~3e9, undercutting
+      // the 100 TB posture even though the chi2_e4 numerator was already
+      // decimal-safe (advisor r11)
+      .withColumn("delta", expr(
+        """CAST(df_wc AS DECIMAL(38,0))
+             * (CAST(n_docs AS DECIMAL(38,0)) - CAST(n_c AS DECIMAL(38,0))
+                - (CAST(df_w AS DECIMAL(38,0)) - CAST(df_wc AS DECIMAL(38,0))))
+           - (CAST(df_w AS DECIMAL(38,0)) - CAST(df_wc AS DECIMAL(38,0)))
+             * (CAST(n_c AS DECIMAL(38,0)) - CAST(df_wc AS DECIMAL(38,0)))"""))
       .withColumn("chi2_e4", expr(
         """(10000 * CAST(n_docs AS DECIMAL(38,0)) * CAST(delta AS DECIMAL(38,0)) * CAST(delta AS DECIMAL(38,0)))
            div (CAST(df_w AS DECIMAL(38,0)) * (n_docs - df_w) * n_c * (n_docs - n_c))"""))

@@ -20,8 +20,19 @@ object PagedFixture {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
-  def cached(key: String)(build: => org.apache.spark.sql.DataFrame): (String, Long) =
-    cache.computeIfAbsent(key, { _ =>
+  /** Fingerprint of the corpus behind `sfDir` (events.parquet mtime+size):
+    * folded into every cache key so a corpus regenerated WITHIN one JVM
+    * session invalidates the fixture instead of silently replaying a
+    * stale file (advisor r11).
+    */
+  private def corpusFingerprint(sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/events.parquet")
+    s"${f.lastModified()}_${f.length()}"
+  }
+
+  def cached(key: String, sfDir: String)(
+      build: => org.apache.spark.sql.DataFrame): (String, Long) =
+    cache.computeIfAbsent(s"${key}_${corpusFingerprint(sfDir)}", { _ =>
       val dir = graft.stages.TempDirs.scratch("graft_pfix_")
       build.coalesce(1).write.mode("overwrite").text(s"$dir/api")
       val file = new java.io.File(s"$dir/api").listFiles()
@@ -352,7 +363,7 @@ object StreamingQueries {
         // fixture file is a pure function of the corpus dir — build it once
         // per session (the scratchStable discipline); re-runs skip the
         // global sort + single-file write entirely
-        val (file, nRows) = PagedFixture.cached(s"graft_scd2s_$dir") {
+        val (file, nRows) = PagedFixture.cached(s"graft_scd2s_$dir", dir) {
           val ev = Tables.events(s, dir)
           ev.select(col("ts"), col("user_id"), col("event_type"))
             .orderBy(col("ts"), col("user_id"), col("event_type"))
@@ -505,7 +516,7 @@ object StreamingQueries {
         // (the StreamJoin sentinel-flush technique, API-stream form).
         // Fixture cached per corpus dir (scratchStable); out/ckpt stay
         // FRESH per run — a reused checkpoint would no-op the drain.
-        val (file, nRows) = PagedFixture.cached(s"graft_pjw_$dir") {
+        val (file, nRows) = PagedFixture.cached(s"graft_pjw_$dir", dir) {
           val ev = Tables.events(s, dir)
           ev.select(col("ts"), col("event_id"), col("value"))
             .unionByName(ev.sparkSession.range(1).select(

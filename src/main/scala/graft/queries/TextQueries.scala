@@ -1021,10 +1021,20 @@ object TextQueries {
         val med = cum.crossJoin(broadcast(base.select(col("n_docs").as("nd"))))
           .filter(col("cum") >= expr("(nd + 1) div 2"))
           .agg(min(col("nt")).as("median_tokens"))
-        base.crossJoin(med).select(expr(
-          "stack(7, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+        // card_script_mix / card_sentence_length composed down to the two
+        // corpus-wide governance scalars the card quotes
+        val script = t.agg(expr(
+          "sum(CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT)) * 10000" +
+            " div sum(nc)").as("script_lower_e4"))
+        val sent = Tables.documents(s, dir)
+          .select(explode(split(col("text"), "\\. ")).as("sent"))
+          .agg(expr("CAST(sum(size(split(sent, ' '))) AS BIGINT) * 100 div count(1)")
+            .as("sent_tokens_e2"))
+        base.crossJoin(med).crossJoin(script).crossJoin(sent).select(expr(
+          "stack(9, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
             "'n_chars', n_chars, 'n_langs', n_langs, 'n_sources', n_sources, " +
-            "'n_unique_texts', n_unique_texts, 'median_tokens', median_tokens) " +
+            "'n_unique_texts', n_unique_texts, 'median_tokens', median_tokens, " +
+            "'script_lower_e4', script_lower_e4, 'sent_tokens_e2', sent_tokens_e2) " +
             "AS (metric, value)"))
           .orderBy(col("metric"))
       },
@@ -1044,7 +1054,13 @@ object TextQueries {
               cum AS (SELECT nt, SUM(c) OVER (ORDER BY nt ROWS UNBOUNDED PRECEDING) AS cum
                       FROM h),
               med AS (SELECT CAST(min(nt) AS BIGINT) AS median_tokens
-                      FROM cum, base WHERE cum >= (n_docs + 1) // 2)
+                      FROM cum, base WHERE cum >= (n_docs + 1) // 2),
+              scr AS (SELECT CAST(SUM(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)) AS BIGINT)
+                               * 10000 // CAST(SUM(length(text)) AS BIGINT) AS script_lower_e4
+                      FROM documents),
+              snt AS (SELECT CAST(SUM(len(string_split(sent, ' '))) AS BIGINT) * 100
+                               // count(*) AS sent_tokens_e2
+                      FROM (SELECT unnest(string_split(text, '. ')) AS sent FROM documents))
               SELECT metric, value FROM (
                 SELECT 'n_docs' AS metric, n_docs AS value FROM base
                 UNION ALL SELECT 'n_tokens', n_tokens FROM base
@@ -1052,10 +1068,79 @@ object TextQueries {
                 UNION ALL SELECT 'n_langs', n_langs FROM base
                 UNION ALL SELECT 'n_sources', n_sources FROM base
                 UNION ALL SELECT 'n_unique_texts', n_unique_texts FROM base
-                UNION ALL SELECT 'median_tokens', median_tokens FROM med)
+                UNION ALL SELECT 'median_tokens', median_tokens FROM med
+                UNION ALL SELECT 'script_lower_e4', script_lower_e4 FROM scr
+                UNION ALL SELECT 'sent_tokens_e2', sent_tokens_e2 FROM snt)
               ORDER BY metric"""),
       doc = "dataset card: exact corpus summary (counts, breadth, dup ratio, " +
-        "histogram-derived median length) as (metric, value) rows"),
+        "histogram-derived median length, script purity, mean sentence " +
+        "length) as (metric, value) rows"),
+
+    // ---- Script-mix census per language — the Unicode-block governance
+    // table: character-class counts (lowercase Latin letters, digits,
+    // spaces, other) per labeled language, with script purity at 1e4
+    // scale. Pure column math per doc (regexp class strips + length
+    // algebra, zero shuffles before the |langs|-row groupBy); at 100 TB
+    // the classes extend to real Unicode blocks the same way — one
+    // regexp strip per block, still scan-local.
+    GQuery("card_script_mix",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"),
+          length(col("text")).cast("long").as("nc"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("nl"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("nd"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+            .cast("long").as("ns"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nc")).as("n_chars"), sum(col("nl")).as("n_lower"),
+          sum(col("nd")).as("n_digit"), sum(col("ns")).as("n_space"),
+          (sum(col("nc")) - sum(col("nl")) - sum(col("nd")) - sum(col("ns")))
+            .as("n_other"),
+          expr("sum(nl) * 10000 div sum(nc)").as("lower_e4"))
+        .orderBy(col("lang").asc_nulls_first),
+      Some("""WITH c AS (
+                SELECT lang,
+                       CAST(length(text) AS BIGINT) AS nc,
+                       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nl,
+                       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS nd,
+                       CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS ns
+                FROM documents)
+              SELECT lang,
+                     CAST(SUM(nc) AS BIGINT) AS n_chars,
+                     CAST(SUM(nl) AS BIGINT) AS n_lower,
+                     CAST(SUM(nd) AS BIGINT) AS n_digit,
+                     CAST(SUM(ns) AS BIGINT) AS n_space,
+                     CAST(SUM(nc) - SUM(nl) - SUM(nd) - SUM(ns) AS BIGINT) AS n_other,
+                     CAST(SUM(nl) AS BIGINT) * 10000 // CAST(SUM(nc) AS BIGINT) AS lower_e4
+              FROM c GROUP BY lang ORDER BY lang NULLS FIRST"""),
+      doc = "script-mix census per language: character-class counts + script " +
+        "purity at 1e4 — the Unicode-block governance table of the dataset card"),
+
+    // ---- Sentence-length census per language — text_sentence_stats
+    // re-aggregated to the language grain with exact integer rationals:
+    // which languages run long sentences (packing/window sizing input).
+    GQuery("card_sentence_length",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), "\\. ")).as("sent"))
+        .select(col("lang"),
+          expr("CAST(size(split(sent, ' ')) AS BIGINT)").as("st"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(col("st")).as("total_tokens"),
+          max(col("st")).as("max_sent_tokens"),
+          expr("sum(st) * 100 div count(1)").as("mean_tokens_e2"))
+        .orderBy(col("lang").asc_nulls_first),
+      Some("""WITH s AS (
+                SELECT lang, CAST(len(string_split(sent, ' ')) AS BIGINT) AS st
+                FROM (SELECT lang, unnest(string_split(text, '. ')) AS sent
+                      FROM documents))
+              SELECT lang, count(*) AS n_sentences,
+                     CAST(SUM(st) AS BIGINT) AS total_tokens,
+                     CAST(MAX(st) AS BIGINT) AS max_sent_tokens,
+                     CAST(SUM(st) AS BIGINT) * 100 // count(*) AS mean_tokens_e2
+              FROM s GROUP BY lang ORDER BY lang NULLS FIRST"""),
+      doc = "sentence-length census per language: sentence counts, token " +
+        "totals, longest sentence, exact 1e2 mean — packing/window input"),
 
     // ---- BM25 keyword retrieval: the inverted-index ranking function,
     // k1/b re-derived as exact integer rationals (three correctly-rounded

@@ -270,6 +270,17 @@ class SimilaritySpec extends AnyFunSuite {
       s"MMR must keep the best and swap its near-copy for diversity: ${mmr.toSeq}")
   }
 
+  test("MMR exhaustion: k beyond the candidate pool returns the pool, not an exception") {
+    import spark.implicits._
+    val tiny = Seq((0L, vec(0)), (1L, vec(9)), (2L, vec(21)))
+      .toDF("vec_id", "embedding")
+    // pool = the 2 non-query vectors; k = 5 must stop at 2 picks
+    val picks = Similarity.mmrSelect(tiny, queryId = 0L, poolSize = 8, k = 5)
+      .orderBy("rank").collect()
+    assert(picks.length == 2, s"expected the exhausted pool's 2 picks, got ${picks.length}")
+    assert(picks.map(_.getLong(1)).toSet == Set(1L, 2L))
+  }
+
   test("label noise: planted mislabel recovered by the bucketed census; fidelity reads bucketed == truth") {
     import spark.implicits._
     // two tight clusters of 8 (tiny per-member perturbations keep each
