@@ -55,6 +55,51 @@ object GraphOps {
     ranks
   }
 
+  /** Integer HITS (Kleinberg hubs & authorities) — [[pagerankInteger]]'s
+    * two-score sibling, in the same exact-integer contract: per round,
+    * authority(v) = Σ hub(u) over in-edges, hub(u) = Σ authority(v) over
+    * out-edges, each rescaled to `scale` via `mass · scale div total`
+    * (integer division against the round's total — a 1-row bounded
+    * aggregate broadcast back, the watermark-scalar convention). Every
+    * quantity stays integral, so the trajectory is bit-identical across
+    * engines and partitionings where float normalization could not be.
+    *
+    * Scale shape per round: two (edge-keyed join + map-side-combined agg)
+    * passes and two scalar totals; `localCheckpoint` per round keeps the
+    * lineage O(1) in iterations. Returns (node, auth_mass, hub_mass).
+    * Overflow bound: per-node raw · scale must stay < 2⁶³ (raw ≤ the
+    * round total ≤ |edges|·scale) — at web scale drop `scale` to 1e4 or
+    * lift the rescale to decimal(38,0), the chi2FeatureSelection move.
+    */
+  def hitsInteger(nodes: DataFrame, edges: DataFrame, iters: Int,
+                  scale: Long = 1000000L): DataFrame = {
+    var hub = nodes.select(col("node"), lit(scale).as("hub_mass"))
+    var auth = nodes.select(col("node"), lit(scale).as("auth_mass"))
+    var i = 0
+    while (i < iters) {
+      val authRaw = hub.join(edges, hub("node") === edges("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub_mass")).as("raw"))
+      val aTot = authRaw.agg(coalesce(sum(col("raw")), lit(1L)).as("t"))
+      auth = nodes.select(col("node"))
+        .join(authRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          expr(s"coalesce(raw, 0L) * $scale div t").as("auth_mass"))
+        .localCheckpoint(true)
+      val hubRaw = auth.join(edges, auth("node") === edges("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth_mass")).as("raw"))
+      val hTot = hubRaw.agg(coalesce(sum(col("raw")), lit(1L)).as("t"))
+      hub = nodes.select(col("node"))
+        .join(hubRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          expr(s"coalesce(raw, 0L) * $scale div t").as("hub_mass"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    auth.join(hub, Seq("node"))
+  }
+
   /** Triangle census by degree-ordered orientation (the Suri–Vassilvitskii
     * MapReduce formulation): each undirected edge is directed from its
     * lower-(degree, id) endpoint to the higher, wedges are enumerated only

@@ -1073,6 +1073,38 @@ object RelationalQueries {
       doc = "k-anonymity census over the QI generalization ladder: class-size " +
         "histogram per level + k=5 violation flag — the pre-release governance gate"),
 
+    // ---- l-diversity census — k-anonymity's sibling on the SENSITIVE
+    // axis: a class can be large (k-safe) yet expose everyone if all its
+    // rows share one sensitive value. Per QI class, l = |distinct
+    // sensitive buckets| (account-balance thousands); histogram of
+    // classes by l with the l=3 violation flag. Two map-side-combined
+    // aggregates over the |QI-domain|-bounded class table.
+    GQuery("privacy_l_diversity",
+      (s, dir) => Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("sens"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("sens")).as("l"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("class_size")).as("n_rows"))
+        .select(col("l"), col("n_classes"), col("n_rows"),
+          (col("l") < 3).as("violates_l3"))
+        .orderBy(col("l")),
+      Some("""WITH cls AS (
+                SELECT c_nationkey, c_mktsegment,
+                       count(*) AS class_size,
+                       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+                FROM customer GROUP BY 1, 2)
+              SELECT l, count(*) AS n_classes,
+                     CAST(SUM(class_size) AS BIGINT) AS n_rows,
+                     l < 3 AS violates_l3
+              FROM cls GROUP BY l ORDER BY l"""),
+      doc = "l-diversity census: distinct-sensitive-value count per QI class, " +
+        "class histogram by l + l=3 violation flag — the sensitive-axis " +
+        "sibling of the k-anonymity gate"),
+
     // ---- Shuffle-key skew census — the diagnostic a join/agg planner
     // consults BEFORE picking salting (join_skew_salted) or AQE skew
     // handling. Order statistics come from the VALUE-DOMAIN histogram of

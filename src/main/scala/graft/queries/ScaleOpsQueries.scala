@@ -589,6 +589,83 @@ object ScaleOpsQueries {
       doc = "integer PageRank (3 exact rounds over the heap-tree graph): " +
         "iterative authority mass, per-round join+agg, lineage cut per round"),
 
+    // ---- Integer HITS over the same heap-tree graph: hubs & authorities
+    // as exact integers (per-round total-rescale via `mass·1e6 div total`
+    // — 1-row scalar broadcast), 2 unrolled rounds in the oracle; output
+    // is the top-20 of each score (TakeOrdered + kind-partitioned rank,
+    // never an unpartitioned window).
+    GQuery("graph_hits",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("src"), (col("node") * 2).as("dst"))
+          .unionByName(nodes.select(col("node").as("src"), (col("node") * 2 + 1).as("dst")))
+          .unionByName(nodes.select(col("node").as("src"), (col("node") * 3).as("dst")))
+          .filter(col("src") >= 1 && col("dst") >= 1)
+        val edges = cand.join(nodes.withColumnRenamed("node", "dst"),
+          Seq("dst"), "left_semi")
+        val res = graft.ops.GraphOps.hitsInteger(nodes, edges, iters = 2)
+        val topA = res.select(lit("auth").as("kind"), col("node"),
+            col("auth_mass").as("mass"))
+          .orderBy(col("mass").desc, col("node")).limit(20)
+        val topH = res.select(lit("hub").as("kind"), col("node"),
+            col("hub_mass").as("mass"))
+          .orderBy(col("mass").desc, col("node")).limit(20)
+        topA.unionByName(topH)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("kind"))
+              .orderBy(col("mass").desc, col("node"))))
+          .select(col("kind"), col("rank"), col("node"), col("mass"))
+          .orderBy(col("kind"), col("rank"))
+      },
+      Some("""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+              cand AS (
+                SELECT node AS src, node * 2 AS dst FROM nodes
+                UNION ALL
+                SELECT node AS src, node * 2 + 1 AS dst FROM nodes
+                UNION ALL
+                SELECT node AS src, node * 3 AS dst FROM nodes),
+              edges AS (
+                SELECT src, dst FROM cand e
+                WHERE src >= 1 AND dst >= 1
+                  AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.dst)),
+              h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS m FROM nodes),
+              a1r AS (SELECT e.dst AS node, CAST(SUM(h0.m) AS BIGINT) AS raw
+                      FROM edges e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+              a1t AS (SELECT CAST(COALESCE(SUM(raw), 1) AS BIGINT) AS t FROM a1r),
+              a1 AS (SELECT n.node, COALESCE(r.raw, 0) * 1000000 // t AS m
+                     FROM nodes n LEFT JOIN a1r r USING (node), a1t),
+              h1r AS (SELECT e.src AS node, CAST(SUM(a1.m) AS BIGINT) AS raw
+                      FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+              h1t AS (SELECT CAST(COALESCE(SUM(raw), 1) AS BIGINT) AS t FROM h1r),
+              h1 AS (SELECT n.node, COALESCE(r.raw, 0) * 1000000 // t AS m
+                     FROM nodes n LEFT JOIN h1r r USING (node), h1t),
+              a2r AS (SELECT e.dst AS node, CAST(SUM(h1.m) AS BIGINT) AS raw
+                      FROM edges e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+              a2t AS (SELECT CAST(COALESCE(SUM(raw), 1) AS BIGINT) AS t FROM a2r),
+              a2 AS (SELECT n.node, COALESCE(r.raw, 0) * 1000000 // t AS m
+                     FROM nodes n LEFT JOIN a2r r USING (node), a2t),
+              h2r AS (SELECT e.src AS node, CAST(SUM(a2.m) AS BIGINT) AS raw
+                      FROM edges e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+              h2t AS (SELECT CAST(COALESCE(SUM(raw), 1) AS BIGINT) AS t FROM h2r),
+              h2 AS (SELECT n.node, COALESCE(r.raw, 0) * 1000000 // t AS m
+                     FROM nodes n LEFT JOIN h2r r USING (node), h2t),
+              ranked AS (
+                SELECT 'auth' AS kind,
+                       CAST(ROW_NUMBER() OVER (ORDER BY m DESC, node) AS INT) AS rank,
+                       node, m AS mass
+                FROM a2
+                UNION ALL
+                SELECT 'hub',
+                       CAST(ROW_NUMBER() OVER (ORDER BY m DESC, node) AS INT),
+                       node, m
+                FROM h2)
+              SELECT kind, rank, node, mass FROM ranked
+              WHERE rank <= 20 ORDER BY kind, rank"""),
+      doc = "integer HITS (2 exact rounds): hub/authority mass with per-round " +
+        "integer total-rescale, top-20 of each score — link-authority priors " +
+        "for URL curation, bit-identical across engines"),
+
     // ---- Triangle census by degree-ordered orientation over an irregular
     // undirected graph (chords +1, +2, +3, x2 over customer keys — the x2
     // edges skew degree so orientation actually reorders). The wedge join

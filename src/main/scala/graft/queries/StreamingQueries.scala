@@ -168,6 +168,24 @@ object StreamingQueries {
         "per type, order-insensitive KMV fold; drained final == batch " +
         "sketch_sample_quantiles (shared oracle)"),
 
+    // ---- Misra-Gries as STREAMING STATE (fourth sketch-state twin): the
+    // live per-day heavy-hitter monitor — ≤ k map entries per day key in
+    // RocksDB, arrival-order-dependent summary made deterministic by the
+    // prune-then-verify tail (union of final per-day candidates → exact
+    // recount → integer threshold), so the drained result equals the
+    // batch daily rollup and shares sketch_mg_daily_merge's oracle.
+    GQuery("streaming_mg_state",
+      (s, dir) => graft.streaming.SketchState.mgStateDrain(s, dir, k = 4)
+        .orderBy(col("event_type")),
+      Some("""WITH n AS (SELECT count(*) AS n FROM events)
+              SELECT event_type, count(*) AS n_events
+              FROM events GROUP BY event_type
+              HAVING count(*) * 5 > (SELECT n FROM n)
+              ORDER BY event_type"""),
+      doc = "Misra-Gries in transformWithState: k-counter MapState per day, " +
+        "decrement-all online fold; final candidates + exact recount == " +
+        "batch daily rollup (shared oracle) — bounded-state heavy hitters"),
+
     GQuery("streaming_interval_join",
       (s, dir) => graft.streaming.StreamJoin.viewPurchasePairs(s, dir, windowMinutes = 30)
         .orderBy(col("user_id"), col("view_event"), col("buy_event")),

@@ -1238,6 +1238,50 @@ object TextQueries {
         "char counts via one word-keyed vocab join — the compression the " +
         "learned piece vocabulary bought"),
 
+    // ---- Vocabulary OOV census — the generalization measurement every
+    // tokenizer/vocab build needs: train the word vocabulary on HALF the
+    // corpus (even doc_ids), measure out-of-vocabulary rates on the
+    // held-out half, per language. One distinct-word build + one
+    // word-keyed left join; oov_e4 is an exact integer rational.
+    GQuery("text_oov_census",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val vocab = TextAnalysis.withTokens(docs.filter(col("doc_id") % 2 === 0))
+          .select(explode(col("toks")).as("word")).distinct()
+        val held = TextAnalysis.withTokens(docs.filter(col("doc_id") % 2 === 1))
+          .select(col("lang"), explode(col("toks")).as("word"))
+        held.join(vocab.withColumn("_in", lit(1)), Seq("word"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            count(when(col("_in").isNull, lit(1))).as("n_oov"),
+            countDistinct(col("word")).as("n_types"),
+            countDistinct(when(col("_in").isNull, col("word"))).as("n_oov_types"))
+          .select(col("lang"), col("n_words"), col("n_oov"),
+            col("n_types"), col("n_oov_types"),
+            expr("n_oov * 10000 div n_words").as("oov_e4"))
+          .orderBy(col("lang").asc_nulls_first)
+      },
+      Some(s"""WITH vocab AS (
+                 SELECT DISTINCT unnest($toksSql) AS word
+                 FROM documents WHERE doc_id % 2 = 0),
+               held AS (
+                 SELECT lang, unnest($toksSql) AS word
+                 FROM documents WHERE doc_id % 2 = 1),
+               j AS (
+                 SELECT h.lang, h.word,
+                        CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+                 FROM held h LEFT JOIN vocab v ON v.word = h.word)
+               SELECT lang, count(*) AS n_words,
+                      CAST(count(*) FILTER (oov = 1) AS BIGINT) AS n_oov,
+                      count(DISTINCT word) AS n_types,
+                      CAST(count(DISTINCT CASE WHEN oov = 1 THEN word END) AS BIGINT) AS n_oov_types,
+                      CAST(count(*) FILTER (oov = 1) AS BIGINT) * 10000
+                        // count(*) AS oov_e4
+               FROM j GROUP BY lang ORDER BY lang NULLS FIRST"""),
+      doc = "held-out OOV census per language: vocab from even doc_ids, " +
+        "occurrence + type OOV rates on the odd half at 1e4 scale — the " +
+        "vocab-generalization gate a tokenizer build reports"),
+
     // ---- Positional-index PHRASE search — the capability BM25's
     // bag-of-words ranking can't express: "slow hash batch" must match as
     // CONSECUTIVE tokens. The classic positional-postings algorithm: a

@@ -99,4 +99,90 @@ object SketchState extends Serializable {
       .agg(countDistinct(col("user_id")).as("exact_distinct"))
     sketch.join(exact, Seq("event_type"))
   }}
+
+  // ---- Misra-Gries AS STREAMING STATE: the live per-day heavy-hitter
+  // monitor — the fourth sketch-state twin (HLL, CUSUM, bottom-k, now MG).
+
+  final case class DayType(day: Int, event_type: String)
+  final case class MgEmit(day: Int, cands: Seq[String])
+
+  /** k-counter Misra-Gries summary per key as a single
+    * `ValueState[Map[String, Long]]` (≤ k entries in RocksDB regardless of
+    * the type space), the SAME decrement-all reduce as the batch
+    * [[graft.functions.MgAggregator]]. The summary depends on arrival
+    * order, but the GUARANTEE doesn't: any type with frequency >
+    * n_day/(k+1) survives the day's summary — so the prune-then-verify
+    * tail (union candidates → exact recount → integer threshold) is
+    * deterministic and equals the batch form, oracle shared verbatim.
+    */
+  final class MgProcessor(k: Int) extends StatefulProcessor[Int, DayType, MgEmit] {
+    @transient private var st: ValueState[Map[String, Long]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Map[String, Long]]("mg",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]](),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[DayType],
+                                 timers: TimerValues): Iterator[MgEmit] = {
+      var buf = if (st.exists()) st.get() else Map.empty[String, Long]
+      rows.foreach { e =>
+        buf = buf.get(e.event_type) match {
+          case Some(c)              => buf.updated(e.event_type, c + 1L)
+          case None if buf.size < k => buf.updated(e.event_type, 1L)
+          case None =>
+            buf.iterator.map { case (t, c) => t -> (c - 1L) }
+              .filter(_._2 > 0L).toMap
+        }
+      }
+      st.update(buf)
+      Iterator.single(MgEmit(key, buf.keys.toSeq.sorted))
+    }
+  }
+
+  /** Drain the events through per-day MG state (AvailableNow), then run
+    * the prune-then-verify tail over the FINAL per-day candidate unions —
+    * the exact output contract of `sketch_mg_daily_merge`, shared oracle.
+    */
+  def mgStateDrain(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame =
+      StateDefaults.withRocksDB(spark) { StateDefaults.withNanosRead(spark) {
+    import spark.implicits._
+    val events = EventStream.readStream(spark, sfDir, "events.parquet", Map.empty)
+      .select(dayofmonth(col("ts")).as("day"), col("event_type"))
+      .as[DayType]
+
+    val updates = events
+      .groupByKey(_.day)
+      .transformWithState(new MgProcessor(k), TimeMode.None(), OutputMode.Update())
+
+    val outDir = graft.stages.TempDirs.scratch("graft_mgst_drain_")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = updates.writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[MgEmit], id: Long) =>
+          batch.withColumn("_batch", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      StateDefaults.awaitDrain(q)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    val raw = StreamJoin.readDrainOutput(spark, outDir,
+      updates.toDF().withColumn("_batch", lit(0L)).schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("_batch").desc)
+    val cands = raw.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(explode(col("cands")).as("t")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: <= k x |days|
+    val ev = graft.Tables.events(spark, sfDir).select(col("event_type"))
+    val total = ev.count()
+    ev.filter(col("event_type").isin(cands: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") * (k + 1) > total)
+  }}
 }

@@ -70,6 +70,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(oriented.map(_._2).sum > 0)       // the graph actually has triangles
   }
 
+  test("integer HITS: star hub concentrates hub mass, leaves split authority; partitioning-invariant") {
+    import spark.implicits._
+    // directed star 1 -> {2,3,4}: after any round, node 1 is the only hub
+    // (all authority flows back to it) and 2/3/4 split authority equally
+    for (parts <- Seq(1, 3)) {
+      val n = Seq(1L, 2L, 3L, 4L).toDF("node").repartition(parts)
+      val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst").repartition(parts)
+      val r = GraphOps.hitsInteger(n, e, iters = 2)
+        .orderBy("node").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      val byNode = r.map(t => t._1 -> (t._2, t._3)).toMap
+      assert(byNode(1L)._1 == 0L, s"parts=$parts: the hub receives no authority: $r")
+      assert(byNode(1L)._2 == 1000000L, s"parts=$parts: all hub mass at node 1: $r")
+      assert(Seq(2L, 3L, 4L).forall(v => byNode(v)._1 == 333333L),
+        s"parts=$parts: leaves split authority 1e6 div 3: $r")
+      assert(Seq(2L, 3L, 4L).forall(v => byNode(v)._2 == 0L),
+        s"parts=$parts: leaves have no out-edges, zero hub mass: $r")
+    }
+  }
+
   test("label propagation: disconnected cliques converge to one min label each, partitioning-invariant") {
     import spark.implicits._
     // two K4s with no bridge: by round 2 every member holds the clique
