@@ -3355,6 +3355,73 @@ object RelationalQueries {
       doc = "per-user daily EWMA with alpha=1/2: identical left fold (one add + " +
         "exact halving per step) in both engines — deterministic smoothing"),
 
+    // ---- Holt double exponential smoothing (level + trend) per event
+    // type — ts_ewma's two-state sibling. α=β=1/2 keeps every recurrence
+    // one add + one exact halving (IEEE-exact, identically ordered), and
+    // the PAIR state rides the list-encoded-fold trick: Spark aggregate()
+    // takes an array<double> [level, trend, sse] accumulator directly;
+    // DuckDB's list_reduce needs acc type == element type, so values are
+    // wrapped [v] and the init list-prepended — the ts_ewma parity
+    // contract extended to vector state. In-sample one-step SSE and the
+    // 3-step-ahead forecast come from the same fold. Bounded day lists
+    // (≤31; a year is still bounded) folded per row — no window.
+    GQuery("ts_holt_trend",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            expr("sort_array(collect_list(struct(d, cents)))").as("xs"))
+          .filter(size(col("xs")) >= 2)
+          .withColumn("vals", expr("transform(xs, x -> CAST(x.cents AS DOUBLE))"))
+          .withColumn("st", expr(
+            """aggregate(slice(vals, 3, size(vals) - 2),
+              |  array(element_at(vals, 2),
+              |        element_at(vals, 2) - element_at(vals, 1),
+              |        CAST(0.0 AS DOUBLE)),
+              |  (acc, x) -> array(
+              |    (x + (element_at(acc, 1) + element_at(acc, 2))) / 2D,
+              |    (((x + (element_at(acc, 1) + element_at(acc, 2))) / 2D
+              |       - element_at(acc, 1)) + element_at(acc, 2)) / 2D,
+              |    element_at(acc, 3)
+              |      + ((element_at(acc, 1) + element_at(acc, 2)) - x)
+              |        * ((element_at(acc, 1) + element_at(acc, 2)) - x)))""".stripMargin))
+          .select(col("event_type"), col("n_days"),
+            expr("element_at(st, 1)").as("level"),
+            expr("element_at(st, 2)").as("trend"),
+            expr("element_at(st, 1) + 3D * element_at(st, 2)").as("forecast_3"),
+            expr("element_at(st, 3)").as("sse"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2),
+              agg AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                       list(CAST(cents AS DOUBLE) ORDER BY d) AS vals
+                FROM daily GROUP BY event_type),
+              folded AS (
+                SELECT event_type, n_days,
+                       list_reduce(
+                         list_prepend([vals[2], vals[2] - vals[1], CAST(0.0 AS DOUBLE)],
+                           list_transform(vals[3:], v -> [v, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+                         (acc, x) -> [
+                           (x[1] + (acc[1] + acc[2])) / 2,
+                           (((x[1] + (acc[1] + acc[2])) / 2 - acc[1]) + acc[2]) / 2,
+                           acc[3] + ((acc[1] + acc[2]) - x[1]) * ((acc[1] + acc[2]) - x[1])]) AS st
+                FROM agg WHERE len(vals) >= 2)
+              SELECT event_type, n_days,
+                     st[1] AS level, st[2] AS trend,
+                     st[1] + 3 * st[2] AS forecast_3,
+                     st[3] AS sse
+              FROM folded ORDER BY event_type"""),
+      doc = "Holt level+trend smoothing (alpha=beta=1/2 exact halvings) per " +
+        "event type: identical vector-state left fold in both engines, " +
+        "one-step in-sample SSE + 3-step forecast from the same pass"),
+
     // ---- CUSUM changepoint statistic per event type: Page's test
     // computed NOT as a sequential fold but via the exact prefix-sum
     // identity S+_t = C_t − min_{0≤j≤t} C_j (and mirrored for S−), where

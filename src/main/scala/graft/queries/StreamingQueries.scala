@@ -803,6 +803,71 @@ object StreamingQueries {
         "(exact integer spectral hash, the pHash shape without libm DCT) + " +
         "4x16 banded Hamming join, <=3-bit pairs guaranteed by pigeonhole"),
 
+    // ---- pHash near-dup CLUSTERS: the pairwise census above resolved to
+    // transitive clusters (the image-gallery dedup deliverable — keep one
+    // representative per visual family). Same pair generation, then the
+    // O(log n)-round star CC; oracle = the pair SQL + recursive closure.
+    GQuery("mm_phash_clusters",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val sig = Tables.documents(s, dir)
+          .withColumn("sig", expr("graft_wht_sign_hash(text)"))
+          .filter(col("sig").isNotNull)
+          .select(col("doc_id"), col("sig"))
+        val bands = sig
+          .withColumn("b", explode(expr("sequence(0, 3)")))
+          .withColumn("v", expr("shiftright(sig, CAST(b * 16 AS INT)) & 65535"))
+        val pairs = bands.as("a")
+          .join(bands.as("c"),
+            col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+              col("a.doc_id") < col("c.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("a.sig").as("sa"),
+            col("c.doc_id").as("doc_b"), col("c.sig").as("sb"))
+          .distinct()
+          .filter(expr("bit_count(sa ^ sb) <= 3"))
+          .select(col("doc_a"), col("doc_b"))
+        graft.ops.Dedup.connectedComponentsStar(pairs)
+          .groupBy(col("comp").as("canonical_doc"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("canonical_doc"))
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+              px AS (SELECT doc_id,
+                            list_transform(range(0, 64),
+                              j -> CAST(ascii(substr(text, CAST(j AS INT) + 1, 1)) AS BIGINT)) AS px
+                     FROM d),
+              wht AS (SELECT doc_id,
+                             list_transform(range(0, 64), i ->
+                               list_sum(list_transform(range(0, 64), j ->
+                                 CASE WHEN bit_count(CAST(i AS BIGINT) & j) % 2 = 0
+                                      THEN px[CAST(j AS INT) + 1]
+                                      ELSE -px[CAST(j AS INT) + 1] END))) AS hh
+                      FROM px),
+              sig AS (SELECT doc_id,
+                             CAST(list_sum(list_transform(range(1, 64), i ->
+                               CASE WHEN hh[CAST(i AS INT) + 1] > 0
+                                    THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+                                    ELSE 0 END)) AS BIGINT) AS sig
+                      FROM wht),
+              bv AS (SELECT doc_id, sig, b, (sig >> CAST(b * 16 AS INT)) & 65535 AS v
+                     FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS b FROM sig)),
+              prs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+                      FROM bv a JOIN bv c
+                        ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+                      WHERE bit_count(xor(a.sig, c.sig)) <= 3),
+              edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM prs
+                UNION ALL SELECT doc_b AS a, doc_a AS b FROM prs),
+              reach(node, r) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+              comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+              SELECT comp AS canonical_doc, count(*) AS n_docs
+              FROM comp GROUP BY 1 ORDER BY 1"""),
+      doc = "pHash near-dup clusters: banded Hamming pairs resolved to " +
+        "transitive visual families via star CC == recursive-closure oracle"),
+
     // ---- Shot-boundary detection shape: adjacent-frame signature deltas
     // (here the 4-byte header sum of every 256-byte stub frame) thresholded
     // per document — the temporal-discontinuity pass video curation runs,
