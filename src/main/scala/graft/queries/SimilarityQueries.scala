@@ -869,6 +869,66 @@ object SimilarityQueries {
         "vote vs bucketed LSH vote, per-label disagreement + method-" +
         "agreement deltas (the measured cost of the candidate cut)"),
 
+    // Per-class centroids + inter-class separation matrix — the
+    // embedding-space health readout a labeled corpus ships with: classes
+    // whose centroids sit at high cosine are confusable (the macro
+    // counterpart of the per-vector label-noise census). Centroid means
+    // use the kmeans determinism trick (scaled-integer component sums —
+    // order-independent — one final double division); the pairwise matrix
+    // is |labels|² — a bounded aggregate crossed with itself.
+    GQuery("sim_class_centroids",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val cent = emb
+          .select(col("label"), posexplode(expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000) AS BIGINT))"))
+            .as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("v")).as("sc"), count(lit(1)).as("n"))
+          .groupBy(col("label"))
+          .agg(max(col("n")).as("n_vecs"), expr(
+            """transform(array_sort(collect_list(struct(pos, sc, n))),
+              |  t -> CAST(t.sc AS DOUBLE) / (1000000.0D * CAST(t.n AS DOUBLE)))""".stripMargin)
+            .as("c"))
+        val a = cent.select(col("label").as("label_a"), col("n_vecs").as("n_a"),
+          col("c").as("ca"))
+        val b = cent.select(col("label").as("label_b"), col("n_vecs").as("n_b"),
+          col("c").as("cb"))
+        a.join(broadcast(b), col("label_a") < col("label_b"))
+          .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+            (expr("graft_dot(ca, cb)") /
+              (expr("sqrt(graft_dot(ca, ca))") * expr("sqrt(graft_dot(cb, cb))")))
+              .as("centroid_cosine"))
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some(s"""WITH sv AS (
+                 SELECT label,
+                        list_transform(range(1, 65),
+                          i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+                 FROM embeddings),
+               m AS (
+                 SELECT label, t.i AS pos,
+                        CAST(SUM(sv[CAST(t.i AS INT) + 1]) AS BIGINT) AS sc,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM sv, (SELECT unnest(range(0, 64)) AS i) t
+                 GROUP BY label, t.i),
+               cent AS (
+                 SELECT label, max(n) AS n_vecs,
+                        list(CAST(sc AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+                             ORDER BY pos) AS c
+                 FROM m GROUP BY label)
+               SELECT a.label AS label_a, b.label AS label_b,
+                      a.n_vecs AS n_a, b.n_vecs AS n_b,
+                      ${dotSql("a.c", "b.c")}
+                        / (sqrt(${dotSql("a.c", "a.c")}) * sqrt(${dotSql("b.c", "b.c")}))
+                        AS centroid_cosine
+               FROM cent a JOIN cent b ON a.label < b.label
+               ORDER BY label_a, label_b"""),
+      doc = "per-class centroid separation matrix: scaled-integer centroid " +
+        "means (order-independent), pairwise centroid cosines over the " +
+        "bounded label set — the class-confusability health readout"),
+
     // The embeddings-table QA card (curate_dataset_card's sibling for the
     // vector modality): zero vectors and wrong dims break every cosine
     // downstream — catch them before index build. min/max of norms are

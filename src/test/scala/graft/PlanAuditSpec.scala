@@ -249,7 +249,22 @@ class PlanAuditSpec extends AnyFunSuite {
     // CC labels (checkpointed) joined to features + cluster window + sort
     ("dedup_canonical_best", 4, 0, Nil),
     // learned vote table joined back + per-doc agg + label join + sort
-    ("text_quality_model", 9, 0, Nil))
+    ("text_quality_model", 9, 0, Nil),
+    // round-12 additions — ceilings at their audited plan shapes
+    // bucketed kNN: bucket equi-join + top-k agg (2-phase) + vote aggs +
+    // census join/agg + sort; NO corpus broadcast by construction (the
+    // BNLJ sweep pins that separately)
+    ("sim_label_noise_bucketed", 6, 0, Nil),
+    // pure column math before the |langs|-row groupBy + output sort
+    ("card_script_mix", 2, 0, Nil),
+    ("card_sentence_length", 2, 0, Nil),
+    // vocab distinct agg + word join + census agg + sort
+    ("text_oov_census", 4, 0, Nil),
+    // QI-class agg + l-histogram agg + output sort
+    ("privacy_l_diversity", 4, 0, Nil),
+    // daily agg + per-type fold agg + output sort: the Holt recurrence
+    // itself is a per-row array fold, zero exchanges
+    ("ts_holt_trend", 3, 0, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)
@@ -488,7 +503,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the persisted-IVF centroid MergeTable: a parquet scan, but of the
     // 16-row centroid table ivfIndexBuild wrote (bounded at build time)
     ("sim_ivf_index_incremental", Set("c", "c_id")) ->
-      "persisted IVF centroid table — 16 rows written by ivfIndexBuild")
+      "persisted IVF centroid table — 16 rows written by ivfIndexBuild",
+    // per-label centroid table: groupBy(label) — |labels| rows (10 here,
+    // label-domain-bounded at any corpus size)
+    ("sim_class_centroids", Set("label_b", "n_b", "cb")) ->
+      "per-label centroid aggregate — |labels| rows by construction")
 
   private def bnljOffenders(name: String, df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
