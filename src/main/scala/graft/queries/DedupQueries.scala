@@ -221,6 +221,39 @@ object DedupQueries {
       Some(minhashPairsSql),
       doc = "MinHash signature → LSH band join → exact-Jaccard verify (the 100 TB path)"),
 
+    // ---- Source-overlap matrix: WHERE the near-duplication comes from —
+    // the crawl-governance table (which vendors/hosts copy from each
+    // other, which self-duplicate). Near-dup pairs joined to their docs'
+    // sources, source pair canonicalized unordered (least/greatest);
+    // diagonal = within-source duplication, off-diagonal = cross-source
+    // contamination. |sources|²-bounded output over the banded pair set.
+    GQuery("dedup_source_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.minhashLshPairs(docs)
+          .select(col("doc_a"), col("doc_b"))
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH prs AS (SELECT doc_a, doc_b FROM ($minhashPairsSql) t),
+               j AS (
+                 SELECT least(da.source, db.source) AS source_a,
+                        greatest(da.source, db.source) AS source_b
+                 FROM prs p
+                 JOIN documents da ON da.doc_id = p.doc_a
+                 JOIN documents db ON db.doc_id = p.doc_b)
+               SELECT source_a, source_b, count(*) AS n_pairs
+               FROM j GROUP BY 1, 2 ORDER BY 1, 2"""),
+      doc = "near-dup source-overlap matrix: banded pairs attributed to " +
+        "unordered source pairs — within-source vs cross-source duplication " +
+        "census, the crawl-governance table"),
+
     GQuery("dedup_components",
       // the O(log n)-round large-star/small-star form — diameter-proof at
       // 100 TB; label propagation (Dedup.connectedComponents) shares the

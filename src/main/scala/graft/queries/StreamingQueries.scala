@@ -186,6 +186,33 @@ object StreamingQueries {
         "decrement-all online fold; final candidates + exact recount == " +
         "batch daily rollup (shared oracle) — bounded-state heavy hitters"),
 
+    // ---- Streaming funnel census: per-user first-occurrence stage times
+    // as min-folded ValueState — the order-INSENSITIVE sufficient
+    // statistic, so the drained final emissions reproduce the batch
+    // conditional-min exactly and the stage census shares funnel_stages'
+    // oracle verbatim. Constant 24-byte state per user.
+    GQuery("streaming_funnel_state",
+      (s, dir) => graft.streaming.RunningState.funnelStageDrain(s, dir)
+        .orderBy(col("stage")),
+      Some("""WITH f AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS t_view,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS t_click,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS t_purchase
+                FROM events GROUP BY user_id),
+              s AS (
+                SELECT user_id,
+                       CASE WHEN t_view IS NULL THEN 0
+                            WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                            WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+                            ELSE 3 END AS stage
+                FROM f)
+              SELECT CAST(stage AS INT) AS stage, count(*) AS n_users
+              FROM s GROUP BY stage ORDER BY stage"""),
+      doc = "funnel stages in transformWithState: per-user min-folded first-" +
+        "occurrence times (order-insensitive state), drained census == batch " +
+        "funnel_stages (shared oracle)"),
+
     GQuery("streaming_interval_join",
       (s, dir) => graft.streaming.StreamJoin.viewPurchasePairs(s, dir, windowMinutes = 30)
         .orderBy(col("user_id"), col("view_event"), col("buy_event")),

@@ -231,5 +231,89 @@ object RunningState extends Serializable {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     StreamJoin.readDrainOutput(spark, outDir, agged.schema)
   }
+
+  // ---- Streaming funnel state: per-user FIRST-occurrence times of each
+  // funnel stage as a ValueState of three min-folded timestamps — the
+  // order-INSENSITIVE sufficient statistic (min commutes), so however the
+  // stream is batched, the final emission per user equals the batch
+  // conditional-min and the drained census shares funnel_stages' oracle.
+
+  final case class StageEvent(user_id: Long, event_type: String, us: Long)
+  final case class FunnelFirsts(t_view: Long, t_click: Long, t_purchase: Long)
+  final case class FunnelOut(user_id: Long, t_view: Long, t_click: Long,
+                             t_purchase: Long)
+
+  /** -1 encodes "stage never seen" (event-time micros are nonnegative). */
+  final class FunnelProcessor
+      extends StatefulProcessor[Long, StageEvent, FunnelOut] {
+    @transient private var firsts: ValueState[FunnelFirsts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      firsts = getHandle.getValueState[FunnelFirsts]("firsts",
+        Encoders.product[FunnelFirsts], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[StageEvent],
+                                 timers: TimerValues): Iterator[FunnelOut] = {
+      var cur = if (firsts.exists()) firsts.get() else FunnelFirsts(-1L, -1L, -1L)
+      def mn(old: Long, t: Long): Long = if (old < 0 || t < old) t else old
+      rows.foreach { e =>
+        cur = e.event_type match {
+          case "view"     => cur.copy(t_view = mn(cur.t_view, e.us))
+          case "click"    => cur.copy(t_click = mn(cur.t_click, e.us))
+          case "purchase" => cur.copy(t_purchase = mn(cur.t_purchase, e.us))
+          case _          => cur
+        }
+      }
+      firsts.update(cur)
+      Iterator.single(FunnelOut(user, cur.t_view, cur.t_click, cur.t_purchase))
+    }
+  }
+
+  /** Drain the events through the funnel state (AvailableNow), take each
+    * user's final emission, derive the reached stage (longest strictly-
+    * increasing view→click→purchase prefix), and census per stage — the
+    * exact output contract of `funnel_stages`, shared oracle.
+    */
+  def funnelStageDrain(spark: SparkSession, sfDir: String): DataFrame =
+      StateDefaults.withRocksDB(spark) { StateDefaults.withNanosRead(spark) {
+    import spark.implicits._
+    val events = EventStream.readStream(spark, sfDir, "events.parquet", Map.empty)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[StageEvent]
+
+    val updates = events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+
+    val outDir = graft.stages.TempDirs.scratch("graft_funnel_drain_")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = updates.writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelOut], id: Long) =>
+          batch.withColumn("_batch", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      StateDefaults.awaitDrain(q)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    val raw = StreamJoin.readDrainOutput(spark, outDir,
+      updates.toDF().withColumn("_batch", lit(0L)).schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("_batch").desc)
+    raw.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .withColumn("stage",
+        when(col("t_view") < 0, 0)
+          .when(col("t_click") < 0 || col("t_click") <= col("t_view"), 1)
+          .when(col("t_purchase") < 0 || col("t_purchase") <= col("t_click"), 2)
+          .otherwise(3).cast("int"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }}
 }
 
