@@ -55,6 +55,39 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized (topic-sensitive) integer PageRank: identical exact-
+    * integer contract to [[pagerankInteger]], but the restart mass flows
+    * ONLY to the seed set — authority is measured relative to a trusted
+    * seed neighborhood (the TrustRank/topic-PPR shape a curation pipeline
+    * uses to score pages against a vetted domain list) instead of
+    * uniformly. `seed` is a per-node predicate column; at scale the seed
+    * set arrives as a broadcast-joined table producing the same boolean.
+    */
+  def pprInteger(nodes: DataFrame, edges: DataFrame, seed: org.apache.spark.sql.Column,
+                 iters: Int, initMass: Long = 1000000L, dampNum: Long = 85L,
+                 baseMass: Long = 150000L): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = edges.join(outdeg, Seq("src"))
+    val restart = when(seed, lit(baseMass)).otherwise(lit(0L))
+    var ranks = nodes.select(col("node"),
+      when(seed, lit(initMass)).otherwise(lit(0L)).as("mass"))
+    var i = 0
+    while (i < iters) {
+      val contribs = ranks
+        .join(ed, ranks("node") === ed("src"))
+        .select(col("dst").as("node"),
+          expr(s"($dampNum * mass) div (100 * outdeg)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      ranks = nodes.select(col("node"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (restart + coalesce(col("in_mass"), lit(0L))).cast("long").as("mass"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
   /** Integer HITS (Kleinberg hubs & authorities) — [[pagerankInteger]]'s
     * two-score sibling, in the same exact-integer contract: per round,
     * authority(v) = Σ hub(u) over in-edges, hub(u) = Σ authority(v) over

@@ -589,6 +589,64 @@ object ScaleOpsQueries {
       doc = "integer PageRank (3 exact rounds over the heap-tree graph): " +
         "iterative authority mass, per-round join+agg, lineage cut per round"),
 
+    // ---- Personalized PageRank over the same heap-tree graph: restart
+    // mass confined to the seed set (node < 16) — the TrustRank shape;
+    // mass histogram output like graph_pagerank_census, unrolled oracle.
+    GQuery("graph_ppr_seeded",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("src"), (col("node") * 2).as("dst"))
+          .unionByName(nodes.select(col("node").as("src"), (col("node") * 2 + 1).as("dst")))
+          .unionByName(nodes.select(col("node").as("src"), (col("node") * 3).as("dst")))
+          .filter(col("src") >= 1 && col("dst") >= 1)
+        val edges = cand.join(nodes.withColumnRenamed("node", "dst"),
+          Seq("dst"), "left_semi")
+        graft.ops.GraphOps.pprInteger(nodes, edges, col("node") < 16, iters = 3)
+          .groupBy(col("mass")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("mass"))
+      },
+      Some("""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+              cand AS (
+                SELECT node AS src, node * 2 AS dst FROM nodes
+                UNION ALL
+                SELECT node AS src, node * 2 + 1 AS dst FROM nodes
+                UNION ALL
+                SELECT node AS src, node * 3 AS dst FROM nodes),
+              edges AS (
+                SELECT src, dst FROM cand e
+                WHERE src >= 1 AND dst >= 1
+                  AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.dst)),
+              deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+              ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+              r0 AS (SELECT node, CAST(CASE WHEN node < 16 THEN 1000000 ELSE 0 END AS BIGINT) AS mass
+                     FROM nodes),
+              c1 AS (SELECT ed.dst AS node,
+                            SUM((85 * r0.mass) // (100 * ed.outdeg)) AS im
+                     FROM ed JOIN r0 ON r0.node = ed.src GROUP BY ed.dst),
+              r1 AS (SELECT n.node,
+                            CAST(CASE WHEN n.node < 16 THEN 150000 ELSE 0 END
+                                 + COALESCE(c1.im, 0) AS BIGINT) AS mass
+                     FROM nodes n LEFT JOIN c1 USING (node)),
+              c2 AS (SELECT ed.dst AS node,
+                            SUM((85 * r1.mass) // (100 * ed.outdeg)) AS im
+                     FROM ed JOIN r1 ON r1.node = ed.src GROUP BY ed.dst),
+              r2 AS (SELECT n.node,
+                            CAST(CASE WHEN n.node < 16 THEN 150000 ELSE 0 END
+                                 + COALESCE(c2.im, 0) AS BIGINT) AS mass
+                     FROM nodes n LEFT JOIN c2 USING (node)),
+              c3 AS (SELECT ed.dst AS node,
+                            SUM((85 * r2.mass) // (100 * ed.outdeg)) AS im
+                     FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst),
+              r3 AS (SELECT n.node,
+                            CAST(CASE WHEN n.node < 16 THEN 150000 ELSE 0 END
+                                 + COALESCE(c3.im, 0) AS BIGINT) AS mass
+                     FROM nodes n LEFT JOIN c3 USING (node))
+              SELECT mass, count(*) AS n_nodes FROM r3
+              GROUP BY mass ORDER BY mass"""),
+      doc = "personalized (seed-restart) integer PageRank, 3 exact rounds: " +
+        "authority relative to a trusted seed set — the TrustRank curation " +
+        "signal; same per-round join+agg shape as graph_pagerank_census"),
+
     // ---- Integer HITS over the same heap-tree graph: hubs & authorities
     // as exact integers (per-round total-rescale via `mass·1e6 div total`
     // — 1-row scalar broadcast), 2 unrolled rounds in the oracle; output

@@ -869,6 +869,47 @@ object SimilarityQueries {
         "vote vs bucketed LSH vote, per-label disagreement + method-" +
         "agreement deltas (the measured cost of the candidate cut)"),
 
+    // Per-DIMENSION embedding distribution census — the drift monitor an
+    // embedding pipeline re-runs per model/data version: a dimension whose
+    // mean/variance shifts signals re-training or ingestion drift before
+    // any downstream metric moves. Exact scaled-integer sums (order-
+    // independent) with decimal(38,0) squares — overflow-free at corpus
+    // scale — and ONE correctly-rounded double division per statistic;
+    // 64-row output from a single map-side-combined aggregate.
+    GQuery("sim_dim_stats",
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")).as(Seq("pos", "x")))
+        .withColumn("sx", expr("CAST(floor(x * 1000000) AS BIGINT)"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          sum(expr("CAST(sx AS DECIMAL(38,0))")).as("ssum"),
+          sum(expr("CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))")).as("ssq"))
+        .select(col("pos"), col("n"), col("min_x"), col("max_x"),
+          expr("CAST(ssum AS DOUBLE) / (1000000.0D * CAST(n AS DOUBLE))").as("mean_x"),
+          expr("""CAST(CAST(n AS DECIMAL(38,0)) * ssq - ssum * ssum AS DOUBLE)
+                  / (1000000000000.0D * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))""")
+            .as("var_x"))
+        .orderBy(col("pos")),
+      Some("""WITH e AS (
+                SELECT t.i AS pos, CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE) AS x
+                FROM embeddings, (SELECT unnest(range(0, 64)) AS i) t),
+              s AS (
+                SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                       MIN(x) AS min_x, MAX(x) AS max_x,
+                       SUM(CAST(floor(x * 1000000) AS BIGINT)) AS ssum,
+                       SUM(CAST(floor(x * 1000000) AS BIGINT)
+                           * CAST(floor(x * 1000000) AS BIGINT)) AS ssq
+                FROM e GROUP BY pos)
+              SELECT CAST(pos AS INT) AS pos, n, min_x, max_x,
+                     CAST(ssum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)) AS mean_x,
+                     CAST(n * ssq - ssum * ssum AS DOUBLE)
+                       / (1000000000000.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_x
+              FROM s ORDER BY pos"""),
+      doc = "per-dimension embedding census: n/min/max + exact-integer mean " +
+        "and variance (scaled sums, decimal squares, one rounded division " +
+        "each) — the 64-row drift monitor for the vector modality"),
+
     // Per-class centroids + inter-class separation matrix — the
     // embedding-space health readout a labeled corpus ships with: classes
     // whose centroids sit at high cosine are confusable (the macro
