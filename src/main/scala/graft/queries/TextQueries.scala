@@ -976,6 +976,61 @@ object TextQueries {
         "adjacent-pair transition frequencies vs the corpus — catches unnatural " +
         "sequences whose tokens are individually common"),
 
+    // ---- CCNet-style quality terciles: each language's documents ranked
+    // by the bigram-LM fluency proxy and cut into head/middle/tail — the
+    // bucketing CCNet ships (train on head, audit tail). Exact integer
+    // tercile arithmetic ((3·(r−1)) div n over a lang-PARTITIONED rank —
+    // never an unpartitioned window), deterministic (score, doc_id) ties.
+    GQuery("text_ccnet_buckets",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val scored = TextAnalysis.bigramLmStats(docs)
+          .select(col("doc_id"), col("n_bigrams"), col("mean_bigram_freq"))
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("mean_bigram_freq").desc, col("doc_id"))
+        val n = Window.partitionBy(col("lang"))
+        scored
+          .withColumn("r", row_number().over(w))
+          .withColumn("nl", count(lit(1)).over(n))
+          .withColumn("bucket", expr(
+            "CASE (3 * (r - 1)) div nl WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bigrams")).cast("long").as("n_bigrams"),
+            min(col("mean_bigram_freq")).as("min_score"),
+            max(col("mean_bigram_freq")).as("max_score"))
+          .orderBy(col("lang").asc_nulls_first, col("bucket"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+               bi AS (SELECT doc_id,
+                             unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+                      FROM toks),
+               freq AS (SELECT bigram, count(*) AS freq FROM bi GROUP BY 1),
+               sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                             CAST(SUM(freq) AS DOUBLE) / count(*) AS score
+                      FROM bi JOIN freq USING (bigram) GROUP BY doc_id),
+               ranked AS (
+                 SELECT d.lang, s.n_bigrams, s.score,
+                        ROW_NUMBER() OVER (PARTITION BY d.lang
+                          ORDER BY s.score DESC, s.doc_id) AS r,
+                        COUNT(*) OVER (PARTITION BY d.lang) AS nl
+                 FROM sc s JOIN documents d USING (doc_id)),
+               b AS (
+                 SELECT lang, n_bigrams, score,
+                        CASE (3 * (r - 1)) // nl WHEN 0 THEN 'head'
+                             WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+                 FROM ranked)
+               SELECT lang, bucket, count(*) AS n_docs,
+                      CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+                      MIN(score) AS min_score, MAX(score) AS max_score
+               FROM b GROUP BY 1, 2 ORDER BY lang NULLS FIRST, bucket"""),
+      doc = "CCNet head/middle/tail quality terciles per language over the " +
+        "bigram-LM fluency score: exact integer tercile cut, per-bucket " +
+        "census — train-on-head / audit-tail bucketing"),
+
     GQuery("text_tfidf_top_terms",
       (s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), topN = 3)
         .orderBy(col("doc_id"), col("rank")),
