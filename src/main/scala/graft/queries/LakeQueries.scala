@@ -73,6 +73,61 @@ object LakeQueries {
 
   val all: Seq[GQuery] = Seq(
 
+    // ---- Write-Audit-Publish (the Iceberg WAP pattern): a batch lands in
+    // a STAGING table, the expectation suite audits what storage actually
+    // holds, and only a green audit promotes the snapshot into the prod
+    // table — a red audit leaves prod untouched. Attempt 1 plants
+    // violations (negative values via a deterministic mutation) and must
+    // be rejected; attempt 2 is clean and publishes. The census is the
+    // audit trail a data-platform run records; prod row count proves the
+    // gate held (0 after reject, full after publish).
+    GQuery("lake_write_audit_publish",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        val staging = graft.stages.MergeTable.scratch(Seq("event_id"))
+        val prod = graft.stages.MergeTable.scratch(Seq("event_id"))
+        def audit(name: String, batch: org.apache.spark.sql.DataFrame) = {
+          staging.replace(batch)
+          val staged = staging.read(s, batch.schema)
+          val viol = staged.agg(
+            count(when(col("cents") < 0, lit(1))).as("n_violations"),
+            count(lit(1)).as("n_staged")).collect().head
+          val (nv, ns) = (viol.getLong(0), viol.getLong(1))
+          val published = nv == 0L
+          if (published) prod.replace(staging.read(s, batch.schema))
+          val nProd = prod.currentVersion
+            .map(_ => prod.read(s, batch.schema).count()).getOrElse(0L)
+          (name, ns, nv, published, nProd)
+        }
+        // attempt 1: every 10th event's cents flipped negative — must fail
+        val bad = ev.withColumn("cents",
+          when(col("event_id") % 10 === 0, -col("cents")).otherwise(col("cents")))
+        val a1 = audit("attempt_1_planted", bad)
+        val a2 = audit("attempt_2_clean", ev)
+        Seq(a1, a2).toDF("attempt", "n_staged", "n_violations", "published", "n_prod")
+          .orderBy(col("attempt"))
+      },
+      Some("""WITH e AS (SELECT event_id,
+                                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                         FROM events),
+              t AS (SELECT count(*) AS n,
+                           -- negation flips sign only for strictly positive cents
+                           CAST(count(*) FILTER (event_id % 10 = 0 AND cents > 0) AS BIGINT) AS n_bad
+                    FROM e)
+              SELECT 'attempt_1_planted' AS attempt, n AS n_staged,
+                     n_bad AS n_violations, FALSE AS published,
+                     CAST(0 AS BIGINT) AS n_prod
+              FROM t
+              UNION ALL
+              SELECT 'attempt_2_clean', n, 0, TRUE, n FROM t
+              ORDER BY attempt"""),
+      doc = "write-audit-publish gate: staged snapshot audited from storage, " +
+        "planted violations block promotion (prod stays empty), clean batch " +
+        "publishes — the Iceberg WAP governance pattern on MergeTable"),
+
     GQuery("lake_merge_into",
       (s, dir) => {
         val (t, view) = freshTable(s, dir, "merge")

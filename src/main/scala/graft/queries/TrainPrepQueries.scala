@@ -35,6 +35,53 @@ object TrainPrepQueries {
         "integer budget; sqrt is IEEE-exact so shares hash-compare, and the weight " +
         "total folds in sorted source order (float addition is order-sensitive)"),
 
+    // ---- Epoch-budget plan — the "how many epochs before each source
+    // repeats" table a training schedule is built from: per language,
+    // available tokens, temperature-weighted per-epoch allocation
+    // (sqrt weights, ordered fold, floor — the prep_mix_temperature
+    // contract on TOKENS), epochs-to-exhaustion (integer division), and
+    // the exact repetition factor after a 4-epoch run at 1e2 scale —
+    // the multi-epoch data-reuse exposure number (Muennighoff et al.).
+    GQuery("prep_epoch_plan",
+      (s, dir) => {
+        val avail = Tables.documents(s, dir)
+          .groupBy(col("lang"))
+          .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("avail_tokens"))
+          .withColumn("weight", sqrt(col("avail_tokens").cast("double")))
+        val total = avail
+          .agg(expr(
+            """aggregate(transform(sort_array(collect_list(struct(lang, weight))),
+                 x -> x.weight), 0D, (acc, w) -> acc + w)""")
+            .as("w_total"))
+        avail.crossJoin(broadcast(total))
+          .withColumn("alloc_per_epoch",
+            expr("CAST(floor(weight / w_total * 50000) AS BIGINT)"))
+          .select(col("lang"), col("avail_tokens"), col("weight"),
+            col("alloc_per_epoch"),
+            when(col("alloc_per_epoch") === 0, lit(null).cast("long"))
+              .otherwise(expr("avail_tokens div alloc_per_epoch")).as("epochs_to_exhaust"),
+            expr("alloc_per_epoch * 4 * 100 div avail_tokens").as("repeat_4ep_e2"))
+          .orderBy(col("lang").asc_nulls_first)
+      },
+      Some("""WITH a AS (
+                SELECT lang,
+                       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS avail_tokens
+                FROM documents GROUP BY lang),
+              w AS (SELECT lang, avail_tokens,
+                           sqrt(CAST(avail_tokens AS DOUBLE)) AS weight FROM a),
+              t AS (SELECT list_sum(list(weight ORDER BY lang NULLS FIRST)) AS w_total FROM w)
+              SELECT lang, avail_tokens, weight,
+                     CAST(floor(weight / w_total * 50000) AS BIGINT) AS alloc_per_epoch,
+                     CASE WHEN CAST(floor(weight / w_total * 50000) AS BIGINT) = 0 THEN NULL
+                          ELSE avail_tokens // CAST(floor(weight / w_total * 50000) AS BIGINT)
+                     END AS epochs_to_exhaust,
+                     CAST(floor(weight / w_total * 50000) AS BIGINT) * 4 * 100
+                       // avail_tokens AS repeat_4ep_e2
+              FROM w, t ORDER BY lang NULLS FIRST"""),
+      doc = "epoch-budget plan per language: token availability, temperature " +
+        "allocation per epoch, epochs-to-exhaustion, exact 4-epoch repetition " +
+        "factor — the multi-epoch data-reuse exposure table"),
+
     // ---- ENTITY-CONSISTENT cross-table sampling: the same deterministic
     // hash predicate on the entity key samples BOTH the dim and the fact,
     // so every sampled event's user is in the sampled dim (the census
