@@ -515,6 +515,66 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Schema of the persisted LSH index table: one row per vector with its
+    * sign bucket and norm precomputed (what stays resident for search).
+    */
+  val lshIndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("norm", DoubleType),
+      StructField("bucket", LongType)))
+  }
+
+  private def lshIndexRows(emb: DataFrame, planes: Int, dim: Int): DataFrame =
+    withNorm(withLshBucket(emb, planes, dim))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
+
+  /** Persisted-LSH index lifecycle — [[ivfIndexBuild]]'s sibling for the
+    * hyperplane path: the bucket (and norm) are PURE per-row functions of
+    * the vector, so building on one half and incrementally adding the
+    * rest equals one full bucketing pass, and a search served from the
+    * table matches the direct multi-probe query verbatim (shared oracle).
+    * At 100 TB the table is the resident index (id, bucket, norm + the
+    * vectors the reranker reads); adds are id-keyed upserts, no rebuild.
+    */
+  def lshIndexBuild(spark: SparkSession, embTrain: DataFrame,
+                    table: graft.stages.MergeTable,
+                    planes: Int = 8, dim: Int = 64): Unit =
+    table.replace(lshIndexRows(embTrain, planes, dim))
+
+  def lshIndexAdd(spark: SparkSession, embNew: DataFrame,
+                  table: graft.stages.MergeTable,
+                  planes: Int = 8, dim: Int = 64): Unit =
+    table.upsert(lshIndexRows(embNew, planes, dim))
+
+  /** Multi-probe top-k served FROM the persisted index: candidates come
+    * off the table alone; `emb` supplies only the query vectors.
+    */
+  def lshIndexSearch(spark: SparkSession, emb: DataFrame,
+                     table: graft.stages.MergeTable,
+                     numQueries: Int, k: Int,
+                     planes: Int = 8, dim: Int = 64): DataFrame = {
+    val corpus = table.read(spark, lshIndexSchema)
+    val queries = withNorm(withLshBucket(emb, planes, dim))
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket"))
+      .withColumn("probe", explode(expr(
+        s"concat(array(bucket), transform(sequence(0, ${planes - 1}), m -> bucket ^ shiftleft(CAST(1 AS BIGINT), m)))")))
+      .drop("bucket")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(queries, col("bucket") === col("probe"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer.
     *
     * Determinism contract (what makes the oracle reproducible):

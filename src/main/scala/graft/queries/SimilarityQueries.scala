@@ -598,6 +598,24 @@ object SimilarityQueries {
         "half, centroids+assignments as versioned MergeTables, incremental add of " +
         "the new half against frozen centroids, search served from the tables"),
 
+    // Persisted-LSH lifecycle (ivf_index_incremental's hyperplane
+    // sibling): bucket+norm are pure per-row functions, so build(even) +
+    // add(odd) == one full pass and the table-served multi-probe search
+    // shares sim_ann_lsh_multiprobe's oracle verbatim.
+    GQuery("sim_lsh_index_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val t = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        Similarity.lshIndexBuild(s, emb.filter(col("vec_id") % 2 === 0), t)
+        Similarity.lshIndexAdd(s, emb.filter(col("vec_id") % 2 === 1), t)
+        Similarity.lshIndexSearch(s, emb, t, numQueries = 16, k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(lshMultiprobeSql(numQueries = 16, k = 3)),
+      doc = "persisted LSH index lifecycle: bucket table built on the even " +
+        "half, odd half upserted (per-row pure function => equals one full " +
+        "pass), multi-probe search served from the table (shared oracle)"),
+
     GQuery("sim_recall_report",
       (s, dir) => Similarity.recallReport(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3)
