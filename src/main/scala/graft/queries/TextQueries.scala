@@ -1337,6 +1337,38 @@ object TextQueries {
         "occurrence + type OOV rates on the odd half at 1e4 scale — the " +
         "vocab-generalization gate a tokenizer build reports"),
 
+    // ---- Tokenizer FERTILITY per language — the standard tokenizer-eval
+    // metric (pieces emitted per word): a language whose fertility runs
+    // high is under-served by the learned vocabulary (more compute per
+    // word, worse effective context). Exact 1e2 integer rationals over
+    // the trained unigram segmentation, per-language grain.
+    GQuery("text_unigram_fertility",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (_, seg) = TextAnalysis.unigramTrain(docs)
+        TextAnalysis.withTokens(docs)
+          .select(col("lang"), explode(col("toks")).as("word"))
+          .join(seg.select(col("word"), size(col("seg")).as("n_sym")), Seq("word"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_sym")).cast("long").as("n_pieces"))
+          .select(col("lang"), col("n_words"), col("n_pieces"),
+            expr("n_pieces * 100 div n_words").as("fertility_e2"))
+          .orderBy(col("lang").asc_nulls_first)
+      },
+      Some(s"""WITH $uniCtes
+              |, held AS (
+              |  SELECT d.lang, s.word, len(s.paths[s.len + 1]) AS n_sym
+              |  FROM (SELECT lang, unnest($toksSql) AS word FROM documents) d
+              |  JOIN s2_$uniMaxWordLen s ON s.word = d.word)
+              |SELECT lang, count(*) AS n_words,
+              |       CAST(SUM(n_sym) AS BIGINT) AS n_pieces,
+              |       CAST(SUM(n_sym) AS BIGINT) * 100 // count(*) AS fertility_e2
+              |FROM held GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin),
+      doc = "unigram tokenizer fertility per language: pieces per word as " +
+        "exact 1e2 rationals over the trained segmentation — the " +
+        "which-language-is-under-served tokenizer metric"),
+
     // ---- Positional-index PHRASE search — the capability BM25's
     // bag-of-words ranking can't express: "slow hash batch" must match as
     // CONSECUTIVE tokens. The classic positional-postings algorithm: a
