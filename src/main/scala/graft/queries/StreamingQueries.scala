@@ -830,6 +830,84 @@ object StreamingQueries {
         "(exact integer spectral hash, the pHash shape without libm DCT) + " +
         "4x16 banded Hamming join, <=3-bit pairs guaranteed by pigeonhole"),
 
+    // ---- Audio fingerprint near-dup (the Shazam constellation shape):
+    // per-doc frame-energy peaks hashed as consecutive-peak pairs
+    // (e1, e2, Δt packed into one integer), shared-hash pairs verified by
+    // a ≥2 co-occurrence threshold — the audio sibling of pHash. The
+    // 64-byte stub frames follow the mm_* codec convention (payload bytes
+    // as unsigned samples; a real decoder swaps in behind the same
+    // algebra). df-capped hash index (≤20): boilerplate fingerprints
+    // never fan out — the bounded-df inverted-index discipline.
+    GQuery("mm_audio_fingerprint",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val fr = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1),
+              |  i -> aggregate(
+              |         transform(sequence(1, least(4, length(text) - i * 64)),
+              |                   k -> ascii(substring(text, i * 64 + k, 1))),
+              |         0, (acc, x) -> acc + x))""".stripMargin))
+            .as(Seq("frame_no", "energy")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+        val peaks = fr
+          .withColumn("prev", lag(col("energy"), 1).over(wd))
+          .withColumn("next", lead(col("energy"), 1).over(wd))
+          .filter(col("prev").isNotNull && col("next").isNotNull &&
+            col("energy") > col("prev") && col("energy") >= col("next"))
+          .select(col("doc_id"), col("frame_no"), col("energy"))
+        val wp = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+        val fp = peaks
+          .withColumn("e2", lead(col("energy"), 1).over(wp))
+          .withColumn("f2", lead(col("frame_no"), 1).over(wp))
+          .filter(col("e2").isNotNull)
+          .select(col("doc_id"), (col("energy") * 102000 + col("e2") * 100 +
+            least(col("f2") - col("frame_no"), lit(99))).as("h"))
+          .distinct()
+        val df = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val rare = fp.join(df.filter(col("df") <= 20), Seq("h"))
+        rare.as("a").join(rare.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH fr AS (
+                SELECT doc_id, i.i AS frame_no,
+                       list_sum(list_transform(
+                         range(1, least(4, length(text) - i.i * 64) + 1),
+                         k -> ascii(substr(text, CAST(i.i * 64 + k AS INT), 1)))) AS energy
+                FROM documents,
+                     (SELECT unnest(range(0, 100)) AS i) i
+                WHERE i.i < CAST(ceil(length(text) / 64.0) AS BIGINT)),
+              pk AS (
+                SELECT doc_id, frame_no, energy FROM (
+                  SELECT doc_id, frame_no, energy,
+                         lag(energy) OVER w AS prev, lead(energy) OVER w AS next
+                  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no))
+                WHERE prev IS NOT NULL AND next IS NOT NULL
+                  AND energy > prev AND energy >= next),
+              fp AS (
+                SELECT DISTINCT doc_id,
+                       energy * 102000 + e2 * 100 + least(f2 - frame_no, 99) AS h
+                FROM (
+                  SELECT doc_id, frame_no, energy,
+                         lead(energy) OVER w AS e2, lead(frame_no) OVER w AS f2
+                  FROM pk WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no))
+                WHERE e2 IS NOT NULL),
+              rare AS (
+                SELECT fp.doc_id, fp.h FROM fp
+                JOIN (SELECT h, count(*) AS df FROM fp GROUP BY h) d
+                  ON d.h = fp.h AND d.df <= 20)
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+              FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+              ORDER BY doc_a, doc_b"""),
+      doc = "audio-fingerprint near-dup: frame-energy peak constellation " +
+        "(consecutive-peak pair hashes, df-capped index), >=2 shared hashes " +
+        "per pair — the Shazam shape on the stub codec"),
+
     // ---- pHash near-dup CLUSTERS: the pairwise census above resolved to
     // transitive clusters (the image-gallery dedup deliverable — keep one
     // representative per visual family). Same pair generation, then the
