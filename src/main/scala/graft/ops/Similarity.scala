@@ -1014,6 +1014,136 @@ object Similarity {
     * itself is corpus-scale). The hardest-positive table is one row per
     * anchor — broadcast back onto the k·numQueries result.
     */
+  /** Top principal direction of the embedding cloud by two power-iteration
+    * steps over the EXACT integer covariance — the anisotropy probe
+    * (Ethayarajh 2019: contextual embeddings collapse toward a dominant
+    * direction; Mu & Viswanath 2018 remove it before similarity search).
+    * Pairs with the per-dimension census: that sees axis-aligned drift,
+    * this sees the rotated dominant axis.
+    *
+    * Determinism (the [[kmeansCentroids]] scaled-integer discipline, taken
+    * to matrix algebra): components quantize to `floor(x·10⁶)` BIGINT; the
+    * unnormalized covariance `C_ij = n·Σxᵢxⱼ − SᵢSⱼ` (same eigenvectors as
+    * the covariance) is an exact DECIMAL(38,0); power steps v₁ = C·1,
+    * v₂ = C·v₁ stay in exact integer arithmetic. Between steps, magnitudes
+    * are renormalized by a data-derived divisor `max|·| div 10^t`
+    * (truncating, sign-split so Spark `div` == DuckDB `//` on the positive
+    * operand) that bounds every product under DECIMAL(38,0)/HUGEINT at ANY
+    * corpus size while keeping ≥15 significant digits. The final
+    * components are renormalized into BIGINT range, so the one
+    * DOUBLE cast is int64→double — exact in both engines (HUGEINT→DOUBLE
+    * would double-round).
+    *
+    * Scale: the Σxᵢxⱼ pass is the classic outer-product accumulation —
+    * dim² = 4096 groups, map-side partial aggregation collapses each
+    * partition to 4096 rows before the one shuffle; everything after is
+    * 64- or 4096-row bounded algebra with 64-row broadcasts. No windows,
+    * no corpus broadcast, no driver collect.
+    */
+  private def truncDiv(c: String, d: String) =
+    expr(s"CASE WHEN $c < 0 THEN -((-$c) div $d) ELSE $c div $d END")
+  private def renormDivisor(m: String, t: String) =
+    s"(CASE WHEN $m > $t THEN $m div $t ELSE 1L END)"
+
+  /** Exact renorm-scaled integer covariance surrogate C_ij = n·Σxᵢxⱼ − SᵢSⱼ
+    * (same eigenvectors as the covariance), entries bounded into ±10¹⁸ by a
+    * data-derived truncating divisor — the shared kernel of [[pcaPowerTop]]
+    * and [[anisotropyCensus]]. dim²-group outer-product accumulation,
+    * map-side combined; everything after is 4096-row bounded algebra.
+    */
+  private def covScaled(emb: DataFrame): DataFrame = {
+    val e18 = "CAST(1000000000000000000 AS DECIMAL(38,0))"
+    val sv = emb.select(expr(
+      "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000) AS BIGINT))")
+      .as("sv"))
+    val sums = sv.select(posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(expr("CAST(x AS DECIMAL(38,0))")).as("s"),
+        count(lit(1)).cast("decimal(38,0)").as("n"))
+    val prods = sv.select(explode(expr(
+        """flatten(transform(sv, (x, i) ->
+          |  transform(sv, (y, j) -> named_struct('i', i, 'j', j, 'p', x * y))))""".stripMargin))
+        .as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(expr("CAST(p AS DECIMAL(38,0))")).as("pp"))
+    val si = sums.select(col("i"), col("s").as("s_i"), col("n"))
+    val sj = sums.select(col("i").as("j"), col("s").as("s_j"))
+    val cov = prods.join(broadcast(si), Seq("i")).join(broadcast(sj), Seq("j"))
+      .select(col("i"), col("j"), (col("n") * col("pp") - col("s_i") * col("s_j")).as("c"))
+    cov.crossJoin(broadcast(cov.agg(max(abs(col("c"))).as("mc"))))
+      .select(col("i"), col("j"),
+        truncDiv("c", renormDivisor("mc", e18)).as("c"))
+  }
+
+  /** Two exact-integer power steps over [[covScaled]]: v₁ = C·1, v₂ = C·v₁,
+    * renormalized between steps; returns (i, v) with v in int64 range. */
+  private def powerTopVec(covS: DataFrame): DataFrame = {
+    val e15 = "CAST(1000000000000000 AS DECIMAL(38,0))"
+    val v1 = covS.groupBy(col("i"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0))")).as("v"))
+    val v1s = v1.crossJoin(broadcast(v1.agg(max(abs(col("v"))).as("mv"))))
+      .select(col("i").as("j"), truncDiv("v", renormDivisor("mv", e15)).as("w"))
+    val v2 = covS.join(broadcast(v1s), Seq("j"))
+      .groupBy(col("i"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))")).as("v"))
+    v2.crossJoin(broadcast(v2.agg(max(abs(col("v"))).as("mv"))))
+      .select(col("i"), truncDiv("v", renormDivisor("mv", e15)).cast("long").as("v"))
+  }
+
+  def pcaPowerTop(emb: DataFrame): DataFrame = {
+    val v2s = powerTopVec(covScaled(emb))
+    v2s.crossJoin(broadcast(v2s.agg(max(abs(col("v"))).as("m"))))
+      .select(col("i").cast("int").as("pos"), col("v").as("v_scaled"),
+        (col("v").cast("double") / col("m").cast("double")).as("pc1"))
+      .orderBy(col("pos"))
+  }
+
+  /** Anisotropy census: how much of the embedding cloud's variance the
+    * dominant direction explains (the Rayleigh quotient vᵀCv / (vᵀv·tr C)
+    * of the [[pcaPowerTop]] vector) next to the best AXIS-ALIGNED share
+    * max_i C_ii / tr C. A large gap between the two means the collapse
+    * direction is rotated — exactly the case mean-centering alone misses
+    * and Mu & Viswanath's all-but-the-top correction targets; pc1 share
+    * near 1 means cosine similarities are dominated by one direction and
+    * ANN contrast degrades.
+    *
+    * Exactness: v is renormalized to ≤10⁵ magnitude so every term of
+    * vᵀCv stays under DECIMAL(38,0) (10⁵·10¹⁸·10⁵·4096 ≈ 4·10³² and the
+    * 1e4 scaling keeps the numerator < 4·10³⁶); shares are truncating
+    * cross-multiplied integer divisions — hash-exact cross-engine. All
+    * algebra after [[covScaled]] is on ≤4096-row tables with 64-row
+    * broadcasts; single-row output.
+    */
+  def anisotropyCensus(emb: DataFrame): DataFrame = {
+    val e5 = "CAST(100000 AS DECIMAL(38,0))"
+    val covS = covScaled(emb)
+    val v2s = powerTopVec(covS)
+    val v6 = v2s
+      .crossJoin(broadcast(v2s.agg(max(abs(col("v"))).as("mv"))))
+      .select(col("i"),
+        truncDiv("CAST(v AS DECIMAL(38,0))", renormDivisor("CAST(mv AS DECIMAL(38,0))", e5))
+          .as("w"))
+    val wi = v6.select(col("i"), col("w").as("w_i"))
+    val wj = v6.select(col("i").as("j"), col("w").as("w_j"))
+    // `div` yields LONG, so c and w ride as int64 — every product here must
+    // go back through DECIMAL(38,0) (w·c·w peaks near 10²⁸ per term)
+    val num = covS.join(broadcast(wi), Seq("i")).join(broadcast(wj), Seq("j"))
+      .agg(sum(expr(
+        """CAST(w_i AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+           * CAST(w_j AS DECIMAL(38,0))""")).as("num"))
+    val den1 = v6.agg(sum(expr(
+      "CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))")).as("den1"))
+    val diag = covS.filter(col("i") === col("j"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0))")).as("tr"),
+        max(expr("CAST(c AS DECIMAL(38,0))")).as("diag_max"),
+        count(lit(1)).as("n_dims"))
+    num.crossJoin(den1).crossJoin(diag)
+      .select(col("n_dims"),
+        expr("CAST(10000 * diag_max div tr AS BIGINT)").as("axis_max_share_e4"),
+        truncDiv("(10000 * num)", "(den1 * tr)").cast("long").as("pc1_share_e4"))
+  }
+
   def hardNegatives(emb: DataFrame, numQueries: Int, k: Int,
                     margin: Double): DataFrame = {
     val base = withNorm(emb)

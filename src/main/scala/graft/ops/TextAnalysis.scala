@@ -849,6 +849,164 @@ object TextAnalysis {
     * work is linear in document length. The doc-partitioned windows never
     * see more rows than the longest document.
     */
+  /** Gopher-style quality-rule flags (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1, adapted to the word-level corpus — the line-shape rules
+    * degenerate on single-line documents and are omitted): per-document
+    * booleans for the five word-level rules a web-scale filter ships.
+    *
+    *   - word count within [minWords, maxWords];
+    *   - mean word length within [3, 10] chars — checked as the INTEGER
+    *     inequality `3·n_tokens ≤ word_chars ≤ 10·n_tokens` (word_chars =
+    *     n_chars − separators), so no division ever happens;
+    *   - ≥ 80% of words contain an alphabetic character (5·n_alpha ≥
+    *     4·n_tokens);
+    *   - at least 2 DISTINCT words from the required-stopword list (the
+    *     Gopher "stop word" rule — catches keyword-stuffing pages);
+    *   - symbol-to-word ratio ≤ 0.1 for `#` / `...` (10·n_sym ≤ n_tokens).
+    *
+    * Pure per-row column algebra — zero shuffles, fuses into any scan; all
+    * comparisons are integer, so the flags are exact cross-engine.
+    */
+  def gopherFlags(docs: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stopList = stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    withTokens(docs)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("word_chars",
+        (length(col("text")) - size(col("toks")) + 1).cast("long"))
+      .withColumn("n_alpha",
+        expr("CAST(size(filter(toks, t -> t RLIKE '[a-z]')) AS BIGINT)"))
+      .withColumn("n_stop_distinct", expr(
+        s"CAST(size(array_intersect(array_distinct(toks), array($stopList))) AS BIGINT)"))
+      .withColumn("n_sym", expr(
+        """CAST(length(text) - length(replace(text, '#', ''))
+           + (length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"""))
+      .withColumn("fail_word_count",
+        col("n_tokens") < minWords || col("n_tokens") > maxWords)
+      .withColumn("fail_mean_word_len",
+        col("word_chars") < lit(3) * col("n_tokens") ||
+          col("word_chars") > lit(10) * col("n_tokens"))
+      .withColumn("fail_alpha_ratio",
+        lit(5) * col("n_alpha") < lit(4) * col("n_tokens"))
+      .withColumn("fail_stopword", col("n_stop_distinct") < 2)
+      .withColumn("fail_symbol_ratio", lit(10) * col("n_sym") > col("n_tokens"))
+  }
+
+  /** Per-language census over [[gopherFlags]]: how many documents each rule
+    * rejects, and how many survive all five — the acceptance readout a
+    * filtering run reports before committing thresholds. One bounded
+    * groupBy(lang); the flags themselves never shuffle.
+    */
+  def gopherRulesCensus(docs: DataFrame): DataFrame = {
+    val f = gopherFlags(docs)
+    def nf(c: String) = count(when(col(c), lit(1))).as(c.replace("fail_", "n_fail_"))
+    f.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        nf("fail_word_count"), nf("fail_mean_word_len"), nf("fail_alpha_ratio"),
+        nf("fail_stopword"), nf("fail_symbol_ratio"),
+        count(when(!col("fail_word_count") && !col("fail_mean_word_len") &&
+          !col("fail_alpha_ratio") && !col("fail_stopword") &&
+          !col("fail_symbol_ratio"), lit(1))).as("n_pass_all"))
+      .orderBy(col("lang"))
+  }
+
+  /** Bigram-LM surprisal in INTEGER BITS — the CCNet/KenLM perplexity
+    * filter made hash-exact without a single float log: with add-one
+    * smoothing, p(v|w) = (c(wv)+1)/(c(w)+V), and the per-token surprisal
+    * −log₂p quantizes to `floor(log₂((c(w)+V) div (c(wv)+1)))`, computed
+    * exactly as `length(bin(a div b)) − 1` (for integers a ≥ b ≥ 1,
+    * `floor(log₂(a/b)) == floor(log₂(a div b))`: if 2^k ≤ a/b < 2^(k+1)
+    * then 2^k ≤ a div b ≤ a/b, so the binary length is k+1 in both). The
+    * result is within 1 bit/token of true cross-entropy — more than
+    * enough resolution to rank fluency — and bit-identical cross-engine.
+    *
+    * Unlike [[bigramLmStats]] (raw corpus bigram frequency), this scores
+    * the CONDITIONAL transition probability, so a rare-but-predictable
+    * continuation is cheap while a common token in the wrong context is
+    * expensive — the actual LM-filter semantics.
+    *
+    * Scale: unigram/bigram count tables are groupBy aggregations (map-side
+    * combined); scoring joins are equi-joins keyed by the n-gram — plain
+    * shuffle hash joins, no corpus broadcast anywhere; the vocab size is
+    * the only broadcast (1 row). Per-doc output: (doc_id, lang,
+    * n_bigrams, bits_sum).
+    */
+  def lmSurprisalDocs(docs: DataFrame): DataFrame = {
+    val toks = withTokens(docs)
+    val bi = toks.select(col("doc_id"), col("lang"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(1, size(toks) - 1),
+                  i -> struct(element_at(toks, i) AS w, element_at(toks, i + 1) AS v))
+           END""")).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w").as("w"), col("b.v").as("v"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val vocab = uni.agg(count(lit(1)).as("vsz"))
+    val big = bi.groupBy(col("w"), col("v")).agg(count(lit(1)).as("cwv"))
+    bi.join(big, Seq("w", "v")).join(uni, Seq("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits",
+        expr("CAST(length(bin((cw + vsz) div (cwv + 1))) - 1 AS BIGINT)"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("bits_sum"))
+  }
+
+  /** Per-language surprisal census over [[lmSurprisalDocs]]: mean
+    * bits/token (1e2-scaled truncated integer) and the worst single
+    * document's mean — the numbers a perplexity-threshold decision reads.
+    */
+  def lmSurprisalCensus(docs: DataFrame): DataFrame =
+    lmSurprisalDocs(docs)
+      .withColumn("doc_bits_e2", expr("100 * bits_sum div n_bigrams"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("bits_sum")).as("bits_sum"),
+        expr("100 * sum(bits_sum) div sum(n_bigrams)").as("mean_bits_e2"),
+        max(col("doc_bits_e2")).as("worst_doc_bits_e2"))
+      .orderBy(col("lang"))
+
+  /** Zipf-slope census: least-squares slope of log₂(freq) on log₂(rank)
+    * over the top-N terms per language — natural language sits near −1
+    * (Zipf's law); templated/generated text drifts flat (near 0, uniform
+    * boilerplate) or cliff-steep. The corpus-shape audit a crawl ships
+    * next to [[gopherRulesCensus]].
+    *
+    * Exactness: both logs quantize to whole bits via the binary-length
+    * kernel (no float log), and the slope is the cross-multiplied exact
+    * least-squares form (n·Σxy − ΣxΣy over n·Σx² − (Σx)², sign-split
+    * truncating 1e4 division) — bit-identical cross-engine. Integer bits
+    * are coarse per point but the fit over 7 rank octaves recovers the
+    * exponent to ~0.1, enough to separate natural from degenerate.
+    *
+    * Scale: the corpus contracts to the (lang, term) frequency table first
+    * (map-side combined); the per-lang rank window runs on that contracted
+    * table (vocab-sized partitions — the [[rakeKeywords]] shape), and the
+    * regression is a bounded |langs|-row aggregate over ≤N points each.
+    */
+  def zipfSlopeCensus(docs: DataFrame, topN: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = withTokens(docs)
+      .select(col("lang"), explode(col("toks")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("f").desc, col("w"))
+    freq.withColumn("r", row_number().over(w))
+      .filter(col("r") <= topN)
+      .select(col("lang"),
+        expr("CAST(length(bin(r)) - 1 AS BIGINT)").as("x"),
+        expr("CAST(length(bin(f)) - 1 AS BIGINT)").as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+      .withColumn("num", lit(10000L) * (col("n_terms") * col("sxy") - col("sx") * col("sy")))
+      .withColumn("den", col("n_terms") * col("sx2") - col("sx") * col("sx"))
+      .select(col("lang"), col("n_terms"),
+        expr("""CASE WHEN num < 0 THEN -((-num) div den)
+                     ELSE num div den END""").as("slope_e4"))
+      .orderBy(col("lang"))
+  }
+
   def rakeKeywords(docs: DataFrame, topN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stopList = stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")

@@ -481,4 +481,110 @@ object TrainPrep {
     }
     picks.toSeq.toDF("round", "doc_id", "gain", "covered_total")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * score every raw document by how target-like its hashed-bigram feature
+    * distribution is, the selection signal "sample raw data that looks like
+    * the target domain". Features are md5-hashed bigrams in 1024 buckets
+    * (feature hashing, the paper's trick to keep the LM product tractable);
+    * per-bucket weight is the add-one-smoothed log-likelihood ratio
+    * log p_target(b)/p_raw(b), and a document's weight is the sum over its
+    * bigram OCCURRENCES (the bag-of-features log importance weight).
+    *
+    * Exactness: the ratio is cross-multiplied — λ(b) = ±floor(log₂) of
+    * n_raw·(c_t+1) vs n_t·(c_r+1) via the binary-length kernel
+    * (`length(bin(a div b)) − 1`, products through DECIMAL(38,0) so token
+    * totals up to 1e12 never overflow), sign-split for ratios < 1. Integer
+    * bits quantize the log to whole bits — coarse per feature, but summed
+    * over hundreds of bigrams per document the ranking matches the float
+    * form closely, and it is hash-exact cross-engine.
+    *
+    * Scale: one bigram explode (linear in corpus tokens), two map-side
+    * combined groupBys that contract to ≤1024 buckets, the λ table is a
+    * 1024-row broadcast joined back onto the doc-feature stream, one
+    * per-doc sum. No windows, no corpus broadcast, no driver collect.
+    * Returns the per-language census: doc counts, total/mean weight
+    * (1e2, truncation sign-split so Spark `div` == DuckDB `//`), and how
+    * many docs the weight>0 rule would select — target-language docs
+    * should dominate the selected set, the self-check of the method.
+    */
+  def dsirCensus(docs: DataFrame, targetLang: String = "en",
+                 buckets: Int = 1024): DataFrame = {
+    val toks = TextAnalysis.withTokens(docs)
+    val bi = toks.select(col("doc_id"), col("lang"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(1, size(toks) - 1),
+                  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+           END""")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"CAST(conv(substring(md5(bg), 1, 8), 16, 10) AS BIGINT) % $buckets")
+          .as("b"))
+    val raw = bi.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = bi.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("nr")).crossJoin(
+      tgt.agg(sum(col("ct")).as("nt")))
+    // λ per bucket: ±floor(log2(nr·(ct+1) / nt·(cr+1))), exact via binary
+    // length on the DECIMAL-safe cross products
+    val lam = raw.join(tgt, Seq("b"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("a", expr("CAST(nr AS DECIMAL(38,0)) * (CAST(ct AS DECIMAL(38,0)) + 1)"))
+      .withColumn("c", expr("CAST(nt AS DECIMAL(38,0)) * (CAST(cr AS DECIMAL(38,0)) + 1)"))
+      .withColumn("lam", expr(
+        """CASE WHEN a >= c THEN CAST(length(bin(CAST(a div c AS BIGINT))) - 1 AS BIGINT)
+                ELSE -CAST(length(bin(CAST(c div a AS BIGINT))) - 1 AS BIGINT) END"""))
+      .select(col("b"), col("lam"))
+    val docW = bi.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lam")).as("w"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(docW.select(col("doc_id"), col("w")), Seq("doc_id"), "left")
+      .withColumn("w", coalesce(col("w"), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("w_sum"),
+        count(when(col("w") > 0, lit(1))).as("n_selected"))
+      .withColumn("w_mean_e2", expr(
+        """CASE WHEN w_sum < 0 THEN -((-(100 * w_sum)) div n_docs)
+                ELSE (100 * w_sum) div n_docs END"""))
+      .select(col("lang"), col("n_docs"), col("w_sum"), col("w_mean_e2"),
+        col("n_selected"))
+      .orderBy(col("lang"))
+  }
+
+  /** Rendezvous (highest-random-weight) resharding churn census — the
+    * decision table for growing a sharded layout from 8 to 9 shards:
+    * HRW assigns key k to argmax_s md5(k:s), so adding shard 9 moves ONLY
+    * the keys whose new shard wins (≈1/9 of keys), while `hash mod n`
+    * reshuffles ≈8/9 of them. Emits one row per scheme with the measured
+    * move fraction (permille) — the "why consistent hashing" number.
+    *
+    * Scale: the key set contracts first (distinct user_id — map-side
+    * combined), then a 9-row broadcast explode and one groupBy(key) with
+    * two conditional lexicographic argmaxes (`max(struct(hash, shard))`
+    * — partial-aggregable, no window). Both schemes ride the same pass.
+    */
+  def rendezvousReshardCensus(events: DataFrame): DataFrame = {
+    val keys = events.select(col("user_id")).distinct()
+    val shards = keys.sparkSession.range(0, 9).select(col("id").as("s"))
+    val hrw = keys.crossJoin(broadcast(shards))
+      .withColumn("h", expr(
+        "md5(concat(CAST(user_id AS STRING), ':', CAST(s AS STRING)))"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("s") < 8, struct(col("h"), col("s")))).getField("s").as("s8"),
+        max(struct(col("h"), col("s"))).getField("s").as("s9"))
+    val hrwRow = hrw.agg(count(lit(1)).as("n_keys"),
+        count(when(col("s8") =!= col("s9"), lit(1))).as("n_moved"))
+      .select(lit("hrw").as("scheme"), col("n_keys"), col("n_moved"))
+    val modRow = keys
+      .withColumn("hk", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .agg(count(lit(1)).as("n_keys"),
+        count(when(col("hk") % 8 =!= col("hk") % 9, lit(1))).as("n_moved"))
+      .select(lit("mod").as("scheme"), col("n_keys"), col("n_moved"))
+    hrwRow.unionByName(modRow)
+      .withColumn("moved_permille", expr("1000 * n_moved div n_keys"))
+      .orderBy(col("scheme"))
+  }
 }

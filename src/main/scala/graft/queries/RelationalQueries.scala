@@ -1105,6 +1105,84 @@ object RelationalQueries {
         "class histogram by l + l=3 violation flag — the sensitive-axis " +
         "sibling of the k-anonymity gate"),
 
+    // ---- t-closeness census (Li et al. 2007) — the third rung of the
+    // privacy ladder: a class can be k-large and l-diverse yet still leak
+    // if its sensitive DISTRIBUTION diverges from the table's. For the
+    // ordered sensitive attribute (acctbal bands 0..4), t = EMD =
+    // (1/(m−1))·Σᵢ|CumP(i) − CumQ(i)| — kept exact by cross-multiplying:
+    // Σ|cg·N − cq·n_g| over the first m−1 cumulative points, scaled
+    // through DECIMAL so the 1e4 step never overflows at table scale.
+    // Cumulatives come from a 5-row band-literal join (no unpartitioned
+    // window); every aggregate is bounded by |segments|×|bands|.
+    GQuery("privacy_t_closeness",
+      (s, dir) => {
+        val bandExpr =
+          "greatest(0L, least(4L, (CAST(c_acctbal * 100 AS BIGINT) + 99999) div 220000))"
+        val cust = Tables.customer(s, dir)
+          .select(col("c_mktsegment"), expr(bandExpr).as("band"))
+        val bands = s.range(0, 5).select(col("id").as("i"))
+        val tot = cust.agg(count(lit(1)).as("n_total"))
+        // contract to ≤|bands| / ≤|segments×bands| rows BEFORE the non-equi
+        // cumulative join: both join sides stay literal-bounded (a raw
+        // band<=i join against the corpus would BNLJ-broadcast the corpus)
+        val glob = cust.groupBy(col("band")).agg(count(lit(1)).as("q"))
+        val globCum = bands.join(broadcast(glob), col("band") <= col("i"), "left")
+          .groupBy(col("i")).agg(coalesce(sum(col("q")), lit(0L)).as("cq"))
+        val grpN = cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_group"))
+        val grpCum = cust.groupBy(col("c_mktsegment"), col("band"))
+          .agg(count(lit(1)).as("g"))
+          .join(broadcast(bands), col("band") <= col("i"))
+          .groupBy(col("c_mktsegment"), col("i")).agg(sum(col("g")).as("cg"))
+        grpN.crossJoin(broadcast(bands.filter(col("i") <= 3)))
+          .join(grpCum, Seq("c_mktsegment", "i"), "left")
+          .withColumn("cg", coalesce(col("cg"), lit(0L)))
+          .join(broadcast(globCum), Seq("i"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("c_mktsegment"), col("n_group"), col("n_total"))
+          .agg(sum(abs(col("cg") * col("n_total") - col("cq") * col("n_group")))
+            .as("t_scaled"))
+          .select(col("c_mktsegment"), col("n_group"), col("t_scaled"),
+            expr("""CAST(CAST(10000 AS DECIMAL(38,0)) * CAST(t_scaled AS DECIMAL(38,0))
+                    div (CAST(n_group AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))
+                         * 4) AS BIGINT)""").as("t_e4"))
+          .withColumn("violates_t02", col("t_e4") > 2000)
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH c AS (
+              |  SELECT c_mktsegment,
+              |         greatest(0, least(4, (CAST(c_acctbal * 100 AS BIGINT) + 99999)
+              |                              // 220000)) AS band
+              |  FROM customer),
+              |bands AS (SELECT unnest(range(0, 5)) AS i),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM c),
+              |gc AS (SELECT b.i, CAST(count(c.band) AS BIGINT) AS cq
+              |       FROM bands b LEFT JOIN c ON c.band <= b.i GROUP BY b.i),
+              |gn AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_group
+              |       FROM c GROUP BY 1),
+              |gg AS (SELECT c_mktsegment, b.i, CAST(count(*) AS BIGINT) AS cg
+              |       FROM c JOIN bands b ON c.band <= b.i GROUP BY 1, 2),
+              |j AS (SELECT n.c_mktsegment, n.n_group, b.i,
+              |             COALESCE(g.cg, 0) AS cg, q.cq, t.n_total
+              |      FROM gn n CROSS JOIN bands b
+              |      LEFT JOIN gg g ON g.c_mktsegment = n.c_mktsegment AND g.i = b.i
+              |      JOIN gc q ON q.i = b.i, tot t
+              |      WHERE b.i <= 3)
+              |SELECT c_mktsegment, n_group,
+              |       CAST(SUM(abs(cg * n_total - cq * n_group)) AS BIGINT) AS t_scaled,
+              |       CAST(CAST(10000 AS HUGEINT)
+              |              * CAST(SUM(abs(cg * n_total - cq * n_group)) AS HUGEINT)
+              |            // (CAST(n_group AS HUGEINT) * CAST(n_total AS HUGEINT) * 4)
+              |            AS BIGINT) AS t_e4,
+              |       CAST(CAST(10000 AS HUGEINT)
+              |              * CAST(SUM(abs(cg * n_total - cq * n_group)) AS HUGEINT)
+              |            // (CAST(n_group AS HUGEINT) * CAST(n_total AS HUGEINT) * 4)
+              |            AS BIGINT) > 2000 AS violates_t02
+              |FROM j GROUP BY 1, 2, n_total ORDER BY c_mktsegment""".stripMargin),
+      doc = "t-closeness census: exact cross-multiplied EMD between each QI " +
+        "class's ordered sensitive-band distribution and the global one, " +
+        "1e4-scaled + t=0.2 violation flag — completes the " +
+        "k-anonymity / l-diversity / t-closeness governance ladder"),
+
     // ---- Shuffle-key skew census — the diagnostic a join/agg planner
     // consults BEFORE picking salting (join_skew_salted) or AQE skew
     // handling. Order statistics come from the VALUE-DOMAIN histogram of
@@ -1584,6 +1662,56 @@ object RelationalQueries {
       doc = "lead-lag cross-correlation (click vs purchase daily cents, lags " +
         "-3..+3): broadcast literal lag table on shifted day index, exact " +
         "decimal moments, agg_pearson_exact IEEE finish"),
+
+    // ---- Sample autocorrelation function (ACF, lags 1..7) of the daily
+    // event count — the lag-selection diagnostic feeding ts_ewma /
+    // ts_holt_trend / ts_weekday_profile (is there weekly structure worth
+    // a seasonal term?). Textbook estimator: full-series mean and
+    // variance denominator, truncated numerator pairs — NOT pairwise
+    // Pearson-at-lag (that's ts_cross_correlation's estimator).
+    // Cross-multiplied exact: deviations ride as n·x−S in DECIMAL(38,0),
+    // one IEEE division num/den at the end. The day series is
+    // calendar-bounded (≤31 groups here, ≤366/yr at any scale), so every
+    // join side past the first groupBy is literal-small.
+    GQuery("ts_autocorr",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("x"))
+        val st = daily.agg(sum(col("x")).as("sx"),
+          count(lit(1)).cast("decimal(38,0)").as("n"))
+        val dev = daily.crossJoin(broadcast(st))
+          .select(col("d"), (col("n") * col("x") - col("sx")).as("e"))
+        val den = dev.agg(sum(col("e") * col("e")).as("den"))
+        val lags = s.range(1, 8).select(col("id").as("lag"))
+        val b = dev.select(col("d").as("db"), col("e").as("eb"))
+        dev.crossJoin(broadcast(lags))
+          .join(b, col("db") === col("d") + col("lag"))
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("e") * col("eb")).as("num"))
+          .crossJoin(broadcast(den))
+          .select(col("lag"), col("n_pairs"),
+            expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)").as("acf_r"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT epoch_us(ts) // 86400000000 AS d,
+              |         CAST(count(*) AS HUGEINT) AS x
+              |  FROM events GROUP BY 1),
+              |st AS (SELECT CAST(SUM(x) AS HUGEINT) AS sx,
+              |              CAST(count(*) AS HUGEINT) AS n FROM daily),
+              |dev AS (SELECT d, n * x - sx AS e FROM daily, st),
+              |den AS (SELECT SUM(e * e) AS den FROM dev),
+              |lags AS (SELECT unnest(range(1, 8)) AS lag),
+              |m AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+              |             SUM(a.e * b.e) AS num
+              |      FROM dev a, lags l JOIN dev b ON b.d = a.d + l.lag
+              |      GROUP BY l.lag)
+              |SELECT lag, n_pairs, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf_r
+              |FROM m, den ORDER BY lag""".stripMargin),
+      doc = "sample ACF lags 1..7 of the daily event count: full-series mean " +
+        "and variance, cross-multiplied n·x−S exact deviations, one IEEE " +
+        "num/den finish — the seasonality/lag-selection diagnostic"),
 
     // ---- Benford first-digit audit: fabricated or unit-mixed monetary
     // data drifts from log10(1+1/d). First digit via integer-floor →

@@ -928,6 +928,132 @@ object SimilarityQueries {
         "and variance (scaled sums, decimal squares, one rounded division " +
         "each) — the 64-row drift monitor for the vector modality"),
 
+    // ---- Top principal direction via exact-integer power iteration: the
+    // anisotropy probe next to sim_dim_stats (axis-aligned) — C = n·Σxxᵀ −
+    // SSᵀ in DECIMAL(38,0)/HUGEINT, two power steps with data-derived
+    // truncating renormalization (sign-split so Spark div == DuckDB // on
+    // positives), final components bounded into int64 so the one DOUBLE
+    // cast is exact both engines. dim²-group outer-product accumulation;
+    // map-side combine collapses partitions to 4096 rows pre-shuffle.
+    GQuery("sim_pca_power",
+      (s, dir) => Similarity.pcaPowerTop(Tables.embeddings(s, dir)),
+      Some("""WITH sv AS (
+              |  SELECT list_transform(embedding,
+              |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+              |  FROM embeddings),
+              |dims AS (SELECT unnest(range(0, 64)) AS i),
+              |sums AS (
+              |  SELECT i, CAST(SUM(sv[CAST(i AS INT) + 1]) AS HUGEINT) AS s,
+              |         CAST(count(*) AS HUGEINT) AS n
+              |  FROM sv, dims GROUP BY i),
+              |prods AS (
+              |  SELECT di.i AS i, dj.i AS j,
+              |         CAST(SUM(sv[CAST(di.i AS INT) + 1] * sv[CAST(dj.i AS INT) + 1])
+              |              AS HUGEINT) AS pp
+              |  FROM sv, dims di, dims dj GROUP BY di.i, dj.i),
+              |cov AS (
+              |  SELECT p.i, p.j, a.n * p.pp - a.s * b.s AS c
+              |  FROM prods p JOIN sums a ON a.i = p.i JOIN sums b ON b.i = p.j),
+              |mc AS (SELECT CASE WHEN max(abs(c)) > 1000000000000000000
+              |                   THEN max(abs(c)) // 1000000000000000000
+              |                   ELSE 1 END AS d FROM cov),
+              |covs AS (SELECT i, j,
+              |                CASE WHEN c < 0 THEN -((-c) // d) ELSE c // d END AS c
+              |         FROM cov, mc),
+              |v1 AS (SELECT i, CAST(SUM(c) AS HUGEINT) AS v FROM covs GROUP BY i),
+              |d1 AS (SELECT CASE WHEN max(abs(v)) > 1000000000000000
+              |                   THEN max(abs(v)) // 1000000000000000
+              |                   ELSE 1 END AS d FROM v1),
+              |v1s AS (SELECT i AS j,
+              |               CASE WHEN v < 0 THEN -((-v) // d) ELSE v // d END AS w
+              |        FROM v1, d1),
+              |v2 AS (SELECT c.i, SUM(CAST(c.c AS HUGEINT) * w.w) AS v
+              |       FROM covs c JOIN v1s w ON w.j = c.j GROUP BY c.i),
+              |d2 AS (SELECT CASE WHEN max(abs(v)) > 1000000000000000
+              |                   THEN max(abs(v)) // 1000000000000000
+              |                   ELSE 1 END AS d FROM v2),
+              |v2s AS (SELECT i,
+              |               CAST(CASE WHEN v < 0 THEN -((-v) // d) ELSE v // d END
+              |                    AS BIGINT) AS v
+              |        FROM v2, d2),
+              |m2 AS (SELECT CAST(max(abs(v)) AS BIGINT) AS m FROM v2s)
+              |SELECT CAST(i AS INT) AS pos, v AS v_scaled,
+              |       CAST(v AS DOUBLE) / CAST(m AS DOUBLE) AS pc1
+              |FROM v2s, m2 ORDER BY pos""".stripMargin),
+      doc = "top principal direction by exact-integer power iteration over " +
+        "n·Σxxᵀ − SSᵀ: the embedding-anisotropy probe (dominant rotated " +
+        "axis), float-free until one exact int64→double cast per component"),
+
+    // ---- Anisotropy census: Rayleigh quotient vᵀCv/(vᵀv·trC) of the
+    // power-iteration direction vs the best axis-aligned share max C_ii/trC
+    // — the "is the cloud collapsed along a rotated direction" single-row
+    // readout (Mu & Viswanath's all-but-the-top decision input). v renormed
+    // to ≤1e5 so every vᵀCv term stays under DECIMAL(38,0)/HUGEINT; shares
+    // are truncating cross-multiplied integer divisions.
+    GQuery("sim_anisotropy",
+      (s, dir) => Similarity.anisotropyCensus(Tables.embeddings(s, dir)),
+      Some("""WITH sv AS (
+              |  SELECT list_transform(embedding,
+              |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+              |  FROM embeddings),
+              |dims AS (SELECT unnest(range(0, 64)) AS i),
+              |sums AS (
+              |  SELECT i, CAST(SUM(sv[CAST(i AS INT) + 1]) AS HUGEINT) AS s,
+              |         CAST(count(*) AS HUGEINT) AS n
+              |  FROM sv, dims GROUP BY i),
+              |prods AS (
+              |  SELECT di.i AS i, dj.i AS j,
+              |         CAST(SUM(sv[CAST(di.i AS INT) + 1] * sv[CAST(dj.i AS INT) + 1])
+              |              AS HUGEINT) AS pp
+              |  FROM sv, dims di, dims dj GROUP BY di.i, dj.i),
+              |cov AS (
+              |  SELECT p.i, p.j, a.n * p.pp - a.s * b.s AS c
+              |  FROM prods p JOIN sums a ON a.i = p.i JOIN sums b ON b.i = p.j),
+              |mc AS (SELECT CASE WHEN max(abs(c)) > 1000000000000000000
+              |                   THEN max(abs(c)) // 1000000000000000000
+              |                   ELSE 1 END AS d FROM cov),
+              |covs AS (SELECT i, j,
+              |                CASE WHEN c < 0 THEN -((-c) // d) ELSE c // d END AS c
+              |         FROM cov, mc),
+              |v1 AS (SELECT i, CAST(SUM(c) AS HUGEINT) AS v FROM covs GROUP BY i),
+              |d1 AS (SELECT CASE WHEN max(abs(v)) > 1000000000000000
+              |                   THEN max(abs(v)) // 1000000000000000
+              |                   ELSE 1 END AS d FROM v1),
+              |v1s AS (SELECT i AS j,
+              |               CASE WHEN v < 0 THEN -((-v) // d) ELSE v // d END AS w
+              |        FROM v1, d1),
+              |v2 AS (SELECT c.i, SUM(CAST(c.c AS HUGEINT) * w.w) AS v
+              |       FROM covs c JOIN v1s w ON w.j = c.j GROUP BY c.i),
+              |d2 AS (SELECT CASE WHEN max(abs(v)) > 1000000000000000
+              |                   THEN max(abs(v)) // 1000000000000000
+              |                   ELSE 1 END AS d FROM v2),
+              |v2s AS (SELECT i,
+              |               CAST(CASE WHEN v < 0 THEN -((-v) // d) ELSE v // d END
+              |                    AS BIGINT) AS v
+              |        FROM v2, d2),
+              |d6 AS (SELECT CASE WHEN max(abs(v)) > 100000
+              |                   THEN max(abs(v)) // 100000 ELSE 1 END AS d FROM v2s),
+              |v6 AS (SELECT i,
+              |              CASE WHEN v < 0 THEN -((-CAST(v AS HUGEINT)) // d)
+              |                   ELSE CAST(v AS HUGEINT) // d END AS w
+              |       FROM v2s, d6),
+              |num AS (SELECT SUM(wi.w * c.c * wj.w) AS num
+              |        FROM covs c JOIN v6 wi ON wi.i = c.i JOIN v6 wj ON wj.i = c.j),
+              |den1 AS (SELECT SUM(w * w) AS den1 FROM v6),
+              |diag AS (SELECT SUM(c) AS tr, max(c) AS diag_max,
+              |                CAST(count(*) AS BIGINT) AS n_dims
+              |         FROM covs WHERE i = j)
+              |SELECT n_dims,
+              |       CAST(10000 * diag_max // tr AS BIGINT) AS axis_max_share_e4,
+              |       CAST(CASE WHEN num < 0 THEN -((-(10000 * num)) // (den1 * tr))
+              |                 ELSE (10000 * num) // (den1 * tr) END
+              |            AS BIGINT) AS pc1_share_e4
+              |FROM num, den1, diag""".stripMargin),
+      doc = "anisotropy census: Rayleigh-quotient variance share of the " +
+        "dominant rotated direction vs the best axis-aligned share, exact " +
+        "cross-multiplied integers end-to-end — the all-but-the-top " +
+        "correction decision readout"),
+
     // Per-class centroids + inter-class separation matrix — the
     // embedding-space health readout a labeled corpus ships with: classes
     // whose centroids sit at high cosine are confusable (the macro

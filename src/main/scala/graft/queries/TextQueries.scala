@@ -1682,6 +1682,117 @@ object TextQueries {
               |SELECT lang, CAST(rank AS INT) AS rank, suffix, n_tokens
               |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin),
       doc = "suffix morphology census: top-5 three-char token suffixes per " +
-        "language (char-level signal beside stopword langid)")
+        "language (char-level signal beside stopword langid)"),
+
+    // ---- Gopher quality rules (Rae et al. 2021 §A1.1): the five
+    // word-level rules as integer-only flags, per-language acceptance
+    // census. Division-free (mean-word-length as a cross-multiplied
+    // integer inequality) → exact cross-engine.
+    GQuery("text_gopher_rules",
+      (s, dir) => TextAnalysis.gopherRulesCensus(Tables.documents(s, dir)),
+      Some("""WITH f AS (
+              |  SELECT lang,
+              |         CAST(len(t) AS BIGINT) AS n_tokens,
+              |         CAST(length(text) - len(t) + 1 AS BIGINT) AS word_chars,
+              |         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+              |              AS BIGINT) AS n_alpha,
+              |         CAST(len(list_intersect(list_distinct(t),
+              |              ['the', 'a', 'of', 'and', 'is'])) AS BIGINT) AS n_stop,
+              |         CAST(length(text) - length(replace(text, '#', ''))
+              |              + (length(text) - length(replace(text, '...', ''))) // 3
+              |              AS BIGINT) AS n_sym
+              |  FROM (SELECT lang, text, string_split(text, ' ') AS t FROM documents)),
+              |g AS (
+              |  SELECT lang,
+              |         (n_tokens < 50 OR n_tokens > 100000) AS f_wc,
+              |         (word_chars < 3 * n_tokens OR word_chars > 10 * n_tokens) AS f_mwl,
+              |         (5 * n_alpha < 4 * n_tokens) AS f_al,
+              |         (n_stop < 2) AS f_st,
+              |         (10 * n_sym > n_tokens) AS f_sy
+              |  FROM f)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(count(CASE WHEN f_wc THEN 1 END) AS BIGINT) AS n_fail_word_count,
+              |       CAST(count(CASE WHEN f_mwl THEN 1 END) AS BIGINT) AS n_fail_mean_word_len,
+              |       CAST(count(CASE WHEN f_al THEN 1 END) AS BIGINT) AS n_fail_alpha_ratio,
+              |       CAST(count(CASE WHEN f_st THEN 1 END) AS BIGINT) AS n_fail_stopword,
+              |       CAST(count(CASE WHEN f_sy THEN 1 END) AS BIGINT) AS n_fail_symbol_ratio,
+              |       CAST(count(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_al
+              |                       AND NOT f_st AND NOT f_sy THEN 1 END) AS BIGINT)
+              |         AS n_pass_all
+              |FROM g GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin),
+      doc = "Gopher-rule quality census: five word-level rules (word count, " +
+        "mean word length, alpha-word ratio, required stopwords, symbol " +
+        "ratio) as division-free integer flags, per-language fail counts + " +
+        "pass-all survivors"),
+
+    // ---- Bigram-LM surprisal in integer bits: the CCNet perplexity
+    // filter with conditional p(v|w) add-one smoothing, −log₂p quantized
+    // exactly via length(bin(a div b))−1 — no float log anywhere, so the
+    // census hash-compares. Complements text_bigram_lm (raw bigram
+    // frequency) with true conditional-transition scoring.
+    GQuery("text_lm_surprisal",
+      (s, dir) => TextAnalysis.lmSurprisalCensus(Tables.documents(s, dir)),
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+              |bi AS (
+              |  SELECT doc_id, lang, t[CAST(i AS INT)] AS w, t[CAST(i AS INT) + 1] AS v
+              |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM toks)),
+              |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+              |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+              |vs AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM uni),
+              |big AS (SELECT w, v, CAST(count(*) AS BIGINT) AS cwv FROM bi GROUP BY w, v),
+              |sc AS (
+              |  SELECT doc_id, lang,
+              |         CAST(length(printf('%b', (cw + vsz) // (cwv + 1))) - 1
+              |              AS BIGINT) AS bits
+              |  FROM bi JOIN big USING (w, v) JOIN uni USING (w), vs),
+              |d AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |             CAST(SUM(bits) AS BIGINT) AS bits_sum
+              |      FROM sc GROUP BY doc_id, lang)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+              |       CAST(SUM(bits_sum) AS BIGINT) AS bits_sum,
+              |       CAST(100 * SUM(bits_sum) // SUM(n_bigrams) AS BIGINT) AS mean_bits_e2,
+              |       CAST(MAX(100 * bits_sum // n_bigrams) AS BIGINT) AS worst_doc_bits_e2
+              |FROM d GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin),
+      doc = "bigram-LM surprisal census: add-one-smoothed conditional " +
+        "p(v|w), per-token surprisal as exact integer bits " +
+        "(floor-log2 via binary length), per-language mean + worst-doc " +
+        "bits/token — the perplexity filter, float-log-free"),
+
+    // ---- Zipf-slope census: least-squares slope of log2(freq) on
+    // log2(rank) over the per-language top-128 terms — natural language
+    // sits near −1; templated/generated text drifts flat. Both logs as
+    // exact integer bits (binary length), slope as the cross-multiplied
+    // exact LS form with sign-split 1e4 division. Corpus contracts to the
+    // (lang, term) frequency table before the rank window.
+    GQuery("text_zipf_slope",
+      (s, dir) => TextAnalysis.zipfSlopeCensus(Tables.documents(s, dir)),
+      Some(s"""WITH f AS (
+              |  SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+              |  FROM (SELECT lang, unnest($toksSql) AS w FROM documents)
+              |  GROUP BY lang, w),
+              |r AS (SELECT lang,
+              |             ROW_NUMBER() OVER (PARTITION BY lang
+              |               ORDER BY f DESC, w) AS r, f
+              |      FROM f),
+              |p AS (SELECT lang,
+              |             CAST(length(printf('%b', r)) - 1 AS BIGINT) AS x,
+              |             CAST(length(printf('%b', f)) - 1 AS BIGINT) AS y
+              |      FROM r WHERE r <= 128),
+              |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+              |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+              |             CAST(SUM(x * x) AS BIGINT) AS sx2
+              |      FROM p GROUP BY lang)
+              |SELECT lang, n_terms,
+              |       CAST(CASE WHEN 10000 * (n_terms * sxy - sx * sy) < 0
+              |                 THEN -((-(10000 * (n_terms * sxy - sx * sy)))
+              |                        // (n_terms * sx2 - sx * sx))
+              |                 ELSE (10000 * (n_terms * sxy - sx * sy))
+              |                      // (n_terms * sx2 - sx * sx) END AS BIGINT) AS slope_e4
+              |FROM a ORDER BY lang""".stripMargin),
+      doc = "Zipf-slope census: exact integer-bits log-log least squares " +
+        "over per-language top-128 term frequencies — natural-language " +
+        "shape audit (slope near -1e4) against templated/generated drift")
   )
 }

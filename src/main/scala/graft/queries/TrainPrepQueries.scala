@@ -476,6 +476,86 @@ object TrainPrepQueries {
                      t.n_total * 10000 // (t.n_classes * g.n_c) AS weight_e4
               FROM g, t ORDER BY g.label"""),
       doc = "balanced class weights: N/(K*n_c) as exact 1e4 rationals — the " +
-        "loss-reweighting dual of data-side apportionment")
+        "loss-reweighting dual of data-side apportionment"),
+
+    // ---- DSIR importance weights (Xie et al. 2023): hashed-bigram
+    // feature LM ratio target-vs-raw, add-one smoothed, per-feature
+    // log-ratio as exact ±integer bits (binary-length floor-log2 on
+    // DECIMAL-safe cross products), summed per doc over feature
+    // OCCURRENCES. Per-language census; the target language should
+    // dominate the weight>0 selected set. 1024-bucket λ table broadcast;
+    // no windows, no corpus broadcast.
+    GQuery("prep_dsir_census",
+      (s, dir) => TrainPrep.dsirCensus(Tables.documents(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+              |             FROM documents),
+              |bi AS (
+              |  SELECT doc_id, lang,
+              |         CAST('0x' || substr(md5(t[CAST(i AS INT)] || ' '
+              |                || t[CAST(i AS INT) + 1]), 1, 8) AS BIGINT) % 1024 AS b
+              |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM toks)),
+              |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM bi GROUP BY b),
+              |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+              |        FROM bi WHERE lang = 'en' GROUP BY b),
+              |tot AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+              |               (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt),
+              |lam AS (
+              |  SELECT r.b,
+              |         CASE WHEN CAST(t2.nr AS HUGEINT) * (COALESCE(g.ct, 0) + 1)
+              |                   >= CAST(t2.nt AS HUGEINT) * (r.cr + 1)
+              |              THEN CAST(length(printf('%b',
+              |                     CAST(CAST(t2.nr AS HUGEINT) * (COALESCE(g.ct, 0) + 1)
+              |                          // (CAST(t2.nt AS HUGEINT) * (r.cr + 1)) AS BIGINT)))
+              |                   - 1 AS BIGINT)
+              |              ELSE -CAST(length(printf('%b',
+              |                     CAST(CAST(t2.nt AS HUGEINT) * (r.cr + 1)
+              |                          // (CAST(t2.nr AS HUGEINT) * (COALESCE(g.ct, 0) + 1))
+              |                          AS BIGINT))) - 1 AS BIGINT) END AS lam
+              |  FROM raw r LEFT JOIN tgt g ON g.b = r.b, tot t2),
+              |dw AS (SELECT bi.doc_id, CAST(SUM(l.lam) AS BIGINT) AS w
+              |       FROM bi JOIN lam l ON l.b = bi.b GROUP BY bi.doc_id),
+              |d AS (SELECT doc.lang, COALESCE(dw.w, 0) AS w
+              |      FROM documents doc LEFT JOIN dw ON dw.doc_id = doc.doc_id)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(SUM(w) AS BIGINT) AS w_sum,
+              |       CAST(CASE WHEN SUM(w) < 0
+              |                 THEN -((-(100 * CAST(SUM(w) AS HUGEINT))) // count(*))
+              |                 ELSE (100 * CAST(SUM(w) AS HUGEINT)) // count(*) END
+              |            AS BIGINT) AS w_mean_e2,
+              |       CAST(count(CASE WHEN w > 0 THEN 1 END) AS BIGINT) AS n_selected
+              |FROM d GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "DSIR importance-weight census: hashed-bigram target/raw LM " +
+        "ratio in exact ±integer bits, per-doc occurrence sum, per-language " +
+        "selection readout — data selection that looks like the target domain"),
+
+    // ---- Rendezvous (HRW) resharding churn: 8→9 shards moves ~1/9 of
+    // keys under highest-random-weight hashing vs ~8/9 under mod-N — the
+    // measured consistent-hashing decision table. One distinct contraction,
+    // a 9-row broadcast explode, two conditional lexicographic argmaxes in
+    // one partial-aggregable groupBy.
+    GQuery("prep_rendezvous_reshard",
+      (s, dir) => TrainPrep.rendezvousReshardCensus(Tables.events(s, dir)),
+      Some("""WITH k AS (SELECT DISTINCT user_id FROM events),
+              |e AS (SELECT user_id, s,
+              |             md5(CAST(user_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS h
+              |      FROM k, (SELECT unnest(range(0, 9)) AS s)),
+              |a AS (SELECT user_id,
+              |             max(CASE WHEN s < 8 THEN {'h': h, 's': s} END)['s'] AS s8,
+              |             max({'h': h, 's': s})['s'] AS s9
+              |      FROM e GROUP BY user_id),
+              |hrw AS (SELECT 'hrw' AS scheme, CAST(count(*) AS BIGINT) AS n_keys,
+              |               CAST(count(CASE WHEN s8 <> s9 THEN 1 END) AS BIGINT) AS n_moved
+              |        FROM a),
+              |md AS (SELECT 'mod' AS scheme, CAST(count(*) AS BIGINT) AS n_keys,
+              |              CAST(count(CASE WHEN hk % 8 <> hk % 9 THEN 1 END) AS BIGINT)
+              |                AS n_moved
+              |       FROM (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              |                         AS BIGINT) AS hk FROM k))
+              |SELECT scheme, n_keys, n_moved, 1000 * n_moved // n_keys AS moved_permille
+              |FROM (SELECT * FROM hrw UNION ALL SELECT * FROM md)
+              |ORDER BY scheme""".stripMargin),
+      doc = "rendezvous-hash resharding churn census: HRW argmax vs mod-N " +
+        "under 8→9 shard growth, measured moved-key permille — the " +
+        "consistent-hashing stability proof")
   )
 }

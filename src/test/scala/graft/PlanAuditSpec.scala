@@ -508,7 +508,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // per-label centroid table: groupBy(label) — |labels| rows (10 here,
     // label-domain-bounded at any corpus size)
     ("sim_class_centroids", Set("label_b", "n_b", "cb")) ->
-      "per-label centroid aggregate — |labels| rows by construction")
+      "per-label centroid aggregate — |labels| rows by construction",
+    // global sensitive-band distribution: groupBy(band) where band is
+    // clamped to [0,4] by greatest(0, least(4, …)) — ≤5 rows at any
+    // corpus size (the non-equi band<=i cumulative join needs the BNLJ)
+    ("privacy_t_closeness", Set("band", "q")) ->
+      "groupBy over a greatest/least-clamped band — ≤5 rows by construction")
 
   private def bnljOffenders(name: String, df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
