@@ -37,8 +37,13 @@ object Bench {
       // update (SparkListenerSQLAdaptiveExecutionUpdate) even with the UI
       // off; on the widest lineages (incremental curation) that driver-side
       // stringification sampled as a top cost. Debug strings only — cap
-      // them; does not affect plans or results.
-      .config("spark.sql.maxPlanStringLength", "16384")
+      // them; does not affect plans or results. 32k (not 16k): the listener
+      // string is the 4-section queryExecution.toString, and the PCA pair's
+      // checkpoint sub-executions legitimately sit at ~22k across the four
+      // sections — 16k truncated them and spammed WARNs; the widest
+      // single-section plans are ~6k, so 32k keeps every string whole while
+      // still capping runaway stringification.
+      .config("spark.sql.maxPlanStringLength", "32768")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -750,13 +750,21 @@ object TextAnalysis {
     * decimal(38,0) (documented determinism boundary).
     */
   def qualityVoteClassifier(docs: DataFrame): DataFrame = {
+    // two lineage cuts pin the pass count at the algorithm's honest three
+    // (label, train, score): `labels` (narrow doc_id+flag) is referenced by
+    // both the token stream and the final join, and `tokenCounts`
+    // (vocabulary-sized) by both the totals and the votes — uncut, each
+    // reference replayed the teacher-heuristic + tokenize subtree
+    // (measured 11 base scans in the plan)
     val labels = qualityScore(docs).select(col("doc_id"), col("is_quality"))
+      .localCheckpoint(true)
     val toks = withTokens(docs)
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .join(labels, Seq("doc_id"))
     val tokenCounts = toks.groupBy(col("token"))
       .agg(count(when(col("is_quality"), 1)).as("n_q"),
         count(when(!col("is_quality"), 1)).as("n_j"))
+      .localCheckpoint(true)
     val totals = tokenCounts.agg(sum(col("n_q")).as("t_q"), sum(col("n_j")).as("t_j"))
     val votes = tokenCounts.crossJoin(broadcast(totals))
       .select(col("token"),

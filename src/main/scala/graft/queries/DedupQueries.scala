@@ -448,19 +448,26 @@ object DedupQueries {
     GQuery("dedup_aware_split",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val comp = Dedup.connectedComponentsStar(
-          Dedup.minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
+        // one LSH pass, one lineage cut: `pairs` feeds BOTH the component
+        // labelling and the two cross-split censuses, and `assigned` is
+        // referenced six times below — uncut, the plan replayed the whole
+        // minhash derivation per reference (measured 14 base scans)
+        val pairs = Dedup.minhashLshPairs(docs)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint(true)
+        val comp = Dedup.connectedComponentsStar(pairs)
         val lbl = docs.select(col("doc_id"))
           .join(comp, docs("doc_id") === comp("node"), "left")
           .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
         def bucket(c: org.apache.spark.sql.Column) =
           when(expr(s"CAST(conv(substring(md5(CAST(${c} AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100") < 10,
             lit("test")).otherwise(lit("train"))
+        // narrow 4-col corpus-keyed table — the survivor-table checkpoint
+        // convention (ids + enums only, no text payload)
         val assigned = lbl
           .withColumn("by_doc", bucket(col("doc_id")))
           .withColumn("by_cluster", bucket(col("cluster")))
-        val pairs = Dedup.minhashLshPairs(docs)
-          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint(true)
         def census(method: String) = {
           val sizes = assigned.groupBy(col(method).as("split"))
             .agg(count(lit(1)).as("n_docs"))

@@ -236,9 +236,13 @@ object PipelineQueries {
             org.apache.spark.sql.types.StructField("is_current",
               org.apache.spark.sql.types.BooleanType))))
         val cut = "2024-01-15 00:00:00"
+        // batch boundary: between incremental loads v1 IS a persisted table,
+        // so the lineage cut models reality — uncut, the second upsert
+        // replayed the whole first build per reference (11 base scans)
         val v1 = Merge.scd2Upsert(empty,
           ev.filter(col("change_ts") < lit(cut).cast("timestamp")),
           Seq("user_id"), Seq("event_type"))
+          .localCheckpoint(true)
         Merge.scd2Upsert(v1,
           ev.filter(col("change_ts") >= lit(cut).cast("timestamp")),
           Seq("user_id"), Seq("event_type"))

@@ -1486,7 +1486,13 @@ object ScaleOpsQueries {
           .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
         val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
           .filter(col("a") < col("b"))
+          // lineage cut on the synthetic edge table: nbrs/deg/joins below
+          // reference `und` many times, and each uncut reference replays the
+          // 5-scan chord construction (measured 72 base scans in the
+          // link-prediction plan before the cut — the trianglePerNode
+          // convention, GraphOps.scala:187)
           .select(col("a"), col("b")).distinct()
+          .localCheckpoint(true)
         val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
         val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1550,7 +1556,13 @@ object ScaleOpsQueries {
           .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
         val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
           .filter(col("a") < col("b"))
+          // lineage cut on the synthetic edge table: nbrs/deg/joins below
+          // reference `und` many times, and each uncut reference replays the
+          // 5-scan chord construction (measured 72 base scans in the
+          // link-prediction plan before the cut — the trianglePerNode
+          // convention, GraphOps.scala:187)
           .select(col("a"), col("b")).distinct()
+          .localCheckpoint(true)
         val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
         val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1613,7 +1625,13 @@ object ScaleOpsQueries {
           .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
         val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
           .filter(col("a") < col("b"))
+          // lineage cut on the synthetic edge table: nbrs/deg/joins below
+          // reference `und` many times, and each uncut reference replays the
+          // 5-scan chord construction (measured 72 base scans in the
+          // link-prediction plan before the cut — the trianglePerNode
+          // convention, GraphOps.scala:187)
           .select(col("a"), col("b")).distinct()
+          .localCheckpoint(true)
         val tri3 = graft.ops.GraphOps.trianglePerNode(nodes, und)
           .agg(sum(col("tri_count")).as("tri_x3"))
         val wedges = und

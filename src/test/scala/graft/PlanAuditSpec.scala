@@ -264,7 +264,15 @@ class PlanAuditSpec extends AnyFunSuite {
     ("privacy_l_diversity", 4, 0, Nil),
     // daily agg + per-type fold agg + output sort: the Holt recurrence
     // itself is a per-row array fold, zero exchanges
-    ("ts_holt_trend", 3, 0, Nil))
+    ("ts_holt_trend", 3, 0, Nil),
+    // round-13: the PCA pair post checkpoint-fix — all corpus-scale work
+    // (dim² outer product) runs inside the eager checkpoints, so the final
+    // plan is bounded 4096/64-row algebra: global aggs + broadcast joins +
+    // the output sort. Ceilings pin the checkpoint discipline: if the
+    // lineage cut is ever dropped, the replayed covariance subtrees blow
+    // straight through these numbers.
+    ("sim_pca_power", 3, 1, Nil),
+    ("sim_anisotropy", 6, 2, Nil))
     // (curate_corpus is not plan-guarded: it materializes its bounded census
     // eagerly so the survivor cache can be released — explain() sees only
     // the final local result)
@@ -568,6 +576,113 @@ class PlanAuditSpec extends AnyFunSuite {
       .filterNot(q => drainBacked.contains(q.name))
       .flatMap(q => bnljOffenders(q.name, q.run(spark, sfDir)))
     assert(offenders.isEmpty, offenders.mkString("\n\n"))
+  }
+
+  // ---- repeated-scan adjudication (closes the r12 blind spot) ----
+  //
+  // The r12 PCA pair shipped green while re-executing its corpus-scale
+  // covariance subtree ~8-20x: Spark shares no common subexpressions across
+  // DataFrame references, so an un-persisted DF referenced N times replays
+  // its WHOLE lineage N times — invisible to shuffle/broadcast ceilings
+  // because each replay is individually well-shaped. This sweep counts how
+  // often each query's physical plan scans the same base relation (parquet
+  // location / DSv2 scan class; LocalTableScan, Range and RDD scans — i.e.
+  // checkpointed lineage — are bounded by construction). Default ceiling 4
+  // (self-join + union shapes sit at 2-4); anything above needs a
+  // per-query entry here saying WHY the passes are the algorithm, not an
+  // un-checkpointed blowup.
+  private val adjudicatedScanCounts: Map[String, (Int, String)] = Map(
+    "sim_recall_report" -> (24,
+      "benchmark report over 7 independent ANN methods — sum-of-methods by " +
+        "design, each method's own plan is scan-bounded; the truth table is " +
+        "collected once (Similarity.scala recallReport rationale)"),
+    "sim_label_noise_fidelity" -> (8,
+      "sampled truth grader: brute-force kNN on 256 anchors AND the bucketed " +
+        "candidate path over the same corpus — two algorithms compared by design"),
+    "ts_autocorr" -> (6,
+      "sample ACF at a fixed lag set — one bounded self-join branch per lag, " +
+        "lag count is the literal parameter, not data-dependent"),
+    "set_ops" -> (6,
+      "UNION/INTERSECT/EXCEPT demonstration — each set-algebra operator " +
+        "scans both operand branches by definition"),
+    "prep_dsir_census" -> (6,
+      "DSIR importance weights: source + target hashed-ngram models plus the " +
+        "scoring pass — three model passes by construction"),
+    "dedup_source_overlap" -> (6,
+      "near-dup source-overlap matrix: LSH pair table + per-source totals " +
+        "joined from both pair ends"),
+    "dedup_prefix_filter" -> (6,
+      "PPJoin: df-ordered prefix index build + candidate verify pass over " +
+        "the token stream — index+verify is the algorithm"),
+    "audit_merkle_diff" -> (6,
+      "two independent Merkle tree builds (left/right snapshot) plus the " +
+        "leaf-level diff — tree-vs-tree comparison by definition"),
+    "sketch_bloom_fpr" -> (5,
+      "Bloom build + measured false-positive rate graded against the exact " +
+        "membership anti-join — sketch vs exact truth by design"),
+    "s4_scd1_upsert" -> (5,
+      "upsert = anti-join + union over current and batch, both derived from " +
+        "the same demo source table"),
+    "s5_scd0_insert_ignore" -> (5,
+      "insert-ignore = anti-join + in-batch dedup over current and batch " +
+        "from the same demo source"),
+    "join_fuzzy_neighbors" -> (5,
+      "FastSS ED1: deletion-variant index built from both join sides plus " +
+        "the verify pass"),
+    "curate_dataset_card" -> (5,
+      "dataset card: independent length/lang/quality/token census sections " +
+        "unioned — one bounded aggregate branch per section"),
+    "agg_key_skew" -> (5,
+      "skew census: per-key counts, count-histogram and global moments are " +
+        "separate aggregate branches over the fact table"))
+
+  private def scanCounts(df: DataFrame): Map[String, Int] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.queryExecution.sparkPlan.collectLeaves().flatMap {
+      case f: FileSourceScanExec =>
+        Some("file:" + f.relation.location.rootPaths.mkString(","))
+      case b: BatchScanExec => Some("dsv2:" + b.scan.getClass.getName)
+      case _ => None // LocalTableScan / Range / RDD scans: bounded lineage
+    }.groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  private def scanOffenders(name: String, df: DataFrame): Seq[String] = {
+    val (ceiling, _) = adjudicatedScanCounts.getOrElse(name, (4, ""))
+    scanCounts(df).collect {
+      case (rel, n) if n > ceiling =>
+        s"$name: physical plan scans $rel $n times (ceiling $ceiling) — " +
+          "an un-persisted DataFrame referenced repeatedly replays its " +
+          "whole lineage per reference; cut it with localCheckpoint(true) " +
+          "or adjudicate the passes with a rationale"
+    }.toSeq
+  }
+
+  test("no registry query re-scans a base relation past its adjudicated ceiling") {
+    val offenders = QueryRegistry.all
+      .filterNot(q => drainBacked.contains(q.name))
+      .flatMap(q => scanOffenders(q.name, q.run(spark, sfDir)))
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+  }
+
+  test("the repeated-scan guard flags un-checkpointed DAG reuse (the r12 PCA shape)") {
+    // deliberate killer shape: an expensive un-persisted aggregate
+    // referenced five times — exactly how sim_anisotropy re-ran its
+    // covariance subtree before the r13 checkpoint fix
+    val agg = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val reused = agg.unionByName(agg).unionByName(agg)
+      .unionByName(agg).unionByName(agg)
+    assert(scanOffenders("negative_fixture", reused).nonEmpty,
+      "five references to an un-checkpointed aggregate must read red")
+    // and the checkpointed form of the SAME shape reads green: the scan
+    // count collapses because LogicalRDD leaves are bounded by construction
+    val cut = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val reusedCut = cut.unionByName(cut).unionByName(cut)
+      .unionByName(cut).unionByName(cut)
+    assert(scanOffenders("negative_fixture", reusedCut).isEmpty,
+      "the localCheckpoint'd form of the same reuse must read green")
   }
 
   test("the BNLJ guard flags a corpus-scale broadcast (the r11 sim_label_noise shape)") {
