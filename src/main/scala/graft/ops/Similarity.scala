@@ -1144,15 +1144,26 @@ object Similarity {
     * algebra after [[covScaled]] is on ≤4096-row tables with 64-row
     * broadcasts; single-row output.
     */
-  def anisotropyCensus(emb: DataFrame): DataFrame = {
-    val e5 = "CAST(100000 AS DECIMAL(38,0))"
-    val covS = covScaled(emb)
+  /** The [[powerTopVec]] direction renormalized to ≤`scale` magnitude —
+    * 10⁵ is the share-census scale (vᵀCv under DECIMAL(38,0), see
+    * [[anisotropyCensus]]); [[abttCensus]] uses 10⁴ for the projection
+    * algebra so the den²-scaled expansion also stays under 10³⁸.
+    * 64 rows (i, w). */
+  private def topDirV6(covS: DataFrame,
+                       scale: String = "100000"): DataFrame = {
+    val e = s"CAST($scale AS DECIMAL(38,0))"
     val v2s = powerTopVec(covS)
-    val v6 = v2s
-      .crossJoin(broadcast(v2s.agg(max(abs(col("v"))).as("mv"))))
+    v2s.crossJoin(broadcast(v2s.agg(max(abs(col("v"))).as("mv"))))
       .select(col("i"),
-        truncDiv("CAST(v AS DECIMAL(38,0))", renormDivisor("CAST(mv AS DECIMAL(38,0))", e5))
+        truncDiv("CAST(v AS DECIMAL(38,0))", renormDivisor("CAST(mv AS DECIMAL(38,0))", e))
           .as("w"))
+  }
+
+  /** Single-row (n_dims, axis_max_share_e4, pc1_share_e4) over a scaled
+    * covariance table and its ≤10⁵ top direction — the Rayleigh-quotient
+    * share kernel shared by [[anisotropyCensus]] (before) and
+    * [[abttCensus]] (after). */
+  private def shareCensus(covS: DataFrame, v6: DataFrame): DataFrame = {
     val wi = v6.select(col("i"), col("w").as("w_i"))
     val wj = v6.select(col("i").as("j"), col("w").as("w_j"))
     // `div` yields LONG, so c and w ride as int64 — every product here must
@@ -1171,6 +1182,90 @@ object Similarity {
       .select(col("n_dims"),
         expr("CAST(10000 * diag_max div tr AS BIGINT)").as("axis_max_share_e4"),
         truncDiv("(10000 * num)", "(den1 * tr)").cast("long").as("pc1_share_e4"))
+  }
+
+  def anisotropyCensus(emb: DataFrame): DataFrame = {
+    val covS = covScaled(emb)
+    shareCensus(covS, topDirV6(covS))
+  }
+
+  /** All-but-the-top correction census (Mu & Viswanath 2018, ICLR —
+    * "All-but-the-Top: Simple and Effective Postprocessing for Word
+    * Representations"): remove the mean and the dominant direction, then
+    * re-measure the anisotropy. The consumer of [[anisotropyCensus]] —
+    * a pc1 share near 1 says cosine contrast is eaten by one rotated
+    * direction; this census reports how much contrast the correction
+    * recovers, BEFORE anyone re-embeds a corpus.
+    *
+    * Scale shape — the whole correction is dim²-bounded algebra, ZERO
+    * additional corpus passes: mean-centering is already inside the
+    * covariance surrogate (C = n·Σxxᵀ − SSᵀ), and projecting the top
+    * direction out of every vector transforms the covariance in closed
+    * form, C' = (I − ŵŵᵀ)·C·(I − ŵŵᵀ) — so the after-census runs on C'
+    * derived from the one checkpointed 4,096-row C, never on re-projected
+    * vectors. (Applying the correction TO vectors at serve time is the
+    * same per-row map the IVF/PQ residual paths already demonstrate.)
+    *
+    * Exactness: all cross-engine-exact integers. C is renormalized to
+    * ≤10¹¹ (covT) and the projection direction to ≤10⁴ (wp — one decade
+    * below the census direction so den = wpᵀwp ≤ 64·10⁸), making the
+    * den²-scaled expansion
+    * den²·C' = den²·C − den·(wpᵢuⱼ + uᵢwpⱼ) + q·wpᵢwpⱼ, with u = C·wp
+    * and q = wpᵀCwp, peak near 4·10³⁰ per term and 10⁴·trC' near 10³⁷ —
+    * under DECIMAL(38,0)/HUGEINT throughout. C' is then renormalized back
+    * to ≤10¹⁸ and fed through the SAME power-iteration + Rayleigh kernel
+    * as the before-census. tr_retained_e4 = 10⁴·trC'/(den²·trCovT) is the
+    * exact variance share the correction keeps
+    * (≈ 10⁴ − pc1_share_before).
+    */
+  def abttCensus(emb: DataFrame): DataFrame = {
+    val e11 = "CAST(100000000000 AS DECIMAL(38,0))"
+    val e18 = "CAST(1000000000000000000 AS DECIMAL(38,0))"
+    val covS = covScaled(emb)
+    val v6 = topDirV6(covS).localCheckpoint(true)
+    val wp = topDirV6(covS, scale = "10000").localCheckpoint(true)
+    val before = shareCensus(covS, v6)
+      .select(col("n_dims"), col("pc1_share_e4").as("pc1_share_before_e4"))
+    val covT = covS.crossJoin(broadcast(covS.agg(max(abs(col("c"))).as("mc"))))
+      .select(col("i"), col("j"),
+        truncDiv("CAST(c AS DECIMAL(38,0))",
+          renormDivisor("CAST(mc AS DECIMAL(38,0))", e11)).as("c"))
+      .localCheckpoint(true)
+    val den = wp.agg(sum(expr(
+      "CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))")).as("den"))
+    val u = covT.join(broadcast(wp.select(col("i").as("j"), col("w"))), Seq("j"))
+      .groupBy(col("i"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))")).as("u"))
+      .localCheckpoint(true)
+    val q = wp.join(u, Seq("i"))
+      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * u")).as("q"))
+    val cp = covT
+      .join(broadcast(wp.select(col("i"), col("w").as("w_i"))), Seq("i"))
+      .join(broadcast(wp.select(col("i").as("j"), col("w").as("w_j"))), Seq("j"))
+      .join(broadcast(u.select(col("i"), col("u").as("u_i"))), Seq("i"))
+      .join(broadcast(u.select(col("i").as("j"), col("u").as("u_j"))), Seq("j"))
+      .crossJoin(broadcast(den)).crossJoin(broadcast(q))
+      .select(col("i"), col("j"),
+        expr("""den * den * CAST(c AS DECIMAL(38,0))
+               - den * (CAST(w_i AS DECIMAL(38,0)) * u_j
+                        + u_i * CAST(w_j AS DECIMAL(38,0)))
+               + q * CAST(w_i AS DECIMAL(38,0)) * CAST(w_j AS DECIMAL(38,0))""")
+          .as("c"))
+      .localCheckpoint(true)
+    val cps = cp.crossJoin(broadcast(cp.agg(max(abs(col("c"))).as("mc"))))
+      .select(col("i"), col("j"),
+        truncDiv("c", renormDivisor("mc", e18)).as("c"))
+      .localCheckpoint(true)
+    val after = shareCensus(cps, topDirV6(cps))
+      .select(col("pc1_share_e4").as("pc1_share_after_e4"),
+        col("axis_max_share_e4").as("axis_max_share_after_e4"))
+    val retained = cp.filter(col("i") === col("j")).agg(sum(col("c")).as("trp"))
+      .crossJoin(broadcast(covT.filter(col("i") === col("j"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0))")).as("trt"))))
+      .crossJoin(broadcast(den))
+      .select(truncDiv("(10000 * trp)", "(den * den * trt)")
+        .cast("long").as("tr_retained_e4"))
+    before.crossJoin(after).crossJoin(retained)
   }
 
   def hardNegatives(emb: DataFrame, numQueries: Int, k: Int,

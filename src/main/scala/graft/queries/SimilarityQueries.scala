@@ -1054,6 +1054,144 @@ object SimilarityQueries {
         "cross-multiplied integers end-to-end — the all-but-the-top " +
         "correction decision readout"),
 
+    // ---- All-but-the-top correction (Mu & Viswanath 2018): the consumer
+    // of sim_anisotropy's readout. Mean + top-direction removal applied as
+    // the CLOSED-FORM covariance transform C' = (I−ŵŵᵀ)C(I−ŵŵᵀ) — zero
+    // additional corpus passes, den²-scaled exact integers (see
+    // Similarity.abttCensus scaladoc for the ≤10³⁷ bound chain) — then the
+    // same power-iteration + Rayleigh kernel re-measures the spectrum:
+    // before/after pc1 share, after axis share, and the exact variance
+    // share the correction retains.
+    GQuery("sim_abtt_correction",
+      (s, dir) => Similarity.abttCensus(Tables.embeddings(s, dir)),
+      Some("""WITH sv AS MATERIALIZED (
+              |  SELECT list_transform(embedding,
+              |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+              |  FROM embeddings),
+              |dims AS MATERIALIZED (SELECT unnest(range(0, 64)) AS i),
+              |sums AS MATERIALIZED (
+              |  SELECT i, CAST(SUM(sv[CAST(i AS INT) + 1]) AS HUGEINT) AS s,
+              |         CAST(count(*) AS HUGEINT) AS n
+              |  FROM sv, dims GROUP BY i),
+              |prods AS MATERIALIZED (
+              |  SELECT di.i AS i, dj.i AS j,
+              |         CAST(SUM(sv[CAST(di.i AS INT) + 1] * sv[CAST(dj.i AS INT) + 1])
+              |              AS HUGEINT) AS pp
+              |  FROM sv, dims di, dims dj GROUP BY di.i, dj.i),
+              |cov AS MATERIALIZED (
+              |  SELECT p.i, p.j, a.n * p.pp - a.s * b.s AS c
+              |  FROM prods p JOIN sums a ON a.i = p.i JOIN sums b ON b.i = p.j),
+              |mc AS MATERIALIZED (SELECT CASE WHEN max(abs(c)) > 1000000000000000000
+              |                   THEN max(abs(c)) // 1000000000000000000
+              |                   ELSE 1 END AS d FROM cov),
+              |covs AS MATERIALIZED (SELECT i, j,
+              |                CASE WHEN c < 0 THEN -((-c) // d) ELSE c // d END AS c
+              |         FROM cov, mc),
+              |v1 AS MATERIALIZED (SELECT i, CAST(SUM(c) AS HUGEINT) AS v FROM covs GROUP BY i),
+              |d1 AS MATERIALIZED (SELECT CASE WHEN max(abs(v)) > 1000000000000000
+              |                   THEN max(abs(v)) // 1000000000000000
+              |                   ELSE 1 END AS d FROM v1),
+              |v1s AS MATERIALIZED (SELECT i AS j,
+              |               CASE WHEN v < 0 THEN -((-v) // d) ELSE v // d END AS w
+              |        FROM v1, d1),
+              |v2 AS MATERIALIZED (SELECT c.i, SUM(CAST(c.c AS HUGEINT) * w.w) AS v
+              |       FROM covs c JOIN v1s w ON w.j = c.j GROUP BY c.i),
+              |d2 AS MATERIALIZED (SELECT CASE WHEN max(abs(v)) > 1000000000000000
+              |                   THEN max(abs(v)) // 1000000000000000
+              |                   ELSE 1 END AS d FROM v2),
+              |v2s AS MATERIALIZED (SELECT i,
+              |               CAST(CASE WHEN v < 0 THEN -((-v) // d) ELSE v // d END
+              |                    AS BIGINT) AS v
+              |        FROM v2, d2),
+              |d6 AS MATERIALIZED (SELECT CASE WHEN max(abs(v)) > 100000
+              |                   THEN max(abs(v)) // 100000 ELSE 1 END AS d FROM v2s),
+              |v6 AS MATERIALIZED (SELECT i,
+              |              CASE WHEN v < 0 THEN -((-CAST(v AS HUGEINT)) // d)
+              |                   ELSE CAST(v AS HUGEINT) // d END AS w
+              |       FROM v2s, d6),
+              |num AS MATERIALIZED (SELECT SUM(wi.w * c.c * wj.w) AS num
+              |        FROM covs c JOIN v6 wi ON wi.i = c.i JOIN v6 wj ON wj.i = c.j),
+              |den1 AS MATERIALIZED (SELECT SUM(w * w) AS den1 FROM v6),
+              |diag AS MATERIALIZED (SELECT SUM(c) AS tr, CAST(count(*) AS BIGINT) AS n_dims
+              |         FROM covs WHERE i = j),
+              |dp AS MATERIALIZED (SELECT CASE WHEN max(abs(v)) > 10000
+              |                   THEN max(abs(v)) // 10000 ELSE 1 END AS d FROM v2s),
+              |wp AS MATERIALIZED (SELECT i,
+              |              CASE WHEN v < 0 THEN -((-CAST(v AS HUGEINT)) // d)
+              |                   ELSE CAST(v AS HUGEINT) // d END AS w
+              |       FROM v2s, dp),
+              |dt AS MATERIALIZED (SELECT CASE WHEN max(abs(c)) > 100000000000
+              |                   THEN max(abs(c)) // 100000000000
+              |                   ELSE 1 END AS d FROM covs),
+              |covt AS MATERIALIZED (SELECT i, j,
+              |                CASE WHEN c < 0 THEN -((-c) // d) ELSE c // d END AS c
+              |         FROM covs, dt),
+              |den AS MATERIALIZED (SELECT SUM(w * w) AS den FROM wp),
+              |u AS MATERIALIZED (SELECT c.i, SUM(c.c * w.w) AS u
+              |      FROM covt c JOIN wp w ON w.i = c.j GROUP BY c.i),
+              |qq AS MATERIALIZED (SELECT SUM(w.w * u.u) AS q FROM wp w JOIN u ON u.i = w.i),
+              |cp AS MATERIALIZED (SELECT c.i, c.j,
+              |              den.den * den.den * c.c
+              |              - den.den * (wi.w * uj.u + ui.u * wj.w)
+              |              + qq.q * wi.w * wj.w AS c
+              |       FROM covt c
+              |       JOIN wp wi ON wi.i = c.i JOIN wp wj ON wj.i = c.j
+              |       JOIN u ui ON ui.i = c.i JOIN u uj ON uj.i = c.j, den, qq),
+              |mcp AS MATERIALIZED (SELECT CASE WHEN max(abs(c)) > 1000000000000000000
+              |                    THEN max(abs(c)) // 1000000000000000000
+              |                    ELSE 1 END AS d FROM cp),
+              |cps AS MATERIALIZED (SELECT i, j,
+              |               CASE WHEN c < 0 THEN -((-c) // d) ELSE c // d END AS c
+              |        FROM cp, mcp),
+              |v1b AS MATERIALIZED (SELECT i, CAST(SUM(c) AS HUGEINT) AS v FROM cps GROUP BY i),
+              |d1b AS MATERIALIZED (SELECT CASE WHEN max(abs(v)) > 1000000000000000
+              |                    THEN max(abs(v)) // 1000000000000000
+              |                    ELSE 1 END AS d FROM v1b),
+              |v1bs AS MATERIALIZED (SELECT i AS j,
+              |                CASE WHEN v < 0 THEN -((-v) // d) ELSE v // d END AS w
+              |         FROM v1b, d1b),
+              |v2b AS MATERIALIZED (SELECT c.i, SUM(CAST(c.c AS HUGEINT) * w.w) AS v
+              |        FROM cps c JOIN v1bs w ON w.j = c.j GROUP BY c.i),
+              |d2b AS MATERIALIZED (SELECT CASE WHEN max(abs(v)) > 1000000000000000
+              |                    THEN max(abs(v)) // 1000000000000000
+              |                    ELSE 1 END AS d FROM v2b),
+              |v2bs AS MATERIALIZED (SELECT i,
+              |                CAST(CASE WHEN v < 0 THEN -((-v) // d) ELSE v // d END
+              |                     AS BIGINT) AS v
+              |         FROM v2b, d2b),
+              |d6b AS MATERIALIZED (SELECT CASE WHEN max(abs(v)) > 100000
+              |                    THEN max(abs(v)) // 100000 ELSE 1 END AS d FROM v2bs),
+              |v6b AS MATERIALIZED (SELECT i,
+              |               CASE WHEN v < 0 THEN -((-CAST(v AS HUGEINT)) // d)
+              |                    ELSE CAST(v AS HUGEINT) // d END AS w
+              |        FROM v2bs, d6b),
+              |numb AS MATERIALIZED (SELECT SUM(wi.w * c.c * wj.w) AS num
+              |         FROM cps c JOIN v6b wi ON wi.i = c.i JOIN v6b wj ON wj.i = c.j),
+              |den1b AS MATERIALIZED (SELECT SUM(w * w) AS den1 FROM v6b),
+              |diagb AS MATERIALIZED (SELECT SUM(c) AS tr, max(c) AS diag_max FROM cps WHERE i = j),
+              |ret AS MATERIALIZED (SELECT SUM(c) AS trp FROM cp WHERE i = j),
+              |rett AS MATERIALIZED (SELECT SUM(c) AS trt FROM covt WHERE i = j)
+              |SELECT diag.n_dims,
+              |       CAST(CASE WHEN num.num < 0
+              |                 THEN -((-(10000 * num.num)) // (den1.den1 * diag.tr))
+              |                 ELSE (10000 * num.num) // (den1.den1 * diag.tr) END
+              |            AS BIGINT) AS pc1_share_before_e4,
+              |       CAST(CASE WHEN numb.num < 0
+              |                 THEN -((-(10000 * numb.num)) // (den1b.den1 * diagb.tr))
+              |                 ELSE (10000 * numb.num) // (den1b.den1 * diagb.tr) END
+              |            AS BIGINT) AS pc1_share_after_e4,
+              |       CAST(10000 * diagb.diag_max // diagb.tr AS BIGINT)
+              |         AS axis_max_share_after_e4,
+              |       CAST(CASE WHEN ret.trp < 0
+              |                 THEN -((-(10000 * ret.trp)) // (den.den * den.den * rett.trt))
+              |                 ELSE (10000 * ret.trp) // (den.den * den.den * rett.trt) END
+              |            AS BIGINT) AS tr_retained_e4
+              |FROM num, den1, diag, numb, den1b, diagb, ret, rett, den""".stripMargin),
+      doc = "all-but-the-top correction (Mu & Viswanath 2018): top direction " +
+        "projected out of the covariance in closed form (zero extra corpus " +
+        "passes), spectrum re-measured — before/after pc1 share, after axis " +
+        "share, exact retained-variance share"),
+
     // Per-class centroids + inter-class separation matrix — the
     // embedding-space health readout a labeled corpus ships with: classes
     // whose centroids sit at high cosine are confusable (the macro
