@@ -510,4 +510,189 @@ object Curate {
     censusOfIndex(
       if (indexCommitted) index.read(spark, indexSchema) else newIdx)
   }
+
+  /** Pair-table schema of [[releaseIncremental]]'s persisted near-dup
+    * edges. */
+  val pairSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_a", LongType),
+      StructField("doc_b", LongType)))
+  }
+
+  /** Incremental corpus RE-RELEASE — the delta-sized sibling of
+    * [[releaseCorpus]]: a new batch re-releases against persisted state
+    * instead of recomputing the chain from scratch, and the output funnel
+    * is provably EQUAL to the single-shot release over the union of all
+    * batches (the `curate_release_incremental` oracle).
+    *
+    * Release chain (each stage the incremental form of a proven
+    * component): exact dedup (min-id per md5, [[curateCorpusIncremental]]
+    * arbitration) → per-doc quality gate (index column) → near-dup
+    * CLUSTER-aware train split (near-dups kept, whole families routed by
+    * cluster hash — the `dedup_aware_split` rule) → temperature mixture
+    * ([[graft.ops.TrainPrep.temperatureMixture]] thresholds) → funnel +
+    * per-shard manifest.
+    *
+    * Persisted state (three [[graft.stages.MergeTable]]s):
+    *   - `archive`: every canonical survivor's text — text rows move only
+    *     for the batch and exact-dedup evictions (delta-sized);
+    *   - `index`: the narrow per-doc feature row ([[indexSchema]]) — md5
+    *     arbitration, band joins, quality gate, mixture counts and the
+    *     manifest all answer from it, never from archived text;
+    *   - `pairTable`: verified near-dup pairs. Kept as PAIRS, not star
+    *     edges: exact-dedup eviction DELETES nodes, and star contraction
+    *     cannot un-merge a component whose connecting doc disappeared —
+    *     pairs touching an evicted doc are dropped and connectivity
+    *     re-derives correctly. CC re-runs per release over this table,
+    *     which is near-dup-pair-sized (orders below corpus), the same
+    *     contraction bound as `dedup_components_incremental`.
+    *
+    * Per-run cost: ONE text scan (the batch, via [[curationIndexOf]]);
+    * band joins are batch×batch ∪ batch×index (never table×table — the
+    * persisted pairs already hold those); split/mixture/manifest are
+    * narrow-column aggregates. Mixture thresholds are corpus-global by
+    * definition (per-lang counts move with every batch), so they are
+    * recomputed — from an index aggregate, not a text pass.
+    *
+    * Idempotent replay: a batch REPLACES same-id rows in all three tables
+    * (anti-join first), so re-running the same batch converges to the
+    * same committed state and funnel (`ReleaseIncrementalSpec`).
+    */
+  def releaseIncremental(batch: DataFrame,
+                         archive: graft.stages.MergeTable,
+                         index: graft.stages.MergeTable,
+                         pairTable: graft.stages.MergeTable,
+                         budget: Long = 300L,
+                         tau: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val tIdx = index.read(spark, indexSchema)
+    val tPairs = pairTable.read(spark, pairSchema)
+    val tArch = archive.read(spark, batch.schema)
+
+    // batch replaces same-id rows everywhere (replay idempotence)
+    val batchIds = batch.select(col("doc_id"))
+    val tPrevIdx = tIdx.join(batchIds, Seq("doc_id"), "left_anti")
+    val tPrevPairs = tPairs
+      .join(batchIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(batchIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+
+    // the run's ONE text scan (scratch boundary, the
+    // curateCorpusIncremental convention)
+    val bIdxDir = graft.stages.TempDirs.scratch("graft_rel_bidx_")
+    curationIndexOf(batch).write.mode("overwrite").parquet(bIdxDir)
+    val bIdx = spark.read.parquet(bIdxDir)
+
+    // exact dedup: batch-internal min-id per md5, then index arbitration
+    val bCanon = bIdx.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("text_md5")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn")
+    val tMd5 = tPrevIdx.select(col("doc_id").as("t_id"), col("text_md5"))
+    val arb = bCanon.join(tMd5, Seq("text_md5"), "left")
+    val bUnique = arb.filter(col("t_id").isNull || col("doc_id") < col("t_id"))
+      .drop("t_id")
+    val tEvicted = arb.filter(col("t_id").isNotNull && col("doc_id") < col("t_id"))
+      .select(col("t_id").as("doc_id"))
+    val tKept = tPrevIdx.join(tEvicted, Seq("doc_id"), "left_anti")
+
+    // new near-dup pairs among quality canon docs: batch×batch ∪
+    // batch×kept-index (table×table pairs live in the persisted table)
+    val bQ = bUnique.filter(col("is_quality") && col("sig").isNotNull)
+    val tQ = tKept.filter(col("is_quality") && col("sig").isNotNull)
+    val bBands = Dedup.bandRowsOf(bQ)
+    val tBands = Dedup.bandRowsOf(tQ)
+    val bb = bBands.as("a").join(bBands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val bt = bBands.as("a").join(tBands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val hbaseAll = bQ.select(col("doc_id"), col("hbase"))
+      .unionByName(tQ.select(col("doc_id"), col("hbase")))
+    val newPairs = Dedup.verifyJaccard(bb.unionByName(bt).distinct(), hbaseAll, tau)
+      .select(col("doc_a"), col("doc_b"))
+
+    // pair state: prior pairs minus those touching evicted docs, plus the
+    // batch's verified pairs — then a scratch boundary (the CC below and
+    // the commit both read it)
+    val pairsPrev = tPrevPairs
+      .join(tEvicted.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(tEvicted.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+    val pairsDir = graft.stages.TempDirs.scratch("graft_rel_pairs_")
+    pairsPrev.unionByName(newPairs).write.mode("overwrite").parquet(pairsDir)
+    val allPairs = spark.read.parquet(pairsDir)
+
+    // index state (scratch boundary: funnel, split, mixture, manifest and
+    // the commit all read it)
+    val idxCols = indexSchema.fieldNames.map(col).toSeq
+    val newIdxDir = graft.stages.TempDirs.scratch("graft_rel_nidx_")
+    tKept.select(idxCols: _*).unionByName(bUnique.select(idxCols: _*))
+      .write.mode("overwrite").parquet(newIdxDir)
+    val newIdx = spark.read.parquet(newIdxDir)
+
+    // cluster-aware split over the pair table (bounded CC input)
+    val comp = Dedup.connectedComponentsStar(allPairs)
+    val qualIdx = newIdx.filter(col("is_quality"))
+    val train = qualIdx.join(comp, qualIdx("doc_id") === comp("node"), "left")
+      .select(qualIdx("doc_id").as("doc_id"), col("text_md5"), col("n_tokens"),
+        col("labeled_lang"),
+        coalesce(col("comp"), qualIdx("doc_id")).as("cluster"))
+      .filter(expr(
+        "CAST(conv(substring(md5(CAST(cluster AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100") >= 10)
+      .localCheckpoint(true) // referenced by mixture counts AND the filter
+
+    // corpus-global mixture thresholds from the narrow train index
+    val mix = graft.ops.TrainPrep.temperatureMixture(
+        train.select(col("labeled_lang").as("lang")), budget)
+      .select(col("lang").as("_mix_lang"),
+        expr("10000 * n_budgeted div n_docs").as("threshold"))
+    val released = train.join(broadcast(mix),
+        col("labeled_lang") <=> col("_mix_lang"))
+      .filter(expr(
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10000")
+        < col("threshold"))
+      .select(col("doc_id"), col("text_md5"), col("n_tokens"), col("labeled_lang"))
+      .localCheckpoint(true) // funnel row + manifest + count all read it
+
+    // commit all three tables (lockstep-replace; the CAS retry protocol is
+    // curateCorpusIncremental's — a release run is the only writer here)
+    val survivorIds = newIdx.select(col("doc_id"))
+    archive.replace(
+      tArch.join(batchIds, Seq("doc_id"), "left_anti")
+        .join(survivorIds, Seq("doc_id"), "left_semi")
+        .unionByName(batch.join(survivorIds, Seq("doc_id"), "left_semi")))
+    index.replace(newIdx)
+    pairTable.replace(allPairs)
+
+    // funnel + manifest, every aggregate over narrow index columns — no
+    // text outside the batch scan above
+    val chk = expr(
+      "bit_xor(CAST(conv(substring(md5(concat_ws('|', doc_id, text_md5)), 1, 15), 16, 10) AS BIGINT))")
+    def stageRow(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"), chk.as("checksum"))
+        .select(lit(stage).as("stage"), lit(0).cast("int").as("shard"),
+          col("n_docs"), col("total_tokens"), col("checksum"))
+    val manifest = released
+      .withColumn("shard", (col("doc_id") % 16).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"), chk.as("checksum"))
+      .select(lit("5_shard").as("stage"), col("shard"), col("n_docs"),
+        col("total_tokens"), col("checksum"))
+    val report = stageRow("1_exact", newIdx)
+      .unionByName(stageRow("2_quality", qualIdx))
+      .unionByName(stageRow("3_train", train))
+      .unionByName(stageRow("4_mixture", released))
+      .unionByName(manifest)
+    // bounded output (4 + ≤16 rows): collect and release lineage, the
+    // releaseCorpus convention
+    val rows = report.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), report.schema)
+  }
 }

@@ -248,6 +248,129 @@ object ReleaseQueries {
         "-> quality+repetition gate -> near-dup-aware train split -> " +
         "temperature mixture -> durable MergeTable commit -> shard manifest " +
         "served from the table; funnel census + manifest, every stage " +
-        "replayed by the composed oracle")
+        "replayed by the composed oracle"),
+
+    // ---- Incremental re-release: two half-corpus batches through
+    // Curate.releaseIncremental against the SAME persisted archive/index/
+    // pair tables; the oracle is the single-shot from-scratch chain over
+    // the full corpus — green means batch-split transparency of the whole
+    // release (exact dedup arbitration, cross-batch near-dup pairs,
+    // cluster-aware split, recomputed global mixture, manifest).
+    GQuery("curate_release_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val archive = graft.stages.MergeTable.scratch(Seq("doc_id"))
+        val index = graft.stages.MergeTable.scratch(Seq("doc_id"))
+        val pairs = graft.stages.MergeTable.scratch(Seq("doc_a", "doc_b"))
+        graft.ops.Curate.releaseIncremental(
+          docs.filter(col("doc_id") % 2 === 0), archive, index, pairs)
+        graft.ops.Curate.releaseIncremental(
+          docs.filter(col("doc_id") % 2 === 1), archive, index, pairs)
+          .orderBy(col("stage"), col("shard"))
+      },
+      Some(releaseIncrementalSql),
+      doc = "incremental corpus re-release: per-batch text scan + persisted " +
+        "archive/index/pair tables converge to the from-scratch release " +
+        "funnel + shard manifest (shared single-shot oracle)")
   )
+
+  /** From-scratch oracle of the incremental release: exact dedup →
+    * quality gate → near-dup clusters (LSH + verify + recursive closure)
+    * → cluster-hash train split → temperature mixture → funnel + shard
+    * manifest, over the FULL documents table in one shot. CTEs
+    * MATERIALIZED (each stage referenced repeatedly).
+    */
+  private lazy val releaseIncrementalSql: String = {
+    val n = Dedup.defaultShingle
+    val hbase =
+      s"""list_distinct(list_transform(range(0, len(string_split(text, ' ')) - $n + 1),
+         |  i -> CAST('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '), i + 1, i + $n), ' ')), 1, 15) AS BIGINT) % $P))""".stripMargin
+    val sig =
+      s"""list_transform(range(0, ${Dedup.numHashes}),
+         |  i -> list_min(list_transform(hbase,
+         |    h -> ((1103515245 * (i + 1)) % $P * h + 12345 + 769 * i) % $P)))""".stripMargin
+    val chk = "bit_xor(CAST('0x' || substr(md5(doc_id || '|' || text_md5), 1, 15) AS BIGINT))"
+    def funnel(stage: String, src: String): String =
+      s"""SELECT '$stage' AS stage, CAST(0 AS INT) AS shard,
+         |       count(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       $chk AS checksum
+         |FROM $src""".stripMargin
+    s"""WITH RECURSIVE base AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text, d.lang, md5(d.text) AS text_md5,
+       |         len(string_split(d.text, ' ')) AS n_tokens
+       |  FROM documents d
+       |  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) c
+       |    USING (doc_id)),
+       |qual AS MATERIALIZED (
+       |  SELECT * FROM base
+       |  WHERE n_tokens >= 20
+       |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |          / n_tokens >= 0.3
+       |    AND CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens
+       |          BETWEEN 2.0 AND 12.0),
+       |shq AS MATERIALIZED (
+       |  SELECT doc_id, $hbase AS hbase
+       |  FROM qual WHERE len(string_split(text, ' ')) >= $n),
+       |sigsq AS MATERIALIZED (SELECT doc_id, hbase, $sig AS sig FROM shq),
+       |bandq AS MATERIALIZED (
+       |  SELECT doc_id, b.band,
+       |         array_to_string(list_transform(
+       |           list_slice(sig, b.band * ${Dedup.rowsPerBand} + 1,
+       |                      b.band * ${Dedup.rowsPerBand} + ${Dedup.rowsPerBand}),
+       |           x -> CAST(x AS VARCHAR)), ',') AS band_key
+       |  FROM sigsq, (SELECT unnest(range(0, ${Dedup.bands})) AS band) b),
+       |candq AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandq a JOIN bandq b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |pairsq AS MATERIALIZED (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM candq c
+       |  JOIN shq sa ON sa.doc_id = c.doc_a
+       |  JOIN shq sb ON sb.doc_id = c.doc_b
+       |  WHERE CAST(len(list_intersect(sa.hbase, sb.hbase)) AS DOUBLE)
+       |          / (len(sa.hbase) + len(sb.hbase)
+       |             - len(list_intersect(sa.hbase, sb.hbase))) >= 0.5),
+       |edgesq AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairsq
+       |  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairsq),
+       |reachq(node, r) AS (
+       |  SELECT DISTINCT a, a FROM edgesq
+       |  UNION
+       |  SELECT e.a, reachq.r FROM edgesq e JOIN reachq ON reachq.node = e.b),
+       |compq AS (SELECT node, min(r) AS comp FROM reachq GROUP BY node),
+       |trainf AS MATERIALIZED (
+       |  SELECT doc_id, text_md5, n_tokens, lang FROM (
+       |    SELECT q.doc_id, q.text_md5, q.n_tokens, q.lang,
+       |           COALESCE(p.comp, q.doc_id) AS cluster
+       |    FROM qual q LEFT JOIN compq p ON p.node = q.doc_id)
+       |  WHERE CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4) AS BIGINT)
+       |          % 100 >= 10),
+       |mc AS (SELECT lang, count(*) AS n_docs FROM trainf GROUP BY lang),
+       |mw AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS weight FROM mc),
+       |mt AS (SELECT list_sum(list(weight ORDER BY lang NULLS FIRST)) AS w_total
+       |       FROM mw),
+       |mix AS (
+       |  SELECT lang,
+       |         10000 * CAST(floor(weight / w_total * $budget) AS BIGINT)
+       |           // n_docs AS threshold
+       |  FROM mw, mt),
+       |rel AS MATERIALIZED (
+       |  SELECT t.doc_id, t.text_md5, t.n_tokens, t.lang
+       |  FROM trainf t JOIN mix ON mix.lang IS NOT DISTINCT FROM t.lang
+       |  WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |             AS BIGINT) % 10000 < mix.threshold)
+       |${funnel("1_exact", "base")}
+       |UNION ALL ${funnel("2_quality", "qual")}
+       |UNION ALL ${funnel("3_train", "trainf")}
+       |UNION ALL ${funnel("4_mixture", "rel")}
+       |UNION ALL
+       |SELECT '5_shard' AS stage, CAST(doc_id % 16 AS INT) AS shard,
+       |       count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |       $chk AS checksum
+       |FROM rel GROUP BY 2
+       |ORDER BY stage, shard""".stripMargin
+  }
 }

@@ -252,4 +252,36 @@ class CurateSpec extends AnyFunSuite {
     assert(second == first, "replay must converge to the identical report")
     assert(table.currentVersion.contains("v1"), "replay commits a new version, same content")
   }
+
+  test("incremental release: batch replay is idempotent and equals the one-batch release") {
+    import org.apache.spark.sql.functions.col
+    def reportRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("stage", "shard").collect()
+        .map(r => (r.getAs[String]("stage"), r.getAs[Int]("shard"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("checksum"))).toSeq
+    def tables() = (MergeTable.scratch(Seq("doc_id")),
+      MergeTable.scratch(Seq("doc_id")), MergeTable.scratch(Seq("doc_a", "doc_b")))
+
+    // two batches, then the SECOND batch replayed: the funnel and all
+    // three committed tables must converge to the pre-replay state
+    val (arch, idx, prs) = tables()
+    Curate.releaseIncremental(docs.filter(col("doc_id") % 2 === 0), arch, idx, prs)
+    val afterTwo = reportRows(
+      Curate.releaseIncremental(docs.filter(col("doc_id") % 2 === 1), arch, idx, prs))
+    val replay = reportRows(
+      Curate.releaseIncremental(docs.filter(col("doc_id") % 2 === 1), arch, idx, prs))
+    assert(replay == afterTwo, "batch replay must reproduce the identical funnel")
+    // and the whole incremental chain equals the single-batch from-scratch run
+    val (a2, i2, p2) = tables()
+    val oneShot = reportRows(Curate.releaseIncremental(docs, a2, i2, p2))
+    assert(afterTwo == oneShot,
+      "two-batch incremental release must equal the one-batch release")
+    // archive convergence: same survivor ids both ways
+    val incrIds = arch.read(spark, docs.schema)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val oneIds = a2.read(spark, docs.schema)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(incrIds == oneIds, "archive tables must hold the same canonical ids")
+  }
 }
