@@ -304,4 +304,70 @@ object Multimodal {
       (r.doc_id, outH, outW, sum, mn, mx)
     }.toDF("doc_id", "out_h", "out_w", "px_sum", "px_min", "px_max")
   }
+
+  /** Perceptual-hash near-dup pairs (the pHash shape with the exact-integer
+    * Walsh-Hadamard transform — see `mm_phash_neardup`): banded Hamming
+    * candidate join (4 bands × 16 bits; Hamming ≤ 3 pigeonholes into one
+    * untouched band) + exact popcount verify. Returns (doc_a, doc_b,
+    * hamming). Shared by the pair census, the cluster resolution and the
+    * cross-modal census.
+    */
+  def phashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sig = docs
+      .withColumn("sig", expr("graft_wht_sign_hash(text)"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"))
+    val bands = sig
+      .withColumn("b", explode(expr("sequence(0, 3)")))
+      .withColumn("v", expr("shiftright(sig, CAST(b * 16 AS INT)) & 65535"))
+    bands.as("a")
+      .join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.sig").as("sa"),
+        col("c.doc_id").as("doc_b"), col("c.sig").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Audio-fingerprint near-dup pairs (the Shazam constellation shape —
+    * see `mm_audio_fingerprint`): frame-energy peak constellation hashed
+    * as consecutive-peak pairs, df-capped (≤20) inverted index, pairs with
+    * ≥2 shared hashes. Returns (doc_a, doc_b, n_shared). */
+  def audioFingerprintPairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = docs
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1),
+          |  i -> aggregate(
+          |         transform(sequence(1, least(4, length(text) - i * 64)),
+          |                   k -> ascii(substring(text, i * 64 + k, 1))),
+          |         0, (acc, x) -> acc + x))""".stripMargin))
+        .as(Seq("frame_no", "energy")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val peaks = fr
+      .withColumn("prev", lag(col("energy"), 1).over(wd))
+      .withColumn("next", lead(col("energy"), 1).over(wd))
+      .filter(col("prev").isNotNull && col("next").isNotNull &&
+        col("energy") > col("prev") && col("energy") >= col("next"))
+      .select(col("doc_id"), col("frame_no"), col("energy"))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val fp = peaks
+      .withColumn("e2", lead(col("energy"), 1).over(wp))
+      .withColumn("f2", lead(col("frame_no"), 1).over(wp))
+      .filter(col("e2").isNotNull)
+      .select(col("doc_id"), (col("energy") * 102000 + col("e2") * 100 +
+        least(col("f2") - col("frame_no"), lit(99))).as("h"))
+      .distinct()
+    val df = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val rare = fp.join(df.filter(col("df") <= 20), Seq("h"))
+    rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
 }

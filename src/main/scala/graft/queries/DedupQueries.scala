@@ -80,7 +80,7 @@ object DedupQueries {
       SELECT comp AS canonical_doc, count(*) AS n_docs
       FROM comp GROUP BY 1 ORDER BY 1"""
 
-  private val minhashPairsSql: String =
+  private[queries] val minhashPairsSql: String =
     s"""WITH ${shCte(Dedup.defaultShingle)},
             sigs AS (SELECT doc_id, hbase, $sigSql AS sig FROM sh),
             bandrows AS (

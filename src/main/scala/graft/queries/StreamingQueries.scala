@@ -773,32 +773,11 @@ object StreamingQueries {
     // first 64 bytes (the mm_* codec convention; swapping in a real
     // decoder changes zero plan shape).
     GQuery("mm_phash_neardup",
-      (s, dir) => {
-        graft.functions.GraftFunctions.register(s)
-        // fused native kernel: the layered px/hh/sig HOF formulation is
-        // O(64^4) per row after CollapseProject inlines the projections
-        // (see functions.WhtSignHash) — the kernel is one O(64^2) pass
-        val sig = Tables.documents(s, dir)
-          .withColumn("sig", expr("graft_wht_sign_hash(text)"))
-          .filter(col("sig").isNotNull)
-          .select(col("doc_id"), col("sig"))
-        val bands = sig
-          .withColumn("b", explode(expr("sequence(0, 3)")))
-          .withColumn("v", expr("shiftright(sig, CAST(b * 16 AS INT)) & 65535"))
-        val cand = bands.as("a")
-          .join(bands.as("c"),
-            col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
-              col("a.doc_id") < col("c.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("a.sig").as("sa"),
-            col("c.doc_id").as("doc_b"), col("c.sig").as("sb"))
-          .distinct()
-        cand
-          .withColumn("hamming",
-            expr("CAST(bit_count(sa ^ sb) AS INT)"))
-          .filter(col("hamming") <= 3)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      // fused native kernel: the layered px/hh/sig HOF formulation is
+      // O(64^4) per row after CollapseProject inlines the projections
+      // (see functions.WhtSignHash) — the kernel is one O(64^2) pass
+      (s, dir) => graft.ops.Multimodal.phashPairs(s, Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b")),
       Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
               px AS (SELECT doc_id,
                             list_transform(range(0, 64),
@@ -839,40 +818,8 @@ object StreamingQueries {
     // algebra). df-capped hash index (≤20): boilerplate fingerprints
     // never fan out — the bounded-df inverted-index discipline.
     GQuery("mm_audio_fingerprint",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val fr = Tables.documents(s, dir)
-          .select(col("doc_id"), posexplode(expr(
-            """transform(sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1),
-              |  i -> aggregate(
-              |         transform(sequence(1, least(4, length(text) - i * 64)),
-              |                   k -> ascii(substring(text, i * 64 + k, 1))),
-              |         0, (acc, x) -> acc + x))""".stripMargin))
-            .as(Seq("frame_no", "energy")))
-        val wd = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
-        val peaks = fr
-          .withColumn("prev", lag(col("energy"), 1).over(wd))
-          .withColumn("next", lead(col("energy"), 1).over(wd))
-          .filter(col("prev").isNotNull && col("next").isNotNull &&
-            col("energy") > col("prev") && col("energy") >= col("next"))
-          .select(col("doc_id"), col("frame_no"), col("energy"))
-        val wp = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
-        val fp = peaks
-          .withColumn("e2", lead(col("energy"), 1).over(wp))
-          .withColumn("f2", lead(col("frame_no"), 1).over(wp))
-          .filter(col("e2").isNotNull)
-          .select(col("doc_id"), (col("energy") * 102000 + col("e2") * 100 +
-            least(col("f2") - col("frame_no"), lit(99))).as("h"))
-          .distinct()
-        val df = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        val rare = fp.join(df.filter(col("df") <= 20), Seq("h"))
-        rare.as("a").join(rare.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 2)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, dir) => graft.ops.Multimodal.audioFingerprintPairs(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b")),
       Some("""WITH fr AS (
                 SELECT doc_id, i.i AS frame_no,
                        list_sum(list_transform(
@@ -913,29 +860,12 @@ object StreamingQueries {
     // representative per visual family). Same pair generation, then the
     // O(log n)-round star CC; oracle = the pair SQL + recursive closure.
     GQuery("mm_phash_clusters",
-      (s, dir) => {
-        graft.functions.GraftFunctions.register(s)
-        val sig = Tables.documents(s, dir)
-          .withColumn("sig", expr("graft_wht_sign_hash(text)"))
-          .filter(col("sig").isNotNull)
-          .select(col("doc_id"), col("sig"))
-        val bands = sig
-          .withColumn("b", explode(expr("sequence(0, 3)")))
-          .withColumn("v", expr("shiftright(sig, CAST(b * 16 AS INT)) & 65535"))
-        val pairs = bands.as("a")
-          .join(bands.as("c"),
-            col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
-              col("a.doc_id") < col("c.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("a.sig").as("sa"),
-            col("c.doc_id").as("doc_b"), col("c.sig").as("sb"))
-          .distinct()
-          .filter(expr("bit_count(sa ^ sb) <= 3"))
-          .select(col("doc_a"), col("doc_b"))
-        graft.ops.Dedup.connectedComponentsStar(pairs)
-          .groupBy(col("comp").as("canonical_doc"))
-          .agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("canonical_doc"))
-      },
+      (s, dir) => graft.ops.Dedup.connectedComponentsStar(
+          graft.ops.Multimodal.phashPairs(s, Tables.documents(s, dir))
+            .select(col("doc_a"), col("doc_b")))
+        .groupBy(col("comp").as("canonical_doc"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("canonical_doc")),
       Some("""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
               px AS (SELECT doc_id,
                             list_transform(range(0, 64),
@@ -972,6 +902,113 @@ object StreamingQueries {
               FROM comp GROUP BY 1 ORDER BY 1"""),
       doc = "pHash near-dup clusters: banded Hamming pairs resolved to " +
         "transitive visual families via star CC == recursive-closure oracle"),
+
+    // ---- Cross-modal near-dup census: the three modality pair tables
+    // (text MinHash, image pHash, audio constellation) joined into one
+    // per-pair modality profile, then the combination census — the
+    // multimodal-corpus QA readout: a pair near-dup in TEXT but not in
+    // image/audio is a re-captioned asset; near-dup in image/audio but not
+    // text is a re-texted one. Bounded: every input is an existing
+    // near-dup pair table (orders below corpus), the union groups by pair
+    // key, and the census output is ≤7 combination rows with a
+    // deterministic lexicographic example pair each.
+    GQuery("mm_crossmodal_neardup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tp = graft.ops.Dedup.minhashLshPairs(docs)
+          .select(col("doc_a"), col("doc_b"),
+            lit(1).as("t"), lit(0).as("im"), lit(0).as("au"))
+        val ip = graft.ops.Multimodal.phashPairs(s, docs)
+          .select(col("doc_a"), col("doc_b"),
+            lit(0).as("t"), lit(1).as("im"), lit(0).as("au"))
+        val ap = graft.ops.Multimodal.audioFingerprintPairs(docs)
+          .select(col("doc_a"), col("doc_b"),
+            lit(0).as("t"), lit(0).as("im"), lit(1).as("au"))
+        tp.unionByName(ip).unionByName(ap)
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(col("t")).as("in_text"), max(col("im")).as("in_image"),
+            max(col("au")).as("in_audio"))
+          .groupBy(col("in_text"), col("in_image"), col("in_audio"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(struct(col("doc_a"), col("doc_b"))).as("_m"))
+          .select(col("in_text"), col("in_image"), col("in_audio"),
+            col("n_pairs"), col("_m.doc_a").as("example_a"),
+            col("_m.doc_b").as("example_b"))
+          .orderBy(col("in_text"), col("in_image"), col("in_audio"))
+      },
+      Some(s"""WITH tp AS MATERIALIZED (
+              |  SELECT doc_a, doc_b FROM (${DedupQueries.minhashPairsSql}) tt),
+              |d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+              |px AS (SELECT doc_id,
+              |              list_transform(range(0, 64),
+              |                j -> CAST(ascii(substr(text, CAST(j AS INT) + 1, 1)) AS BIGINT)) AS px
+              |       FROM d),
+              |wht AS (SELECT doc_id,
+              |               list_transform(range(0, 64), i ->
+              |                 list_sum(list_transform(range(0, 64), j ->
+              |                   CASE WHEN bit_count(CAST(i AS BIGINT) & j) % 2 = 0
+              |                        THEN px[CAST(j AS INT) + 1]
+              |                        ELSE -px[CAST(j AS INT) + 1] END))) AS hh
+              |        FROM px),
+              |sig AS (SELECT doc_id,
+              |               CAST(list_sum(list_transform(range(1, 64), i ->
+              |                 CASE WHEN hh[CAST(i AS INT) + 1] > 0
+              |                      THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+              |                      ELSE 0 END)) AS BIGINT) AS sig
+              |        FROM wht),
+              |bv AS (SELECT doc_id, sig, b, (sig >> CAST(b * 16 AS INT)) & 65535 AS v
+              |       FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS b FROM sig)),
+              |ip AS MATERIALIZED (
+              |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+              |  FROM bv a JOIN bv c
+              |    ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+              |  WHERE bit_count(xor(a.sig, c.sig)) <= 3),
+              |fr AS (
+              |  SELECT doc_id, i.i AS frame_no,
+              |         list_sum(list_transform(
+              |           range(1, least(4, length(text) - i.i * 64) + 1),
+              |           k -> ascii(substr(text, CAST(i.i * 64 + k AS INT), 1)))) AS energy
+              |  FROM documents,
+              |       (SELECT unnest(range(0, 100)) AS i) i
+              |  WHERE i.i < CAST(ceil(length(text) / 64.0) AS BIGINT)),
+              |pk AS (
+              |  SELECT doc_id, frame_no, energy FROM (
+              |    SELECT doc_id, frame_no, energy,
+              |           lag(energy) OVER w AS prev, lead(energy) OVER w AS next
+              |    FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no))
+              |  WHERE prev IS NOT NULL AND next IS NOT NULL
+              |    AND energy > prev AND energy >= next),
+              |fp AS (
+              |  SELECT DISTINCT doc_id,
+              |         energy * 102000 + e2 * 100 + least(f2 - frame_no, 99) AS h
+              |  FROM (
+              |    SELECT doc_id, frame_no, energy,
+              |           lead(energy) OVER w AS e2, lead(frame_no) OVER w AS f2
+              |    FROM pk WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no))
+              |  WHERE e2 IS NOT NULL),
+              |rare AS (
+              |  SELECT fp.doc_id, fp.h FROM fp
+              |  JOIN (SELECT h, count(*) AS df FROM fp GROUP BY h) dd
+              |    ON dd.h = fp.h AND dd.df <= 20),
+              |ap AS MATERIALIZED (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |allp AS (
+              |  SELECT doc_a, doc_b,
+              |         max(t) AS in_text, max(im) AS in_image, max(au) AS in_audio
+              |  FROM (SELECT doc_a, doc_b, 1 AS t, 0 AS im, 0 AS au FROM tp
+              |        UNION ALL SELECT doc_a, doc_b, 0, 1, 0 FROM ip
+              |        UNION ALL SELECT doc_a, doc_b, 0, 0, 1 FROM ap) u
+              |  GROUP BY 1, 2)
+              |SELECT in_text, in_image, in_audio, count(*) AS n_pairs,
+              |       min({'doc_a': doc_a, 'doc_b': doc_b}).doc_a AS example_a,
+              |       min({'doc_a': doc_a, 'doc_b': doc_b}).doc_b AS example_b
+              |FROM allp GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      doc = "cross-modal near-dup census: text-MinHash / image-pHash / " +
+        "audio-constellation pair tables joined per pair, modality " +
+        "combination counts + example pair — the re-captioned vs re-texted " +
+        "asset QA readout"),
 
     // ---- Shot-boundary detection shape: adjacent-frame signature deltas
     // (here the 4-byte header sum of every 256-byte stub frame) thresholded
