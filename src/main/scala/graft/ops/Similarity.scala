@@ -1268,6 +1268,95 @@ object Similarity {
     before.crossJoin(after).crossJoin(retained)
   }
 
+  /** The all-but-the-top correction APPLIED to vectors — the serve-time
+    * sibling of [[abttCensus]]: y = den·(n·x − S) − (wpᵀ(n·x − S))·wp over
+    * 10⁶-scaled integer components (mean removal via the n·x − S
+    * cross-multiplication, so no division ever happens), with data-derived
+    * ≤10⁶ renorms before and after the projection so every product stays
+    * in int64 and the final int→double cast is EXACT (components ≤10⁶ ≪
+    * 2⁵³; cosine numerators are then exact integer-valued doubles both
+    * engines). Returns (vec_id, label, embedding: array<double>).
+    *
+    * Scale shape: the direction comes from the checkpointed [[covScaled]]
+    * kernel; the correction itself is a per-row map over three narrow
+    * corpus passes (sums, max-renorm, projection) — no joins keyed wider
+    * than a 1-row broadcast. The output is eagerly checkpointed: callers
+    * (kNN eval) reference the corrected corpus from multiple plan arms,
+    * and an un-cut reference would replay the whole correction per arm
+    * (the r12 lesson the repeated-scan guard pins).
+    */
+  def abttCorrectedVectors(emb: DataFrame): DataFrame = {
+    val covS = covScaled(emb)
+    val wp = topDirV6(covS, scale = "10000").localCheckpoint(true)
+    val wpArr = wp.agg(expr(
+      "transform(array_sort(collect_list(struct(i, w))), t -> t.w)").as("wp_arr"))
+    val den = wp.agg(sum(expr("w * w")).as("den")) // ≤ 64·10⁸, long-safe
+    val sv = emb.select(col("vec_id"), col("label"), expr(
+      "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000) AS BIGINT))")
+      .as("sv"))
+    val sums = sv.select(posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val sArr = sums.agg(expr(
+        "transform(array_sort(collect_list(struct(i, s))), t -> t.s)").as("s_arr"),
+      max(col("n")).as("n_total"))
+    val z = sv.crossJoin(broadcast(sArr))
+      .withColumn("z", expr("zip_with(sv, s_arr, (x, s) -> n_total * x - s)"))
+    val mz = z.agg(max(expr(
+      "aggregate(transform(z, v -> abs(v)), 0L, (a, v) -> greatest(a, v))")).as("mz"))
+    val zr = z.crossJoin(broadcast(mz))
+      .withColumn("dz", expr("CASE WHEN mz > 1000000L THEN mz div 1000000L ELSE 1L END"))
+      .withColumn("zr", expr(
+        "transform(z, v -> CASE WHEN v < 0 THEN -((-v) div dz) ELSE v div dz END)"))
+      .select(col("vec_id"), col("label"), col("zr"))
+    val proj = zr.crossJoin(broadcast(wpArr)).crossJoin(broadcast(den))
+      .withColumn("p", expr(
+        "aggregate(zip_with(zr, wp_arr, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .withColumn("y", expr("zip_with(zr, wp_arr, (zv, wv) -> den * zv - p * wv)"))
+      .select(col("vec_id"), col("label"), col("y"))
+    val my = proj.agg(max(expr(
+      "aggregate(transform(y, v -> abs(v)), 0L, (a, v) -> greatest(a, v))")).as("my"))
+    proj.crossJoin(broadcast(my))
+      .withColumn("dy", expr("CASE WHEN my > 1000000L THEN my div 1000000L ELSE 1L END"))
+      .select(col("vec_id"), col("label"), expr(
+        """transform(y, v -> CAST(CASE WHEN v < 0 THEN -((-v) div dy)
+          |                           ELSE v div dy END AS DOUBLE))""".stripMargin)
+        .as("embedding"))
+      .localCheckpoint(true)
+  }
+
+  /** Before/after kNN quality delta of the ABTT correction — the "did the
+    * correction actually buy contrast" readout next to [[abttCensus]]'s
+    * spectral shares: brute-force top-k label agreement on raw vs
+    * corrected vectors, plus the neighbor-set overlap between the two
+    * (how much the correction actually MOVED the kNN graph). Counts are
+    * exact integers; the per-method rows union into one bounded output.
+    */
+  def abttKnnDelta(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val rawK = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val abttK = bruteForceTopK(
+        abttCorrectedVectors(emb).select(col("vec_id"), col("embedding")),
+        numQueries, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    def row(method: String, kset: DataFrame): DataFrame = {
+      val agree = kset
+        .join(broadcast(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("q_label"))), Seq("query_id"))
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), Seq("neighbor_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("n_label") === col("q_label"), 1)).as("n_label_agree"))
+      val overlap = kset.join(rawK, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap_raw"))
+      agree.crossJoin(broadcast(overlap))
+        .select(lit(method).as("method"), col("n_pairs"),
+          col("n_label_agree"), col("n_overlap_raw"))
+    }
+    row("abtt", abttK).unionByName(row("raw", rawK))
+      .orderBy(col("method"))
+  }
+
   def hardNegatives(emb: DataFrame, numQueries: Int, k: Int,
                     margin: Double): DataFrame = {
     val base = withNorm(emb)

@@ -1192,6 +1192,153 @@ object SimilarityQueries {
         "passes), spectrum re-measured — before/after pc1 share, after axis " +
         "share, exact retained-variance share"),
 
+    // ---- The correction applied to VECTORS + the kNN quality delta (the
+    // sim_recall_report convention): brute top-3 label agreement on raw vs
+    // ABTT-corrected embeddings plus the neighbor-set overlap — how much
+    // the correction moved the kNN graph and whether agreement improved.
+    // Corrected components are exact integers (n·x − S mean removal,
+    // den-scaled projection, ≤10⁶ renorms) so the one double cast is exact
+    // and cosines hash cross-engine.
+    GQuery("sim_abtt_knn_delta",
+      (s, dir) => Similarity.abttKnnDelta(Tables.embeddings(s, dir),
+        numQueries = 16, k = 3),
+      Some("""WITH sv AS MATERIALIZED (
+              |  SELECT vec_id, label, list_transform(embedding,
+              |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+              |  FROM embeddings),
+              |dims AS (SELECT unnest(range(0, 64)) AS i),
+              |sums AS MATERIALIZED (
+              |  SELECT i, CAST(SUM(sv[CAST(i AS INT) + 1]) AS HUGEINT) AS s,
+              |         CAST(count(*) AS HUGEINT) AS n
+              |  FROM sv, dims GROUP BY i),
+              |prods AS MATERIALIZED (
+              |  SELECT di.i AS i, dj.i AS j,
+              |         CAST(SUM(sv[CAST(di.i AS INT) + 1] * sv[CAST(dj.i AS INT) + 1])
+              |              AS HUGEINT) AS pp
+              |  FROM sv, dims di, dims dj GROUP BY di.i, dj.i),
+              |cov AS MATERIALIZED (
+              |  SELECT p.i, p.j, a.n * p.pp - a.s * b.s AS c
+              |  FROM prods p JOIN sums a ON a.i = p.i JOIN sums b ON b.i = p.j),
+              |mc AS (SELECT CASE WHEN max(abs(c)) > 1000000000000000000
+              |                   THEN max(abs(c)) // 1000000000000000000
+              |                   ELSE 1 END AS d FROM cov),
+              |covs AS MATERIALIZED (
+              |  SELECT i, j, CASE WHEN c < 0 THEN -((-c) // d) ELSE c // d END AS c
+              |  FROM cov, mc),
+              |v1 AS MATERIALIZED (SELECT i, CAST(SUM(c) AS HUGEINT) AS v
+              |                    FROM covs GROUP BY i),
+              |d1 AS (SELECT CASE WHEN max(abs(v)) > 1000000000000000
+              |                   THEN max(abs(v)) // 1000000000000000
+              |                   ELSE 1 END AS d FROM v1),
+              |v1s AS (SELECT i AS j,
+              |               CASE WHEN v < 0 THEN -((-v) // d) ELSE v // d END AS w
+              |        FROM v1, d1),
+              |v2 AS MATERIALIZED (
+              |  SELECT c.i, SUM(CAST(c.c AS HUGEINT) * w.w) AS v
+              |  FROM covs c JOIN v1s w ON w.j = c.j GROUP BY c.i),
+              |d2 AS (SELECT CASE WHEN max(abs(v)) > 1000000000000000
+              |                   THEN max(abs(v)) // 1000000000000000
+              |                   ELSE 1 END AS d FROM v2),
+              |v2s AS MATERIALIZED (
+              |  SELECT i, CAST(CASE WHEN v < 0 THEN -((-v) // d) ELSE v // d END
+              |                 AS BIGINT) AS v
+              |  FROM v2, d2),
+              |dp AS (SELECT CASE WHEN max(abs(v)) > 10000
+              |                   THEN max(abs(v)) // 10000 ELSE 1 END AS d FROM v2s),
+              |wp AS MATERIALIZED (
+              |  SELECT i, CASE WHEN v < 0 THEN -((-CAST(v AS HUGEINT)) // d)
+              |                 ELSE CAST(v AS HUGEINT) // d END AS w
+              |  FROM v2s, dp),
+              |wparr AS (SELECT list(CAST(w AS BIGINT) ORDER BY i) AS wp_arr FROM wp),
+              |denw AS (SELECT CAST(SUM(w * w) AS BIGINT) AS den FROM wp),
+              |sarr AS (SELECT list(CAST(s AS BIGINT) ORDER BY i) AS s_arr,
+              |                CAST(max(n) AS BIGINT) AS n_total
+              |         FROM sums),
+              |z AS MATERIALIZED (
+              |  SELECT vec_id, label,
+              |         list_transform(range(0, 64),
+              |           j -> n_total * sv[CAST(j AS INT) + 1]
+              |                - s_arr[CAST(j AS INT) + 1]) AS z
+              |  FROM sv, sarr),
+              |mz AS (SELECT max(list_max(list_transform(z, v -> abs(v)))) AS mz FROM z),
+              |dz AS (SELECT CASE WHEN mz > 1000000 THEN mz // 1000000 ELSE 1 END AS dz
+              |       FROM mz),
+              |zr AS MATERIALIZED (
+              |  SELECT vec_id, label,
+              |         list_transform(z, v -> CASE WHEN v < 0 THEN -((-v) // dz)
+              |                                     ELSE v // dz END) AS zr
+              |  FROM z, dz),
+              |pr AS MATERIALIZED (
+              |  SELECT vec_id, label, zr,
+              |         list_sum(list_transform(range(0, 64),
+              |           j -> zr[CAST(j AS INT) + 1] * wp_arr[CAST(j AS INT) + 1])) AS p
+              |  FROM zr, wparr),
+              |yy AS MATERIALIZED (
+              |  SELECT vec_id, label,
+              |         list_transform(range(0, 64),
+              |           j -> den * zr[CAST(j AS INT) + 1]
+              |                - p * wp_arr[CAST(j AS INT) + 1]) AS y
+              |  FROM pr, wparr, denw),
+              |my AS (SELECT max(list_max(list_transform(y, v -> abs(v)))) AS my FROM yy),
+              |dy AS (SELECT CASE WHEN my > 1000000 THEN my // 1000000 ELSE 1 END AS dy
+              |       FROM my),
+              |cvec AS MATERIALIZED (
+              |  SELECT vec_id, label,
+              |         list_transform(y, v -> CAST(CASE WHEN v < 0 THEN -((-v) // dy)
+              |                                          ELSE v // dy END AS DOUBLE)) AS emb
+              |  FROM yy, dy),
+              |baser AS MATERIALIZED (
+              |  SELECT vec_id, embedding AS emb,
+              |         sqrt(list_sum(list_transform(range(1, 65),
+              |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+              |  FROM embeddings),
+              |qr AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+              |       FROM baser WHERE vec_id < 16),
+              |rankedr AS MATERIALIZED (
+              |  SELECT query_id, vec_id AS neighbor_id FROM (
+              |    SELECT q.query_id, b.vec_id,
+              |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              |             list_sum(list_transform(range(1, 65),
+              |               i -> CAST(b.emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+              |               / (b.norm * q.q_norm) DESC, b.vec_id) AS rank
+              |    FROM baser b, qr q WHERE b.vec_id <> q.query_id)
+              |  WHERE rank <= 3),
+              |basea AS MATERIALIZED (
+              |  SELECT vec_id, emb,
+              |         sqrt(list_sum(list_transform(range(1, 65),
+              |           i -> emb[i] * emb[i]))) AS norm
+              |  FROM cvec),
+              |qa AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+              |       FROM basea WHERE vec_id < 16),
+              |rankeda AS MATERIALIZED (
+              |  SELECT query_id, vec_id AS neighbor_id FROM (
+              |    SELECT q.query_id, b.vec_id,
+              |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              |             list_sum(list_transform(range(1, 65),
+              |               i -> b.emb[i] * q.q_emb[i])) / (b.norm * q.q_norm)
+              |               DESC, b.vec_id) AS rank
+              |    FROM basea b, qa q WHERE b.vec_id <> q.query_id)
+              |  WHERE rank <= 3),
+              |lab AS (SELECT vec_id, label FROM embeddings)
+              |SELECT 'abtt' AS method, count(*) AS n_pairs,
+              |       count(CASE WHEN nl.label = ql.label THEN 1 END) AS n_label_agree,
+              |       (SELECT count(*) FROM rankeda a JOIN rankedr r
+              |          ON r.query_id = a.query_id
+              |         AND r.neighbor_id = a.neighbor_id) AS n_overlap_raw
+              |FROM rankeda t JOIN lab ql ON ql.vec_id = t.query_id
+              |               JOIN lab nl ON nl.vec_id = t.neighbor_id
+              |UNION ALL
+              |SELECT 'raw', count(*),
+              |       count(CASE WHEN nl.label = ql.label THEN 1 END),
+              |       (SELECT count(*) FROM rankedr)
+              |FROM rankedr t JOIN lab ql ON ql.vec_id = t.query_id
+              |               JOIN lab nl ON nl.vec_id = t.neighbor_id
+              |ORDER BY method""".stripMargin),
+      doc = "ABTT correction applied to vectors + kNN quality delta: brute " +
+        "top-3 label agreement raw vs corrected plus neighbor-set overlap — " +
+        "exact-integer correction, one exact int->double cast, hash-stable " +
+        "cosines"),
+
     // Per-class centroids + inter-class separation matrix — the
     // embedding-space health readout a labeled corpus ships with: classes
     // whose centroids sit at high cosine are confusable (the macro

@@ -596,6 +596,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "benchmark report over 7 independent ANN methods — sum-of-methods by " +
         "design, each method's own plan is scan-bounded; the truth table is " +
         "collected once (Similarity.scala recallReport rationale)"),
+    "mm_crossmodal_neardup" -> (12,
+      "three independent modality pair generators (text MinHash ~4 passes, " +
+        "image pHash ~2, audio constellation ~4) unioned — sum-of-modalities " +
+        "by design, each generator individually scan-bounded"),
     "sim_label_noise_fidelity" -> (8,
       "sampled truth grader: brute-force kNN on 256 anchors AND the bucketed " +
         "candidate path over the same corpus — two algorithms compared by design"),
