@@ -46,6 +46,15 @@ object Bench {
       .config("spark.sql.maxPlanStringLength", "32768")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The maxPlanStringLength cap above is intentional — wide-lineage
+    // queries (release chains, incremental curation) legitimately exceed
+    // any debug-string budget, and truncating their LISTENER strings is
+    // the point. StringUtils WARNs once per truncation though (hundreds of
+    // lines per bench run), so silence that one logger; plans and results
+    // are unaffected.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.util.StringUtils",
+      org.apache.logging.log4j.Level.ERROR)
 
     val t0 = System.nanoTime()
     locally {

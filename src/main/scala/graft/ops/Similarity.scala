@@ -1357,6 +1357,33 @@ object Similarity {
       .orderBy(col("method"))
   }
 
+  /** Effective-rank census: the eigenvalue participation ratio
+    * (Σλ)²/Σλ² = tr(C)²/‖C‖²_F — the "how many directions does the cloud
+    * actually use" readout (64 = isotropic, →1 = collapsed), computed
+    * EXACTLY from the covariance table with no eigendecomposition at all
+    * (‖C‖²_F = Σc²ᵢⱼ equals Σλ² for symmetric C). Scale-invariant, so the
+    * ≤10¹⁵ renorm (needed to keep 10⁴·tr² under DECIMAL(38,0): tr² ≤
+    * 4·10³³, ×10⁴ ≤ 4·10³⁷) does not bias the ratio beyond truncation.
+    * One aggregate pass over the checkpointed 4,096-row table.
+    */
+  def effectiveRankCensus(emb: DataFrame): DataFrame = {
+    val e15 = "CAST(1000000000000000 AS DECIMAL(38,0))"
+    val covS = covScaled(emb)
+    val covR = covS.crossJoin(broadcast(covS.agg(max(abs(col("c"))).as("mc"))))
+      .select(col("i"), col("j"),
+        truncDiv("CAST(c AS DECIMAL(38,0))",
+          renormDivisor("CAST(mc AS DECIMAL(38,0))", e15)).as("c"))
+    covR.agg(
+        count(when(col("i") === col("j"), 1)).as("n_dims"),
+        sum(when(col("i") === col("j"), expr("CAST(c AS DECIMAL(38,0))"))).as("tr"),
+        max(when(col("i") === col("j"), col("c"))).as("dmax"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))")).as("frob"))
+      .select(col("n_dims"),
+        expr("CAST(10000 * CAST(dmax AS DECIMAL(38,0)) div tr AS BIGINT)")
+          .as("axis_max_share_e4"),
+        truncDiv("(10000 * tr * tr)", "frob").cast("long").as("eff_rank_e4"))
+  }
+
   def hardNegatives(emb: DataFrame, numQueries: Int, k: Int,
                     margin: Double): DataFrame = {
     val base = withNorm(emb)

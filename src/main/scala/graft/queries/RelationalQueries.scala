@@ -2268,6 +2268,68 @@ object RelationalQueries {
       doc = "day-of-week seasonality profile: exact rational seasonal index " +
         "(dow_sum*N*1e4 div total*n_dow), no float means; Sunday = 0"),
 
+    // ---- Classical additive seasonal decomposition (the moving-average
+    // STL ancestor): trend = centered 7-day moving average on the CALENDAR
+    // (RANGE frame, so gaps shrink the window and incomplete windows are
+    // dropped rather than silently biased), detrended carried as the exact
+    // cross-multiplied integer 7y − S₇ (never a float MA), seasonal = per
+    // day-of-week mean of the detrended series as a sign-split truncating
+    // 1e4 rational. Per-type windows partition by event_type — bounded
+    // |types|·|corpus days| rows, one shuffle.
+    GQuery("ts_seasonal_decompose",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+          .rangeBetween(-3, 3)
+        daily
+          .withColumn("s7", sum(col("cents")).over(w))
+          .withColumn("n7", count(lit(1)).over(w))
+          .filter(col("n7") === 7)
+          .withColumn("dow", expr("(d + 4) % 7"))
+          .withColumn("det7", col("cents") * 7 - col("s7"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("det7")).as("detr_sum"))
+          .withColumn("seasonal_e4", expr(
+            """CAST(CASE WHEN detr_sum < 0
+              |  THEN -((-(10000 * CAST(detr_sum AS DECIMAL(38,0))))
+              |         div (7 * n_days))
+              |  ELSE (10000 * CAST(detr_sum AS DECIMAL(38,0))) div (7 * n_days)
+              |END AS BIGINT)""".stripMargin))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+              |         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+              |  FROM events GROUP BY 1, 2),
+              |win AS (
+              |  SELECT event_type, d, cents,
+              |         CAST(SUM(cents) OVER w AS BIGINT) AS s7,
+              |         count(*) OVER w AS n7
+              |  FROM daily
+              |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+              |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              |det AS (
+              |  SELECT event_type, (d + 4) % 7 AS dow, cents * 7 - s7 AS det7
+              |  FROM win WHERE n7 = 7)
+              |SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+              |       CAST(SUM(det7) AS BIGINT) AS detr_sum,
+              |       CAST(CASE WHEN SUM(det7) < 0
+              |              THEN -((-(10000 * CAST(SUM(det7) AS HUGEINT)))
+              |                     // (7 * count(*)))
+              |              ELSE (10000 * CAST(SUM(det7) AS HUGEINT))
+              |                     // (7 * count(*))
+              |            END AS BIGINT) AS seasonal_e4
+              |FROM det GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "classical additive seasonal decomposition: centered 7-day " +
+        "calendar-RANGE moving-average trend (complete windows only), " +
+        "exact 7y - S7 integer detrending, per-dow seasonal as sign-split " +
+        "1e4 rational"),
+
     // ---- Wald-Wolfowitz runs test — is the daily series RANDOM around
     // its median, or trending/cyclic? Signs vs the exact per-type lower
     // median (ties discarded, the classic convention), runs counted as

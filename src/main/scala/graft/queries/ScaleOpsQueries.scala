@@ -1670,6 +1670,83 @@ object ScaleOpsQueries {
                      CAST(t.tri_x3 AS DOUBLE) / w.n_wedges AS global_cc
               FROM w, t, e"""),
       doc = "global clustering coefficient: exact 3T (per-node participation " +
-        "sum) over exact wedge count, oriented triangle side, one division")
+        "sum) over exact wedge count, oriented triangle side, one division"),
+
+    // ---- Diameter lower bound by the standard DOUBLE-SWEEP heuristic:
+    // BFS from the min node, take the farthest reached vertex (ties to
+    // min id), BFS again from it — the second eccentricity lower-bounds
+    // the diameter and is exact on trees. Bounded-round semantics is the
+    // bfsHops contract (8 Pregel rounds here; the oracle unrolls the
+    // identical monotone relaxation, so truncation is part of the
+    // definition). Zero driver collects: the argmax hop between sweeps is
+    // a 1-row TakeOrdered DataFrame seeding the next BFS.
+    GQuery("graph_diameter_2sweep",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
+        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+          // lineage cut: 16 BFS rounds each reference the edge table
+          .localCheckpoint(true)
+        val seed = nodes.agg(min(col("node")).as("node"))
+        val d1 = graft.ops.GraphOps.bfsHops(seed, und, rounds = 8)
+        val far1 = d1.orderBy(col("dist").desc, col("node")).limit(1)
+          .localCheckpoint(true) // 1 row: seeds sweep 2 AND rides the output
+        val d2 = graft.ops.GraphOps.bfsHops(far1.select(col("node")), und, rounds = 8)
+        val far2 = d2.orderBy(col("dist").desc, col("node")).limit(1)
+        seed.select(col("node").as("seed_node"))
+          .crossJoin(broadcast(far1.select(col("node").as("far_node"),
+            col("dist").as("ecc_seed"))))
+          .crossJoin(broadcast(far2.select(col("node").as("far2_node"),
+            col("dist").as("diameter_lb"))))
+          .crossJoin(broadcast(d2.agg(count(lit(1)).as("n_reached"))))
+      },
+      Some(diameter2SweepSql),
+      doc = "diameter lower bound via double-sweep BFS (8 bounded Pregel " +
+        "rounds per sweep, 1-row TakeOrdered argmax hop, no driver collect) " +
+        "== unrolled monotone-relaxation oracle")
   )
+
+  /** Unrolled double-sweep BFS oracle: two 8-round monotone relaxations,
+    * every round CTE MATERIALIZED (each references its predecessor twice —
+    * un-materialized, DuckDB would inline the chain 2¹⁶-fold).
+    */
+  private lazy val diameter2SweepSql: String = {
+    def rounds(prefix: String, init: String, n: Int): String =
+      (1 to n).map { r =>
+        val prev = if (r == 1) init else s"$prefix${r - 1}"
+        s"""$prefix$r AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT adj.v, $prev.dist + 1 FROM adj JOIN $prev ON adj.u = $prev.node)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT node AS a, node + 1 AS b FROM nodes
+       |    UNION ALL SELECT node, node + 2 FROM nodes
+       |    UNION ALL SELECT node, node + 3 FROM nodes
+       |    UNION ALL SELECT node, node * 2 FROM nodes) e
+       |  WHERE a < b
+       |    AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+       |adj AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+       |s0 AS (SELECT min(node) AS node, 0 AS dist FROM nodes),
+       |${rounds("s", "s0", 8)},
+       |f1 AS (SELECT node, dist FROM s8 ORDER BY dist DESC, node LIMIT 1),
+       |t0 AS (SELECT node, 0 AS dist FROM f1),
+       |${rounds("t", "t0", 8)},
+       |f2 AS (SELECT node, dist FROM t8 ORDER BY dist DESC, node LIMIT 1)
+       |SELECT s0.node AS seed_node, f1.node AS far_node,
+       |       CAST(f1.dist AS INT) AS ecc_seed,
+       |       f2.node AS far2_node, CAST(f2.dist AS INT) AS diameter_lb,
+       |       (SELECT count(*) FROM t8) AS n_reached
+       |FROM s0, f1, f2""".stripMargin
+  }
 }

@@ -1339,6 +1339,54 @@ object SimilarityQueries {
         "exact-integer correction, one exact int->double cast, hash-stable " +
         "cosines"),
 
+    // ---- Effective rank (eigenvalue participation ratio): tr(C)²/‖C‖²_F
+    // == (Σλ)²/Σλ² with NO eigendecomposition (Frobenius identity for
+    // symmetric C) — the "how many directions does the cloud use" single
+    // row next to sim_anisotropy's top-share view. Exact integers on the
+    // ≤10¹⁵-renormed covariance; scale-invariant ratio.
+    GQuery("sim_effective_rank",
+      (s, dir) => Similarity.effectiveRankCensus(Tables.embeddings(s, dir)),
+      Some("""WITH sv AS MATERIALIZED (
+              |  SELECT list_transform(embedding,
+              |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+              |  FROM embeddings),
+              |dims AS (SELECT unnest(range(0, 64)) AS i),
+              |sums AS MATERIALIZED (
+              |  SELECT i, CAST(SUM(sv[CAST(i AS INT) + 1]) AS HUGEINT) AS s,
+              |         CAST(count(*) AS HUGEINT) AS n
+              |  FROM sv, dims GROUP BY i),
+              |prods AS MATERIALIZED (
+              |  SELECT di.i AS i, dj.i AS j,
+              |         CAST(SUM(sv[CAST(di.i AS INT) + 1] * sv[CAST(dj.i AS INT) + 1])
+              |              AS HUGEINT) AS pp
+              |  FROM sv, dims di, dims dj GROUP BY di.i, dj.i),
+              |cov AS MATERIALIZED (
+              |  SELECT p.i, p.j, a.n * p.pp - a.s * b.s AS c
+              |  FROM prods p JOIN sums a ON a.i = p.i JOIN sums b ON b.i = p.j),
+              |mc AS (SELECT CASE WHEN max(abs(c)) > 1000000000000000000
+              |                   THEN max(abs(c)) // 1000000000000000000
+              |                   ELSE 1 END AS d FROM cov),
+              |covs AS MATERIALIZED (
+              |  SELECT i, j, CASE WHEN c < 0 THEN -((-c) // d) ELSE c // d END AS c
+              |  FROM cov, mc),
+              |mr AS (SELECT CASE WHEN max(abs(c)) > 1000000000000000
+              |                   THEN max(abs(c)) // 1000000000000000
+              |                   ELSE 1 END AS d FROM covs),
+              |covr AS MATERIALIZED (
+              |  SELECT i, j, CASE WHEN c < 0 THEN -((-c) // d) ELSE c // d END AS c
+              |  FROM covs, mr)
+              |SELECT CAST(count(CASE WHEN i = j THEN 1 END) AS BIGINT) AS n_dims,
+              |       CAST(10000 * max(CASE WHEN i = j THEN c END)
+              |              // SUM(CASE WHEN i = j THEN c END) AS BIGINT)
+              |         AS axis_max_share_e4,
+              |       CAST((10000 * SUM(CASE WHEN i = j THEN c END)
+              |                   * SUM(CASE WHEN i = j THEN c END))
+              |              // SUM(c * c) AS BIGINT) AS eff_rank_e4
+              |FROM covr""".stripMargin),
+      doc = "effective rank (eigenvalue participation ratio tr(C)^2/frob(C)^2, " +
+        "no eigendecomposition): how many directions the embedding cloud " +
+        "actually uses — exact integers, scale-invariant"),
+
     // Per-class centroids + inter-class separation matrix — the
     // embedding-space health readout a labeled corpus ships with: classes
     // whose centroids sit at high cosine are confusable (the macro

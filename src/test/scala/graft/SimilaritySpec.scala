@@ -307,4 +307,67 @@ class SimilaritySpec extends AnyFunSuite {
         "bucketed vote must equal the exact vote when clusters share buckets")
     }
   }
+
+  private def embLabeled = {
+    import spark.implicits._
+    emb.withColumn("label",
+      org.apache.spark.sql.functions.expr("CAST(vec_id % 3 AS INT)"))
+  }
+
+  test("anisotropy/ABTT identities: retained + pc1_before == 1e4 (±1 truncation), after-shares in range") {
+    val r = ops.Similarity.abttCensus(embLabeled).collect().head
+    val before = r.getAs[Long]("pc1_share_before_e4")
+    val retained = r.getAs[Long]("tr_retained_e4")
+    // tr(C') = tr(C) − vᵀCv/vᵀv exactly, so the two shares tile the trace;
+    // each is independently truncated, so allow 2 ulps at the 1e4 scale
+    assert(math.abs(before + retained - 10000L) <= 2,
+      s"pc1_before=$before + retained=$retained must tile 1e4")
+    val after = r.getAs[Long]("pc1_share_after_e4")
+    assert(after >= 0 && after <= 10000, s"after share out of range: $after")
+  }
+
+  test("ABTT-corrected vectors are orthogonal to the removed direction (exact up to final renorm)") {
+    // Before the last ≤1e6 renorm, wpᵀy = den·(wpᵀzr) − (wpᵀzr)·den = 0
+    // EXACTLY; the final truncating division reintroduces at most 1 unit
+    // per component, so |wpᵀy| ≤ Σ|wp| ≤ 64·1e4 — vanishing next to the
+    // ~1e6-scale components. A wrong projection sign or a dropped term
+    // shows up ~1e10 here.
+    val corrected = ops.Similarity.abttCorrectedVectors(embLabeled)
+    // the visible top direction: pcaPowerTop's v_scaled (≤1e15) is the
+    // SAME eigendirection as the internal ≤1e4 wp up to quantization
+    // (wp = v_scaled div d with d ≈ 1e11), so |dot(y, v_scaled)| ≤
+    // |dot(y, wp)|·d + 64·max|y|·d = 0 + ~6.4e19 from quantization alone —
+    // while a wrong/no projection leaves the full overlap, ~|y|·|v| ≈
+    // 64·1e6·1e15 = 6.4e22, three orders above the tolerance.
+    val dots = corrected.crossJoin(
+        ops.Similarity.pcaPowerTop(embLabeled)
+          .agg(org.apache.spark.sql.functions.expr(
+            "transform(array_sort(collect_list(struct(pos, v_scaled))), t -> CAST(t.v_scaled AS DOUBLE))")
+            .as("w")))
+      .selectExpr(
+        "abs(aggregate(zip_with(embedding, w, (a, b) -> a * b), 0D, (acc, v) -> acc + v)) AS d")
+      .collect()
+    dots.foreach { r =>
+      val d = r.getAs[Double]("d")
+      assert(d <= 1e20,
+        s"corrected vector not orthogonal to removed direction: dot=$d")
+    }
+  }
+
+  test("effective rank: isotropic-ish cloud reads high, a planted 1-D cloud reads ~1") {
+    val r = ops.Similarity.effectiveRankCensus(embLabeled).collect().head
+    val er = r.getAs[Long]("eff_rank_e4")
+    assert(er >= 10000 && er <= 640000, s"eff_rank_e4 out of [1e4, 64e4]: $er")
+    // rank-1 cloud: every vector a multiple of one direction
+    import spark.implicits._
+    val rank1 = (0L to 40L).map { s =>
+      val a = (s % 7 + 1).toFloat
+      (s, Array.tabulate(64)(i => a * (((i * 17) % 97) - 48) / 48.0f))
+    }.toDF("vec_id", "embedding")
+    val r1 = ops.Similarity.effectiveRankCensus(rank1).collect().head
+    assert(r1.getAs[Long]("eff_rank_e4") <= 12000,
+      s"rank-1 cloud must read eff rank ~1: ${r1.getAs[Long]("eff_rank_e4")}")
+    assert(er > r1.getAs[Long]("eff_rank_e4"),
+      "spread cloud must out-rank the collapsed one")
+  }
 }
