@@ -1369,6 +1369,69 @@ object TextQueries {
         "exact 1e2 rationals over the trained segmentation — the " +
         "which-language-is-under-served tokenizer metric"),
 
+    // ---- Tokenizer COMPARISON card: both trained tokenizers (BPE merges
+    // vs unigram-LM EM-prune) over the same corpus, per language — the
+    // side-by-side a tokenizer selection actually reads: fertility
+    // (pieces/word) and compression (chars/piece) as exact 1e2 rationals.
+    // Composes the two proven train+apply chains; the oracle nests the
+    // unigram chain as a derived table so the two CTE families can't
+    // collide.
+    GQuery("card_tokenizer_compare",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (_, vocabB) = TextAnalysis.bpeTrain(docs, rounds = bpeRounds)
+        val bpe = TextAnalysis.bpeApply(docs, vocabB)
+          .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+            col("n_chars"))
+        val (_, seg) = TextAnalysis.unigramTrain(docs)
+        val uni = TextAnalysis.unigramApply(docs, seg)
+          .select(col("doc_id"), col("n_pieces").as("n_uni_pieces"))
+        docs.select(col("doc_id"), col("lang"))
+          .join(bpe, Seq("doc_id")).join(uni, Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_words")).cast("long").as("n_words"),
+            sum(col("n_chars")).cast("long").as("n_chars"),
+            sum(col("n_bpe_tokens")).cast("long").as("n_bpe"),
+            sum(col("n_uni_pieces")).cast("long").as("n_uni"))
+          .select(col("lang"), col("n_words"), col("n_chars"), col("n_bpe"),
+            col("n_uni"),
+            expr("n_bpe * 100 div n_words").as("bpe_fertility_e2"),
+            expr("n_uni * 100 div n_words").as("uni_fertility_e2"),
+            expr("n_chars * 100 div n_bpe").as("chars_per_bpe_e2"),
+            expr("n_chars * 100 div n_uni").as("chars_per_uni_e2"))
+          .orderBy(col("lang").asc_nulls_first)
+      },
+      Some(s"""WITH ${bpeCtes(bpeRounds)},
+              |bpedoc AS MATERIALIZED (
+              |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |         CAST(sum(len(w.toks)) AS BIGINT) AS n_bpe,
+              |         CAST(sum(length(d.word)) AS BIGINT) AS n_chars
+              |  FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents) d
+              |  JOIN w$bpeRounds w ON d.word = w.word
+              |  GROUP BY 1),
+              |unidoc AS MATERIALIZED (
+              |  SELECT doc_id, n_pieces AS n_uni FROM ($uniApplySql) u)
+              |SELECT l.lang,
+              |       CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+              |       CAST(SUM(b.n_chars) AS BIGINT) AS n_chars,
+              |       CAST(SUM(b.n_bpe) AS BIGINT) AS n_bpe,
+              |       CAST(SUM(u.n_uni) AS BIGINT) AS n_uni,
+              |       CAST(SUM(b.n_bpe) AS BIGINT) * 100
+              |         // CAST(SUM(b.n_words) AS BIGINT) AS bpe_fertility_e2,
+              |       CAST(SUM(u.n_uni) AS BIGINT) * 100
+              |         // CAST(SUM(b.n_words) AS BIGINT) AS uni_fertility_e2,
+              |       CAST(SUM(b.n_chars) AS BIGINT) * 100
+              |         // CAST(SUM(b.n_bpe) AS BIGINT) AS chars_per_bpe_e2,
+              |       CAST(SUM(b.n_chars) AS BIGINT) * 100
+              |         // CAST(SUM(u.n_uni) AS BIGINT) AS chars_per_uni_e2
+              |FROM documents l
+              |JOIN bpedoc b USING (doc_id)
+              |JOIN unidoc u USING (doc_id)
+              |GROUP BY l.lang ORDER BY lang NULLS FIRST""".stripMargin),
+      doc = "tokenizer comparison card: trained BPE vs trained unigram-LM " +
+        "over the same corpus, per-language fertility (pieces/word) and " +
+        "compression (chars/piece) as exact 1e2 rationals"),
+
     // ---- Positional-index PHRASE search — the capability BM25's
     // bag-of-words ranking can't express: "slow hash batch" must match as
     // CONSECUTIVE tokens. The classic positional-postings algorithm: a
