@@ -74,4 +74,61 @@ object Layout {
         min(col("a_scaled")).as("a_min"), max(col("a_scaled")).as("a_max"),
         min(col("b_scaled")).as("b_min"), max(col("b_scaled")).as("b_max"))
   }
+
+  /** Hilbert xy→d (the Wikipedia iterative form) as a per-row array-fold
+    * expression: acc = [x, y, d], one fold step per bit from high to low —
+    * quadrant digit (3·rx)⊕ry accumulates into d, then the ry=0 rotation
+    * (reflect when rx=1, swap always). Pure integer bit math, so the
+    * DuckDB mirror (list_reduce with the [v,0,0] list-accumulator trick)
+    * is exact. Hilbert keeps every curve step adjacent in space — unlike
+    * Morton's quadrant jumps — so range buckets cut tighter bounding
+    * boxes on the same data.
+    */
+  private[graft] def hilbertExpr(x: String, y: String, bits: Int): String = {
+    val n1 = (1L << bits) - 1
+    def side = "shiftleft(1L, CAST(i AS INT))"
+    s"""aggregate(sequence(${bits - 1}, 0, -1),
+       |  array($x, $y, 0L),
+       |  (acc, i) -> CASE
+       |    WHEN (acc[1] & $side) = 0 AND (acc[0] & $side) = 0 THEN
+       |      array(acc[1], acc[0], acc[2])
+       |    WHEN (acc[1] & $side) = 0 THEN
+       |      array(${n1}L - acc[1], ${n1}L - acc[0],
+       |            acc[2] + $side * $side * 3L)
+       |    WHEN (acc[0] & $side) = 0 THEN
+       |      array(acc[0], acc[1], acc[2] + $side * $side)
+       |    ELSE
+       |      array(acc[0], acc[1], acc[2] + $side * $side * 2L)
+       |  END,
+       |  acc -> acc[2])""".stripMargin
+  }
+
+  /** [[withZValue]]'s Hilbert sibling: per-row Hilbert index `h` over the
+    * same integer-scaled coordinates. */
+  def withHilbertValue(df: DataFrame, colA: String, colB: String,
+                       bits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 16, "bits per dimension must be in [1, 16]")
+    val stats = df.agg(
+      min(col(colA)).as("_a_lo"), max(col(colA)).as("_a_hi"),
+      min(col(colB)).as("_b_lo"), max(col(colB)).as("_b_hi"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("a_scaled", expr(scaled(colA, "_a_lo", "_a_hi", bits)))
+      .withColumn("b_scaled", expr(scaled(colB, "_b_lo", "_b_hi", bits)))
+      .withColumn("h", expr(hilbertExpr("a_scaled", "b_scaled", bits)))
+      .drop("_a_lo", "_a_hi", "_b_lo", "_b_hi")
+  }
+
+  /** [[zorderCensus]]'s Hilbert sibling — same fixed-width range buckets
+    * and per-bucket bounding boxes, over the Hilbert index. */
+  def hilbertCensus(df: DataFrame, colA: String, colB: String,
+                    bits: Int = 8, buckets: Int = 16): DataFrame = {
+    val span = 1L << (2 * bits)
+    withHilbertValue(df, colA, colB, bits)
+      .withColumn("bucket", expr(s"CAST((h * $buckets) div $span AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("a_scaled")).as("a_min"), max(col("a_scaled")).as("a_max"),
+        min(col("b_scaled")).as("b_min"), max(col("b_scaled")).as("b_max"))
+  }
 }
