@@ -271,7 +271,86 @@ object ReleaseQueries {
       Some(releaseIncrementalSql),
       doc = "incremental corpus re-release: per-batch text scan + persisted " +
         "archive/index/pair tables converge to the from-scratch release " +
-        "funnel + shard manifest (shared single-shot oracle)")
+        "funnel + shard manifest (shared single-shot oracle)"),
+
+    // ---- Release-over-release DIFF card: what changed between two
+    // committed index versions — per-language docs/tokens added and
+    // removed (removals are exact-dedup EVICTIONS: a later batch carried
+    // the same text under a smaller id). Reads the narrow index snapshots
+    // only (the v1 snapshot is checkpointed before the second run so the
+    // pointer-flip cannot alias it); the oracle recomputes both canon
+    // sets from scratch. The per-release governance readout a corpus
+    // changelog ships.
+    GQuery("curate_release_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val archive = graft.stages.MergeTable.scratch(Seq("doc_id"))
+        val index = graft.stages.MergeTable.scratch(Seq("doc_id"))
+        val pairs = graft.stages.MergeTable.scratch(Seq("doc_a", "doc_b"))
+        graft.ops.Curate.releaseIncremental(
+          docs.filter(col("doc_id") % 2 === 0), archive, index, pairs)
+        val v1 = index.read(s, graft.ops.Curate.indexSchema)
+          .select(col("doc_id"), col("labeled_lang").as("lang"),
+            col("n_tokens").cast("long").as("n_tokens"))
+          .localCheckpoint(true) // snapshot BEFORE the next commit
+        graft.ops.Curate.releaseIncremental(
+          docs.filter(col("doc_id") % 2 === 1), archive, index, pairs)
+        val v2 = index.read(s, graft.ops.Curate.indexSchema)
+          .select(col("doc_id"), col("labeled_lang").as("lang"),
+            col("n_tokens").cast("long").as("n_tokens"))
+        val added = v2.join(v1.select("doc_id"), Seq("doc_id"), "left_anti")
+        val removed = v1.join(v2.select("doc_id"), Seq("doc_id"), "left_anti")
+        v1.withColumn("tag", lit("v1"))
+          .unionByName(v2.withColumn("tag", lit("v2")))
+          .unionByName(added.withColumn("tag", lit("add")))
+          .unionByName(removed.withColumn("tag", lit("rem")))
+          .groupBy(col("lang"))
+          .agg(
+            count(when(col("tag") === "v1", 1)).as("n_v1"),
+            sum(when(col("tag") === "v1", col("n_tokens")).otherwise(0L)).as("tok_v1"),
+            count(when(col("tag") === "v2", 1)).as("n_v2"),
+            sum(when(col("tag") === "v2", col("n_tokens")).otherwise(0L)).as("tok_v2"),
+            count(when(col("tag") === "add", 1)).as("n_added"),
+            sum(when(col("tag") === "add", col("n_tokens")).otherwise(0L)).as("tok_added"),
+            count(when(col("tag") === "rem", 1)).as("n_removed"),
+            sum(when(col("tag") === "rem", col("n_tokens")).otherwise(0L)).as("tok_removed"))
+          .orderBy(col("lang").asc_nulls_first)
+      },
+      Some("""WITH c1 AS MATERIALIZED (
+              |  SELECT d.doc_id, d.lang,
+              |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+              |  FROM documents d
+              |  JOIN (SELECT min(doc_id) AS doc_id FROM documents
+              |        WHERE doc_id % 2 = 0 GROUP BY md5(text)) k USING (doc_id)),
+              |c2 AS MATERIALIZED (
+              |  SELECT d.doc_id, d.lang,
+              |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+              |  FROM documents d
+              |  JOIN (SELECT min(doc_id) AS doc_id FROM documents
+              |        GROUP BY md5(text)) k USING (doc_id)),
+              |tagged AS (
+              |  SELECT lang, n_tokens, 'v1' AS tag FROM c1
+              |  UNION ALL SELECT lang, n_tokens, 'v2' FROM c2
+              |  UNION ALL
+              |  SELECT lang, n_tokens, 'add' FROM c2
+              |  WHERE NOT EXISTS (SELECT 1 FROM c1 WHERE c1.doc_id = c2.doc_id)
+              |  UNION ALL
+              |  SELECT lang, n_tokens, 'rem' FROM c1
+              |  WHERE NOT EXISTS (SELECT 1 FROM c2 WHERE c2.doc_id = c1.doc_id))
+              |SELECT lang,
+              |       CAST(count(*) FILTER (tag = 'v1') AS BIGINT) AS n_v1,
+              |       CAST(COALESCE(SUM(n_tokens) FILTER (tag = 'v1'), 0) AS BIGINT) AS tok_v1,
+              |       CAST(count(*) FILTER (tag = 'v2') AS BIGINT) AS n_v2,
+              |       CAST(COALESCE(SUM(n_tokens) FILTER (tag = 'v2'), 0) AS BIGINT) AS tok_v2,
+              |       CAST(count(*) FILTER (tag = 'add') AS BIGINT) AS n_added,
+              |       CAST(COALESCE(SUM(n_tokens) FILTER (tag = 'add'), 0) AS BIGINT) AS tok_added,
+              |       CAST(count(*) FILTER (tag = 'rem') AS BIGINT) AS n_removed,
+              |       CAST(COALESCE(SUM(n_tokens) FILTER (tag = 'rem'), 0) AS BIGINT) AS tok_removed
+              |FROM tagged GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin),
+      doc = "release-over-release diff card: per-language canon docs/tokens " +
+        "added and removed (exact-dedup evictions) between two committed " +
+        "index versions — the corpus changelog readout, narrow index " +
+        "columns only")
   )
 
   /** From-scratch oracle of the incremental release: exact dedup →

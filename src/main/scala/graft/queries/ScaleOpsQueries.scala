@@ -1694,8 +1694,11 @@ object ScaleOpsQueries {
           .localCheckpoint(true)
         val seed = nodes.agg(min(col("node")).as("node"))
         val d1 = graft.ops.GraphOps.bfsHops(seed, und, rounds = 8)
+        // NOT checkpointed: keeping the TakeOrdered lineage is what proves
+        // the 1-row bound to the BNLJ plan guard (a checkpointed RDD scan
+        // reads as unbounded), and d1 is already a checkpoint so each of
+        // the two references re-runs only the tiny argmax
         val far1 = d1.orderBy(col("dist").desc, col("node")).limit(1)
-          .localCheckpoint(true) // 1 row: seeds sweep 2 AND rides the output
         val d2 = graft.ops.GraphOps.bfsHops(far1.select(col("node")), und, rounds = 8)
         val far2 = d2.orderBy(col("dist").desc, col("node")).limit(1)
         seed.select(col("node").as("seed_node"))
