@@ -241,6 +241,56 @@ object Similarity {
         col("cosine"), col("exact_hit"))
   }
 
+  /** One-bit (binary) quantization top-k — the 64× memory rung of the
+    * quantization ladder (PQ's 32×, SQ8's 4×): each vector collapses to a
+    * 60-bit SIGN signature (bit i = embedding[i] > 0; 60 not 64 — the
+    * graft_simhash60 packing convention keeps every shift inside the
+    * positive int64 range on both engines). Coarse rank = Hamming
+    * distance between signatures (symmetric binary scoring — one xor +
+    * popcount per candidate against bit-packed residents, the cheapest
+    * scan the ladder offers), top `candidates` survivors reranked by
+    * exact cosine, truth-flagged against the brute-force top-k (the
+    * [[matryoshkaTopK]] convention). All-integer coarse phase: the
+    * signature, xor and popcount are bit-exact cross-engine.
+    */
+  def oneBitTopK(emb: DataFrame, numQueries: Int, k: Int,
+                 candidates: Int = 12): DataFrame = {
+    val sigBits = 60
+    val sigExpr =
+      s"""aggregate(sequence(0, ${sigBits - 1}), 0L, (acc, i) ->
+         |  acc + CASE WHEN element_at(CAST(embedding AS ARRAY<DOUBLE>),
+         |                             CAST(i AS INT) + 1) > 0D
+         |             THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END)""".stripMargin
+    val base = withNorm(emb).withColumn("sig", expr(sigExpr))
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("sig").as("q_sig"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+    val survivors = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", expr("CAST(bit_count(sig ^ q_sig) AS INT)"))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= candidates)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ranked = survivors
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    ranked
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("hamming"), col("cosine"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"), col("cosine"), col("exact_hit"))
+  }
+
   /** Product quantization (PQ): the embedding is cut into `m` subspaces of
     * `dim/m` dims; each subvector is replaced by the id of its nearest
     * codeword in a per-subspace `ksub`-entry codebook — `m` small codes

@@ -1339,6 +1339,65 @@ object SimilarityQueries {
         "exact-integer correction, one exact int->double cast, hash-stable " +
         "cosines"),
 
+    // ---- One-bit (binary) quantization top-k — the 64× memory rung
+    // (vs PQ 32× / SQ8 4×): 60-bit sign signature, Hamming coarse rank
+    // (xor + popcount, all-integer cross-engine), exact-cosine rerank of
+    // 12 survivors, truth flags vs brute force (matryoshka convention).
+    GQuery("sim_onebit_topk",
+      (s, dir) => Similarity.oneBitTopK(Tables.embeddings(s, dir),
+          numQueries = 16, k = 3, candidates = 12)
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH base AS (
+              |  SELECT vec_id, embedding,
+              |         sqrt(list_sum(list_transform(range(1, 65),
+              |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm,
+              |         CAST(list_sum(list_transform(range(0, 60),
+              |           i -> CASE WHEN CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) > 0
+              |                     THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+              |                     ELSE 0 END)) AS BIGINT) AS sig
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+              |             norm AS q_norm, sig AS q_sig
+              |      FROM base WHERE vec_id < 16),
+              |coarse AS (
+              |  SELECT q.query_id, b.vec_id, b.embedding, b.norm, q.q_emb, q.q_norm,
+              |         CAST(bit_count(xor(b.sig, q.q_sig)) AS INT) AS hamming,
+              |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |                            ORDER BY bit_count(xor(b.sig, q.q_sig)), b.vec_id)
+              |           AS crank
+              |  FROM base b, q WHERE b.vec_id <> q.query_id),
+              |surv AS (SELECT * FROM coarse WHERE crank <= 12),
+              |ranked AS (
+              |  SELECT query_id, vec_id, hamming,
+              |         list_sum(list_transform(range(1, 65),
+              |           i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+              |           / (norm * q_norm) AS cosine,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+              |           list_sum(list_transform(range(1, 65),
+              |             i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+              |             / (norm * q_norm) DESC, vec_id) AS rank
+              |  FROM surv),
+              |truth AS (
+              |  SELECT query_id, vec_id AS neighbor_id FROM (
+              |    SELECT q.query_id, b.vec_id,
+              |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              |             list_sum(list_transform(range(1, 65),
+              |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+              |               / (b.norm * q.q_norm) DESC, b.vec_id) AS rank
+              |    FROM base b, q WHERE b.vec_id <> q.query_id)
+              |  WHERE rank <= 3)
+              |SELECT r.query_id, CAST(r.rank AS INT) AS rank,
+              |       r.vec_id AS neighbor_id, r.hamming, r.cosine,
+              |       CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS exact_hit
+              |FROM ranked r
+              |LEFT JOIN truth t
+              |  ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
+              |WHERE r.rank <= 3
+              |ORDER BY r.query_id, r.rank""".stripMargin),
+      doc = "one-bit (sign) quantization ANN: 60-bit signature, Hamming " +
+        "coarse rank (xor+popcount, integer-exact), exact-cosine rerank of " +
+        "12 survivors, truth flags vs brute force — the 64x memory rung"),
+
     // ---- Effective rank (eigenvalue participation ratio): tr(C)²/‖C‖²_F
     // == (Σλ)²/Σλ² with NO eigendecomposition (Frobenius identity for
     // symmetric C) — the "how many directions does the cloud use" single
