@@ -567,9 +567,38 @@ object Curate {
                          tau: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val tIdx = index.read(spark, indexSchema)
-    val tPairs = pairTable.read(spark, pairSchema)
     val tArch = archive.read(spark, batch.schema)
+    // --- coherence gate (the curateCorpusIncremental tiered-gate
+    // convention, adapted to THREE lockstep tables): the archive commit
+    // lands first, so a crash can leave the index a generation behind it —
+    // and a stale index silently mis-arbitrates every later batch. Tier 1:
+    // manifest row counts of the two current versions (O(files) metadata);
+    // only when a manifest is missing, the column-pruned id-set check.
+    // Repair = rebuild the index from the archive text (the ONE case an
+    // incremental run pays a table scan). The PAIR table cannot be
+    // validated by counts (its cardinality is legitimately independent);
+    // it is instead rebuilt-safe by construction: pairs are only ever
+    // consumed for docs still present in the index, and a lost pair
+    // commit is regenerated because the batch's ids are re-paired on
+    // replay (ReleaseIncrementalSpec's replay-idempotence proof).
+    val tIdx = {
+      val asRead = index.read(spark, indexSchema)
+      val schemaOk = indexSchema.fieldNames.forall(asRead.columns.contains)
+      def idSetGate(): Boolean = {
+        val aIds = tArch.select(col("doc_id"))
+        val iIds = asRead.select(col("doc_id"))
+        val nA = aIds.count(); val nI = iIds.count()
+        nA == nI &&
+          (nA == 0L || aIds.join(iIds, Seq("doc_id"), "left_semi").count() == nA)
+      }
+      val manifestGate: Option[Boolean] = for {
+        nA <- archive.currentVersion.fold(Option(0L))(archive.manifestRowCount)
+        nI <- index.currentVersion.fold(Option(0L))(index.manifestRowCount)
+      } yield nA == nI
+      val coherent = schemaOk && manifestGate.getOrElse(idSetGate())
+      if (coherent) asRead else curationIndexOf(tArch)
+    }
+    val tPairs = pairTable.read(spark, pairSchema)
 
     // batch replaces same-id rows everywhere (replay idempotence)
     val batchIds = batch.select(col("doc_id"))

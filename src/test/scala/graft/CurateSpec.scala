@@ -284,4 +284,29 @@ class CurateSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(incrIds == oneIds, "archive tables must hold the same canonical ids")
   }
+
+  test("incremental release: a desynced index is rebuilt from the archive (coherence gate)") {
+    import org.apache.spark.sql.functions.col
+    def reportRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("stage", "shard").collect()
+        .map(r => (r.getAs[String]("stage"), r.getAs[Int]("shard"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("checksum"))).toSeq
+    val arch = MergeTable.scratch(Seq("doc_id"))
+    val idx = MergeTable.scratch(Seq("doc_id"))
+    val prs = MergeTable.scratch(Seq("doc_a", "doc_b"))
+    Curate.releaseIncremental(docs.filter(col("doc_id") % 2 === 0), arch, idx, prs)
+    // sabotage: lose half the index rows (the crash-between-commits shape)
+    idx.replace(idx.read(spark, Curate.indexSchema).filter(col("doc_id") % 4 === 0))
+    val healed = reportRows(
+      Curate.releaseIncremental(docs.filter(col("doc_id") % 2 === 1), arch, idx, prs))
+    val a2 = MergeTable.scratch(Seq("doc_id"))
+    val i2 = MergeTable.scratch(Seq("doc_id"))
+    val p2 = MergeTable.scratch(Seq("doc_a", "doc_b"))
+    Curate.releaseIncremental(docs.filter(col("doc_id") % 2 === 0), a2, i2, p2)
+    val clean = reportRows(
+      Curate.releaseIncremental(docs.filter(col("doc_id") % 2 === 1), a2, i2, p2))
+    assert(healed == clean,
+      "the coherence gate must rebuild the index from the archive and converge")
+  }
 }
