@@ -117,6 +117,103 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Graph-based ANN (the NSW/HNSW family) as bounded Pregel rounds: a
+    * degree-capped kNN graph is built once (LSH same-bucket candidates →
+    * top-`degree` by cosine per node, plus the id-chain edge so the graph
+    * is connected), then each query greedily BEAM-SEARCHES it from a fixed
+    * entry node — `rounds` rounds of: expand the frontier through the edge
+    * table, union the current beam, keep the top `beam` by cosine.
+    *
+    * Scale shape: the index is the edge table — n·(degree+1) rows
+    * resident, the HNSW memory contract; build is a bucket EQUI-join
+    * (never n²) + one per-src window over bucket-bounded candidates.
+    * Serving is R bounded rounds, each ONE node-keyed join of the
+    * (queries×beam)-row frontier against the edge table + a per-query
+    * top-beam window — no corpus scan per query at all, the property that
+    * separates graph ANN from every quantization rung. Deterministic:
+    * md5-derived hyperplanes, cosine ties to the smaller id, fixed entry;
+    * the oracle unrolls the identical rounds. Output carries brute-truth
+    * flags (the [[matryoshkaTopK]] convention) so recall is measured, not
+    * assumed.
+    */
+  def beamSearchTopK(spark: SparkSession, emb: DataFrame, numQueries: Int,
+                     k: Int, degree: Int = 4, beam: Int = 4, rounds: Int = 4,
+                     centroids: Int = 16): DataFrame = {
+    // graph candidates come from the IVF cell assignment, not LSH sign
+    // buckets: on this corpus the measured recall ladder
+    // (sim_recall_report) shows cells carry locality where sign buckets
+    // don't (ivf_nprobe1 0.98 vs lsh_single 0.00) — and a kNN graph is
+    // only as good as its candidate generator
+    val base0 = withNorm(emb).localCheckpoint(true)
+    val cents = base0.filter(col("vec_id") < centroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    val base = base0.crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("_r", row_number().over(wAssign))
+      .filter(col("_r") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("c_id").as("cell"))
+      .localCheckpoint(true)
+    val cand = base.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+        col("norm").as("s_norm"), col("cell"))
+      .join(base.select(col("vec_id").as("dst"), col("embedding").as("d_emb"),
+        col("norm").as("d_norm"), col("cell")), Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("ecos",
+        expr(dotExpr("s_emb", "d_emb")) / (col("s_norm") * col("d_norm")))
+    val wG = Window.partitionBy(col("src")).orderBy(col("ecos").desc, col("dst"))
+    val lshEdges = cand.withColumn("grank", row_number().over(wG))
+      .filter(col("grank") <= degree).select(col("src"), col("dst"))
+    val ids = base.select(col("vec_id"))
+    val chain = ids.select(col("vec_id").as("src"), (col("vec_id") + 1).as("dst"))
+      .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+    val edges = lshEdges.unionByName(chain).distinct().localCheckpoint(true)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val nodeSide = base.select(col("vec_id").as("node"),
+      col("embedding").as("n_emb"), col("norm").as("n_norm"))
+    val entry = nodeSide.filter(col("node") === 0)
+    var beamDf = queries.crossJoin(broadcast(entry))
+      .withColumn("cosine",
+        expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
+      .select(col("query_id"), col("node"), col("cosine"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expanded = beamDf.select(col("query_id"), col("node"))
+        .join(edges, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node"))
+        .unionByName(beamDf.select(col("query_id"), col("node")))
+        .distinct()
+      val wB = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("node"))
+      beamDf = expanded
+        .join(nodeSide, Seq("node"))
+        .join(broadcast(queries), Seq("query_id"))
+        .withColumn("cosine",
+          expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
+        .withColumn("brank", row_number().over(wB))
+        .filter(col("brank") <= beam)
+        .select(col("query_id"), col("node"), col("cosine"))
+        .localCheckpoint(true)
+    }
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("node"))
+    beamDf.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("node").as("neighbor_id"), col("cosine"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
+  }
+
   /** SQ8 scalar quantization: per-dimension [min, max] over the corpus,
     * each float mapped to an 8-bit code `floor((x - lo) / scale)` with
     * `scale = (hi - lo) / 255` — a 4× memory cut (critical at 100 TB: the

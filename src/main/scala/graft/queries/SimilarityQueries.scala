@@ -45,6 +45,83 @@ object SimilarityQueries {
         SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** DuckDB mirror of Similarity.beamSearchTopK: same LSH bucket planes,
+    * degree-capped edge table + chain edge, then the beam rounds unrolled
+    * (each MATERIALIZED — every round references its predecessor twice).
+    */
+  private def beamGraphSql(numQueries: Int, k: Int, degree: Int,
+                           beam: Int, rounds: Int): String = {
+    val roundsSql = (1 to rounds).map { r =>
+      val prev = s"b${r - 1}"
+      s"""e$r AS (
+         |  SELECT query_id, e.dst AS node
+         |  FROM $prev JOIN edges e ON e.src = $prev.node
+         |  UNION
+         |  SELECT query_id, node FROM $prev),
+         |b$r AS MATERIALIZED (
+         |  SELECT query_id, node, cosine FROM (
+         |    SELECT x.query_id, x.node,
+         |           ${dotSql("n.embedding", "q.q_emb")} / (n.norm * q.q_norm) AS cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY x.query_id ORDER BY
+         |             ${dotSql("n.embedding", "q.q_emb")} / (n.norm * q.q_norm)
+         |               DESC, x.node) AS brank
+         |    FROM e$r x JOIN base n ON n.vec_id = x.node
+         |               JOIN q ON q.query_id = x.query_id)
+         |  WHERE brank <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+       |          FROM base WHERE vec_id < 16),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, norm, cell FROM (
+       |    SELECT b.vec_id, b.embedding, b.norm, c.c_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |             ORDER BY ${dotSql("b.embedding", "c.c_emb")} / (b.norm * c.c_norm)
+       |               DESC, c.c_id) AS r
+       |    FROM base b, cents c)
+       |  WHERE r = 1),
+       |grank AS (
+       |  SELECT a.vec_id AS src, c.vec_id AS dst,
+       |         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |           ${dotSql("a.embedding", "c.embedding")} / (a.norm * c.norm)
+       |             DESC, c.vec_id) AS gr
+       |  FROM assigned a JOIN assigned c
+       |    ON a.cell = c.cell AND a.vec_id <> c.vec_id),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM grank WHERE gr <= $degree
+       |  UNION
+       |  SELECT a.vec_id, b.vec_id FROM base a JOIN base b ON b.vec_id = a.vec_id + 1),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+       |  FROM base WHERE vec_id < $numQueries),
+       |b0 AS MATERIALIZED (
+       |  SELECT q.query_id, n.vec_id AS node,
+       |         ${dotSql("n.embedding", "q.q_emb")} / (n.norm * q.q_norm) AS cosine
+       |  FROM q, base n WHERE n.vec_id = 0),
+       |$roundsSql,
+       |truth AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT q.query_id, b.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |             ${dotSql("b.embedding", "q.q_emb")} / (b.norm * q.q_norm)
+       |               DESC, b.vec_id) AS rank
+       |    FROM base b, q WHERE b.vec_id <> q.query_id)
+       |  WHERE rank <= $k)
+       |SELECT f.query_id, CAST(f.rank AS INT) AS rank, f.node AS neighbor_id,
+       |       f.cosine,
+       |       CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS exact_hit
+       |FROM (
+       |  SELECT query_id, node, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, node) AS rank
+       |  FROM b$rounds WHERE node <> query_id) f
+       |LEFT JOIN truth t ON t.query_id = f.query_id AND t.neighbor_id = f.node
+       |WHERE f.rank <= $k
+       |ORDER BY f.query_id, f.rank""".stripMargin
+  }
+
   /** DuckDB mirror of Similarity.matryoshkaTopK: prefix-dim coarse rank,
     * top-C survivors, full-vector rerank, brute-truth flags.
     */
@@ -1338,6 +1415,21 @@ object SimilarityQueries {
         "top-3 label agreement raw vs corrected plus neighbor-set overlap — " +
         "exact-integer correction, one exact int->double cast, hash-stable " +
         "cosines"),
+
+    // ---- Graph-based ANN (the NSW/HNSW family) as bounded Pregel
+    // rounds: LSH-built degree-capped kNN graph (+ id-chain connectivity
+    // edge) searched by per-query greedy beam expansion — the serving
+    // shape where NO corpus scan happens per query, only frontier-sized
+    // joins against the resident n·(degree+1)-row edge table. Brute-truth
+    // flags measure the recall the 4-round budget buys.
+    GQuery("sim_ann_beam_graph",
+      (s, dir) => Similarity.beamSearchTopK(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3, degree = 6, beam = 8, rounds = 6)
+        .orderBy(col("query_id"), col("rank")),
+      Some(beamGraphSql(numQueries = 16, k = 3, degree = 6, beam = 8, rounds = 6)),
+      doc = "graph ANN (NSW shape): LSH-built degree-6 kNN graph + chain " +
+        "edge, 6-round beam-8 greedy search from a fixed entry, exact-cosine " +
+        "ranking, brute-truth recall flags — zero per-query corpus scans"),
 
     // ---- One-bit (binary) quantization top-k — the 64× memory rung
     // (vs PQ 32× / SQ8 4×): 60-bit sign signature, Hamming coarse rank
