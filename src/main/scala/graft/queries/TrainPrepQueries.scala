@@ -22,6 +22,88 @@ object TrainPrepQueries {
 
   val all: Seq[GQuery] = Seq(
 
+    // ---- Dedup-aware temperature mixture: budget languages by UNIQUE
+    // content, not raw volume — mixture weights from cluster-size
+    // down-weighted effective tokens (dedup_effective_tokens' kernel) side
+    // by side with the raw-token budgets, so the readout shows exactly how
+    // much budget each language's duplication was stealing. Weight totals
+    // fold in sorted-lang order (float addition is order-sensitive — the
+    // temperatureMixture convention); lang is nullable, every join is
+    // null-safe.
+    GQuery("prep_mix_effective_tokens",
+      (s, dir) => {
+        import graft.ops.Dedup
+        val docs = Tables.documents(s, dir)
+        val comp = Dedup.connectedComponentsStar(
+          Dedup.minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
+        val sized = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+        val eff = docs.join(comp, docs("doc_id") === comp("node"), "left")
+          .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+          .join(sized.select(col("comp").as("cluster"), col("csize")),
+            Seq("cluster"), "left")
+          .withColumn("csize", coalesce(col("csize"), lit(1L)))
+          .withColumn("toks", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("raw_tokens"),
+            sum(expr("toks * 100 div csize")).as("eff_tokens_e2"))
+          .localCheckpoint(true) // |langs| rows, referenced by both folds
+        def budgets(wcol: String, alias: String) = {
+          val w = eff.select(col("lang").as("_l"),
+            sqrt(col(wcol).cast("double")).as("weight"))
+          val tot = w.agg(expr(
+            """aggregate(transform(sort_array(collect_list(struct(_l, weight))),
+              |  x -> x.weight), 0D, (acc, v) -> acc + v)""".stripMargin).as("w_total"))
+          w.crossJoin(broadcast(tot))
+            .select(col("_l"),
+              floor(col("weight") / col("w_total") * 300).cast("long").as(alias))
+        }
+        val br = budgets("raw_tokens", "budget_by_raw")
+        val be = budgets("eff_tokens_e2", "budget_by_eff")
+        eff.join(br, col("lang") <=> br("_l")).drop("_l")
+          .join(be, col("lang") <=> be("_l")).drop("_l")
+          .orderBy(col("lang").asc_nulls_first)
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT doc_a, doc_b FROM (${DedupQueries.minhashPairsSql}) t),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM pairs
+              |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+              |reach(node, r) AS (
+              |  SELECT DISTINCT u, u FROM edges
+              |  UNION
+              |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v),
+              |comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+              |lbl AS (
+              |  SELECT d.doc_id, d.lang, COALESCE(c.comp, d.doc_id) AS cluster,
+              |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks
+              |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+              |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+              |       FROM lbl GROUP BY cluster),
+              |eff AS MATERIALIZED (
+              |  SELECT l.lang, count(*) AS n_docs,
+              |         CAST(SUM(l.toks) AS BIGINT) AS raw_tokens,
+              |         CAST(SUM(l.toks * 100 // s.csize) AS BIGINT) AS eff_tokens_e2
+              |  FROM lbl l JOIN sz s USING (cluster)
+              |  GROUP BY l.lang),
+              |wr AS (SELECT lang, sqrt(CAST(raw_tokens AS DOUBLE)) AS w FROM eff),
+              |twr AS (SELECT list_sum(list(w ORDER BY lang NULLS FIRST)) AS t FROM wr),
+              |br AS (SELECT lang, CAST(floor(w / t * 300) AS BIGINT) AS budget_by_raw
+              |       FROM wr, twr),
+              |we AS (SELECT lang, sqrt(CAST(eff_tokens_e2 AS DOUBLE)) AS w FROM eff),
+              |twe AS (SELECT list_sum(list(w ORDER BY lang NULLS FIRST)) AS t FROM we),
+              |be AS (SELECT lang, CAST(floor(w / t * 300) AS BIGINT) AS budget_by_eff
+              |       FROM we, twe)
+              |SELECT e.lang, e.n_docs, e.raw_tokens, e.eff_tokens_e2,
+              |       br.budget_by_raw, be.budget_by_eff
+              |FROM eff e
+              |JOIN br ON br.lang IS NOT DISTINCT FROM e.lang
+              |JOIN be ON be.lang IS NOT DISTINCT FROM e.lang
+              |ORDER BY e.lang NULLS FIRST""".stripMargin),
+      doc = "dedup-aware temperature mixture: sqrt-weights over cluster-size " +
+        "down-weighted effective tokens vs raw tokens, per-language budget " +
+        "shift readout (sorted-order float folds, null-safe lang joins)"),
+
     GQuery("prep_mix_temperature",
       (s, dir) => TrainPrep.temperatureMixture(Tables.documents(s, dir), budget = 100000L)
         .orderBy(col("lang")),

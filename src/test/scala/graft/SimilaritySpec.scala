@@ -308,6 +308,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("graph-ANN beam search finds the planted twin at rank 1 with a truth flag") {
+    val res = ops.Similarity.beamSearchTopK(spark, emb, numQueries = 2, k = 2,
+        degree = 4, beam = 4, rounds = 3, centroids = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("exact_hit")))
+    val q0top = res.find(t => t._1 == 0L && t._2 == 1).get
+    assert(q0top._3 == 1L && q0top._4 == 1,
+      s"query 0's rank-1 must be the planted twin with exact_hit=1, got $q0top")
+    // output contract: k rows per query, ranks contiguous from 1
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"query $q ranks must be contiguous from 1")
+    }
+  }
+
   private def embLabeled = {
     import spark.implicits._
     emb.withColumn("label",
