@@ -2330,6 +2330,82 @@ object RelationalQueries {
         "exact 7y - S7 integer detrending, per-dow seasonal as sign-split " +
         "1e4 rational"),
 
+    // ---- Changepoint by binary segmentation (one split): the WHERE
+    // answer next to ts_cusum's "did it drift" — per event_type, the
+    // split day t maximizing the between-segment sum of squares
+    // BSS(t) = (S_l·n_r − S_r·n_l)²/(n·n_l·n_r). n is constant per type,
+    // so the argmax rides score = a²·10⁶ div (n_l·n_r) with
+    // a = S_l·n_r − S_r·n_l — an EXACT DECIMAL(38,0) integer (a ≤ ~10¹⁰,
+    // a² ≤ 10²⁰, ×10⁶ ≤ 10²⁶), totally ordered identically in both
+    // engines; ties break to the earlier day. Candidate splits keep ≥2
+    // days per side. Window partitions by event_type over the
+    // calendar-bounded daily table.
+    GQuery("ts_changepoint_binseg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val wAll = Window.partitionBy(col("event_type"))
+        val scored = daily
+          .withColumn("k", row_number().over(wCum))
+          .withColumn("s_l", sum(col("cents")).over(wCum))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("s", sum(col("cents")).over(wAll))
+          .filter(col("k") >= 2 && col("k") <= col("n") - 2)
+          .withColumn("a", expr(
+            """CAST(s_l AS DECIMAL(38,0)) * (n - k)
+               - CAST(s - s_l AS DECIMAL(38,0)) * k"""))
+          .withColumn("score", expr("(a * a * 1000000) div (k * (n - k))"))
+        val wBest = Window.partitionBy(col("event_type"))
+          .orderBy(col("score").desc, col("d"))
+        scored.withColumn("r", row_number().over(wBest))
+          .filter(col("r") === 1)
+          .select(col("event_type"), col("d").as("split_day"),
+            col("k").cast("long").as("n_left"),
+            (col("n") - col("k")).cast("long").as("n_right"),
+            expr("100 * s_l div k").as("mean_left_e2"),
+            expr("CAST(100 * CAST(s - s_l AS DECIMAL(38,0)) div (n - k) AS BIGINT)")
+              .as("mean_right_e2"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+              |         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+              |  FROM events GROUP BY 1, 2),
+              |cum AS (
+              |  SELECT event_type, d, cents,
+              |         ROW_NUMBER() OVER w AS k,
+              |         CAST(SUM(cents) OVER w AS BIGINT) AS s_l,
+              |         count(*) OVER (PARTITION BY event_type) AS n,
+              |         CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS s
+              |  FROM daily
+              |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+              |               ROWS UNBOUNDED PRECEDING)),
+              |scored AS (
+              |  SELECT event_type, d, k, n, s_l, s,
+              |         (CAST(s_l AS HUGEINT) * (n - k)
+              |          - CAST(s - s_l AS HUGEINT) * k) AS a
+              |  FROM cum WHERE k >= 2 AND k <= n - 2),
+              |best AS (
+              |  SELECT event_type, d, k, n, s_l, s,
+              |         (a * a * 1000000) // (k * (n - k)) AS score,
+              |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY
+              |           (a * a * 1000000) // (k * (n - k)) DESC, d) AS r
+              |  FROM scored)
+              |SELECT event_type, d AS split_day,
+              |       CAST(k AS BIGINT) AS n_left,
+              |       CAST(n - k AS BIGINT) AS n_right,
+              |       CAST(100 * s_l // k AS BIGINT) AS mean_left_e2,
+              |       CAST(100 * CAST(s - s_l AS HUGEINT) // (n - k) AS BIGINT)
+              |         AS mean_right_e2
+              |FROM best WHERE r = 1 ORDER BY event_type""".stripMargin),
+      doc = "changepoint by binary segmentation: per-type argmax of the " +
+        "exact cross-multiplied between-segment sum of squares (DECIMAL " +
+        "integers end-to-end, earlier-day ties), >=2 days per side"),
+
     // ---- Wald-Wolfowitz runs test — is the daily series RANDOM around
     // its median, or trending/cyclic? Signs vs the exact per-type lower
     // median (ties discarded, the classic convention), runs counted as
