@@ -1711,8 +1711,102 @@ object ScaleOpsQueries {
       Some(diameter2SweepSql),
       doc = "diameter lower bound via double-sweep BFS (8 bounded Pregel " +
         "rounds per sweep, 1-row TakeOrdered argmax hop, no driver collect) " +
-        "== unrolled monotone-relaxation oracle")
+        "== unrolled monotone-relaxation oracle"),
+
+    // ---- k-truss peeling census (k=4): iteratively drop edges supported
+    // by fewer than k−2 triangles — the triangle-density cousin of k-core
+    // (cores bound degree, trusses bound cohesion; a 4-truss edge sits in
+    // ≥2 triangles that themselves survive). Bounded-round contract (3
+    // peels — the kcore/bfs convention; the fixpoint is this loop run to
+    // no-change, and the oracle unrolls the identical rounds). Triangle
+    // enumeration rides the id-ordered orientation (und is a<b, so the
+    // x<y<z 3-join names each triangle once; degree-ordering is the
+    // power-law upgrade trianglePerNode demonstrates); per-edge support is
+    // one explode + count, per-round lineage cut. Per-round census output
+    // — edges in/out per peel.
+    GQuery("graph_ktruss_census",
+      (s, dir) => {
+        val k = 4
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
+          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
+        var e = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+          .localCheckpoint(true)
+        val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        for (r <- 1 to 3) {
+          val nIn = e.count()
+          val wed = e.select(col("a").as("x"), col("b").as("y"))
+            .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+          val tri = wed.join(e.select(col("a").as("x"), col("b").as("z")),
+            Seq("x", "z"), "left_semi")
+          val sup = tri.select(explode(expr(
+              "array(struct(x AS a, y AS b), struct(y AS a, z AS b), struct(x AS a, z AS b))"))
+              .as("t"))
+            .select(col("t.a").as("a"), col("t.b").as("b"))
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+          e = e.join(sup, Seq("a", "b"), "left")
+            .filter(coalesce(col("support"), lit(0L)) >= (k - 2))
+            .select(col("a"), col("b"))
+            .localCheckpoint(true)
+          census += ((r, nIn, e.count()))
+        }
+        import s.implicits._
+        census.toSeq.toDF("round", "n_edges_in", "n_edges_out")
+          .orderBy(col("round"))
+      },
+      Some(ktrussSql),
+      doc = "k-truss (k=4) peeling census: 3 bounded peels of edges with " +
+        "<2 supporting triangles, id-ordered oriented enumeration, per-round " +
+        "edges in/out == unrolled-rounds oracle")
   )
+
+  /** Unrolled 3-round k-truss oracle: per round the x<y<z triangle 3-join
+    * over the current edge set, per-edge support by unioning the three
+    * triangle edges, inner-join keep at support ≥ 2 (edges in no triangle
+    * vanish from the support table and drop out). Every round CTE is
+    * MATERIALIZED (each referenced by the triangle 3-join three times).
+    */
+  private lazy val ktrussSql: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"""tri$r AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $prev e1
+         |  JOIN $prev e2 ON e2.a = e1.b
+         |  JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sup$r AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS support FROM (
+         |    SELECT x AS a, y AS b FROM tri$r
+         |    UNION ALL SELECT y, z FROM tri$r
+         |    UNION ALL SELECT x, z FROM tri$r)
+         |  GROUP BY a, b),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  JOIN sup$r s ON s.a = e.a AND s.b = e.b
+         |  WHERE s.support >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT node AS a, node + 1 AS b FROM nodes
+       |    UNION ALL SELECT node, node + 2 FROM nodes
+       |    UNION ALL SELECT node, node + 3 FROM nodes
+       |    UNION ALL SELECT node, node * 2 FROM nodes) e
+       |  WHERE a < b
+       |    AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+       |$rounds
+       |SELECT 1 AS round, (SELECT count(*) FROM e0) AS n_edges_in,
+       |       (SELECT count(*) FROM e1) AS n_edges_out
+       |UNION ALL
+       |SELECT 2, (SELECT count(*) FROM e1), (SELECT count(*) FROM e2)
+       |UNION ALL
+       |SELECT 3, (SELECT count(*) FROM e2), (SELECT count(*) FROM e3)
+       |ORDER BY round""".stripMargin
+  }
 
   /** Unrolled double-sweep BFS oracle: two 8-round monotone relaxations,
     * every round CTE MATERIALIZED (each references its predecessor twice —
