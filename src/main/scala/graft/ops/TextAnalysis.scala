@@ -579,6 +579,57 @@ object TextAnalysis {
         col("tf"), col("df"), col("dl"), col("score"))
   }
 
+  /** Log-free TF·IDF retrieval (score = tf·N/df, the raw-idf monotone
+    * transform the repo's keyword extractor uses) — [[bm25TopK]]'s
+    * length-normalization-free sibling, kept as a genuinely different
+    * ranking signal for [[hybridRrfTopK]]. Exact integer products under
+    * one deterministic double division. */
+  def tfidfTopK(docs: DataFrame, terms: Seq[String], topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+    tf.join(df, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        expr("CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("term"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("score"))
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (RRF, Cormack et al.):
+    * two rankers' top lists fused by Σ ⌊10⁶/(60+rank)⌋ per (query, doc) —
+    * the standard fusion of heterogeneous retrievers (here BM25's
+    * length-normalized ranking and raw TF·IDF's), exact integers so the
+    * fused ranking is bit-stable. Docs found by only one ranker still
+    * score (full outer union); flags record which side surfaced each hit.
+    * Scale: both rankers are posting-list aggregations; the fusion joins
+    * two (terms×topN)-row lists — bounded. */
+  def hybridRrfTopK(docs: DataFrame, terms: Seq[String],
+                    perRanker: Int = 10, topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25TopK(docs, terms, perRanker)
+      .select(col("term"), col("doc_id"), col("rank").as("rank_bm25"))
+    val ti = tfidfTopK(docs, terms, perRanker)
+      .select(col("term"), col("doc_id"), col("rank").as("rank_tfidf"))
+    val fused = bm.join(ti, Seq("term", "doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr("1000000 div (60 + rank_bm25)"), lit(0L))
+          + coalesce(expr("1000000 div (60 + rank_tfidf)"), lit(0L)))
+    val w = Window.partitionBy(col("term")).orderBy(col("rrf_e6").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("term"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("rrf_e6"),
+        when(col("rank_bm25").isNotNull, 1).otherwise(0).as("in_bm25"),
+        when(col("rank_tfidf").isNotNull, 1).otherwise(0).as("in_tfidf"))
+  }
+
   /** Collocation extraction by PMI proxy: adjacent pairs ranked by
     * T·c(xy) / (c(x)·c(y)) — the log-free monotone transform of pointwise
     * mutual information (log preserves no ranking; libm rounding differs

@@ -1211,6 +1211,61 @@ object TextQueries {
         "integer rationals; posting-list tf via filtered explode; " +
         "IEEE-deterministic score)"),
 
+    // ---- Hybrid retrieval by reciprocal-rank fusion: BM25's
+    // length-normalized ranking fused with raw TF·IDF's via exact
+    // Σ ⌊1e6/(60+rank)⌋ — the standard heterogeneous-retriever merge
+    // (Cormack's RRF), with per-side provenance flags. Integer fusion →
+    // bit-stable final ranking.
+    GQuery("text_hybrid_rrf",
+      (s, dir) => TextAnalysis.hybridRrfTopK(Tables.documents(s, dir),
+          Seq("spark", "join", "stream", "filter"), perRanker = 10, topN = 5)
+        .orderBy(col("term"), col("rank")),
+      Some(s"""WITH dl AS (
+              |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+              |corpus AS (
+              |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS corpus_len FROM dl),
+              |tf AS MATERIALIZED (
+              |  SELECT doc_id, t.term, count(*) AS tf
+              |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
+              |  WHERE t.term IN ('spark', 'join', 'stream', 'filter')
+              |  GROUP BY doc_id, t.term),
+              |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |bm AS MATERIALIZED (
+              |  SELECT term, doc_id, rank AS rank_bm25 FROM (
+              |    SELECT tf.term, tf.doc_id,
+              |           ROW_NUMBER() OVER (PARTITION BY tf.term ORDER BY
+              |             (CAST(44 * tf.tf * c.corpus_len AS DOUBLE)
+              |                / CAST(20 * tf.tf * c.corpus_len + 6 * c.corpus_len
+              |                       + 18 * dl.dl * c.n_docs AS DOUBLE))
+              |             * (CAST(2 * c.n_docs - 2 * dfx.df + 1 AS DOUBLE)
+              |                / CAST(2 * dfx.df + 1 AS DOUBLE)) DESC, tf.doc_id) AS rank
+              |    FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c)
+              |  WHERE rank <= 10),
+              |ti AS MATERIALIZED (
+              |  SELECT term, doc_id, rank AS rank_tfidf FROM (
+              |    SELECT tf.term, tf.doc_id,
+              |           ROW_NUMBER() OVER (PARTITION BY tf.term ORDER BY
+              |             CAST(tf.tf * c.n_docs AS DOUBLE) / CAST(dfx.df AS DOUBLE)
+              |               DESC, tf.doc_id) AS rank
+              |    FROM tf JOIN dfx USING (term) CROSS JOIN corpus c)
+              |  WHERE rank <= 10),
+              |fused AS (
+              |  SELECT term, doc_id,
+              |         COALESCE(1000000 // (60 + rank_bm25), 0)
+              |           + COALESCE(1000000 // (60 + rank_tfidf), 0) AS rrf_e6,
+              |         CASE WHEN rank_bm25 IS NULL THEN 0 ELSE 1 END AS in_bm25,
+              |         CASE WHEN rank_tfidf IS NULL THEN 0 ELSE 1 END AS in_tfidf
+              |  FROM bm FULL JOIN ti USING (term, doc_id))
+              |SELECT term, CAST(rank AS INT) AS rank, doc_id,
+              |       CAST(rrf_e6 AS BIGINT) AS rrf_e6, in_bm25, in_tfidf
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+              |                                   ORDER BY rrf_e6 DESC, doc_id) AS rank
+              |      FROM fused)
+              |WHERE rank <= 5 ORDER BY term, rank""".stripMargin),
+      doc = "hybrid retrieval: BM25 + raw-TF-IDF rankings fused by exact " +
+        "integer RRF (sum of 1e6 div (60+rank)), per-side provenance flags, " +
+        "bit-stable fused ranking"),
+
     // ---- Persisted inverted-index lifecycle: postings + doc-length
     // sidecar as versioned MergeTables, built from half the corpus and
     // incrementally UPSERTED with the other half (delta-sized, idempotent
