@@ -184,6 +184,26 @@ object GraphOps {
     out.result().toDF("round", "n_nodes_alive", "n_edges_alive")
   }
 
+  /** The deterministic undirected test graph every graph query walks:
+    * chords +1, +2, +3, ×2 over a node-key table (the ×2 chords give
+    * log-distance shortcuts and degree variance), endpoints restricted to
+    * existing nodes, normalized a<b, deduped — eagerly checkpointed
+    * because every consumer references the edge set repeatedly (degrees,
+    * wedges, rounds) and an uncut reference replays the 5-scan
+    * construction per use (measured 72 base scans in the link-prediction
+    * plan before the cut).
+    */
+  def chordGraph(nodes: DataFrame): DataFrame = {
+    val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
+      .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
+      .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
+      .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
+    cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .localCheckpoint(true)
+  }
+
   def trianglePerNode(nodes: DataFrame, undRaw: DataFrame): DataFrame = {
     // DIAMOND-SHAPED reuse (edges feed degrees, orientation, wedges AND
     // the closing probe): without a lineage cut each reference re-plans

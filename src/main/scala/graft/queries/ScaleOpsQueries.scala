@@ -736,15 +736,10 @@ object ScaleOpsQueries {
     GQuery("graph_triangle_census",
       (s, dir) => {
         val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
-        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
-        // strict a < b canonical form: key 0 makes node*2 a self-loop, which
-        // is not an edge (and would fabricate degenerate "triangles")
-        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct()
+        // strict a < b canonical form (inside chordGraph): key 0 makes
+        // node*2 a self-loop, which is not an edge (and would fabricate
+        // degenerate "triangles")
+        val und = graft.ops.GraphOps.chordGraph(nodes)
         graft.ops.GraphOps.trianglePerNode(nodes, und)
           .groupBy(col("tri_count")).agg(count(lit(1)).as("n_nodes"))
           .orderBy(col("tri_count"))
@@ -784,13 +779,7 @@ object ScaleOpsQueries {
     GQuery("graph_kcore_census",
       (s, dir) => {
         val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
-        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
-        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct()
+        val und = graft.ops.GraphOps.chordGraph(nodes)
         graft.ops.GraphOps.kcorePeelCensus(und, k = 5, rounds = 3)
           .orderBy(col("round"))
       },
@@ -1173,13 +1162,7 @@ object ScaleOpsQueries {
     GQuery("graph_bfs_hops",
       (s, dir) => {
         val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
-        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
-        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct()
+        val und = graft.ops.GraphOps.chordGraph(nodes)
         val seeds = nodes.filter(col("node") % 97 === 0)
         val dist = graft.ops.GraphOps.bfsHops(seeds, und, rounds = 4)
         nodes.join(dist, Seq("node"), "left")
@@ -1236,13 +1219,7 @@ object ScaleOpsQueries {
     GQuery("graph_sssp_weighted",
       (s, dir) => {
         val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
-        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
-        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct()
+        val und = graft.ops.GraphOps.chordGraph(nodes)
           .withColumn("w", (col("a") + col("b")) % 7 + 1)
         val seeds = nodes.filter(col("node") % 97 === 0)
         val dist = graft.ops.GraphOps.ssspWeighted(seeds, und, rounds = 4)
@@ -1480,19 +1457,7 @@ object ScaleOpsQueries {
     GQuery("graph_link_prediction",
       (s, dir) => {
         val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
-        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
-        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .filter(col("a") < col("b"))
-          // lineage cut on the synthetic edge table: nbrs/deg/joins below
-          // reference `und` many times, and each uncut reference replays the
-          // 5-scan chord construction (measured 72 base scans in the
-          // link-prediction plan before the cut — the trianglePerNode
-          // convention, GraphOps.scala:187)
-          .select(col("a"), col("b")).distinct()
-          .localCheckpoint(true)
+        val und = graft.ops.GraphOps.chordGraph(nodes)
         val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
         val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1550,19 +1515,7 @@ object ScaleOpsQueries {
     GQuery("graph_assortativity",
       (s, dir) => {
         val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
-        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
-        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .filter(col("a") < col("b"))
-          // lineage cut on the synthetic edge table: nbrs/deg/joins below
-          // reference `und` many times, and each uncut reference replays the
-          // 5-scan chord construction (measured 72 base scans in the
-          // link-prediction plan before the cut — the trianglePerNode
-          // convention, GraphOps.scala:187)
-          .select(col("a"), col("b")).distinct()
-          .localCheckpoint(true)
+        val und = graft.ops.GraphOps.chordGraph(nodes)
         val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
         val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1619,19 +1572,7 @@ object ScaleOpsQueries {
     GQuery("graph_clustering_coefficient",
       (s, dir) => {
         val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
-        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
-        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .filter(col("a") < col("b"))
-          // lineage cut on the synthetic edge table: nbrs/deg/joins below
-          // reference `und` many times, and each uncut reference replays the
-          // 5-scan chord construction (measured 72 base scans in the
-          // link-prediction plan before the cut — the trianglePerNode
-          // convention, GraphOps.scala:187)
-          .select(col("a"), col("b")).distinct()
-          .localCheckpoint(true)
+        val und = graft.ops.GraphOps.chordGraph(nodes)
         val tri3 = graft.ops.GraphOps.trianglePerNode(nodes, und)
           .agg(sum(col("tri_count")).as("tri_x3"))
         val wedges = und
@@ -1683,15 +1624,7 @@ object ScaleOpsQueries {
     GQuery("graph_diameter_2sweep",
       (s, dir) => {
         val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
-        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
-        val und = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct()
-          // lineage cut: 16 BFS rounds each reference the edge table
-          .localCheckpoint(true)
+        val und = graft.ops.GraphOps.chordGraph(nodes)
         val seed = nodes.agg(min(col("node")).as("node"))
         val d1 = graft.ops.GraphOps.bfsHops(seed, und, rounds = 8)
         // NOT checkpointed: keeping the TakeOrdered lineage is what proves
@@ -1728,14 +1661,7 @@ object ScaleOpsQueries {
       (s, dir) => {
         val k = 4
         val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
-        val cand = nodes.select(col("node").as("a"), (col("node") + 1).as("b"))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 2).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") + 3).as("b")))
-          .unionByName(nodes.select(col("node").as("a"), (col("node") * 2).as("b")))
-        var e = cand.join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct()
-          .localCheckpoint(true)
+        var e = graft.ops.GraphOps.chordGraph(nodes)
         val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
         for (r <- 1 to 3) {
           val nIn = e.count()
