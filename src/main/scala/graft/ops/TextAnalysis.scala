@@ -613,10 +613,40 @@ object TextAnalysis {
   def hybridRrfTopK(docs: DataFrame, terms: Seq[String],
                     perRanker: Int = 10, topN: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bm = bm25TopK(docs, terms, perRanker)
-      .select(col("term"), col("doc_id"), col("rank").as("rank_bm25"))
-    val ti = tfidfTopK(docs, terms, perRanker)
-      .select(col("term"), col("doc_id"), col("rank").as("rank_tfidf"))
+    // ONE posting build shared by both rankers — a real hybrid retriever
+    // serves both scores from the same index; calling the two standalone
+    // ops would rebuild the tokenize+explode postings per ranker (the
+    // repeated-scan sweep reads that as 7 corpus scans). The joined
+    // posting table is (terms × matching docs)-bounded, so the cut is tiny.
+    val dl = withTokens(docs)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("corpus_len"))
+    val tf = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val postings = tf
+      .join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .localCheckpoint(true)
+    val wBm = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val bm = postings
+      .withColumn("score", expr(
+        "(CAST(44 * tf * corpus_len AS DOUBLE) " +
+          " / CAST(20 * tf * corpus_len + 6 * corpus_len + 18 * dl * n_docs AS DOUBLE)) " +
+          "* (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"))
+      .withColumn("rank_bm25", row_number().over(wBm))
+      .filter(col("rank_bm25") <= perRanker)
+      .select(col("term"), col("doc_id"), col("rank_bm25"))
+    val ti = postings
+      .withColumn("score",
+        expr("CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE)"))
+      .withColumn("rank_tfidf", row_number().over(wBm))
+      .filter(col("rank_tfidf") <= perRanker)
+      .select(col("term"), col("doc_id"), col("rank_tfidf"))
     val fused = bm.join(ti, Seq("term", "doc_id"), "full_outer")
       .withColumn("rrf_e6",
         coalesce(expr("1000000 div (60 + rank_bm25)"), lit(0L))
