@@ -577,10 +577,13 @@ object Curate {
     // Repair = rebuild the index from the archive text (the ONE case an
     // incremental run pays a table scan). The PAIR table cannot be
     // validated by counts (its cardinality is legitimately independent);
-    // it is instead rebuilt-safe by construction: pairs are only ever
-    // consumed for docs still present in the index, and a lost pair
-    // commit is regenerated because the batch's ids are re-paired on
-    // replay (ReleaseIncrementalSpec's replay-idempotence proof).
+    // it is instead made coherent by construction: before the CC and the
+    // commit, pairs are semi-joined against the CURRENT index ids (a
+    // pair-table-sized filter), so a pair referencing a doc evicted by a
+    // crashed earlier run can neither bias a component label nor be
+    // re-committed; a lost pair commit is regenerated because the batch's
+    // ids are re-paired on replay (ReleaseIncrementalSpec's
+    // replay-idempotence proof).
     val tIdx = {
       val asRead = index.read(spark, indexSchema)
       val schemaOk = indexSchema.fieldNames.forall(asRead.columns.contains)
@@ -646,16 +649,6 @@ object Curate {
     val newPairs = Dedup.verifyJaccard(bb.unionByName(bt).distinct(), hbaseAll, tau)
       .select(col("doc_a"), col("doc_b"))
 
-    // pair state: prior pairs minus those touching evicted docs, plus the
-    // batch's verified pairs — then a scratch boundary (the CC below and
-    // the commit both read it)
-    val pairsPrev = tPrevPairs
-      .join(tEvicted.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
-      .join(tEvicted.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
-    val pairsDir = graft.stages.TempDirs.scratch("graft_rel_pairs_")
-    pairsPrev.unionByName(newPairs).write.mode("overwrite").parquet(pairsDir)
-    val allPairs = spark.read.parquet(pairsDir)
-
     // index state (scratch boundary: funnel, split, mixture, manifest and
     // the commit all read it)
     val idxCols = indexSchema.fieldNames.map(col).toSeq
@@ -663,6 +656,23 @@ object Curate {
     tKept.select(idxCols: _*).unionByName(bUnique.select(idxCols: _*))
       .write.mode("overwrite").parquet(newIdxDir)
     val newIdx = spark.read.parquet(newIdxDir)
+
+    // pair state: prior pairs minus those touching evicted docs, plus the
+    // batch's verified pairs, then — the coherence-gate invariant — only
+    // pairs whose BOTH endpoints survive in the new index (a stale pair
+    // from a crashed earlier run would otherwise be re-committed forever
+    // and could bias a min-id component label). Pair-table-sized filter;
+    // then a scratch boundary (the CC below and the commit both read it).
+    val pairsPrev = tPrevPairs
+      .join(tEvicted.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(tEvicted.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+    val idxIds = newIdx.select(col("doc_id"))
+    val pairsDir = graft.stages.TempDirs.scratch("graft_rel_pairs_")
+    pairsPrev.unionByName(newPairs)
+      .join(idxIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(idxIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .write.mode("overwrite").parquet(pairsDir)
+    val allPairs = spark.read.parquet(pairsDir)
 
     // cluster-aware split over the pair table (bounded CC input)
     val comp = Dedup.connectedComponentsStar(allPairs)

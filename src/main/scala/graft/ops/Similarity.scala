@@ -118,34 +118,48 @@ object Similarity {
   }
 
   /** Graph-based ANN (the NSW/HNSW family) as bounded Pregel rounds: a
-    * degree-capped kNN graph is built once (LSH same-bucket candidates →
+    * degree-capped kNN graph is built once (IVF same-cell candidates →
     * top-`degree` by cosine per node, plus the id-chain edge so the graph
-    * is connected), then each query greedily BEAM-SEARCHES it from a fixed
-    * entry node — `rounds` rounds of: expand the frontier through the edge
-    * table, union the current beam, keep the top `beam` by cosine.
+    * is connected), then each query greedily BEAM-SEARCHES it starting
+    * from its OWN IVF cell's centroid node — `rounds` rounds of: expand
+    * the frontier through the edge table, union the current beam, keep
+    * the top `beam` by cosine. (A fixed global entry node was the r13
+    * formulation; it measured 0.58 recall because distant queries spent
+    * their round budget traversing the id-chain — entering at the
+    * query's own cell is the NSW entry heuristic and restores the recall
+    * the candidate generator supports.)
     *
     * Scale shape: the index is the edge table — n·(degree+1) rows
-    * resident, the HNSW memory contract; build is a bucket EQUI-join
-    * (never n²) + one per-src window over bucket-bounded candidates.
+    * resident, the HNSW memory contract; build is a cell EQUI-join
+    * (never global n²) + one per-src window over cell-bounded
+    * candidates, and the cell count GROWS WITH THE CORPUS as ⌈√n⌉
+    * (default, overridable via `centroids`), so expected per-cell
+    * population is √n and the build join is Σ|cell|² ≈ n^1.5 total —
+    * at a fixed cell count it would be n²/cells, a scale-killer.
     * Serving is R bounded rounds, each ONE node-keyed join of the
     * (queries×beam)-row frontier against the edge table + a per-query
     * top-beam window — no corpus scan per query at all, the property that
     * separates graph ANN from every quantization rung. Deterministic:
-    * md5-derived hyperplanes, cosine ties to the smaller id, fixed entry;
-    * the oracle unrolls the identical rounds. Output carries brute-truth
-    * flags (the [[matryoshkaTopK]] convention) so recall is measured, not
-    * assumed.
+    * first-⌈√n⌉-ids quantizer, cosine ties to the smaller id, per-query
+    * cell entry; the oracle unrolls the identical rounds. Output carries
+    * brute-truth flags (the [[matryoshkaTopK]] convention) so recall is
+    * measured, not assumed.
     */
   def beamSearchTopK(spark: SparkSession, emb: DataFrame, numQueries: Int,
                      k: Int, degree: Int = 4, beam: Int = 4, rounds: Int = 4,
-                     centroids: Int = 16): DataFrame = {
+                     centroids: Int = 0): DataFrame = {
     // graph candidates come from the IVF cell assignment, not LSH sign
     // buckets: on this corpus the measured recall ladder
     // (sim_recall_report) shows cells carry locality where sign buckets
     // don't (ivf_nprobe1 0.98 vs lsh_single 0.00) — and a kNN graph is
     // only as good as its candidate generator
     val base0 = withNorm(emb).localCheckpoint(true)
-    val cents = base0.filter(col("vec_id") < centroids)
+    // ⌈√n⌉ cells by default: per-cell candidate joins stay √n-bounded at
+    // any corpus size (see scaladoc); explicit `centroids` is a test knob
+    val nCents =
+      if (centroids > 0) centroids
+      else math.ceil(math.sqrt(base0.count().toDouble)).toInt
+    val cents = base0.filter(col("vec_id") < nCents)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -173,11 +187,13 @@ object Similarity {
     val edges = lshEdges.unionByName(chain).distinct().localCheckpoint(true)
     val queries = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"))
+        col("norm").as("q_norm"), col("cell"))
     val nodeSide = base.select(col("vec_id").as("node"),
       col("embedding").as("n_emb"), col("norm").as("n_norm"))
-    val entry = nodeSide.filter(col("node") === 0)
-    var beamDf = queries.crossJoin(broadcast(entry))
+    // NSW entry heuristic: each query starts at its own cell's centroid
+    // node (cell ids ARE node ids — the quantizer is the first ⌈√n⌉
+    // vectors), not at one global fixed node
+    var beamDf = queries.join(nodeSide, col("node") === col("cell"))
       .withColumn("cosine",
         expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
       .select(col("query_id"), col("node"), col("cosine"))
@@ -1219,9 +1235,10 @@ object Similarity {
     // interpreted HOF eval — measured 8x slower (2.7 s vs 0.35 s) on the
     // same 8M-pair workload. The sum is two-stage: a LONG partial per
     // ≤4096-row bucket (monotonically_increasing_id div 4096 — per-bucket
-    // total ≤ 4096·(1e6·|e|max)², overflow-free for |e|max ≤ 1000 at ANY
-    // corpus size; bucket membership cannot change an associative integer
-    // sum), then DECIMAL(38,0) only across the dim²·(n/4096) bucket rows.
+    // total ≤ 4096·(1e6·|e|max)² ≤ Long.Max requires |e|max ≤ ~47; corpus
+    // embeddings are unit-scale (|e| ≤ ~1.2), two decades of headroom, and
+    // bucket membership cannot change an associative integer sum), then
+    // DECIMAL(38,0) only across the dim²·(n/4096) bucket rows.
     // Skipping per-product BigDecimal accumulation is another measured 5x
     // (0.46 s vs 2.4 s) on 8M pairs — bit-identical results both times.
     val prods = sv
@@ -1275,22 +1292,6 @@ object Similarity {
       .orderBy(col("pos"))
   }
 
-  /** Anisotropy census: how much of the embedding cloud's variance the
-    * dominant direction explains (the Rayleigh quotient vᵀCv / (vᵀv·tr C)
-    * of the [[pcaPowerTop]] vector) next to the best AXIS-ALIGNED share
-    * max_i C_ii / tr C. A large gap between the two means the collapse
-    * direction is rotated — exactly the case mean-centering alone misses
-    * and Mu & Viswanath's all-but-the-top correction targets; pc1 share
-    * near 1 means cosine similarities are dominated by one direction and
-    * ANN contrast degrades.
-    *
-    * Exactness: v is renormalized to ≤10⁵ magnitude so every term of
-    * vᵀCv stays under DECIMAL(38,0) (10⁵·10¹⁸·10⁵·4096 ≈ 4·10³² and the
-    * 1e4 scaling keeps the numerator < 4·10³⁶); shares are truncating
-    * cross-multiplied integer divisions — hash-exact cross-engine. All
-    * algebra after [[covScaled]] is on ≤4096-row tables with 64-row
-    * broadcasts; single-row output.
-    */
   /** The [[powerTopVec]] direction renormalized to ≤`scale` magnitude —
     * 10⁵ is the share-census scale (vᵀCv under DECIMAL(38,0), see
     * [[anisotropyCensus]]); [[abttCensus]] uses 10⁴ for the projection
@@ -1331,6 +1332,22 @@ object Similarity {
         truncDiv("(10000 * num)", "(den1 * tr)").cast("long").as("pc1_share_e4"))
   }
 
+  /** Anisotropy census: how much of the embedding cloud's variance the
+    * dominant direction explains (the Rayleigh quotient vᵀCv / (vᵀv·tr C)
+    * of the [[pcaPowerTop]] vector) next to the best AXIS-ALIGNED share
+    * max_i C_ii / tr C. A large gap between the two means the collapse
+    * direction is rotated — exactly the case mean-centering alone misses
+    * and Mu & Viswanath's all-but-the-top correction targets; pc1 share
+    * near 1 means cosine similarities are dominated by one direction and
+    * ANN contrast degrades.
+    *
+    * Exactness: v is renormalized to ≤10⁵ magnitude so every term of
+    * vᵀCv stays under DECIMAL(38,0) (10⁵·10¹⁸·10⁵·4096 ≈ 4·10³² and the
+    * 1e4 scaling keeps the numerator < 4·10³⁶); shares are truncating
+    * cross-multiplied integer divisions — hash-exact cross-engine. All
+    * algebra after [[covScaled]] is on ≤4096-row tables with 64-row
+    * broadcasts; single-row output.
+    */
   def anisotropyCensus(emb: DataFrame): DataFrame = {
     val covS = covScaled(emb)
     shareCensus(covS, topDirV6(covS))

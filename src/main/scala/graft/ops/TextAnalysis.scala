@@ -555,6 +555,21 @@ object TextAnalysis {
     * unbounded term sets swap the window for the bounded single-pass
     * [[graft.functions.TopKAggregator]] as `sim_topk_brute_agg` does.
     */
+  /** THE BM25 score expression (over columns tf, df, dl, n_docs,
+    * corpus_len) — the single definition [[bm25TopK]], [[hybridRrfTopK]]
+    * and [[invertedIndexSearch]] all score with, so a k1/b retune reaches
+    * every consumer (they'd silently diverge as inlined copies).
+    */
+  private[graft] val bm25ScoreSql: String =
+    "(CAST(44 * tf * corpus_len AS DOUBLE) " +
+      " / CAST(20 * tf * corpus_len + 6 * corpus_len + 18 * dl * n_docs AS DOUBLE)) " +
+      "* (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"
+
+  /** The raw-idf TF·IDF score (over tf, df, n_docs) — [[tfidfTopK]]'s and
+    * [[hybridRrfTopK]]'s shared second ranking signal. */
+  private[graft] val tfidfScoreSql: String =
+    "CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE)"
+
   def bm25TopK(docs: DataFrame, terms: Seq[String], topN: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dl = withTokens(docs)
@@ -568,10 +583,7 @@ object TextAnalysis {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("term")).join(dl, Seq("doc_id"))
       .crossJoin(broadcast(corpus))
-      .withColumn("score", expr(
-        "(CAST(44 * tf * corpus_len AS DOUBLE) " +
-          " / CAST(20 * tf * corpus_len + 6 * corpus_len + 18 * dl * n_docs AS DOUBLE)) " +
-          "* (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"))
+      .withColumn("score", expr(bm25ScoreSql))
     val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)
@@ -581,9 +593,9 @@ object TextAnalysis {
 
   /** Log-free TF·IDF retrieval (score = tf·N/df, the raw-idf monotone
     * transform the repo's keyword extractor uses) — [[bm25TopK]]'s
-    * length-normalization-free sibling, kept as a genuinely different
-    * ranking signal for [[hybridRrfTopK]]. Exact integer products under
-    * one deterministic double division. */
+    * length-normalization-free sibling: the same [[tfidfScoreSql]] signal
+    * [[hybridRrfTopK]] fuses as its second ranker, served standalone.
+    * Exact integer products under one deterministic double division. */
   def tfidfTopK(docs: DataFrame, terms: Seq[String], topN: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -594,8 +606,7 @@ object TextAnalysis {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
     tf.join(df, Seq("term")).crossJoin(broadcast(nDocs))
-      .withColumn("score",
-        expr("CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE)"))
+      .withColumn("score", expr(tfidfScoreSql))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)
       .select(col("term"), col("rank").cast("int").as("rank"), col("doc_id"),
@@ -634,16 +645,12 @@ object TextAnalysis {
     val wBm = Window.partitionBy(col("term"))
       .orderBy(col("score").desc, col("doc_id"))
     val bm = postings
-      .withColumn("score", expr(
-        "(CAST(44 * tf * corpus_len AS DOUBLE) " +
-          " / CAST(20 * tf * corpus_len + 6 * corpus_len + 18 * dl * n_docs AS DOUBLE)) " +
-          "* (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"))
+      .withColumn("score", expr(bm25ScoreSql))
       .withColumn("rank_bm25", row_number().over(wBm))
       .filter(col("rank_bm25") <= perRanker)
       .select(col("term"), col("doc_id"), col("rank_bm25"))
     val ti = postings
-      .withColumn("score",
-        expr("CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE)"))
+      .withColumn("score", expr(tfidfScoreSql))
       .withColumn("rank_tfidf", row_number().over(wBm))
       .filter(col("rank_tfidf") <= perRanker)
       .select(col("term"), col("doc_id"), col("rank_tfidf"))
@@ -743,10 +750,7 @@ object TextAnalysis {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("term")).join(dl, Seq("doc_id"))
       .crossJoin(broadcast(corpus))
-      .withColumn("score", expr(
-        "(CAST(44 * tf * corpus_len AS DOUBLE) " +
-          " / CAST(20 * tf * corpus_len + 6 * corpus_len + 18 * dl * n_docs AS DOUBLE)) " +
-          "* (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"))
+      .withColumn("score", expr(bm25ScoreSql))
     val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)

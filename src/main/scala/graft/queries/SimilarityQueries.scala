@@ -45,9 +45,10 @@ object SimilarityQueries {
         SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
-  /** DuckDB mirror of Similarity.beamSearchTopK: same LSH bucket planes,
-    * degree-capped edge table + chain edge, then the beam rounds unrolled
-    * (each MATERIALIZED — every round references its predecessor twice).
+  /** DuckDB mirror of Similarity.beamSearchTopK: same ⌈√n⌉-cell IVF
+    * assignment, degree-capped edge table + chain edge, per-query
+    * own-cell entry, then the beam rounds unrolled (each MATERIALIZED —
+    * every round references its predecessor twice).
     */
   private def beamGraphSql(numQueries: Int, k: Int, degree: Int,
                            beam: Int, rounds: Int): String = {
@@ -73,7 +74,9 @@ object SimilarityQueries {
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
        |  FROM embeddings),
        |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
-       |          FROM base WHERE vec_id < 16),
+       |          FROM base
+       |          WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+       |                          FROM embeddings)),
        |assigned AS MATERIALIZED (
        |  SELECT vec_id, embedding, norm, cell FROM (
        |    SELECT b.vec_id, b.embedding, b.norm, c.c_id AS cell,
@@ -99,7 +102,8 @@ object SimilarityQueries {
        |b0 AS MATERIALIZED (
        |  SELECT q.query_id, n.vec_id AS node,
        |         ${dotSql("n.embedding", "q.q_emb")} / (n.norm * q.q_norm) AS cosine
-       |  FROM q, base n WHERE n.vec_id = 0),
+       |  FROM q JOIN assigned a ON a.vec_id = q.query_id
+       |         JOIN base n ON n.vec_id = a.cell),
        |$roundsSql,
        |truth AS (
        |  SELECT query_id, vec_id AS neighbor_id FROM (
@@ -1417,19 +1421,22 @@ object SimilarityQueries {
         "cosines"),
 
     // ---- Graph-based ANN (the NSW/HNSW family) as bounded Pregel
-    // rounds: LSH-built degree-capped kNN graph (+ id-chain connectivity
-    // edge) searched by per-query greedy beam expansion — the serving
+    // rounds: IVF-cell-built degree-capped kNN graph (+ id-chain
+    // connectivity edge), ⌈√n⌉ cells so the within-cell build join stays
+    // √n-bounded per cell at any scale, searched by per-query greedy beam
+    // expansion ENTERING AT THE QUERY'S OWN CELL centroid — the serving
     // shape where NO corpus scan happens per query, only frontier-sized
     // joins against the resident n·(degree+1)-row edge table. Brute-truth
-    // flags measure the recall the 4-round budget buys.
+    // flags measure the recall the 6-round budget buys.
     GQuery("sim_ann_beam_graph",
       (s, dir) => Similarity.beamSearchTopK(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3, degree = 6, beam = 8, rounds = 6)
         .orderBy(col("query_id"), col("rank")),
       Some(beamGraphSql(numQueries = 16, k = 3, degree = 6, beam = 8, rounds = 6)),
-      doc = "graph ANN (NSW shape): LSH-built degree-6 kNN graph + chain " +
-        "edge, 6-round beam-8 greedy search from a fixed entry, exact-cosine " +
-        "ranking, brute-truth recall flags — zero per-query corpus scans"),
+      doc = "graph ANN (NSW shape): sqrt(n)-cell IVF-built degree-6 kNN " +
+        "graph + chain edge, 6-round beam-8 greedy search entering at the " +
+        "query's own cell, exact-cosine ranking, brute-truth recall flags " +
+        "— zero per-query corpus scans"),
 
     // ---- One-bit (binary) quantization top-k — the 64× memory rung
     // (vs PQ 32× / SQ8 4×): 60-bit sign signature, Hamming coarse rank

@@ -1211,6 +1211,34 @@ object TextQueries {
         "integer rationals; posting-list tf via filtered explode; " +
         "IEEE-deterministic score)"),
 
+    // ---- Raw-TF·IDF retrieval: the hybrid's second ranker served
+    // standalone — the SAME tfidfScoreSql definition text_hybrid_rrf
+    // fuses, so a retune cannot silently diverge the two. Log-free raw
+    // idf keeps the score one IEEE-exact division (libm log differs
+    // across engines).
+    GQuery("text_tfidf_search",
+      (s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir),
+        Seq("spark", "join", "stream", "filter"), topN = 5)
+        .orderBy(col("term"), col("rank")),
+      Some(s"""WITH tf AS (
+              |  SELECT doc_id, t.term, count(*) AS tf
+              |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
+              |  WHERE t.term IN ('spark', 'join', 'stream', 'filter')
+              |  GROUP BY doc_id, t.term),
+              |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |corpus AS (SELECT count(*) AS n_docs FROM documents)
+              |SELECT term, CAST(rank AS INT) AS rank, doc_id, score FROM (
+              |  SELECT tf.term, tf.doc_id,
+              |         CAST(tf.tf * c.n_docs AS DOUBLE) / CAST(dfx.df AS DOUBLE) AS score,
+              |         ROW_NUMBER() OVER (PARTITION BY tf.term ORDER BY
+              |           CAST(tf.tf * c.n_docs AS DOUBLE) / CAST(dfx.df AS DOUBLE)
+              |             DESC, tf.doc_id) AS rank
+              |  FROM tf JOIN dfx USING (term) CROSS JOIN corpus c)
+              |WHERE rank <= 5 ORDER BY term, rank""".stripMargin),
+      doc = "raw-TF-IDF top-5 retrieval per query term (score = tf*N/df, " +
+        "log-free so IEEE-exact; the standalone form of the hybrid's " +
+        "second ranker)"),
+
     // ---- Hybrid retrieval by reciprocal-rank fusion: BM25's
     // length-normalized ranking fused with raw TF·IDF's via exact
     // Σ ⌊1e6/(60+rank)⌋ — the standard heterogeneous-retriever merge
