@@ -906,12 +906,15 @@ object Similarity {
           lit(nTruth).as("n_truth"),
           col("n_hits"),
           (col("n_hits").cast("double") / nTruth.toDouble).as("recall"))
-    hits("ivf_kmeans_nprobe2",
-        ivfKmeansTopK(spark, emb, numQueries, k, centroids = 8, iters = 2, nprobe = 2))
+    hits("beam_graph",
+        beamSearchTopK(spark, emb, numQueries, k, degree = 6, beam = 8, rounds = 6))
+      .unionByName(hits("ivf_kmeans_nprobe2",
+        ivfKmeansTopK(spark, emb, numQueries, k, centroids = 8, iters = 2, nprobe = 2)))
       .unionByName(hits("ivf_nprobe1", ivfTopK(spark, emb, numQueries, k)))
       .unionByName(hits("ivf_pq", ivfPqTopK(spark, emb, numQueries, k)))
       .unionByName(hits("lsh_multiprobe", lshMultiProbeTopK(spark, emb, numQueries, k)))
       .unionByName(hits("lsh_single", lshTopK(spark, emb, numQueries, k)))
+      .unionByName(hits("onebit", oneBitTopK(emb, numQueries, k, candidates = 12)))
       .unionByName(hits("pq", pqTopK(emb, numQueries, k)))
       .unionByName(hits("sq8", sq8TopK(emb, numQueries, k)))
   }

@@ -126,6 +126,60 @@ object SimilarityQueries {
        |ORDER BY f.query_id, f.rank""".stripMargin
   }
 
+  /** DuckDB mirror of Similarity.oneBitTopK: 60-bit sign signature,
+    * Hamming coarse rank, exact-cosine rerank of the survivors,
+    * brute-truth flags — shared by the standalone query and the recall
+    * ladder.
+    */
+  private def onebitSql(numQueries: Int, k: Int, candidates: Int): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm,
+       |         CAST(list_sum(list_transform(range(0, 60),
+       |           i -> CASE WHEN CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) > 0
+       |                     THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+       |                     ELSE 0 END)) AS BIGINT) AS sig
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+       |             norm AS q_norm, sig AS q_sig
+       |      FROM base WHERE vec_id < $numQueries),
+       |coarse AS (
+       |  SELECT q.query_id, b.vec_id, b.embedding, b.norm, q.q_emb, q.q_norm,
+       |         CAST(bit_count(xor(b.sig, q.q_sig)) AS INT) AS hamming,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                            ORDER BY bit_count(xor(b.sig, q.q_sig)), b.vec_id)
+       |           AS crank
+       |  FROM base b, q WHERE b.vec_id <> q.query_id),
+       |surv AS (SELECT * FROM coarse WHERE crank <= $candidates),
+       |ranked AS (
+       |  SELECT query_id, vec_id, hamming,
+       |         list_sum(list_transform(range(1, 65),
+       |           i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+       |           / (norm * q_norm) AS cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+       |           list_sum(list_transform(range(1, 65),
+       |             i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+       |             / (norm * q_norm) DESC, vec_id) AS rank
+       |  FROM surv),
+       |truth AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT q.query_id, b.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |             list_sum(list_transform(range(1, 65),
+       |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+       |               / (b.norm * q.q_norm) DESC, b.vec_id) AS rank
+       |    FROM base b, q WHERE b.vec_id <> q.query_id)
+       |  WHERE rank <= $k)
+       |SELECT r.query_id, CAST(r.rank AS INT) AS rank,
+       |       r.vec_id AS neighbor_id, r.hamming, r.cosine,
+       |       CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS exact_hit
+       |FROM ranked r
+       |LEFT JOIN truth t
+       |  ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
+       |WHERE r.rank <= $k
+       |ORDER BY r.query_id, r.rank""".stripMargin
+
   /** DuckDB mirror of Similarity.matryoshkaTopK: prefix-dim coarse rank,
     * top-C survivors, full-vector rerank, brute-truth flags.
     */
@@ -375,26 +429,34 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
-  /** DuckDB mirror of Similarity.recallReport: the same four index
+  /** DuckDB mirror of Similarity.recallReport: the same nine index
     * pipelines, each semi-joined against the same brute-force truth set.
     */
   private def recallSql(numQueries: Int, k: Int): String = {
     val nTruth = numQueries * k
     s"""WITH truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t),
+        bg AS (SELECT query_id, neighbor_id
+               FROM (${beamGraphSql(numQueries, k, 6, 8, 6)}) t),
         km AS (SELECT query_id, neighbor_id FROM (${kmeansIvfSql(8, 2, numQueries, k)}) t),
         iv AS (SELECT query_id, neighbor_id FROM (${ivfSql(numQueries, k)}) t),
         ip AS (SELECT query_id, neighbor_id
                FROM (${ivfPqSql(8, 2, numQueries, k, 8, 16, 8)}) t),
         mp AS (SELECT query_id, neighbor_id FROM (${lshMultiprobeSql(numQueries, k)}) t),
         ls AS (SELECT query_id, neighbor_id FROM (${lshSql(numQueries, k)}) t),
+        ob AS (SELECT query_id, neighbor_id
+               FROM (${onebitSql(numQueries, k, 12)}) t),
         pq AS (SELECT query_id, neighbor_id FROM (${pqSql(numQueries, k, 8, 16, 8)}) t),
         s8 AS (SELECT query_id, neighbor_id FROM (${sq8Sql(numQueries, k)}) t)
         SELECT method, CAST($nTruth AS BIGINT) AS n_truth, n_hits,
                CAST(n_hits AS DOUBLE) / $nTruth AS recall
         FROM (
-          SELECT 'ivf_kmeans_nprobe2' AS method,
-                 (SELECT count(*) FROM km a JOIN truth t
+          SELECT 'beam_graph' AS method,
+                 (SELECT count(*) FROM bg a JOIN truth t
                     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits
+          UNION ALL
+          SELECT 'ivf_kmeans_nprobe2',
+                 (SELECT count(*) FROM km a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
           UNION ALL
           SELECT 'ivf_nprobe1',
                  (SELECT count(*) FROM iv a JOIN truth t
@@ -410,6 +472,10 @@ object SimilarityQueries {
           UNION ALL
           SELECT 'lsh_single',
                  (SELECT count(*) FROM ls a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+          UNION ALL
+          SELECT 'onebit',
+                 (SELECT count(*) FROM ob a JOIN truth t
                     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
           UNION ALL
           SELECT 'pq',
@@ -702,9 +768,10 @@ object SimilarityQueries {
           numQueries = 16, k = 3)
         .orderBy(col("method")),
       Some(recallSql(numQueries = 16, k = 3)),
-      doc = "measured ANN recall: integer truth-set hit counts per index, " +
-        "probing (single/multi-probe LSH, nprobe 1 vs 2 IVF) and quantization " +
-        "(SQ8, PQ, IVF-PQ) levers graded in one table"),
+      doc = "measured ANN recall: integer truth-set hit counts per index — " +
+        "probing (single/multi-probe LSH, nprobe 1 vs 2 IVF), quantization " +
+        "(SQ8, PQ, IVF-PQ, one-bit) and the beam-search graph, all nine " +
+        "rungs priced in one table"),
 
     // SemDeDup (arXiv:2303.09540): the quantizer bounds the pairwise
     // search to within-cell — the semantic twin of the banded text dedup's
@@ -1446,53 +1513,7 @@ object SimilarityQueries {
       (s, dir) => Similarity.oneBitTopK(Tables.embeddings(s, dir),
           numQueries = 16, k = 3, candidates = 12)
         .orderBy(col("query_id"), col("rank")),
-      Some("""WITH base AS (
-              |  SELECT vec_id, embedding,
-              |         sqrt(list_sum(list_transform(range(1, 65),
-              |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm,
-              |         CAST(list_sum(list_transform(range(0, 60),
-              |           i -> CASE WHEN CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) > 0
-              |                     THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-              |                     ELSE 0 END)) AS BIGINT) AS sig
-              |  FROM embeddings),
-              |q AS (SELECT vec_id AS query_id, embedding AS q_emb,
-              |             norm AS q_norm, sig AS q_sig
-              |      FROM base WHERE vec_id < 16),
-              |coarse AS (
-              |  SELECT q.query_id, b.vec_id, b.embedding, b.norm, q.q_emb, q.q_norm,
-              |         CAST(bit_count(xor(b.sig, q.q_sig)) AS INT) AS hamming,
-              |         ROW_NUMBER() OVER (PARTITION BY q.query_id
-              |                            ORDER BY bit_count(xor(b.sig, q.q_sig)), b.vec_id)
-              |           AS crank
-              |  FROM base b, q WHERE b.vec_id <> q.query_id),
-              |surv AS (SELECT * FROM coarse WHERE crank <= 12),
-              |ranked AS (
-              |  SELECT query_id, vec_id, hamming,
-              |         list_sum(list_transform(range(1, 65),
-              |           i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
-              |           / (norm * q_norm) AS cosine,
-              |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-              |           list_sum(list_transform(range(1, 65),
-              |             i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
-              |             / (norm * q_norm) DESC, vec_id) AS rank
-              |  FROM surv),
-              |truth AS (
-              |  SELECT query_id, vec_id AS neighbor_id FROM (
-              |    SELECT q.query_id, b.vec_id,
-              |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-              |             list_sum(list_transform(range(1, 65),
-              |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
-              |               / (b.norm * q.q_norm) DESC, b.vec_id) AS rank
-              |    FROM base b, q WHERE b.vec_id <> q.query_id)
-              |  WHERE rank <= 3)
-              |SELECT r.query_id, CAST(r.rank AS INT) AS rank,
-              |       r.vec_id AS neighbor_id, r.hamming, r.cosine,
-              |       CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS exact_hit
-              |FROM ranked r
-              |LEFT JOIN truth t
-              |  ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
-              |WHERE r.rank <= 3
-              |ORDER BY r.query_id, r.rank""".stripMargin),
+      Some(onebitSql(numQueries = 16, k = 3, candidates = 12)),
       doc = "one-bit (sign) quantization ANN: 60-bit signature, Hamming " +
         "coarse rank (xor+popcount, integer-exact), exact-cosine rerank of " +
         "12 survivors, truth flags vs brute force — the 64x memory rung"),

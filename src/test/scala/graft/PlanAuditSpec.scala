@@ -592,10 +592,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // per-query entry here saying WHY the passes are the algorithm, not an
   // un-checkpointed blowup.
   private val adjudicatedScanCounts: Map[String, (Int, String)] = Map(
-    "sim_recall_report" -> (24,
-      "benchmark report over 7 independent ANN methods — sum-of-methods by " +
-        "design, each method's own plan is scan-bounded; the truth table is " +
-        "collected once (Similarity.scala recallReport rationale)"),
+    "sim_recall_report" -> (32,
+      "benchmark report over 9 independent ANN methods (r14 added the " +
+        "one-bit and beam-graph rungs) — sum-of-methods by design, each " +
+        "method's own plan is scan-bounded; the truth table is collected " +
+        "once (Similarity.scala recallReport rationale)"),
     "mm_crossmodal_neardup" -> (12,
       "three independent modality pair generators (text MinHash ~4 passes, " +
         "image pHash ~2, audio constellation ~4) unioned — sum-of-modalities " +
