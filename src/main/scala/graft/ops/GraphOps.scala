@@ -204,7 +204,20 @@ object GraphOps {
       .localCheckpoint(true)
   }
 
-  def trianglePerNode(nodes: DataFrame, undRaw: DataFrame): DataFrame = {
+  /** Every triangle of the undirected graph named EXACTLY ONCE via the
+    * degree-ordered orientation (the Latapy "forward" enumeration): each
+    * edge points from its lower-(deg, id) endpoint to the higher, wedges
+    * fan out of a center's oriented OUT-neighborhood — out-degree is
+    * O(√m) on any graph, so hubs never fan out (the id-ordered x<y<z
+    * 3-join is fine on degree-bounded graphs but hub-quadratic on a
+    * power-law graph) — and the closing edge is probed in its one
+    * oriented form. Returns one row (u, v, w) per triangle: u the wedge
+    * center, v/w its rank-ordered out-neighbors. Shared by
+    * [[trianglePerNode]] and the k-truss peel.
+    *
+    * @param undRaw canonical undirected edges: `a` < `b`, distinct
+    */
+  def orientedTriangles(undRaw: DataFrame): DataFrame = {
     // DIAMOND-SHAPED reuse (edges feed degrees, orientation, wedges AND
     // the closing probe): without a lineage cut each reference re-plans
     // and re-executes the caller's whole edge-derivation subtree — the
@@ -238,7 +251,11 @@ object GraphOps {
     val wedges = l.join(r, Seq("u")).filter(col("r1") < col("r2"))
       .select(col("u"), col("n1").as("v"), col("n2").as("w"))
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val triangles = wedges.join(closing, Seq("v", "w"), "left_semi")
+    wedges.join(closing, Seq("v", "w"), "left_semi")
+  }
+
+  def trianglePerNode(nodes: DataFrame, undRaw: DataFrame): DataFrame = {
+    val triangles = orientedTriangles(undRaw)
     val perCorner = triangles
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_count"))

@@ -1652,11 +1652,15 @@ object ScaleOpsQueries {
     // ≥2 triangles that themselves survive). Bounded-round contract (3
     // peels — the kcore/bfs convention; the fixpoint is this loop run to
     // no-change, and the oracle unrolls the identical rounds). Triangle
-    // enumeration rides the id-ordered orientation (und is a<b, so the
-    // x<y<z 3-join names each triangle once; degree-ordering is the
-    // power-law upgrade trianglePerNode demonstrates); per-edge support is
-    // one explode + count, per-round lineage cut. Per-round census output
-    // — edges in/out per peel.
+    // enumeration rides the DEGREE-ORDERED orientation
+    // (GraphOps.orientedTriangles): wedge fan-out is a node's oriented
+    // OUT-degree, O(√m) on ANY graph — the id-ordered x<y<z 3-join the
+    // r13 version used is equivalent on this degree-bounded chord graph
+    // (each triangle named once either way, so the census and oracle are
+    // unchanged) but hub-quadratic on a power-law graph at 100×. Each
+    // triangle maps back to its three canonical a<b edges for support;
+    // per-round lineage cut. Per-round census output — edges in/out per
+    // peel.
     GQuery("graph_ktruss_census",
       (s, dir) => {
         val k = 4
@@ -1665,12 +1669,11 @@ object ScaleOpsQueries {
         val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
         for (r <- 1 to 3) {
           val nIn = e.count()
-          val wed = e.select(col("a").as("x"), col("b").as("y"))
-            .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
-          val tri = wed.join(e.select(col("a").as("x"), col("b").as("z")),
-            Seq("x", "z"), "left_semi")
+          val tri = graft.ops.GraphOps.orientedTriangles(e)
           val sup = tri.select(explode(expr(
-              "array(struct(x AS a, y AS b), struct(y AS a, z AS b), struct(x AS a, z AS b))"))
+              "array(struct(least(u, v) AS a, greatest(u, v) AS b), " +
+                "struct(least(u, w) AS a, greatest(u, w) AS b), " +
+                "struct(least(v, w) AS a, greatest(v, w) AS b))"))
               .as("t"))
             .select(col("t.a").as("a"), col("t.b").as("b"))
             .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
@@ -1686,8 +1689,8 @@ object ScaleOpsQueries {
       },
       Some(ktrussSql),
       doc = "k-truss (k=4) peeling census: 3 bounded peels of edges with " +
-        "<2 supporting triangles, id-ordered oriented enumeration, per-round " +
-        "edges in/out == unrolled-rounds oracle")
+        "<2 supporting triangles, degree-ordered O(sqrt(m))-fanout triangle " +
+        "enumeration, per-round edges in/out == unrolled-rounds oracle")
   )
 
   /** Unrolled 3-round k-truss oracle: per round the x<y<z triangle 3-join
