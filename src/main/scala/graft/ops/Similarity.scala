@@ -193,11 +193,29 @@ object Similarity {
     // NSW entry heuristic: each query starts at its own cell's centroid
     // node (cell ids ARE node ids — the quantizer is the first ⌈√n⌉
     // vectors), not at one global fixed node
-    var beamDf = queries.join(nodeSide, col("node") === col("cell"))
+    val entry0 = queries.join(nodeSide, col("node") === col("cell"))
       .withColumn("cosine",
         expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
       .select(col("query_id"), col("node"), col("cosine"))
-      .localCheckpoint(true)
+    val beamDf = beamRounds(queries, entry0, edges, nodeSide, beam, rounds)
+    beamTopKWithTruth(beamDf, emb, numQueries, k)
+  }
+
+  /** The greedy beam loop shared by [[beamSearchTopK]],
+    * [[graphIndexSearch]] and [[graphPqTopK]]: `rounds` rounds of —
+    * expand the frontier one hop through the edge table, union the
+    * current beam, re-score, keep the top `beam` per query. Each round is
+    * ONE node-keyed join of the (queries×beam)-row frontier against the
+    * edge table; lineage cut per round so plan depth stays O(1) in
+    * rounds. `queries` must carry (query_id, q_emb, q_norm); `entry0` is
+    * the scored initial beam (query_id, node, cosine); `scoreSide`
+    * carries (node, n_emb, n_norm) — full vectors, or reconstructions
+    * for asymmetric-distance scoring.
+    */
+  private def beamRounds(queries: DataFrame, entry0: DataFrame,
+                         edges: DataFrame, scoreSide: DataFrame,
+                         beam: Int, rounds: Int): DataFrame = {
+    var beamDf = entry0.localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val expanded = beamDf.select(col("query_id"), col("node"))
         .join(edges, col("node") === col("src"))
@@ -207,7 +225,7 @@ object Similarity {
       val wB = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("node"))
       beamDf = expanded
-        .join(nodeSide, Seq("node"))
+        .join(scoreSide, Seq("node"))
         .join(broadcast(queries), Seq("query_id"))
         .withColumn("cosine",
           expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
@@ -216,6 +234,14 @@ object Similarity {
         .select(col("query_id"), col("node"), col("cosine"))
         .localCheckpoint(true)
     }
+    beamDf
+  }
+
+  /** Final-beam top-k with brute-truth flags over `emb` (the
+    * [[matryoshkaTopK]] convention) — the shared finisher of the graph
+    * searches. */
+  private def beamTopKWithTruth(beamDf: DataFrame, emb: DataFrame,
+                                numQueries: Int, k: Int): DataFrame = {
     val truth = bruteForceTopK(emb, numQueries, k)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
     val wK = Window.partitionBy(col("query_id"))
@@ -1052,6 +1078,132 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Persisted kNN-GRAPH index — [[beamSearchTopK]]'s index artifacts as
+    * versioned [[graft.stages.MergeTable]]s, the third index family to
+    * get the build / extend / serve lifecycle (after
+    * [[ivfIndexBuild]] and the inverted text index). At 100 TB the graph
+    * build only amortizes if it persists; a per-query rebuild would
+    * dominate every search.
+    *
+    *   - [[graphIndexBuild]]: freeze the quantizer (vectors under an ID
+    *     BOUND — the [[ivfIndexBuild]] fixture convention), persist the
+    *     cell-assigned node table and the per-src adjacency rows
+    *     (`src, dsts: array` — ONE row per node, so an upsert keyed on
+    *     src replaces a node's whole neighborhood atomically).
+    *   - [[graphIndexAdd]]: assign the new batch against the FROZEN
+    *     centroids, upsert the nodes, and re-derive adjacency for the
+    *     TOUCHED CELLS only — new nodes can displace old neighbors, so
+    *     correctness requires refreshing every src in an ingesting cell,
+    *     and nothing outside one (delta-sized: Σ|touched cell|²).
+    *   - [[graphIndexSearch]]: serve the beam search from the three
+    *     tables alone. Chain edges (the connectivity fallback) are
+    *     DERIVED from the node-id set at serve time, never persisted —
+    *     a later insert of id+1 would otherwise invalidate id's stored
+    *     row.
+    *
+    * Because assignment is a pure function of (vector, frozen centroids)
+    * and each src's adjacency is a pure function of its cell's final
+    * membership, build + adds == one from-scratch build over the union —
+    * which is what the SQL oracle mirrors (same-rounds beam search over
+    * the full corpus with the same frozen quantizer).
+    */
+  val graphAdjSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dsts",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+
+  /** Per-src within-cell top-`degree` adjacency rows over cell-assigned
+    * nodes — the one edge definition build and add share. Isolated cells
+    * (single member) simply emit no row. */
+  private def cellAdjacency(nodes: DataFrame, degree: Int): DataFrame = {
+    val a = nodes.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+      col("norm").as("s_norm"), col("cell"))
+    val b = nodes.select(col("vec_id").as("dst"), col("embedding").as("d_emb"),
+      col("norm").as("d_norm"), col("cell"))
+    val wG = Window.partitionBy(col("src")).orderBy(col("ecos").desc, col("dst"))
+    a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("ecos",
+        expr(dotExpr("s_emb", "d_emb")) / (col("s_norm") * col("d_norm")))
+      .withColumn("grank", row_number().over(wG))
+      .filter(col("grank") <= degree)
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("dsts"))
+  }
+
+  def graphIndexBuild(spark: SparkSession, embTrain: DataFrame,
+                      centroidTable: graft.stages.MergeTable,
+                      nodeTable: graft.stages.MergeTable,
+                      adjTable: graft.stages.MergeTable,
+                      centroidIdBound: Int, degree: Int): Unit = {
+    val cents = embTrain.filter(col("vec_id") < centroidIdBound)
+      .select(col("vec_id").as("c_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("c"))
+    centroidTable.replace(cents)
+    nodeTable.replace(assignToCentroids(embTrain, cents))
+    val nodes = nodeTable.read(spark, assignSchema)
+    adjTable.replace(cellAdjacency(nodes, degree))
+  }
+
+  def graphIndexAdd(spark: SparkSession, embNew: DataFrame,
+                    centroidTable: graft.stages.MergeTable,
+                    nodeTable: graft.stages.MergeTable,
+                    adjTable: graft.stages.MergeTable,
+                    degree: Int): Unit = {
+    val cents = centroidTable.read(spark, centroidSchema)
+    val newAssigned = assignToCentroids(embNew, cents).localCheckpoint(true)
+    nodeTable.upsert(newAssigned)
+    // adjacency refresh is cell-local: only cells the batch lands in can
+    // have displaced neighbors; every src in those cells is re-derived
+    // against the cell's NEW membership, srcs elsewhere keep their rows
+    val touched = newAssigned.select(col("cell")).distinct()
+    val cellNodes = nodeTable.read(spark, assignSchema)
+      .join(touched, Seq("cell"), "left_semi")
+    adjTable.upsert(cellAdjacency(cellNodes, degree))
+  }
+
+  def graphIndexSearch(spark: SparkSession, emb: DataFrame,
+                       centroidTable: graft.stages.MergeTable,
+                       nodeTable: graft.stages.MergeTable,
+                       adjTable: graft.stages.MergeTable,
+                       numQueries: Int, k: Int,
+                       beam: Int, rounds: Int): DataFrame = {
+    val cents = centroidTable.read(spark, centroidSchema)
+    val nodes = nodeTable.read(spark, assignSchema).localCheckpoint(true)
+    // chain edges derived from the CURRENT id set (connectivity fallback,
+    // never persisted); graph edges explode off the adjacency rows
+    val ids = nodes.select(col("vec_id"))
+    val chain = ids.select(col("vec_id").as("src"), (col("vec_id") + 1).as("dst"))
+      .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+    val edges = adjTable.read(spark, graphAdjSchema)
+      .select(col("src"), explode(col("dsts")).as("dst"))
+      .unionByName(chain).distinct().localCheckpoint(true)
+    // queries assigned against the frozen persisted centroids (in
+    // production the query side is external — `emb` supplies vectors only)
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    val queries = withNorm(emb).filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
+      .withColumn("_r", row_number().over(wq))
+      .filter(col("_r") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("c_id").as("cell"))
+    val nodeSide = nodes.select(col("vec_id").as("node"),
+      col("embedding").as("n_emb"), col("norm").as("n_norm"))
+    val entry0 = queries.join(nodeSide, col("node") === col("cell"))
+      .withColumn("cosine",
+        expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
+      .select(col("query_id"), col("node"), col("cosine"))
+    val beamDf = beamRounds(queries, entry0, edges, nodeSide, beam, rounds)
+    // truth comes off the index itself — it stores every vector
+    beamTopKWithTruth(beamDf, nodes.select(col("vec_id"), col("embedding")),
+      numQueries, k)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

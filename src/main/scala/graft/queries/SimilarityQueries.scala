@@ -51,7 +51,10 @@ object SimilarityQueries {
     * every round references its predecessor twice).
     */
   private def beamGraphSql(numQueries: Int, k: Int, degree: Int,
-                           beam: Int, rounds: Int): String = {
+                           beam: Int, rounds: Int,
+                           centsPred: String =
+                             "vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+                          ): String = {
     val roundsSql = (1 to rounds).map { r =>
       val prev = s"b${r - 1}"
       s"""e$r AS (
@@ -74,9 +77,7 @@ object SimilarityQueries {
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
        |  FROM embeddings),
        |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
-       |          FROM base
-       |          WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
-       |                          FROM embeddings)),
+       |          FROM base WHERE $centsPred),
        |assigned AS MATERIALIZED (
        |  SELECT vec_id, embedding, norm, cell FROM (
        |    SELECT b.vec_id, b.embedding, b.norm, c.c_id AS cell,
@@ -1504,6 +1505,35 @@ object SimilarityQueries {
         "graph + chain edge, 6-round beam-8 greedy search entering at the " +
         "query's own cell, exact-cosine ranking, brute-truth recall flags " +
         "— zero per-query corpus scans"),
+
+    // ---- Persisted kNN-graph index lifecycle (the ivf_index_incremental
+    // convention applied to the THIRD index family): quantizer frozen on
+    // the even half under id bound 16 (8 cells), node + per-src adjacency
+    // rows as versioned MergeTables, odd half added incrementally
+    // (touched-cell adjacency refresh — new nodes can displace old
+    // neighbors), beam search served from the tables alone. Equal to a
+    // from-scratch build over the full corpus with the same frozen
+    // quantizer, which is exactly what the oracle runs.
+    GQuery("sim_ann_index_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
+        val nodeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        val adjT = graft.stages.MergeTable.scratch(Seq("src"))
+        Similarity.graphIndexBuild(s, emb.filter(col("vec_id") % 2 === 0),
+          centT, nodeT, adjT, centroidIdBound = 16, degree = 6)
+        Similarity.graphIndexAdd(s, emb.filter(col("vec_id") % 2 === 1),
+          centT, nodeT, adjT, degree = 6)
+        Similarity.graphIndexSearch(s, emb, centT, nodeT, adjT,
+          numQueries = 16, k = 3, beam = 8, rounds = 6)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(beamGraphSql(numQueries = 16, k = 3, degree = 6, beam = 8,
+        rounds = 6, centsPred = "vec_id < 16 AND vec_id % 2 = 0")),
+      doc = "persisted kNN-graph index: frozen even-half quantizer, node + " +
+        "adjacency MergeTables, incremental odd-half add with touched-cell " +
+        "neighborhood refresh, beam search served from the tables == " +
+        "from-scratch oracle over the full corpus"),
 
     // ---- One-bit (binary) quantization top-k — the 64× memory rung
     // (vs PQ 32× / SQ8 4×): 60-bit sign signature, Hamming coarse rank

@@ -81,6 +81,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.head.getAs[Double]("cosine") > 0.999)
   }
 
+  test("persisted kNN-graph index: touched-cell refresh links the cross-batch twin; add replay is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
+    val nodeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+    val adjT = graft.stages.MergeTable.scratch(Seq("src"))
+    val all = emb
+    Similarity.graphIndexBuild(spark, all.filter(col("vec_id") % 2 === 0),
+      centT, nodeT, adjT, centroidIdBound = 8, degree = 4)
+    Similarity.graphIndexAdd(spark, all.filter(col("vec_id") % 2 === 1),
+      centT, nodeT, adjT, degree = 4)
+    def adjSnapshot() = adjT.read(spark, Similarity.graphAdjSchema)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+    val first = adjSnapshot()
+    // vec 0 was built, its twin (vec 1) arrived incrementally: the twin's
+    // cell is vec 0's cell, so the TOUCHED-CELL refresh must rewrite vec
+    // 0's neighborhood to include it — the displacement case a
+    // nodes-only upsert would miss
+    assert(first(0L).contains(1L),
+      s"node 0's refreshed adjacency must contain the incremental twin, got ${first.get(0L)}")
+    // replaying the same batch converges: same assignments, same
+    // touched cells, same per-src windows
+    Similarity.graphIndexAdd(spark, all.filter(col("vec_id") % 2 === 1),
+      centT, nodeT, adjT, degree = 4)
+    assert(adjSnapshot() == first)
+    val res = Similarity.graphIndexSearch(spark, all, centT, nodeT, adjT,
+      numQueries = 1, k = 3, beam = 4, rounds = 3)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(res.head.getAs[Long]("neighbor_id") == 1L)
+    assert(res.head.getAs[Double]("cosine") > 0.999)
+    assert(res.head.getAs[Int]("exact_hit") == 1)
+  }
+
   test("brute-force top-k ranks the planted twin first with cosine ~1") {
     val top = Similarity.bruteForceTopK(emb, numQueries = 1, k = 3).collect()
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
@@ -137,14 +169,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRecall >= 0.5, s"mean recall@3 $meanRecall below floor; per-query $recalls")
   }
 
-  test("recall report: all seven methods, integer hits bounded by truth, multi-probe >= single-probe") {
+  test("recall report: all nine methods, integer hits bounded by truth, multi-probe >= single-probe") {
     val rows = Similarity.recallReport(spark, emb, numQueries = 8, k = 3)
       .collect()
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))
       .toMap
-    assert(rows.keySet == Set("ivf_kmeans_nprobe2", "ivf_nprobe1", "ivf_pq",
-      "lsh_multiprobe", "lsh_single", "pq", "sq8"))
+    assert(rows.keySet == Set("beam_graph", "ivf_kmeans_nprobe2", "ivf_nprobe1",
+      "ivf_pq", "lsh_multiprobe", "lsh_single", "onebit", "pq", "sq8"))
     rows.values.foreach { case (truth, hits, recall) =>
       assert(truth == 24L)
       assert(hits >= 0L && hits <= truth)
