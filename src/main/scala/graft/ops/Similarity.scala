@@ -148,11 +148,35 @@ object Similarity {
   def beamSearchTopK(spark: SparkSession, emb: DataFrame, numQueries: Int,
                      k: Int, degree: Int = 4, beam: Int = 4, rounds: Int = 4,
                      centroids: Int = 0): DataFrame = {
-    // graph candidates come from the IVF cell assignment, not LSH sign
-    // buckets: on this corpus the measured recall ladder
-    // (sim_recall_report) shows cells carry locality where sign buckets
-    // don't (ivf_nprobe1 0.98 vs lsh_single 0.00) — and a kNN graph is
-    // only as good as its candidate generator
+    val (base, edges) = cellKnnGraph(emb, degree, centroids)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cell"))
+    val nodeSide = base.select(col("vec_id").as("node"),
+      col("embedding").as("n_emb"), col("norm").as("n_norm"))
+    // NSW entry heuristic: each query starts at its own cell's centroid
+    // node (cell ids ARE node ids — the quantizer is the first ⌈√n⌉
+    // vectors), not at one global fixed node
+    val entry0 = queries.join(nodeSide, col("node") === col("cell"))
+      .withColumn("cosine",
+        expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
+      .select(col("query_id"), col("node"), col("cosine"))
+    val beamDf = beamRounds(queries, entry0, edges, nodeSide, beam, rounds)
+    beamTopKWithTruth(beamDf, emb, numQueries, k)
+  }
+
+  /** The ⌈√n⌉-cell kNN graph build shared by [[beamSearchTopK]] and
+    * [[graphPqTopK]]: returns (cell-assigned corpus, edge table). Graph
+    * candidates come from the IVF cell assignment, not LSH sign buckets —
+    * the measured recall ladder (sim_recall_report) shows cells carry
+    * locality where sign buckets don't (ivf_nprobe1 0.98 vs lsh_single
+    * 0.00), and a kNN graph is only as good as its candidate generator.
+    * Edges = per-src within-cell top-`degree` by cosine, plus the
+    * id-chain edge for connectivity; both outputs eagerly checkpointed
+    * (every consumer references them repeatedly across rounds).
+    */
+  private def cellKnnGraph(emb: DataFrame, degree: Int,
+                           centroids: Int): (DataFrame, DataFrame) = {
     val base0 = withNorm(emb).localCheckpoint(true)
     // ⌈√n⌉ cells by default: per-cell candidate joins stay √n-bounded at
     // any corpus size (see scaladoc); explicit `centroids` is a test knob
@@ -179,26 +203,66 @@ object Similarity {
       .withColumn("ecos",
         expr(dotExpr("s_emb", "d_emb")) / (col("s_norm") * col("d_norm")))
     val wG = Window.partitionBy(col("src")).orderBy(col("ecos").desc, col("dst"))
-    val lshEdges = cand.withColumn("grank", row_number().over(wG))
+    val cellEdges = cand.withColumn("grank", row_number().over(wG))
       .filter(col("grank") <= degree).select(col("src"), col("dst"))
     val ids = base.select(col("vec_id"))
     val chain = ids.select(col("vec_id").as("src"), (col("vec_id") + 1).as("dst"))
       .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
-    val edges = lshEdges.unionByName(chain).distinct().localCheckpoint(true)
+    val edges = cellEdges.unionByName(chain).distinct().localCheckpoint(true)
+    (base, edges)
+  }
+
+  /** DiskANN-shaped composition (Subramanya et al. 2019, NeurIPS —
+    * "DiskANN: Fast Accurate Billion-point Nearest Neighbor Search on a
+    * Single Node"): the kNN graph is WALKED scoring candidates by PQ
+    * asymmetric cosine — the m-byte codes are the memory-resident index,
+    * ~32× smaller than the vectors — and only the FINAL beam is
+    * re-scored exactly (DiskANN's "disk read": ≤beam full vectors per
+    * query, never a corpus scan). Graph build and entry are
+    * [[beamSearchTopK]]'s (⌈√n⌉ IVF cells, own-cell entry, chain edge);
+    * the output carries both scores (`cosine_pq` guided the walk,
+    * `cosine` ranked the result) plus brute-truth flags, so the price of
+    * PQ-guided navigation is measured, not assumed.
+    */
+  def graphPqTopK(spark: SparkSession, emb: DataFrame, numQueries: Int,
+                  k: Int, degree: Int = 6, beam: Int = 8, rounds: Int = 6,
+                  m: Int = 8, ksub: Int = 16, dim: Int = 64,
+                  centroids: Int = 0): DataFrame = {
+    val (base, edges) = cellKnnGraph(emb, degree, centroids)
+    // the resident scoring side: PQ reconstructions, not vectors
+    val recon = withPq(emb, m, ksub, dim)
+      .withColumn("recon_norm", expr(s"sqrt(${dotExpr("pq_recon", "pq_recon")})"))
+      .select(col("vec_id").as("node"), col("pq_recon").as("n_emb"),
+        col("recon_norm").as("n_norm"))
+      .localCheckpoint(true)
     val queries = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("cell"))
-    val nodeSide = base.select(col("vec_id").as("node"),
-      col("embedding").as("n_emb"), col("norm").as("n_norm"))
-    // NSW entry heuristic: each query starts at its own cell's centroid
-    // node (cell ids ARE node ids — the quantizer is the first ⌈√n⌉
-    // vectors), not at one global fixed node
-    val entry0 = queries.join(nodeSide, col("node") === col("cell"))
+    val entry0 = queries.join(recon, col("node") === col("cell"))
       .withColumn("cosine",
         expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
       .select(col("query_id"), col("node"), col("cosine"))
-    val beamDf = beamRounds(queries, entry0, edges, nodeSide, beam, rounds)
-    beamTopKWithTruth(beamDf, emb, numQueries, k)
+    val beamDf = beamRounds(queries, entry0, edges, recon, beam, rounds)
+    // exact rerank of the FINAL beam only — ≤beam full-vector reads/query
+    val nodeSide = base.select(col("vec_id").as("node"),
+      col("embedding").as("n_emb"), col("norm").as("n_norm"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("node"))
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    beamDf.select(col("query_id"), col("node"), col("cosine").as("cosine_pq"))
+      .filter(col("node") =!= col("query_id"))
+      .join(nodeSide, Seq("node"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("node").as("neighbor_id"), col("cosine_pq"), col("cosine"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
   }
 
   /** The greedy beam loop shared by [[beamSearchTopK]],
