@@ -78,6 +78,59 @@ object TrainPrep {
         size(col("seq_toks")).as("n_toks"),
         md5(concat_ws(" ", col("seq_toks"))).as("seq_hash"))
 
+  /** First-fit-decreasing bin-packing census — the measured packing
+    * number a pretraining loader wants next to [[packSequences]]'s fixed
+    * windows: how many `capacity`-token bins FFD needs per shard, the
+    * padding waste per bin, and the one-sequence-per-document baseline
+    * waste it beats. FFD is inherently sequential, so the distributed
+    * form is PER SHARD (`doc_id % nShards` — exactly how a loader shards
+    * its input): each shard's pack is one fold over its
+    * (length desc, doc_id)-sorted doc list, an O(docs·bins) aggregate
+    * expression evaluated post-shuffle — no driver loop, ONE groupBy
+    * exchange, shard count the parallelism knob. Deterministic: FFD
+    * order is pinned (length desc, id asc), first-fit picks the lowest
+    * bin index. Docs over capacity are censused separately (they go to
+    * the splitter, not the packer). Integer-only output — hash-exact.
+    */
+  def ffdPackCensus(docs: DataFrame, capacity: Int, nShards: Int = 8): DataFrame = {
+    val cap = s"CAST($capacity AS BIGINT)"
+    val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      .withColumn("shard", (col("doc_id") % nShards).cast("int"))
+    val over = lens.filter(col("len") > capacity)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_oversize"), sum(col("len")).as("oversize_tokens"))
+    lens.filter(col("len") <= capacity)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("total_tokens"),
+        expr("sort_array(collect_list(struct(-len AS nl, doc_id AS d, len AS l)))")
+          .as("q"))
+      // the FFD fold: acc = bin loads; place each length into the FIRST
+      // bin it fits (array_position over the fits mask — 0 = none, open a
+      // new bin; Spark transform indexes are 0-based, hence pos - 1)
+      .withColumn("bins", expr(
+        s"""aggregate(transform(q, s -> s.l), CAST(array() AS ARRAY<BIGINT>),
+           |  (acc, L) -> CASE
+           |    WHEN array_position(transform(acc, b -> b + L <= $cap), true) = 0
+           |      THEN concat(acc, array(L))
+           |    ELSE transform(acc, (b, i) ->
+           |      CASE WHEN i = array_position(transform(acc, b2 -> b2 + L <= $cap), true) - 1
+           |           THEN b + L ELSE b END)
+           |  END)""".stripMargin))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        size(col("bins")).cast("long").as("n_bins_ffd"),
+        (size(col("bins")).cast("long") * capacity - col("total_tokens"))
+          .as("ffd_waste"),
+        expr(s"total_tokens * 10000 div (size(bins) * $cap)").as("fill_e4"),
+        (col("n_docs") * capacity - col("total_tokens")).as("baseline_waste"))
+      .join(over, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"), col("total_tokens"), col("n_bins_ffd"),
+        col("ffd_waste"), col("fill_e4"), col("baseline_waste"),
+        coalesce(col("n_oversize"), lit(0L)).as("n_oversize"),
+        coalesce(col("oversize_tokens"), lit(0L)).as("oversize_tokens"))
+  }
+
   /** Scalable running token total in document order — the prefix-sum
     * primitive behind token-budget sharding. A naive
     * `sum() over (order by doc_id)` collapses the corpus into ONE window

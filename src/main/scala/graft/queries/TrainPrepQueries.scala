@@ -242,6 +242,55 @@ object TrainPrepQueries {
               FROM e ORDER BY doc_id, seq_no"""),
       doc = "fixed-length token-window packing, content-addressed by md5 (trainer input unit)"),
 
+    // ---- First-fit-decreasing packing census: the measured bins/waste
+    // number next to prep_pack_sequences' fixed windows. Per-shard FFD
+    // (the loader's own sharding), fold order pinned (len desc, doc_id),
+    // Spark aggregate HOF == DuckDB list_reduce with the list-wrapped
+    // accumulator (acc type must equal element type: elements ride as
+    // [len], acc is the bin-load list; DuckDB lambda indexes are 1-based
+    // where Spark's are 0-based, so the two mirrors are written apart).
+    GQuery("prep_pack_ffd",
+      (s, dir) => TrainPrep.ffdPackCensus(Tables.documents(s, dir),
+          capacity = 96, nShards = 8)
+        .orderBy(col("shard")),
+      Some("""WITH lens AS (
+              |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+              |         CAST(doc_id % 8 AS INT) AS shard
+              |  FROM documents),
+              |fit AS (
+              |  SELECT shard, count(*) AS n_docs,
+              |         CAST(SUM(len) AS BIGINT) AS total_tokens,
+              |         list_reduce(list_prepend(CAST([] AS BIGINT[]),
+              |             list_transform(list(len ORDER BY len DESC, doc_id),
+              |               l -> [l])),
+              |           (acc, x) -> CASE
+              |             WHEN list_position(list_transform(acc,
+              |                    b -> b + x[1] <= 96), true) = 0
+              |               THEN list_append(acc, x[1])
+              |             ELSE list_transform(acc, (b, i) ->
+              |               CASE WHEN i = list_position(list_transform(acc,
+              |                             b2 -> b2 + x[1] <= 96), true)
+              |                    THEN b + x[1] ELSE b END)
+              |           END) AS bins
+              |  FROM lens WHERE len <= 96 GROUP BY shard),
+              |ovr AS (
+              |  SELECT shard, count(*) AS n_oversize,
+              |         CAST(SUM(len) AS BIGINT) AS oversize_tokens
+              |  FROM lens WHERE len > 96 GROUP BY shard)
+              |SELECT f.shard, f.n_docs, f.total_tokens,
+              |       CAST(len(f.bins) AS BIGINT) AS n_bins_ffd,
+              |       CAST(len(f.bins) * 96 - f.total_tokens AS BIGINT) AS ffd_waste,
+              |       CAST(f.total_tokens * 10000 // (len(f.bins) * 96) AS BIGINT) AS fill_e4,
+              |       CAST(f.n_docs * 96 - f.total_tokens AS BIGINT) AS baseline_waste,
+              |       CAST(COALESCE(o.n_oversize, 0) AS BIGINT) AS n_oversize,
+              |       CAST(COALESCE(o.oversize_tokens, 0) AS BIGINT) AS oversize_tokens
+              |FROM fit f LEFT JOIN ovr o USING (shard)
+              |ORDER BY f.shard""".stripMargin),
+      doc = "first-fit-decreasing bin packing census per shard (capacity " +
+        "96): FFD bins, padding waste and bin fill at 1e4 vs the " +
+        "one-sequence-per-doc baseline waste; oversize docs censused to " +
+        "the splitter"),
+
     GQuery("prep_shard_assignment",
       (s, dir) => TrainPrep.shardByTokenBudget(Tables.documents(s, dir), budget = 8192)
         .orderBy(col("doc_id")),

@@ -93,6 +93,30 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(seqs.map(_._3).toSeq == seqs2.toSeq)
   }
 
+  test("FFD packing: perfect-fit corpus packs exactly, oversize docs censused out") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // one shard (ids ≡ 0 mod 8); lengths 7,5,4,4,3,1 pack PERFECTLY into
+    // three bins of 8 under FFD (7+1, 5+3, 4+4) — a greedy one-bin-at-a-
+    // time packer would leak; plus one oversize doc (9 > 8)
+    val docs = Seq(7, 5, 4, 4, 3, 1, 9).zipWithIndex
+      .map { case (n, i) => (i * 8L, words(n)) }
+      .toDF("doc_id", "text")
+    val r = TrainPrep.ffdPackCensus(docs, capacity = 8, nShards = 8)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Int]("shard") == 0)
+    assert(row.getAs[Long]("n_docs") == 6L)
+    assert(row.getAs[Long]("total_tokens") == 24L)
+    assert(row.getAs[Long]("n_bins_ffd") == 3L, s"FFD must pack 3 full bins, got $row")
+    assert(row.getAs[Long]("ffd_waste") == 0L)
+    assert(row.getAs[Long]("fill_e4") == 10000L)
+    assert(row.getAs[Long]("baseline_waste") == 6L * 8 - 24L)
+    assert(row.getAs[Long]("n_oversize") == 1L)
+    assert(row.getAs[Long]("oversize_tokens") == 9L)
+  }
+
   test("bucketed prefix sum equals the global window cumsum; shards respect the budget") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
