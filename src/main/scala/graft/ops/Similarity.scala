@@ -518,16 +518,32 @@ object Similarity {
     * the final top-k window touches an exchange.
     */
   def withPq(emb: DataFrame, m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.functions.typedLit
-    graft.functions.GraftFunctions.register(emb.sparkSession)
     val subDim = dim / m
     require(subDim * m == dim, s"dim $dim must split evenly into $m subspaces")
     val cbRows = emb.filter(col("vec_id") < ksub).orderBy(col("vec_id"))
       .select(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")).collect()
-      .map(_.getSeq[Double](0))
+      .map(_.getSeq[Double](0).toSeq)
     require(cbRows.length == ksub, s"codebook needs vec_id 0..${ksub - 1}")
-    val cb: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(s => cbRows.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+    encodePq(emb, pqCodebookOf(cbRows.toSeq, m, subDim), m, subDim)
+  }
+
+  /** Per-subspace codebook from c_id-ordered full codeword vectors — the
+    * slicing both [[withPq]] and the persisted PQ index share. Codeword
+    * index = rank in id order (ties in the encode distance break to the
+    * FIRST minimum == the lowest codeword id, mirroring the oracle). */
+  private def pqCodebookOf(cbRows: Seq[Seq[Double]],
+                           m: Int, subDim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(s => cbRows.map(_.slice(s * subDim, (s + 1) * subDim)))
+
+  /** PQ encode + reconstruct projections against a FROZEN codebook
+    * literal (the IVF-centroid contract: m×ksub values baked into the
+    * plan, zero shuffles) — shared by [[withPq]] (self-trained codebook)
+    * and the persisted index lifecycle ([[pqIndexBuild]]/[[pqIndexAdd]]).
+    */
+  private def encodePq(emb: DataFrame, cb: Seq[Seq[Seq[Double]]],
+                       m: Int, subDim: Int): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val d2 = "graft_dot(sub, sub) + graft_dot(cw, cw) - 2 * graft_dot(sub, cw)"
     emb
       .withColumn("_cb", typedLit(cb))
@@ -1268,6 +1284,101 @@ object Similarity {
     // truth comes off the index itself — it stores every vector
     beamTopKWithTruth(beamDf, nodes.select(col("vec_id"), col("embedding")),
       numQueries, k)
+  }
+
+  /** Persisted PQ index — the quantization ladder's lifecycle twin of
+    * [[ivfIndexBuild]]/[[graphIndexBuild]]: the codebook (trained once,
+    * FROZEN) and the m-byte codes (the entire resident memory of a PQ
+    * deployment) live as versioned [[graft.stages.MergeTable]]s; ingest
+    * is an encode-and-upsert of just the new batch (encode is a pure
+    * function of (vector, frozen codebook) — idempotent on replay, and
+    * build + adds == one full-corpus pass, which the oracle checks);
+    * search reconstructs FROM THE CODES against the broadcast codebook
+    * literal and never touches corpus vectors — the query side supplies
+    * the only exact vectors, precisely the ADC serving contract.
+    */
+  val pqCodebookSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+
+  val pqCodeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pq_code",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))))
+
+  private def readPqCodebook(spark: SparkSession,
+                             codebookTable: graft.stages.MergeTable,
+                             m: Int, subDim: Int): Seq[Seq[Seq[Double]]] = {
+    val rows = codebookTable.read(spark, pqCodebookSchema)
+      .orderBy(col("c_id")).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    pqCodebookOf(rows, m, subDim)
+  }
+
+  def pqIndexBuild(spark: SparkSession, embTrain: DataFrame,
+                   codebookTable: graft.stages.MergeTable,
+                   codeTable: graft.stages.MergeTable,
+                   cbIdBound: Int, m: Int = 8, ksub: Int = 16,
+                   dim: Int = 64): Unit = {
+    val subDim = dim / m
+    codebookTable.replace(embTrain.filter(col("vec_id") < cbIdBound)
+      .select(col("vec_id").as("c_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))
+    val cb = readPqCodebook(spark, codebookTable, m, subDim)
+    require(cb.head.length == ksub,
+      s"codebook id bound $cbIdBound selected ${cb.head.length} codewords, need $ksub")
+    codeTable.replace(
+      encodePq(embTrain, cb, m, subDim).select(col("vec_id"), col("pq_code")))
+  }
+
+  def pqIndexAdd(spark: SparkSession, embNew: DataFrame,
+                 codebookTable: graft.stages.MergeTable,
+                 codeTable: graft.stages.MergeTable,
+                 m: Int = 8, ksub: Int = 16, dim: Int = 64): Unit = {
+    val cb = readPqCodebook(spark, codebookTable, m, dim / m)
+    codeTable.upsert(
+      encodePq(embNew, cb, m, dim / m).select(col("vec_id"), col("pq_code")))
+  }
+
+  def pqIndexSearch(spark: SparkSession, emb: DataFrame,
+                    codebookTable: graft.stages.MergeTable,
+                    codeTable: graft.stages.MergeTable,
+                    numQueries: Int, k: Int,
+                    m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    graft.functions.GraftFunctions.register(spark)
+    val cb = readPqCodebook(spark, codebookTable, m, dim / m)
+    val quant = codeTable.read(spark, pqCodeSchema)
+      .withColumn("_cb", typedLit(cb))
+      .withColumn("pq_recon", expr(
+        "flatten(transform(pq_code, (c, s) -> element_at(element_at(_cb, s + 1), c + 1)))"))
+      .drop("_cb")
+      .withColumn("recon_norm", expr(s"sqrt(${dotExpr("pq_recon", "pq_recon")})"))
+    val queries = withNorm(emb).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_pq").desc, col("vec_id"))
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    quant.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_pq",
+        expr(dotExpr("pq_recon", "q_emb")) / (col("recon_norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine_pq"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine_pq"), col("exact_hit"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -637,15 +637,17 @@ object SimilarityQueries {
     * [[ivfPqSql]]: per-subspace codebooks → codes → reconstruction `rn`
     * (vec_id, rv, recon_norm). Reads `embeddings` directly.
     */
-  private def pqReconCtes(m: Int, ksub: Int, subDim: Int): String = {
+  private def pqReconCtes(m: Int, ksub: Int, subDim: Int,
+                          cbPred: String = ""): String = {
     def subDot(a: String, b: String): String =
       s"list_sum(list_transform(range(1, ${subDim + 1}), i -> $a[i] * $b[i]))"
+    val pred = if (cbPred.nonEmpty) cbPred else s"e.vec_id < $ksub"
     s"""sp AS (SELECT unnest(range(0, $m)) AS s),
        |cb AS (
        |  SELECT sp.s, e.vec_id AS c_id,
        |         list_transform(range(1, ${subDim + 1}),
        |           i -> CAST(e.embedding[CAST(sp.s * $subDim + i AS INT)] AS DOUBLE)) AS cw
-       |  FROM embeddings e, sp WHERE e.vec_id < $ksub),
+       |  FROM embeddings e, sp WHERE $pred),
        |subs AS (
        |  SELECT e.vec_id, sp.s,
        |         list_transform(range(1, ${subDim + 1}),
@@ -669,12 +671,13 @@ object SimilarityQueries {
        |  FROM recon)""".stripMargin
   }
 
-  private def pqSql(numQueries: Int, k: Int, m: Int, ksub: Int, subDim: Int): String =
+  private def pqSql(numQueries: Int, k: Int, m: Int, ksub: Int, subDim: Int,
+                    cbPred: String = ""): String =
     s"""WITH base AS (
        |  SELECT vec_id, embedding,
        |         sqrt(${dotSql("embedding", "embedding")}) AS norm
        |  FROM embeddings),
-       |${pqReconCtes(m, ksub, subDim)},
+       |${pqReconCtes(m, ksub, subDim, cbPred)},
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
        |      FROM base WHERE vec_id < $numQueries),
        |ranked AS (
@@ -834,6 +837,30 @@ object SimilarityQueries {
       doc = "persisted IVF index lifecycle: quantizer trained once on the initial " +
         "half, centroids+assignments as versioned MergeTables, incremental add of " +
         "the new half against frozen centroids, search served from the tables"),
+
+    // Persisted-PQ lifecycle: the codebook frozen on the even half under
+    // id bound 32 (16 even-id codewords), m-byte codes as the versioned
+    // resident table, odd half encoded incrementally against the frozen
+    // codebook (pure function => build+add == one full pass, the oracle's
+    // form), search reconstructs FROM THE CODES — corpus vectors never
+    // touched at serve time, the ADC deployment contract.
+    GQuery("sim_pq_index_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cbT = graft.stages.MergeTable.scratch(Seq("c_id"))
+        val codeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        Similarity.pqIndexBuild(s, emb.filter(col("vec_id") % 2 === 0),
+          cbT, codeT, cbIdBound = 32)
+        Similarity.pqIndexAdd(s, emb.filter(col("vec_id") % 2 === 1),
+          cbT, codeT)
+        Similarity.pqIndexSearch(s, emb, cbT, codeT, numQueries = 16, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqSql(numQueries = 16, k = 5, m = 8, ksub = 16, subDim = 8,
+        cbPred = "e.vec_id < 32 AND e.vec_id % 2 = 0")),
+      doc = "persisted PQ index: frozen even-half codebook + versioned " +
+        "code table, incremental encode of the odd half, ADC search " +
+        "served from codes alone == one-pass full-corpus oracle"),
 
     // Persisted-LSH lifecycle (ivf_index_incremental's hyperplane
     // sibling): bucket+norm are pure per-row functions, so build(even) +

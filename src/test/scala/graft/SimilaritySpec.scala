@@ -81,6 +81,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.head.getAs[Double]("cosine") > 0.999)
   }
 
+  test("persisted PQ index: codes replay-idempotent; ADC search from codes ranks the twin first") {
+    import org.apache.spark.sql.functions.col
+    val cbT = graft.stages.MergeTable.scratch(Seq("c_id"))
+    val codeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+    val all = emb
+    Similarity.pqIndexBuild(spark, all.filter(col("vec_id") % 2 === 0),
+      cbT, codeT, cbIdBound = 32)
+    Similarity.pqIndexAdd(spark, all.filter(col("vec_id") % 2 === 1), cbT, codeT)
+    def snapshot() = codeT.read(spark, Similarity.pqCodeSchema)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toMap
+    val first = snapshot()
+    assert(first.size == 41)
+    assert(first.values.forall(_.length == 8), "one code per subspace")
+    // replay: same vectors against the frozen codebook -> same codes
+    Similarity.pqIndexAdd(spark, all.filter(col("vec_id") % 2 === 1), cbT, codeT)
+    assert(snapshot() == first)
+    // vec 0 built, twin (vec 1) added incrementally: near-identical
+    // vectors share codes, so ADC from the code table ranks the twin first
+    val res = Similarity.pqIndexSearch(spark, all, cbT, codeT,
+      numQueries = 1, k = 3).collect().sortBy(_.getAs[Int]("rank"))
+    assert(res.head.getAs[Long]("neighbor_id") == 1L)
+    assert(res.head.getAs[Int]("exact_hit") == 1)
+  }
+
   test("persisted kNN-graph index: touched-cell refresh links the cross-batch twin; add replay is idempotent") {
     import org.apache.spark.sql.functions.col
     val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
