@@ -671,6 +671,70 @@ object SimilarityQueries {
        |  FROM recon)""".stripMargin
   }
 
+  /** DuckDB mirror of Similarity.rqTopK: 2-level residual quantization —
+    * level-1 assignment, residuals, level-2 codebook from the next-k2
+    * residuals, summed reconstruction, ADC cosine top-k + truth flags.
+    * Every distance is the same dot-identity sequential fold.
+    */
+  private def rqSql(numQueries: Int, k: Int, k1: Int, k2: Int): String = {
+    def vdot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+    def l2(x: String, c: String) =
+      s"${vdot(x, x)} + ${vdot(c, c)} - 2 * ${vdot(x, c)}"
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |x AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, 65),
+       |           i -> CAST(embedding[i] AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cb1 AS (SELECT vec_id AS c_id, v AS cw FROM x WHERE vec_id < $k1),
+       |enc1 AS MATERIALIZED (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT x.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+       |             ${l2("x.v", "c.cw")} ASC, c.c_id) AS r
+       |    FROM x, cb1 c) WHERE r = 1),
+       |res AS MATERIALIZED (
+       |  SELECT x.vec_id, c.cw AS cw1,
+       |         list_transform(range(1, 65), i -> x.v[i] - c.cw[i]) AS rv1
+       |  FROM x JOIN enc1 e USING (vec_id) JOIN cb1 c ON c.c_id = e.c_id),
+       |cb2 AS (SELECT vec_id AS c_id, rv1 AS cw FROM res
+       |        WHERE vec_id >= $k1 AND vec_id < ${k1 + k2}),
+       |enc2 AS MATERIALIZED (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT r.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY
+       |             ${l2("r.rv1", "c.cw")} ASC, c.c_id) AS rr
+       |    FROM res r, cb2 c) WHERE rr = 1),
+       |rn AS MATERIALIZED (
+       |  SELECT vec_id, rv,
+       |         sqrt(${vdot("rv", "rv")}) AS recon_norm
+       |  FROM (
+       |    SELECT r.vec_id,
+       |           list_transform(range(1, 65), i -> r.cw1[i] + c.cw[i]) AS rv
+       |    FROM res r JOIN enc2 e USING (vec_id) JOIN cb2 c ON c.c_id = e.c_id)),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+       |      FROM base WHERE vec_id < $numQueries),
+       |ranked AS (
+       |  SELECT q.query_id, r.vec_id,
+       |         list_sum(list_transform(range(1, 65),
+       |           i -> r.rv[i] * CAST(q.q_emb[i] AS DOUBLE))) / (r.recon_norm * q.q_norm) AS cosine_rq,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_sum(list_transform(range(1, 65),
+       |             i -> r.rv[i] * CAST(q.q_emb[i] AS DOUBLE))) / (r.recon_norm * q.q_norm)
+       |             DESC, r.vec_id) AS rank
+       |  FROM rn r, q WHERE r.vec_id <> q.query_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t)
+       |SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id AS neighbor_id,
+       |       r.cosine_rq,
+       |       CAST(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_hit
+       |FROM ranked r LEFT JOIN truth t
+       |  ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
+       |WHERE r.rank <= $k ORDER BY r.query_id, r.rank""".stripMargin
+  }
+
   private def pqSql(numQueries: Int, k: Int, m: Int, ksub: Int, subDim: Int,
                     cbPred: String = ""): String =
     s"""WITH base AS (
@@ -745,6 +809,20 @@ object SimilarityQueries {
       doc = "IVF-PQ (the production FAISS composition): k-means cells restrict " +
         "candidates, PQ reconstructions score them — memory = codes, compute = " +
         "nprobe cells, with per-hit exact-truth flags"),
+
+    // ---- Residual (2-level) quantization: the ADDITIVE family next to
+    // PQ's axis split — level-2 codewords quantize level-1 residuals and
+    // the reconstruction is their SUM (full-space codewords capture the
+    // rotated structure PQ can't). Two codes per vector; deterministic
+    // codebooks (first k1 vectors; residuals of the next k2).
+    GQuery("sim_rq_topk",
+      (s, dir) => Similarity.rqTopK(Tables.embeddings(s, dir),
+          numQueries = 16, k = 5)
+        .orderBy(col("query_id"), col("rank")),
+      Some(rqSql(numQueries = 16, k = 5, k1 = 16, k2 = 16)),
+      doc = "residual (2-level additive) quantization ANN: level-2 codes " +
+        "the level-1 residual, reconstruction = codeword sum, asymmetric " +
+        "cosine top-5 with per-hit exact-truth flags"),
 
     GQuery("sim_sq8_topk",
       (s, dir) => Similarity.sq8TopK(Tables.embeddings(s, dir), numQueries = 16, k = 5)
