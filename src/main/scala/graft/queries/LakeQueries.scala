@@ -673,6 +673,56 @@ object LakeQueries {
       doc = "TIMESTAMP AS OF resolution against the commit log: the pinned " +
         "instant reads v0 content although the table head has moved on"),
 
+    // ---- VACUUM retention: three commits, then retention keeps the
+    // newest two — the vacuumed version's row disappears from the time-
+    // travel surface (retained = 0, censuses NULL) while the survivors
+    // still read their immutable snapshots. The RETAINED SET comes from
+    // the table's own listVersions after the vacuum, so a retention bug
+    // (dropping too much or too little) breaks the oracle compare, not
+    // just a spec. At 100 TB retention is the storage-cost knob: old
+    // versions are what time travel reads, vacuum is the policy that
+    // caps how many you pay for.
+    GQuery("lake_vacuum_retention",
+      (s, dir) => {
+        val base = Tables.orders(s, dir).filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+        val t = graft.stages.MergeTable.scratch(Seq("o_orderkey"))
+        t.replace(base)                                               // v0
+        t.upsert(base.filter(col("status") === "O")
+          .withColumn("cents", col("cents") + 10))                    // v1
+        t.replace(base.filter(col("o_orderkey") % 14 === 0))          // v2
+        t.vacuum(keepLast = 2)
+        val retained = t.listVersions.toSet
+        Seq("v0", "v1", "v2").map { v =>
+          if (retained(v))
+            t.readVersion(s, v)
+              .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+              .select(lit(v).as("version"), lit(1).as("retained"),
+                col("n_rows"), col("sum_cents"))
+          else
+            s.sql(s"SELECT '$v' AS version, 0 AS retained, " +
+              "CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS sum_cents")
+        }.reduce(_ unionByName _).orderBy(col("version"))
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_orderstatus AS status,
+              |                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+              |          FROM orders WHERE o_orderkey % 7 = 0),
+              |v1 AS (SELECT CASE WHEN status = 'O' THEN cents + 10
+              |                   ELSE cents END AS cents FROM b),
+              |v2 AS (SELECT cents FROM b WHERE o_orderkey % 14 = 0)
+              |SELECT 'v0' AS version, 0 AS retained,
+              |       CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS sum_cents
+              |UNION ALL
+              |SELECT 'v1', 1, count(*), CAST(SUM(cents) AS BIGINT) FROM v1
+              |UNION ALL
+              |SELECT 'v2', 1, count(*), CAST(SUM(cents) AS BIGINT) FROM v2
+              |ORDER BY version""".stripMargin),
+      doc = "VACUUM retention policy: 3 commits, keepLast=2 — the dropped " +
+        "version leaves the time-travel surface (retained flag from the " +
+        "table's own version list), survivors still census their immutable " +
+        "snapshots"),
+
     // ---- Zero-copy shallow clone: the cloned version's files become v0
     // of a NEW table via hard links (O(files) metadata, no data bytes
     // moved — at 100 TB an instant fork vs a multi-hour copy), then the
