@@ -1447,6 +1447,52 @@ object Similarity {
         col("cosine_pq"), col("exact_hit"))
   }
 
+  /** IVF cell-balance census — the operational health metric of an
+    * inverted-file index: per-cell population, corpus share at 1e4, and
+    * the load factor at 1e2 (100 = perfectly balanced; a 300 cell serves
+    * 3× the scan work per probe — hot cells are IVF's tail latency, the
+    * signal that triggers re-training or cell splitting at scale). Empty
+    * cells are reported too (they waste probes). One broadcast assignment
+    * pass + one |cells|-group aggregate; integer-only output.
+    */
+  def ivfBalanceCensus(spark: SparkSession, emb: DataFrame,
+                       centroids: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(emb, centroids, iters)
+    val assigned = assignToCentroids(emb, cents)
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = assigned.agg(count(lit(1)).as("n_total"))
+    cents.select(col("c_id").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cell"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        expr("coalesce(n_vecs, 0L) * 10000 div n_total").as("share_e4"),
+        expr(s"coalesce(n_vecs, 0L) * $centroids * 100 div n_total").as("load_e2"))
+      .orderBy(col("cell"))
+  }
+
+  /** Hubness census — the k-occurrence distribution (how many top-k lists
+    * each vector appears in), THE classic high-dimensional-ANN health
+    * metric: hubs (vectors appearing in many lists) and anti-hubs
+    * (appearing in none) both degrade retrieval quality, and hubness
+    * grows with intrinsic dimension (Radovanović et al. 2010, JMLR). The
+    * kNN here is the SERVING path's — the bucketed all-corpus
+    * [[multiProbeTopKAgg]], the shape that survives the query set being
+    * the corpus — so the census measures the hubness users actually see;
+    * anti-hubs conflate true anti-hubs with LSH coverage misses, which is
+    * the serving truth (the fidelity twin prices that gap). Histogram
+    * output (occurrences → vector count), integer-exact.
+    */
+  def hubnessCensus(emb: DataFrame, k: Int = 5): DataFrame = {
+    val knn = multiProbeTopKAgg(emb, Int.MaxValue, k)
+    val occ = knn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("occ"))
+    emb.select(col("vec_id").as("neighbor_id"))
+      .join(occ, Seq("neighbor_id"), "left")
+      .select(coalesce(col("occ"), lit(0L)).as("k_occurrences"))
+      .groupBy(col("k_occurrences")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("k_occurrences"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the deterministic
     * k-means quantizer, then search for near-duplicates ONLY within a

@@ -958,6 +958,44 @@ object SimilarityQueries {
         "half, odd half upserted (per-row pure function => equals one full " +
         "pass), multi-probe search served from the table (shared oracle)"),
 
+    // ---- IVF cell-balance census: the index health metric — hot cells
+    // are IVF's tail latency (a load_e2 of 300 serves 3× the scan work
+    // per probe), empty cells waste probes; the number that triggers
+    // re-training or cell splits in production.
+    GQuery("sim_ivf_balance",
+      (s, dir) => Similarity.ivfBalanceCensus(s, Tables.embeddings(s, dir),
+        centroids = 8, iters = 2),
+      Some(s"""WITH ${kmeansAssignCtes(8, nprobe = 1, numQueries = 0)},
+              |cnt AS (SELECT cell, count(*) AS n_vecs FROM corpus GROUP BY cell),
+              |tot AS (SELECT count(*) AS n_total FROM corpus)
+              |SELECT CAST(c.c_id AS BIGINT) AS cell,
+              |       CAST(COALESCE(n.n_vecs, 0) AS BIGINT) AS n_vecs,
+              |       CAST(COALESCE(n.n_vecs, 0) * 10000 // t.n_total AS BIGINT) AS share_e4,
+              |       CAST(COALESCE(n.n_vecs, 0) * 8 * 100 // t.n_total AS BIGINT) AS load_e2
+              |FROM c2 c LEFT JOIN cnt n ON n.cell = c.c_id CROSS JOIN tot t
+              |ORDER BY cell""".stripMargin),
+      doc = "IVF cell-balance census: per-cell population, 1e4 corpus " +
+        "share, 1e2 load factor (100 = balanced) including empty cells — " +
+        "the hot-cell signal that triggers quantizer re-training"),
+
+    // ---- Hubness census (Radovanović et al. 2010): the k-occurrence
+    // distribution over the SERVING kNN (bucketed all-corpus multi-probe
+    // — the shape that survives query-set == corpus). Hubs and anti-hubs
+    // both degrade retrieval; hubness grows with intrinsic dimension, so
+    // this reads alongside sim_effective_rank / sim_anisotropy.
+    GQuery("sim_hubness_census",
+      (s, dir) => Similarity.hubnessCensus(Tables.embeddings(s, dir), k = 5),
+      Some(s"""WITH knn AS (${lshMultiprobeSql(2147483647, 5)}),
+              |occ AS (
+              |  SELECT e.vec_id, count(k.neighbor_id) AS occ
+              |  FROM embeddings e LEFT JOIN knn k ON k.neighbor_id = e.vec_id
+              |  GROUP BY e.vec_id)
+              |SELECT CAST(occ AS BIGINT) AS k_occurrences, count(*) AS n_vecs
+              |FROM occ GROUP BY occ ORDER BY occ""".stripMargin),
+      doc = "hubness census: k-occurrence histogram over the bucketed " +
+        "all-corpus kNN (how many top-5 lists each vector appears in) — " +
+        "hubs and anti-hubs are the high-dim retrieval-quality signal"),
+
     GQuery("sim_recall_report",
       (s, dir) => Similarity.recallReport(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3)

@@ -25,8 +25,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("inventory count tripwire") {
-    assert(QueryRegistry.all.size == 337,
-      s"expected 337 queries, found ${QueryRegistry.all.size} — if you added " +
+    assert(QueryRegistry.all.size == 339,
+      s"expected 339 queries, found ${QueryRegistry.all.size} — if you added " +
         "one on purpose, bump this count and sync COVERAGE.md/README.md")
   }
 }
