@@ -1493,6 +1493,28 @@ object Similarity {
       .orderBy(col("k_occurrences"))
   }
 
+  /** Mutual (reciprocal) kNN pairs: (a, b) where each is in the OTHER's
+    * top-k — the asymmetry-filtered neighbor signal curation stacks use
+    * where one-directional kNN over-merges around hubs (a hub lands in
+    * thousands of top-k lists; almost none of those land in ITS top-k, so
+    * the reciprocal filter removes exactly the hub edges
+    * [[hubnessCensus]] counts). Runs over the serving-path bucketed
+    * all-corpus kNN; ONE kNN pass checkpointed and joined against itself
+    * direction-to-direction — pair-table-sized work after the kNN.
+    */
+  def mutualKnnPairs(emb: DataFrame, k: Int = 5): DataFrame = {
+    val knn = multiProbeTopKAgg(emb, Int.MaxValue, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint(true) // both direction filters read it
+    val fwd = knn.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"),
+        col("cosine"))
+    val rev = knn.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("vec_a"), col("query_id").as("vec_b"))
+    fwd.join(rev, Seq("vec_a", "vec_b"), "left_semi")
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the deterministic
     * k-means quantizer, then search for near-duplicates ONLY within a

@@ -996,6 +996,24 @@ object SimilarityQueries {
         "all-corpus kNN (how many top-5 lists each vector appears in) — " +
         "hubs and anti-hubs are the high-dim retrieval-quality signal"),
 
+    // ---- Mutual kNN: the reciprocal filter over the serving kNN — hub
+    // edges are one-directional by definition (the hub rarely
+    // reciprocates), so this is the de-hubbed neighbor graph curation
+    // uses for clustering/near-dup QA.
+    GQuery("sim_mutual_knn",
+      (s, dir) => Similarity.mutualKnnPairs(Tables.embeddings(s, dir), k = 5),
+      Some(s"""WITH knn AS (${lshMultiprobeSql(2147483647, 5)}),
+              |fwd AS (SELECT query_id AS vec_a, neighbor_id AS vec_b, cosine
+              |        FROM knn WHERE query_id < neighbor_id),
+              |rev AS (SELECT neighbor_id AS vec_a, query_id AS vec_b
+              |        FROM knn WHERE query_id > neighbor_id)
+              |SELECT f.vec_a, f.vec_b, f.cosine
+              |FROM fwd f JOIN rev r USING (vec_a, vec_b)
+              |ORDER BY vec_a, vec_b""".stripMargin),
+      doc = "mutual (reciprocal) kNN pairs over the bucketed all-corpus " +
+        "top-5: both endpoints in each other's list — the hub-edge filter " +
+        "for neighbor-graph curation"),
+
     GQuery("sim_recall_report",
       (s, dir) => Similarity.recallReport(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3)
