@@ -131,6 +131,39 @@ object TrainPrep {
         coalesce(col("oversize_tokens"), lit(0L)).as("oversize_tokens"))
   }
 
+  /** Deterministic weighted dataset interleaving — the ORDER a training
+    * dataloader actually emits when sampling from per-language streams
+    * proportionally (tf.data sample_from_datasets / Pile-style mixing),
+    * made exact: each doc's virtual time = rank-within-stream / weight
+    * (integer 1e6 cross-multiplication, no float), the global schedule
+    * sorts by it, and any prefix of the schedule is weight-proportional —
+    * which is the property that makes mixing ratios hold from step one
+    * instead of only in expectation. Returns the first `take` schedule
+    * positions. Scale shape: per-stream ranks are windows PARTITIONED by
+    * the stream key; the schedule head is TakeOrdered (no global sort);
+    * only the `take`-row head crosses a single-partition window for its
+    * position number.
+    */
+  def interleaveSchedule(docs: DataFrame, weights: Map[String, Int],
+                         take: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF("lang", "wt")
+    val ranked = docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(w), Seq("lang"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      .withColumn("virtual_e6", expr("rk * 1000000L div wt"))
+    val head = ranked
+      .orderBy(col("virtual_e6"), col("lang"), col("doc_id")).limit(take)
+    head
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("virtual_e6"), col("lang"), col("doc_id"))))
+      .select(col("position"), col("lang"), col("doc_id"), col("virtual_e6"))
+      .orderBy(col("position"))
+  }
+
   /** Scalable running token total in document order — the prefix-sum
     * primitive behind token-budget sharding. A naive
     * `sum() over (order by doc_id)` collapses the corpus into ONE window

@@ -291,6 +291,32 @@ object TrainPrepQueries {
         "one-sequence-per-doc baseline waste; oversize docs censused to " +
         "the splitter"),
 
+    // ---- Weighted interleaving schedule: the dataloader's emission
+    // order under proportional stream sampling, exact (virtual time =
+    // rank/weight via integer 1e6 division) — any schedule prefix holds
+    // the mixing ratio, not just the expectation. First 64 positions.
+    GQuery("prep_interleave_schedule",
+      (s, dir) => TrainPrep.interleaveSchedule(Tables.documents(s, dir),
+        Map("en" -> 500, "de" -> 200, "zh" -> 150, "es" -> 100, "fr" -> 50),
+        take = 64),
+      Some("""WITH w AS (SELECT * FROM (VALUES ('en', 500), ('de', 200),
+              |            ('zh', 150), ('es', 100), ('fr', 50)) AS t(lang, wt)),
+              |r AS (SELECT d.doc_id, d.lang, w.wt,
+              |             ROW_NUMBER() OVER (PARTITION BY d.lang
+              |                                ORDER BY d.doc_id) AS rk
+              |      FROM documents d JOIN w USING (lang)),
+              |v AS (SELECT doc_id, lang,
+              |             CAST(rk * 1000000 // wt AS BIGINT) AS virtual_e6
+              |      FROM r),
+              |h AS (SELECT * FROM v ORDER BY virtual_e6, lang, doc_id LIMIT 64)
+              |SELECT CAST(ROW_NUMBER() OVER (ORDER BY virtual_e6, lang, doc_id)
+              |            AS INT) AS position,
+              |       lang, doc_id, virtual_e6
+              |FROM h ORDER BY position""".stripMargin),
+      doc = "weighted dataset-interleave schedule (first 64 positions): " +
+        "virtual time = per-stream rank / weight as exact integer 1e6 — " +
+        "the proportional sampling order a training dataloader emits"),
+
     GQuery("prep_shard_assignment",
       (s, dir) => TrainPrep.shardByTokenBudget(Tables.documents(s, dir), budget = 8192)
         .orderBy(col("doc_id")),

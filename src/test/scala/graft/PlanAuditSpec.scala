@@ -337,6 +337,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "j2_fact_key_resolution" -> Set(Set("user_id")),
     // largest-remainder apportionment over |langs| strata
     "prep_apportion_budget" -> Set(Set("lang")),
+    // schedule-position numbering over the 64-row TakeOrdered head only
+    "prep_interleave_schedule" -> Set(Set("doc_id", "lang")),
     // curriculum stage offsets over |frequency buckets| rows
     "prep_curriculum_stages" -> Set(Set("freq")),
     // drift census: value-domain histogram buckets (bs,v) + token counts
@@ -507,6 +509,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "Lloyd centroids — k=8 rows by construction",
     ("sim_recall_report", Set("c", "c_id")) ->
       "Lloyd centroids — k<=16 rows by construction",
+    ("sim_ivf_balance", Set("c", "c_id")) ->
+      "Lloyd centroids — k=8 rows by construction",
     ("dedup_semantic", Set("c", "c_id")) ->
       "Lloyd centroids — k=8 rows by construction",
     // the persisted-IVF centroid MergeTable: a parquet scan, but of the

@@ -25,8 +25,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("inventory count tripwire") {
-    assert(QueryRegistry.all.size == 340,
-      s"expected 340 queries, found ${QueryRegistry.all.size} — if you added " +
+    assert(QueryRegistry.all.size == 341,
+      s"expected 341 queries, found ${QueryRegistry.all.size} — if you added " +
         "one on purpose, bump this count and sync COVERAGE.md/README.md")
   }
 }
