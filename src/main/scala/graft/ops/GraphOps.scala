@@ -297,6 +297,66 @@ object GraphOps {
     dist
   }
 
+  /** Single-source STRESS centrality within a bounded radius — Brandes'
+    * two-phase accumulation in the INTEGER semiring: forward, σ(v) = the
+    * number of shortest s→v paths (level-synchronous sum over the
+    * shortest-path DAG's in-edges); backward, f(v) = 1 + Σ f(w) over DAG
+    * out-edges (the number of shortest-path suffixes from v, targets
+    * within the radius, v itself included); through(v) = σ(v)·f(v)
+    * counts every shortest s→t path containing v. This is the
+    * betweenness-family member that stays EXACT cross-engine (Shimbel's
+    * stress; Brandes 2008, "On Variants of Shortest-Path Betweenness"):
+    * true betweenness accumulates fractional δ ratios whose float SUMS
+    * are accumulation-order-dependent and would break the oracle hash —
+    * stress multiplies integer counts instead, same two-phase shape.
+    * Bounded rounds are the [[bfsHops]] contract: within radius R every
+    * dist, σ and f is exact, and the oracle unrolls identical levels.
+    *
+    * Scale shape: 2R level-synchronous node-keyed joins against the
+    * symmetrized adjacency (each level one join + one map-side-combined
+    * sum, lineage cut per level) — the Pregel betweenness pass; no
+    * all-pairs anything, node tables only.
+    */
+  def stressCentrality(seed: DataFrame, und: DataFrame, rounds: Int): DataFrame = {
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val dist = bfsHops(seed, und, rounds).localCheckpoint(true)
+    // forward: σ per level over the shortest-path DAG (dist(w) = dist(v)+1)
+    var sigma = dist.filter(col("dist") === 0)
+      .select(col("node"), lit(1L).as("sigma")).localCheckpoint(true)
+    var sigmaAll = sigma
+    for (k <- 1 to rounds) {
+      sigma = adj.join(sigma.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"), col("sigma"))
+        .join(dist.filter(col("dist") === k).select(col("node")),
+          Seq("node"), "left_semi")
+        .groupBy(col("node")).agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint(true)
+      sigmaAll = sigmaAll.unionByName(sigma)
+    }
+    // backward: f from the deepest level down (truncation = the radius
+    // contract: suffixes beyond R hops are out of scope by definition)
+    var f = dist.filter(col("dist") === rounds)
+      .select(col("node"), lit(1L).as("f")).localCheckpoint(true)
+    var fAll = f
+    for (k <- (rounds - 1) to 0 by -1) {
+      val lvl = dist.filter(col("dist") === k).select(col("node"))
+      val contrib = adj
+        .join(f.select(col("node").as("v"), col("f").as("fw")), Seq("v"))
+        .select(col("u").as("node"), col("fw"))
+        .join(lvl, Seq("node"), "left_semi")
+        .groupBy(col("node")).agg(sum(col("fw")).as("fsum"))
+      f = lvl.join(contrib, Seq("node"), "left")
+        .select(col("node"), (coalesce(col("fsum"), lit(0L)) + 1L).as("f"))
+        .localCheckpoint(true)
+      fAll = fAll.unionByName(f)
+    }
+    sigmaAll.join(fAll, Seq("node")).join(dist, Seq("node"))
+      .select(col("node"), col("dist"), col("sigma"), col("f"),
+        (col("sigma") * col("f")).as("through"))
+  }
+
   /** Bounded-round Bellman-Ford over WEIGHTED undirected edges — the
     * weighted sibling of [[bfsHops]] (same per-round shape: one node-keyed
     * join + one min-agg with map-side combine, `localCheckpoint` lineage

@@ -1646,6 +1646,27 @@ object ScaleOpsQueries {
         "rounds per sweep, 1-row TakeOrdered argmax hop, no driver collect) " +
         "== unrolled monotone-relaxation oracle"),
 
+    // ---- Stress centrality (single source, radius 6): Brandes'
+    // two-phase shortest-path accumulation kept in the INTEGER semiring —
+    // σ forward over the BFS DAG, suffix counts f backward, through =
+    // σ·f. The exact-hash-safe member of the betweenness family (true
+    // betweenness sums fractional δ whose float accumulation order
+    // differs across engines). Top-20 via TakeOrderedAndProject.
+    GQuery("graph_stress_centrality",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val und = graft.ops.GraphOps.chordGraph(nodes)
+        val seed = nodes.agg(min(col("node")).as("node"))
+        graft.ops.GraphOps.stressCentrality(seed, und, rounds = 6)
+          .orderBy(col("through").desc, col("node"))
+          .limit(20)
+      },
+      Some(stressSql),
+      doc = "stress centrality (Shimbel/Brandes two-phase, integer " +
+        "semiring): sigma forward + suffix counts backward over the " +
+        "6-round BFS DAG, through = sigma*f, top-20 — exact where " +
+        "fractional betweenness would break cross-engine"),
+
     // ---- k-truss peeling census (k=4): iteratively drop edges supported
     // by fewer than k−2 triangles — the triangle-density cousin of k-core
     // (cores bound degree, trusses bound cohesion; a 4-truss edge sits in
@@ -1692,6 +1713,66 @@ object ScaleOpsQueries {
         "<2 supporting triangles, degree-ordered O(sqrt(m))-fanout triangle " +
         "enumeration, per-round edges in/out == unrolled-rounds oracle")
   )
+
+  /** Unrolled stress-centrality oracle: bounded BFS (monotone relaxation,
+    * the diameter2SweepSql pattern), then σ forward level by level over
+    * the shortest-path DAG and f backward from the deepest level — every
+    * level CTE MATERIALIZED (each is referenced by the next level and by
+    * the final union).
+    */
+  private lazy val stressSql: String = {
+    val R = 6
+    val distRounds = (1 to R).map { r =>
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""s$r AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT adj.v, $prev.dist + 1 FROM adj JOIN $prev ON adj.u = $prev.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    val sigLevels = (1 to R).map { k =>
+      s"""sig$k AS MATERIALIZED (
+         |  SELECT a.v AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+         |  FROM adj a JOIN sig${k - 1} p ON a.u = p.node
+         |  JOIN s$R d ON d.node = a.v AND d.dist = $k
+         |  GROUP BY a.v)""".stripMargin
+    }.mkString(",\n")
+    val fLevels = ((R - 1) to 0 by -1).map { k =>
+      s"""f$k AS MATERIALIZED (
+         |  SELECT d.node,
+         |         CAST(1 + COALESCE(c.fsum, 0) AS BIGINT) AS f
+         |  FROM (SELECT node FROM s$R WHERE dist = $k) d
+         |  LEFT JOIN (
+         |    SELECT a.u AS node, CAST(SUM(fw.f) AS BIGINT) AS fsum
+         |    FROM adj a JOIN f${k + 1} fw ON fw.node = a.v
+         |    GROUP BY a.u) c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT node AS a, node + 1 AS b FROM nodes
+       |    UNION ALL SELECT node, node + 2 FROM nodes
+       |    UNION ALL SELECT node, node + 3 FROM nodes
+       |    UNION ALL SELECT node, node * 2 FROM nodes) e
+       |  WHERE a < b
+       |    AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+       |adj AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+       |s0 AS (SELECT min(node) AS node, 0 AS dist FROM nodes),
+       |$distRounds,
+       |sig0 AS (SELECT node, CAST(1 AS BIGINT) AS sigma FROM s$R WHERE dist = 0),
+       |$sigLevels,
+       |f$R AS MATERIALIZED (
+       |  SELECT node, CAST(1 AS BIGINT) AS f FROM s$R WHERE dist = $R),
+       |$fLevels,
+       |sig AS (${(0 to R).map(k => s"SELECT * FROM sig$k").mkString(" UNION ALL ")}),
+       |ff AS (${(0 to R).map(k => s"SELECT * FROM f$k").mkString(" UNION ALL ")})
+       |SELECT s.node, CAST(d.dist AS INT) AS dist, s.sigma, ff.f,
+       |       s.sigma * ff.f AS through
+       |FROM sig s JOIN ff ON ff.node = s.node JOIN s$R d ON d.node = s.node
+       |ORDER BY through DESC, s.node LIMIT 20""".stripMargin
+  }
 
   /** Unrolled 3-round k-truss oracle: per round the x<y<z triangle 3-join
     * over the current edge set, per-edge support by unioning the three

@@ -70,6 +70,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(oriented.map(_._2).sum > 0)       // the graph actually has triangles
   }
 
+  test("stress centrality: path counts exact on a path and a diamond (sigma doubles, f sums)") {
+    import spark.implicits._
+    def run(und: Seq[(Long, Long)], seedId: Long, rounds: Int) = {
+      val e = und.toDF("a", "b")
+      val seed = Seq(seedId).toDF("node")
+      GraphOps.stressCentrality(seed, e, rounds).collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    }
+    // path 1-2-3-4 from 1: sigma = 1 everywhere, f counts remaining
+    // suffixes, through(v) = sigma*f decreases toward the end
+    val path = run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 1L, rounds = 3)
+    assert(path(1L) == ((0, 1L, 4L, 4L)))
+    assert(path(2L) == ((1, 1L, 3L, 3L)))
+    assert(path(3L) == ((2, 1L, 2L, 2L)))
+    assert(path(4L) == ((3, 1L, 1L, 1L)))
+    // diamond 1-{2,3}-4: two shortest paths meet at the sink (sigma(4)=2);
+    // the source's f counts all 5 suffixes (itself, 2, 3, and 4 twice)
+    val dia = run(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), 1L, rounds = 2)
+    assert(dia(4L) == ((2, 2L, 1L, 2L)))
+    assert(dia(2L) == ((1, 1L, 2L, 2L)))
+    assert(dia(3L) == ((1, 1L, 2L, 2L)))
+    assert(dia(1L) == ((0, 1L, 5L, 5L)))
+  }
+
   test("integer HITS: star hub concentrates hub mass, leaves split authority; partitioning-invariant") {
     import spark.implicits._
     // directed star 1 -> {2,3,4}: after any round, node 1 is the only hub
