@@ -1014,6 +1014,46 @@ object SimilarityQueries {
         "top-5: both endpoints in each other's list — the hub-edge filter " +
         "for neighbor-graph curation"),
 
+    // ---- Mutual-kNN clustering: connected components over the
+    // reciprocal pairs ABOVE a cosine floor (reciprocity de-hubs,
+    // the floor de-percolates — unfloored k=5 mutual edges chain this
+    // corpus into one 497-node component), using the dedup CC engine on
+    // the embedding side; summarized as a cluster-size histogram.
+    // Unpaired vectors are singletons by definition and stay out.
+    GQuery("sim_mutual_knn_clusters",
+      (s, dir) => {
+        val pairs = Similarity.mutualKnnPairs(Tables.embeddings(s, dir), k = 5)
+          .filter(col("cosine") >= 0.4)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        graft.ops.Dedup.connectedComponentsStar(pairs)
+          .groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+          .groupBy(col("n_members")).agg(count(lit(1)).as("n_clusters"))
+          .orderBy(col("n_members"))
+      },
+      Some(s"""WITH RECURSIVE knn AS MATERIALIZED (${lshMultiprobeSql(2147483647, 5)}),
+              |fwd AS (SELECT query_id AS va, neighbor_id AS vb, cosine FROM knn
+              |        WHERE query_id < neighbor_id),
+              |rev AS (SELECT neighbor_id AS va, query_id AS vb FROM knn
+              |        WHERE query_id > neighbor_id),
+              |mp AS (SELECT f.va, f.vb
+              |       FROM fwd f JOIN rev r ON r.va = f.va AND r.vb = f.vb
+              |       WHERE f.cosine >= 0.4),
+              |edges AS (SELECT va AS a, vb AS b FROM mp
+              |          UNION ALL SELECT vb, va FROM mp),
+              |reach(node, r) AS (
+              |  SELECT DISTINCT a, a FROM edges
+              |  UNION
+              |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+              |comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+              |sizes AS (SELECT comp, count(*) AS n_members FROM comp GROUP BY comp)
+              |SELECT CAST(n_members AS BIGINT) AS n_members,
+              |       count(*) AS n_clusters
+              |FROM sizes GROUP BY n_members ORDER BY n_members""".stripMargin),
+      doc = "mutual-kNN cluster census: connected components over the " +
+        "reciprocal top-5 pairs at cosine >= 0.4 (star contraction == " +
+        "recursive-CTE closure), cluster-size histogram of the de-hubbed, " +
+        "de-percolated neighbor graph"),
+
     GQuery("sim_recall_report",
       (s, dir) => Similarity.recallReport(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3)
