@@ -533,6 +533,39 @@ object ScaleOpsQueries {
       doc = "CSV write + explicit-schema read round-trip == parquet-sourced oracle " +
         "(quoted free text with embedded commas survives; no inference pass)"),
 
+    // ---- XML round-trip: Spark 4's built-in XML data source (the
+    // spark-xml connector merged into spark-sql) — the feed format B2B
+    // ingestion still arrives in. The note column embeds '&' and '<'
+    // characters, so the census proves entity escaping round-trips
+    // bit-for-bit; the read declares an explicit schema + rowTag (no
+    // inference pass over 100 TB).
+    GQuery("scan_xml_roundtrip",
+      (s, dir) => {
+        val out = graft.stages.TempDirs.scratch("graft_xml_")
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            concat_ws(" & ", col("o_orderpriority"),
+              concat(lit("<"), col("o_orderstatus"), lit(">"))).as("note"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("price_cents"))
+          .write.mode("overwrite").option("rowTag", "order").xml(out)
+        s.read
+          .schema("o_orderkey BIGINT, o_orderstatus STRING, note STRING, price_cents BIGINT")
+          .option("rowTag", "order").xml(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("total_cents"),
+            sum(length(col("note"))).as("note_chars"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+                     count(*) AS n_orders,
+                     CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                     CAST(SUM(length(o_orderpriority || ' & <' || o_orderstatus || '>')) AS BIGINT) AS note_chars
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "XML write + explicit-schema rowTag read round-trip == " +
+        "parquet-sourced oracle (Spark 4 built-in XML source; '&'/'<' " +
+        "entity escaping survives, no inference pass)"),
+
     // ---- Integer PageRank over a deterministic irregular link graph
     // (edges k -> 2k, 2k+1, 3k over customer keys; a pure heap tree is
     // DEGENERATE — uniform in/out degree keeps mass uniform forever, so
