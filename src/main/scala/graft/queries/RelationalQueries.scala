@@ -2821,6 +2821,78 @@ object RelationalQueries {
               ORDER BY c.c_mktsegment"""),
       doc = "SQL text entry point (spark.sql over temp views), decimal-exact"),
 
+    // ---- Spark 4 SQL session variables (DECLARE/SET VARIABLE): the
+    // parameterized-query surface BI/orchestration layers template with —
+    // the variable binds at execution, the PLAN is the literal's (the
+    // oracle inlines it, proving result transparency).
+    GQuery("sql_session_variable",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("v_orders_sqlvar")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_min_price DOUBLE")
+        s.sql("SET VARIABLE graft_min_price = 150000.0")
+        s.sql("""SELECT o_orderstatus, count(*) AS n_orders,
+                        CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS total_cents
+                 FROM v_orders_sqlvar WHERE o_totalprice >= graft_min_price
+                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                     CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+              FROM orders WHERE o_totalprice >= 150000.0
+              GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "SQL session variables (DECLARE/SET VARIABLE, Spark 4): " +
+        "parameterized query == inlined-literal oracle"),
+
+    // ---- Spark 4 SQL-defined scalar functions (CREATE FUNCTION ...
+    // RETURN expr): the catalog-level UDF surface that stays INSIDE
+    // codegen (the body inlines into the plan — no JVM closure, no
+    // serialization wall), unlike Scala UDFs.
+    GQuery("sql_udf_create",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("v_orders_sqludf")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_price_cents(p DOUBLE)
+                 RETURNS BIGINT RETURN CAST(floor(p * 100) AS BIGINT)""")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_is_urgent(pr STRING)
+                 RETURNS BOOLEAN RETURN pr IN ('1-URGENT', '2-HIGH')""")
+        s.sql("""SELECT o_orderstatus,
+                        count(*) AS n_urgent,
+                        CAST(SUM(graft_price_cents(o_totalprice)) AS BIGINT)
+                          AS urgent_cents
+                 FROM v_orders_sqludf WHERE graft_is_urgent(o_orderpriority)
+                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_urgent,
+                     CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS urgent_cents
+              FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+              GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "SQL-defined scalar functions (CREATE FUNCTION ... RETURN, " +
+        "Spark 4): body inlines into codegen == inlined-expression oracle"),
+
+    // ---- SQL pipe syntax (|>, Spark 4): the linear query form — each
+    // stage reads top-down like the DataFrame API; same plan, same
+    // results as the nested form the oracle runs.
+    GQuery("sql_pipe_syntax",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("v_orders_pipe")
+        s.sql("""FROM v_orders_pipe
+                 |> WHERE o_orderstatus <> 'P'
+                 |> EXTEND CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 |> AGGREGATE count(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+                    GROUP BY o_orderpriority
+                 |> WHERE n_orders > 10
+                 |> ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+                     CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+              FROM orders WHERE o_orderstatus <> 'P'
+              GROUP BY o_orderpriority HAVING count(*) > 10
+              ORDER BY o_orderpriority"""),
+      doc = "SQL pipe syntax (|> WHERE/EXTEND/AGGREGATE, Spark 4): the " +
+        "linear top-down query form == nested-SQL oracle"),
+
     // ---- As-of join (operator Spark lacks; composed per ops.AsOfJoin)
     GQuery("asof_last_signup",
       (s, dir) => {
