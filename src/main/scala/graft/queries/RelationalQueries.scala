@@ -2893,6 +2893,23 @@ object RelationalQueries {
       doc = "SQL pipe syntax (|> WHERE/EXTEND/AGGREGATE, Spark 4): the " +
         "linear top-down query form == nested-SQL oracle"),
 
+    // ---- listagg (Spark 4 / ANSI): ordered string aggregation — the
+    // report-surface aggregate (DuckDB: string_agg ORDER BY). Order is
+    // pinned inside the aggregate, so the concatenation is deterministic.
+    GQuery("agg_listagg",
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("v_nation_la")
+        s.sql("""SELECT n_regionkey,
+                        listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                          AS nations
+                 FROM v_nation_la GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey,
+                     string_agg(n_name, ',' ORDER BY n_name) AS nations
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
+      doc = "listagg WITHIN GROUP (Spark 4 ANSI ordered string " +
+        "aggregation) == DuckDB string_agg ORDER BY"),
+
     // ---- As-of join (operator Spark lacks; composed per ops.AsOfJoin)
     GQuery("asof_last_signup",
       (s, dir) => {

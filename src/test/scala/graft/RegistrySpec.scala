@@ -25,8 +25,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("inventory count tripwire") {
-    assert(QueryRegistry.all.size == 347,
-      s"expected 347 queries, found ${QueryRegistry.all.size} — if you added " +
+    assert(QueryRegistry.all.size == 348,
+      s"expected 348 queries, found ${QueryRegistry.all.size} — if you added " +
         "one on purpose, bump this count and sync COVERAGE.md/README.md")
   }
 }
