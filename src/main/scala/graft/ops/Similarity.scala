@@ -1058,8 +1058,14 @@ object Similarity {
     * cache behind (a cached DataFrame returned from here would pin
     * executor storage with no one responsible for releasing it).
     */
-  def recallReport(spark: SparkSession, emb: DataFrame,
-                   numQueries: Int = 16, k: Int = 3): DataFrame = {
+  /** One recall row per named method against the COLLECTED brute-truth
+    * set (bounded numQueries·k rows — collected once so the truth lineage
+    * never replays per method) — shared by [[recallReport]] and
+    * [[beamWidthReport]].
+    */
+  private def truthHits(spark: SparkSession, emb: DataFrame,
+                        numQueries: Int, k: Int)
+                       (methods: Seq[(String, DataFrame)]): DataFrame = {
     val truthRows = bruteForceTopK(emb, numQueries, k)
       .select(col("query_id"), col("neighbor_id")).collect().toSeq
     val truth = spark.createDataFrame(
@@ -1078,18 +1084,37 @@ object Similarity {
           lit(nTruth).as("n_truth"),
           col("n_hits"),
           (col("n_hits").cast("double") / nTruth.toDouble).as("recall"))
-    hits("beam_graph",
-        beamSearchTopK(spark, emb, numQueries, k, degree = 6, beam = 8, rounds = 6))
-      .unionByName(hits("ivf_kmeans_nprobe2",
-        ivfKmeansTopK(spark, emb, numQueries, k, centroids = 8, iters = 2, nprobe = 2)))
-      .unionByName(hits("ivf_nprobe1", ivfTopK(spark, emb, numQueries, k)))
-      .unionByName(hits("ivf_pq", ivfPqTopK(spark, emb, numQueries, k)))
-      .unionByName(hits("lsh_multiprobe", lshMultiProbeTopK(spark, emb, numQueries, k)))
-      .unionByName(hits("lsh_single", lshTopK(spark, emb, numQueries, k)))
-      .unionByName(hits("onebit", oneBitTopK(emb, numQueries, k, candidates = 12)))
-      .unionByName(hits("pq", pqTopK(emb, numQueries, k)))
-      .unionByName(hits("sq8", sq8TopK(emb, numQueries, k)))
+    methods.map { case (m, df) => hits(m, df) }.reduce(_ unionByName _)
   }
+
+  /** Beam-width tuning card: measured recall of the graph walk at each
+    * beam width, same graph/degree/round budget — THE serving knob of
+    * graph ANN (DiskANN's L, HNSW's ef): wider beams cost linearly per
+    * query and buy recall; this card prices the curve so the knob is set
+    * from data, not folklore.
+    */
+  def beamWidthReport(spark: SparkSession, emb: DataFrame,
+                      numQueries: Int = 16, k: Int = 3,
+                      degree: Int = 6, rounds: Int = 6,
+                      widths: Seq[Int] = Seq(2, 8, 24)): DataFrame =
+    truthHits(spark, emb, numQueries, k)(
+      widths.map(w => f"beam_$w%02d" ->
+        beamSearchTopK(spark, emb, numQueries, k, degree, w, rounds)))
+
+  def recallReport(spark: SparkSession, emb: DataFrame,
+                   numQueries: Int = 16, k: Int = 3): DataFrame =
+    truthHits(spark, emb, numQueries, k)(Seq(
+      "beam_graph" ->
+        beamSearchTopK(spark, emb, numQueries, k, degree = 6, beam = 8, rounds = 6),
+      "ivf_kmeans_nprobe2" ->
+        ivfKmeansTopK(spark, emb, numQueries, k, centroids = 8, iters = 2, nprobe = 2),
+      "ivf_nprobe1" -> ivfTopK(spark, emb, numQueries, k),
+      "ivf_pq" -> ivfPqTopK(spark, emb, numQueries, k),
+      "lsh_multiprobe" -> lshMultiProbeTopK(spark, emb, numQueries, k),
+      "lsh_single" -> lshTopK(spark, emb, numQueries, k),
+      "onebit" -> oneBitTopK(emb, numQueries, k, candidates = 12),
+      "pq" -> pqTopK(emb, numQueries, k),
+      "sq8" -> sq8TopK(emb, numQueries, k)))
 
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH
     * (`bandsOfPlanes` bands, each `planesPerBand` sign bits; candidates match

@@ -519,6 +519,27 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB mirror of Similarity.beamWidthReport: one beamGraphSql
+    * pipeline per width, each semi-joined against the shared brute truth.
+    */
+  private def beamWidthSql(numQueries: Int, k: Int, degree: Int,
+                           rounds: Int, widths: Seq[Int]): String = {
+    val nTruth = numQueries * k
+    val ctes = widths.map(w =>
+      f"bw$w%02d AS (SELECT query_id, neighbor_id FROM (${beamGraphSql(numQueries, k, degree, w, rounds)}) t)")
+      .mkString(",\n")
+    val rows = widths.map(w =>
+      f"""SELECT 'beam_$w%02d' AS method,
+         |       (SELECT count(*) FROM bw$w%02d a JOIN truth t
+         |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t),
+       |$ctes
+       |SELECT method, CAST($nTruth AS BIGINT) AS n_truth, n_hits,
+       |       CAST(n_hits AS DOUBLE) / $nTruth AS recall
+       |FROM ($rows) ORDER BY method""".stripMargin
+  }
+
   /** DuckDB mirror of Similarity.recallReport: the same nine index
     * pipelines, each semi-joined against the same brute-force truth set.
     */
@@ -1053,6 +1074,20 @@ object SimilarityQueries {
         "reciprocal top-5 pairs at cosine >= 0.4 (star contraction == " +
         "recursive-CTE closure), cluster-size histogram of the de-hubbed, " +
         "de-percolated neighbor graph"),
+
+    // ---- Beam-width tuning card: measured recall at beam 2 / 8 / 24 on
+    // the same graph — the serving knob of graph ANN (DiskANN's L, HNSW's
+    // ef) priced from data. Wider beams cost linearly per query.
+    GQuery("sim_beam_width_report",
+      (s, dir) => Similarity.beamWidthReport(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3, degree = 6, rounds = 6,
+          widths = Seq(2, 8, 24))
+        .orderBy(col("method")),
+      Some(beamWidthSql(numQueries = 16, k = 3, degree = 6, rounds = 6,
+        widths = Seq(2, 8, 24))),
+      doc = "beam-width recall curve for the graph walk (beam 2/8/24, " +
+        "same degree-6/6-round graph): the DiskANN-L/HNSW-ef knob " +
+        "measured against brute truth"),
 
     GQuery("sim_recall_report",
       (s, dir) => Similarity.recallReport(s, Tables.embeddings(s, dir),

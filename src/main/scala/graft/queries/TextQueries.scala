@@ -299,6 +299,25 @@ object TextQueries {
        |FROM chunks ORDER BY doc_id, chunk_no""".stripMargin
   }
 
+  /** DuckDB mirror of TextAnalysis.languageId — shared by the per-doc
+    * query and the confusion matrix. */
+  private lazy val langidSql: String = {
+    val scores = TextAnalysis.stopwords.map { case (l, _) =>
+      s"${scoreSql(l)} AS score_$l" }.mkString(",\n                     ")
+    s"""WITH scored AS (
+          SELECT doc_id, lang AS labeled_lang,
+                 $scores
+          FROM documents)
+        SELECT doc_id, labeled_lang,
+               CASE WHEN score_zh > score_en AND score_zh > score_de AND score_zh > score_es AND score_zh > score_fr THEN 'zh'
+                    WHEN score_fr > score_en AND score_fr > score_de AND score_fr > score_es AND score_fr >= score_zh THEN 'fr'
+                    WHEN score_es > score_en AND score_es > score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+                    WHEN score_de > score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+                    ELSE 'en' END AS predicted_lang,
+               score_en, score_de, score_es, score_fr, score_zh
+        FROM scored ORDER BY doc_id"""
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery("text_token_stats",
@@ -316,23 +335,24 @@ object TextQueries {
     GQuery("text_langid",
       (s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))
         .orderBy(col("doc_id")),
-      Some {
-        val scores = TextAnalysis.stopwords.map { case (l, _) =>
-          s"${scoreSql(l)} AS score_$l" }.mkString(",\n                     ")
-        s"""WITH scored AS (
-              SELECT doc_id, lang AS labeled_lang,
-                     $scores
-              FROM documents)
-            SELECT doc_id, labeled_lang,
-                   CASE WHEN score_zh > score_en AND score_zh > score_de AND score_zh > score_es AND score_zh > score_fr THEN 'zh'
-                        WHEN score_fr > score_en AND score_fr > score_de AND score_fr > score_es AND score_fr >= score_zh THEN 'fr'
-                        WHEN score_es > score_en AND score_es > score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
-                        WHEN score_de > score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
-                        ELSE 'en' END AS predicted_lang,
-                   score_en, score_de, score_es, score_fr, score_zh
-            FROM scored ORDER BY doc_id"""
-      },
+      Some(langidSql),
       doc = "stopword-ratio language heuristic with deterministic argmax"),
+
+    // ---- Language-ID confusion matrix: the classifier-QA table — which
+    // labeled languages the stopword heuristic mistakes for which (the
+    // number that decides whether the heuristic is good enough to gate a
+    // mixture, or needs the n-gram upgrade). Composes the proven per-doc
+    // langid; integer counts.
+    GQuery("text_langid_confusion",
+      (s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))
+        .groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("labeled_lang"), col("predicted_lang")),
+      Some(s"""WITH p AS ($langidSql)
+              |SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+              |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "language-ID confusion matrix: labeled x predicted doc counts " +
+        "over the stopword heuristic — the gate-or-upgrade QA table"),
 
     GQuery("text_quality",
       (s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))
