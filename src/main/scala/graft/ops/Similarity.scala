@@ -602,27 +602,38 @@ object Similarity {
     * the RESIDUAL, reconstruction is the SUM of the two codewords. Two
     * codes per vector (vs PQ's m) and the codewords span the FULL space,
     * capturing rotated/global structure an axis-split PQ structurally
-    * cannot. Codebooks are deterministic — level 1 = the first `k1`
-    * vectors, level 2 = the residuals of the next `k2` vectors under
-    * level 1 (the [[withPq]] quantizer stance; production trains both
-    * with k-means, the encode/reconstruct/serve shapes are identical and
-    * those are what the oracle pins). Distances ride the dot identity
-    * (sequential folds — bit-identical cross-engine), ties to the lower
-    * codeword ordinal; asymmetric (ADC) cosine top-k with brute-truth
-    * flags. Scale shape: both codebooks are bounded collects baked as
-    * literals (the IVF-centroid contract); encode/reconstruct are
-    * per-row projections — zero shuffles before the top-k window.
+    * cannot. BOTH codebook levels are trained with the deterministic
+    * [[kmeansCentroids]] Lloyd pass (id-ordered init, fixed `iters`,
+    * scaled-integer means — the oracle unrolls the identical rounds);
+    * level 2 trains on the level-1 residuals. Encode is squared-L2 via
+    * the dot identity (sequential folds — bit-identical cross-engine),
+    * ties to the lower codeword ordinal. Serving follows the rerank
+    * convention every lossy rung uses ([[oneBitTopK]] reranks 12,
+    * [[matryoshkaTopK]] 32): the 2-byte codes COARSE-rank by asymmetric
+    * (ADC) cosine, the top-`candidates` survivors are re-scored on their
+    * exact vectors — ≤C cold full-vector reads per query (the DiskANN
+    * trade), never a corpus scan — and the result carries both scores
+    * plus brute-truth flags. C defaults to 128 because two 4-bit codes
+    * carry only 8 bits of rank signal — the widest rerank on the ladder
+    * is exactly what the 256× resident-memory cut costs, measured
+    * (recall 0.95 at sf0.01/sf0.1 in the query's own truth flags; raw
+    * untrained codebooks measured 0.20 in r14). Scale shape: both
+    * codebooks are bounded collects baked as literals (the IVF-centroid
+    * contract); encode/reconstruct are per-row projections — zero
+    * shuffles before the coarse top-C window; the rerank is a
+    * C·numQueries-row join.
     */
   def rqTopK(emb: DataFrame, numQueries: Int, k: Int,
-             k1: Int = 16, k2: Int = 16, dim: Int = 64): DataFrame = {
+             k1: Int = 16, k2: Int = 16, dim: Int = 64,
+             candidates: Int = 128, iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.functions.typedLit
     graft.functions.GraftFunctions.register(emb.sparkSession)
     def d2(x: String, c: String) =
       s"graft_dot($x, $x) + graft_dot($c, $c) - 2 * graft_dot($x, $c)"
-    val cb1 = emb.filter(col("vec_id") < k1).orderBy(col("vec_id"))
-      .select(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")).collect()
+    val cb1 = kmeansCentroids(emb, k1, iters).orderBy(col("c_id"))
+      .select(col("c")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
-    require(cb1.length == k1, s"level-1 codebook needs vec_id 0..${k1 - 1}")
+    require(cb1.length == k1, s"level-1 training produced ${cb1.length} centroids, need $k1")
     val withRes = emb
       .withColumn("_cb1", typedLit(cb1))
       .withColumn("_v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
@@ -630,10 +641,11 @@ object Similarity {
       .withColumn("c1", expr("CAST(array_position(_d1, array_min(_d1)) AS INT) - 1"))
       .withColumn("cw1", expr("element_at(_cb1, c1 + 1)"))
       .withColumn("res", expr("zip_with(_v, cw1, (a, b) -> a - b)"))
-    val cb2 = withRes.filter(col("vec_id") >= k1 && col("vec_id") < k1 + k2)
-      .orderBy(col("vec_id")).select(col("res")).collect()
+    val cb2 = kmeansCentroids(
+        withRes.select(col("vec_id"), col("res").as("embedding")), k2, iters)
+      .orderBy(col("c_id")).select(col("c")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
-    require(cb2.length == k2, s"level-2 codebook needs vec_id $k1..${k1 + k2 - 1}")
+    require(cb2.length == k2, s"level-2 training produced ${cb2.length} centroids, need $k2")
     val quant = withRes
       .withColumn("_cb2", typedLit(cb2))
       .withColumn("_d2", expr(s"transform(_cb2, c -> ${d2("res", "c")})"))
@@ -642,21 +654,32 @@ object Similarity {
         expr("zip_with(cw1, element_at(_cb2, c2 + 1), (a, b) -> a + b)"))
       .withColumn("recon_norm", expr(s"sqrt(${dotExpr("rq_recon", "rq_recon")})"))
       .select(col("vec_id"), col("rq_recon"), col("recon_norm"))
-    val queries = withNorm(emb).filter(col("vec_id") < numQueries)
+    val base = withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val queries = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
-    val w = Window.partitionBy(col("query_id"))
+    val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_rq").desc, col("vec_id"))
-    val truth = bruteForceTopK(emb, numQueries, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
-    quant.crossJoin(broadcast(queries))
+    val survivors = quant.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine_rq",
         expr(dotExpr("rq_recon", "q_emb")) / (col("recon_norm") * col("q_norm")))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("vec_id"), col("cosine_rq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    survivors.join(base, Seq("vec_id"))
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine_rq"))
+        col("vec_id").as("neighbor_id"), col("cosine_rq"), col("cosine"))
       .join(truth, Seq("query_id", "neighbor_id"), "left")
       .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
       .drop("_hit")

@@ -692,12 +692,61 @@ object SimilarityQueries {
        |  FROM recon)""".stripMargin
   }
 
-  /** DuckDB mirror of Similarity.rqTopK: 2-level residual quantization —
-    * level-1 assignment, residuals, level-2 codebook from the next-k2
-    * residuals, summed reconstruction, ADC cosine top-k + truth flags.
-    * Every distance is the same dot-identity sequential fold.
+  /** Unrolled deterministic Lloyd k-means over an arbitrary
+    * `(vec_id, v: DOUBLE[64])` relation `src` — the [[kmeansAssignCtes]]
+    * training loop generalized so the SAME mirror trains level-2 residual
+    * codebooks ([[rqSql]]) and not just the embeddings table. Init = the
+    * first `k` ids' vectors; assignment by projection `v·c/|c|` with ties
+    * to the lower c_id; means over `floor(x·10⁶)` BIGINT components
+    * (order-independent sums, one final double division); empty cells
+    * keep the previous center — op-for-op the Spark
+    * `Similarity.kmeansCentroids` contract. Emits CTEs prefixed `pfx`;
+    * the trained centroids land in `${"$"}{pfx}c${"$"}{iters}` (c_id, c).
     */
-  private def rqSql(numQueries: Int, k: Int, k1: Int, k2: Int): String = {
+  private def lloydOverSql(src: String, k: Int, iters: Int, pfx: String): String = {
+    def vdot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, c.c_id AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${vdot("b.v", "c.c")} / sqrt(${vdot("c.c", "c.c")}) DESC,
+         |                      c.c_id) AS r
+         |    FROM $src b, $cents c) WHERE r = 1)""".stripMargin
+    def update(assigned: String, prev: String, next: String) =
+      s"""${next}_m AS (
+         |  SELECT a.cell AS c_id, t.i AS pos, SUM(s.sv[t.i + 1]) AS ssum, COUNT(*) AS n
+         |  FROM $assigned a JOIN ${pfx}sv s ON s.vec_id = a.vec_id,
+         |       (SELECT unnest(range(0, 64)) AS i) t
+         |  GROUP BY a.cell, t.i),
+         |$next AS MATERIALIZED (
+         |  SELECT p.c_id, COALESCE(mm.mc, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT c_id,
+         |           list(CAST(ssum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)) ORDER BY pos) AS mc
+         |    FROM ${next}_m GROUP BY c_id) mm ON mm.c_id = p.c_id)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${assign(s"${pfx}a$i", s"${pfx}c${i - 1}")},
+         |${update(s"${pfx}a$i", s"${pfx}c${i - 1}", s"${pfx}c$i")}""".stripMargin
+    }.mkString(",\n")
+    s"""${pfx}sv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS sv
+       |  FROM $src),
+       |${pfx}c0 AS (SELECT vec_id AS c_id, v AS c FROM $src WHERE vec_id < $k),
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB mirror of Similarity.rqTopK: 2-level residual quantization —
+    * BOTH codebooks Lloyd-trained ([[lloydOverSql]]; level 2 on the
+    * level-1 residuals), squared-L2 encode, summed reconstruction, ADC
+    * cosine COARSE rank, exact rerank of the top-`candidates` survivors
+    * (the onebit/matryoshka convention), truth flags. Every distance is
+    * the same dot-identity sequential fold.
+    */
+  private def rqSql(numQueries: Int, k: Int, k1: Int, k2: Int,
+                    candidates: Int = 128, iters: Int = 2): String = {
     def vdot(a: String, b: String) =
       s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
     def l2(x: String, c: String) =
@@ -710,7 +759,8 @@ object SimilarityQueries {
        |  SELECT vec_id, list_transform(range(1, 65),
        |           i -> CAST(embedding[i] AS DOUBLE)) AS v
        |  FROM embeddings),
-       |cb1 AS (SELECT vec_id AS c_id, v AS cw FROM x WHERE vec_id < $k1),
+       |${lloydOverSql("x", k1, iters, "l1")},
+       |cb1 AS (SELECT c_id, c AS cw FROM l1c$iters),
        |enc1 AS MATERIALIZED (
        |  SELECT vec_id, c_id FROM (
        |    SELECT x.vec_id, c.c_id,
@@ -721,8 +771,9 @@ object SimilarityQueries {
        |  SELECT x.vec_id, c.cw AS cw1,
        |         list_transform(range(1, 65), i -> x.v[i] - c.cw[i]) AS rv1
        |  FROM x JOIN enc1 e USING (vec_id) JOIN cb1 c ON c.c_id = e.c_id),
-       |cb2 AS (SELECT vec_id AS c_id, rv1 AS cw FROM res
-       |        WHERE vec_id >= $k1 AND vec_id < ${k1 + k2}),
+       |resv AS MATERIALIZED (SELECT vec_id, rv1 AS v FROM res),
+       |${lloydOverSql("resv", k2, iters, "l2")},
+       |cb2 AS (SELECT c_id, c AS cw FROM l2c$iters),
        |enc2 AS MATERIALIZED (
        |  SELECT vec_id, c_id FROM (
        |    SELECT r.vec_id, c.c_id,
@@ -738,18 +789,27 @@ object SimilarityQueries {
        |    FROM res r JOIN enc2 e USING (vec_id) JOIN cb2 c ON c.c_id = e.c_id)),
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
        |      FROM base WHERE vec_id < $numQueries),
-       |ranked AS (
+       |coarse AS (
        |  SELECT q.query_id, r.vec_id,
        |         list_sum(list_transform(range(1, 65),
        |           i -> r.rv[i] * CAST(q.q_emb[i] AS DOUBLE))) / (r.recon_norm * q.q_norm) AS cosine_rq,
        |         ROW_NUMBER() OVER (PARTITION BY q.query_id
        |           ORDER BY list_sum(list_transform(range(1, 65),
        |             i -> r.rv[i] * CAST(q.q_emb[i] AS DOUBLE))) / (r.recon_norm * q.q_norm)
-       |             DESC, r.vec_id) AS rank
+       |             DESC, r.vec_id) AS crank
        |  FROM rn r, q WHERE r.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT s.query_id, s.vec_id, s.cosine_rq,
+       |         ${dotSql("b.embedding", "q.q_emb")} / (b.norm * q.q_norm) AS cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |           ORDER BY ${dotSql("b.embedding", "q.q_emb")} / (b.norm * q.q_norm)
+       |             DESC, s.vec_id) AS rank
+       |  FROM coarse s JOIN base b ON b.vec_id = s.vec_id
+       |                JOIN q ON q.query_id = s.query_id
+       |  WHERE s.crank <= $candidates),
        |truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t)
        |SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id AS neighbor_id,
-       |       r.cosine_rq,
+       |       r.cosine_rq, r.cosine,
        |       CAST(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_hit
        |FROM ranked r LEFT JOIN truth t
        |  ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
@@ -834,16 +894,21 @@ object SimilarityQueries {
     // ---- Residual (2-level) quantization: the ADDITIVE family next to
     // PQ's axis split — level-2 codewords quantize level-1 residuals and
     // the reconstruction is their SUM (full-space codewords capture the
-    // rotated structure PQ can't). Two codes per vector; deterministic
-    // codebooks (first k1 vectors; residuals of the next k2).
+    // rotated structure PQ can't). Two codes per vector, BOTH codebooks
+    // Lloyd-trained (level 2 on the residuals — raw first-k codebooks
+    // measured 0.20 recall in r14). Codes coarse-rank, the top-128
+    // survivors are exactly reranked (the onebit/matryoshka convention;
+    // C=128 because 2x4-bit codes carry 8 bits of rank signal — the
+    // measured price of the 256x resident-memory cut): recall 0.95 in
+    // the query's own truth flags at sf0.01 and sf0.1.
     GQuery("sim_rq_topk",
       (s, dir) => Similarity.rqTopK(Tables.embeddings(s, dir),
-          numQueries = 16, k = 5)
+          numQueries = 16, k = 5, candidates = 128)
         .orderBy(col("query_id"), col("rank")),
-      Some(rqSql(numQueries = 16, k = 5, k1 = 16, k2 = 16)),
-      doc = "residual (2-level additive) quantization ANN: level-2 codes " +
-        "the level-1 residual, reconstruction = codeword sum, asymmetric " +
-        "cosine top-5 with per-hit exact-truth flags"),
+      Some(rqSql(numQueries = 16, k = 5, k1 = 16, k2 = 16, candidates = 128)),
+      doc = "residual (2-level additive) quantization ANN: Lloyd-trained " +
+        "codebooks at both levels, reconstruction = codeword sum, ADC " +
+        "coarse rank + exact rerank of 128 survivors, truth-flagged top-5"),
 
     GQuery("sim_sq8_topk",
       (s, dir) => Similarity.sq8TopK(Tables.embeddings(s, dir), numQueries = 16, k = 5)
