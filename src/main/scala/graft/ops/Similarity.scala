@@ -149,6 +149,17 @@ object Similarity {
                      k: Int, degree: Int = 4, beam: Int = 4, rounds: Int = 4,
                      centroids: Int = 0): DataFrame = {
     val (base, edges) = cellKnnGraph(emb, degree, centroids)
+    beamSearchTopKOnGraph(spark, emb, base, edges, numQueries, k, beam, rounds)
+  }
+
+  /** [[beamSearchTopK]] over a PREBUILT `(base, edges)` graph (the
+    * [[cellKnnGraph]] outputs) — callers that already hold the index
+    * walk it without rebuilding the n^1.5 build join.
+    */
+  def beamSearchTopKOnGraph(spark: SparkSession, emb: DataFrame,
+                            base: DataFrame, edges: DataFrame,
+                            numQueries: Int, k: Int,
+                            beam: Int, rounds: Int): DataFrame = {
     val queries = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("cell"))
@@ -163,6 +174,94 @@ object Similarity {
       .select(col("query_id"), col("node"), col("cosine"))
     val beamDf = beamRounds(queries, entry0, edges, nodeSide, beam, rounds)
     beamTopKWithTruth(beamDf, emb, numQueries, k)
+  }
+
+  /** Multi-arm beam sweep over ONE prebuilt graph — the walk-parameter
+    * sweeps ([[beamWidthReport]], [[recallReport]]) price every
+    * (scoring family, beam width) arm in the SAME bounded rounds: the
+    * frontier is keyed by (method, query_id), each round is still ONE
+    * node-keyed join of the all-arms frontier against the edge table +
+    * one window, and per-arm widths apply as a `brank <= beam` filter.
+    * Walking arms jointly instead of sequentially divides the
+    * fixed-cost round count by the arm count (the r14 card paid
+    * 3 builds × 6 rounds; this pays 1 build × 6 rounds for 6 arms) —
+    * and at scale a sweep that re-walks the graph per parameter is a
+    * repeated-lineage bug, not a tuning card. Family 'x' arms score on
+    * exact vectors; family 'q' arms score on the PQ `recon` side and
+    * get the exact final-beam rerank (the DiskANN serving path). Output
+    * (method, query_id, rank, neighbor_id, cosine), checkpointed —
+    * per-arm filters are row-bounded reads, not replays.
+    */
+  def beamSweepOnGraph(spark: SparkSession, base: DataFrame, edges: DataFrame,
+                       recon: DataFrame, arms: Seq[(String, String, Int)],
+                       numQueries: Int, k: Int, rounds: Int): DataFrame = {
+    import spark.implicits._
+    require(arms.nonEmpty && arms.forall(a => a._2 == "x" || a._2 == "q"),
+      s"arm families must be x (exact) or q (pq-recon), got $arms")
+    val armDf = arms.toDF("method", "fam", "beam")
+    val nodeSide = base.select(col("vec_id").as("node"),
+      col("embedding").as("n_emb"), col("norm").as("n_norm"))
+    val queriesLite = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cell"))
+    // one scoring side per family, unioned under a fam key: the round
+    // join resolves each arm's scorer by (node, fam) equi-keys
+    val scoreSide = {
+      val x = nodeSide.withColumn("fam", lit("x"))
+      if (arms.exists(_._2 == "q")) x.unionByName(recon.withColumn("fam", lit("q")))
+      else x
+    }
+    val queries = queriesLite.crossJoin(broadcast(armDf))
+    val entry0 = queries
+      .join(scoreSide.withColumnRenamed("fam", "sfam"),
+        col("node") === col("cell") && col("fam") === col("sfam"))
+      .withColumn("cosine",
+        expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
+      .select(col("method"), col("fam"), col("beam"), col("query_id"),
+        col("node"), col("cosine"))
+    var beamDf = entry0.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expanded = beamDf
+        .select(col("method"), col("fam"), col("beam"), col("query_id"), col("node"))
+        .join(edges, col("node") === col("src"))
+        .select(col("method"), col("fam"), col("beam"), col("query_id"),
+          col("dst").as("node"))
+        .unionByName(beamDf.select(col("method"), col("fam"), col("beam"),
+          col("query_id"), col("node")))
+        .distinct()
+      val wB = Window.partitionBy(col("method"), col("query_id"))
+        .orderBy(col("cosine").desc, col("node"))
+      beamDf = expanded
+        .join(scoreSide, Seq("node", "fam"))
+        .join(broadcast(queriesLite.drop("cell")), Seq("query_id"))
+        .withColumn("cosine",
+          expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
+        .withColumn("brank", row_number().over(wB))
+        .filter(col("brank") <= col("beam"))
+        .select(col("method"), col("fam"), col("beam"), col("query_id"),
+          col("node"), col("cosine"))
+        .localCheckpoint(true)
+    }
+    val wK = Window.partitionBy(col("method"), col("query_id"))
+      .orderBy(col("cosine").desc, col("node"))
+    val exact = beamDf.filter(col("fam") === "x" && col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("method"), col("query_id"), col("rank").cast("int").as("rank"),
+        col("node").as("neighbor_id"), col("cosine"))
+    // PQ-family arms: exact rerank of the final beam only (≤beam
+    // full-vector reads per query — the DiskANN serving contract)
+    val pq = beamDf.filter(col("fam") === "q" && col("node") =!= col("query_id"))
+      .select(col("method"), col("query_id"), col("node"))
+      .join(nodeSide, Seq("node"))
+      .join(broadcast(queriesLite.drop("cell")), Seq("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("method"), col("query_id"), col("rank").cast("int").as("rank"),
+        col("node").as("neighbor_id"), col("cosine"))
+    exact.unionByName(pq).localCheckpoint(true)
   }
 
   /** The ⌈√n⌉-cell kNN graph build shared by [[beamSearchTopK]] and
@@ -229,12 +328,28 @@ object Similarity {
                   m: Int = 8, ksub: Int = 16, dim: Int = 64,
                   centroids: Int = 0): DataFrame = {
     val (base, edges) = cellKnnGraph(emb, degree, centroids)
-    // the resident scoring side: PQ reconstructions, not vectors
-    val recon = withPq(emb, m, ksub, dim)
+    graphPqTopKOnGraph(spark, emb, base, edges,
+      pqReconSide(emb, m, ksub, dim), numQueries, k, beam, rounds)
+  }
+
+  /** The PQ-reconstruction scoring side (node, n_emb, n_norm) — what
+    * stays memory-resident in the DiskANN composition. Checkpointed:
+    * every beam round references it. */
+  def pqReconSide(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+                  dim: Int = 64): DataFrame =
+    withPq(emb, m, ksub, dim)
       .withColumn("recon_norm", expr(s"sqrt(${dotExpr("pq_recon", "pq_recon")})"))
       .select(col("vec_id").as("node"), col("pq_recon").as("n_emb"),
         col("recon_norm").as("n_norm"))
       .localCheckpoint(true)
+
+  /** [[graphPqTopK]] over a PREBUILT graph and recon side — the
+    * [[beamSearchTopKOnGraph]] convention applied to the PQ-scored
+    * walk. */
+  def graphPqTopKOnGraph(spark: SparkSession, emb: DataFrame,
+                         base: DataFrame, edges: DataFrame, recon: DataFrame,
+                         numQueries: Int, k: Int,
+                         beam: Int, rounds: Int): DataFrame = {
     val queries = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("cell"))
@@ -248,9 +363,8 @@ object Similarity {
       col("embedding").as("n_emb"), col("norm").as("n_norm"))
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("node"))
-    val truth = bruteForceTopK(emb, numQueries, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
-    beamDf.select(col("query_id"), col("node"), col("cosine").as("cosine_pq"))
+    val reranked = beamDf
+      .select(col("query_id"), col("node"), col("cosine").as("cosine_pq"))
       .filter(col("node") =!= col("query_id"))
       .join(nodeSide, Seq("node"))
       .join(broadcast(queries), Seq("query_id"))
@@ -260,6 +374,9 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("node").as("neighbor_id"), col("cosine_pq"), col("cosine"))
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    reranked
       .join(truth, Seq("query_id", "neighbor_id"), "left")
       .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
       .drop("_hit")
@@ -301,13 +418,9 @@ object Similarity {
     beamDf
   }
 
-  /** Final-beam top-k with brute-truth flags over `emb` (the
-    * [[matryoshkaTopK]] convention) — the shared finisher of the graph
-    * searches. */
-  private def beamTopKWithTruth(beamDf: DataFrame, emb: DataFrame,
-                                numQueries: Int, k: Int): DataFrame = {
-    val truth = bruteForceTopK(emb, numQueries, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+  /** Final-beam top-k WITHOUT flags — the sweep-side finisher (the
+    * sweeps grade against their own collected truth). */
+  private def beamTopKOnly(beamDf: DataFrame, k: Int): DataFrame = {
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("node"))
     beamDf.filter(col("node") =!= col("query_id"))
@@ -315,6 +428,16 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("node").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Final-beam top-k with brute-truth flags over `emb` (the
+    * [[matryoshkaTopK]] convention) — the shared finisher of the graph
+    * searches. */
+  private def beamTopKWithTruth(beamDf: DataFrame, emb: DataFrame,
+                                numQueries: Int, k: Int): DataFrame = {
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    beamTopKOnly(beamDf, k)
       .join(truth, Seq("query_id", "neighbor_id"), "left")
       .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
       .drop("_hit")
@@ -1114,15 +1237,30 @@ object Similarity {
     * beam width, same graph/degree/round budget — THE serving knob of
     * graph ANN (DiskANN's L, HNSW's ef): wider beams cost linearly per
     * query and buy recall; this card prices the curve so the knob is set
-    * from data, not folklore.
+    * from data, not folklore. Two walk families share ONE ⌈√n⌉-cell
+    * graph build (rebuilding the n^1.5 index per walk parameter was the
+    * r14 perf defect): `beam_*` rungs walk scoring exact vectors,
+    * `graphpq_*` rungs walk scoring PQ reconstructions with an exact
+    * final-beam rerank — the DiskANN composition, whose own lever is a
+    * WIDER code-scored beam (search lists 50–100) until the rerank
+    * recovers recall; the card measures where that happens.
     */
   def beamWidthReport(spark: SparkSession, emb: DataFrame,
                       numQueries: Int = 16, k: Int = 3,
                       degree: Int = 6, rounds: Int = 6,
-                      widths: Seq[Int] = Seq(2, 8, 24)): DataFrame =
-    truthHits(spark, emb, numQueries, k)(
-      widths.map(w => f"beam_$w%02d" ->
-        beamSearchTopK(spark, emb, numQueries, k, degree, w, rounds)))
+                      widths: Seq[Int] = Seq(2, 8, 24),
+                      pqWidths: Seq[Int] = Seq(24, 48, 96),
+                      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    val (base, edges) = cellKnnGraph(emb, degree, centroids = 0)
+    val recon =
+      if (pqWidths.isEmpty) null else pqReconSide(emb, m, ksub, dim)
+    val arms = widths.map(w => (f"beam_$w%02d", "x", w)) ++
+      pqWidths.map(w => (f"graphpq_$w%02d", "q", w))
+    val swept = beamSweepOnGraph(spark, base, edges, recon, arms,
+      numQueries, k, rounds)
+    truthHits(spark, emb, numQueries, k)(arms.map { case (name, _, _) =>
+      name -> swept.filter(col("method") === name) })
+  }
 
   def recallReport(spark: SparkSession, emb: DataFrame,
                    numQueries: Int = 16, k: Int = 3): DataFrame =

@@ -519,19 +519,29 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
-  /** DuckDB mirror of Similarity.beamWidthReport: one beamGraphSql
-    * pipeline per width, each semi-joined against the shared brute truth.
+  /** DuckDB mirror of Similarity.beamWidthReport: one beamGraphSql /
+    * graphPqSql pipeline per width, each semi-joined against the shared
+    * brute truth. (The Spark side shares ONE graph build across all
+    * arms; the oracle pays the rebuilds — correctness mirror only.)
     */
   private def beamWidthSql(numQueries: Int, k: Int, degree: Int,
-                           rounds: Int, widths: Seq[Int]): String = {
+                           rounds: Int, widths: Seq[Int],
+                           pqWidths: Seq[Int] = Seq(24, 48, 96),
+                           m: Int = 8, ksub: Int = 16, subDim: Int = 8): String = {
     val nTruth = numQueries * k
-    val ctes = widths.map(w =>
-      f"bw$w%02d AS (SELECT query_id, neighbor_id FROM (${beamGraphSql(numQueries, k, degree, w, rounds)}) t)")
+    val ctes = (widths.map(w =>
+      f"bw$w%02d AS (SELECT query_id, neighbor_id FROM (${beamGraphSql(numQueries, k, degree, w, rounds)}) t)") ++
+      pqWidths.map(w =>
+        f"gp$w%02d AS (SELECT query_id, neighbor_id FROM (${graphPqSql(numQueries, k, degree, w, rounds, m, ksub, subDim)}) t)"))
       .mkString(",\n")
-    val rows = widths.map(w =>
+    val rows = (widths.map(w =>
       f"""SELECT 'beam_$w%02d' AS method,
          |       (SELECT count(*) FROM bw$w%02d a JOIN truth t
-         |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin)
+         |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin) ++
+      pqWidths.map(w =>
+        f"""SELECT 'graphpq_$w%02d' AS method,
+           |       (SELECT count(*) FROM gp$w%02d a JOIN truth t
+           |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin))
       .mkString("\nUNION ALL\n")
     s"""WITH truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t),
        |$ctes
@@ -1140,19 +1150,24 @@ object SimilarityQueries {
         "recursive-CTE closure), cluster-size histogram of the de-hubbed, " +
         "de-percolated neighbor graph"),
 
-    // ---- Beam-width tuning card: measured recall at beam 2 / 8 / 24 on
-    // the same graph — the serving knob of graph ANN (DiskANN's L, HNSW's
-    // ef) priced from data. Wider beams cost linearly per query.
+    // ---- Beam-width tuning card: measured recall at beam 2 / 8 / 24
+    // for the exact-scored walk AND beam 24 / 48 / 96 for the PQ-scored
+    // (DiskANN) walk, all six arms on ONE shared degree-6 graph build
+    // (per-arm rebuilds were the r14 perf defect) — the serving knob of
+    // graph ANN (DiskANN's L, HNSW's ef) priced from data. Wider beams
+    // cost linearly per query; the PQ arms measure where the exact
+    // final-beam rerank recovers the code-navigation loss.
     GQuery("sim_beam_width_report",
       (s, dir) => Similarity.beamWidthReport(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3, degree = 6, rounds = 6,
-          widths = Seq(2, 8, 24))
+          widths = Seq(2, 8, 24), pqWidths = Seq(24, 48, 96))
         .orderBy(col("method")),
       Some(beamWidthSql(numQueries = 16, k = 3, degree = 6, rounds = 6,
-        widths = Seq(2, 8, 24))),
-      doc = "beam-width recall curve for the graph walk (beam 2/8/24, " +
-        "same degree-6/6-round graph): the DiskANN-L/HNSW-ef knob " +
-        "measured against brute truth"),
+        widths = Seq(2, 8, 24), pqWidths = Seq(24, 48, 96))),
+      doc = "beam-width recall curve for the graph walk (exact-scored " +
+        "beam 2/8/24 + PQ-scored beam 24/48/96, one shared degree-6 " +
+        "graph build): the DiskANN-L/HNSW-ef knob measured against " +
+        "brute truth"),
 
     GQuery("sim_recall_report",
       (s, dir) => Similarity.recallReport(s, Tables.embeddings(s, dir),
@@ -1930,20 +1945,22 @@ object SimilarityQueries {
     // stays memory-resident (32× cut) — and only the final beam re-scored
     // exactly (≤beam full-vector "disk reads" per query, never a corpus
     // scan). Dual scores in the output price the navigation error; truth
-    // flags price the end-to-end recall: 0.75 measured at beam 24
-    // (DiskANN's search list runs 50-100) vs the exact-scored walk's 0.94
-    // at beam 8 — the recall the 32× memory cut costs, measured. The
-    // wider beam is the DiskANN trade: navigation is cheap (code
-    // distances), so the beam widens until the exact rerank recovers it.
+    // flags price the end-to-end recall. Beam 96 is the MEASURED default:
+    // sim_beam_width_report's PQ arms curve 0.75/0.81/0.92 (sf0.01) and
+    // 0.81/0.92/0.96 (sf0.1) at beam 24/48/96 — exactly the DiskANN
+    // trade (navigation on codes is cheap, so the search list widens
+    // past the exact walk's knee until the exact rerank recovers
+    // recall; DiskANN's L runs 50-100 for the same reason).
     GQuery("sim_graph_pq_topk",
       (s, dir) => Similarity.graphPqTopK(s, Tables.embeddings(s, dir),
-          numQueries = 16, k = 3, degree = 6, beam = 24, rounds = 6)
+          numQueries = 16, k = 3, degree = 6, beam = 96, rounds = 6)
         .orderBy(col("query_id"), col("rank")),
-      Some(graphPqSql(numQueries = 16, k = 3, degree = 6, beam = 24,
+      Some(graphPqSql(numQueries = 16, k = 3, degree = 6, beam = 96,
         rounds = 6, m = 8, ksub = 16, subDim = 8)),
       doc = "DiskANN-shape ANN: kNN graph walked by PQ asymmetric cosine " +
         "(codes resident, vectors cold), final beam exactly re-ranked — " +
-        "dual scores + brute-truth flags measure what PQ navigation costs"),
+        "beam 96 measured at 0.92/0.96 recall (the width card's PQ arms " +
+        "price the knob); dual scores measure what PQ navigation costs"),
 
     // ---- One-bit (binary) quantization top-k — the 64× memory rung
     // (vs PQ 32× / SQ8 4×): 60-bit sign signature, Hamming coarse rank

@@ -596,10 +596,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // per-query entry here saying WHY the passes are the algorithm, not an
   // un-checkpointed blowup.
   private val adjudicatedScanCounts: Map[String, (Int, String)] = Map(
-    "sim_beam_width_report" -> (16,
-      "beam-width tuning card: three independent beam-graph pipelines " +
-        "(one per width) — sum-of-methods by design, each scan-bounded; " +
-        "truth collected once"),
+    "sim_rq_topk" -> (5,
+      "residual quantization: the two Lloyd codebook trainings COLLECT " +
+        "eagerly (bounded k-row literals, not in the serving plan); the " +
+        "five serving passes are the encode lineage, the base reused by " +
+        "the query side and the exact rerank, and the truth grader's two"),
     "sim_recall_report" -> (32,
       "benchmark report over 9 independent ANN methods (r14 added the " +
         "one-bit and beam-graph rungs) — sum-of-methods by design, each " +
