@@ -1262,20 +1262,37 @@ object Similarity {
       name -> swept.filter(col("method") === name) })
   }
 
+  /** THE one ladder: every approximate method the engine ships, priced
+    * in one card against the same collected brute truth — probing
+    * (single/multi-probe LSH, nprobe 1 vs 2 IVF), quantization (SQ8,
+    * matryoshka, PQ, IVF-PQ, RQ, one-bit) and both graph walks (exact-
+    * scored and the DiskANN PQ-scored composition, riding ONE shared
+    * graph build through [[beamSweepOnGraph]]). Each rung runs at its
+    * shipping defaults, so the card prices the configurations users
+    * actually get.
+    */
   def recallReport(spark: SparkSession, emb: DataFrame,
-                   numQueries: Int = 16, k: Int = 3): DataFrame =
+                   numQueries: Int = 16, k: Int = 3): DataFrame = {
+    val (base, edges) = cellKnnGraph(emb, degree = 6, centroids = 0)
+    val swept = beamSweepOnGraph(spark, base, edges, pqReconSide(emb),
+      Seq(("beam_graph", "x", 8), ("graph_pq", "q", 96)),
+      numQueries, k, rounds = 6)
     truthHits(spark, emb, numQueries, k)(Seq(
-      "beam_graph" ->
-        beamSearchTopK(spark, emb, numQueries, k, degree = 6, beam = 8, rounds = 6),
+      "beam_graph" -> swept.filter(col("method") === "beam_graph"),
+      "graph_pq" -> swept.filter(col("method") === "graph_pq"),
       "ivf_kmeans_nprobe2" ->
         ivfKmeansTopK(spark, emb, numQueries, k, centroids = 8, iters = 2, nprobe = 2),
       "ivf_nprobe1" -> ivfTopK(spark, emb, numQueries, k),
       "ivf_pq" -> ivfPqTopK(spark, emb, numQueries, k),
       "lsh_multiprobe" -> lshMultiProbeTopK(spark, emb, numQueries, k),
       "lsh_single" -> lshTopK(spark, emb, numQueries, k),
+      "matryoshka" -> matryoshkaTopK(emb, numQueries, k,
+        prefixDims = 16, candidates = 32),
       "onebit" -> oneBitTopK(emb, numQueries, k, candidates = 12),
       "pq" -> pqTopK(emb, numQueries, k),
+      "rq" -> rqTopK(emb, numQueries, k, candidates = 128),
       "sq8" -> sq8TopK(emb, numQueries, k)))
+  }
 
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH
     * (`bandsOfPlanes` bands, each `planesPerBand` sign bits; candidates match

@@ -550,23 +550,30 @@ object SimilarityQueries {
        |FROM ($rows) ORDER BY method""".stripMargin
   }
 
-  /** DuckDB mirror of Similarity.recallReport: the same nine index
-    * pipelines, each semi-joined against the same brute-force truth set.
+  /** DuckDB mirror of Similarity.recallReport: the same twelve index
+    * pipelines at their shipping defaults, each semi-joined against the
+    * same brute-force truth set.
     */
   private def recallSql(numQueries: Int, k: Int): String = {
     val nTruth = numQueries * k
     s"""WITH truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t),
         bg AS (SELECT query_id, neighbor_id
                FROM (${beamGraphSql(numQueries, k, 6, 8, 6)}) t),
+        gp AS (SELECT query_id, neighbor_id
+               FROM (${graphPqSql(numQueries, k, 6, 96, 6, 8, 16, 8)}) t),
         km AS (SELECT query_id, neighbor_id FROM (${kmeansIvfSql(8, 2, numQueries, k)}) t),
         iv AS (SELECT query_id, neighbor_id FROM (${ivfSql(numQueries, k)}) t),
         ip AS (SELECT query_id, neighbor_id
                FROM (${ivfPqSql(8, 2, numQueries, k, 8, 16, 8)}) t),
         mp AS (SELECT query_id, neighbor_id FROM (${lshMultiprobeSql(numQueries, k)}) t),
         ls AS (SELECT query_id, neighbor_id FROM (${lshSql(numQueries, k)}) t),
+        ma AS (SELECT query_id, neighbor_id
+               FROM (${matryoshkaSql(numQueries, k, 16, 32)}) t),
         ob AS (SELECT query_id, neighbor_id
                FROM (${onebitSql(numQueries, k, 12)}) t),
         pq AS (SELECT query_id, neighbor_id FROM (${pqSql(numQueries, k, 8, 16, 8)}) t),
+        rq AS (SELECT query_id, neighbor_id
+               FROM (${rqSql(numQueries, k, 16, 16, 128)}) t),
         s8 AS (SELECT query_id, neighbor_id FROM (${sq8Sql(numQueries, k)}) t)
         SELECT method, CAST($nTruth AS BIGINT) AS n_truth, n_hits,
                CAST(n_hits AS DOUBLE) / $nTruth AS recall
@@ -574,6 +581,10 @@ object SimilarityQueries {
           SELECT 'beam_graph' AS method,
                  (SELECT count(*) FROM bg a JOIN truth t
                     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits
+          UNION ALL
+          SELECT 'graph_pq',
+                 (SELECT count(*) FROM gp a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
           UNION ALL
           SELECT 'ivf_kmeans_nprobe2',
                  (SELECT count(*) FROM km a JOIN truth t
@@ -595,12 +606,20 @@ object SimilarityQueries {
                  (SELECT count(*) FROM ls a JOIN truth t
                     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
           UNION ALL
+          SELECT 'matryoshka',
+                 (SELECT count(*) FROM ma a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+          UNION ALL
           SELECT 'onebit',
                  (SELECT count(*) FROM ob a JOIN truth t
                     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
           UNION ALL
           SELECT 'pq',
                  (SELECT count(*) FROM pq a JOIN truth t
+                    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+          UNION ALL
+          SELECT 'rq',
+                 (SELECT count(*) FROM rq a JOIN truth t
                     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
           UNION ALL
           SELECT 'sq8',
@@ -1176,8 +1195,9 @@ object SimilarityQueries {
       Some(recallSql(numQueries = 16, k = 3)),
       doc = "measured ANN recall: integer truth-set hit counts per index — " +
         "probing (single/multi-probe LSH, nprobe 1 vs 2 IVF), quantization " +
-        "(SQ8, PQ, IVF-PQ, one-bit) and the beam-search graph, all nine " +
-        "rungs priced in one table"),
+        "(SQ8, matryoshka, PQ, IVF-PQ, RQ, one-bit) and both graph walks " +
+        "(exact-scored + DiskANN PQ-scored, one shared build), all twelve " +
+        "rungs priced in one table at their shipping defaults"),
 
     // SemDeDup (arXiv:2303.09540): the quantizer bounds the pairwise
     // search to within-cell — the semantic twin of the banded text dedup's

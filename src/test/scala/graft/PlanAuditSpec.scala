@@ -601,11 +601,12 @@ class PlanAuditSpec extends AnyFunSuite {
         "eagerly (bounded k-row literals, not in the serving plan); the " +
         "five serving passes are the encode lineage, the base reused by " +
         "the query side and the exact rerank, and the truth grader's two"),
-    "sim_recall_report" -> (32,
-      "benchmark report over 9 independent ANN methods (r14 added the " +
-        "one-bit and beam-graph rungs) — sum-of-methods by design, each " +
-        "method's own plan is scan-bounded; the truth table is collected " +
-        "once (Similarity.scala recallReport rationale)"),
+    "sim_recall_report" -> (35,
+      "benchmark report over 12 independent ANN methods (r15 added the " +
+        "matryoshka, RQ and graph-PQ rungs; both graph rungs share ONE " +
+        "build + walk via beamSweepOnGraph) — sum-of-methods by design, " +
+        "each method's own plan is scan-bounded; the truth table is " +
+        "collected once (Similarity.scala recallReport rationale)"),
     "mm_crossmodal_neardup" -> (12,
       "three independent modality pair generators (text MinHash ~4 passes, " +
         "image pHash ~2, audio constellation ~4) unioned — sum-of-modalities " +

@@ -193,14 +193,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRecall >= 0.5, s"mean recall@3 $meanRecall below floor; per-query $recalls")
   }
 
-  test("recall report: all nine methods, integer hits bounded by truth, multi-probe >= single-probe") {
+  test("recall report: all twelve methods, integer hits bounded by truth, multi-probe >= single-probe") {
     val rows = Similarity.recallReport(spark, emb, numQueries = 8, k = 3)
       .collect()
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))
       .toMap
-    assert(rows.keySet == Set("beam_graph", "ivf_kmeans_nprobe2", "ivf_nprobe1",
-      "ivf_pq", "lsh_multiprobe", "lsh_single", "onebit", "pq", "sq8"))
+    assert(rows.keySet == Set("beam_graph", "graph_pq", "ivf_kmeans_nprobe2",
+      "ivf_nprobe1", "ivf_pq", "lsh_multiprobe", "lsh_single", "matryoshka",
+      "onebit", "pq", "rq", "sq8"))
     rows.values.foreach { case (truth, hits, recall) =>
       assert(truth == 24L)
       assert(hits >= 0L && hits <= truth)
