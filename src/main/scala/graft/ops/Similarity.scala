@@ -1465,6 +1465,40 @@ object Similarity {
       org.apache.spark.sql.types.StructField("dsts",
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
 
+  /** Index metadata — the build's structural parameters persisted WITH
+    * the index (the frozen-quantizer contract made explicit): `degree`
+    * and `centroid_id_bound` are written once at build time and read
+    * back by add/search/maintain, so a caller can no longer hand
+    * [[graphIndexAdd]] a degree that disagrees with the build's and
+    * silently produce a mixed-degree index (touched cells refreshed at
+    * one degree, untouched cells keeping another — the build+adds ==
+    * from-scratch invariant would break with no error).
+    */
+  val graphMetaSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.LongType)))
+
+  private def writeGraphMeta(metaTable: graft.stages.MergeTable,
+                             spark: SparkSession,
+                             degree: Int, centroidIdBound: Long): Unit = {
+    import spark.implicits._
+    metaTable.replace(Seq(
+      ("degree", degree.toLong),
+      ("centroid_id_bound", centroidIdBound)).toDF("key", "value"))
+  }
+
+  private def readGraphMeta(spark: SparkSession,
+                            metaTable: graft.stages.MergeTable): Map[String, Long] = {
+    val m = metaTable.read(spark, graphMetaSchema).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(m.contains("degree") && m.contains("centroid_id_bound"),
+      s"graph index metadata incomplete: $m — was the index built?")
+    m
+  }
+
   /** Per-src within-cell top-`degree` adjacency rows over cell-assigned
     * nodes — the one edge definition build and add share. Isolated cells
     * (single member) simply emit no row. */
@@ -1488,6 +1522,7 @@ object Similarity {
                       centroidTable: graft.stages.MergeTable,
                       nodeTable: graft.stages.MergeTable,
                       adjTable: graft.stages.MergeTable,
+                      metaTable: graft.stages.MergeTable,
                       centroidIdBound: Int, degree: Int): Unit = {
     val cents = embTrain.filter(col("vec_id") < centroidIdBound)
       .select(col("vec_id").as("c_id"),
@@ -1496,13 +1531,18 @@ object Similarity {
     nodeTable.replace(assignToCentroids(embTrain, cents))
     val nodes = nodeTable.read(spark, assignSchema)
     adjTable.replace(cellAdjacency(nodes, degree))
+    writeGraphMeta(metaTable, spark, degree, centroidIdBound.toLong)
   }
 
+  /** Incremental add — `degree` comes from the persisted metadata, never
+    * from the caller (a mismatched per-call degree silently yielded a
+    * mixed-degree index before r15). */
   def graphIndexAdd(spark: SparkSession, embNew: DataFrame,
                     centroidTable: graft.stages.MergeTable,
                     nodeTable: graft.stages.MergeTable,
                     adjTable: graft.stages.MergeTable,
-                    degree: Int): Unit = {
+                    metaTable: graft.stages.MergeTable): Unit = {
+    val degree = readGraphMeta(spark, metaTable)("degree").toInt
     val cents = centroidTable.read(spark, centroidSchema)
     val newAssigned = assignToCentroids(embNew, cents).localCheckpoint(true)
     nodeTable.upsert(newAssigned)
@@ -1515,12 +1555,54 @@ object Similarity {
     adjTable.upsert(cellAdjacency(cellNodes, degree))
   }
 
+  /** Index maintenance — the OPTIMIZE story applied to the graph index.
+    * The quantizer is FROZEN at build time, so cells grow without bound
+    * as adds accumulate and the touched-cell refresh join (Σ|cell|²)
+    * creeps back toward the quadratic the ⌈√n⌉ rule exists to prevent —
+    * the same failure class one level up. When the largest cell exceeds
+    * 2·⌈√n⌉ (≈ twice the balanced expectation), re-quantize: new
+    * centroids = the current node set under a fresh ⌈√n⌉ id bound,
+    * every node re-assigned, adjacency re-derived at the stored degree,
+    * metadata updated — exactly a from-scratch build over the current
+    * corpus (which is what the oracle checks), as versioned MergeTable
+    * replaces. Returns true iff a rebuild ran; under the threshold the
+    * index is left untouched (cheap no-op: one count + one max
+    * aggregate over the node table).
+    */
+  def graphIndexMaintain(spark: SparkSession,
+                         centroidTable: graft.stages.MergeTable,
+                         nodeTable: graft.stages.MergeTable,
+                         adjTable: graft.stages.MergeTable,
+                         metaTable: graft.stages.MergeTable): Boolean = {
+    val degree = readGraphMeta(spark, metaTable)("degree").toInt
+    val nodes = nodeTable.read(spark, assignSchema).localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0L) return false
+    val bound = math.ceil(math.sqrt(n.toDouble)).toLong
+    val maxCell = nodes.groupBy(col("cell"))
+      .agg(count(lit(1)).as("c")).agg(max(col("c"))).head.getLong(0)
+    if (maxCell <= 2L * bound) return false
+    val cents = nodes.filter(col("vec_id") < bound)
+      .select(col("vec_id").as("c_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("c"))
+    centroidTable.replace(cents)
+    nodeTable.replace(
+      assignToCentroids(nodes.select(col("vec_id"), col("embedding")), cents))
+    adjTable.replace(
+      cellAdjacency(nodeTable.read(spark, assignSchema), degree))
+    writeGraphMeta(metaTable, spark, degree, bound)
+    true
+  }
+
   def graphIndexSearch(spark: SparkSession, emb: DataFrame,
                        centroidTable: graft.stages.MergeTable,
                        nodeTable: graft.stages.MergeTable,
                        adjTable: graft.stages.MergeTable,
+                       metaTable: graft.stages.MergeTable,
                        numQueries: Int, k: Int,
                        beam: Int, rounds: Int): DataFrame = {
+    // the metadata read doubles as the "index exists" gate
+    readGraphMeta(spark, metaTable)
     val cents = centroidTable.read(spark, centroidSchema)
     val nodes = nodeTable.read(spark, assignSchema).localCheckpoint(true)
     // chain edges derived from the CURRENT id set (connectivity fallback,

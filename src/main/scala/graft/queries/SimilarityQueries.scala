@@ -1945,20 +1945,58 @@ object SimilarityQueries {
         val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
         val nodeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
         val adjT = graft.stages.MergeTable.scratch(Seq("src"))
+        val metaT = graft.stages.MergeTable.scratch(Seq("key"))
         Similarity.graphIndexBuild(s, emb.filter(col("vec_id") % 2 === 0),
-          centT, nodeT, adjT, centroidIdBound = 16, degree = 6)
+          centT, nodeT, adjT, metaT, centroidIdBound = 16, degree = 6)
         Similarity.graphIndexAdd(s, emb.filter(col("vec_id") % 2 === 1),
-          centT, nodeT, adjT, degree = 6)
-        Similarity.graphIndexSearch(s, emb, centT, nodeT, adjT,
+          centT, nodeT, adjT, metaT)
+        Similarity.graphIndexSearch(s, emb, centT, nodeT, adjT, metaT,
           numQueries = 16, k = 3, beam = 8, rounds = 6)
           .orderBy(col("query_id"), col("rank"))
       },
       Some(beamGraphSql(numQueries = 16, k = 3, degree = 6, beam = 8,
         rounds = 6, centsPred = "vec_id < 16 AND vec_id % 2 = 0")),
       doc = "persisted kNN-graph index: frozen even-half quantizer, node + " +
-        "adjacency MergeTables, incremental odd-half add with touched-cell " +
+        "adjacency + metadata MergeTables (adds read the build's degree " +
+        "from metadata), incremental odd-half add with touched-cell " +
         "neighborhood refresh, beam search served from the tables == " +
         "from-scratch oracle over the full corpus"),
+
+    // ---- Graph-index maintenance (the OPTIMIZE story applied to an ANN
+    // index): the quantizer freezes at build, so adds pile the corpus
+    // into the build-time cells and the touched-cell refresh join
+    // (Σ|cell|²) creeps back toward quadratic — the failure class the
+    // ⌈√n⌉ rule fixed, one level up. The fixture under-provisions on
+    // purpose (build on the 1-in-8 slice => ~⌈√(n/8)⌉-too-few cells,
+    // then adds 7x the corpus), maintenance detects max|cell| > 2·⌈√n⌉
+    // and re-quantizes to the fresh ⌈√n⌉ bound — after which the served
+    // search must equal a FROM-SCRATCH full-corpus build, which is
+    // exactly the default beamGraphSql oracle.
+    GQuery("sim_ann_index_maintain",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
+        val nodeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        val adjT = graft.stages.MergeTable.scratch(Seq("src"))
+        val metaT = graft.stages.MergeTable.scratch(Seq("key"))
+        Similarity.graphIndexBuild(s, emb.filter(col("vec_id") % 8 === 0),
+          centT, nodeT, adjT, metaT, centroidIdBound = 64, degree = 6)
+        Similarity.graphIndexAdd(s, emb.filter(col("vec_id") % 8 =!= 0),
+          centT, nodeT, adjT, metaT)
+        // overfull after the adds -> re-quantize; a silent no-op here
+        // would fail the oracle compare (search would ride stale cells)
+        Similarity.graphIndexMaintain(s, centT, nodeT, adjT, metaT)
+        Similarity.graphIndexSearch(s, emb, centT, nodeT, adjT, metaT,
+          numQueries = 16, k = 3, beam = 8, rounds = 6)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(beamGraphSql(numQueries = 16, k = 3, degree = 6, beam = 8,
+        rounds = 6)),
+      doc = "graph-index maintenance: 1-in-8 under-provisioned build + " +
+        "7/8 incremental adds overfill the frozen cells past the " +
+        "2*sqrt(n) threshold; maintain re-quantizes to the fresh " +
+        "ceil(sqrt(n)) bound (versioned MergeTable replaces) and the " +
+        "served search equals a from-scratch full-corpus build"),
 
     // ---- DiskANN-shape composition (Subramanya et al. 2019): the kNN
     // graph walked with PQ ASYMMETRIC scoring — the m-byte codes are what

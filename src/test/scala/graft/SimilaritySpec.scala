@@ -110,11 +110,12 @@ class SimilaritySpec extends AnyFunSuite {
     val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
     val nodeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
     val adjT = graft.stages.MergeTable.scratch(Seq("src"))
+    val metaT = graft.stages.MergeTable.scratch(Seq("key"))
     val all = emb
     Similarity.graphIndexBuild(spark, all.filter(col("vec_id") % 2 === 0),
-      centT, nodeT, adjT, centroidIdBound = 8, degree = 4)
+      centT, nodeT, adjT, metaT, centroidIdBound = 8, degree = 4)
     Similarity.graphIndexAdd(spark, all.filter(col("vec_id") % 2 === 1),
-      centT, nodeT, adjT, degree = 4)
+      centT, nodeT, adjT, metaT)
     def adjSnapshot() = adjT.read(spark, Similarity.graphAdjSchema)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
     val first = adjSnapshot()
@@ -125,16 +126,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(first(0L).contains(1L),
       s"node 0's refreshed adjacency must contain the incremental twin, got ${first.get(0L)}")
     // replaying the same batch converges: same assignments, same
-    // touched cells, same per-src windows
+    // touched cells, same per-src windows (degree now rides the
+    // persisted metadata — the add can no longer be handed a wrong one)
     Similarity.graphIndexAdd(spark, all.filter(col("vec_id") % 2 === 1),
-      centT, nodeT, adjT, degree = 4)
+      centT, nodeT, adjT, metaT)
     assert(adjSnapshot() == first)
-    val res = Similarity.graphIndexSearch(spark, all, centT, nodeT, adjT,
+    val res = Similarity.graphIndexSearch(spark, all, centT, nodeT, adjT, metaT,
       numQueries = 1, k = 3, beam = 4, rounds = 3)
       .collect().sortBy(_.getAs[Int]("rank"))
     assert(res.head.getAs[Long]("neighbor_id") == 1L)
     assert(res.head.getAs[Double]("cosine") > 0.999)
     assert(res.head.getAs[Int]("exact_hit") == 1)
+  }
+
+  test("graph-index maintenance: no-op under threshold, re-quantize == fresh build when cells overfill") {
+    import org.apache.spark.sql.functions.col
+    def tables() = (graft.stages.MergeTable.scratch(Seq("c_id")),
+      graft.stages.MergeTable.scratch(Seq("vec_id")),
+      graft.stages.MergeTable.scratch(Seq("src")),
+      graft.stages.MergeTable.scratch(Seq("key")))
+    val all = emb
+    val n = all.count()
+    val bound = math.ceil(math.sqrt(n.toDouble)).toInt
+    // (1) a balanced fresh build is left untouched
+    val (c1, n1, a1, m1) = tables()
+    Similarity.graphIndexBuild(spark, all, c1, n1, a1, m1,
+      centroidIdBound = bound, degree = 4)
+    val v0 = (c1.currentVersion, n1.currentVersion, a1.currentVersion)
+    assert(!Similarity.graphIndexMaintain(spark, c1, n1, a1, m1),
+      "balanced index must not be rebuilt")
+    assert((c1.currentVersion, n1.currentVersion, a1.currentVersion) == v0,
+      "no-op maintenance must not commit new versions")
+    // (2) an under-provisioned build (2 cells) overfills after adds ->
+    // maintenance rebuilds, and every table equals the fresh build's
+    val (c2, n2, a2, m2) = tables()
+    Similarity.graphIndexBuild(spark, all.filter(col("vec_id") < 8),
+      c2, n2, a2, m2, centroidIdBound = 2, degree = 4)
+    Similarity.graphIndexAdd(spark, all.filter(col("vec_id") >= 8),
+      c2, n2, a2, m2)
+    assert(Similarity.graphIndexMaintain(spark, c2, n2, a2, m2),
+      "overfull index must be rebuilt")
+    def snap(t: graft.stages.MergeTable,
+             schema: org.apache.spark.sql.types.StructType, keys: Seq[String]) =
+      t.read(spark, schema).collect()
+        .map(r => keys.map(k => r.getAs[Any](k)).mkString("|") -> r.toString).toMap
+    assert(snap(n2, Similarity.assignSchema, Seq("vec_id"))
+      == snap(n1, Similarity.assignSchema, Seq("vec_id")),
+      "maintained node table must equal the fresh build's")
+    assert(snap(a2, Similarity.graphAdjSchema, Seq("src"))
+      == snap(a1, Similarity.graphAdjSchema, Seq("src")),
+      "maintained adjacency must equal the fresh build's")
+    // maintenance is idempotent: the rebuilt index is balanced now
+    assert(!Similarity.graphIndexMaintain(spark, c2, n2, a2, m2))
   }
 
   test("brute-force top-k ranks the planted twin first with cosine ~1") {
