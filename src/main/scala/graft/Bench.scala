@@ -137,9 +137,15 @@ object Bench {
     // ADVICE — a 2-query iteration run once clobbered it).
     val detailPath =
       if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL.partial.json"
+    // n_samples: which figures came from the extended adaptive protocol
+    // (min over >2 samples is biased low relative to min-of-2; consumers
+    // comparing across queries/rounds can see exactly where that applies)
+    val nSamples = names
+      .map(n => s"\"$n\":${samples(n).size}").mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""reps":$reps,"queries":${jsonMap(Seq("cache_warm" -> warm) ++ best)},""" +
-      s""""spread":${jsonMap(spread.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      s""""spread":${jsonMap(spread.toSeq.sortBy(_._1))},""" +
+      s""""n_samples":$nSamples,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 

@@ -893,12 +893,26 @@ object Similarity {
     * resulting census error against the exact truth on a query sample.
     */
   def multiProbeTopKAgg(emb: DataFrame, numQueries: Int, k: Int,
-                        planes: Int = 8, dim: Int = 64): DataFrame = {
+                        planes: Int = 8, dim: Int = 64): DataFrame =
+    multiProbeTopKAggImpl(emb, Some(numQueries), k, planes, dim)
+
+  /** All-corpus form: EVERY vector is a query (the label-noise /
+    * hubness / mutual-kNN serving shape). A dedicated overload, not an
+    * `Int.MaxValue` sentinel — the sentinel silently excluded any
+    * vec_id ≥ 2³¹−1 and baked the magic literal into the oracles.
+    */
+  def multiProbeTopKAggAll(emb: DataFrame, k: Int,
+                           planes: Int = 8, dim: Int = 64): DataFrame =
+    multiProbeTopKAggImpl(emb, None, k, planes, dim)
+
+  private def multiProbeTopKAggImpl(emb: DataFrame, numQueries: Option[Int],
+                                    k: Int, planes: Int, dim: Int): DataFrame = {
     import graft.functions.TopKAggregator
     val spark = emb.sparkSession
     import spark.implicits._
     val bucketed = withNorm(withLshBucket(emb, planes, dim))
-    val probes = bucketed.filter(col("vec_id") < numQueries)
+    val querySide = numQueries.fold(bucketed)(n => bucketed.filter(col("vec_id") < n))
+    val probes = querySide
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("bucket"))
       .withColumn("probe", explode(expr(
@@ -951,7 +965,7 @@ object Similarity {
   def labelNoiseCensusBucketed(emb: DataFrame, k: Int = 5,
                                planes: Int = 8, dim: Int = 64): DataFrame = {
     val vote = labelMajorityVote(
-      multiProbeTopKAgg(emb, numQueries = Int.MaxValue, k = k, planes, dim), emb)
+      multiProbeTopKAggAll(emb, k = k, planes, dim), emb)
     emb.join(vote, Seq("vec_id"), "left")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -1677,12 +1691,17 @@ object Similarity {
                    cbIdBound: Int, m: Int = 8, ksub: Int = 16,
                    dim: Int = 64): Unit = {
     val subDim = dim / m
-    codebookTable.replace(embTrain.filter(col("vec_id") < cbIdBound)
+    val selected = embTrain.filter(col("vec_id") < cbIdBound)
       .select(col("vec_id").as("c_id"),
-        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .localCheckpoint(true) // validated then committed — one computation
+    // validate BEFORE the replace commits: a wrong-sized selection must
+    // not leave a broken codebook version durably current
+    val nSel = selected.count()
+    require(nSel == ksub,
+      s"codebook id bound $cbIdBound selected $nSel codewords, need $ksub")
+    codebookTable.replace(selected)
     val cb = readPqCodebook(spark, codebookTable, m, subDim)
-    require(cb.head.length == ksub,
-      s"codebook id bound $cbIdBound selected ${cb.head.length} codewords, need $ksub")
     codeTable.replace(
       encodePq(embTrain, cb, m, subDim).select(col("vec_id"), col("pq_code")))
   }
@@ -1769,7 +1788,7 @@ object Similarity {
     * output (occurrences → vector count), integer-exact.
     */
   def hubnessCensus(emb: DataFrame, k: Int = 5): DataFrame = {
-    val knn = multiProbeTopKAgg(emb, Int.MaxValue, k)
+    val knn = multiProbeTopKAggAll(emb, k)
     val occ = knn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("occ"))
     emb.select(col("vec_id").as("neighbor_id"))
       .join(occ, Seq("neighbor_id"), "left")
@@ -1788,7 +1807,7 @@ object Similarity {
     * direction-to-direction — pair-table-sized work after the kNN.
     */
   def mutualKnnPairs(emb: DataFrame, k: Int = 5): DataFrame = {
-    val knn = multiProbeTopKAgg(emb, Int.MaxValue, k)
+    val knn = multiProbeTopKAggAll(emb, k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .localCheckpoint(true) // both direction filters read it
     val fwd = knn.filter(col("query_id") < col("neighbor_id"))

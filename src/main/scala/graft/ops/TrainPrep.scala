@@ -100,7 +100,7 @@ object TrainPrep {
     val over = lens.filter(col("len") > capacity)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_oversize"), sum(col("len")).as("oversize_tokens"))
-    lens.filter(col("len") <= capacity)
+    val packed = lens.filter(col("len") <= capacity)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("len")).as("total_tokens"),
@@ -124,9 +124,19 @@ object TrainPrep {
           .as("ffd_waste"),
         expr(s"total_tokens * 10000 div (size(bins) * $cap)").as("fill_e4"),
         (col("n_docs") * capacity - col("total_tokens")).as("baseline_waste"))
-      .join(over, Seq("shard"), "left")
-      .select(col("shard"), col("n_docs"), col("total_tokens"), col("n_bins_ffd"),
-        col("ffd_waste"), col("fill_e4"), col("baseline_waste"),
+    // FULL OUTER: a shard whose docs are ALL oversize has no packing row,
+    // but its oversize census must still surface (a left join keyed on
+    // the packing side silently dropped such shards); packing columns
+    // coalesce to 0 — except fill_e4, which is genuinely undefined over
+    // zero bins and stays NULL
+    packed.join(over, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("n_bins_ffd"), lit(0L)).as("n_bins_ffd"),
+        coalesce(col("ffd_waste"), lit(0L)).as("ffd_waste"),
+        col("fill_e4"),
+        coalesce(col("baseline_waste"), lit(0L)).as("baseline_waste"),
         coalesce(col("n_oversize"), lit(0L)).as("n_oversize"),
         coalesce(col("oversize_tokens"), lit(0L)).as("oversize_tokens"))
   }

@@ -341,8 +341,19 @@ object SimilarityQueries {
         SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
-  /** DuckDB mirror of Similarity.lshMultiProbeTopK (bucket + Hamming-1). */
+  /** DuckDB mirror of Similarity.lshMultiProbeTopK (bucket + Hamming-1).
+    * `numQueries = None` mirrors [[Similarity.multiProbeTopKAggAll]] —
+    * the whole corpus queries, with no id-bound predicate (the old
+    * `2147483647` literal sentinel is gone from both engines).
+    */
   private def lshMultiprobeSql(numQueries: Int, k: Int): String =
+    lshMultiprobeSqlImpl(Some(numQueries), k)
+
+  private def lshMultiprobeAllSql(k: Int): String =
+    lshMultiprobeSqlImpl(None, k)
+
+  private def lshMultiprobeSqlImpl(numQueries: Option[Int], k: Int): String = {
+    val qPred = numQueries.fold("TRUE")(n => s"vec_id < $n")
     s"""WITH $planesSql,
         base AS (
           SELECT vec_id, embedding,
@@ -358,7 +369,7 @@ object SimilarityQueries {
           SELECT b.vec_id, b.embedding, b.norm, bt.bucket
           FROM base b JOIN bits bt ON b.vec_id = bt.vec_id),
         q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket
-              FROM bucketed WHERE vec_id < $numQueries),
+              FROM bucketed WHERE $qPred),
         probes AS (
           SELECT query_id, q_emb, q_norm,
                  unnest(list_prepend(bucket,
@@ -377,6 +388,7 @@ object SimilarityQueries {
           FROM scored)
         SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+  }
 
   /** DuckDB mirror of Similarity.ivfTopK (first-16-vectors quantizer,
     * nprobe=1).
@@ -1100,7 +1112,7 @@ object SimilarityQueries {
     // this reads alongside sim_effective_rank / sim_anisotropy.
     GQuery("sim_hubness_census",
       (s, dir) => Similarity.hubnessCensus(Tables.embeddings(s, dir), k = 5),
-      Some(s"""WITH knn AS (${lshMultiprobeSql(2147483647, 5)}),
+      Some(s"""WITH knn AS (${lshMultiprobeAllSql(5)}),
               |occ AS (
               |  SELECT e.vec_id, count(k.neighbor_id) AS occ
               |  FROM embeddings e LEFT JOIN knn k ON k.neighbor_id = e.vec_id
@@ -1117,7 +1129,7 @@ object SimilarityQueries {
     // uses for clustering/near-dup QA.
     GQuery("sim_mutual_knn",
       (s, dir) => Similarity.mutualKnnPairs(Tables.embeddings(s, dir), k = 5),
-      Some(s"""WITH knn AS (${lshMultiprobeSql(2147483647, 5)}),
+      Some(s"""WITH knn AS (${lshMultiprobeAllSql(5)}),
               |fwd AS (SELECT query_id AS vec_a, neighbor_id AS vec_b, cosine
               |        FROM knn WHERE query_id < neighbor_id),
               |rev AS (SELECT neighbor_id AS vec_a, query_id AS vec_b
@@ -1145,7 +1157,7 @@ object SimilarityQueries {
           .groupBy(col("n_members")).agg(count(lit(1)).as("n_clusters"))
           .orderBy(col("n_members"))
       },
-      Some(s"""WITH RECURSIVE knn AS MATERIALIZED (${lshMultiprobeSql(2147483647, 5)}),
+      Some(s"""WITH RECURSIVE knn AS MATERIALIZED (${lshMultiprobeAllSql(5)}),
               |fwd AS (SELECT query_id AS va, neighbor_id AS vb, cosine FROM knn
               |        WHERE query_id < neighbor_id),
               |rev AS (SELECT neighbor_id AS va, query_id AS vb FROM knn

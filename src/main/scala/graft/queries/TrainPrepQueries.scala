@@ -277,15 +277,17 @@ object TrainPrepQueries {
               |  SELECT shard, count(*) AS n_oversize,
               |         CAST(SUM(len) AS BIGINT) AS oversize_tokens
               |  FROM lens WHERE len > 96 GROUP BY shard)
-              |SELECT f.shard, f.n_docs, f.total_tokens,
-              |       CAST(len(f.bins) AS BIGINT) AS n_bins_ffd,
-              |       CAST(len(f.bins) * 96 - f.total_tokens AS BIGINT) AS ffd_waste,
+              |SELECT shard,
+              |       CAST(COALESCE(f.n_docs, 0) AS BIGINT) AS n_docs,
+              |       CAST(COALESCE(f.total_tokens, 0) AS BIGINT) AS total_tokens,
+              |       CAST(COALESCE(len(f.bins), 0) AS BIGINT) AS n_bins_ffd,
+              |       CAST(COALESCE(len(f.bins) * 96 - f.total_tokens, 0) AS BIGINT) AS ffd_waste,
               |       CAST(f.total_tokens * 10000 // (len(f.bins) * 96) AS BIGINT) AS fill_e4,
-              |       CAST(f.n_docs * 96 - f.total_tokens AS BIGINT) AS baseline_waste,
+              |       CAST(COALESCE(f.n_docs * 96 - f.total_tokens, 0) AS BIGINT) AS baseline_waste,
               |       CAST(COALESCE(o.n_oversize, 0) AS BIGINT) AS n_oversize,
               |       CAST(COALESCE(o.oversize_tokens, 0) AS BIGINT) AS oversize_tokens
-              |FROM fit f LEFT JOIN ovr o USING (shard)
-              |ORDER BY f.shard""".stripMargin),
+              |FROM fit f FULL JOIN ovr o USING (shard)
+              |ORDER BY shard""".stripMargin),
       doc = "first-fit-decreasing bin packing census per shard (capacity " +
         "96): FFD bins, padding waste and bin fill at 1e4 vs the " +
         "one-sequence-per-doc baseline waste; oversize docs censused to " +

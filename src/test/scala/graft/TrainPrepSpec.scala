@@ -117,6 +117,26 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(row.getAs[Long]("oversize_tokens") == 9L)
   }
 
+  test("FFD packing: a shard whose docs are ALL oversize still surfaces in the census") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // shard 0 packs normally; shard 1 (ids ≡ 1 mod 8) holds ONLY oversize
+    // docs — it has no packing row, and the pre-r15 left join dropped it
+    val docs = Seq((0L, words(5)), (8L, words(3)),
+      (1L, words(9)), (9L, words(12))).toDF("doc_id", "text")
+    val rows = TrainPrep.ffdPackCensus(docs, capacity = 8, nShards = 8)
+      .orderBy("shard").collect()
+    assert(rows.map(_.getAs[Int]("shard")).toSeq == Seq(0, 1),
+      s"oversize-only shard must not vanish, got ${rows.mkString(";")}")
+    val s1 = rows(1)
+    assert(s1.getAs[Long]("n_docs") == 0L)
+    assert(s1.getAs[Long]("n_bins_ffd") == 0L)
+    assert(s1.isNullAt(s1.fieldIndex("fill_e4")),
+      "fill over zero bins is undefined and must stay NULL")
+    assert(s1.getAs[Long]("n_oversize") == 2L)
+    assert(s1.getAs[Long]("oversize_tokens") == 21L)
+  }
+
   test("bucketed prefix sum equals the global window cumsum; shards respect the budget") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
