@@ -530,8 +530,13 @@ object Similarity {
     * exact-truth flags (the [[sq8TopK]] convention), so the query doubles
     * as its own recall report.
     */
-  def matryoshkaTopK(emb: DataFrame, numQueries: Int, k: Int,
-                     prefixDims: Int = 16, candidates: Int = 32): DataFrame = {
+  /** Matryoshka COARSE rank: every (query, candidate) pair scored on the
+    * first `prefixDims` dims only, ranked per query — the family's
+    * candidate generator, shared by [[matryoshkaTopK]] and the rerank
+    * card (which derives every C arm from ONE coarse pass: the top-C
+    * survivors are a prefix of this ranking). */
+  private def matryoshkaCoarse(emb: DataFrame, numQueries: Int,
+                               prefixDims: Int): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     def pdot(a: String, b: String) =
       dotExpr(s"slice($a, 1, $prefixDims)", s"slice($b, 1, $prefixDims)")
@@ -539,30 +544,61 @@ object Similarity {
       .withColumn("pnorm", expr(s"sqrt(${pdot("embedding", "embedding")})"))
     val queries = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), col("pnorm").as("q_pnorm"))
+        col("pnorm").as("q_pnorm"))
     val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("vec_id"))
-    val survivors = base.crossJoin(broadcast(queries))
+    base.select(col("vec_id"), col("embedding"), col("pnorm"))
+      .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("pcos",
         expr(pdot("embedding", "q_emb")) / (col("pnorm") * col("q_pnorm")))
       .withColumn("crank", row_number().over(wC))
-      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("vec_id"), col("crank"))
+  }
+
+  /** Exact rerank of coarse survivors + per-query top-k — the shared
+    * second stage of every rerank-family rung ([[oneBitTopK]],
+    * [[matryoshkaTopK]], [[rqTopK]], and the rerank card). `surv` is
+    * (query_id, vec_id, …extras); extras ride through to the output.
+    */
+  private def exactRerankTopK(surv: DataFrame, emb: DataFrame,
+                              numQueries: Int, k: Int): DataFrame = {
+    val base = withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    val ranked = survivors
+    surv.join(base, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .withColumn("cosine",
         expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .drop("embedding", "norm", "q_emb", "q_norm")
+  }
+
+  /** Brute-truth flag join — the shared finisher of every truth-flagged
+    * rung. */
+  private def withTruthFlags(ranked: DataFrame, emb: DataFrame,
+                             numQueries: Int, k: Int): DataFrame = {
     val truth = bruteForceTopK(emb, numQueries, k)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
-    ranked
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine"))
-      .join(truth, Seq("query_id", "neighbor_id"), "left")
+    ranked.join(truth, Seq("query_id", "neighbor_id"), "left")
       .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
       .drop("_hit")
+  }
+
+  def matryoshkaTopK(emb: DataFrame, numQueries: Int, k: Int,
+                     prefixDims: Int = 16, candidates: Int = 32): DataFrame = {
+    val surv = matryoshkaCoarse(emb, numQueries, prefixDims)
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("vec_id"))
+    val ranked = exactRerankTopK(surv, emb, numQueries, k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+    withTruthFlags(ranked, emb, numQueries, k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cosine"), col("exact_hit"))
   }
@@ -579,40 +615,37 @@ object Similarity {
     * [[matryoshkaTopK]] convention). All-integer coarse phase: the
     * signature, xor and popcount are bit-exact cross-engine.
     */
-  def oneBitTopK(emb: DataFrame, numQueries: Int, k: Int,
-                 candidates: Int = 12): DataFrame = {
+  /** One-bit COARSE rank: per-query Hamming ranking of the 60-bit sign
+    * signatures — the family's candidate generator, shared by
+    * [[oneBitTopK]] and the rerank card. */
+  private def oneBitCoarse(emb: DataFrame, numQueries: Int): DataFrame = {
     val sigBits = 60
     val sigExpr =
       s"""aggregate(sequence(0, ${sigBits - 1}), 0L, (acc, i) ->
          |  acc + CASE WHEN element_at(CAST(embedding AS ARRAY<DOUBLE>),
          |                             CAST(i AS INT) + 1) > 0D
          |             THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END)""".stripMargin
-    val base = withNorm(emb).withColumn("sig", expr(sigExpr))
-    val queries = base.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), col("sig").as("q_sig"))
+    val sigs = emb.select(col("vec_id"), expr(sigExpr).as("sig"))
+    val queries = sigs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("sig").as("q_sig"))
     val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("vec_id"))
-    val survivors = base.crossJoin(broadcast(queries))
+    sigs.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("hamming", expr("CAST(bit_count(sig ^ q_sig) AS INT)"))
       .withColumn("crank", row_number().over(wC))
+      .select(col("query_id"), col("vec_id"), col("hamming"), col("crank"))
+  }
+
+  def oneBitTopK(emb: DataFrame, numQueries: Int, k: Int,
+                 candidates: Int = 12): DataFrame = {
+    val surv = oneBitCoarse(emb, numQueries)
       .filter(col("crank") <= candidates)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val ranked = survivors
-      .withColumn("cosine",
-        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-    val truth = bruteForceTopK(emb, numQueries, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
-    ranked
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+    val ranked = exactRerankTopK(surv, emb, numQueries, k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("vec_id").as("neighbor_id"), col("hamming"), col("cosine"))
-      .join(truth, Seq("query_id", "neighbor_id"), "left")
-      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
-      .drop("_hit")
+    withTruthFlags(ranked, emb, numQueries, k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("hamming"), col("cosine"), col("exact_hit"))
   }
@@ -746,9 +779,12 @@ object Similarity {
     * shuffles before the coarse top-C window; the rerank is a
     * C·numQueries-row join.
     */
-  def rqTopK(emb: DataFrame, numQueries: Int, k: Int,
-             k1: Int = 16, k2: Int = 16, dim: Int = 64,
-             candidates: Int = 128, iters: Int = 2): DataFrame = {
+  /** RQ COARSE rank: train both codebooks (deterministic Lloyd), encode,
+    * reconstruct, rank every candidate per query by ADC cosine — the
+    * family's candidate generator, shared by [[rqTopK]] and the rerank
+    * card. */
+  private def rqCoarse(emb: DataFrame, numQueries: Int,
+                       k1: Int, k2: Int, dim: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.functions.typedLit
     graft.functions.GraftFunctions.register(emb.sparkSession)
     def d2(x: String, c: String) =
@@ -777,35 +813,29 @@ object Similarity {
         expr("zip_with(cw1, element_at(_cb2, c2 + 1), (a, b) -> a + b)"))
       .withColumn("recon_norm", expr(s"sqrt(${dotExpr("rq_recon", "rq_recon")})"))
       .select(col("vec_id"), col("rq_recon"), col("recon_norm"))
-    val base = withNorm(emb)
-      .select(col("vec_id"), col("embedding"), col("norm"))
-    val queries = base.filter(col("vec_id") < numQueries)
+    val queries = withNorm(emb).filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
     val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_rq").desc, col("vec_id"))
-    val survivors = quant.crossJoin(broadcast(queries))
+    quant.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine_rq",
         expr(dotExpr("rq_recon", "q_emb")) / (col("recon_norm") * col("q_norm")))
       .withColumn("crank", row_number().over(wC))
+      .select(col("query_id"), col("vec_id"), col("cosine_rq"), col("crank"))
+  }
+
+  def rqTopK(emb: DataFrame, numQueries: Int, k: Int,
+             k1: Int = 16, k2: Int = 16, dim: Int = 64,
+             candidates: Int = 128, iters: Int = 2): DataFrame = {
+    val surv = rqCoarse(emb, numQueries, k1, k2, dim, iters)
       .filter(col("crank") <= candidates)
-      .select(col("query_id"), col("q_emb"), col("q_norm"),
-        col("vec_id"), col("cosine_rq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val truth = bruteForceTopK(emb, numQueries, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
-    survivors.join(base, Seq("vec_id"))
-      .withColumn("cosine",
-        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine_rq"))
+    val ranked = exactRerankTopK(surv, emb, numQueries, k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("vec_id").as("neighbor_id"), col("cosine_rq"), col("cosine"))
-      .join(truth, Seq("query_id", "neighbor_id"), "left")
-      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
-      .drop("_hit")
+    withTruthFlags(ranked, emb, numQueries, k)
   }
 
   /** IVF (inverted-file) ANN: a deterministic coarse quantizer (the first
@@ -1274,6 +1304,43 @@ object Similarity {
       numQueries, k, rounds)
     truthHits(spark, emb, numQueries, k)(arms.map { case (name, _, _) =>
       name -> swept.filter(col("method") === name) })
+  }
+
+  /** Rerank-candidates tuning card — the SECOND serving knob of the
+    * quantization rungs, the sibling of [[beamWidthReport]]'s beam knob:
+    * every rerank-family rung (one-bit, matryoshka, RQ) coarse-ranks on
+    * its compressed form and exactly re-scores the top C survivors, so C
+    * trades cold full-vector reads per query against recall. Each
+    * family's coarse rank is computed ONCE (checkpointed at its largest
+    * C) and every C arm is a prefix of that one ranking — the
+    * [[beamSweepOnGraph]] share-the-expensive-stage convention; the
+    * rerank stages are C·numQueries-row joins.
+    */
+  def rerankWidthReport(spark: SparkSession, emb: DataFrame,
+                        numQueries: Int = 16, k: Int = 3,
+                        onebitCs: Seq[Int] = Seq(4, 12, 32),
+                        matryCs: Seq[Int] = Seq(8, 32),
+                        rqCs: Seq[Int] = Seq(32, 128)): DataFrame = {
+    val ob = oneBitCoarse(emb, numQueries)
+      .filter(col("crank") <= onebitCs.max)
+      .select(col("query_id"), col("vec_id"), col("crank"))
+      .localCheckpoint(true)
+    val ma = matryoshkaCoarse(emb, numQueries, prefixDims = 16)
+      .filter(col("crank") <= matryCs.max)
+      .select(col("query_id"), col("vec_id"), col("crank"))
+      .localCheckpoint(true)
+    val rq = rqCoarse(emb, numQueries, k1 = 16, k2 = 16, dim = 64, iters = 2)
+      .filter(col("crank") <= rqCs.max)
+      .select(col("query_id"), col("vec_id"), col("crank"))
+      .localCheckpoint(true)
+    def arm(coarse: DataFrame, c: Int): DataFrame =
+      exactRerankTopK(coarse.filter(col("crank") <= c)
+        .select(col("query_id"), col("vec_id")), emb, numQueries, k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    truthHits(spark, emb, numQueries, k)(
+      onebitCs.map(c => f"onebit_c$c%03d" -> arm(ob, c)) ++
+      matryCs.map(c => f"matry_c$c%03d" -> arm(ma, c)) ++
+      rqCs.map(c => f"rq_c$c%03d" -> arm(rq, c)))
   }
 
   /** THE one ladder: every approximate method the engine ships, priced

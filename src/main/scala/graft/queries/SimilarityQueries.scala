@@ -562,6 +562,44 @@ object SimilarityQueries {
        |FROM ($rows) ORDER BY method""".stripMargin
   }
 
+  /** DuckDB mirror of Similarity.rerankWidthReport: one full rung
+    * pipeline per (family, C) arm — onebitSql / matryoshkaSql / rqSql at
+    * each candidate count — each semi-joined against the shared brute
+    * truth. (The Spark side computes each family's coarse rank once and
+    * derives the C arms as prefixes; the oracle pays the per-arm
+    * pipelines — correctness mirror only.)
+    */
+  private def rerankWidthSql(numQueries: Int, k: Int,
+                             onebitCs: Seq[Int], matryCs: Seq[Int],
+                             rqCs: Seq[Int]): String = {
+    val nTruth = numQueries * k
+    val ctes = (onebitCs.map(c =>
+      f"ob$c%03d AS (SELECT query_id, neighbor_id FROM (${onebitSql(numQueries, k, c)}) t)") ++
+      matryCs.map(c =>
+        f"ma$c%03d AS (SELECT query_id, neighbor_id FROM (${matryoshkaSql(numQueries, k, 16, c)}) t)") ++
+      rqCs.map(c =>
+        f"rq$c%03d AS (SELECT query_id, neighbor_id FROM (${rqSql(numQueries, k, 16, 16, c)}) t)"))
+      .mkString(",\n")
+    val rows = (onebitCs.map(c =>
+      f"""SELECT 'onebit_c$c%03d' AS method,
+         |       (SELECT count(*) FROM ob$c%03d a JOIN truth t
+         |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin) ++
+      matryCs.map(c =>
+        f"""SELECT 'matry_c$c%03d' AS method,
+           |       (SELECT count(*) FROM ma$c%03d a JOIN truth t
+           |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin) ++
+      rqCs.map(c =>
+        f"""SELECT 'rq_c$c%03d' AS method,
+           |       (SELECT count(*) FROM rq$c%03d a JOIN truth t
+           |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin))
+      .mkString("\nUNION ALL\n")
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t),
+       |$ctes
+       |SELECT method, CAST($nTruth AS BIGINT) AS n_truth, n_hits,
+       |       CAST(n_hits AS DOUBLE) / $nTruth AS recall
+       |FROM ($rows) ORDER BY method""".stripMargin
+  }
+
   /** DuckDB mirror of Similarity.recallReport: the same twelve index
     * pipelines at their shipping defaults, each semi-joined against the
     * same brute-force truth set.
@@ -1199,6 +1237,26 @@ object SimilarityQueries {
         "beam 2/8/24 + PQ-scored beam 24/48/96, one shared degree-6 " +
         "graph build): the DiskANN-L/HNSW-ef knob measured against " +
         "brute truth"),
+
+    // ---- Rerank-candidates tuning card: the second serving knob (the
+    // beam card's sibling) — one-bit / matryoshka / RQ coarse-rank on
+    // their compressed forms and exactly rerank the top C; this card
+    // prices C (cold full-vector reads per query) against measured
+    // recall, each family's coarse rank computed once with every C arm
+    // a prefix of it.
+    GQuery("sim_rerank_width_report",
+      (s, dir) => Similarity.rerankWidthReport(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3,
+          onebitCs = Seq(4, 12, 32), matryCs = Seq(8, 32),
+          rqCs = Seq(32, 128))
+        .orderBy(col("method")),
+      Some(rerankWidthSql(numQueries = 16, k = 3,
+        onebitCs = Seq(4, 12, 32), matryCs = Seq(8, 32),
+        rqCs = Seq(32, 128))),
+      doc = "rerank-candidates recall curve: one-bit (C 4/12/32), " +
+        "matryoshka (C 8/32) and RQ (C 32/128) arms, each family's " +
+        "coarse rank computed once — prices the exact-rerank knob " +
+        "(cold reads per query) against brute truth"),
 
     GQuery("sim_recall_report",
       (s, dir) => Similarity.recallReport(s, Tables.embeddings(s, dir),

@@ -596,17 +596,38 @@ class PlanAuditSpec extends AnyFunSuite {
   // per-query entry here saying WHY the passes are the algorithm, not an
   // un-checkpointed blowup.
   private val adjudicatedScanCounts: Map[String, (Int, String)] = Map(
-    "sim_rq_topk" -> (5,
-      "residual quantization: the two Lloyd codebook trainings COLLECT " +
-        "eagerly (bounded k-row literals, not in the serving plan); the " +
-        "five serving passes are the encode lineage, the base reused by " +
-        "the query side and the exact rerank, and the truth grader's two"),
-    "sim_recall_report" -> (35,
+    // The rerank-family rungs (onebit/matryoshka/rq) deliberately split
+    // coarse rank from exact rerank (r15): the coarse window shuffles
+    // NARROW (query_id, vec_id, crank) rows and the rerank REJOINS the
+    // ≤C survivors to the corpus, instead of carrying two 512-byte
+    // vectors per candidate row through the rank window. The price is
+    // two extra column-pruned scans per rung (rerank's candidate + query
+    // sides) — scans are the cheap resource at scale, shuffle width is
+    // not. 6 = coarse 2 + rerank 2 + truth grader 2.
+    "sim_onebit_topk" -> (6,
+      "narrow-shuffle coarse + survivor rejoin (see block comment): " +
+        "coarse 2 + rerank 2 + truth 2"),
+    "sim_matryoshka_rerank" -> (6,
+      "narrow-shuffle coarse + survivor rejoin (see block comment): " +
+        "coarse 2 + rerank 2 + truth 2"),
+    "sim_rq_topk" -> (6,
+      "narrow-shuffle coarse + survivor rejoin (see block comment); the " +
+        "two Lloyd codebook trainings COLLECT eagerly (bounded k-row " +
+        "literals, not in the serving plan): encode lineage + coarse " +
+        "query side 2, rerank 2, truth grader 2"),
+    "sim_rerank_width_report" -> (14,
+      "rerank-candidates tuning card: each family's coarse rank is " +
+        "computed once and CHECKPOINTED (zero scans per arm there); the " +
+        "seven C arms each pay the 2-scan exact rerank of their bounded " +
+        "survivor prefix — sum-of-arms by design; truth collected once"),
+    "sim_recall_report" -> (40,
       "benchmark report over 12 independent ANN methods (r15 added the " +
         "matryoshka, RQ and graph-PQ rungs; both graph rungs share ONE " +
-        "build + walk via beamSweepOnGraph) — sum-of-methods by design, " +
-        "each method's own plan is scan-bounded; the truth table is " +
-        "collected once (Similarity.scala recallReport rationale)"),
+        "build + walk via beamSweepOnGraph; the rerank rungs pay the " +
+        "narrow-shuffle +2, see block comment above) — sum-of-methods " +
+        "by design, each method's own plan is scan-bounded; the truth " +
+        "table is collected once (Similarity.scala recallReport " +
+        "rationale)"),
     "mm_crossmodal_neardup" -> (12,
       "three independent modality pair generators (text MinHash ~4 passes, " +
         "image pHash ~2, audio constellation ~4) unioned — sum-of-modalities " +
