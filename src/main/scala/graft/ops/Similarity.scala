@@ -1182,6 +1182,75 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Filtered ANN — predicate-constrained vector search, the retrieval
+    * shape production vector stores serve constantly ("nearest documents
+    * WHERE lang = X"): top-k restricted to candidates matching a scalar
+    * predicate, here `label = labelValue`. Strategy is SINGLE-STAGE
+    * filtering on the shared IVF index (the Qdrant/Vespa design): the
+    * quantizer is trained on the FULL corpus once — one index serves
+    * every predicate — and the filter applies AT the inverted-list scan,
+    * so each probe reads |cell ∩ predicate| candidates, never the cell
+    * then a post-filter of k already-truncated hits (post-filtering
+    * top-k is the classic filtered-search bug: selective predicates
+    * empty the result). At 100 TB the label rides the cell-partitioned
+    * index as a stored column and the predicate PUSHES into that scan
+    * (one columnar filter, no second index); for very selective
+    * predicates the planner flips to exact search over the filtered
+    * corpus — which is precisely the brute truth this output's
+    * `exact_hit` flags measure against, so the card prices the flip
+    * point. Queries whose nprobe cells hold no matching vector emit no
+    * rows (the documented IVF recall trade, now predicate-conditional).
+    */
+  def filteredIvfKmeansTopK(spark: SparkSession, emb: DataFrame,
+                            labelValue: Int, numQueries: Int, k: Int,
+                            centroids: Int = 8, iters: Int = 2,
+                            nprobe: Int = 2): DataFrame = {
+    val base = withNorm(emb)
+    val cents = kmeansCentroids(emb, centroids, iters).cache()
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    val ranked0 = base.crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
+      .withColumn("_r", row_number().over(wAssign))
+    // the filter applies at the inverted-list scan: candidates are the
+    // predicate-matching members of the probed cells
+    val corpus = ranked0.filter(col("_r") === 1 && col("label") === labelValue)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("c_id").as("cell"))
+    val queries = ranked0.filter(col("_r") <= nprobe && col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("c_id").as("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val res = corpus.join(queries, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+    // truth = EXACT top-k over the predicate-filtered corpus (the
+    // pre-filter strategy a selective predicate would run outright)
+    val fcand = base.filter(col("label") === labelValue)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val fq = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val truth = fcand.crossJoin(broadcast(fq))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), lit(1).as("_hit"))
+    res.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
+  }
+
   /** IVF-PQ: the production ANN composition (the FAISS `IVFx,PQy` shape)
     * — the deterministic-k-means coarse quantizer restricts each query to
     * its `nprobe` nearest cells ([[ivfKmeansTopK]]) while candidates are

@@ -562,6 +562,46 @@ object SimilarityQueries {
        |FROM ($rows) ORDER BY method""".stripMargin
   }
 
+  /** DuckDB mirror of Similarity.filteredIvfKmeansTopK: the shared
+    * kmeans assignment CTEs (quantizer trained on the FULL corpus), the
+    * label predicate applied at the inverted-list scan, and truth flags
+    * against the exact top-k over the predicate-filtered corpus.
+    */
+  private def filteredIvfSql(labelValue: Int, centroids: Int, nprobe: Int,
+                             numQueries: Int, k: Int): String =
+    s"""WITH ${kmeansAssignCtes(centroids, nprobe, numQueries)},
+       |scored AS (
+       |  SELECT q.query_id, co.vec_id,
+       |         ${dotSql("b.embedding", "qb.embedding")} / (b.norm * qb.norm) AS cosine
+       |  FROM corpus co JOIN q ON co.cell = q.cell
+       |  JOIN embeddings e ON e.vec_id = co.vec_id AND e.label = $labelValue
+       |  JOIN base b ON b.vec_id = co.vec_id
+       |  JOIN base qb ON qb.vec_id = q.query_id
+       |  WHERE co.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored),
+       |ftruth AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT qb.vec_id AS query_id, b.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY qb.vec_id ORDER BY
+       |             ${dotSql("b.embedding", "qb.embedding")} / (b.norm * qb.norm)
+       |               DESC, b.vec_id) AS rank
+       |    FROM base b
+       |    JOIN embeddings e ON e.vec_id = b.vec_id AND e.label = $labelValue,
+       |         base qb
+       |    WHERE qb.vec_id < $numQueries AND b.vec_id <> qb.vec_id)
+       |  WHERE rank <= $k)
+       |SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id AS neighbor_id,
+       |       r.cosine,
+       |       CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS exact_hit
+       |FROM ranked r LEFT JOIN ftruth t
+       |  ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
+       |WHERE r.rank <= $k
+       |ORDER BY r.query_id, r.rank""".stripMargin
+
   /** DuckDB mirror of Similarity.rerankWidthReport: one full rung
     * pipeline per (family, C) arm — onebitSql / matryoshkaSql / rqSql at
     * each candidate count — each semi-joined against the shared brute
@@ -1237,6 +1277,32 @@ object SimilarityQueries {
         "beam 2/8/24 + PQ-scored beam 24/48/96, one shared degree-6 " +
         "graph build): the DiskANN-L/HNSW-ef knob measured against " +
         "brute truth"),
+
+    // ---- Filtered ANN: predicate-constrained search, the retrieval
+    // shape vector stores serve constantly ("nearest WHERE label = 3").
+    // SINGLE-STAGE filtering on the shared full-corpus-trained IVF
+    // index: the predicate applies AT the inverted-list scan (each probe
+    // reads |cell ∩ predicate|), never as a post-filter of k truncated
+    // hits — the classic filtered-search bug. Truth flags grade against
+    // the exact pre-filter strategy, pricing the flip point.
+    // nprobe 4, not the unfiltered rung's 2: a predicate thins every
+    // cell ~10x, so filtered search widens probes until the candidate
+    // pool is search-worthy (measured: 0.48 at nprobe 2 -> 0.79/0.71 at
+    // nprobe 4 on sf0.01/sf0.1 — at the unfiltered family's own ~0.75
+    // probe ceiling on this corpus; past it, the flip to pre-filter
+    // exact is the right plan and the flags price exactly that).
+    GQuery("sim_filtered_topk",
+      (s, dir) => Similarity.filteredIvfKmeansTopK(s, Tables.embeddings(s, dir),
+          labelValue = 3, numQueries = 16, k = 3,
+          centroids = 8, iters = 2, nprobe = 4)
+        .orderBy(col("query_id"), col("rank")),
+      Some(filteredIvfSql(labelValue = 3, centroids = 8, nprobe = 4,
+        numQueries = 16, k = 3)),
+      doc = "filtered ANN (single-stage): label predicate applied at the " +
+        "IVF inverted-list scan of the shared full-corpus index, nprobe-4 " +
+        "k-means cells (widened for predicate thinning; 0.79/0.71 " +
+        "measured), truth-flagged against the exact pre-filtered search " +
+        "it trades against"),
 
     // ---- Rerank-candidates tuning card: the second serving knob (the
     // beam card's sibling) — one-bit / matryoshka / RQ coarse-rank on

@@ -511,6 +511,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "Lloyd centroids — k<=16 rows by construction",
     ("sim_ivf_balance", Set("c", "c_id")) ->
       "Lloyd centroids — k=8 rows by construction",
+    ("sim_filtered_topk", Set("c", "c_id")) ->
+      "Lloyd centroids — k=8 rows by construction",
     ("dedup_semantic", Set("c", "c_id")) ->
       "Lloyd centroids — k=8 rows by construction",
     // the persisted-IVF centroid MergeTable: a parquet scan, but of the
