@@ -2098,6 +2098,54 @@ object SimilarityQueries {
         "neighborhood refresh, beam search served from the tables == " +
         "from-scratch oracle over the full corpus"),
 
+    // ---- Streaming ANN-index ingest: the persisted kNN-graph index fed
+    // by a STRUCTURED STREAMING drain — the shape a production vector
+    // store actually runs (a steady stream of new vectors upserted into
+    // a frozen-quantizer index, never a retrain per batch). The odd half
+    // arrives as a 2-file parquet stream, maxFilesPerTrigger=1 forcing
+    // MULTIPLE micro-batches through foreachBatch -> graphIndexAdd; a
+    // cell's adjacency is re-derived by the LAST add that touches it
+    // against its final membership, so the settled index — and therefore
+    // the served search — equals the from-scratch build regardless of
+    // how the stream happened to batch the rows. Same oracle as
+    // sim_ann_index_incremental (one frozen even-half quantizer).
+    GQuery("streaming_ann_ingest",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
+        val nodeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        val adjT = graft.stages.MergeTable.scratch(Seq("src"))
+        val metaT = graft.stages.MergeTable.scratch(Seq("key"))
+        Similarity.graphIndexBuild(s, emb.filter(col("vec_id") % 2 === 0),
+          centT, nodeT, adjT, metaT, centroidIdBound = 16, degree = 6)
+        // fixture: the odd half staged as two parquet files (two appends)
+        // so the file source genuinely delivers multiple micro-batches
+        val stage = graft.stages.TempDirs.scratch("graft_ann_ingest_")
+        emb.filter(col("vec_id") % 4 === 1).coalesce(1)
+          .write.mode("append").parquet(stage.toString)
+        emb.filter(col("vec_id") % 4 === 3).coalesce(1)
+          .write.mode("append").parquet(stage.toString)
+        val stream = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            Similarity.graphIndexAdd(s, batch.toDF(), centT, nodeT, adjT, metaT)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        graft.streaming.StateDefaults.awaitDrain(q)
+        Similarity.graphIndexSearch(s, emb, centT, nodeT, adjT, metaT,
+          numQueries = 16, k = 3, beam = 8, rounds = 6)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(beamGraphSql(numQueries = 16, k = 3, degree = 6, beam = 8,
+        rounds = 6, centsPred = "vec_id < 16 AND vec_id % 2 = 0")),
+      doc = "streaming ANN ingest: odd half streamed in multiple " +
+        "micro-batches (file source, maxFilesPerTrigger=1) through " +
+        "foreachBatch -> graphIndexAdd into the persisted frozen-quantizer " +
+        "kNN-graph index; settled served search == from-scratch oracle, " +
+        "independent of batch boundaries"),
+
     // ---- Graph-index maintenance (the OPTIMIZE story applied to an ANN
     // index): the quantizer freezes at build, so adds pile the corpus
     // into the build-time cells and the touched-cell refresh join

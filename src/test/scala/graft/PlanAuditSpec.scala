@@ -303,7 +303,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "streaming_paged_source", "streaming_paged_windowed",
     "streaming_dedup_redelivery", "streaming_scd2_cdc", "streaming_hll_state",
     "streaming_cusum_state", "streaming_bottomk_state", "streaming_mg_state",
-    "streaming_funnel_state")
+    "streaming_funnel_state", "streaming_ann_ingest")
 
   // `Window.orderBy` with no partition spec plans a SINGLE-partition
   // WindowExec — every input row through one task, the shape that turned
