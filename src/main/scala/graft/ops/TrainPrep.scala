@@ -141,6 +141,55 @@ object TrainPrep {
         coalesce(col("oversize_tokens"), lit(0L)).as("oversize_tokens"))
   }
 
+  /** Split-then-pack census — [[ffdPackCensus]]'s missing half: that
+    * census sends oversize docs "to the splitter", and this IS the
+    * splitter. Every oversize doc is cut into ⌈len/capacity⌉ pieces
+    * (full-capacity windows + the remainder — [[packSequences]]'s window
+    * rule), the pieces rejoin the in-capacity docs, and the whole shard
+    * FFD-packs: nothing is censused out, every token lands in a bin.
+    * FFD order is pinned (piece length desc, doc_id, piece_no); the fold
+    * and its scale shape are [[ffdPackCensus]]'s (one groupBy exchange,
+    * per-shard sequential fold as an aggregate expression, shard count =
+    * parallelism knob). Integer-only output — hash-exact. Full-capacity
+    * pieces fill bins exactly, so `ffd_waste` here is the TRUE padding
+    * floor of the corpus at this capacity — the number the loader's
+    * throughput model wants.
+    */
+  def splitPackCensus(docs: DataFrame, capacity: Int, nShards: Int = 8): DataFrame = {
+    val cap = s"CAST($capacity AS BIGINT)"
+    val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      .withColumn("shard", (col("doc_id") % nShards).cast("int"))
+    val pieces = lens
+      .select(col("shard"), col("doc_id"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(ceil(len / CAST($capacity AS DOUBLE)) AS INT) - 1), " +
+          s"p -> least($cap, len - p * $cap))")).as(Seq("piece_no", "plen")))
+    pieces
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(when(col("piece_no") > 0, lit(1))).as("n_overflow_pieces"),
+        count(lit(1)).as("n_pieces"),
+        sum(col("plen")).as("total_tokens"),
+        expr("sort_array(collect_list(struct(-plen AS nl, doc_id AS d, piece_no AS p, plen AS l)))")
+          .as("q"))
+      .withColumn("bins", expr(
+        s"""aggregate(transform(q, s -> s.l), CAST(array() AS ARRAY<BIGINT>),
+           |  (acc, L) -> CASE
+           |    WHEN array_position(transform(acc, b -> b + L <= $cap), true) = 0
+           |      THEN concat(acc, array(L))
+           |    ELSE transform(acc, (b, i) ->
+           |      CASE WHEN i = array_position(transform(acc, b2 -> b2 + L <= $cap), true) - 1
+           |           THEN b + L ELSE b END)
+           |  END)""".stripMargin))
+      .select(col("shard"), col("n_docs"), col("n_pieces"),
+        col("n_overflow_pieces"), col("total_tokens"),
+        size(col("bins")).cast("long").as("n_bins_ffd"),
+        (size(col("bins")).cast("long") * capacity - col("total_tokens"))
+          .as("ffd_waste"),
+        expr(s"total_tokens * 10000 div (size(bins) * $cap)").as("fill_e4"))
+  }
+
   /** Deterministic weighted dataset interleaving — the ORDER a training
     * dataloader actually emits when sampling from per-language streams
     * proportionally (tf.data sample_from_datasets / Pile-style mixing),

@@ -293,6 +293,58 @@ object TrainPrepQueries {
         "one-sequence-per-doc baseline waste; oversize docs censused to " +
         "the splitter"),
 
+    // ---- Split-then-pack: prep_pack_ffd's splitter half — oversize
+    // docs cut into capacity windows (full windows + remainder), pieces
+    // rejoin the in-capacity docs, the whole shard FFD-packs; nothing
+    // censused out, so ffd_waste is the corpus's TRUE padding floor at
+    // this capacity. Fold/order rules identical to prep_pack_ffd
+    // (the two DuckDB mirrors share every cross-engine convention).
+    GQuery("prep_pack_split",
+      (s, dir) => TrainPrep.splitPackCensus(Tables.documents(s, dir),
+          capacity = 96, nShards = 8)
+        .orderBy(col("shard")),
+      Some("""WITH lens AS (
+              |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+              |         CAST(doc_id % 8 AS INT) AS shard
+              |  FROM documents),
+              |pieces AS (
+              |  SELECT shard, doc_id, len,
+              |         unnest(range(0, CAST(ceil(len / 96.0) AS BIGINT))) AS piece_no
+              |  FROM lens),
+              |p2 AS (
+              |  SELECT shard, doc_id, CAST(piece_no AS INT) AS piece_no,
+              |         least(96, len - piece_no * 96) AS plen
+              |  FROM pieces),
+              |fit AS (
+              |  SELECT shard, count(DISTINCT doc_id) AS n_docs,
+              |         count(*) AS n_pieces,
+              |         CAST(SUM(CASE WHEN piece_no > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |           AS n_overflow_pieces,
+              |         CAST(SUM(plen) AS BIGINT) AS total_tokens,
+              |         list_reduce(list_prepend(CAST([] AS BIGINT[]),
+              |             list_transform(list(plen ORDER BY plen DESC, doc_id, piece_no),
+              |               l -> [l])),
+              |           (acc, x) -> CASE
+              |             WHEN list_position(list_transform(acc,
+              |                    b -> b + x[1] <= 96), true) = 0
+              |               THEN list_append(acc, x[1])
+              |             ELSE list_transform(acc, (b, i) ->
+              |               CASE WHEN i = list_position(list_transform(acc,
+              |                             b2 -> b2 + x[1] <= 96), true)
+              |                    THEN b + x[1] ELSE b END)
+              |           END) AS bins
+              |  FROM p2 GROUP BY shard)
+              |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+              |       CAST(n_pieces AS BIGINT) AS n_pieces,
+              |       n_overflow_pieces, total_tokens,
+              |       CAST(len(bins) AS BIGINT) AS n_bins_ffd,
+              |       CAST(len(bins) * 96 - total_tokens AS BIGINT) AS ffd_waste,
+              |       CAST(total_tokens * 10000 // (len(bins) * 96) AS BIGINT) AS fill_e4
+              |FROM fit ORDER BY shard""".stripMargin),
+      doc = "split-then-pack census (capacity 96): oversize docs cut into " +
+        "capacity windows, pieces FFD-packed with the in-capacity docs — " +
+        "nothing censused out; ffd_waste = the corpus's true padding floor"),
+
     // ---- Weighted interleaving schedule: the dataloader's emission
     // order under proportional stream sampling, exact (virtual time =
     // rank/weight via integer 1e6 division) — any schedule prefix holds

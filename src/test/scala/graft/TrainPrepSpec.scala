@@ -137,6 +137,24 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(s1.getAs[Long]("oversize_tokens") == 21L)
   }
 
+  test("split-then-pack: oversize doc becomes capacity windows + remainder, all tokens land in bins") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // one shard: a 20-token doc at capacity 8 -> pieces 8, 8, 4; plus
+    // in-capacity docs 5 and 3. FFD over (8,8,5,4,3): bins 8 | 8 | 5+3 | 4
+    val docs = Seq((0L, words(20)), (8L, words(5)), (16L, words(3)))
+      .toDF("doc_id", "text")
+    val r = TrainPrep.splitPackCensus(docs, capacity = 8, nShards = 8).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 3L)
+    assert(row.getAs[Long]("n_pieces") == 5L, s"20 -> 3 pieces + 2 docs, got $row")
+    assert(row.getAs[Long]("n_overflow_pieces") == 2L)
+    assert(row.getAs[Long]("total_tokens") == 28L, "every token packed, none censused out")
+    assert(row.getAs[Long]("n_bins_ffd") == 4L, s"FFD(8,8,5,4,3) at cap 8 = 4 bins, got $row")
+    assert(row.getAs[Long]("ffd_waste") == 4L * 8 - 28L)
+  }
+
   test("bucketed prefix sum equals the global window cumsum; shards respect the budget") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
