@@ -1787,6 +1787,93 @@ object Similarity {
       numQueries, k)
   }
 
+  /** DiskANN served FROM TABLES — the full deployment shape of the
+    * composition [[graphPqTopK]] demonstrates in one lineage: the WALK
+    * reads the persisted kNN-graph index (centroids, nodes, adjacency,
+    * metadata — [[graphIndexBuild]]'s family) scored against
+    * reconstructions decoded from the persisted PQ code table
+    * ([[pqIndexBuild]]'s family), and only the exact final-beam rerank
+    * touches full vectors (read from the node table — DiskANN's ≤beam
+    * "disk reads" per query). Nothing in the serve plan derives from the
+    * source corpus: both indexes were built and incrementally extended
+    * at ingest time, which is exactly how a production deployment
+    * amortizes them. Two frozen quantizers compose (graph cells for
+    * navigation, PQ codewords for resident scoring); build+adds == one
+    * from-scratch pass for each family independently, so the served
+    * search equals the from-scratch composition — what the oracle runs.
+    */
+  def graphPqIndexSearch(spark: SparkSession, emb: DataFrame,
+                         centroidTable: graft.stages.MergeTable,
+                         nodeTable: graft.stages.MergeTable,
+                         adjTable: graft.stages.MergeTable,
+                         metaTable: graft.stages.MergeTable,
+                         codebookTable: graft.stages.MergeTable,
+                         codeTable: graft.stages.MergeTable,
+                         numQueries: Int, k: Int, beam: Int, rounds: Int,
+                         m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    readGraphMeta(spark, metaTable)
+    val cents = centroidTable.read(spark, centroidSchema)
+    val nodes = nodeTable.read(spark, assignSchema).localCheckpoint(true)
+    val ids = nodes.select(col("vec_id"))
+    val chain = ids.select(col("vec_id").as("src"), (col("vec_id") + 1).as("dst"))
+      .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+    val edges = adjTable.read(spark, graphAdjSchema)
+      .select(col("src"), explode(col("dsts")).as("dst"))
+      .unionByName(chain).distinct().localCheckpoint(true)
+    // resident scoring side: reconstructions decoded FROM THE CODES
+    // against the broadcast codebook literal (the ADC serving contract)
+    val cb = readPqCodebook(spark, codebookTable, m, dim / m)
+    val recon = codeTable.read(spark, pqCodeSchema)
+      .withColumn("_cb", typedLit(cb))
+      .withColumn("pq_recon", expr(
+        "flatten(transform(pq_code, (c, s) -> element_at(element_at(_cb, s + 1), c + 1)))"))
+      .drop("_cb")
+      .withColumn("recon_norm", expr(s"sqrt(${dotExpr("pq_recon", "pq_recon")})"))
+      .select(col("vec_id").as("node"), col("pq_recon").as("n_emb"),
+        col("recon_norm").as("n_norm"))
+      .localCheckpoint(true)
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    val queries = withNorm(emb).filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
+      .withColumn("_r", row_number().over(wq))
+      .filter(col("_r") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("c_id").as("cell"))
+    val entry0 = queries.join(recon, col("node") === col("cell"))
+      .withColumn("cosine",
+        expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
+      .select(col("query_id"), col("node"), col("cosine"))
+    val beamDf = beamRounds(queries, entry0, edges, recon, beam, rounds)
+    // exact rerank + truth both read the NODE TABLE (it stores every
+    // vector) — the serve plan never touches the source corpus
+    val nodeSide = nodes.select(col("vec_id").as("node"),
+      col("embedding").as("n_emb"), col("norm").as("n_norm"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("node"))
+    val reranked = beamDf
+      .select(col("query_id"), col("node"), col("cosine").as("cosine_pq"))
+      .filter(col("node") =!= col("query_id"))
+      .join(nodeSide, Seq("node"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine",
+        expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("node").as("neighbor_id"), col("cosine_pq"), col("cosine"))
+    val truth = bruteForceTopK(nodes.select(col("vec_id"), col("embedding")),
+        numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    reranked
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
+  }
+
   /** Persisted PQ index — the quantization ladder's lifecycle twin of
     * [[ivfIndexBuild]]/[[graphIndexBuild]]: the codebook (trained once,
     * FROZEN) and the m-byte codes (the entire resident memory of a PQ

@@ -133,7 +133,10 @@ object SimilarityQueries {
     * rounds reference it 7×) and the final beam exactly re-ranked.
     */
   private def graphPqSql(numQueries: Int, k: Int, degree: Int, beam: Int,
-                         rounds: Int, m: Int, ksub: Int, subDim: Int): String = {
+                         rounds: Int, m: Int, ksub: Int, subDim: Int,
+                         centsPred: String =
+                           "vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)",
+                         cbPred: String = ""): String = {
     def pqdot(a: String, b: String) =
       s"list_sum(list_transform(range(1, 65), i -> $a[i] * CAST($b[i] AS DOUBLE)))"
     val roundsSql = (1 to rounds).map { r =>
@@ -159,8 +162,7 @@ object SimilarityQueries {
        |  FROM embeddings),
        |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
        |          FROM base
-       |          WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
-       |                          FROM embeddings)),
+       |          WHERE $centsPred),
        |assigned AS MATERIALIZED (
        |  SELECT vec_id, embedding, norm, cell FROM (
        |    SELECT b.vec_id, b.embedding, b.norm, c.c_id AS cell,
@@ -180,7 +182,7 @@ object SimilarityQueries {
        |  SELECT src, dst FROM grank WHERE gr <= $degree
        |  UNION
        |  SELECT a.vec_id, b.vec_id FROM base a JOIN base b ON b.vec_id = a.vec_id + 1),
-       |${pqReconCtes(m, ksub, subDim)},
+       |${pqReconCtes(m, ksub, subDim, cbPred)},
        |rnm AS MATERIALIZED (SELECT vec_id, rv, recon_norm FROM rn),
        |q AS MATERIALIZED (
        |  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
@@ -2203,6 +2205,45 @@ object SimilarityQueries {
         "(codes resident, vectors cold), final beam exactly re-ranked — " +
         "beam 96 measured at 0.92/0.96 recall (the width card's PQ arms " +
         "price the knob); dual scores measure what PQ navigation costs"),
+
+    // ---- DiskANN SERVED FROM TABLES: the sim_graph_pq_topk composition
+    // with nothing derived from the source corpus — the walk reads the
+    // persisted kNN-graph index (built on the even half, odd half added
+    // incrementally), scoring reads reconstructions decoded from the
+    // persisted PQ code table (its own even-half frozen codebook, odd
+    // half encoded incrementally), and the exact final-beam rerank reads
+    // the node table. Two frozen quantizers compose; each family's
+    // build+adds == one from-scratch pass, so the served search equals
+    // the from-scratch composition the oracle runs.
+    GQuery("sim_graph_pq_index_serve",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val even = emb.filter(col("vec_id") % 2 === 0)
+        val odd = emb.filter(col("vec_id") % 2 === 1)
+        val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
+        val nodeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        val adjT = graft.stages.MergeTable.scratch(Seq("src"))
+        val metaT = graft.stages.MergeTable.scratch(Seq("key"))
+        val cbT = graft.stages.MergeTable.scratch(Seq("c_id"))
+        val codeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        Similarity.graphIndexBuild(s, even, centT, nodeT, adjT, metaT,
+          centroidIdBound = 16, degree = 6)
+        Similarity.graphIndexAdd(s, odd, centT, nodeT, adjT, metaT)
+        Similarity.pqIndexBuild(s, even, cbT, codeT, cbIdBound = 32)
+        Similarity.pqIndexAdd(s, odd, cbT, codeT)
+        Similarity.graphPqIndexSearch(s, emb, centT, nodeT, adjT, metaT,
+          cbT, codeT, numQueries = 16, k = 3, beam = 96, rounds = 6)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(graphPqSql(numQueries = 16, k = 3, degree = 6, beam = 96,
+        rounds = 6, m = 8, ksub = 16, subDim = 8,
+        centsPred = "vec_id < 16 AND vec_id % 2 = 0",
+        cbPred = "e.vec_id < 32 AND e.vec_id % 2 = 0")),
+      doc = "DiskANN served from tables: persisted kNN-graph index walked " +
+        "by reconstructions decoded from the persisted PQ code table, " +
+        "exact final-beam rerank off the node table — both index families " +
+        "built on the even half + incrementally extended, serve plan " +
+        "touches no source corpus, == from-scratch composition oracle"),
 
     // ---- One-bit (binary) quantization top-k — the 64× memory rung
     // (vs PQ 32× / SQ8 4×): 60-bit sign signature, Hamming coarse rank

@@ -519,6 +519,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 16-row centroid table ivfIndexBuild wrote (bounded at build time)
     ("sim_ivf_index_incremental", Set("c", "c_id")) ->
       "persisted IVF centroid table — 16 rows written by ivfIndexBuild",
+    ("sim_graph_pq_index_serve", Set("c", "c_id")) ->
+      ("persisted graph-index centroid table — 8 rows (even ids < 16) " +
+        "written by graphIndexBuild"),
     // per-label centroid table: groupBy(label) — |labels| rows (10 here,
     // label-domain-bounded at any corpus size)
     ("sim_class_centroids", Set("label_b", "n_b", "cb")) ->
