@@ -1744,6 +1744,59 @@ object Similarity {
     true
   }
 
+  /** Index staleness census — the monitoring card that tells an
+    * operator WHEN to run [[graphIndexMaintain]], priced from the index
+    * itself: one row comparing the FROZEN quantizer's state (cells,
+    * max/mean population, mean assignment cosine at 1e4) against a
+    * hypothetical FRESH ⌈√n⌉ re-quantization of the same node set —
+    * how overfull the cells have grown, and how much assignment quality
+    * the staleness costs. `rebuild_recommended` is exactly
+    * [[graphIndexMaintain]]'s trigger predicate, so the census and the
+    * op can never disagree about the threshold. All-integer output
+    * (counts + floor(cos·10⁴) means via integer division) — hash-exact.
+    * Scale shape: two assignment passes (each a broadcast of a bounded
+    * centroid set + one per-vector window) + one global aggregate.
+    */
+  def graphIndexStalenessCensus(spark: SparkSession,
+                                nodeTable: graft.stages.MergeTable): DataFrame = {
+    val nodes = nodeTable.read(spark, assignSchema).localCheckpoint(true)
+    val n = nodes.count()
+    val bound = math.ceil(math.sqrt(n.toDouble)).toLong
+    val freshCents = nodes.filter(col("vec_id") < bound)
+      .select(col("vec_id").as("c_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("c"))
+    val fresh = assignToCentroids(
+      nodes.select(col("vec_id"), col("embedding")), freshCents)
+    // assignment cosine re-derived from the stored (cell, embedding):
+    // the frozen centroid vector is the node with vec_id == cell
+    val centSide = nodes.select(col("vec_id").as("cell"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    def census(asg: DataFrame, name: String): DataFrame =
+      asg.join(centSide, Seq("cell"))
+        .withColumn("cos_e4", expr(
+          s"CAST(floor(10000 * (${dotExpr("embedding", "c_emb")}" +
+          s" / (norm * c_norm))) AS BIGINT)"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cn"), sum(col("cos_e4")).as("cs"))
+        .agg(count(lit(1)).as("n_cells"),
+          max(col("cn")).as("max_cell"),
+          expr("sum(cs) div sum(cn)").as("mean_cos_e4"))
+        .select(lit(name).as("quantizer"), col("n_cells"),
+          col("max_cell"), col("mean_cos_e4"))
+    val frozenNodes = nodes.select(col("vec_id"), col("cell"),
+      col("embedding"), col("norm"))
+    val frozenRow = census(frozenNodes, "frozen")
+      .withColumn("rebuild_recommended",
+        (col("max_cell") > 2L * bound).cast("int"))
+    val freshRow = census(
+      fresh.select(col("vec_id"), col("cell"), col("embedding"), col("norm")),
+      "fresh_sqrt_n")
+      .withColumn("rebuild_recommended", lit(0))
+    frozenRow.unionByName(freshRow)
+      .withColumn("n_vectors", lit(n))
+      .withColumn("sqrt_bound", lit(bound))
+  }
+
   def graphIndexSearch(spark: SparkSession, emb: DataFrame,
                        centroidTable: graft.stages.MergeTable,
                        nodeTable: graft.stages.MergeTable,

@@ -2148,6 +2148,92 @@ object SimilarityQueries {
         "kNN-graph index; settled served search == from-scratch oracle, " +
         "independent of batch boundaries"),
 
+    // ---- Index staleness census: the monitoring card that tells an
+    // operator WHEN to run maintenance — frozen-quantizer cell state
+    // (max/mean population, mean assignment cosine at 1e4) vs a
+    // hypothetical fresh ⌈√n⌉ re-quantization of the same node set;
+    // rebuild_recommended IS graphIndexMaintain's trigger predicate, so
+    // census and op can never disagree. Fixture = the maintain query's
+    // under-provisioned build WITHOUT the maintain, so the card shows
+    // the degenerate state the op would fix.
+    GQuery("sim_index_staleness",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
+        val nodeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        val adjT = graft.stages.MergeTable.scratch(Seq("src"))
+        val metaT = graft.stages.MergeTable.scratch(Seq("key"))
+        Similarity.graphIndexBuild(s, emb.filter(col("vec_id") % 8 === 0),
+          centT, nodeT, adjT, metaT, centroidIdBound = 64, degree = 6)
+        Similarity.graphIndexAdd(s, emb.filter(col("vec_id") % 8 =!= 0),
+          centT, nodeT, adjT, metaT)
+        Similarity.graphIndexStalenessCensus(s, nodeT)
+          .orderBy(col("quantizer"))
+      },
+      Some(s"""WITH base AS MATERIALIZED (
+              |  SELECT vec_id, embedding,
+              |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+              |  FROM embeddings),
+              |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |              CAST(ceil(sqrt(count(*))) AS BIGINT) AS bound
+              |       FROM embeddings),
+              |fc AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+              |       FROM base WHERE vec_id < 64 AND vec_id % 8 = 0),
+              |fa AS MATERIALIZED (
+              |  SELECT vec_id, cell FROM (
+              |    SELECT b.vec_id, c.c_id AS cell,
+              |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+              |             ORDER BY ${dotSql("b.embedding", "c.c_emb")} / (b.norm * c.c_norm)
+              |               DESC, c.c_id) AS r
+              |    FROM base b, fc c) WHERE r = 1),
+              |gc AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+              |       FROM base WHERE vec_id < (SELECT bound FROM nn)),
+              |ga AS MATERIALIZED (
+              |  SELECT vec_id, cell FROM (
+              |    SELECT b.vec_id, c.c_id AS cell,
+              |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+              |             ORDER BY ${dotSql("b.embedding", "c.c_emb")} / (b.norm * c.c_norm)
+              |               DESC, c.c_id) AS r
+              |    FROM base b, gc c) WHERE r = 1),
+              |fcell AS (
+              |  SELECT a.cell, count(*) AS cn,
+              |         CAST(SUM(CAST(floor(10000 * ${dotSql("b.embedding", "cb.embedding")}
+              |                / (b.norm * cb.norm)) AS BIGINT)) AS BIGINT) AS cs
+              |  FROM fa a JOIN base b ON b.vec_id = a.vec_id
+              |            JOIN base cb ON cb.vec_id = a.cell
+              |  GROUP BY a.cell),
+              |gcell AS (
+              |  SELECT a.cell, count(*) AS cn,
+              |         CAST(SUM(CAST(floor(10000 * ${dotSql("b.embedding", "cb.embedding")}
+              |                / (b.norm * cb.norm)) AS BIGINT)) AS BIGINT) AS cs
+              |  FROM ga a JOIN base b ON b.vec_id = a.vec_id
+              |            JOIN base cb ON cb.vec_id = a.cell
+              |  GROUP BY a.cell),
+              |rows_ AS (
+              |  SELECT 'frozen' AS quantizer, CAST(count(*) AS BIGINT) AS n_cells,
+              |         CAST(max(cn) AS BIGINT) AS max_cell,
+              |         CAST(CASE WHEN SUM(cs) < 0
+              |                   THEN -((-SUM(cs)) // SUM(cn))
+              |                   ELSE SUM(cs) // SUM(cn) END AS BIGINT) AS mean_cos_e4
+              |  FROM fcell
+              |  UNION ALL
+              |  SELECT 'fresh_sqrt_n', CAST(count(*) AS BIGINT),
+              |         CAST(max(cn) AS BIGINT),
+              |         CAST(CASE WHEN SUM(cs) < 0
+              |                   THEN -((-SUM(cs)) // SUM(cn))
+              |                   ELSE SUM(cs) // SUM(cn) END AS BIGINT)
+              |  FROM gcell)
+              |SELECT r.quantizer, r.n_cells, r.max_cell, r.mean_cos_e4,
+              |       CAST(CASE WHEN r.quantizer = 'frozen'
+              |                  AND r.max_cell > 2 * nn.bound
+              |                 THEN 1 ELSE 0 END AS INT) AS rebuild_recommended,
+              |       nn.n AS n_vectors, nn.bound AS sqrt_bound
+              |FROM rows_ r, nn ORDER BY r.quantizer""".stripMargin),
+      doc = "index staleness census: frozen-quantizer cell state vs a " +
+        "fresh sqrt(n) re-quantization of the same nodes (cells, max/" +
+        "mean population, mean assignment cosine at 1e4); " +
+        "rebuild_recommended is exactly graphIndexMaintain's trigger"),
+
     // ---- Graph-index maintenance (the OPTIMIZE story applied to an ANN
     // index): the quantizer freezes at build, so adds pile the corpus
     // into the build-time cells and the touched-cell refresh join
