@@ -255,6 +255,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows("lsh_multiprobe")._2 >= rows("lsh_single")._2)
   }
 
+  test("multi-arm beam sweep equals the independent per-arm walks (exact and PQ families)") {
+    import org.apache.spark.sql.functions.col
+    val nq = 8; val k = 3; val degree = 4; val rounds = 3
+    val truth = Similarity.bruteForceTopK(emb, nq, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def hitsOf(df: org.apache.spark.sql.DataFrame): Long = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .count(truth.contains).toLong
+    val report = Similarity.beamWidthReport(spark, emb, numQueries = nq, k = k,
+        degree = degree, rounds = rounds, widths = Seq(2, 6), pqWidths = Seq(6))
+      .collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Long]("n_hits")).toMap
+    assert(report.keySet == Set("beam_02", "beam_06", "graphpq_06"))
+    // the sweep walks all arms in ONE round loop; each arm must equal
+    // the standalone single-arm walk over the same graph parameters
+    assert(report("beam_02") ==
+      hitsOf(Similarity.beamSearchTopK(spark, emb, nq, k, degree, 2, rounds)))
+    assert(report("beam_06") ==
+      hitsOf(Similarity.beamSearchTopK(spark, emb, nq, k, degree, 6, rounds)))
+    assert(report("graphpq_06") ==
+      hitsOf(Similarity.graphPqTopK(spark, emb, nq, k, degree, 6, rounds)))
+  }
+
   test("LSH top-k returns a subset consistent with brute force when bucketed together") {
     val brute = Similarity.bruteForceTopK(emb, numQueries = 1, k = 40)
       .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
