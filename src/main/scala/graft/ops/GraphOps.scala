@@ -425,4 +425,39 @@ object GraphOps {
     }
     labels
   }
+
+  /** Modularity census of a community assignment (Newman's Q, the
+    * partition-quality number the LP/community family is tuned by):
+    * per community c, Q_c = L_c/m − (d_c/2m)² where m = undirected edge
+    * count, L_c = intra-community edges, d_c = degree sum — emitted as
+    * the EXACT integer contrib_e6 = ⌊10⁶·(4m·L_c − d_c²) / 4m²⌋
+    * (sign-split floor division, cross-engine exact; Σ contrib_e6 ≈
+    * 10⁶·Q). One degree aggregate + one label-joined edge count — both
+    * shuffle on community/node keys, nothing quadratic; the census costs
+    * two passes over the edge list at any scale.
+    */
+  def modularityCensus(und: DataFrame, labels: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val byC = deg.join(labels, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    val intra = und
+      .join(labels.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(labels.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val mRow = und.agg(count(lit(1)).as("m_edges"))
+    byC.join(intra, Seq("label"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(mRow))
+      .withColumn("_num",
+        expr("1000000 * (4 * m_edges * intra_edges - degree_sum * degree_sum)"))
+      .withColumn("_den", expr("4 * m_edges * m_edges"))
+      .withColumn("contrib_e6", expr(
+        "CAST(CASE WHEN _num < 0 THEN -((-_num) div _den) ELSE _num div _den END AS BIGINT)"))
+      .select(col("label"), col("n_nodes"), col("degree_sum"),
+        col("intra_edges"), col("m_edges"), col("contrib_e6"))
+  }
 }

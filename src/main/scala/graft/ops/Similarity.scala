@@ -1412,6 +1412,58 @@ object Similarity {
       rqCs.map(c => f"rq_c$c%03d" -> arm(rq, c)))
   }
 
+  /** nprobe tuning card — the THIRD serving knob next to the graph walk's
+    * beam ([[beamWidthReport]]) and the rerank rungs' candidate count
+    * ([[rerankWidthReport]]): an IVF query probes its `nprobe` nearest
+    * cells, trading candidate-scan cost linearly for recall. The quantizer
+    * is trained ONCE and the corpus/query assignments are materialized
+    * once (exactly what the persisted IVF index is — at 100 TB this card
+    * reads [[ivfIndexBuild]]'s tables instead); every arm is a prefix of
+    * the one query-side cell ranking, so the card costs one assignment
+    * pass + |arms| cell-joined scoring stages, never |arms| Lloyd runs.
+    * The top arm probes ALL cells — the exact-scan ceiling (recall 1.0)
+    * that prices what the last probe is worth.
+    */
+  def ivfNprobeReport(spark: SparkSession, emb: DataFrame,
+                      numQueries: Int = 16, k: Int = 3,
+                      centroids: Int = 8, iters: Int = 2,
+                      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val base = withNorm(emb)
+    val cents = kmeansCentroids(emb, centroids, iters).cache()
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    val ranked = base.crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
+      .withColumn("_r", row_number().over(wAssign))
+    // the corpus assignment IS the IVF index — materialize it once so the
+    // Lloyd lineage never replays per arm (the persisted-index stand-in)
+    val corpus = ranked.filter(col("_r") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("c_id").as("cell"))
+      .localCheckpoint(true)
+    // one query-side cell ranking at max nprobe; each arm is a prefix
+    val queries = ranked
+      .filter(col("_r") <= nprobes.max && col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("c_id").as("cell"),
+        col("_r").as("probe_rank"))
+      .localCheckpoint(true)
+    def arm(w: Int): DataFrame = {
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      corpus.join(queries.filter(col("probe_rank") <= w), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    }
+    truthHits(spark, emb, numQueries, k)(
+      nprobes.map(w => f"nprobe_$w%02d" -> arm(w)))
+  }
+
   /** THE one ladder: every approximate method the engine ships, priced
     * in one card against the same collected brute truth — probing
     * (single/multi-probe LSH, nprobe 1 vs 2 IVF), quantization (SQ8,
@@ -2017,6 +2069,70 @@ object Similarity {
       .withColumn("cosine_pq",
         expr(dotExpr("pq_recon", "q_emb")) / (col("recon_norm") * col("q_norm")))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine_pq"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine_pq"), col("exact_hit"))
+  }
+
+  /** IVF-PQ SERVED FROM TABLES — the FAISS `IVFx,PQy` deployment shape
+    * with nothing derived from the source corpus at serve time: candidate
+    * cells come off the persisted IVF assignment table
+    * ([[ivfIndexBuild]]/[[ivfIndexAdd]]), scores decode the persisted PQ
+    * code table against the broadcast frozen codebook
+    * ([[pqIndexBuild]]/[[pqIndexAdd]]) — resident memory is centroids +
+    * m-byte codes, compute is nprobe cells × ADC. `emb` supplies only the
+    * query vectors (external at production serve time) and the brute
+    * truth for the per-hit `exact_hit` QA flags. Because cell assignment
+    * and PQ encoding are both pure functions of (vector, frozen
+    * quantizer), each family's build+adds == one from-scratch pass, so
+    * the served search equals the from-scratch [[ivfPqTopK]] composition
+    * the SQL oracle runs.
+    */
+  def ivfPqIndexSearch(spark: SparkSession, emb: DataFrame,
+                       centroidTable: graft.stages.MergeTable,
+                       assignTable: graft.stages.MergeTable,
+                       codebookTable: graft.stages.MergeTable,
+                       codeTable: graft.stages.MergeTable,
+                       numQueries: Int, k: Int, nprobe: Int,
+                       m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    graft.functions.GraftFunctions.register(spark)
+    val cents = centroidTable.read(spark, centroidSchema)
+    val cb = readPqCodebook(spark, codebookTable, m, dim / m)
+    // candidates: (cell, code) off the two index tables alone — the
+    // embedding column of the assignment table is never read (pruned)
+    val corpus = assignTable.read(spark, assignSchema)
+      .select(col("vec_id"), col("cell"))
+      .join(codeTable.read(spark, pqCodeSchema), Seq("vec_id"))
+      .withColumn("_cb", typedLit(cb))
+      .withColumn("pq_recon", expr(
+        "flatten(transform(pq_code, (c, s) -> element_at(element_at(_cb, s + 1), c + 1)))"))
+      .drop("_cb")
+      .withColumn("recon_norm", expr(s"sqrt(${dotExpr("pq_recon", "pq_recon")})"))
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_c_cos").desc, col("c_id"))
+    val queries = withNorm(emb).filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("_c_cos",
+        expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
+      .withColumn("_r", row_number().over(wq))
+      .filter(col("_r") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("c_id").as("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_pq").desc, col("vec_id"))
+    val truth = bruteForceTopK(emb, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    corpus.join(queries, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_pq",
+        expr(dotExpr("pq_recon", "q_emb")) / (col("recon_norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cosine_pq"))

@@ -190,6 +190,53 @@ object TrainPrep {
         expr(s"total_tokens * 10000 div (size(bins) * $cap)").as("fill_e4"))
   }
 
+  /** Capacity sweep card — the "pick your sequence length" tuning knob
+    * of the packing family, the sibling of the ANN serving cards: the
+    * same FFD fold ([[ffdPackCensus]]) run at each candidate capacity,
+    * aggregated corpus-wide, so one table prices the trade a training
+    * pipeline actually tunes — shorter sequences cut attention FLOPs but
+    * push docs to the splitter (n_oversize) and waste pad tokens
+    * (ffd_waste / fill_e4). Lengths are tokenized ONCE (checkpointed —
+    * one corpus pass feeds every arm); each arm is a per-shard fold +
+    * one |shards|-row aggregate. Integer-only output.
+    */
+  def packCapacityReport(docs: DataFrame,
+                         capacities: Seq[Int] = Seq(32, 64, 96, 128),
+                         nShards: Int = 8): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      .withColumn("shard", (col("doc_id") % nShards).cast("int"))
+      .localCheckpoint(true)
+    def arm(capacity: Int): DataFrame = {
+      val cap = s"CAST($capacity AS BIGINT)"
+      val packed = lens.filter(col("len") <= capacity)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"),
+          expr("sort_array(collect_list(struct(-len AS nl, doc_id AS d, len AS l)))")
+            .as("q"))
+        .withColumn("bins", expr(
+          s"""aggregate(transform(q, s -> s.l), CAST(array() AS ARRAY<BIGINT>),
+             |  (acc, L) -> CASE
+             |    WHEN array_position(transform(acc, b -> b + L <= $cap), true) = 0
+             |      THEN concat(acc, array(L))
+             |    ELSE transform(acc, (b, i) ->
+             |      CASE WHEN i = array_position(transform(acc, b2 -> b2 + L <= $cap), true) - 1
+             |           THEN b + L ELSE b END)
+             |  END)""".stripMargin))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_tokens")).as("total_tokens"),
+          sum(size(col("bins")).cast("long")).as("n_bins"))
+      val over = lens.filter(col("len") > capacity)
+        .agg(count(lit(1)).as("n_oversize"))
+      packed.crossJoin(over)
+        .select(lit(capacity.toLong).as("capacity"),
+          col("n_docs"), col("n_oversize"), col("n_bins"), col("total_tokens"),
+          (col("n_bins") * capacity - col("total_tokens")).as("ffd_waste"),
+          expr(s"total_tokens * 10000 div (n_bins * $cap)").as("fill_e4"))
+    }
+    capacities.map(arm).reduce(_ unionByName _).orderBy(col("capacity"))
+  }
+
   /** Deterministic weighted dataset interleaving — the ORDER a training
     * dataloader actually emits when sampling from per-language streams
     * proportionally (tf.data sample_from_datasets / Pile-style mixing),

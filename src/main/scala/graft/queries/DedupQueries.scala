@@ -189,6 +189,75 @@ object DedupQueries {
               FROM documents GROUP BY 1 ORDER BY 1"""),
       doc = "exact dedup: hash-groupBy on raw text"),
 
+    // ---- URL canonicalization dedup: the CommonCrawl-style curation
+    // step that runs BEFORE any content hash — the same logical page
+    // arrives under tracking-decorated, case-shifted, default-port and
+    // fragment variants, and canonicalizing the URL collapses them
+    // without reading a byte of body text. Variants are synthesized
+    // deterministically from doc_id (host case via %3, :443 via %4,
+    // utm_* tracking params via %2/%5, a REAL v=2 param via %5/%11 that
+    // must SURVIVE, #fragment via %6); the canonicalizer is pure string
+    // algebra (lowercase host, strip default port, drop utm_* params
+    // keeping meaningful ones, strip fragment) — identical regex steps
+    // on both engines. Per-row work only until the one hash-groupBy.
+    GQuery("dedup_url_canonical",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("url", expr(
+          """'https://' ||
+            |CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+            |'.example' ||
+            |CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+            |'/doc/' || CAST(doc_id div 100 AS STRING) ||
+            |CASE WHEN doc_id % 5 = 0 THEN '?v=2&utm_campaign=x'
+            |     WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_id=' || CAST(doc_id AS STRING)
+            |     WHEN doc_id % 11 = 0 THEN '?v=2'
+            |     ELSE '' END ||
+            |CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END""".stripMargin))
+        .withColumn("kept", expr(
+          """coalesce(array_join(filter(
+            |  split(coalesce(regexp_extract(url, '\\?([^#]*)', 1), ''), '&'),
+            |  p -> p NOT LIKE 'utm_%' AND p <> ''), '&'), '')""".stripMargin))
+        .withColumn("canonical", expr(
+          """'https://' || lower(regexp_extract(url, 'https://([^/:]+)', 1)) ||
+            |regexp_extract(url, 'https://[^/]+(/[^#?]*)', 1) ||
+            |CASE WHEN kept = '' THEN '' ELSE '?' || kept END""".stripMargin))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_variants"),
+          min(col("doc_id")).as("keeper_doc_id"))
+        .orderBy(col("canonical")),
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |         'https://' ||
+             |         CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+             |         '.example' ||
+             |         CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+             |         '/doc/' || CAST(doc_id // 100 AS VARCHAR) ||
+             |         CASE WHEN doc_id % 5 = 0 THEN '?v=2&utm_campaign=x'
+             |              WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_id=' || CAST(doc_id AS VARCHAR)
+             |              WHEN doc_id % 11 = 0 THEN '?v=2'
+             |              ELSE '' END ||
+             |         CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
+             |  FROM documents),
+             |canon AS (
+             |  SELECT doc_id, url,
+             |         'https://' || lower(regexp_extract(url, 'https://([^/:]+)', 1)) ||
+             |         regexp_extract(url, 'https://[^/]+(/[^#?]*)', 1) ||
+             |         CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical
+             |  FROM (SELECT doc_id, url,
+             |               COALESCE(array_to_string(list_filter(
+             |                 string_split(COALESCE(regexp_extract(url, '\?([^#]*)', 1), ''), '&'),
+             |                 p -> p NOT LIKE 'utm_%' AND p <> ''), '&'), '') AS kept
+             |        FROM raw))
+             |SELECT canonical, count(*) AS n_docs,
+             |       count(DISTINCT url) AS n_raw_variants,
+             |       min(doc_id) AS keeper_doc_id
+             |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin),
+      doc = "URL canonicalization dedup: lowercase host, strip :443 / " +
+        "#fragment / utm_* tracking params (keeping meaningful params), " +
+        "then one hash-groupBy census of the collapsed variant groups — " +
+        "the pre-content-hash curation step"),
+
     GQuery("dedup_paragraphs",
       (s, dir) => Dedup.paragraphDedup(Tables.documents(s, dir))
         .orderBy(col("doc_id")),

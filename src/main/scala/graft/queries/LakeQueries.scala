@@ -374,6 +374,48 @@ object LakeQueries {
         "pure-maintenance commit, then DELETE/UPDATE whose 2-D predicates prune " +
         "the clustered file groups; result matches the layout-blind oracle"),
 
+    // ---- Small-files compaction (OPTIMIZE without clustering): the
+    // steady-state lakehouse maintenance job — micro-batch ingestion
+    // leaves a 64-file version (one file per REPARTITION(64) task, the
+    // streaming-append shape), whose per-file open/footer cost dominates
+    // scans long before data size does; bin-packing the version to 4
+    // files is a PURE maintenance commit (same rows, new layout). The
+    // census reads the table's own version manifest for the file counts
+    // and re-aggregates the content in both phases, so the oracle
+    // (layout-blind content + the two pinned file counts) proves both
+    // the physical rewrite and its semantic invisibility.
+    GQuery("lake_compact_small_files",
+      (s, dir) => {
+        val (t, view) = freshTable(s, dir, "cmps")
+        s.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(64) */ * FROM $view")
+        val (lakeTable, mt) = storageHandle(s, t)
+        def census(phase: String): org.apache.spark.sql.DataFrame = {
+          val nFiles = mt.dataFiles(mt.currentVersion.get).size.toLong
+          s.sql(s"""SELECT count(*) AS n_rows,
+                           CAST(sum(price_cents) AS BIGINT) AS total_cents
+                    FROM $t""")
+            .select(lit(phase).as("phase"), lit(nFiles).as("n_files"),
+              col("n_rows"), col("total_cents"))
+        }
+        val before = census("1_before")
+        mt.compact(s, numFiles = 4, declaredSchema = Some(lakeTable.schema()))
+        val after = census("2_after")
+        before.unionByName(after).orderBy(col("phase"))
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+               |c AS (SELECT count(*) AS n_rows,
+               |             CAST(sum(price_cents) AS BIGINT) AS total_cents
+               |      FROM o)
+               |SELECT '1_before' AS phase, CAST(64 AS BIGINT) AS n_files,
+               |       n_rows, total_cents FROM c
+               |UNION ALL
+               |SELECT '2_after', CAST(4 AS BIGINT), n_rows, total_cents FROM c
+               |ORDER BY phase""".stripMargin),
+      doc = "small-files compaction census: a 64-file ingest version " +
+        "bin-packed to 4 files as a pure maintenance commit — file counts " +
+        "off the version manifest, content re-aggregated in both phases " +
+        "== the layout-blind oracle (semantic invisibility, pinned counts)"),
+
     GQuery("lake_change_feed",
       (s, dir) => {
         import org.apache.spark.sql.functions.col

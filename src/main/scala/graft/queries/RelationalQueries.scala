@@ -2330,6 +2330,118 @@ object RelationalQueries {
         "exact 7y - S7 integer detrending, per-dow seasonal as sign-split " +
         "1e4 rational"),
 
+    // ---- Seasonal-residual anomaly flags: the decomposition's consumer
+    // — a day is anomalous when its deseasonalized residual deviates
+    // from the per-type median by more than 3 MADs (the robust 3-sigma).
+    // Residual carried as the EXACT integer det7·10⁴ − 7·seasonal_e4
+    // (the decompose pipeline's own scale, never a float); median and
+    // MAD are LOWER medians pinned by (value, day) row_number — order
+    // statistics, deterministic cross-engine where mean/stddev float
+    // folds are not. Windows partition by event_type (bounded
+    // |types|·|days| rows); flags surface per scored day.
+    GQuery("ts_stl_anomaly",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+          .rangeBetween(-3, 3)
+        val det = daily
+          .withColumn("s7", sum(col("cents")).over(w))
+          .withColumn("n7", count(lit(1)).over(w))
+          .filter(col("n7") === 7)
+          .withColumn("dow", expr("(d + 4) % 7"))
+          .withColumn("det7", col("cents") * 7 - col("s7"))
+          .localCheckpoint(true) // feeds seasonal agg AND the residual join
+        val seas = det.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n_days"), sum(col("det7")).as("detr_sum"))
+          .withColumn("seasonal_e4", expr(
+            """CAST(CASE WHEN detr_sum < 0
+              |  THEN -((-(10000 * CAST(detr_sum AS DECIMAL(38,0))))
+              |         div (7 * n_days))
+              |  ELSE (10000 * CAST(detr_sum AS DECIMAL(38,0))) div (7 * n_days)
+              |END AS BIGINT)""".stripMargin))
+          .select(col("event_type"), col("dow"), col("seasonal_e4"))
+        val resid = det.join(seas, Seq("event_type", "dow"))
+          .select(col("event_type"), col("d"),
+            (col("det7") * 10000 - col("seasonal_e4") * 7).as("r"))
+        val wOrd = Window.partitionBy(col("event_type"))
+          .orderBy(col("r"), col("d"))
+        val wN = Window.partitionBy(col("event_type"))
+        val med = resid
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wN))
+          .filter(expr("rn = (n + 1) div 2"))
+          .select(col("event_type"), col("r").as("med"))
+        val dev = resid.join(med, Seq("event_type"))
+          .select(col("event_type"), col("d"), col("r"),
+            abs(col("r") - col("med")).as("dv"))
+          .localCheckpoint(true) // feeds the MAD order statistic AND output
+        val wDev = Window.partitionBy(col("event_type"))
+          .orderBy(col("dv"), col("d"))
+        val mad = dev
+          .withColumn("rn", row_number().over(wDev))
+          .withColumn("n", count(lit(1)).over(wN))
+          .filter(expr("rn = (n + 1) div 2"))
+          .select(col("event_type"), col("dv").as("mad"))
+        dev.join(mad, Seq("event_type"))
+          .select(col("event_type"), col("d"), col("r").as("resid_x7e4"),
+            col("dv").as("dev_x7e4"), col("mad").as("mad_x7e4"),
+            expr("CAST(CASE WHEN dv > 3 * mad THEN 1 ELSE 0 END AS INT)")
+              .as("is_anomaly"))
+          .orderBy(col("event_type"), col("d"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             |         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |win AS (
+             |  SELECT event_type, d, cents,
+             |         CAST(SUM(cents) OVER w AS BIGINT) AS s7, count(*) OVER w AS n7
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+             |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |det AS (
+             |  SELECT event_type, d, (d + 4) % 7 AS dow, cents * 7 - s7 AS det7
+             |  FROM win WHERE n7 = 7),
+             |seas AS (
+             |  SELECT event_type, dow,
+             |         CAST(CASE WHEN SUM(det7) < 0
+             |                THEN -((-(10000 * CAST(SUM(det7) AS HUGEINT))) // (7 * count(*)))
+             |                ELSE (10000 * CAST(SUM(det7) AS HUGEINT)) // (7 * count(*))
+             |              END AS BIGINT) AS seasonal_e4
+             |  FROM det GROUP BY 1, 2),
+             |resid AS (
+             |  SELECT t.event_type, t.d,
+             |         CAST(t.det7 AS BIGINT) * 10000 - 7 * s.seasonal_e4 AS r
+             |  FROM det t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.dow),
+             |medr AS (
+             |  SELECT event_type, r AS med FROM (
+             |    SELECT event_type, r,
+             |           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, d) AS rn,
+             |           count(*) OVER (PARTITION BY event_type) AS n
+             |    FROM resid) WHERE rn = (n + 1) // 2),
+             |dev AS (
+             |  SELECT r.event_type, r.d, r.r, abs(r.r - m.med) AS dv
+             |  FROM resid r JOIN medr m USING (event_type)),
+             |madr AS (
+             |  SELECT event_type, dv AS mad FROM (
+             |    SELECT event_type, dv, d,
+             |           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv, d) AS rn,
+             |           count(*) OVER (PARTITION BY event_type) AS n
+             |    FROM dev) WHERE rn = (n + 1) // 2)
+             |SELECT v.event_type, CAST(v.d AS BIGINT) AS d, v.r AS resid_x7e4,
+             |       v.dv AS dev_x7e4, m.mad AS mad_x7e4,
+             |       CAST(CASE WHEN v.dv > 3 * m.mad THEN 1 ELSE 0 END AS INT) AS is_anomaly
+             |FROM dev v JOIN madr m USING (event_type)
+             |ORDER BY v.event_type, v.d""".stripMargin),
+      doc = "seasonal-residual anomaly flags: exact-integer deseasonalized " +
+        "residual (det7*1e4 - 7*seasonal) graded against 3x the per-type " +
+        "MAD, median/MAD as deterministic lower-median order statistics " +
+        "— the decomposition's robust-3-sigma consumer"),
+
     // ---- Changepoint by binary segmentation (one split): the WHERE
     // answer next to ts_cusum's "did it drift" — per event_type, the
     // split day t maximizing the between-segment sum of squares
@@ -2909,6 +3021,65 @@ object RelationalQueries {
               FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
       doc = "listagg WITHIN GROUP (Spark 4 ANSI ordered string " +
         "aggregation) == DuckDB string_agg ORDER BY"),
+
+    // ---- GROUP BY ALL / ORDER BY ALL (Spark 4): the analyst-SQL
+    // shorthand — grouping keys inferred as every non-aggregate select
+    // item, ordering over the whole select list. Same plan as the
+    // explicit form the oracle spells out; revenue summed in exact
+    // cents (the float-sum determinism convention).
+    GQuery("sql_group_by_all",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("v_orders_gba")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                        count(*) AS n_orders,
+                        CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          AS revenue_cents
+                 FROM v_orders_gba
+                 GROUP BY ALL
+                 ORDER BY ALL""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                     CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM orders GROUP BY 1, 2 ORDER BY 1, 2, 3, 4"""),
+      doc = "GROUP BY ALL + ORDER BY ALL (Spark 4 inferred grouping/" +
+        "ordering) == explicit positional oracle, exact-cents revenue"),
+
+    // ---- ANSI INTERVAL arithmetic (o25): year-month and day-time
+    // interval literals composed on timestamps — month shift clamps to
+    // month end identically in both engines, the 36-hour day-time arm
+    // crosses day boundaries, and the timestamp difference is extracted
+    // back out as whole days (day-time interval extraction). Rendered to
+    // strings/integers so the compare is representation-stable.
+    GQuery("o25_interval_arith",
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("due", col("o_orderdate")
+          + expr("INTERVAL '2' MONTH") + expr("INTERVAL '10' DAY")
+          + expr("INTERVAL '36' HOUR"))
+        .withColumn("shift_days",
+          expr("extract(DAY FROM (due - o_orderdate))").cast("long"))
+        .groupBy(date_format(col("due"), "yyyy-MM").as("due_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          date_format(min(col("due")), "yyyy-MM-dd HH:mm:ss").as("first_due"),
+          date_format(max(col("due")), "yyyy-MM-dd HH:mm:ss").as("last_due"),
+          sum(col("shift_days")).as("total_shift_days"))
+        .orderBy(col("due_month")),
+      Some("""WITH d AS (
+                SELECT o_orderdate,
+                       o_orderdate + INTERVAL 2 MONTH + INTERVAL 10 DAY
+                         + INTERVAL 36 HOUR AS due
+                FROM orders)
+              SELECT strftime(due, '%Y-%m') AS due_month,
+                     count(*) AS n_orders,
+                     strftime(min(due), '%Y-%m-%d %H:%M:%S') AS first_due,
+                     strftime(max(due), '%Y-%m-%d %H:%M:%S') AS last_due,
+                     CAST(SUM(date_part('day', due - o_orderdate)) AS BIGINT)
+                       AS total_shift_days
+              FROM d GROUP BY 1 ORDER BY 1"""),
+      doc = "ANSI interval arithmetic: year-month + day-time interval " +
+        "composition on timestamps (month-end clamping, day-boundary " +
+        "crossing) and day extraction from a timestamp difference, " +
+        "censused per landing month"),
 
     // ---- As-of join (operator Spark lacks; composed per ops.AsOfJoin)
     GQuery("asof_last_signup",

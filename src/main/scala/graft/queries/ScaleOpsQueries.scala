@@ -399,6 +399,54 @@ object ScaleOpsQueries {
         "trailing register-max frame per (type, bucket) + harmonic estimate — " +
         "31 overlapping answers from the sketch table, never the corpus"),
 
+    // ---- EXACT distinct via persisted roaring bitmaps (Spark 4
+    // bitmap_construct_agg / bitmap_or_agg / bitmap_count): the
+    // re-aggregable EXACT twin of the HLL family — one bitmap per
+    // (type, day, 32k-id bucket) persisted to a scratch table, day
+    // answers read their own rows, the month answer OR-merges the
+    // stored bitmaps, the raw events never rescanned. Where HLL trades
+    // exactness for fixed 64-register size, the bitmap index is exact
+    // at |users|/8 bits per bucket worst case — the right rung when ids
+    // are dense (our user ids are) and the consumer needs the true
+    // count (billing, dedup audits). Oracle = plain COUNT(DISTINCT) at
+    // both grains, proving merge transparency.
+    GQuery("sketch_bitmap_distinct",
+      (s, dir) => {
+        val out = graft.stages.TempDirs.scratchStable("graft_bitmap_daily_")
+        Tables.events(s, dir)
+          .select(col("event_type"), dayofmonth(col("ts")).as("day"), col("user_id"))
+          .groupBy(col("event_type"), col("day"),
+            expr("bitmap_bucket_number(user_id)").as("bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+          .write.mode("overwrite").parquet(out)
+        val daily = s.read.parquet(out)
+        val perDay = daily.groupBy(col("event_type"), col("day"))
+          .agg(sum(expr("bitmap_count(bm)")).as("n_users_day"))
+        val perMonth = daily
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(expr("bitmap_or_agg(bm)").as("mbm"))
+          .groupBy(col("event_type"))
+          .agg(sum(expr("bitmap_count(mbm)")).as("n_users_month"))
+        perDay.join(perMonth, Seq("event_type"))
+          .select(col("event_type"), col("day"), col("n_users_day"),
+            col("n_users_month"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH pd AS (
+                SELECT event_type, CAST(date_part('day', ts) AS INT) AS day,
+                       COUNT(DISTINCT user_id) AS n_users_day
+                FROM events GROUP BY 1, 2),
+              pm AS (
+                SELECT event_type, COUNT(DISTINCT user_id) AS n_users_month
+                FROM events GROUP BY 1)
+              SELECT pd.event_type, pd.day, pd.n_users_day, pm.n_users_month
+              FROM pd JOIN pm USING (event_type)
+              ORDER BY pd.event_type, pd.day"""),
+      doc = "exact distinct from persisted day-grain roaring bitmaps " +
+        "(bitmap_construct_agg): day answers read stored rows, the month " +
+        "answer OR-merges them (bitmap_or_agg) — the exact re-aggregable " +
+        "twin of the HLL sketch table, == COUNT(DISTINCT) at both grains"),
+
     // ---- bottom-k-by-hash sampling (ops/Sketch.hashSampleQuantiles): the
     // deterministic, mergeable uniform sample (keep the k smallest md5
     // priorities — union + keep-k-smallest merges, the KMV property), with
@@ -1407,6 +1455,81 @@ object ScaleOpsQueries {
       },
       doc = "synchronous label-propagation communities (3 exact rounds, " +
         "most-frequent neighbor label, min-label ties): per-community size table"),
+
+    // ---- Modularity census of the LP communities (Newman's Q, the
+    // number community detection is graded by): per community, the exact
+    // integer contribution ⌊10⁶·(4m·L_c − d_c²)/4m²⌋ — L_c = intra
+    // edges, d_c = degree sum, m = edge count. Same fixture graph and
+    // the identical 3-round LP as graph_label_propagation, so the census
+    // prices exactly the partition that query ships. Two passes over the
+    // edge list (degree agg + label-joined intra count), nothing
+    // quadratic.
+    GQuery("graph_modularity_census",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val path = nodes.filter(col("node") % 10 =!= 0)
+          .select(col("node").as("a"), (col("node") + 1).as("b"))
+        val star = nodes
+          .select(expr("((node - 1) div 10) * 10 + 1").as("a"), col("node").as("b"))
+          .filter(col("a") =!= col("b"))
+        val und = path.unionByName(star).distinct()
+          .join(nodes.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true) // referenced by degree, intra, and m branches
+        val labels = graft.ops.GraphOps.labelPropagation(nodes, und, rounds = 3)
+          .localCheckpoint(true)
+        graft.ops.GraphOps.modularityCensus(und, labels)
+          .orderBy(col("label"))
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""v$r AS (SELECT t.node, -(max({'c': t.cnt, 'k': -t.lbl}).k) AS new_label
+                      FROM (SELECT nb.node AS node, l.label AS lbl, count(*) AS cnt
+                            FROM nbrs nb JOIN l${r - 1} l ON l.node = nb.nbr
+                            GROUP BY nb.node, l.label) t
+                      GROUP BY t.node),
+              l$r AS (SELECT n.node, CAST(COALESCE(v.new_label, n.label) AS BIGINT) AS label
+                      FROM l${r - 1} n LEFT JOIN v$r v USING (node))"""
+        }.mkString(",\n")
+        s"""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+            cand AS (
+              SELECT node AS a, node + 1 AS b FROM nodes WHERE node % 10 <> 0
+              UNION
+              SELECT ((node - 1) // 10) * 10 + 1 AS a, node AS b FROM nodes
+               WHERE ((node - 1) // 10) * 10 + 1 <> node),
+            und AS (SELECT a, b FROM cand e
+                    WHERE EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.a)
+                      AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+            nbrs AS (SELECT a AS node, b AS nbr FROM und
+                     UNION ALL SELECT b AS node, a AS nbr FROM und),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            $rounds,
+            deg AS (SELECT node, count(*) AS deg FROM nbrs GROUP BY node),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM und),
+            byc AS (SELECT l.label, count(*) AS n_nodes,
+                           CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+                    FROM l3 l JOIN deg d USING (node) GROUP BY l.label),
+            intra AS (SELECT la.label, count(*) AS intra_edges
+                      FROM und e JOIN l3 la ON la.node = e.a
+                                 JOIN l3 lb ON lb.node = e.b
+                      WHERE la.label = lb.label GROUP BY la.label),
+            r AS (SELECT b.label, b.n_nodes, b.degree_sum,
+                         CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+                         m.m_edges,
+                         1000000 * (4 * m.m_edges * CAST(COALESCE(i.intra_edges, 0) AS BIGINT)
+                           - b.degree_sum * b.degree_sum) AS num,
+                         4 * m.m_edges * m.m_edges AS den
+                  FROM byc b LEFT JOIN intra i USING (label), m)
+            SELECT label, n_nodes, degree_sum, intra_edges, m_edges,
+                   CAST(CASE WHEN num < 0 THEN -((-num) // den)
+                             ELSE num // den END AS BIGINT) AS contrib_e6
+            FROM r ORDER BY label"""
+      },
+      doc = "modularity census of the LP communities: exact-integer " +
+        "per-community Newman-Q contributions (4m·L_c − d_c² over 4m², " +
+        "floored at 1e6) — degree agg + label-joined intra-edge count, " +
+        "two edge-list passes"),
 
     // ---- Quantile-sketch quality report (the sim_recall_report
     // convention for order statistics): the bottom-64-by-hash sample's

@@ -968,9 +968,11 @@ object SimilarityQueries {
     * inside shared cells, scores come from the reconstruction.
     */
   private def ivfPqSql(centroids: Int, nprobe: Int, numQueries: Int, k: Int,
-                       m: Int, ksub: Int, subDim: Int): String =
-    s"""WITH ${kmeansAssignCtes(centroids, nprobe, numQueries)},
-       |${pqReconCtes(m, ksub, subDim)},
+                       m: Int, ksub: Int, subDim: Int,
+                       trainPred: String = "TRUE",
+                       cbPred: String = ""): String =
+    s"""WITH ${kmeansAssignCtes(centroids, nprobe, numQueries, trainPred)},
+       |${pqReconCtes(m, ksub, subDim, cbPred)},
        |ranked AS (
        |  SELECT q.query_id, co.vec_id,
        |         list_sum(list_transform(range(1, 65),
@@ -990,6 +992,43 @@ object SimilarityQueries {
        |FROM ranked r LEFT JOIN truth t
        |  ON t.query_id = r.query_id AND t.neighbor_id = r.vec_id
        |WHERE r.rank <= $k ORDER BY r.query_id, r.rank""".stripMargin
+
+  /** DuckDB mirror of Similarity.ivfNprobeReport: the shared kmeans
+    * assignment CTEs ONCE at max nprobe (each arm is a rank prefix of the
+    * one `fin` ranking, same as the Spark side), per-arm exact scoring
+    * inside the probed cells, each semi-joined against the shared brute
+    * truth.
+    */
+  private def ivfNprobeSql(centroids: Int, numQueries: Int, k: Int,
+                           nprobes: Seq[Int]): String = {
+    val nTruth = numQueries * k
+    val maxW = nprobes.max
+    val ctes = nprobes.map(w =>
+      f"""np$w%02d AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT qq.query_id, co.vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY qq.query_id
+         |             ORDER BY ${dotSql("b.embedding", "qb.embedding")} / (b.norm * qb.norm) DESC,
+         |                      co.vec_id) AS rank
+         |    FROM corpus co JOIN qq ON co.cell = qq.cell AND qq.r <= $w%d
+         |    JOIN base b ON b.vec_id = co.vec_id
+         |    JOIN base qb ON qb.vec_id = qq.query_id
+         |    WHERE co.vec_id <> qq.query_id)
+         |  WHERE rank <= $k%d)""".stripMargin).mkString(",\n")
+    val rows = nprobes.map(w =>
+      f"""SELECT 'nprobe_$w%02d' AS method,
+         |       (SELECT count(*) FROM np$w%02d a JOIN truth t
+         |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${kmeansAssignCtes(centroids, maxW, numQueries)},
+       |qq AS (SELECT vec_id AS query_id, cell, r FROM fin
+       |       WHERE r <= $maxW AND vec_id < $numQueries),
+       |truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t),
+       |$ctes
+       |SELECT method, CAST($nTruth AS BIGINT) AS n_truth, n_hits,
+       |       CAST(n_hits AS DOUBLE) / $nTruth AS recall
+       |FROM ($rows) ORDER BY method""".stripMargin
+  }
 
   val all: Seq[GQuery] = Seq(
 
@@ -2330,6 +2369,59 @@ object SimilarityQueries {
         "exact final-beam rerank off the node table — both index families " +
         "built on the even half + incrementally extended, serve plan " +
         "touches no source corpus, == from-scratch composition oracle"),
+
+    // ---- IVF-PQ SERVED FROM TABLES: the FAISS `IVFx,PQy` flagship
+    // deployment with nothing derived from the source corpus at serve
+    // time — candidate cells come off the persisted IVF assignment
+    // table, scores decode the persisted PQ code table (resident memory
+    // = centroids + m-byte codes), queries external. Both families built
+    // on the even half + incrementally extended with the odd half; each
+    // family's build+adds == one from-scratch pass, so the served search
+    // equals the from-scratch ivfPqTopK composition the oracle runs.
+    GQuery("sim_ivfpq_index_serve",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val even = emb.filter(col("vec_id") % 2 === 0)
+        val odd = emb.filter(col("vec_id") % 2 === 1)
+        val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
+        val asgT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        val cbT = graft.stages.MergeTable.scratch(Seq("c_id"))
+        val codeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        Similarity.ivfIndexBuild(s, even, centT, asgT, centroids = 16, iters = 2)
+        Similarity.ivfIndexAdd(s, odd, centT, asgT)
+        Similarity.pqIndexBuild(s, even, cbT, codeT, cbIdBound = 32)
+        Similarity.pqIndexAdd(s, odd, cbT, codeT)
+        Similarity.ivfPqIndexSearch(s, emb, centT, asgT, cbT, codeT,
+          numQueries = 16, k = 3, nprobe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqSql(centroids = 16, nprobe = 2, numQueries = 16, k = 3,
+        m = 8, ksub = 16, subDim = 8, trainPred = "vec_id % 2 = 0",
+        cbPred = "e.vec_id < 32 AND e.vec_id % 2 = 0")),
+      doc = "IVF-PQ served from tables (the FAISS IVFx,PQy deployment): " +
+        "candidate cells off the persisted IVF assignment table, scores " +
+        "decoded from the persisted PQ code table against the broadcast " +
+        "frozen codebook — both families built on the even half + " +
+        "incrementally extended, serve plan touches no source corpus, " +
+        "== from-scratch composition oracle with per-hit truth flags"),
+
+    // ---- nprobe tuning card: the IVF serving knob next to the graph
+    // walk's beam and the rerank rungs' C — quantizer trained once,
+    // corpus/query assignments materialized once (what the persisted
+    // index is), every arm a rank prefix of the one cell ranking. The
+    // nprobe=8 arm probes ALL cells = the exact-scan ceiling (recall
+    // 1.0), pricing what each extra probe buys on the way there.
+    GQuery("sim_ivf_nprobe_report",
+      (s, dir) => Similarity.ivfNprobeReport(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3, centroids = 8, iters = 2,
+          nprobes = Seq(1, 2, 4, 8))
+        .orderBy(col("method")),
+      Some(ivfNprobeSql(centroids = 8, numQueries = 16, k = 3,
+        nprobes = Seq(1, 2, 4, 8))),
+      doc = "IVF nprobe recall curve: one trained quantizer + one " +
+        "materialized assignment pass, arms nprobe=1/2/4/8 as prefixes " +
+        "of one query-side cell ranking, each against the shared brute " +
+        "truth — nprobe=8 probes all cells (the recall-1.0 exact ceiling)"),
 
     // ---- One-bit (binary) quantization top-k — the 64× memory rung
     // (vs PQ 32× / SQ8 4×): 60-bit sign signature, Hamming coarse rank

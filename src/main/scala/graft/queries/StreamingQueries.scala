@@ -168,6 +168,22 @@ object StreamingQueries {
         "per type, order-insensitive KMV fold; drained final == batch " +
         "sketch_sample_quantiles (shared oracle)"),
 
+    // ---- Bitmap as STREAMING STATE (fifth sketch-state twin): the
+    // EXACT distinct counter — one bit per dense user id in a ValueState
+    // (grown on demand), running count exact at every emission. Bit-set
+    // union is order-insensitive, so the drained final per key == the
+    // plain batch COUNT(DISTINCT) — the streaming face of the persisted
+    // bitmap index (sketch_bitmap_distinct).
+    GQuery("streaming_bitmap_state",
+      (s, dir) => graft.streaming.SketchState.bitmapStateDrain(s, dir)
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1 ORDER BY 1"""),
+      doc = "exact distinct in transformWithState: per-type user-id bitmap " +
+        "ValueState (|ids|/8 bytes, grown on demand), order-insensitive " +
+        "bit union; drained final == batch COUNT(DISTINCT) — the exact " +
+        "twin of the HLL state at dense-id cost"),
+
     // ---- Misra-Gries as STREAMING STATE (fourth sketch-state twin): the
     // live per-day heavy-hitter monitor — ≤ k map entries per day key in
     // RocksDB, arrival-order-dependent summary made deterministic by the

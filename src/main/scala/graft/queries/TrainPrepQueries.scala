@@ -293,6 +293,56 @@ object TrainPrepQueries {
         "one-sequence-per-doc baseline waste; oversize docs censused to " +
         "the splitter"),
 
+    // ---- Capacity sweep: the "pick your sequence length" card — the
+    // same FFD fold at capacity 32/64/96/128, aggregated corpus-wide.
+    // Shorter sequences cut attention FLOPs but push docs to the
+    // splitter (n_oversize) and waste pad tokens; the card prices the
+    // whole trade from one tokenize pass (lengths checkpointed, every
+    // arm a per-shard fold + one 8-row aggregate).
+    GQuery("prep_pack_capacity_report",
+      (s, dir) => TrainPrep.packCapacityReport(Tables.documents(s, dir),
+          capacities = Seq(32, 64, 96, 128), nShards = 8)
+        .orderBy(col("capacity")),
+      Some {
+        def armSql(cap: Int): String =
+          s"""SELECT CAST($cap AS BIGINT) AS capacity,
+             |       CAST((SELECT SUM(n_docs) FROM f$cap) AS BIGINT) AS n_docs,
+             |       (SELECT count(*) FROM lens WHERE len > $cap) AS n_oversize,
+             |       CAST((SELECT SUM(len(bins)) FROM f$cap) AS BIGINT) AS n_bins,
+             |       CAST((SELECT SUM(total_tokens) FROM f$cap) AS BIGINT) AS total_tokens""".stripMargin
+        def fitSql(cap: Int): String =
+          s"""f$cap AS (
+             |  SELECT shard, count(*) AS n_docs,
+             |         CAST(SUM(len) AS BIGINT) AS total_tokens,
+             |         list_reduce(list_prepend(CAST([] AS BIGINT[]),
+             |             list_transform(list(len ORDER BY len DESC, doc_id),
+             |               l -> [l])),
+             |           (acc, x) -> CASE
+             |             WHEN list_position(list_transform(acc,
+             |                    b -> b + x[1] <= $cap), true) = 0
+             |               THEN list_append(acc, x[1])
+             |             ELSE list_transform(acc, (b, i) ->
+             |               CASE WHEN i = list_position(list_transform(acc,
+             |                             b2 -> b2 + x[1] <= $cap), true)
+             |                    THEN b + x[1] ELSE b END)
+             |           END) AS bins
+             |  FROM lens WHERE len <= $cap GROUP BY shard)""".stripMargin
+        val caps = Seq(32, 64, 96, 128)
+        s"""WITH lens AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+           |         CAST(doc_id % 8 AS INT) AS shard
+           |  FROM documents),
+           |${caps.map(fitSql).mkString(",\n")}
+           |SELECT capacity, n_docs, n_oversize, n_bins, total_tokens,
+           |       n_bins * capacity - total_tokens AS ffd_waste,
+           |       total_tokens * 10000 // (n_bins * capacity) AS fill_e4
+           |FROM (${caps.map(armSql).mkString("\nUNION ALL\n")})
+           |ORDER BY capacity""".stripMargin
+      },
+      doc = "FFD capacity sweep (32/64/96/128): corpus-wide bins, padding " +
+        "waste, fill at 1e4 and splitter pressure per candidate sequence " +
+        "length — one tokenize pass, arms share the checkpointed lengths"),
+
     // ---- Split-then-pack: prep_pack_ffd's splitter half — oversize
     // docs cut into capacity windows (full windows + remainder), pieces
     // rejoin the in-capacity docs, the whole shard FFD-packs; nothing

@@ -185,4 +185,79 @@ object SketchState extends Serializable {
       .agg(count(lit(1)).as("n_events"))
       .filter(col("n_events") * (k + 1) > total)
   }}
+
+  // ---- Bitmap AS STREAMING STATE: the EXACT distinct counter — the
+  // fifth sketch-state twin, and the streaming face of the persisted
+  // bitmap index (sketch_bitmap_distinct). Where HLL state trades
+  // exactness for 64 registers, the bitmap holds one bit per dense user
+  // id (|ids|/8 bytes per key in RocksDB, grown on demand) and the
+  // running count is exact at every emission. Bit-set union is
+  // order-insensitive, so the drained final per key == batch
+  // COUNT(DISTINCT) — the oracle is the plain exact aggregate.
+
+  final case class TypedUser(event_type: String, user_id: Long)
+  final case class BitmapEmit(event_type: String, n_users: Long)
+
+  final class BitmapProcessor extends StatefulProcessor[String, TypedUser, BitmapEmit] {
+    @transient private var bm: ValueState[Array[Long]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bm = getHandle.getValueState[Array[Long]]("bm",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TypedUser],
+                                 timers: TimerValues): Iterator[BitmapEmit] = {
+      var buf = if (bm.exists()) bm.get() else new Array[Long](1)
+      rows.foreach { e =>
+        val word = (e.user_id >> 6).toInt
+        if (word >= buf.length) buf = java.util.Arrays.copyOf(buf, word + 1)
+        buf(word) |= 1L << (e.user_id & 63)
+      }
+      bm.update(buf)
+      var n = 0L
+      var i = 0
+      while (i < buf.length) { n += java.lang.Long.bitCount(buf(i)); i += 1 }
+      Iterator.single(BitmapEmit(key, n))
+    }
+  }
+
+  /** Drain the events through the bitmap state processor (AvailableNow)
+    * and return each type's FINAL exact running count — == batch
+    * COUNT(DISTINCT user_id) per type (order-insensitive bit union).
+    */
+  def bitmapStateDrain(spark: SparkSession, sfDir: String): DataFrame =
+      StateDefaults.withRocksDB(spark) { StateDefaults.withNanosRead(spark) {
+    import spark.implicits._
+    val events = EventStream.readStream(spark, sfDir, "events.parquet", Map.empty)
+      .select(col("event_type"), col("user_id"))
+      .as[TypedUser]
+
+    val updates = events
+      .groupByKey(_.event_type)
+      .transformWithState(new BitmapProcessor, TimeMode.None(), OutputMode.Update())
+
+    val outDir = graft.stages.TempDirs.scratch("graft_bmst_drain_")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = updates.writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[BitmapEmit], id: Long) =>
+          batch.withColumn("_batch", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      StateDefaults.awaitDrain(q)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    val raw = StreamJoin.readDrainOutput(spark, outDir,
+      updates.toDF().withColumn("_batch", lit(0L)).schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("_batch").desc)
+    raw.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("event_type"), col("n_users"))
+  }}
 }

@@ -131,4 +131,45 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(Seq(11L, 12L, 13L, 14L).forall(labels(_) == 11L), s"parts=$parts: $labels")
     }
   }
+
+  test("modularity census: two triangles + bridge, hand-computed exact contributions") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by bridge (3,4): m = 7,
+    // each community has L_c = 3 intra edges and degree sum 2+2+3 = 7,
+    // so contrib = (4·7·3 − 7²) / (4·7²) = 35/196 → ⌊1e6·35/196⌋ = 178571
+    // and Q = 2·35/196 = 0.357…
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "label")
+    for (parts <- Seq(1, 5)) {
+      val rows = GraphOps.modularityCensus(und.repartition(parts), labels)
+        .orderBy(col("label")).collect()
+      assert(rows.length == 2)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_nodes") == 3L)
+        assert(r.getAs[Long]("degree_sum") == 7L)
+        assert(r.getAs[Long]("intra_edges") == 3L)
+        assert(r.getAs[Long]("m_edges") == 7L)
+        assert(r.getAs[Long]("contrib_e6") == 178571L, s"parts=$parts: $r")
+      }
+    }
+  }
+
+  test("modularity census: everything in one community scores zero; singleton communities go negative") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    // one community holding the whole graph: L_c = m and d_c = 2m, so
+    // contrib = (4m·m − 4m²)/4m² = 0 exactly
+    val one = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")
+    val all = GraphOps.modularityCensus(und, one).collect()
+    assert(all.length == 1 && all.head.getAs[Long]("contrib_e6") == 0L)
+    // singletons: L_c = 0, d_c = 2 → contrib = −4/(4·9) = −1/9 → sign-split
+    // floor −111111 (truncation toward zero on the negated magnitude)
+    val singles = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "label")
+    val rows = GraphOps.modularityCensus(und, singles).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Long]("intra_edges") == 0L))
+    assert(rows.forall(_.getAs[Long]("contrib_e6") == -111111L))
+  }
 }

@@ -303,7 +303,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "streaming_paged_source", "streaming_paged_windowed",
     "streaming_dedup_redelivery", "streaming_scd2_cdc", "streaming_hll_state",
     "streaming_cusum_state", "streaming_bottomk_state", "streaming_mg_state",
-    "streaming_funnel_state", "streaming_ann_ingest")
+    "streaming_funnel_state", "streaming_ann_ingest",
+    "streaming_bitmap_state")
 
   // `Window.orderBy` with no partition spec plans a SINGLE-partition
   // WindowExec — every input row through one task, the shape that turned
@@ -522,6 +523,9 @@ class PlanAuditSpec extends AnyFunSuite {
     ("sim_graph_pq_index_serve", Set("c", "c_id")) ->
       ("persisted graph-index centroid table — 8 rows (even ids < 16) " +
         "written by graphIndexBuild"),
+    ("sim_ivfpq_index_serve", Set("c", "c_id")) ->
+      ("persisted IVF centroid table — 8 Lloyd centroids (even-id init " +
+        "< 16) written by ivfIndexBuild"),
     // per-label centroid table: groupBy(label) — |labels| rows (10 here,
     // label-domain-bounded at any corpus size)
     ("sim_class_centroids", Set("label_b", "n_b", "cb")) ->

@@ -508,4 +508,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(er > r1.getAs[Long]("eff_rank_e4"),
       "spread cloud must out-rank the collapsed one")
   }
+
+  test("IVF-PQ served from tables == the from-scratch composition (one-pass build, no adds)") {
+    import org.apache.spark.sql.functions.col
+    val centT = graft.stages.MergeTable.scratch(Seq("c_id"))
+    val asgT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+    val cbT = graft.stages.MergeTable.scratch(Seq("c_id"))
+    val codeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+    Similarity.ivfIndexBuild(spark, emb, centT, asgT, centroids = 4, iters = 2)
+    Similarity.pqIndexBuild(spark, emb, cbT, codeT, cbIdBound = 16)
+    val served = Similarity.ivfPqIndexSearch(spark, emb, centT, asgT, cbT, codeT,
+        numQueries = 8, k = 3, nprobe = 2)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val direct = Similarity.ivfPqTopK(spark, emb, numQueries = 8, k = 3,
+        centroids = 4, iters = 2, nprobe = 2)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(served.length == direct.length && served.nonEmpty)
+    served.zip(direct).foreach { case (a, b) =>
+      assert(a.getAs[Long]("query_id") == b.getAs[Long]("query_id"))
+      assert(a.getAs[Long]("neighbor_id") == b.getAs[Long]("neighbor_id"))
+      assert(a.getAs[Double]("cosine_pq") == b.getAs[Double]("cosine_pq"))
+      assert(a.getAs[Int]("exact_hit") == b.getAs[Int]("exact_hit"))
+    }
+  }
+
+  test("nprobe report: recall monotone in nprobe, all-cells arm is the exact ceiling") {
+    val rows = Similarity.ivfNprobeReport(spark, emb, numQueries = 8, k = 3,
+        centroids = 4, iters = 2, nprobes = Seq(1, 2, 4))
+      .orderBy(org.apache.spark.sql.functions.col("method")).collect()
+    assert(rows.length == 3)
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.sliding(2).forall { case Array(a, b) => a <= b },
+      s"recall must be monotone in nprobe: ${recalls.mkString(",")}")
+    assert(recalls.last == 1.0,
+      s"probing all 4 cells is an exact scan: ${recalls.last}")
+    assert(rows.forall(r => r.getAs[Long]("n_hits") <= r.getAs[Long]("n_truth")))
+  }
 }

@@ -320,4 +320,35 @@ class TrainPrepSpec extends AnyFunSuite {
     // cap, not a quota; the oracle's empty bN CTEs drop the same rounds)
     assert(out.toSeq == Seq((1, 1L, 8L, 8L), (2, 2L, 3L, 11L)))
   }
+
+  test("capacity sweep: oversize monotone down, coverage constant, bins bounded below by token volume") {
+    import spark.implicits._
+    // lengths 3/5/7/9 across two shards (doc_id % 8): everything fits at
+    // cap 9, only 3 fits at cap 4
+    val d = Seq(
+      (0L, "a b c"), (1L, "a b c d e"),
+      (2L, "a b c d e f g"), (3L, "a b c d e f g h i")
+    ).toDF("doc_id", "text")
+    val rows = graft.ops.TrainPrep.packCapacityReport(d,
+        capacities = Seq(4, 9, 24), nShards = 8)
+      .orderBy(col("capacity")).collect()
+    assert(rows.length == 3)
+    val total = 3L + 5L + 7L + 9L
+    rows.foreach { r =>
+      val cap = r.getAs[Long]("capacity")
+      assert(r.getAs[Long]("n_docs") + r.getAs[Long]("n_oversize") == 4L,
+        s"cap=$cap: coverage must be constant")
+      val bins = r.getAs[Long]("n_bins")
+      val toks = r.getAs[Long]("total_tokens")
+      assert(bins * cap >= toks, s"cap=$cap: bins must hold the tokens")
+      assert(r.getAs[Long]("ffd_waste") == bins * cap - toks)
+    }
+    val oversize = rows.map(_.getAs[Long]("n_oversize"))
+    assert(oversize.sliding(2).forall { case Array(a, b) => a >= b },
+      s"oversize monotone non-increasing: ${oversize.mkString(",")}")
+    assert(oversize.toSeq == Seq(3L, 0L, 0L))
+    // cap 24: one doc per shard => 4 singleton bins; cap 9: docs sit in
+    // 4 different shards (ids 0-3 mod 8) so FFD can't co-pack them
+    assert(rows(2).getAs[Long]("n_bins") == 4L)
+  }
 }
