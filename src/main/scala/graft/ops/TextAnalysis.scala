@@ -429,16 +429,20 @@ object TextAnalysis {
     * pruning evidence); segmented = the final word → pieces map, the
     * trained tokenizer [[unigramApply]] serves.
     */
-  def unigramTrain(docs: DataFrame, rounds: Int = 2, seedMultis: Int = 20,
-                   pruneMultis: Int = 12, maxPieceLen: Int = 4): (DataFrame, DataFrame) = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    import org.apache.spark.sql.functions.typedLit
+  /** The shared SEED vocabulary construction ([[unigramTrain]] step 1,
+    * reused by [[wordpieceApply]]): distinct-word census + all-substring
+    * occurrence counts (freq-weighted, overlaps counted — each start
+    * position is one occurrence), vocabulary = ALL single chars + the top
+    * `seedMultis` multi-char pieces (count DESC, piece ASC ties). Both
+    * collects are bounded (|charset| + seedMultis rows — the codebook
+    * convention). Returns (distinct words with freq, vocab pieces+counts).
+    */
+  private def wordSeedVocab(docs: DataFrame, seedMultis: Int, maxPieceLen: Int)
+      : (DataFrame, Seq[(String, Long)]) = {
     val words = withTokens(docs)
       .select(explode(col("toks")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .localCheckpoint()
-    // seed census: all (start, len≤maxPieceLen) substring occurrences,
-    // freq-weighted (overlaps counted — each start position is one occurrence)
     val subExpr = expr(
       s"""flatten(transform(sequence(1, $maxPieceLen),
             l -> CASE WHEN length(word) >= l
@@ -447,13 +451,20 @@ object TextAnalysis {
                  ELSE CAST(array() AS ARRAY<STRING>) END))""")
     val seed = words.select(col("freq"), explode(subExpr).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-    // bounded collects: chars ≤ |charset|, multis ≤ seedMultis
     val chars = seed.filter(length(col("piece")) === 1).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val multis = seed.filter(length(col("piece")) >= 2)
       .orderBy(col("cnt").desc, col("piece")).limit(seedMultis).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    var vocab: Seq[(String, Long)] = (chars ++ multis).toSeq
+    (words, (chars ++ multis).toSeq)
+  }
+
+  def unigramTrain(docs: DataFrame, rounds: Int = 2, seedMultis: Int = 20,
+                   pruneMultis: Int = 12, maxPieceLen: Int = 4): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.functions.typedLit
+    val (words, seedPieces) = wordSeedVocab(docs, seedMultis, maxPieceLen)
+    var vocab: Seq[(String, Long)] = seedPieces
     val roundRows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var segmented: DataFrame = null
     var r = 1
@@ -502,6 +513,49 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sym")).cast("long").as("n_pieces"),
         sum(col("n_chr")).cast("long").as("n_chars"))
+
+  /** WordPiece-style tokenizer: GREEDY LONGEST-MATCH-FIRST segmentation
+    * (the BERT inference algorithm — at each position take the longest
+    * vocabulary piece that matches, 1-char pieces guarantee coverage) —
+    * the third tokenizer family next to BPE's merge replay and the
+    * unigram LM's Viterbi. The vocabulary is the shared seed
+    * ([[wordSeedVocab]]: all chars + top-`seedMultis` multis), carried as
+    * a literal array (the codebook convention), so segmentation is ONE
+    * whole-stage-codegen fold per distinct word — `aggregate` over
+    * positions with a (pos, n_pieces) struct accumulator, each step
+    * trying piece lengths maxPieceLen…2 by `array_contains` and falling
+    * back to the single char. A truncated end-of-word probe matches its
+    * shorter in-vocab string and over-advances `pos` harmlessly (the
+    * word is consumed either way) — the DuckDB mirror makes the
+    * identical decisions. Corpus text is touched twice: the distinct-word
+    * census and the per-doc join census.
+    */
+  def wordpieceApply(docs: DataFrame, seedMultis: Int = 20,
+                     maxPieceLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    val (words, seedPieces) = wordSeedVocab(docs, seedMultis, maxPieceLen)
+    val bestL = (maxPieceLen to 2 by -1).map(l =>
+      s"WHEN array_contains(_wpv, substring(word, CAST(acc.pos AS INT), $l)) " +
+        s"THEN CAST($l AS BIGINT)").mkString(" ")
+    val segExpr =
+      s"""aggregate(sequence(1L, CAST(length(word) AS BIGINT)),
+         |  named_struct('pos', CAST(1 AS BIGINT), 'np', CAST(0 AS BIGINT)),
+         |  (acc, i) -> CASE WHEN i <> acc.pos THEN acc ELSE named_struct(
+         |      'pos', acc.pos + CASE $bestL ELSE CAST(1 AS BIGINT) END,
+         |      'np', acc.np + CAST(1 AS BIGINT)) END,
+         |  acc -> acc.np)""".stripMargin
+    val segmented = words
+      .withColumn("_wpv", typedLit(seedPieces.map(_._1)))
+      .withColumn("n_wp", expr(segExpr))
+      .select(col("word"), col("n_wp"), length(col("word")).as("n_chr"))
+    withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .join(segmented, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_wp")).cast("long").as("n_wp_tokens"),
+        sum(col("n_chr")).cast("long").as("n_chars"))
+  }
 
   /** TF-IDF keyword extraction, log-free: score = tf × N / df with the
     * raw inverse document frequency instead of its logarithm — the

@@ -416,6 +416,58 @@ object LakeQueries {
         "off the version manifest, content re-aggregated in both phases " +
         "== the layout-blind oracle (semantic invisibility, pinned counts)"),
 
+    // ---- Deletion vectors (merge-on-read DELETE): the modern lakehouse
+    // answer when the predicate kills few rows — copy-on-write rewrites
+    // whole file groups, a deletion vector writes only a (file, row
+    // position) sidecar and the scan anti-applies it (Delta DVs /
+    // Iceberg position deletes). Two deletes ACCUMULATE into the
+    // version's sidecar while the 8 data files stay byte-identical (the
+    // pinned n_files proves no rewrite happened); reconcile (the
+    // OPTIMIZE half) folds the vectors into a fresh 4-file version and
+    // drops them. Both phases re-aggregate content, so the oracle (the
+    // layout-blind double-NOT filter) proves MOR scan == COW result.
+    GQuery("lake_deletion_vectors",
+      (s, dir) => {
+        val src = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("price_cents"),
+            col("o_orderstatus").as("status"))
+        val mt = graft.stages.MergeTable.scratch(Seq("o_orderkey"))
+        mt.replace(src)
+        mt.compact(s, numFiles = 8) // pin the physical layout the DVs target
+        mt.deleteVectors(s, col("status") === "F" && col("o_custkey") % 5 === 2)
+        mt.deleteVectors(s, col("price_cents") < 10000000)
+        def census(phase: String, df: org.apache.spark.sql.DataFrame,
+                   nFiles: Long): org.apache.spark.sql.DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(col("price_cents")).cast("long").as("total_cents"))
+            .select(lit(phase).as("phase"), lit(nFiles).as("n_files"),
+              col("n_rows"), col("total_cents"))
+        val mor = census("1_mor", mt.readWithDeletes(s, src.schema),
+          mt.dataFiles(mt.currentVersion.get).size.toLong)
+        mt.reconcileDeletes(s, numFiles = 4)
+        val cow = census("2_reconciled", mt.read(s, src.schema),
+          mt.dataFiles(mt.currentVersion.get).size.toLong)
+        mor.unionByName(cow).orderBy(col("phase"))
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+              |kept AS (SELECT * FROM o
+              |         WHERE NOT (status = 'F' AND o_custkey % 5 = 2)
+              |           AND NOT (price_cents < 10000000)),
+              |c AS (SELECT count(*) AS n_rows,
+              |             CAST(sum(price_cents) AS BIGINT) AS total_cents
+              |      FROM kept)
+              |SELECT '1_mor' AS phase, CAST(8 AS BIGINT) AS n_files,
+              |       n_rows, total_cents FROM c
+              |UNION ALL
+              |SELECT '2_reconciled', CAST(4 AS BIGINT), n_rows, total_cents FROM c
+              |ORDER BY phase""".stripMargin),
+      doc = "deletion vectors (merge-on-read DELETE): two accumulated " +
+        "(file, row-position) sidecar deletes leave the 8 data files " +
+        "untouched (pinned count), the scan anti-applies them via one " +
+        "broadcast anti-join; reconcile folds DVs into a fresh 4-file " +
+        "version — MOR scan == COW result == layout-blind oracle"),
+
     GQuery("lake_change_feed",
       (s, dir) => {
         import org.apache.spark.sql.functions.col

@@ -203,6 +203,55 @@ object TextQueries {
        |SELECT CAST(2 AS INT) AS round, piece, cnt FROM cnt2
        |ORDER BY round, cnt DESC, piece""".stripMargin
 
+  /** DuckDB mirror of TextAnalysis.wordpieceApply: the same seed-vocab
+    * CTEs (all chars + top-20 multis, count DESC piece ASC), then the
+    * greedy longest-match fold as list_reduce over [pos, n_pieces]
+    * BIGINT-list accumulators (acc type == element type). End-of-word
+    * probes truncate to their shorter in-vocab string and over-advance
+    * pos harmlessly — identical decisions to the Spark fold.
+    */
+  private lazy val wpApplySql: String = {
+    val probes = (uniMaxPieceLen to 2 by -1).map(l =>
+      s"WHEN list_contains(v, substr(word, CAST(acc[1] AS INT), $l)) " +
+        s"THEN CAST($l AS BIGINT)").mkString("\n             ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |  GROUP BY word),
+       |sub AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(flatten(list_transform(range(1, ${uniMaxPieceLen + 1}),
+       |          l -> CASE WHEN length(word) >= l
+       |               THEN list_transform(range(1, length(word) - l + 2),
+       |                      s -> substr(word, CAST(s AS INT), CAST(l AS INT)))
+       |               ELSE CAST([] AS VARCHAR[]) END))) AS piece
+       |        FROM w0)
+       |  GROUP BY piece),
+       |v1raw AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM sub WHERE length(piece) >= 2
+       |                          ORDER BY cnt DESC, piece LIMIT $uniSeedMultis)),
+       |vl AS (SELECT list(piece) AS v FROM v1raw),
+       |seg AS MATERIALIZED (
+       |  SELECT word,
+       |    list_reduce(list_prepend([CAST(1 AS BIGINT), CAST(0 AS BIGINT)],
+       |        list_transform(range(1, length(word) + 1),
+       |          i -> [CAST(i AS BIGINT), CAST(0 AS BIGINT)])),
+       |      (acc, x) -> CASE WHEN x[1] <> acc[1] THEN acc ELSE
+       |        [acc[1] + CASE
+       |             $probes
+       |             ELSE CAST(1 AS BIGINT) END,
+       |         acc[2] + CAST(1 AS BIGINT)] END)[2] AS n_wp
+       |  FROM w0, vl)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(s.n_wp) AS BIGINT) AS n_wp_tokens,
+       |       CAST(SUM(length(d.word)) AS BIGINT) AS n_chars
+       |FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents) d
+       |JOIN seg s USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   private lazy val uniApplySql: String =
     s"""WITH $uniCtes
        |SELECT d.doc_id,
@@ -1395,6 +1444,24 @@ object TextQueries {
       doc = "trained unigram tokenizer applied corpus-wide: per-doc word/piece/" +
         "char counts via one word-keyed vocab join — the compression the " +
         "learned piece vocabulary bought"),
+
+    // ---- WordPiece (greedy longest-match-first, the BERT inference
+    // algorithm): the THIRD tokenizer family next to BPE's merge replay
+    // and the unigram LM's Viterbi DP. The shared seed vocabulary (all
+    // chars + top-20 multis) rides as a literal array; segmentation is
+    // one whole-stage-codegen fold per DISTINCT word (aggregate over
+    // positions, longest in-vocab piece wins, 1-char fallback), so the
+    // corpus text is touched only by the word census and the per-doc
+    // join. DuckDB mirrors the fold with list_reduce over [pos, np]
+    // list accumulators (the acc-type == element-type convention).
+    GQuery("text_wordpiece_apply",
+      (s, dir) => TextAnalysis.wordpieceApply(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some(wpApplySql),
+      doc = "WordPiece greedy longest-match tokenizer applied corpus-wide " +
+        "(seed vocab: chars + top-20 multis): per-doc word/piece/char " +
+        "counts — one codegen fold per distinct word, == the unrolled " +
+        "greedy oracle"),
 
     // ---- Vocabulary OOV census — the generalization measurement every
     // tokenizer/vocab build needs: train the word vocabulary on HALF the

@@ -131,6 +131,76 @@ final class MergeTable(val root: String, keys: Seq[String],
     } finally entries.close()
   }
 
+  // ---- Deletion vectors (merge-on-read DELETE) ----------------------
+  //
+  // The copy-on-write DELETE (the SQL path / group rewrites) pays a file
+  // rewrite proportional to the touched file GROUPS even when the
+  // predicate kills a handful of rows. Deletion vectors are the
+  // lakehouse answer (Delta DVs / Iceberg position deletes): the delete
+  // writes only a (file, row-position) sidecar — O(deleted rows) — and
+  // readers anti-apply it at scan time; a later reconcile (OPTIMIZE)
+  // folds the vectors into a rewritten version and drops them. Sidecars
+  // are keyed BY VERSION (`v<n>_dv/`), so time travel of the bare
+  // version still sees pre-delete rows and a new commit starts clean
+  // (its version has no sidecar). `isVersionName` rejects the `_dv`
+  // suffix, so vacuum/version listing never mistake a sidecar for a
+  // snapshot (a vacuumed version may orphan its sidecar — metadata-sized
+  // garbage, swept with the version's directory tree on cleanup).
+
+  private def dvPath(version: String): Path = Paths.get(root, version + "_dv")
+
+  /** Merge-on-read DELETE: append the predicate's (file, row-position)
+    * hits to the CURRENT version's deletion-vector sidecar. No data file
+    * is touched — cost is O(matching rows), not O(touched file groups).
+    * Positions ride parquet's stable in-file row order
+    * (`_metadata.row_index`), the same contract Delta DVs encode.
+    * Re-appending the same delete is harmless (the anti-join
+    * deduplicates by construction).
+    */
+  def deleteVectors(spark: SparkSession, pred: org.apache.spark.sql.Column): Unit = {
+    val v = currentVersion.getOrElse(throw new IllegalStateException(
+      s"MergeTable $root: DELETE on an empty table (no committed version)"))
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(Paths.get(root, v).toString)
+      .filter(pred)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"))
+      .write.mode("append").parquet(dvPath(v).toString)
+  }
+
+  /** Read the current version with its deletion vectors anti-applied —
+    * the merge-on-read scan. The sidecar is broadcast (deleted positions
+    * are the small side by design; a delete big enough to break that is
+    * the signal to [[reconcileDeletes]]), so the apply costs one
+    * broadcast anti-join, never a shuffle of the data side.
+    */
+  def readWithDeletes(spark: SparkSession, schemaIfEmpty: StructType): DataFrame =
+    currentVersion match {
+      case None => read(spark, schemaIfEmpty)
+      case Some(v) =>
+        val data = spark.read.parquet(Paths.get(root, v).toString)
+        if (!Files.exists(dvPath(v))) data
+        else {
+          import org.apache.spark.sql.functions.{broadcast, col}
+          val dv = spark.read.parquet(dvPath(v).toString)
+            .withColumnRenamed("file", "_dv_file")
+            .withColumnRenamed("pos", "_dv_pos")
+          data
+            .withColumn("_dv_file", col("_metadata.file_path"))
+            .withColumn("_dv_pos", col("_metadata.row_index"))
+            .join(broadcast(dv), Seq("_dv_file", "_dv_pos"), "left_anti")
+            .drop("_dv_file", "_dv_pos")
+        }
+    }
+
+  /** Fold the deletion vectors into a rewritten version (the OPTIMIZE
+    * half of merge-on-read): commit [[readWithDeletes]] as a fresh
+    * `numFiles`-file snapshot — the new version carries no sidecar, and
+    * scans stop paying the anti-join. Same CAS commit as any merge.
+    */
+  def reconcileDeletes(spark: SparkSession, numFiles: Int = 1): Unit =
+    replace(readWithDeletes(spark, new StructType()).repartition(numFiles))
+
   /** Zero-copy shallow clone (Delta's `CREATE TABLE ... SHALLOW CLONE`):
     * the named committed version's data files become version `v0` of a
     * NEW table at `destRoot` via hard links (copy fallback) — O(files)

@@ -317,4 +317,39 @@ class MergeTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       src.cloneShallow("v99", graft.stages.TempDirs.scratch("graft_clone_bad_")))
   }
+
+  test("deletion vectors: MOR delete touches no data file, accumulates, replays clean, reconcile folds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = MergeTable.scratch(Seq("k"))
+    t.replace((1 to 10).map(i => (i.toLong, s"r$i")).toDF("k", "v"))
+    t.compact(spark, numFiles = 2)
+    val v = t.currentVersion.get
+    val filesBefore = t.dataFiles(v).map(_.toString).sorted
+    def morRows = t.readWithDeletes(spark, new StructType())
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    // first DV: kill evens — data files byte-identical, scan filtered
+    t.deleteVectors(spark, col("k") % 2 === 0)
+    assert(t.dataFiles(t.currentVersion.get).map(_.toString).sorted == filesBefore,
+      "a DV delete must not rewrite data files")
+    assert(morRows == Seq(1L, 3L, 5L, 7L, 9L))
+    // second DV accumulates (and overlaps the first: k=6 matches both)
+    t.deleteVectors(spark, col("k") >= 6)
+    assert(morRows == Seq(1L, 3L, 5L))
+    // replaying a delete is harmless (anti-join dedups positions)
+    t.deleteVectors(spark, col("k") >= 6)
+    assert(morRows == Seq(1L, 3L, 5L))
+    // the bare version still time-travels to the pre-delete snapshot
+    assert(t.readVersion(spark, v).count() == 10L)
+    // reconcile: fresh version, no sidecar, content == MOR scan
+    t.reconcileDeletes(spark, numFiles = 1)
+    val v2 = t.currentVersion.get
+    assert(v2 != v)
+    assert(!java.nio.file.Files.exists(Paths.get(t.root, v2 + "_dv")))
+    assert(t.read(spark, new StructType())
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+    assert(t.dataFiles(v2).size == 1)
+    // a version with no sidecar reads plain (readWithDeletes == read)
+    assert(morRows == Seq(1L, 3L, 5L))
+  }
 }

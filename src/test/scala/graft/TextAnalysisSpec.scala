@@ -389,4 +389,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     // doc 0: 5 words → 4×[xy] + zq-as-pieces; chars 2*4+2=10
     assert(applied.head._1 == 0L && applied.head._2 == 5L && applied.head._4 == 10L)
   }
+
+  test("WordPiece greedy longest-match: whole-word pieces win, 5-char word takes 4+1, fallback covers") {
+    import spark.implicits._
+    // every ≤4-char word is its own substring and lands in the seed vocab
+    // (all substrings counted), so it segments as ONE piece; "abcde" has
+    // no 5-char piece (maxPieceLen=4) → greedy takes "abcd" then "e".
+    val d = Seq((0L, "abcde ab"), (1L, "abcd abcd cd")).toDF("doc_id", "text")
+    val rows = graft.ops.TextAnalysis.wordpieceApply(d)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 0: abcde → 2 pieces, ab → 1; 2 words, 3 pieces, 7 chars
+    assert(rows(0) == ((0L, 2L, 3L, 7L)), s"doc 0: ${rows(0)}")
+    // doc 1: abcd → 1, abcd → 1, cd → 1; 3 words, 3 pieces, 10 chars
+    assert(rows(1) == ((1L, 3L, 3L, 10L)), s"doc 1: ${rows(1)}")
+  }
 }
