@@ -1464,6 +1464,80 @@ object Similarity {
       nprobes.map(w => f"nprobe_$w%02d" -> arm(w)))
   }
 
+  /** k sweep card — the quantizer-SIZING knob (how many cells should the
+    * IVF have), the sibling of [[ivfNprobeReport]]'s serving knob: per
+    * candidate k, train the deterministic Lloyd quantizer and measure
+    * mean assignment cosine (floor(10⁴·cos) integer sums, sign-split
+    * mean — the same metric [[graphIndexStalenessCensus]] grades with,
+    * so sizing and staleness read the same scale) plus the max cell
+    * population (the probe-cost tail). Each arm's Lloyd run IS the
+    * priced cost — k is a training-time knob, nothing shareable across
+    * arms beyond the input scan. Elbow reading: mean cosine rises with
+    * k, the knee is where another doubling stops paying.
+    */
+  def ivfKReport(spark: SparkSession, emb: DataFrame,
+                 ks: Seq[Int] = Seq(2, 4, 8, 16), iters: Int = 2): DataFrame = {
+    val base = withNorm(emb)
+    def arm(k: Int): DataFrame = {
+      val cents = kmeansCentroids(emb, k, iters).cache()
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("_c_cos").desc, col("c_id"))
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("_c_cos",
+          expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
+        .withColumn("_r", row_number().over(wAssign))
+        .filter(col("_r") === 1)
+        .select(col("vec_id"), col("c_id").as("cell"),
+          expr("CAST(floor(10000 * _c_cos) AS BIGINT)").as("cos_e4"))
+      val cells = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+        .agg(max(col("cn")).as("max_cell"))
+      assigned
+        .agg(count(lit(1)).as("n_vectors"), sum(col("cos_e4")).as("cs"))
+        .crossJoin(cells)
+        .select(lit(k.toLong).as("k"), col("n_vectors"),
+          expr("""CAST(CASE WHEN cs < 0 THEN -((-cs) div n_vectors)
+                 |     ELSE cs div n_vectors END AS BIGINT)""".stripMargin)
+            .as("mean_cos_e4"),
+          col("max_cell"))
+    }
+    ks.map(arm).reduce(_ unionByName _).orderBy(col("k"))
+  }
+
+  /** Per-label centroid drift census — the embedding-version QA check a
+    * re-embedding pipeline runs before swapping models/checkpoints: split
+    * the corpus (even/odd ids stand in for old/new batches), compare each
+    * label's centroid across the halves by cosine. Centroids are exact
+    * scaled-integer means (Σ floor(10⁶x) div n — order-independent
+    * BIGINT sums, one truncating div), so the three final IEEE ops
+    * (sqrt·sqrt, one divide) are bit-stable cross-engine. A healthy
+    * corpus reads ~1.0 everywhere; a label whose halves disagree is the
+    * drift signal. One posexplode aggregate — k·dim·2 group rows.
+    */
+  def centroidDriftCensus(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val sums = emb.select(col("label"), (col("vec_id") % 2).as("parity"),
+        posexplode(expr(
+          "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000) AS BIGINT))"))
+          .as(Seq("pos", "sv")))
+      .groupBy(col("label"), col("parity"), col("pos"))
+      .agg(sum(col("sv")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr(
+        "CAST(CASE WHEN s < 0 THEN -((-s) div n) ELSE s div n END AS BIGINT)"))
+      .groupBy(col("label"), col("parity"))
+      .agg(max(col("n")).as("n"),
+        expr("transform(sort_array(collect_list(struct(pos, m))), t -> CAST(t.m AS DOUBLE))")
+          .as("mv"))
+    val even = sums.filter(col("parity") === 0)
+      .select(col("label"), col("n").as("n_even"), col("mv").as("me"))
+    val odd = sums.filter(col("parity") === 1)
+      .select(col("label"), col("n").as("n_odd"), col("mv").as("mo"))
+    even.join(odd, Seq("label"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        (expr(dotExpr("me", "mo")) /
+          (expr(s"sqrt(${dotExpr("me", "me")})") * expr(s"sqrt(${dotExpr("mo", "mo")})")))
+          .as("drift_cos"))
+  }
+
   /** THE one ladder: every approximate method the engine ships, priced
     * in one card against the same collected brute truth — probing
     * (single/multi-probe LSH, nprobe 1 vs 2 IVF), quantization (SQ8,

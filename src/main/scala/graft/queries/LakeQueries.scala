@@ -468,6 +468,43 @@ object LakeQueries {
         "broadcast anti-join; reconcile folds DVs into a fresh 4-file " +
         "version — MOR scan == COW result == layout-blind oracle"),
 
+    // ---- DV × CDC coherence: deletion-vector deletes must surface in
+    // the change feed once reconciled — the cross-feature invariant a
+    // lakehouse consumer (an incremental view, a downstream sync)
+    // actually depends on. changesBetween(pre-DV version, reconciled
+    // version) emits EXACTLY the DV'd rows as 'delete' events: rows the
+    // reconcile merely re-filed cancel in the multiset diff, so the
+    // feed is the semantic deletes and nothing else.
+    GQuery("lake_dv_cdc",
+      (s, dir) => {
+        val src = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("price_cents"),
+            col("o_orderstatus").as("status"))
+        val mt = graft.stages.MergeTable.scratch(Seq("o_orderkey"))
+        mt.replace(src)
+        mt.compact(s, numFiles = 8)
+        val from = mt.currentVersion.get
+        mt.deleteVectors(s, col("status") === "F" && col("o_custkey") % 5 === 2)
+        mt.deleteVectors(s, col("price_cents") < 10000000)
+        mt.reconcileDeletes(s, numFiles = 4)
+        mt.changesBetween(s, from, mt.currentVersion.get, Seq("o_orderkey"))
+          .select(col("change_type"), col("o_orderkey"), col("o_custkey"),
+            col("price_cents"), col("status"))
+          .orderBy(col("change_type"), col("o_orderkey"))
+      },
+      Some(s"""WITH o AS ($ordersCentsSql)
+              |SELECT 'delete' AS change_type, o_orderkey, o_custkey,
+              |       price_cents, status
+              |FROM o
+              |WHERE (status = 'F' AND o_custkey % 5 = 2)
+              |   OR price_cents < 10000000
+              |ORDER BY change_type, o_orderkey""".stripMargin),
+      doc = "deletion vectors surface in the change feed: " +
+        "changesBetween(pre-DV, reconciled) == exactly the DV'd rows as " +
+        "'delete' events — re-filed survivors cancel in the multiset " +
+        "diff, the cross-feature invariant downstream syncs depend on"),
+
     GQuery("lake_change_feed",
       (s, dir) => {
         import org.apache.spark.sql.functions.col

@@ -1030,6 +1030,34 @@ object SimilarityQueries {
        |FROM ($rows) ORDER BY method""".stripMargin
   }
 
+  /** DuckDB mirror of Similarity.ivfKReport: one kmeans CTE prefix per
+    * arm (nested WITH in a derived table — k is a training knob, the
+    * Lloyd rerun IS each arm's cost), mean assignment cosine as
+    * floor(1e4·cos) sums with sign-split division, max cell population.
+    */
+  private def ivfKSql(ks: Seq[Int]): String = {
+    def armSql(k: Int): String =
+      s"""SELECT * FROM (
+         |  WITH ${kmeansAssignCtes(k, nprobe = 1, numQueries = 0)},
+         |  sc AS (
+         |    SELECT co.vec_id, co.cell,
+         |           CAST(floor(10000 * (${dotSql("b.embedding", "c.c")}
+         |             / (b.norm * sqrt(${dotSql("c.c", "c.c")})))) AS BIGINT) AS cos_e4
+         |    FROM corpus co JOIN base b ON b.vec_id = co.vec_id
+         |                   JOIN c2 c ON c.c_id = co.cell)
+         |  SELECT CAST($k AS BIGINT) AS k,
+         |         CAST(count(*) AS BIGINT) AS n_vectors,
+         |         CAST(CASE WHEN SUM(cos_e4) < 0
+         |                   THEN -((-SUM(cos_e4)) // count(*))
+         |                   ELSE SUM(cos_e4) // count(*) END AS BIGINT) AS mean_cos_e4,
+         |         (SELECT CAST(max(cn) AS BIGINT)
+         |          FROM (SELECT count(*) AS cn FROM sc GROUP BY cell)) AS max_cell
+         |  FROM sc) t$k""".stripMargin
+    s"""SELECT k, n_vectors, mean_cos_e4, max_cell
+       |FROM (${ks.map(armSql).mkString("\nUNION ALL\n")})
+       |ORDER BY k""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery("sim_pq_topk",
@@ -2422,6 +2450,61 @@ object SimilarityQueries {
         "materialized assignment pass, arms nprobe=1/2/4/8 as prefixes " +
         "of one query-side cell ranking, each against the shared brute " +
         "truth — nprobe=8 probes all cells (the recall-1.0 exact ceiling)"),
+
+    // ---- k sweep: the quantizer-SIZING knob next to the nprobe serving
+    // knob — per candidate cell count, mean assignment cosine (the
+    // staleness census's own metric, floor(1e4) integer sums) and the
+    // max cell population (probe-cost tail). Each arm's Lloyd rerun IS
+    // the priced cost; the elbow is where doubling k stops paying.
+    GQuery("sim_ivf_k_report",
+      (s, dir) => Similarity.ivfKReport(s, Tables.embeddings(s, dir),
+          ks = Seq(2, 4, 8, 16), iters = 2)
+        .orderBy(col("k")),
+      Some(ivfKSql(Seq(2, 4, 8, 16))),
+      doc = "IVF quantizer k sweep (2/4/8/16 cells): mean assignment " +
+        "cosine at 1e4 (exact integer sums) + max cell population per " +
+        "arm — the sizing elbow card, same metric as the staleness census"),
+
+    // ---- Centroid drift census: the embedding-version QA gate a
+    // re-embedding pipeline runs before swapping model checkpoints —
+    // even/odd ids stand in for old/new batches; per label, the cosine
+    // between the halves' centroids (exact scaled-integer means, three
+    // final IEEE ops). Healthy labels read ~1.0; a disagreeing label is
+    // the drift signal.
+    GQuery("sim_centroid_drift",
+      (s, dir) => Similarity.centroidDriftCensus(Tables.embeddings(s, dir))
+        .orderBy(col("label")),
+      Some("""WITH sv AS MATERIALIZED (
+             |  SELECT label, vec_id % 2 AS parity,
+             |         list_transform(range(1, 65),
+             |           i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+             |  FROM embeddings),
+             |e AS (
+             |  SELECT label, parity, t.i AS pos,
+             |         CAST(SUM(sv[CAST(t.i AS INT) + 1]) AS BIGINT) AS s,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM sv, (SELECT unnest(range(0, 64)) AS i) t
+             |  GROUP BY 1, 2, 3),
+             |m AS (
+             |  SELECT label, parity, pos, n,
+             |         CAST(CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS BIGINT) AS m
+             |  FROM e),
+             |v AS (
+             |  SELECT label, parity, max(n) AS n,
+             |         list(CAST(m AS DOUBLE) ORDER BY pos) AS mv
+             |  FROM m GROUP BY 1, 2)
+             |SELECT ev.label, CAST(ev.n AS BIGINT) AS n_even,
+             |       CAST(od.n AS BIGINT) AS n_odd,
+             |       list_sum(list_transform(range(1, 65), i -> ev.mv[i] * od.mv[i]))
+             |       / (sqrt(list_sum(list_transform(range(1, 65), i -> ev.mv[i] * ev.mv[i])))
+             |          * sqrt(list_sum(list_transform(range(1, 65), i -> od.mv[i] * od.mv[i]))))
+             |         AS drift_cos
+             |FROM v ev JOIN v od ON ev.label = od.label
+             |WHERE ev.parity = 0 AND od.parity = 1
+             |ORDER BY ev.label""".stripMargin),
+      doc = "per-label centroid drift between even/odd halves: exact " +
+        "scaled-integer centroid means, cosine as three deterministic " +
+        "IEEE ops — the re-embedding QA gate (healthy labels ~1.0)"),
 
     // ---- One-bit (binary) quantization top-k — the 64× memory rung
     // (vs PQ 32× / SQ8 4×): 60-bit sign signature, Hamming coarse rank

@@ -155,7 +155,12 @@ final class MergeTable(val root: String, keys: Seq[String],
     * Positions ride parquet's stable in-file row order
     * (`_metadata.row_index`), the same contract Delta DVs encode.
     * Re-appending the same delete is harmless (the anti-join
-    * deduplicates by construction).
+    * deduplicates by construction), and concurrent DV appends COMPOSE —
+    * position sets union — so the sidecar needs no commit lock; only a
+    * concurrent [[reconcileDeletes]]/data commit races, and that path
+    * rides the existing CAS (the reconcile would simply miss vectors
+    * appended after it read, exactly Delta's documented DV race, resolved
+    * by re-running the delete).
     */
   def deleteVectors(spark: SparkSession, pred: org.apache.spark.sql.Column): Unit = {
     val v = currentVersion.getOrElse(throw new IllegalStateException(

@@ -526,6 +526,8 @@ class PlanAuditSpec extends AnyFunSuite {
     ("sim_ivfpq_index_serve", Set("c", "c_id")) ->
       ("persisted IVF centroid table — 8 Lloyd centroids (even-id init " +
         "< 16) written by ivfIndexBuild"),
+    ("sim_ivf_k_report", Set("c", "c_id")) ->
+      "Lloyd centroids — k<=16 rows by construction (four sweep arms)",
     // per-label centroid table: groupBy(label) — |labels| rows (10 here,
     // label-domain-bounded at any corpus size)
     ("sim_class_centroids", Set("label_b", "n_b", "cb")) ->
@@ -629,6 +631,12 @@ class PlanAuditSpec extends AnyFunSuite {
         "computed once and CHECKPOINTED (zero scans per arm there); the " +
         "seven C arms each pay the 2-scan exact rerank of their bounded " +
         "survivor prefix — sum-of-arms by design; truth collected once"),
+    "sim_ivf_k_report" -> (8,
+      "quantizer k-sweep card: k is a TRAINING knob, so the four arms " +
+        "are independent Lloyd runs by design (nothing shareable beyond " +
+        "the input scan) — 2 column-pruned scans per arm (init + " +
+        "assignment lineage); at 100 TB re-scanning parquet beats " +
+        "checkpointing the whole corpus for a QA card"),
     "sim_recall_report" -> (40,
       "benchmark report over 12 independent ANN methods (r15 added the " +
         "matryoshka, RQ and graph-PQ rungs; both graph rungs share ONE " +
