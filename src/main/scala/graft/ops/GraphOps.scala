@@ -460,4 +460,38 @@ object GraphOps {
       .select(col("label"), col("n_nodes"), col("degree_sum"),
         col("intra_edges"), col("m_edges"), col("contrib_e6"))
   }
+
+  /** Conductance census — [[modularityCensus]]'s dual: per community,
+    * φ(c) = cut(c) / min(vol(c), 2m − vol(c)) as the exact integer
+    * ⌊10⁶·cut/denom⌋ (all terms non-negative, truncating division equal
+    * in both engines; a community holding the whole graph has denom 0
+    * and reads 0 by convention). Low conductance = a well-separated
+    * community; the census is the cut-quality view next to modularity's
+    * density view. Cut edges count toward BOTH endpoint communities.
+    * Same two edge-list passes as the modularity census.
+    */
+  def conductanceCensus(und: DataFrame, labels: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val byC = deg.join(labels, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("vol"))
+    val sided = und
+      .join(labels.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(labels.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") =!= col("lb"))
+    val cut = sided.select(col("la").as("label"))
+      .unionByName(sided.select(col("lb").as("label")))
+      .groupBy(col("label")).agg(count(lit(1)).as("cut_edges"))
+    val mRow = und.agg(count(lit(1)).as("m_edges"))
+    byC.join(cut, Seq("label"), "left")
+      .na.fill(0L, Seq("cut_edges"))
+      .crossJoin(broadcast(mRow))
+      .withColumn("_den", expr("least(vol, 2 * m_edges - vol)"))
+      .withColumn("conductance_e6", expr(
+        "CAST(CASE WHEN _den = 0 THEN 0 ELSE (1000000 * cut_edges) div _den END AS BIGINT)"))
+      .select(col("label"), col("n_nodes"), col("vol"), col("cut_edges"),
+        col("m_edges"), col("conductance_e6"))
+  }
 }

@@ -247,4 +247,50 @@ object Sketch {
         expr("(n_probe - n_rejected) * 10000 div n_probe").as("fpr_per_10k"),
         expr(s"n_bits_set * 10000 div $mBits").as("fill_per_10k"))
   }
+
+  /** JOIN-SIZE estimation from a key sample — the cardinality question a
+    * cost-based planner asks before picking a join strategy:
+    * |A ⋈ B| = Σ_v cntA(v)·cntB(v), estimated from the bottom-k keys by
+    * hash (the KMV sample is uniform over DISTINCT keys, so the sampled
+    * multiplicity products scale by D̂/k where D̂ is the KMV distinct
+    * estimate — end-biased sampling, Estan & Naughton's shape). All
+    * corpus-scale work is ONE conditional-count aggregate per key; the
+    * estimator then runs on the ≤k-row sample. The exact join size rides
+    * alongside as the accuracy report (it is what the planner would have
+    * had to compute — the thing the sketch exists to avoid).
+    */
+  def joinSizeEstimate(df: DataFrame, groupCol: String, valueCol: String,
+                       groupA: String, groupB: String, k: Int): DataFrame = {
+    val cnts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).as("_v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("_cb"))
+      .withColumn("_h", expr(
+        "CAST(conv(substring(md5(CAST(_v AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .localCheckpoint(true) // referenced by the sample AND the exact sum
+    // bottom-k via TakeOrderedAndProject (distributed top-k) — never an
+    // unpartitioned window over the corpus-scale key set; the kth-min
+    // hash is simply the max of a FULL sample
+    val sample = cnts.orderBy(col("_h")).limit(k)
+      .agg(
+        count(lit(1)).as("sample_size"),
+        max(col("_h")).as("_maxh"),
+        sum(col("_ca") * col("_cb")).as("sample_join_rows"))
+      .withColumn("kth_min_hash",
+        when(col("sample_size") === k, col("_maxh")))
+      .drop("_maxh")
+    val exact = cnts.agg(
+      count(lit(1)).as("exact_distinct_keys"),
+      sum(col("_ca") * col("_cb")).as("exact_join_size"))
+    sample.crossJoin(exact)
+      .withColumn("est_distinct_keys",
+        kmvEstimate(col("kth_min_hash"), col("sample_size"), k))
+      .withColumn("est_join_size",
+        (col("sample_join_rows").cast("double") / col("sample_size").cast("double"))
+          * col("est_distinct_keys"))
+      .select(col("sample_size"), col("sample_join_rows"),
+        col("est_distinct_keys"), col("est_join_size"),
+        col("exact_distinct_keys"), col("exact_join_size"))
+  }
 }

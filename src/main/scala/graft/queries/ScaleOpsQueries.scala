@@ -1169,6 +1169,50 @@ object ScaleOpsQueries {
       doc = "KMV set operations: union/Jaccard/intersection estimated from two O(k) " +
         "sketches (theta-sketch capability) with exact values as the accuracy report"),
 
+    // ---- Join-size estimation from a bottom-k key sample: the
+    // cardinality question a cost-based planner asks before choosing a
+    // join strategy — |A ⋈ B| = Σ_v cntA(v)·cntB(v), estimated by
+    // scaling the sampled multiplicity products by D̂/k (the KMV sample
+    // is uniform over distinct keys; D̂ is the KMV distinct estimate).
+    // One conditional-count aggregate is the only corpus-scale work;
+    // exact join size alongside as the accuracy report.
+    GQuery("sketch_join_size_estimate",
+      (s, dir) => graft.ops.Sketch.joinSizeEstimate(
+        Tables.events(s, dir), "event_type", "user_id",
+        groupA = "view", groupB = "purchase", k = 64),
+      Some("""WITH cnts AS (
+             |  SELECT user_id AS v,
+             |         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+             |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+             |  FROM events WHERE event_type IN ('view', 'purchase')
+             |  GROUP BY user_id),
+             |smp AS (
+             |  SELECT max(CASE WHEN r = 64 THEN h END) AS kth_min_hash,
+             |         CAST(count(*) AS BIGINT) AS sample_size,
+             |         CAST(SUM(ca * cb) AS BIGINT) AS sample_join_rows
+             |  FROM (SELECT h, ca, cb, ROW_NUMBER() OVER (ORDER BY h) AS r
+             |        FROM cnts) WHERE r <= 64),
+             |x AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct_keys,
+             |             CAST(SUM(ca * cb) AS BIGINT) AS exact_join_size
+             |      FROM cnts)
+             |SELECT smp.sample_size, smp.sample_join_rows,
+             |       CASE WHEN smp.kth_min_hash IS NULL
+             |            THEN CAST(smp.sample_size AS DOUBLE)
+             |            ELSE 63.0 / (smp.kth_min_hash / POWER(2.0, 60)) END
+             |         AS est_distinct_keys,
+             |       (CAST(smp.sample_join_rows AS DOUBLE) / CAST(smp.sample_size AS DOUBLE))
+             |         * (CASE WHEN smp.kth_min_hash IS NULL
+             |                 THEN CAST(smp.sample_size AS DOUBLE)
+             |                 ELSE 63.0 / (smp.kth_min_hash / POWER(2.0, 60)) END)
+             |         AS est_join_size,
+             |       x.exact_distinct_keys, x.exact_join_size
+             |FROM smp, x""".stripMargin),
+      doc = "join-size estimate from a bottom-64 key sample: sampled " +
+        "multiplicity products scaled by the KMV distinct estimate " +
+        "(end-biased sampling) vs the exact join cardinality — the " +
+        "planner's cardinality question as a priced card"),
+
     // ---- partition-pruned scan: the 100 TB layout claim made checkable.
     // Facts land PARTITIONED by their natural time key (the
     // date-partitioned STG layout ARCHITECTURE.md prescribes); a
@@ -1530,6 +1574,80 @@ object ScaleOpsQueries {
         "per-community Newman-Q contributions (4m·L_c − d_c² over 4m², " +
         "floored at 1e6) — degree agg + label-joined intra-edge count, " +
         "two edge-list passes"),
+
+    // ---- Conductance census: modularity's DUAL view — per community,
+    // cut/min(vol, 2m−vol) at 1e6 (low = well-separated). Same LP
+    // partition and fixture graph as graph_modularity_census, so the
+    // two cards grade the identical communities from the density and
+    // the cut side. Cut edges count toward both endpoint communities.
+    GQuery("graph_conductance_census",
+      (s, dir) => {
+        val nodes = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+        val path = nodes.filter(col("node") % 10 =!= 0)
+          .select(col("node").as("a"), (col("node") + 1).as("b"))
+        val star = nodes
+          .select(expr("((node - 1) div 10) * 10 + 1").as("a"), col("node").as("b"))
+          .filter(col("a") =!= col("b"))
+        val und = path.unionByName(star).distinct()
+          .join(nodes.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        val labels = graft.ops.GraphOps.labelPropagation(nodes, und, rounds = 3)
+          .localCheckpoint(true)
+        graft.ops.GraphOps.conductanceCensus(und, labels)
+          .orderBy(col("label"))
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""v$r AS (SELECT t.node, -(max({'c': t.cnt, 'k': -t.lbl}).k) AS new_label
+                      FROM (SELECT nb.node AS node, l.label AS lbl, count(*) AS cnt
+                            FROM nbrs nb JOIN l${r - 1} l ON l.node = nb.nbr
+                            GROUP BY nb.node, l.label) t
+                      GROUP BY t.node),
+              l$r AS (SELECT n.node, CAST(COALESCE(v.new_label, n.label) AS BIGINT) AS label
+                      FROM l${r - 1} n LEFT JOIN v$r v USING (node))"""
+        }.mkString(",\n")
+        s"""WITH nodes AS (SELECT c_custkey AS node FROM customer),
+            cand AS (
+              SELECT node AS a, node + 1 AS b FROM nodes WHERE node % 10 <> 0
+              UNION
+              SELECT ((node - 1) // 10) * 10 + 1 AS a, node AS b FROM nodes
+               WHERE ((node - 1) // 10) * 10 + 1 <> node),
+            und AS (SELECT a, b FROM cand e
+                    WHERE EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.a)
+                      AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = e.b)),
+            nbrs AS (SELECT a AS node, b AS nbr FROM und
+                     UNION ALL SELECT b AS node, a AS nbr FROM und),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            $rounds,
+            deg AS (SELECT node, count(*) AS deg FROM nbrs GROUP BY node),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM und),
+            byc AS (SELECT l.label, count(*) AS n_nodes,
+                           CAST(SUM(d.deg) AS BIGINT) AS vol
+                    FROM l3 l JOIN deg d USING (node) GROUP BY l.label),
+            sided AS (SELECT la.label AS la, lb.label AS lb
+                      FROM und e JOIN l3 la ON la.node = e.a
+                                 JOIN l3 lb ON lb.node = e.b
+                      WHERE la.label <> lb.label),
+            cut AS (SELECT label, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+                      SELECT la AS label FROM sided
+                      UNION ALL SELECT lb AS label FROM sided)
+                    GROUP BY label),
+            r AS (SELECT b.label, b.n_nodes, b.vol,
+                         CAST(COALESCE(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+                         m.m_edges,
+                         least(b.vol, 2 * m.m_edges - b.vol) AS den
+                  FROM byc b LEFT JOIN cut c USING (label), m)
+            SELECT label, n_nodes, vol, cut_edges, m_edges,
+                   CAST(CASE WHEN den = 0 THEN 0
+                             ELSE (1000000 * cut_edges) // den END AS BIGINT)
+                     AS conductance_e6
+            FROM r ORDER BY label"""
+      },
+      doc = "conductance census of the LP communities: exact-integer " +
+        "cut/min(vol, 2m-vol) at 1e6 per community — the cut-quality " +
+        "dual of the modularity card, same partition, same fixture"),
 
     // ---- Quantile-sketch quality report (the sim_recall_report
     // convention for order statistics): the bottom-64-by-hash sample's

@@ -172,4 +172,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("intra_edges") == 0L))
     assert(rows.forall(_.getAs[Long]("contrib_e6") == -111111L))
   }
+
+  test("conductance census: bridge communities read 1/7, whole-graph community reads 0") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("a", "b")
+    val two = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "label")
+    val rows = GraphOps.conductanceCensus(und, two)
+      .orderBy(col("label")).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      // each triangle+bridge-endpoint community: vol 7, one cut edge,
+      // den = min(7, 14-7) = 7 → ⌊1e6/7⌋ = 142857
+      assert(r.getAs[Long]("vol") == 7L)
+      assert(r.getAs[Long]("cut_edges") == 1L)
+      assert(r.getAs[Long]("conductance_e6") == 142857L, s"$r")
+    }
+    // the whole graph as one community: cut 0 and den 0 → 0 by convention
+    val one = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("node", "label")
+    val all = GraphOps.conductanceCensus(und, one).collect()
+    assert(all.length == 1 && all.head.getAs[Long]("cut_edges") == 0L &&
+      all.head.getAs[Long]("conductance_e6") == 0L)
+  }
 }

@@ -352,4 +352,33 @@ class MergeTableSpec extends AnyFunSuite {
     // a version with no sidecar reads plain (readWithDeletes == read)
     assert(morRows == Seq(1L, 3L, 5L))
   }
+
+  test("deletion vectors compose like set union: any predicate stack == one combined filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // several overlapping predicate stacks over a 200-row table; after
+    // each append, the MOR scan must equal filtering the source by the
+    // conjunction of the negations — the declarative DELETE semantics
+    val src = (1 to 200).map(i => (i.toLong, i % 7, i % 13)).toDF("k", "a", "b")
+    val preds = Seq("a = 3", "b >= 10", "k % 2 = 0 AND a < 5", "k > 150")
+    val t = MergeTable.scratch(Seq("k"))
+    t.replace(src)
+    t.compact(spark, numFiles = 3)
+    var keepCond = "TRUE"
+    preds.foreach { p =>
+      t.deleteVectors(spark, expr(p))
+      keepCond = s"$keepCond AND NOT ($p)"
+      val mor = t.readWithDeletes(spark, new StructType())
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      val want = src.filter(expr(keepCond))
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(mor == want, s"after DELETE WHERE $p")
+    }
+    // reconcile at the end of the stack preserves the composed result
+    t.reconcileDeletes(spark, numFiles = 2)
+    assert(t.read(spark, new StructType())
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      src.filter(expr(keepCond)).select("k").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(t.read(spark, new StructType()).columns.sorted.toSeq == Seq("a", "b", "k"))
+  }
 }
