@@ -1322,6 +1322,15 @@ object Similarity {
     * never replays per method) — shared by [[recallReport]] and
     * [[beamWidthReport]].
     */
+  /** Public face of [[truthHits]] for ad-hoc tuning cards (e.g. the PQ
+    * m sweep): one recall row per named method against the shared
+    * collected brute truth.
+    */
+  def truthHitsCard(spark: SparkSession, emb: DataFrame,
+                    numQueries: Int, k: Int)
+                   (methods: Seq[(String, DataFrame)]): DataFrame =
+    truthHits(spark, emb, numQueries, k)(methods)
+
   private def truthHits(spark: SparkSession, emb: DataFrame,
                         numQueries: Int, k: Int)
                        (methods: Seq[(String, DataFrame)]): DataFrame = {

@@ -505,6 +505,35 @@ object LakeQueries {
         "'delete' events — re-filed survivors cancel in the multiset " +
         "diff, the cross-feature invariant downstream syncs depend on"),
 
+    // ---- Metadata-only COUNT: every commit persists per-file footer
+    // stats (_STATS), so `SELECT count(*)` on a healthy version is
+    // O(files) METADATA work — zero data pages read — exactly how
+    // Delta/Iceberg answer unfiltered counts. The upsert exercises
+    // carried-file manifest reuse; the oracle recomputes the count the
+    // slow way, proving the manifest number is the true one.
+    GQuery("lake_metadata_count",
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("price_cents"),
+            col("o_orderstatus").as("status"))
+        val mt = graft.stages.MergeTable.scratch(Seq("o_orderkey"))
+        mt.replace(src.filter(col("o_orderkey") % 3 === 0))
+        mt.upsert(src.filter(col("o_orderkey") % 3 === 1))
+        val n = mt.manifestRowCount(mt.currentVersion.get)
+          .getOrElse(sys.error("stats manifest incomplete — metadata count unavailable"))
+        Seq((n, mt.listVersions.size.toLong))
+          .toDF("n_rows_manifest", "n_versions")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows_manifest,
+             |       CAST(2 AS BIGINT) AS n_versions
+             |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin),
+      doc = "metadata-only count: SELECT count(*) answered from the " +
+        "version's per-file _STATS manifest (O(files), zero data pages; " +
+        "carried files reuse their entries across the upsert) == the " +
+        "oracle's full recount"),
+
     GQuery("lake_change_feed",
       (s, dir) => {
         import org.apache.spark.sql.functions.col

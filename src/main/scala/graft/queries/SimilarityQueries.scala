@@ -2451,6 +2451,41 @@ object SimilarityQueries {
         "of one query-side cell ranking, each against the shared brute " +
         "truth — nprobe=8 probes all cells (the recall-1.0 exact ceiling)"),
 
+    // ---- PQ m sweep: the CODE-SIZE knob — m subspaces = m bytes
+    // resident per vector, so the arms price memory (16×/32×/64× cut at
+    // m=16/8/4) against recall on the shared brute truth. Each arm is
+    // its own encode (m is a build-time knob, like the k sweep); the
+    // truth is collected once by truthHits.
+    GQuery("sim_pq_m_report",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.truthHitsCard(s, emb, numQueries = 16, k = 3)(Seq(
+          "pq_m04" -> Similarity.pqTopK(emb, 16, 3, m = 4, ksub = 16, dim = 64),
+          "pq_m08" -> Similarity.pqTopK(emb, 16, 3, m = 8, ksub = 16, dim = 64),
+          "pq_m16" -> Similarity.pqTopK(emb, 16, 3, m = 16, ksub = 16, dim = 64)))
+          .orderBy(col("method"))
+      },
+      Some {
+        val nTruth = 16 * 3
+        val arms = Seq((4, 16), (8, 8), (16, 4))
+        val ctes = arms.map { case (m, sd) =>
+          f"pm$m%02d AS (SELECT query_id, neighbor_id FROM (${pqSql(16, 3, m, 16, sd)}) t)" }
+          .mkString(",\n")
+        val rows = arms.map { case (m, _) =>
+          f"""SELECT 'pq_m$m%02d' AS method,
+             |       (SELECT count(*) FROM pm$m%02d a JOIN truth t
+             |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin }
+          .mkString("\nUNION ALL\n")
+        s"""WITH truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(16, 3)}) t),
+           |$ctes
+           |SELECT method, CAST($nTruth AS BIGINT) AS n_truth, n_hits,
+           |       CAST(n_hits AS DOUBLE) / $nTruth AS recall
+           |FROM ($rows) ORDER BY method""".stripMargin
+      },
+      doc = "PQ subspace-count sweep (m=4/8/16 -> 64x/32x/16x memory " +
+        "cut): recall per arm against the shared brute truth — the " +
+        "code-size knob priced next to nprobe, beam, rerank-C and k"),
+
     // ---- k sweep: the quantizer-SIZING knob next to the nprobe serving
     // knob — per candidate cell count, mean assignment cosine (the
     // staleness census's own metric, floor(1e4) integer sums) and the

@@ -631,6 +631,11 @@ class PlanAuditSpec extends AnyFunSuite {
         "computed once and CHECKPOINTED (zero scans per arm there); the " +
         "seven C arms each pay the 2-scan exact rerank of their bounded " +
         "survivor prefix — sum-of-arms by design; truth collected once"),
+    "sim_pq_m_report" -> (12,
+      "PQ code-size sweep card: m is a BUILD-time knob, so the three " +
+        "arms are independent encodes by design — each pays pqTopK's " +
+        "4 column-pruned scans (codebook lineage + corpus encode + " +
+        "query + truth flags); sum-of-arms, truth collected once"),
     "sim_ivf_k_report" -> (8,
       "quantizer k-sweep card: k is a TRAINING knob, so the four arms " +
         "are independent Lloyd runs by design (nothing shareable beyond " +
