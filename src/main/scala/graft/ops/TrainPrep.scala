@@ -237,6 +237,53 @@ object TrainPrep {
     capacities.map(arm).reduce(_ unionByName _).orderBy(col("capacity"))
   }
 
+  /** Next-fit packing census — the ONLINE discipline next to
+    * [[ffdPackCensus]]'s offline FFD: a streaming loader sees docs in
+    * arrival order and keeps exactly ONE open bin (close it when the next
+    * doc doesn't fit), so the fold state is just (bins, open-bin load) —
+    * no sorted list, no bin array. The census prices what the one-pass
+    * constraint costs: NF waste vs the same shard's FFD waste, from the
+    * same tokenize pass. Arrival order = doc_id (the loader's manifest
+    * order); oversize docs go to the splitter as in FFD.
+    */
+  def nextFitPackCensus(docs: DataFrame, capacity: Int, nShards: Int = 8): DataFrame = {
+    val cap = s"CAST($capacity AS BIGINT)"
+    val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      .withColumn("shard", (col("doc_id") % nShards).cast("int"))
+      .filter(col("len") <= capacity)
+      .localCheckpoint(true) // feeds both the NF and FFD folds
+    val common = lens.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("total_tokens"),
+        expr("transform(sort_array(collect_list(struct(doc_id AS d, len AS l))), s -> s.l)")
+          .as("arrival"),
+        expr("transform(sort_array(collect_list(struct(-len AS nl, doc_id AS d, len AS l))), s -> s.l)")
+          .as("sorted"))
+      // next-fit: acc = (bins, load of the single open bin)
+      .withColumn("_nf", expr(
+        s"""aggregate(arrival, named_struct('bins', CAST(0 AS BIGINT), 'load', $cap),
+           |  (acc, L) -> CASE WHEN acc.load + L <= $cap
+           |    THEN named_struct('bins', acc.bins, 'load', acc.load + L)
+           |    ELSE named_struct('bins', acc.bins + CAST(1 AS BIGINT), 'load', L) END)""".stripMargin))
+      // the FFD fold (ffdPackCensus's) over the same shard for the delta
+      .withColumn("_ffd", expr(
+        s"""aggregate(sorted, CAST(array() AS ARRAY<BIGINT>),
+           |  (acc, L) -> CASE
+           |    WHEN array_position(transform(acc, b -> b + L <= $cap), true) = 0
+           |      THEN concat(acc, array(L))
+           |    ELSE transform(acc, (b, i) ->
+           |      CASE WHEN i = array_position(transform(acc, b2 -> b2 + L <= $cap), true) - 1
+           |           THEN b + L ELSE b END)
+           |  END)""".stripMargin))
+    common.select(col("shard"), col("n_docs"), col("total_tokens"),
+        col("_nf.bins").as("n_bins_nf"),
+        size(col("_ffd")).cast("long").as("n_bins_ffd"))
+      .withColumn("nf_waste", col("n_bins_nf") * capacity - col("total_tokens"))
+      .withColumn("ffd_waste", col("n_bins_ffd") * capacity - col("total_tokens"))
+      .withColumn("online_penalty_bins", col("n_bins_nf") - col("n_bins_ffd"))
+  }
+
   /** Deterministic weighted dataset interleaving — the ORDER a training
     * dataloader actually emits when sampling from per-language streams
     * proportionally (tf.data sample_from_datasets / Pile-style mixing),

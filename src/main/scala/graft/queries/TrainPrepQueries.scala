@@ -343,6 +343,54 @@ object TrainPrepQueries {
         "waste, fill at 1e4 and splitter pressure per candidate sequence " +
         "length — one tokenize pass, arms share the checkpointed lengths"),
 
+    // ---- Next-fit: the ONLINE packing discipline — a streaming loader
+    // sees docs in manifest order and keeps ONE open bin, so its fold
+    // state is (bins, open load) and its waste is what the one-pass
+    // constraint costs vs the same shard's FFD floor. Both folds ride
+    // the same checkpointed tokenize pass; the census emits the online
+    // penalty in bins per shard.
+    GQuery("prep_pack_nextfit",
+      (s, dir) => TrainPrep.nextFitPackCensus(Tables.documents(s, dir),
+          capacity = 96, nShards = 8)
+        .orderBy(col("shard")),
+      Some("""WITH lens AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+             |         CAST(doc_id % 8 AS INT) AS shard
+             |  FROM documents WHERE len(string_split(text, ' ')) <= 96),
+             |f AS (
+             |  SELECT shard, count(*) AS n_docs,
+             |         CAST(SUM(len) AS BIGINT) AS total_tokens,
+             |         list_reduce(list_prepend([CAST(0 AS BIGINT), CAST(96 AS BIGINT)],
+             |             list_transform(list(len ORDER BY doc_id),
+             |               l -> [l, CAST(0 AS BIGINT)])),
+             |           (acc, x) -> CASE WHEN acc[2] + x[1] <= 96
+             |                            THEN [acc[1], acc[2] + x[1]]
+             |                            ELSE [acc[1] + 1, x[1]] END) AS nf,
+             |         list_reduce(list_prepend(CAST([] AS BIGINT[]),
+             |             list_transform(list(len ORDER BY len DESC, doc_id),
+             |               l -> [l])),
+             |           (acc, x) -> CASE
+             |             WHEN list_position(list_transform(acc,
+             |                    b -> b + x[1] <= 96), true) = 0
+             |               THEN list_append(acc, x[1])
+             |             ELSE list_transform(acc, (b, i) ->
+             |               CASE WHEN i = list_position(list_transform(acc,
+             |                             b2 -> b2 + x[1] <= 96), true)
+             |                    THEN b + x[1] ELSE b END)
+             |           END) AS bins
+             |  FROM lens GROUP BY shard)
+             |SELECT shard, n_docs, total_tokens,
+             |       nf[1] AS n_bins_nf,
+             |       CAST(len(bins) AS BIGINT) AS n_bins_ffd,
+             |       nf[1] * 96 - total_tokens AS nf_waste,
+             |       CAST(len(bins) AS BIGINT) * 96 - total_tokens AS ffd_waste,
+             |       nf[1] - CAST(len(bins) AS BIGINT) AS online_penalty_bins
+             |FROM f ORDER BY shard""".stripMargin),
+      doc = "next-fit (online, one open bin, manifest order) vs FFD " +
+        "(offline floor) packing census per shard at capacity 96: the " +
+        "measured bin/waste penalty the one-pass streaming-loader " +
+        "constraint costs — both folds off one checkpointed tokenize pass"),
+
     // ---- Split-then-pack: prep_pack_ffd's splitter half — oversize
     // docs cut into capacity windows (full windows + remainder), pieces
     // rejoin the in-capacity docs, the whole shard FFD-packs; nothing

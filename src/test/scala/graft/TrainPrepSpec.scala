@@ -351,4 +351,24 @@ class TrainPrepSpec extends AnyFunSuite {
     // 4 different shards (ids 0-3 mod 8) so FFD can't co-pack them
     assert(rows(2).getAs[Long]("n_bins") == 4L)
   }
+
+  test("next-fit vs FFD: hand-traced online penalty on one shard") {
+    import spark.implicits._
+    // one shard (ids ≡ 0 mod 8), capacity 10, arrival lens 6,5,4,5:
+    // NF: [6] | close, [5, +4=9] | close, [5] → 3 bins
+    // FFD (sorted 6,5,5,4): b1=6+4=10, b2=5+5=10 → 2 bins
+    val d = Seq(
+      (0L, "a a a a a a"), (8L, "b b b b b"),
+      (16L, "c c c c"), (24L, "d d d d d")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TrainPrep.nextFitPackCensus(d, capacity = 10, nShards = 8)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_bins_nf") == 3L, s"$row")
+    assert(row.getAs[Long]("n_bins_ffd") == 2L, s"$row")
+    assert(row.getAs[Long]("online_penalty_bins") == 1L)
+    assert(row.getAs[Long]("nf_waste") == 3L * 10 - 20L)
+    assert(row.getAs[Long]("ffd_waste") == 0L)
+  }
 }
