@@ -86,7 +86,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** `graft.filter.columns` must name real top-level columns — a typo'd
     * key column would silently disable runtime group filtering forever.
     */
-  private def validateProps(props: Map[String, String], schema: StructType): Unit =
+  private def validateProps(props: Map[String, String], schema: StructType): Unit = {
     props.get(GraftTable.FilterColumnsProp).foreach { cols =>
       val known = schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       val bad = GraftTable.parseFilterColumns(cols)
@@ -94,6 +94,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (bad.nonEmpty) throw new IllegalArgumentException(
         s"${GraftTable.FilterColumnsProp} names unknown column(s): ${bad.mkString(", ")}")
     }
+    // a typo'd threshold would silently leave DV mode off — fail at DDL
+    props.get(GraftTable.DvDeleteMaxRowsProp).foreach { v =>
+      if (scala.util.Try(v.trim.toLong).toOption.forall(_ < 0))
+        throw new IllegalArgumentException(
+          s"${GraftTable.DvDeleteMaxRowsProp} must be a non-negative row count, got '$v'")
+    }
+  }
 
   // ---- tables -------------------------------------------------------------
 

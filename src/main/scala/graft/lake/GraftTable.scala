@@ -107,9 +107,30 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
     ParquetTable(tableName, SparkSession.active, CaseInsensitiveStringMap.empty(),
       paths, Some(tableSchema), classOf[ParquetFileFormat])
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    parquetTable(Seq(dataDir(pinnedVersion.orElse(merge.currentVersion))))
-      .newScanBuilder(options)
+  /** The catalog scan. A pinned (time-travel) scan always reads the bare
+    * immutable snapshot. The CURRENT-version scan must anti-apply any
+    * pending merge-on-read deletes: while a DV sidecar is pending, the
+    * delegated parquet scan is wrapped with the pending DELETEs' own
+    * predicates ([[DeleteVectors]]) — the read tax the reconcile clears.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val plainBuilder =
+      parquetTable(Seq(dataDir(pinnedVersion.orElse(merge.currentVersion))))
+        .newScanBuilder(options)
+    if (pinnedVersion.isDefined) plainBuilder
+    else merge.pendingDeleteVectors match {
+      case None => plainBuilder
+      case Some(dvDir) =>
+        val preds = DeleteVectors.readPredicates(dvDir)
+        if (preds.isEmpty) throw new IllegalStateException(
+          s"$tableName: pending deletion-vector sidecar $dvDir carries no scan " +
+            "predicates (written outside the SQL DELETE path) — run " +
+            "reconcileDeletes before reading through the catalog")
+        new DvPendingScanBuilder(this,
+          dataDir(merge.currentVersion),
+          DeleteVectors.deletedExpr(preds, tableSchema))
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -120,6 +141,10 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"$tableName VERSION AS OF ${pinnedVersion.get} is an immutable snapshot — writes go to the current table")
+    // no pending-DV check HERE: Spark builds the row-level plan during
+    // ANALYSIS for every DELETE, including ones the optimizer later swaps
+    // to the SupportsDelete (metadata/DV) path — the check runs when the
+    // rewrite actually starts writing (GraftWrite.toBatch)
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new GraftRowLevelOperation(GraftTable.this, info)
     }
@@ -174,22 +199,86 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
     plan
   }
 
+  // ---- DELETE decision ladder --------------------------------------------
+  // The ladder a real lakehouse runs (Delta's, with DV opt-in):
+  //   1. metadata-only when footer stats PROVE whole files drop — zero
+  //      data I/O (skipped while a DV sidecar is pending: its commit
+  //      could not carry the sidecar forward);
+  //   2. deletion vector when the table opts in (graft.dv.delete.maxRows)
+  //      and the hit set is small — O(deleted rows) sidecar, NO version
+  //      commit, the scan pays the anti-apply until reconcile;
+  //   3. group rewrite otherwise (canDeleteWhere = false → Spark's
+  //      row-level operation path).
+  // The eligibility row count is one pushed-filter scan, memoized like
+  // the metadata plan (Spark consults canDeleteWhere more than once).
+
+  import GraftTable.{DeleteDecision, DvAppend, MetaOnly, NothingToDelete, Rewrite}
+
+  /** DV opt-in: max matching rows a DELETE may divert to the sidecar.
+    * Absent/unparsable = DV mode off (every non-metadata DELETE rewrites).
+    */
+  private[lake] def dvDeleteMaxRows: Option[Long] =
+    tableProps.get(GraftTable.DvDeleteMaxRowsProp)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ >= 0)
+
+  @volatile private var deleteDecisionMemo
+      : (Seq[org.apache.spark.sql.sources.Filter], DeleteDecision) = null
+
+  private def deleteDecision(filters: Array[org.apache.spark.sql.sources.Filter])
+      : DeleteDecision = {
+    val key = filters.toSeq
+    val memo = deleteDecisionMemo
+    if (memo != null && memo._1 == key) return memo._2
+    val pendingDv = merge.pendingDeleteVectors.isDefined
+    val decision = merge.currentVersion match {
+      case None => NothingToDelete
+      case Some(base) =>
+        metadataDeletePlan(filters) match {
+          case Some((b, drop)) if !pendingDv => MetaOnly(b, drop)
+          case _ =>
+            dvDeleteMaxRows match {
+              case Some(cap) if DeleteVectors.translatable(filters, tableSchema) =>
+                val pred = filters.flatMap(DeleteVectors.filterToColumn)
+                  .reduceLeft(_ && _)
+                val n = SparkSession.active.read.schema(tableSchema)
+                  .parquet(dataDir(Some(base))).filter(pred).count()
+                if (n == 0) NothingToDelete
+                else if (n <= cap) DvAppend(n)
+                else Rewrite
+              case _ => Rewrite
+            }
+        }
+    }
+    deleteDecisionMemo = (key, decision)
+    decision
+  }
+
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    pinnedVersion.isEmpty && metadataDeletePlan(filters).isDefined
+    pinnedVersion.isEmpty && (deleteDecision(filters) match {
+      case Rewrite => false
+      case _       => true
+    })
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(pinnedVersion.isEmpty,
       s"$tableName VERSION AS OF ${pinnedVersion.get} is an immutable snapshot — writes go to the current table")
-    metadataDeletePlan(filters) match {
-      case Some((None, _)) => () // no committed version: nothing to delete
-      case Some((base @ Some(_), drop)) =>
+    deleteDecision(filters) match {
+      case NothingToDelete => () // empty table or zero matching rows
+      case MetaOnly(base, drop) =>
         // an empty staging dir + carry-forward of everything not dropped:
         // O(files) link metadata, zero data I/O
         val stage = dir.resolve(s"_stage_metadel_${java.util.UUID.randomUUID()}")
         Files.createDirectories(stage)
         merge.commitStagedFiles(stage, carryForward = true,
           expectedBase = Some(base), carryExclude = drop)
-      case None => throw new IllegalStateException(
+      case DvAppend(_) =>
+        // merge-on-read: positions into the sidecar, the statement's
+        // filters beside them for the scan-side anti-apply; NO commit
+        val pred = filters.flatMap(DeleteVectors.filterToColumn).reduceLeft(_ && _)
+        merge.deleteVectors(SparkSession.active, pred)
+        merge.pendingDeleteVectors.foreach(dvDir =>
+          DeleteVectors.writePredicates(dvDir, filters))
+      case Rewrite => throw new IllegalStateException(
         s"$tableName: deleteWhere called for a condition canDeleteWhere rejects — " +
           "a concurrent commit changed the file set; re-run the statement")
     }
@@ -201,6 +290,19 @@ object GraftTable {
     * may prune row-level-operation file groups on.
     */
   val FilterColumnsProp = "graft.filter.columns"
+
+  /** Table property opting `DELETE` into merge-on-read deletion vectors:
+    * the maximum matching-row count a DELETE may divert to the sidecar
+    * (above it, the group rewrite is the better trade — Delta's small-
+    * delete heuristic as an explicit knob). Absent = copy-on-write only.
+    */
+  val DvDeleteMaxRowsProp = "graft.dv.delete.maxRows"
+
+  private[lake] sealed trait DeleteDecision
+  private[lake] case object NothingToDelete extends DeleteDecision
+  private[lake] final case class MetaOnly(base: Option[String], drop: Set[String]) extends DeleteDecision
+  private[lake] final case class DvAppend(nRows: Long) extends DeleteDecision
+  private[lake] case object Rewrite extends DeleteDecision
 
   /** THE parse of [[FilterColumnsProp]] — shared by the table (to act on
     * it) and the catalog's validation (to reject typos), so the two can
@@ -377,6 +479,14 @@ private[lake] final class GraftWrite(table: GraftTable, info: LogicalWriteInfo,
     s"GraftWrite(${table.name()}, ${if (carryForward) "append" else "replace"})"
 
   override def toBatch: BatchWrite = {
+    // fail BEFORE executors write, not at the commit: any staged commit
+    // built from the bare version would resurrect pending merge-on-read
+    // deletes (the MergeTable commit guard is the backstop). Checked at
+    // execution time, not plan time — analysis builds this write for
+    // DELETE plans the optimizer later swaps to the DV/metadata path.
+    require(table.merge.pendingDeleteVectors.isEmpty,
+      s"${table.name()} has pending merge-on-read deletes — run " +
+        "reconcileDeletes before MERGE/UPDATE/INSERT/rewrite-DELETE")
     val stage = java.nio.file.Paths.get(
       table.dataDir(None)).getParent.resolve(s"_stage_dsv2_${java.util.UUID.randomUUID()}")
     Files.createDirectories(stage)

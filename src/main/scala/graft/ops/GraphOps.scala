@@ -452,9 +452,15 @@ object GraphOps {
     byC.join(intra, Seq("label"), "left")
       .na.fill(0L, Seq("intra_edges"))
       .crossJoin(broadcast(mRow))
-      .withColumn("_num",
-        expr("1000000 * (4 * m_edges * intra_edges - degree_sum * degree_sum)"))
-      .withColumn("_den", expr("4 * m_edges * m_edges"))
+      // numerator through DECIMAL(38,0): degree_sum reaches 2m, so the
+      // BIGINT product 10⁶·d² would overflow Long near m ≈ 1.5M edges —
+      // the same cast ladder ts_stl_anomaly rides (HUGEINT in the DuckDB
+      // mirror); `div` on decimals returns BIGINT and |contrib_e6| ≤ 10⁶
+      .withColumn("_num", expr(
+        """CAST(1000000 AS DECIMAL(38,0)) *
+           (4 * CAST(m_edges AS DECIMAL(38,0)) * intra_edges
+            - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum)"""))
+      .withColumn("_den", expr("4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges"))
       .withColumn("contrib_e6", expr(
         "CAST(CASE WHEN _num < 0 THEN -((-_num) div _den) ELSE _num div _den END AS BIGINT)"))
       .select(col("label"), col("n_nodes"), col("degree_sum"),

@@ -1204,7 +1204,7 @@ object Similarity {
   def filteredIvfKmeansTopK(spark: SparkSession, emb: DataFrame,
                             labelValue: Int, numQueries: Int, k: Int,
                             centroids: Int = 8, iters: Int = 2,
-                            nprobe: Int = 2): DataFrame = {
+                            nprobe: Int = 7): DataFrame = {
     val base = withNorm(emb)
     val cents = kmeansCentroids(emb, centroids, iters).cache()
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -1432,11 +1432,24 @@ object Similarity {
     * pass + |arms| cell-joined scoring stages, never |arms| Lloyd runs.
     * The top arm probes ALL cells — the exact-scan ceiling (recall 1.0)
     * that prices what the last probe is worth.
+    *
+    * With `filteredLabel` set, the card grows `filtered_nprobe_*` arms:
+    * the SAME query-side cell ranking, the corpus side thinned to the
+    * predicate (the single-stage filtered scan of
+    * [[filteredIvfKmeansTopK]]), each arm graded against the exact
+    * top-k over the predicate-filtered corpus — so predicate-constrained
+    * recall gets its own measured curve, not the unfiltered family's.
+    * Predicate thinning shifts the whole curve right (each probe yields
+    * |cell ∩ predicate| candidates), which is why the filtered default
+    * must be read off THIS curve; the all-cells filtered arm is the
+    * pre-filter-exact flip (recall 1.0) the strategy trades against.
     */
   def ivfNprobeReport(spark: SparkSession, emb: DataFrame,
                       numQueries: Int = 16, k: Int = 3,
                       centroids: Int = 8, iters: Int = 2,
-                      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+                      nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+                      filteredLabel: Option[Int] = None,
+                      filteredNprobes: Seq[Int] = Nil): DataFrame = {
     val base = withNorm(emb)
     val cents = kmeansCentroids(emb, centroids, iters).cache()
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -1446,22 +1459,26 @@ object Similarity {
         expr(dotExpr("embedding", "c")) / (col("norm") * expr("sqrt(graft_dot(c, c))")))
       .withColumn("_r", row_number().over(wAssign))
     // the corpus assignment IS the IVF index — materialize it once so the
-    // Lloyd lineage never replays per arm (the persisted-index stand-in)
+    // Lloyd lineage never replays per arm (the persisted-index stand-in);
+    // with filtered arms, the label rides along as the stored filter column
+    val corpusCols = Seq(col("vec_id"), col("embedding"), col("norm"),
+      col("c_id").as("cell")) ++ filteredLabel.map(_ => col("label"))
     val corpus = ranked.filter(col("_r") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("c_id").as("cell"))
+      .select(corpusCols: _*)
       .localCheckpoint(true)
-    // one query-side cell ranking at max nprobe; each arm is a prefix
+    // one query-side cell ranking at the overall max nprobe; each arm
+    // (filtered or not) is a prefix
+    val maxProbe = (nprobes ++ filteredNprobes).max
     val queries = ranked
-      .filter(col("_r") <= nprobes.max && col("vec_id") < numQueries)
+      .filter(col("_r") <= maxProbe && col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("c_id").as("cell"),
         col("_r").as("probe_rank"))
       .localCheckpoint(true)
-    def arm(w: Int): DataFrame = {
+    def arm(w: Int, side: DataFrame): DataFrame = {
       val wRank = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
-      corpus.join(queries.filter(col("probe_rank") <= w), Seq("cell"))
+      side.join(queries.filter(col("probe_rank") <= w), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cosine",
           expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
@@ -1469,8 +1486,47 @@ object Similarity {
         .filter(col("rank") <= k)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
     }
-    truthHits(spark, emb, numQueries, k)(
-      nprobes.map(w => f"nprobe_$w%02d" -> arm(w)))
+    val unfiltered = truthHits(spark, emb, numQueries, k)(
+      nprobes.map(w => f"nprobe_$w%02d" -> arm(w, corpus)))
+    val withFiltered = filteredLabel.fold(unfiltered) { lv =>
+      val fcorpus = corpus.filter(col("label") === lv)
+      // filtered truth = exact top-k over the predicate-filtered corpus
+      // (what the pre-filter flip would return); bounded collect of
+      // ≤ numQueries·k rows, same shape as truthHits' shared truth
+      val fq = base.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"))
+      val wT = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val fTruthRows = base.filter(col("label") === lv)
+        .select(col("vec_id"), col("embedding"), col("norm"))
+        .crossJoin(broadcast(fq))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          expr(dotExpr("embedding", "q_emb")) / (col("norm") * col("q_norm")))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .collect().toSeq
+      val fTruth = spark.createDataFrame(
+        spark.sparkContext.parallelize(fTruthRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType))))
+      val nFTruth = fTruthRows.size.toLong
+      val fRows = filteredNprobes.map { w =>
+        arm(w, fcorpus)
+          .join(fTruth, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(f"filtered_nprobe_$w%02d").as("method"),
+            lit(nFTruth).as("n_truth"), col("n_hits"),
+            (col("n_hits").cast("double") / nFTruth.toDouble).as("recall"))
+      }
+      (unfiltered +: fRows).reduce(_ unionByName _)
+    }
+    withFiltered
   }
 
   /** k sweep card — the quantizer-SIZING knob (how many cells should the

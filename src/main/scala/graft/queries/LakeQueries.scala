@@ -505,6 +505,123 @@ object LakeQueries {
         "'delete' events — re-filed survivors cancel in the multiset " +
         "diff, the cross-feature invariant downstream syncs depend on"),
 
+    // ---- SQL DELETE through deletion vectors: the decision ladder a
+    // real lakehouse runs on `DELETE FROM t WHERE ...` — metadata-only
+    // when footer stats prove whole files drop; a DV sidecar when the
+    // table opts in (graft.dv.delete.maxRows) and the hit set is small;
+    // group rewrite otherwise. Both predicates here straddle every file
+    // (round-robin layout) and match few rows, so the ladder lands on DV:
+    // the statements commit NO version and rewrite NO file (the pinned
+    // version/file-count prove it), the catalog scan anti-applies the
+    // pending deletes (phase-1 aggregates run against the wrapped scan),
+    // and reconcile folds the sidecar into a fresh 4-file version.
+    GQuery("lake_sql_delete_dv",
+      (s, dir) => {
+        import s.implicits._
+        val (t, view) = freshTable(s, dir, "dvsql",
+          s"TBLPROPERTIES ('${graft.lake.GraftTable.DvDeleteMaxRowsProp}' = '100000')")
+        s.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(8) */ * FROM $view") // v0, 8 pinned files
+        val (_, mt) = storageHandle(s, t)
+        s.sql(s"DELETE FROM $t WHERE price_cents < 10000000") // DV append, no commit
+        s.sql(s"DELETE FROM $t WHERE status = 'P'")           // accumulates into the sidecar
+        // collect NOW: the aggregate must execute against the DV-pending
+        // scan (a lazy plan would run post-reconcile and dodge the wrapper)
+        def agg(): (Long, Long) = {
+          val r = s.sql(s"SELECT count(*) AS n, CAST(sum(price_cents) AS BIGINT) " +
+            s"AS tc FROM $t").collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        val v0 = mt.currentVersion.get
+        val f0 = mt.dataFiles(v0).size.toLong
+        val (n1, c1) = agg()
+        mt.reconcileDeletes(s, numFiles = 4)
+        val v1 = mt.currentVersion.get
+        val f1 = mt.dataFiles(v1).size.toLong
+        val (n2, c2) = agg()
+        Seq(("1_dv_pending", v0, f0, n1, c1), ("2_reconciled", v1, f1, n2, c2))
+          .toDF("phase", "version", "n_files", "n_rows", "total_cents")
+          .orderBy(col("phase"))
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+              |kept AS (SELECT * FROM o
+              |         WHERE NOT (price_cents < 10000000) AND NOT (status = 'P')),
+              |c AS (SELECT count(*) AS n_rows,
+              |             CAST(sum(price_cents) AS BIGINT) AS total_cents
+              |      FROM kept)
+              |SELECT '1_dv_pending' AS phase, 'v0' AS version,
+              |       CAST(8 AS BIGINT) AS n_files, n_rows, total_cents FROM c
+              |UNION ALL
+              |SELECT '2_reconciled', 'v1', CAST(4 AS BIGINT), n_rows, total_cents FROM c
+              |ORDER BY phase""".stripMargin),
+      doc = "SQL DELETE through the DV ladder: two selective deletes on a " +
+        "DV-enabled table commit only a sidecar (version pinned at v0, " +
+        "all 8 files untouched), the catalog scan anti-applies the pending " +
+        "predicates, reconcile folds to a 4-file v1 — both phases == the " +
+        "layout-blind double-NOT oracle"),
+
+    // ---- DV reconcile census: merge-on-read's monitoring twin, the
+    // same convention the graph index got (staleness card whose
+    // recommendation IS the maintain trigger). The census prices the
+    // read tax — sidecar rows vs the version's manifest row count — and
+    // reconcileIfRecommended fires on the census's own ≥5% predicate:
+    // a 0.1% delete is not worth a rewrite (trigger no-ops, version
+    // pinned), the accumulated 49% delete is (trigger fires, sidecar
+    // folded). Integer-only output, trigger == threshold by construction.
+    GQuery("lake_dv_reconcile_census",
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("price_cents"),
+            col("o_orderstatus").as("status"))
+        val mt = graft.stages.MergeTable.scratch(Seq("o_orderkey"))
+        mt.replace(src)
+        mt.compact(s, numFiles = 8) // v1: pinned layout the DVs target
+        def phase(name: String): (String, String, Long, Long, Int, Int, String) = {
+          val c = mt.deleteVectorCensus(s).collect()(0)
+          val fired = mt.reconcileIfRecommended(s, numFiles = 4)
+          (name, c.getString(0), c.getLong(1), c.getLong(2),
+            if (c.getBoolean(3)) 1 else 0, if (fired) 1 else 0,
+            mt.currentVersion.get)
+        }
+        mt.deleteVectors(s, col("o_orderkey") % 1000 === 7) // ~0.1%: below trigger
+        val p1 = phase("1_small")
+        mt.deleteVectors(s, col("status") === "F")          // ~49%: above trigger
+        val p2 = phase("2_bulk")
+        Seq(p1, p2).toDF("phase", "version", "table_rows", "dv_rows",
+          "reconcile_recommended", "fired", "version_after")
+          .orderBy(col("phase"))
+      },
+      Some(s"""WITH o AS ($ordersCentsSql),
+              |tot AS (SELECT count(*) AS table_rows FROM o),
+              |d1 AS (SELECT count(*) AS dv FROM o WHERE o_orderkey % 1000 = 7),
+              |d2 AS (SELECT count(*) AS dv FROM o
+              |       WHERE o_orderkey % 1000 = 7 OR status = 'F')
+              |SELECT '1_small' AS phase, 'v1' AS version, table_rows,
+              |       d1.dv AS dv_rows,
+              |       CAST(CASE WHEN d1.dv > 0 AND 20 * d1.dv >= table_rows
+              |            THEN 1 ELSE 0 END AS INT) AS reconcile_recommended,
+              |       CAST(CASE WHEN d1.dv > 0 AND 20 * d1.dv >= table_rows
+              |            THEN 1 ELSE 0 END AS INT) AS fired,
+              |       CASE WHEN d1.dv > 0 AND 20 * d1.dv >= table_rows
+              |            THEN 'v2' ELSE 'v1' END AS version_after
+              |FROM tot, d1
+              |UNION ALL
+              |SELECT '2_bulk', 'v1', table_rows, d2.dv,
+              |       CAST(CASE WHEN d2.dv > 0 AND 20 * d2.dv >= table_rows
+              |            THEN 1 ELSE 0 END AS INT),
+              |       CAST(CASE WHEN d2.dv > 0 AND 20 * d2.dv >= table_rows
+              |            THEN 1 ELSE 0 END AS INT),
+              |       CASE WHEN d2.dv > 0 AND 20 * d2.dv >= table_rows
+              |            THEN 'v2' ELSE 'v1' END
+              |FROM tot, d2
+              |ORDER BY phase""".stripMargin),
+      doc = "deletion-vector reconcile census + trigger: sidecar rows vs " +
+        "the manifest row count, reconcile_recommended at the documented " +
+        "20·dv >= rows (5%) threshold — the 0.1% delete no-ops the " +
+        "trigger, the accumulated 49% delete fires it (census and op " +
+        "share the literal predicate)"),
+
     // ---- Metadata-only COUNT: every commit persists per-file footer
     // stats (_STATS), so `SELECT count(*)` on a healthy version is
     // O(files) METADATA work — zero data pages read — exactly how

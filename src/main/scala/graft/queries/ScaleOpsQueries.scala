@@ -1561,9 +1561,9 @@ object ScaleOpsQueries {
             r AS (SELECT b.label, b.n_nodes, b.degree_sum,
                          CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
                          m.m_edges,
-                         1000000 * (4 * m.m_edges * CAST(COALESCE(i.intra_edges, 0) AS BIGINT)
-                           - b.degree_sum * b.degree_sum) AS num,
-                         4 * m.m_edges * m.m_edges AS den
+                         1000000 * (4 * CAST(m.m_edges AS HUGEINT) * CAST(COALESCE(i.intra_edges, 0) AS BIGINT)
+                           - CAST(b.degree_sum AS HUGEINT) * b.degree_sum) AS num,
+                         4 * CAST(m.m_edges AS HUGEINT) * m.m_edges AS den
                   FROM byc b LEFT JOIN intra i USING (label), m)
             SELECT label, n_nodes, degree_sum, intra_edges, m_edges,
                    CAST(CASE WHEN num < 0 THEN -((-num) // den)

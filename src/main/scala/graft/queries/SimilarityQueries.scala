@@ -1000,34 +1000,66 @@ object SimilarityQueries {
     * truth.
     */
   private def ivfNprobeSql(centroids: Int, numQueries: Int, k: Int,
-                           nprobes: Seq[Int]): String = {
+                           nprobes: Seq[Int],
+                           filteredLabel: Option[Int] = None,
+                           filteredNprobes: Seq[Int] = Nil): String = {
     val nTruth = numQueries * k
-    val maxW = nprobes.max
-    val ctes = nprobes.map(w =>
-      f"""np$w%02d AS (
+    val maxW = (nprobes ++ filteredNprobes).max
+    def armCte(name: String, w: Int, corpusCte: String) =
+      f"""$name AS (
          |  SELECT query_id, vec_id AS neighbor_id FROM (
          |    SELECT qq.query_id, co.vec_id,
          |           ROW_NUMBER() OVER (PARTITION BY qq.query_id
          |             ORDER BY ${dotSql("b.embedding", "qb.embedding")} / (b.norm * qb.norm) DESC,
          |                      co.vec_id) AS rank
-         |    FROM corpus co JOIN qq ON co.cell = qq.cell AND qq.r <= $w%d
+         |    FROM $corpusCte co JOIN qq ON co.cell = qq.cell AND qq.r <= $w%d
          |    JOIN base b ON b.vec_id = co.vec_id
          |    JOIN base qb ON qb.vec_id = qq.query_id
          |    WHERE co.vec_id <> qq.query_id)
-         |  WHERE rank <= $k%d)""".stripMargin).mkString(",\n")
+         |  WHERE rank <= $k%d)""".stripMargin
+    val ctes = nprobes.map(w => armCte(f"np$w%02d", w, "corpus")).mkString(",\n")
     val rows = nprobes.map(w =>
       f"""SELECT 'nprobe_$w%02d' AS method,
+         |       CAST($nTruth%d AS BIGINT) AS n_truth,
          |       (SELECT count(*) FROM np$w%02d a JOIN truth t
          |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin)
       .mkString("\nUNION ALL\n")
+    // filtered arms: corpus thinned to the predicate, graded against the
+    // exact top-k over the predicate-filtered corpus (its own truth set)
+    val (fCtes, fRows) = filteredLabel.fold(("", "")) { lv =>
+      val fc =
+        s""",
+           |fco AS (SELECT co.vec_id, co.cell FROM corpus co
+           |        JOIN embeddings e ON e.vec_id = co.vec_id AND e.label = $lv),
+           |ftruth AS (
+           |  SELECT query_id, vec_id AS neighbor_id FROM (
+           |    SELECT qb.vec_id AS query_id, b.vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY qb.vec_id ORDER BY
+           |             ${dotSql("b.embedding", "qb.embedding")} / (b.norm * qb.norm)
+           |               DESC, b.vec_id) AS rank
+           |    FROM base b
+           |    JOIN embeddings e ON e.vec_id = b.vec_id AND e.label = $lv,
+           |         base qb
+           |    WHERE qb.vec_id < $numQueries AND b.vec_id <> qb.vec_id)
+           |  WHERE rank <= $k),
+           |""".stripMargin +
+          filteredNprobes.map(w => armCte(f"fnp$w%02d", w, "fco")).mkString(",\n")
+      val fr = "\nUNION ALL\n" + filteredNprobes.map(w =>
+        f"""SELECT 'filtered_nprobe_$w%02d' AS method,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM ftruth) AS n_truth,
+           |       (SELECT count(*) FROM fnp$w%02d a JOIN ftruth t
+           |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      (fc, fr)
+    }
     s"""WITH ${kmeansAssignCtes(centroids, maxW, numQueries)},
        |qq AS (SELECT vec_id AS query_id, cell, r FROM fin
        |       WHERE r <= $maxW AND vec_id < $numQueries),
        |truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t),
-       |$ctes
-       |SELECT method, CAST($nTruth AS BIGINT) AS n_truth, n_hits,
-       |       CAST(n_hits AS DOUBLE) / $nTruth AS recall
-       |FROM ($rows) ORDER BY method""".stripMargin
+       |$ctes$fCtes
+       |SELECT method, n_truth, n_hits,
+       |       CAST(n_hits AS DOUBLE) / n_truth AS recall
+       |FROM ($rows$fRows) ORDER BY method""".stripMargin
   }
 
   /** DuckDB mirror of Similarity.ivfKReport: one kmeans CTE prefix per
@@ -1354,24 +1386,27 @@ object SimilarityQueries {
     // reads |cell ∩ predicate|), never as a post-filter of k truncated
     // hits — the classic filtered-search bug. Truth flags grade against
     // the exact pre-filter strategy, pricing the flip point.
-    // nprobe 4, not the unfiltered rung's 2: a predicate thins every
-    // cell ~10x, so filtered search widens probes until the candidate
-    // pool is search-worthy (measured: 0.48 at nprobe 2 -> 0.79/0.71 at
-    // nprobe 4 on sf0.01/sf0.1 — at the unfiltered family's own ~0.75
-    // probe ceiling on this corpus; past it, the flip to pre-filter
-    // exact is the right plan and the flags price exactly that).
+    // nprobe 7, read off the FILTERED arms of sim_ivf_nprobe_report: a
+    // predicate thins every cell ~10x, so filtered search widens probes
+    // until the candidate pool is search-worthy. Measured on the card's
+    // filtered curve (sf0.01/sf0.1): 0.48/0.63 @2, 0.79/0.71 @4,
+    // 0.92/0.88 @6, 0.92/0.94 @7, 1.0 @8 — nprobe 7 is the measured arm
+    // that clears ~0.9. At this selectivity the scan fraction (7/8 of
+    // the thinned lists ≈ 9% of the corpus) sits just under the
+    // pre-filter-exact flip (~10%), which is exactly what the card's
+    // all-cells arm prices: a much more selective predicate should flip.
     GQuery("sim_filtered_topk",
       (s, dir) => Similarity.filteredIvfKmeansTopK(s, Tables.embeddings(s, dir),
           labelValue = 3, numQueries = 16, k = 3,
-          centroids = 8, iters = 2, nprobe = 4)
+          centroids = 8, iters = 2, nprobe = 7)
         .orderBy(col("query_id"), col("rank")),
-      Some(filteredIvfSql(labelValue = 3, centroids = 8, nprobe = 4,
+      Some(filteredIvfSql(labelValue = 3, centroids = 8, nprobe = 7,
         numQueries = 16, k = 3)),
       doc = "filtered ANN (single-stage): label predicate applied at the " +
-        "IVF inverted-list scan of the shared full-corpus index, nprobe-4 " +
-        "k-means cells (widened for predicate thinning; 0.79/0.71 " +
-        "measured), truth-flagged against the exact pre-filtered search " +
-        "it trades against"),
+        "IVF inverted-list scan of the shared full-corpus index, nprobe-7 " +
+        "k-means cells — the arm of sim_ivf_nprobe_report's filtered " +
+        "curve that clears ~0.9 (0.92/0.94 measured) — truth-flagged " +
+        "against the exact pre-filtered search it trades against"),
 
     // ---- Rerank-candidates tuning card: the second serving knob (the
     // beam card's sibling) — one-bit / matryoshka / RQ coarse-rank on
@@ -2442,14 +2477,20 @@ object SimilarityQueries {
     GQuery("sim_ivf_nprobe_report",
       (s, dir) => Similarity.ivfNprobeReport(s, Tables.embeddings(s, dir),
           numQueries = 16, k = 3, centroids = 8, iters = 2,
-          nprobes = Seq(1, 2, 4, 8))
+          nprobes = Seq(1, 2, 4, 8),
+          filteredLabel = Some(3), filteredNprobes = Seq(2, 4, 6, 7, 8))
         .orderBy(col("method")),
       Some(ivfNprobeSql(centroids = 8, numQueries = 16, k = 3,
-        nprobes = Seq(1, 2, 4, 8))),
-      doc = "IVF nprobe recall curve: one trained quantizer + one " +
-        "materialized assignment pass, arms nprobe=1/2/4/8 as prefixes " +
-        "of one query-side cell ranking, each against the shared brute " +
-        "truth — nprobe=8 probes all cells (the recall-1.0 exact ceiling)"),
+        nprobes = Seq(1, 2, 4, 8),
+        filteredLabel = Some(3), filteredNprobes = Seq(2, 4, 6, 7, 8))),
+      doc = "IVF nprobe recall curve, unfiltered AND filtered: one " +
+        "trained quantizer + one materialized assignment pass, arms " +
+        "nprobe=1/2/4/8 as prefixes of one query-side cell ranking " +
+        "against the shared brute truth (nprobe=8 = all cells, the " +
+        "recall-1.0 exact ceiling), plus filtered_nprobe=2/4/6/8 arms " +
+        "over the label-thinned corpus against the predicate-filtered " +
+        "exact truth — the measured curve sim_filtered_topk's default " +
+        "is read from"),
 
     // ---- PQ m sweep: the CODE-SIZE knob — m subspaces = m bytes
     // resident per vector, so the arms price memory (16×/32×/64× cut at

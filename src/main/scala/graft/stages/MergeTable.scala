@@ -3,6 +3,7 @@ package graft.stages
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** A versioned parquet MERGE target — the storage-transactional upsert the
@@ -144,10 +145,34 @@ final class MergeTable(val root: String, keys: Seq[String],
   // version still sees pre-delete rows and a new commit starts clean
   // (its version has no sidecar). `isVersionName` rejects the `_dv`
   // suffix, so vacuum/version listing never mistake a sidecar for a
-  // snapshot (a vacuumed version may orphan its sidecar — metadata-sized
-  // garbage, swept with the version's directory tree on cleanup).
+  // snapshot; [[vacuum]] deletes a dropped version's sidecar alongside
+  // its directory, so no sidecar outlives its version.
+  //
+  // A pending sidecar is UNFINISHED STATE: a commit built from the bare
+  // version (upsert/insertIgnore/compact/replace/DSv2) would resurrect
+  // the deleted rows, because the next version starts with no sidecar.
+  // Every commit path therefore refuses to advance past a version with
+  // a pending sidecar ([[requireNoPendingDeletes]]) — the caller must
+  // [[reconcileDeletes]] first (or derive its snapshot from
+  // [[readWithDeletes]] and go through the reconcile). Delta enforces
+  // the same invariant by carrying DV descriptors in the log; with
+  // filesystem sidecars, refusing the blind commit is the honest
+  // equivalent.
 
   private def dvPath(version: String): Path = Paths.get(root, version + "_dv")
+
+  /** The current version's deletion-vector sidecar path, when one is
+    * pending (rows deleted merge-on-read but not yet reconciled). */
+  def pendingDeleteVectors: Option[Path] =
+    currentVersion.map(dvPath).filter(Files.exists(_))
+
+  private def requireNoPendingDeletes(base: Option[String], action: String): Unit =
+    base.filter(v => Files.exists(dvPath(v))).foreach { v =>
+      throw new IllegalStateException(
+        s"MergeTable $root: version $v has a pending deletion-vector sidecar; " +
+          s"a $action built from the bare version would resurrect deleted rows — " +
+          "run reconcileDeletes() first")
+    }
 
   /** Merge-on-read DELETE: append the predicate's (file, row-position)
     * hits to the CURRENT version's deletion-vector sidecar. No data file
@@ -156,11 +181,14 @@ final class MergeTable(val root: String, keys: Seq[String],
     * (`_metadata.row_index`), the same contract Delta DVs encode.
     * Re-appending the same delete is harmless (the anti-join
     * deduplicates by construction), and concurrent DV appends COMPOSE —
-    * position sets union — so the sidecar needs no commit lock; only a
-    * concurrent [[reconcileDeletes]]/data commit races, and that path
-    * rides the existing CAS (the reconcile would simply miss vectors
-    * appended after it read, exactly Delta's documented DV race, resolved
-    * by re-running the delete).
+    * position sets union — so the sidecar needs no commit lock. Racing
+    * writers are handled two ways: an ordinary data commit REFUSES to
+    * advance past a pending sidecar ([[requireNoPendingDeletes]],
+    * re-checked under the commit lock), and a [[reconcileDeletes]] pins
+    * the version it read as its CAS base — the only residual window is a
+    * DV appended between the reconcile's sidecar read and its flip
+    * (exactly Delta's documented DV race, resolved by re-running the
+    * delete against the new version).
     */
   def deleteVectors(spark: SparkSession, pred: org.apache.spark.sql.Column): Unit = {
     val v = currentVersion.getOrElse(throw new IllegalStateException(
@@ -201,10 +229,58 @@ final class MergeTable(val root: String, keys: Seq[String],
   /** Fold the deletion vectors into a rewritten version (the OPTIMIZE
     * half of merge-on-read): commit [[readWithDeletes]] as a fresh
     * `numFiles`-file snapshot — the new version carries no sidecar, and
-    * scans stop paying the anti-join. Same CAS commit as any merge.
+    * scans stop paying the anti-join. No-op when nothing is pending.
+    *
+    * Reconcile is read-modify-write (the snapshot is derived from the
+    * version + sidecar it read), so the commit pins that version as its
+    * `expectedBase`: a commit landing in between makes THIS reconcile
+    * fail loudly instead of silently overwriting the racer — re-run the
+    * reconcile on the new current version.
     */
   def reconcileDeletes(spark: SparkSession, numFiles: Int = 1): Unit =
-    replace(readWithDeletes(spark, new StructType()).repartition(numFiles))
+    currentVersion.filter(v => Files.exists(dvPath(v))).foreach { v =>
+      val folded = readWithDeletes(spark, new StructType()).repartition(numFiles)
+      commit(folded, pinnedBase = Some(Some(v)),
+        foldsPendingDeletes = true)(_ => folded)
+    }
+
+  /** Deletion-vector census — merge-on-read's monitoring twin, same
+    * convention as the graph index's staleness card: one row pricing how
+    * much read tax the pending sidecar is charging. `table_rows` comes
+    * from the stats manifest (O(files) metadata, no data scan);
+    * `dv_rows` is a count over the sidecar (small by the DV contract).
+    * `reconcile_recommended` is THE documented trigger — sidecar ≥ 5% of
+    * the version's rows (20·dv_rows ≥ table_rows) — and
+    * [[reconcileIfRecommended]] fires on exactly this predicate, so the
+    * census can never disagree with the op.
+    */
+  def deleteVectorCensus(spark: SparkSession): DataFrame = {
+    val (v, tableRows, dvRows) = currentVersion match {
+      case None => ("", 0L, 0L)
+      case Some(ver) =>
+        val rows = manifestRowCount(ver).getOrElse(
+          spark.read.parquet(Paths.get(root, ver).toString).count())
+        val dv = if (Files.exists(dvPath(ver)))
+          spark.read.parquet(dvPath(ver).toString)
+            .select(col("file"), col("pos")).distinct().count()
+        else 0L
+        (ver, rows, dv)
+    }
+    import spark.implicits._
+    Seq((v, tableRows, dvRows, dvRows > 0 && 20L * dvRows >= tableRows))
+      .toDF("version", "table_rows", "dv_rows", "reconcile_recommended")
+  }
+
+  /** Reconcile iff [[deleteVectorCensus]] recommends it — the trigger IS
+    * the census predicate (they share the literal threshold). Returns
+    * whether a reconcile fired.
+    */
+  def reconcileIfRecommended(spark: SparkSession, numFiles: Int = 1): Boolean = {
+    val rec = deleteVectorCensus(spark)
+      .select(col("reconcile_recommended")).collect()(0).getBoolean(0)
+    if (rec) reconcileDeletes(spark, numFiles)
+    rec
+  }
 
   /** Zero-copy shallow clone (Delta's `CREATE TABLE ... SHALLOW CLONE`):
     * the named committed version's data files become version `v0` of a
@@ -250,7 +326,12 @@ final class MergeTable(val root: String, keys: Seq[String],
     require(keepLast >= 1, "must keep at least the current version")
     val cur = currentVersion.map(_.drop(1).toLong).getOrElse(return)
     listVersions.filter(_.drop(1).toLong <= cur - keepLast)
-      .foreach(v => TempDirs.deleteTree(Paths.get(root, v)))
+      .foreach { v =>
+        TempDirs.deleteTree(Paths.get(root, v))
+        // a dropped version's deletion-vector sidecar goes with it —
+        // sidecars are keyed by version and must not outlive theirs
+        if (Files.exists(dvPath(v))) TempDirs.deleteTree(dvPath(v))
+      }
   }
 
   /** SCD1 merge-commit: incoming wins on key collision. With
@@ -325,11 +406,16 @@ final class MergeTable(val root: String, keys: Seq[String],
     * exactly as Delta's LogStore does. The loser's staging directory is
     * deleted; committed `v<n>` directories stay immutable.
     */
-  private def commit(batch: DataFrame, pinnedBase: Option[Option[String]] = None)
+  private def commit(batch: DataFrame, pinnedBase: Option[Option[String]] = None,
+                     foldsPendingDeletes: Boolean = false)
                     (merge: Option[DataFrame] => DataFrame): Unit = {
     val spark = batch.sparkSession
     // a pinned base makes the CAS cover the CALLER's read, not just this call
     val base = pinnedBase.getOrElse(currentVersion)
+    // refuse to advance past unreconciled merge-on-read deletes: the new
+    // version would start sidecar-free and resurrect them (only the
+    // reconcile itself, which folds the sidecar, may pass)
+    if (!foldsPendingDeletes) requireNoPendingDeletes(base, "commit")
     val next = s"v${base.map(_.drop(1).toLong + 1).getOrElse(0L)}"
     val token = java.util.UUID.randomUUID().toString
     val stage = Paths.get(root, s"_stage_$token")
@@ -348,6 +434,9 @@ final class MergeTable(val root: String, keys: Seq[String],
           throw new java.util.ConcurrentModificationException(
             s"MergeTable $root: _CURRENT moved from $base to $currentVersion " +
               s"since this merge read it — concurrent writer won; re-run this batch")
+        // re-check under the lock: a DV appended since the entry check
+        // would otherwise be silently abandoned by this flip
+        if (!foldsPendingDeletes) requireNoPendingDeletes(base, "commit")
         // a pre-existing v<next> is orphan garbage from a writer that died
         // after its data write but before its flip (_CURRENT never pointed
         // at it, and we hold the lock): supersede it
@@ -395,10 +484,19 @@ final class MergeTable(val root: String, keys: Seq[String],
     */
   def commitStagedFiles(staged: Path, carryForward: Boolean,
                         expectedBase: Option[Option[String]] = None,
-                        carryExclude: Set[String] = Set.empty): String = {
+                        carryExclude: Set[String] = Set.empty,
+                        foldsPendingDeletes: Boolean = false): String = {
     val token = java.util.UUID.randomUUID().toString
     val lock = Paths.get(root, "_COMMIT_LOCK")
     try {
+      // same pending-sidecar refusal as the DataFrame commits: a staged
+      // commit that didn't fold the deletion vectors would resurrect
+      // merge-on-read-deleted rows (carried files still hold them; the
+      // new version starts sidecar-free). A caller whose staged output
+      // WAS derived DV-aware (the catalog's DV-folding rewrite) passes
+      // foldsPendingDeletes = true.
+      if (!foldsPendingDeletes)
+        requireNoPendingDeletes(expectedBase.getOrElse(currentVersion), "staged commit")
       // carry-forward link pass runs OUTSIDE the lock, against the base
       // the commit is pinned to (observed now if the caller didn't pin)
       val carriedBase = if (carryForward) expectedBase.getOrElse(currentVersion) else None
@@ -447,6 +545,7 @@ final class MergeTable(val root: String, keys: Seq[String],
               s"MergeTable $root: _CURRENT moved from $eb to $base since this " +
                 "write planned against it — concurrent writer won; re-run the statement")
         }
+        if (!foldsPendingDeletes) requireNoPendingDeletes(base, "staged commit")
         val next = s"v${base.map(_.drop(1).toLong + 1).getOrElse(0L)}"
         val target = Paths.get(root, next)
         if (Files.exists(target)) TempDirs.deleteTree(target)   // orphan from a dead writer

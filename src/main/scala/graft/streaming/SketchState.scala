@@ -198,6 +198,11 @@ object SketchState extends Serializable {
   final case class TypedUser(event_type: String, user_id: Long)
   final case class BitmapEmit(event_type: String, n_users: Long)
 
+  object BitmapProcessor {
+    /** Dense-id ceiling: 2²⁶ ids bound per-key state at 8 MB. */
+    val MaxDenseId: Long = 1L << 26
+  }
+
   final class BitmapProcessor extends StatefulProcessor[String, TypedUser, BitmapEmit] {
     @transient private var bm: ValueState[Array[Long]] = _
 
@@ -210,6 +215,15 @@ object SketchState extends Serializable {
                                  timers: TimerValues): Iterator[BitmapEmit] = {
       var buf = if (bm.exists()) bm.get() else new Array[Long](1)
       rows.foreach { e =>
+        // the bitmap contract is DENSE NON-NEGATIVE ids: a negative id
+        // would index a negative word (AIOOBE mid-stream) and a huge id
+        // would allocate id/64 longs of state — fail with a diagnosable
+        // message instead. 2²⁶ ids = 8 MB/key ceiling; sparser or wider
+        // id spaces belong to the HLL or roaring-style variants.
+        require(e.user_id >= 0 && e.user_id < BitmapProcessor.MaxDenseId,
+          s"BitmapProcessor: user_id ${e.user_id} outside the dense-id " +
+            s"contract [0, ${BitmapProcessor.MaxDenseId}) — use HLL state " +
+            "for sparse/wide id spaces")
         val word = (e.user_id >> 6).toInt
         if (word >= buf.length) buf = java.util.Arrays.copyOf(buf, word + 1)
         buf(word) |= 1L << (e.user_id & 63)

@@ -379,6 +379,61 @@ class LakeSpec extends AnyFunSuite {
     assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 0L)
   }
 
+  test("DV-mode DELETE ladder: metadata when provable, sidecar when small, loud rewrite block until reconcile") {
+    val t = freshTable(); val tn = n
+    val mt = new graft.stages.MergeTable(
+      Paths.get(spark.conf.get("spark.sql.catalog.lakespec.warehouse"),
+        "db", s"t$tn").toString, Seq.empty)
+    sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('${graft.lake.GraftTable.DvDeleteMaxRowsProp}' = '10')")
+    for (b <- 0 until 4)
+      sql(s"INSERT INTO $t SELECT id, id FROM range(${b * 25}, ${(b + 1) * 25}, 1, 1)")
+    val v3 = tableFiles(tn, "v3")
+
+    // rung 1: a file-aligned delete still takes metadata-only (cheaper
+    // than a sidecar: zero scan tax afterwards) — commits v4, drops a file
+    sql(s"DELETE FROM $t WHERE k < 25")
+    assert(mt.currentVersion.contains("v4"))
+    assert(tableFiles(tn, "v4").subsetOf(v3) && tableFiles(tn, "v4").size == 3)
+    assert(mt.pendingDeleteVectors.isEmpty)
+
+    // rung 2: straddling predicate, 5 rows ≤ cap 10 → deletion vector:
+    // NO commit, NO file touched, scan anti-applies the pending delete
+    val dvPlan = sql(s"EXPLAIN DELETE FROM $t WHERE k >= 30 AND k < 35")
+      .collect().head.getString(0)
+    assert(dvPlan.contains("DeleteFromTable") && !dvPlan.contains("ReplaceData"),
+      s"small straddling delete must plan through SupportsDelete (DV):\n$dvPlan")
+    sql(s"DELETE FROM $t WHERE k >= 30 AND k < 35")
+    assert(mt.currentVersion.contains("v4"), "a DV delete commits no version")
+    assert(tableFiles(tn, "v4").subsetOf(v3) && tableFiles(tn, "v4").size == 3)
+    assert(mt.pendingDeleteVectors.isDefined)
+    // the catalog scan pays the anti-apply: aggregates, pruned projections
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 70L)
+    assert(sql(s"SELECT min(k) FROM $t WHERE k >= 25 AND k < 40")
+      .collect().head.getLong(0) == 25L)
+    assert(sql(s"SELECT sum(v) FROM $t WHERE k >= 30 AND k < 40")
+      .collect().head.getLong(0) == (35L to 39L).sum)
+    // a second small DV delete ACCUMULATES into the same sidecar
+    sql(s"DELETE FROM $t WHERE k = 40")
+    assert(mt.currentVersion.contains("v4"))
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 69L)
+
+    // rung 3: a large straddling delete (> cap) needs the rewrite, which
+    // must FAIL LOUDLY while the sidecar is pending — as must INSERT
+    val e1 = intercept[Exception](sql(s"DELETE FROM $t WHERE k >= 50 AND k <= 93"))
+    assert(e1.getMessage.contains("pending merge-on-read deletes"), e1.getMessage)
+    val e2 = intercept[Exception](sql(s"INSERT INTO $t VALUES (999, 999)"))
+    assert(e2.getMessage.contains("pending merge-on-read deletes"), e2.getMessage)
+
+    // reconcile folds the sidecar; the big delete then rewrites normally
+    mt.reconcileDeletes(spark, numFiles = 2)
+    assert(mt.currentVersion.contains("v5") && mt.pendingDeleteVectors.isEmpty)
+    assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 69L)
+    sql(s"DELETE FROM $t WHERE k >= 50 AND k <= 93")
+    assert(mt.currentVersion.contains("v6"))
+    assert(sql(s"SELECT count(*), max(k) FROM $t").collect().head.toSeq == Seq(25L, 99L))
+  }
+
   test("IS NULL delete on an evolved column drops pre-ALTER files wholesale") {
     val t = freshTable(); val tn = n
     sql(s"CREATE TABLE $t (k BIGINT)")

@@ -353,6 +353,52 @@ class MergeTableSpec extends AnyFunSuite {
     assert(morRows == Seq(1L, 3L, 5L))
   }
 
+  test("pending deletion vectors block every blind commit, census drives the trigger, vacuum sweeps sidecars") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = MergeTable.scratch(Seq("k"))
+    val src = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    t.replace(src)
+    t.compact(spark, numFiles = 2)
+    // below-threshold DV: census reports honestly, trigger no-ops
+    t.deleteVectors(spark, col("k") === 7L)
+    val c1 = t.deleteVectorCensus(spark).collect().head
+    assert(c1.getLong(1) == 100L && c1.getLong(2) == 1L && !c1.getBoolean(3))
+    assert(!t.reconcileIfRecommended(spark))
+    assert(t.pendingDeleteVectors.isDefined, "below-threshold sidecar stays pending")
+    // every blind commit path refuses to advance past the pending sidecar
+    val batch = Seq((200L, "x")).toDF("k", "v")
+    intercept[IllegalStateException](t.upsert(batch))
+    intercept[IllegalStateException](t.insertIgnore(batch))
+    intercept[IllegalStateException](t.replace(batch))
+    intercept[IllegalStateException](t.compact(spark, numFiles = 1))
+    assert(t.readWithDeletes(spark, new StructType()).count() == 99L,
+      "refused commits must leave the table untouched")
+    // past the 5% threshold the census recommends and the trigger fires
+    t.deleteVectors(spark, col("k") <= 5L)
+    val c2 = t.deleteVectorCensus(spark).collect().head
+    assert(c2.getLong(2) == 6L && c2.getBoolean(3))
+    assert(t.reconcileIfRecommended(spark))
+    assert(t.pendingDeleteVectors.isEmpty)
+    assert(t.read(spark, new StructType()).count() == 94L)
+    t.upsert(batch) // commits flow again once reconciled
+    assert(t.read(spark, new StructType()).count() == 95L)
+    // vacuum drops old versions AND their sidecars (no orphan metadata)
+    val dvDirs = java.nio.file.Files.list(Paths.get(t.root))
+    val hadSidecar = try {
+      import scala.jdk.CollectionConverters._
+      dvDirs.iterator().asScala.exists(_.getFileName.toString.endsWith("_dv"))
+    } finally dvDirs.close()
+    assert(hadSidecar, "the reconciled version's sidecar survives until vacuum")
+    t.vacuum(keepLast = 1)
+    val after = java.nio.file.Files.list(Paths.get(t.root))
+    val leftSidecars = try {
+      import scala.jdk.CollectionConverters._
+      after.iterator().asScala.count(_.getFileName.toString.endsWith("_dv"))
+    } finally after.close()
+    assert(leftSidecars == 0, "vacuum must sweep dropped versions' sidecars")
+  }
+
   test("deletion vectors compose like set union: any predicate stack == one combined filter") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}

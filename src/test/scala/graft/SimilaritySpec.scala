@@ -544,4 +544,24 @@ class SimilaritySpec extends AnyFunSuite {
       s"probing all 4 cells is an exact scan: ${recalls.last}")
     assert(rows.forall(r => r.getAs[Long]("n_hits") <= r.getAs[Long]("n_truth")))
   }
+
+  test("nprobe report filtered arms: graded vs filtered truth, monotone, all-cells arm exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.ivfNprobeReport(spark, embLabeled, numQueries = 8, k = 2,
+        centroids = 4, iters = 2, nprobes = Seq(1, 4),
+        filteredLabel = Some(1), filteredNprobes = Seq(1, 2, 4))
+      .orderBy(col("method")).collect()
+    assert(rows.length == 5)
+    val f = rows.filter(_.getAs[String]("method").startsWith("filtered_"))
+    assert(f.length == 3)
+    // the filtered family grades against ITS OWN truth (exact top-k over
+    // the label-filtered corpus), sized by what that corpus can supply
+    assert(f.map(_.getAs[Long]("n_truth")).distinct.length == 1)
+    assert(f.forall(r => r.getAs[Long]("n_hits") <= r.getAs[Long]("n_truth")))
+    val fr = f.map(_.getAs[Double]("recall"))
+    assert(fr.sliding(2).forall { case Array(a, b) => a <= b },
+      s"filtered recall must be monotone in nprobe: ${fr.mkString(",")}")
+    assert(fr.last == 1.0,
+      s"probing all cells over the filtered corpus is the pre-filter exact scan: ${fr.last}")
+  }
 }
