@@ -779,40 +779,80 @@ object Similarity {
     * shuffles before the coarse top-C window; the rerank is a
     * C·numQueries-row join.
     */
-  /** RQ COARSE rank: train both codebooks (deterministic Lloyd), encode,
-    * reconstruct, rank every candidate per query by ADC cosine — the
-    * family's candidate generator, shared by [[rqTopK]] and the rerank
-    * card. */
-  private def rqCoarse(emb: DataFrame, numQueries: Int,
-                       k1: Int, k2: Int, dim: Int, iters: Int): DataFrame = {
+  private def rqL2Expr(x: String, c: String) =
+    s"graft_dot($x, $x) + graft_dot($c, $c) - 2 * graft_dot($x, $c)"
+
+  /** Level-1 assignment + residual: (vec_id, c1, cw1, res) against a
+    * frozen level-1 codebook — the shared first half of RQ training,
+    * encoding, and the inline rung. */
+  private def rqResiduals(emb: DataFrame, cb1: Seq[Seq[Double]]): DataFrame = {
     import org.apache.spark.sql.functions.typedLit
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    def d2(x: String, c: String) =
-      s"graft_dot($x, $x) + graft_dot($c, $c) - 2 * graft_dot($x, $c)"
-    val cb1 = kmeansCentroids(emb, k1, iters).orderBy(col("c_id"))
-      .select(col("c")).collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq
-    require(cb1.length == k1, s"level-1 training produced ${cb1.length} centroids, need $k1")
-    val withRes = emb
+    emb
       .withColumn("_cb1", typedLit(cb1))
       .withColumn("_v", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
-      .withColumn("_d1", expr(s"transform(_cb1, c -> ${d2("_v", "c")})"))
+      .withColumn("_d1", expr(s"transform(_cb1, c -> ${rqL2Expr("_v", "c")})"))
       .withColumn("c1", expr("CAST(array_position(_d1, array_min(_d1)) AS INT) - 1"))
       .withColumn("cw1", expr("element_at(_cb1, c1 + 1)"))
       .withColumn("res", expr("zip_with(_v, cw1, (a, b) -> a - b)"))
+  }
+
+  /** Train both RQ codebook levels with the deterministic Lloyd pass
+    * (level 2 on the level-1 residuals). `initIdBound` is the id bound of
+    * the Lloyd init rows — equal to k1/k2 when training on the full
+    * id-dense corpus; wider when the training set is an id-filtered
+    * subset (an even-half build passes 2k so exactly k even ids seed).
+    * Counts are validated HERE, before any caller commits a codebook.
+    */
+  private[graft] def rqTrainCodebooks(embTrain: DataFrame, k1: Int, k2: Int,
+                                      iters: Int, initIdBound1: Int,
+                                      initIdBound2: Int)
+      : (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    val cb1 = kmeansCentroids(embTrain, initIdBound1, iters).orderBy(col("c_id"))
+      .select(col("c")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    require(cb1.length == k1, s"level-1 training produced ${cb1.length} centroids, need $k1")
     val cb2 = kmeansCentroids(
-        withRes.select(col("vec_id"), col("res").as("embedding")), k2, iters)
+        rqResiduals(embTrain, cb1).select(col("vec_id"), col("res").as("embedding")),
+        initIdBound2, iters)
       .orderBy(col("c_id")).select(col("c")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
     require(cb2.length == k2, s"level-2 training produced ${cb2.length} centroids, need $k2")
-    val quant = withRes
+    (cb1, cb2)
+  }
+
+  /** Encode against frozen codebooks: the 2-byte code pair per vector —
+    * a pure function of (vector, codebooks), so build + incremental adds
+    * == one full encode pass. Codes are ORDINALS into the c_id-sorted
+    * codebook lists. */
+  private def rqEncode(emb: DataFrame, cb1: Seq[Seq[Double]],
+                       cb2: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    rqResiduals(emb, cb1)
       .withColumn("_cb2", typedLit(cb2))
-      .withColumn("_d2", expr(s"transform(_cb2, c -> ${d2("res", "c")})"))
+      .withColumn("_d2", expr(s"transform(_cb2, c -> ${rqL2Expr("res", "c")})"))
       .withColumn("c2", expr("CAST(array_position(_d2, array_min(_d2)) AS INT) - 1"))
+      .select(col("vec_id"), col("c1"), col("c2"))
+  }
+
+  /** Decode codes to summed reconstructions (+ norm) — the ADC scoring
+    * side's resident view: two table lookups and one vector add. */
+  private def rqDecode(codes: DataFrame, cb1: Seq[Seq[Double]],
+                       cb2: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    codes
+      .withColumn("_cb1", typedLit(cb1))
+      .withColumn("_cb2", typedLit(cb2))
       .withColumn("rq_recon",
-        expr("zip_with(cw1, element_at(_cb2, c2 + 1), (a, b) -> a + b)"))
+        expr("zip_with(element_at(_cb1, c1 + 1), element_at(_cb2, c2 + 1), (a, b) -> a + b)"))
       .withColumn("recon_norm", expr(s"sqrt(${dotExpr("rq_recon", "rq_recon")})"))
       .select(col("vec_id"), col("rq_recon"), col("recon_norm"))
+  }
+
+  /** Coarse-rank reconstructions for `numQueries` queries by ADC cosine —
+    * the shared scoring tail of the inline rung and the served index. */
+  private def rqCoarseRank(quant: DataFrame, emb: DataFrame,
+                           numQueries: Int): DataFrame = {
     val queries = withNorm(emb).filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
@@ -824,6 +864,18 @@ object Similarity {
         expr(dotExpr("rq_recon", "q_emb")) / (col("recon_norm") * col("q_norm")))
       .withColumn("crank", row_number().over(wC))
       .select(col("query_id"), col("vec_id"), col("cosine_rq"), col("crank"))
+  }
+
+  /** RQ COARSE rank: train both codebooks (deterministic Lloyd), encode,
+    * reconstruct, rank every candidate per query by ADC cosine — the
+    * family's candidate generator, shared by [[rqTopK]] and the rerank
+    * card. Composed from the same train/encode/decode kernels the
+    * persisted index uses, so the inline rung and the served index can
+    * never drift. */
+  private def rqCoarse(emb: DataFrame, numQueries: Int,
+                       k1: Int, k2: Int, dim: Int, iters: Int): DataFrame = {
+    val (cb1, cb2) = rqTrainCodebooks(emb, k1, k2, iters, k1, k2)
+    rqCoarseRank(rqDecode(rqEncode(emb, cb1, cb2), cb1, cb2), emb, numQueries)
   }
 
   def rqTopK(emb: DataFrame, numQueries: Int, k: Int,
@@ -1529,6 +1581,87 @@ object Similarity {
     withFiltered
   }
 
+  /** Matryoshka prefix-dimension sweep — the family's OWN sizing knob
+    * (the rerank card prices its C; this prices the d that matryoshka
+    * training exists to provide): arms at prefix dims 8/16/32 coarse-rank
+    * on d-dim prefixes (memory d/64 of full vectors resident) with the
+    * SAME exact-rerank width, graded against one shared brute truth. The
+    * whole point of MRL embeddings is choosing d from a measured curve
+    * instead of shipping the full vector — this card is that curve.
+    */
+  def matryoshkaDimReport(spark: SparkSession, emb: DataFrame,
+                          numQueries: Int, k: Int,
+                          dims: Seq[Int] = Seq(8, 16, 32),
+                          candidates: Int = 32): DataFrame = {
+    import spark.implicits._
+    val arms = dims.map { d =>
+      val surv = matryoshkaCoarse(emb, numQueries, d)
+        .filter(col("crank") <= candidates)
+        .select(col("query_id"), col("vec_id"))
+      f"matry_d$d%02d" -> exactRerankTopK(surv, emb, numQueries, k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    }
+    val census = dims.map(d => (f"matry_d$d%02d", d.toLong))
+      .toDF("method", "prefix_dims")
+    census.join(truthHitsCard(spark, emb, numQueries, k)(arms), Seq("method"))
+      .select(col("method"), col("prefix_dims"), col("n_truth"),
+        col("n_hits"), col("recall"))
+      .orderBy(col("method"))
+  }
+
+  /** Cell-count sweep for the GRAPH index — the build-sizing knob the
+    * ⌈√n⌉ rule fixes by fiat, priced from data (the graph sibling of
+    * [[ivfKReport]]): arms at ⌈√n⌉/2, ⌈√n⌉ and 2·⌈√n⌉ cells each build
+    * their own graph (cell count is a build knob — nothing shareable
+    * across arms beyond the input scan, the k-report convention), walk
+    * it with identical (degree, beam, rounds), and report measured
+    * recall against ONE shared brute truth next to the measured build
+    * cost `build_pairs` = Σ|cell|·(|cell|−1) — the exact candidate-join
+    * row count, the n^1.5 term the √n rule bounds. Fewer cells buy
+    * recall quadratically in build cost (denser candidate pools, better
+    * edges); more cells cheapen the build but starve the per-cell kNN.
+    * The card shows where the knee sits so ⌈√n⌉ is a measured choice.
+    */
+  def graphCellsReport(spark: SparkSession, emb: DataFrame,
+                       numQueries: Int, k: Int,
+                       degree: Int = 6, beam: Int = 8,
+                       rounds: Int = 6): DataFrame = {
+    import spark.implicits._
+    val n = emb.count()
+    val c0 = math.ceil(math.sqrt(n.toDouble)).toInt
+    val arms = Seq(("cells_half", math.ceil(c0 / 2.0).toInt),
+      ("cells_sqrt", c0), ("cells_double", 2 * c0))
+    val walks = arms.map { case (name, nc) =>
+      val (base, edges) = cellKnnGraph(emb, degree, nc)
+      // the build-cost census: candidate-join rows actually paid
+      val pairs = base.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+        .agg(sum(expr("cn * (cn - 1)")).cast("long")).collect()(0).getLong(0)
+      // walk WITHOUT the per-arm truth join: the card grades every arm
+      // against truthHitsCard's ONE shared truth below
+      val queries = base.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"), col("cell"))
+      val nodeSide = base.select(col("vec_id").as("node"),
+        col("embedding").as("n_emb"), col("norm").as("n_norm"))
+      val entry0 = queries.join(nodeSide, col("node") === col("cell"))
+        .withColumn("cosine",
+          expr(dotExpr("n_emb", "q_emb")) / (col("n_norm") * col("q_norm")))
+        .select(col("query_id"), col("node"), col("cosine"))
+      val walk = beamTopKOnly(
+          beamRounds(queries, entry0, edges, nodeSide, beam, rounds), k)
+        .select(col("query_id"), col("neighbor_id"))
+      (name, nc.toLong, pairs, walk)
+    }
+    val census = walks.map { case (m, nc, p, _) => (m, nc, p) }
+      .toDF("method", "cells", "build_pairs")
+    val card = truthHitsCard(spark, emb, numQueries, k)(
+      walks.map { case (m, _, _, w) => m -> w })
+    census.join(card, Seq("method"))
+      .select(col("method"), col("cells"), col("build_pairs"),
+        col("n_truth"), col("n_hits"), col("recall"))
+      .orderBy(col("method"))
+  }
+
   /** k sweep card — the quantizer-SIZING knob (how many cells should the
     * IVF have), the sibling of [[ivfNprobeReport]]'s serving knob: per
     * candidate k, train the deterministic Lloyd quantizer and measure
@@ -2216,6 +2349,103 @@ object Similarity {
       .drop("_hit")
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cosine_pq"), col("exact_hit"))
+  }
+
+  // ---- Persisted RQ index: the 256× rung's lifecycle -----------------
+  //
+  // RQ's whole value is 2-byte RESIDENT codes, so recomputing codebooks
+  // + codes from the corpus per query (what the inline rung does as a
+  // fixture) would defeat it in production. The persisted form is the
+  // pqIndexBuild shape: BOTH trained codebook levels in one versioned
+  // MergeTable (level, ord, c — an atomic replace commits the pair), the
+  // code table keyed by vec_id with delta-sized upsert adds against the
+  // FROZEN codebooks (encode is a pure function of (vector, codebooks),
+  // so build + adds == one full encode pass), and serving = coarse-rank
+  // from decoded codes + exact rerank of the top-C off the node table —
+  // resident memory is 2 codebooks + 2 bytes/vector, cold reads are ≤C
+  // full vectors per query.
+
+  val rqCodeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c1",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("c2",
+        org.apache.spark.sql.types.IntegerType)))
+
+  val rqCodebookSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("level",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("ord",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+
+  private def readRqCodebooks(spark: SparkSession,
+                              codebookTable: graft.stages.MergeTable)
+      : (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    // bounded collect: k1 + k2 rows, the persisted-codebook contract
+    val rows = codebookTable.read(spark, rqCodebookSchema)
+      .orderBy(col("level"), col("ord")).collect()
+    def level(l: Int) = rows.filter(_.getInt(0) == l)
+      .map(_.getSeq[Double](2).toSeq).toSeq
+    val (cb1, cb2) = (level(1), level(2))
+    require(cb1.nonEmpty && cb2.nonEmpty,
+      s"RQ codebook table ${codebookTable.root} holds ${cb1.length}/${cb2.length} " +
+        "level-1/level-2 codewords — build the index first")
+    (cb1, cb2)
+  }
+
+  /** Train on `embTrain`, commit both codebook levels atomically, encode
+    * the training set. `initIdBound` is the Lloyd init id bound per level
+    * (= k when the training ids are dense from 0; 2k for an even-half
+    * training set). Counts are validated BEFORE either commit.
+    */
+  def rqIndexBuild(spark: SparkSession, embTrain: DataFrame,
+                   codebookTable: graft.stages.MergeTable,
+                   codeTable: graft.stages.MergeTable,
+                   k1: Int = 16, k2: Int = 16, iters: Int = 2,
+                   initIdBound: Int = 16): Unit = {
+    val (cb1, cb2) = rqTrainCodebooks(embTrain, k1, k2, iters,
+      initIdBound, initIdBound)
+    import spark.implicits._
+    val cbRows = cb1.zipWithIndex.map { case (c, i) => (1, i, c) } ++
+      cb2.zipWithIndex.map { case (c, i) => (2, i, c) }
+    codebookTable.replace(cbRows.toDF("level", "ord", "c"))
+    codeTable.replace(rqEncode(embTrain, cb1, cb2))
+  }
+
+  /** Delta-sized incremental encode against the frozen codebooks. */
+  def rqIndexAdd(spark: SparkSession, embNew: DataFrame,
+                 codebookTable: graft.stages.MergeTable,
+                 codeTable: graft.stages.MergeTable): Unit = {
+    val (cb1, cb2) = readRqCodebooks(spark, codebookTable)
+    codeTable.upsert(rqEncode(embNew, cb1, cb2))
+  }
+
+  /** Serve from the persisted tables: decode the code table against the
+    * broadcast frozen codebooks, ADC-cosine coarse rank, exact rerank of
+    * the top-`candidates` off the node source — [[rqTopK]]'s output
+    * contract (both scores + brute-truth flags), with nothing but the
+    * queries and the rerank's ≤C cold rows read from `emb`.
+    */
+  def rqIndexSearch(spark: SparkSession, emb: DataFrame,
+                    codebookTable: graft.stages.MergeTable,
+                    codeTable: graft.stages.MergeTable,
+                    numQueries: Int, k: Int,
+                    candidates: Int = 128): DataFrame = {
+    val (cb1, cb2) = readRqCodebooks(spark, codebookTable)
+    val quant = rqDecode(codeTable.read(spark, rqCodeSchema), cb1, cb2)
+    val surv = rqCoarseRank(quant, emb, numQueries)
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("vec_id"), col("cosine_rq"))
+    val ranked = exactRerankTopK(surv, emb, numQueries, k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine_rq"), col("cosine"))
+    withTruthFlags(ranked, emb, numQueries, k)
   }
 
   /** IVF-PQ SERVED FROM TABLES — the FAISS `IVFx,PQy` deployment shape

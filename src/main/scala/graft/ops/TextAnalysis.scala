@@ -530,23 +530,29 @@ object TextAnalysis {
     * identical decisions. Corpus text is touched twice: the distinct-word
     * census and the per-doc join census.
     */
+  /** The greedy longest-match-first fold (ONE codegen'd `aggregate` per
+    * distinct word over a `_wpv` vocab-literal column) — shared by
+    * [[wordpieceApply]] and the vocab-size sweep so the two cannot
+    * drift. */
+  private def wpSegExpr(maxPieceLen: Int): String = {
+    val bestL = (maxPieceLen to 2 by -1).map(l =>
+      s"WHEN array_contains(_wpv, substring(word, CAST(acc.pos AS INT), $l)) " +
+        s"THEN CAST($l AS BIGINT)").mkString(" ")
+    s"""aggregate(sequence(1L, CAST(length(word) AS BIGINT)),
+       |  named_struct('pos', CAST(1 AS BIGINT), 'np', CAST(0 AS BIGINT)),
+       |  (acc, i) -> CASE WHEN i <> acc.pos THEN acc ELSE named_struct(
+       |      'pos', acc.pos + CASE $bestL ELSE CAST(1 AS BIGINT) END,
+       |      'np', acc.np + CAST(1 AS BIGINT)) END,
+       |  acc -> acc.np)""".stripMargin
+  }
+
   def wordpieceApply(docs: DataFrame, seedMultis: Int = 20,
                      maxPieceLen: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions.typedLit
     val (words, seedPieces) = wordSeedVocab(docs, seedMultis, maxPieceLen)
-    val bestL = (maxPieceLen to 2 by -1).map(l =>
-      s"WHEN array_contains(_wpv, substring(word, CAST(acc.pos AS INT), $l)) " +
-        s"THEN CAST($l AS BIGINT)").mkString(" ")
-    val segExpr =
-      s"""aggregate(sequence(1L, CAST(length(word) AS BIGINT)),
-         |  named_struct('pos', CAST(1 AS BIGINT), 'np', CAST(0 AS BIGINT)),
-         |  (acc, i) -> CASE WHEN i <> acc.pos THEN acc ELSE named_struct(
-         |      'pos', acc.pos + CASE $bestL ELSE CAST(1 AS BIGINT) END,
-         |      'np', acc.np + CAST(1 AS BIGINT)) END,
-         |  acc -> acc.np)""".stripMargin
     val segmented = words
       .withColumn("_wpv", typedLit(seedPieces.map(_._1)))
-      .withColumn("n_wp", expr(segExpr))
+      .withColumn("n_wp", expr(wpSegExpr(maxPieceLen)))
       .select(col("word"), col("n_wp"), length(col("word")).as("n_chr"))
     withTokens(docs)
       .select(col("doc_id"), explode(col("toks")).as("word"))
@@ -555,6 +561,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_wp")).cast("long").as("n_wp_tokens"),
         sum(col("n_chr")).cast("long").as("n_chars"))
+  }
+
+  /** WordPiece vocab-size sweep — the tokenizer family's SIZING knob
+    * (every other serving/build knob has a measured card; a vocab is
+    * chosen the same way): arms at top-5/20/40 multi-character pieces
+    * are PREFIXES of one ranked sub-piece census (chars always included
+    * for coverage), each greedy-folded over the one distinct-word table,
+    * reporting exact corpus token counts and the integer compression
+    * ratio tokens-per-million-chars. Bigger vocabs buy compression
+    * (fewer tokens per char) at resident-vocab cost — the BPE/WordPiece
+    * "vocab_size" hyperparameter priced from data instead of folklore.
+    */
+  def wordpieceVocabReport(docs: DataFrame,
+                           multisArms: Seq[Int] = Seq(5, 20, 40),
+                           maxPieceLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    require(multisArms.nonEmpty)
+    val (words, seedPieces) = wordSeedVocab(docs, multisArms.max, maxPieceLen)
+    val chars = seedPieces.filter(_._1.length == 1).map(_._1)
+    val multisRanked = seedPieces.filter(_._1.length >= 2).map(_._1)
+    multisArms.map { m =>
+      words
+        .withColumn("_wpv", typedLit(chars ++ multisRanked.take(m)))
+        .withColumn("n_wp", expr(wpSegExpr(maxPieceLen)))
+        .agg(sum(expr("freq * n_wp")).cast("long").as("n_tokens"),
+          sum(expr("freq * length(word)")).cast("long").as("n_chars"))
+        .select(lit(f"wp_m$m%02d").as("method"),
+          lit(m.toLong).as("n_multis"), col("n_tokens"), col("n_chars"),
+          expr("CAST((1000000 * n_tokens) div n_chars AS BIGINT)")
+            .as("tokens_per_mchar"))
+    }.reduce(_ unionByName _)
   }
 
   /** TF-IDF keyword extraction, log-free: score = tf × N / df with the

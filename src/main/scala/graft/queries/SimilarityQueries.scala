@@ -867,7 +867,14 @@ object SimilarityQueries {
     * the same dot-identity sequential fold.
     */
   private def rqSql(numQueries: Int, k: Int, k1: Int, k2: Int,
-                    candidates: Int = 128, iters: Int = 2): String = {
+                    candidates: Int = 128, iters: Int = 2,
+                    trainPred: String = "TRUE", initBound: Int = -1): String = {
+    // trainPred (over bare vec_id) thins the TRAINING relations of both
+    // Lloyd levels (the persisted index's even-half build); encode still
+    // covers every vector against the frozen codebooks. initBound is the
+    // Lloyd init id bound (k when training ids are dense from 0).
+    val b1 = if (initBound > 0) initBound else k1
+    val b2 = if (initBound > 0) initBound else k2
     def vdot(a: String, b: String) =
       s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
     def l2(x: String, c: String) =
@@ -880,7 +887,8 @@ object SimilarityQueries {
        |  SELECT vec_id, list_transform(range(1, 65),
        |           i -> CAST(embedding[i] AS DOUBLE)) AS v
        |  FROM embeddings),
-       |${lloydOverSql("x", k1, iters, "l1")},
+       |xt AS (SELECT * FROM x WHERE ($trainPred)),
+       |${lloydOverSql("xt", b1, iters, "l1")},
        |cb1 AS (SELECT c_id, c AS cw FROM l1c$iters),
        |enc1 AS MATERIALIZED (
        |  SELECT vec_id, c_id FROM (
@@ -892,8 +900,8 @@ object SimilarityQueries {
        |  SELECT x.vec_id, c.cw AS cw1,
        |         list_transform(range(1, 65), i -> x.v[i] - c.cw[i]) AS rv1
        |  FROM x JOIN enc1 e USING (vec_id) JOIN cb1 c ON c.c_id = e.c_id),
-       |resv AS MATERIALIZED (SELECT vec_id, rv1 AS v FROM res),
-       |${lloydOverSql("resv", k2, iters, "l2")},
+       |resv AS MATERIALIZED (SELECT vec_id, rv1 AS v FROM res WHERE ($trainPred)),
+       |${lloydOverSql("resv", b2, iters, "l2")},
        |cb2 AS (SELECT c_id, c AS cw FROM l2c$iters),
        |enc2 AS MATERIALIZED (
        |  SELECT vec_id, c_id FROM (
@@ -1060,6 +1068,133 @@ object SimilarityQueries {
        |SELECT method, n_truth, n_hits,
        |       CAST(n_hits AS DOUBLE) / n_truth AS recall
        |FROM ($rows$fRows) ORDER BY method""".stripMargin
+  }
+
+  /** DuckDB mirror of Similarity.matryoshkaDimReport: one full
+    * matryoshka pipeline per prefix-dim arm (the rerankWidthSql
+    * convention — the oracle pays per-arm pipelines, the Spark side
+    * shares the rerank stage), each semi-joined against the one shared
+    * brute truth.
+    */
+  private def matryoshkaDimSql(numQueries: Int, k: Int,
+                               dims: Seq[Int], candidates: Int): String = {
+    val nTruth = numQueries * k
+    val ctes = dims.map(d =>
+      f"md$d%02d AS (SELECT query_id, neighbor_id FROM (${matryoshkaSql(numQueries, k, d, candidates)}) t)")
+      .mkString(",\n")
+    val rows = dims.map(d =>
+      f"""SELECT 'matry_d$d%02d' AS method, CAST($d%d AS BIGINT) AS prefix_dims,
+         |       CAST($nTruth%d AS BIGINT) AS n_truth,
+         |       (SELECT count(*) FROM md$d%02d a JOIN truth t
+         |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM (${bruteSql(numQueries, k)}) t),
+       |$ctes
+       |SELECT method, prefix_dims, n_truth, n_hits,
+       |       CAST(n_hits AS DOUBLE) / $nTruth AS recall
+       |FROM ($rows) ORDER BY method""".stripMargin
+  }
+
+  /** DuckDB mirror of Similarity.graphCellsReport: one full graph build
+    * (cents/assigned/grank/edges) + walk unroll PER cell-count arm —
+    * prefixed CTE chains, arms independent by design (cell count is a
+    * build knob) — each arm's final beam top-k semi-joined against the
+    * ONE shared brute truth, with the exact candidate-join row count
+    * Σ|cell|·(|cell|−1) as the build-cost column.
+    */
+  private def graphCellsSql(numQueries: Int, k: Int, degree: Int,
+                            beam: Int, rounds: Int): String = {
+    val nTruth = numQueries * k
+    val arms = Seq(
+      ("cells_half",
+        "(SELECT CAST(ceil(ceil(sqrt(count(*))) / 2) AS BIGINT) FROM embeddings)"),
+      ("cells_sqrt",
+        "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"),
+      ("cells_double",
+        "(SELECT CAST(2 * ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"))
+    def armCtes(p: String, bound: String): String = {
+      val roundsSql = (1 to rounds).map { r =>
+        val prev = s"${p}b${r - 1}"
+        s"""${p}e$r AS (
+           |  SELECT query_id, e.dst AS node
+           |  FROM $prev JOIN ${p}edges e ON e.src = $prev.node
+           |  UNION
+           |  SELECT query_id, node FROM $prev),
+           |${p}b$r AS MATERIALIZED (
+           |  SELECT query_id, node, cosine FROM (
+           |    SELECT x.query_id, x.node,
+           |           ${dotSql("n.embedding", "q.q_emb")} / (n.norm * q.q_norm) AS cosine,
+           |           ROW_NUMBER() OVER (PARTITION BY x.query_id ORDER BY
+           |             ${dotSql("n.embedding", "q.q_emb")} / (n.norm * q.q_norm)
+           |               DESC, x.node) AS brank
+           |    FROM ${p}e$r x JOIN base n ON n.vec_id = x.node
+           |               JOIN q ON q.query_id = x.query_id)
+           |  WHERE brank <= $beam)""".stripMargin
+      }.mkString(",\n")
+      s"""${p}cents AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+         |          FROM base WHERE vec_id < $bound),
+         |${p}assigned AS MATERIALIZED (
+         |  SELECT vec_id, embedding, norm, cell FROM (
+         |    SELECT b.vec_id, b.embedding, b.norm, c.c_id AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${dotSql("b.embedding", "c.c_emb")} / (b.norm * c.c_norm)
+         |               DESC, c.c_id) AS r
+         |    FROM base b, ${p}cents c)
+         |  WHERE r = 1),
+         |${p}grank AS (
+         |  SELECT a.vec_id AS src, c.vec_id AS dst,
+         |         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |           ${dotSql("a.embedding", "c.embedding")} / (a.norm * c.norm)
+         |             DESC, c.vec_id) AS gr
+         |  FROM ${p}assigned a JOIN ${p}assigned c
+         |    ON a.cell = c.cell AND a.vec_id <> c.vec_id),
+         |${p}edges AS MATERIALIZED (
+         |  SELECT src, dst FROM ${p}grank WHERE gr <= $degree
+         |  UNION
+         |  SELECT a.vec_id, b.vec_id FROM base a JOIN base b ON b.vec_id = a.vec_id + 1),
+         |${p}b0 AS MATERIALIZED (
+         |  SELECT q.query_id, n.vec_id AS node,
+         |         ${dotSql("n.embedding", "q.q_emb")} / (n.norm * q.q_norm) AS cosine
+         |  FROM q JOIN ${p}assigned a ON a.vec_id = q.query_id
+         |         JOIN base n ON n.vec_id = a.cell),
+         |$roundsSql,
+         |${p}topk AS (
+         |  SELECT query_id, node AS neighbor_id FROM (
+         |    SELECT query_id, node,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cosine DESC, node) AS rank
+         |    FROM ${p}b$rounds WHERE node <> query_id)
+         |  WHERE rank <= $k)""".stripMargin
+    }
+    val ctes = arms.zipWithIndex.map { case ((_, bound), i) =>
+      armCtes(s"g$i", bound) }.mkString(",\n")
+    val rowsSel = arms.zipWithIndex.map { case ((name, _), i) =>
+      s"""SELECT '$name' AS method,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM g${i}cents) AS cells,
+         |       (SELECT CAST(SUM(cn * (cn - 1)) AS BIGINT)
+         |        FROM (SELECT count(*) AS cn FROM g${i}assigned GROUP BY cell)) AS build_pairs,
+         |       CAST($nTruth AS BIGINT) AS n_truth,
+         |       (SELECT count(*) FROM g${i}topk a JOIN truth t
+         |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+       |  FROM base WHERE vec_id < $numQueries),
+       |truth AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT q.query_id, b.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |             ${dotSql("b.embedding", "q.q_emb")} / (b.norm * q.q_norm)
+       |               DESC, b.vec_id) AS rank
+       |    FROM base b, q WHERE b.vec_id <> q.query_id)
+       |  WHERE rank <= $k),
+       |$ctes
+       |SELECT method, cells, build_pairs, n_truth, n_hits,
+       |       CAST(n_hits AS DOUBLE) / $nTruth AS recall
+       |FROM ($rowsSel) ORDER BY method""".stripMargin
   }
 
   /** DuckDB mirror of Similarity.ivfKReport: one kmeans CTE prefix per
@@ -1246,6 +1381,36 @@ object SimilarityQueries {
         "code table, incremental encode of the odd half, ADC search " +
         "served from codes alone == one-pass full-corpus oracle"),
 
+    // ---- Persisted RQ index: the 256× rung's lifecycle (the r15 gap —
+    // RQ retrained inline per call while every sibling rung persisted).
+    // Both Lloyd-trained codebook levels commit atomically in ONE
+    // versioned MergeTable (level, ord, c), trained on the EVEN half
+    // (init bound 32 => exactly 16 even seed ids per level); the odd
+    // half arrives as a delta-sized incremental encode against the
+    // frozen codebooks. Serving decodes the persisted 2-byte codes,
+    // ADC-coarse-ranks, and exactly reranks the top-128 off the node
+    // table — because encode is a pure function of (vector, frozen
+    // codebooks), build(even) + add(odd) == the one-pass oracle trained
+    // on the same even half.
+    GQuery("sim_rq_index_serve",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cbT = graft.stages.MergeTable.scratch(Seq("level", "ord"))
+        val codeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+        Similarity.rqIndexBuild(s, emb.filter(col("vec_id") % 2 === 0),
+          cbT, codeT, k1 = 16, k2 = 16, iters = 2, initIdBound = 32)
+        Similarity.rqIndexAdd(s, emb.filter(col("vec_id") % 2 === 1), cbT, codeT)
+        Similarity.rqIndexSearch(s, emb, cbT, codeT, numQueries = 16, k = 3,
+            candidates = 128)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(rqSql(numQueries = 16, k = 3, k1 = 16, k2 = 16, candidates = 128,
+        trainPred = "vec_id % 2 = 0", initBound = 32)),
+      doc = "persisted RQ index: both Lloyd codebook levels frozen from " +
+        "the even half in one atomic commit, 2-byte code table with " +
+        "incremental odd-half encode, serve = decode + ADC coarse rank + " +
+        "exact top-128 rerank == one-pass even-trained oracle"),
+
     // Persisted-LSH lifecycle (ivf_index_incremental's hyperplane
     // sibling): bucket+norm are pure per-row functions, so build(even) +
     // add(odd) == one full pass and the table-served multi-probe search
@@ -1379,6 +1544,27 @@ object SimilarityQueries {
         "graph build): the DiskANN-L/HNSW-ef knob measured against " +
         "brute truth"),
 
+    // ---- Cell-count sweep: the graph index's BUILD-sizing knob. The
+    // ⌈√n⌉ rule keeps the candidate join at Σ|cell|² ≈ n^1.5; this card
+    // turns the rule into a measured choice — arms at ⌈√n⌉/2 / ⌈√n⌉ /
+    // 2⌈√n⌉ cells, each its own build (a build knob, the k-report
+    // convention) walked with identical (degree 6, beam 8, rounds 6),
+    // recall vs ONE shared brute truth beside build_pairs =
+    // Σ|cell|·(|cell|−1), the exact candidate-join row count paid.
+    GQuery("sim_graph_cells_report",
+      (s, dir) => Similarity.graphCellsReport(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3, degree = 6, beam = 8, rounds = 6)
+        .orderBy(col("method")),
+      Some(graphCellsSql(numQueries = 16, k = 3, degree = 6, beam = 8,
+        rounds = 6)),
+      doc = "graph-index cell-count sweep: ⌈√n⌉/2 / ⌈√n⌉ / 2⌈√n⌉ cells, " +
+        "independent builds walked with identical serving params, " +
+        "measured recall vs shared brute truth next to the exact " +
+        "candidate-join cost each arm paid — the √n rule measured as the " +
+        "knee (sf0.01: 0.79/0.94/0.79 at 20.7k/10.9k/5.4k pairs; sf0.1: " +
+        "0.96/0.96/0.88 at 175k/88.5k/44k — √n matches the denser arm's " +
+        "recall at half its build cost, doubling cells loses recall)"),
+
     // ---- Filtered ANN: predicate-constrained search, the retrieval
     // shape vector stores serve constantly ("nearest WHERE label = 3").
     // SINGLE-STAGE filtering on the shared full-corpus-trained IVF
@@ -1427,6 +1613,22 @@ object SimilarityQueries {
         "matryoshka (C 8/32) and RQ (C 32/128) arms, each family's " +
         "coarse rank computed once — prices the exact-rerank knob " +
         "(cold reads per query) against brute truth"),
+
+    // ---- Matryoshka prefix-dim sweep: the MRL family's sizing knob —
+    // the rerank card prices its C, this prices d (resident memory is
+    // d/64 of the full vectors). Arms 8/16/32 coarse on the d-prefix at
+    // the same rerank width, one shared brute truth: the measured curve
+    // that makes "which prefix do we ship" a data decision.
+    GQuery("sim_matryoshka_dim_report",
+      (s, dir) => Similarity.matryoshkaDimReport(s, Tables.embeddings(s, dir),
+          numQueries = 16, k = 3, dims = Seq(8, 16, 32), candidates = 32)
+        .orderBy(col("method")),
+      Some(matryoshkaDimSql(numQueries = 16, k = 3, dims = Seq(8, 16, 32),
+        candidates = 32)),
+      doc = "matryoshka prefix-dimension sweep: recall at prefix dims " +
+        "8/16/32 (8×/4×/2× memory cut) at the same exact-rerank width " +
+        "vs one shared brute truth — the MRL shipping-dimension knob " +
+        "measured"),
 
     GQuery("sim_recall_report",
       (s, dir) => Similarity.recallReport(s, Tables.embeddings(s, dir),
@@ -2487,7 +2689,7 @@ object SimilarityQueries {
         "trained quantizer + one materialized assignment pass, arms " +
         "nprobe=1/2/4/8 as prefixes of one query-side cell ranking " +
         "against the shared brute truth (nprobe=8 = all cells, the " +
-        "recall-1.0 exact ceiling), plus filtered_nprobe=2/4/6/8 arms " +
+        "recall-1.0 exact ceiling), plus filtered_nprobe=2/4/6/7/8 arms " +
         "over the label-thinned corpus against the predicate-filtered " +
         "exact truth — the measured curve sim_filtered_topk's default " +
         "is read from"),

@@ -252,6 +252,61 @@ object TextQueries {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of TextAnalysis.wordpieceVocabReport: the shared
+    * w0/sub censuses once, then per arm a chars+top-m vocab list (arms
+    * are LIMIT prefixes of one ranked census) and the same greedy
+    * list_reduce fold, aggregated to exact corpus token counts and the
+    * integer tokens-per-million-chars compression.
+    */
+  private def wpVocabSql(multisArms: Seq[Int], maxPieceLen: Int): String = {
+    val probes = (maxPieceLen to 2 by -1).map(l =>
+      s"WHEN list_contains(v, substr(word, CAST(acc[1] AS INT), $l)) " +
+        s"THEN CAST($l AS BIGINT)").mkString("\n             ")
+    val armCtes = multisArms.map { m =>
+      f"""vm$m%02d AS (
+         |  SELECT piece FROM sub WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece FROM (SELECT piece FROM sub WHERE length(piece) >= 2
+         |                     ORDER BY cnt DESC, piece LIMIT $m%d)),
+         |vl$m%02d AS (SELECT list(piece) AS v FROM vm$m%02d),
+         |seg$m%02d AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    list_reduce(list_prepend([CAST(1 AS BIGINT), CAST(0 AS BIGINT)],
+         |        list_transform(range(1, length(word) + 1),
+         |          i -> [CAST(i AS BIGINT), CAST(0 AS BIGINT)])),
+         |      (acc, x) -> CASE WHEN x[1] <> acc[1] THEN acc ELSE
+         |        [acc[1] + CASE
+         |             $probes
+         |             ELSE CAST(1 AS BIGINT) END,
+         |         acc[2] + CAST(1 AS BIGINT)] END)[2] AS n_wp
+         |  FROM w0, vl$m%02d)""".stripMargin
+    }.mkString(",\n")
+    val rows = multisArms.map { m =>
+      f"""SELECT 'wp_m$m%02d' AS method, CAST($m%d AS BIGINT) AS n_multis,
+         |       CAST(SUM(freq * n_wp) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(freq * length(word)) AS BIGINT) AS n_chars,
+         |       CAST((1000000 * SUM(freq * n_wp)) // SUM(freq * length(word))
+         |            AS BIGINT) AS tokens_per_mchar
+         |FROM seg$m%02d""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |  GROUP BY word),
+       |sub AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(flatten(list_transform(range(1, ${maxPieceLen + 1}),
+       |          l -> CASE WHEN length(word) >= l
+       |               THEN list_transform(range(1, length(word) - l + 2),
+       |                      s -> substr(word, CAST(s AS INT), CAST(l AS INT)))
+       |               ELSE CAST([] AS VARCHAR[]) END))) AS piece
+       |        FROM w0)
+       |  GROUP BY piece),
+       |$armCtes
+       |SELECT method, n_multis, n_tokens, n_chars, tokens_per_mchar
+       |FROM ($rows) ORDER BY method""".stripMargin
+  }
+
   private lazy val uniApplySql: String =
     s"""WITH $uniCtes
        |SELECT d.doc_id,
@@ -1462,6 +1517,23 @@ object TextQueries {
         "(seed vocab: chars + top-20 multis): per-doc word/piece/char " +
         "counts — one codegen fold per distinct word, == the unrolled " +
         "greedy oracle"),
+
+    // ---- Vocab-size sweep: the tokenizer family's SIZING knob (the
+    // vocab_size hyperparameter every BPE/WordPiece build fixes by
+    // folklore), priced like the ANN cards: arms top-5/20/40 multis are
+    // LIMIT prefixes of ONE ranked sub-piece census (chars always kept
+    // for coverage), each folded over the one distinct-word table —
+    // exact corpus token counts + integer tokens-per-million-chars, so
+    // the compression a bigger resident vocab buys is measured.
+    GQuery("text_wordpiece_vocab_report",
+      (s, dir) => TextAnalysis.wordpieceVocabReport(Tables.documents(s, dir),
+          multisArms = Seq(5, 20, 40))
+        .orderBy(col("method")),
+      Some(wpVocabSql(multisArms = Seq(5, 20, 40), maxPieceLen = 4)),
+      doc = "WordPiece vocab-size sweep: top-5/20/40 multi-piece arms as " +
+        "prefixes of one ranked census, greedy-folded over one distinct-" +
+        "word table — exact token counts and tokens-per-million-chars " +
+        "per arm price the vocab_size knob"),
 
     // ---- Vocabulary OOV census — the generalization measurement every
     // tokenizer/vocab build needs: train the word vocabulary on HALF the

@@ -621,6 +621,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_matryoshka_rerank" -> (6,
       "narrow-shuffle coarse + survivor rejoin (see block comment): " +
         "coarse 2 + rerank 2 + truth 2"),
+    "sim_rq_index_serve" -> (5,
+      "served RQ search: candidates decode from the PERSISTED code table " +
+        "(zero corpus scans on that side); emb pays the coarse query side " +
+        "1 + exact rerank 2 + truth grader 2 — rqTopK's tail without its " +
+        "encode lineage"),
     "sim_rq_topk" -> (6,
       "narrow-shuffle coarse + survivor rejoin (see block comment); the " +
         "two Lloyd codebook trainings COLLECT eagerly (bounded k-row " +
@@ -636,6 +641,12 @@ class PlanAuditSpec extends AnyFunSuite {
         "arms are independent encodes by design — each pays pqTopK's " +
         "4 column-pruned scans (codebook lineage + corpus encode + " +
         "query + truth flags); sum-of-arms, truth collected once"),
+    "sim_matryoshka_dim_report" -> (12,
+      "prefix-dim sweep card: d shapes the coarse scoring itself, so the " +
+        "three arms are independent coarse+rerank pipelines by design " +
+        "(the sim_pq_m_report convention) — each pays 4 column-pruned " +
+        "scans (coarse corpus + query, rerank candidate + query); " +
+        "sum-of-arms, truth collected once"),
     "sim_ivf_k_report" -> (8,
       "quantizer k-sweep card: k is a TRAINING knob, so the four arms " +
         "are independent Lloyd runs by design (nothing shareable beyond " +

@@ -25,8 +25,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("inventory count tripwire") {
-    assert(QueryRegistry.all.size == 380,
-      s"expected 380 queries, found ${QueryRegistry.all.size} — if you added " +
+    assert(QueryRegistry.all.size == 384,
+      s"expected 384 queries, found ${QueryRegistry.all.size} — if you added " +
         "one on purpose, bump this count and sync COVERAGE.md/README.md")
   }
 }

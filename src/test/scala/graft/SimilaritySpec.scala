@@ -532,6 +532,50 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted RQ index: build+add == inline one-pass rung; add replay is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val all = emb
+    val cbT = graft.stages.MergeTable.scratch(Seq("level", "ord"))
+    val codeT = graft.stages.MergeTable.scratch(Seq("vec_id"))
+    // full-corpus build (init bound == k): the served search must equal
+    // the inline rung bit-for-bit — same kernels, frozen vs inline
+    Similarity.rqIndexBuild(spark, all, cbT, codeT, k1 = 8, k2 = 8, iters = 2,
+      initIdBound = 8)
+    def served() = Similarity.rqIndexSearch(spark, all, cbT, codeT,
+        numQueries = 6, k = 3, candidates = 16)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val direct = Similarity.rqTopK(all, numQueries = 6, k = 3,
+        k1 = 8, k2 = 8, candidates = 16)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val first = served()
+    assert(first.nonEmpty && first.length == direct.length)
+    first.zip(direct).foreach { case (a, b) =>
+      assert(a.getAs[Long]("query_id") == b.getAs[Long]("query_id"))
+      assert(a.getAs[Long]("neighbor_id") == b.getAs[Long]("neighbor_id"))
+      assert(a.getAs[Double]("cosine_rq") == b.getAs[Double]("cosine_rq"))
+      assert(a.getAs[Double]("cosine") == b.getAs[Double]("cosine"))
+      assert(a.getAs[Int]("exact_hit") == b.getAs[Int]("exact_hit"))
+    }
+    // encode is a pure function of (vector, frozen codebooks): replaying
+    // an add upserts identical rows and the served search cannot move
+    Similarity.rqIndexAdd(spark, all.filter(col("vec_id") % 3 === 1), cbT, codeT)
+    val replayed = served()
+    assert(replayed.length == first.length)
+    replayed.zip(first).foreach { case (a, b) =>
+      assert(a.getAs[Long]("neighbor_id") == b.getAs[Long]("neighbor_id"))
+      assert(a.getAs[Double]("cosine_rq") == b.getAs[Double]("cosine_rq"))
+    }
+    // a wrong-sized training set must fail BEFORE any commit
+    val cbT2 = graft.stages.MergeTable.scratch(Seq("level", "ord"))
+    val codeT2 = graft.stages.MergeTable.scratch(Seq("vec_id"))
+    intercept[IllegalArgumentException] {
+      Similarity.rqIndexBuild(spark, all.filter(col("vec_id") % 2 === 0),
+        cbT2, codeT2, k1 = 8, k2 = 8, iters = 2, initIdBound = 8) // 4 even seeds ≠ 8
+    }
+    assert(cbT2.currentVersion.isEmpty && codeT2.currentVersion.isEmpty,
+      "failed validation must leave no committed version")
+  }
+
   test("nprobe report: recall monotone in nprobe, all-cells arm is the exact ceiling") {
     val rows = Similarity.ivfNprobeReport(spark, emb, numQueries = 8, k = 3,
         centroids = 4, iters = 2, nprobes = Seq(1, 2, 4))
