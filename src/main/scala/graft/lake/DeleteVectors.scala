@@ -170,39 +170,73 @@ object DeleteVectors {
 
 /** The pending-DV scan: delegates file I/O to the DSv2 parquet scan over
   * the version directory, then drops rows matching the pending delete
-  * predicates in a row-level wrapper. Deliberately minimal — no column
-  * pruning, no filter pushdown, row-based reads — because this scan only
-  * exists in the window between a DV delete and its reconcile; the lost
-  * pushdown IS the read tax the reconcile census prices.
+  * predicates in a row-level wrapper. COLUMN PRUNING survives the
+  * wrapper — the delegated scan reads the query's required columns
+  * widened by the predicate columns (needed to evaluate the deletes),
+  * and the reader projects the widened rows back to the required schema
+  * — so the read tax of the pending window is the row filter plus a few
+  * extra columns, not a full-width scan. Query-filter pushdown and
+  * columnar reads are still declined for the window's duration; the
+  * reconcile clears all of it.
   */
 private[lake] final class DvPendingScanBuilder(table: GraftTable, dataPath: String,
-                                               deleted: Expression)
-  extends ScanBuilder {
+                                               preds: Seq[Array[sources.Filter]])
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
-  override def build(): Scan = new Scan {
-    private val inner = table.parquetTable(Seq(dataPath))
-      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+  private var required: StructType = table.schema()
 
-    override def readSchema(): StructType = table.schema()
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
-    override def toBatch: Batch = new Batch {
-      private val ib = inner.toBatch
-      override def planInputPartitions(): Array[InputPartition] = ib.planInputPartitions()
-      override def createReaderFactory(): PartitionReaderFactory =
-        new DvReaderFactory(ib.createReaderFactory(), deleted)
+  override def build(): Scan = {
+    val dataSchema = table.schema()
+    // widen the delegated read by the predicate columns the wrapper needs
+    val predCols = preds.flatten.flatMap(_.references).distinct.toSet
+    val widened = StructType(required.fields ++
+      dataSchema.fields.filter(f =>
+        predCols.contains(f.name) && !required.fieldNames.contains(f.name)))
+    val innerBuilder = table.parquetTable(Seq(dataPath))
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    innerBuilder match {
+      case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        p.pruneColumns(widened)
+      case _ => ()
     }
+    val innerScan = innerBuilder.build()
+    // bind against what the delegated scan actually emits
+    val emitted = innerScan.readSchema()
+    val deleted = DeleteVectors.deletedExpr(preds, emitted)
+    val keepOrdinals = required.fields.map(f => emitted.fieldIndex(f.name))
+    val req = required
 
-    override def description(): String =
-      s"GraftDvPendingScan(${table.name()}, deleted=${deleted.sql})"
+    new Scan {
+      override def readSchema(): StructType = req
+
+      override def toBatch: Batch = new Batch {
+        private val ib = innerScan.toBatch
+        override def planInputPartitions(): Array[InputPartition] = ib.planInputPartitions()
+        override def createReaderFactory(): PartitionReaderFactory =
+          new DvReaderFactory(ib.createReaderFactory(), deleted,
+            keepOrdinals, emitted)
+      }
+
+      override def description(): String =
+        s"GraftDvPendingScan(${table.name()}, read=${req.fieldNames.mkString(",")}, " +
+          s"deleted=${deleted.sql})"
+    }
   }
 }
 
-/** Row-filtering reader wrapper. Serializable: ships the bound Catalyst
-  * expression, compiles the predicate lazily per reader on the executor.
-  * Columnar reads are declined so every row passes the predicate.
+/** Row-filtering + re-projecting reader wrapper. Serializable: ships the
+  * bound Catalyst expression and the keep ordinals; compiles the
+  * predicate and projection lazily per reader on the executor. Columnar
+  * reads are declined so every row passes the predicate.
   */
 private[lake] final class DvReaderFactory(inner: PartitionReaderFactory,
-                                          deleted: Expression)
+                                          deleted: Expression,
+                                          keepOrdinals: Array[Int],
+                                          emitted: StructType)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
@@ -211,11 +245,14 @@ private[lake] final class DvReaderFactory(inner: PartitionReaderFactory,
     val r = inner.createReader(partition)
     new PartitionReader[InternalRow] {
       private val drop = { val p = Predicate.create(deleted); p.initialize(0); p }
+      private val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(keepOrdinals.toIndexedSeq.map(i =>
+          BoundReference(i, emitted(i).dataType, emitted(i).nullable): Expression))
       private var cur: InternalRow = _
       override def next(): Boolean = {
         while (r.next()) {
           val row = r.get()
-          if (!drop.eval(row)) { cur = row; return true }
+          if (!drop.eval(row)) { cur = project(row); return true }
         }
         false
       }

@@ -126,9 +126,9 @@ final class GraftTable(tableName: String, dir: Path, tableSchema: StructType,
           s"$tableName: pending deletion-vector sidecar $dvDir carries no scan " +
             "predicates (written outside the SQL DELETE path) — run " +
             "reconcileDeletes before reading through the catalog")
-        new DvPendingScanBuilder(this,
-          dataDir(merge.currentVersion),
-          DeleteVectors.deletedExpr(preds, tableSchema))
+        // validate bindability NOW (scan build runs later, deep in planning)
+        DeleteVectors.deletedExpr(preds, tableSchema)
+        new DvPendingScanBuilder(this, dataDir(merge.currentVersion), preds)
     }
   }
 

@@ -408,6 +408,12 @@ class LakeSpec extends AnyFunSuite {
     assert(tableFiles(tn, "v4").subsetOf(v3) && tableFiles(tn, "v4").size == 3)
     assert(mt.pendingDeleteVectors.isDefined)
     // the catalog scan pays the anti-apply: aggregates, pruned projections
+    // — and column pruning survives the wrapper (the delegated read is
+    // required ∪ predicate columns, not the full width)
+    val dvScanPlan = sql(s"EXPLAIN SELECT sum(v) FROM $t")
+      .collect().head.getString(0)
+    assert(dvScanPlan.contains("GraftDvPendingScan"),
+      s"pending-DV reads must go through the DV scan:\n$dvScanPlan")
     assert(sql(s"SELECT count(*) FROM $t").collect().head.getLong(0) == 70L)
     assert(sql(s"SELECT min(k) FROM $t WHERE k >= 25 AND k < 40")
       .collect().head.getLong(0) == 25L)
