@@ -440,6 +440,49 @@ class LakeSpec extends AnyFunSuite {
     assert(sql(s"SELECT count(*), max(k) FROM $t").collect().head.toSeq == Seq(25L, 99L))
   }
 
+  test("DV filter translators agree: Column path == bound-expression path on every supported shape") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    import graft.lake.DeleteVectors
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType),
+      StructField("s", StringType, nullable = true)))
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, "alpha"), (2L, 20L, "beta"), (3L, 30L, null),
+      (4L, 40L, "alphabet"), (5L, 50L, "gamma"))
+    val df = rows.toDF("k", "v", "s")
+    val filters: Seq[Filter] = Seq(
+      EqualTo("k", 2L), EqualNullSafe("s", "beta"),
+      GreaterThan("v", 25L), GreaterThanOrEqual("v", 30L),
+      LessThan("k", 3L), LessThanOrEqual("k", 3L),
+      In("k", Array(1L, 4L)), IsNull("s"), IsNotNull("s"),
+      StringStartsWith("s", "alpha"), StringEndsWith("s", "a"),
+      StringContains("s", "et"),
+      And(GreaterThan("k", 1L), LessThan("k", 5L)),
+      Or(EqualTo("k", 1L), EqualTo("k", 5L)),
+      Not(EqualTo("k", 3L)))
+    filters.foreach { f =>
+      val colKs = df.filter(DeleteVectors.filterToColumn(f).get)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      val bound = DeleteVectors.filterToBound(f, schema).get
+      val pred = org.apache.spark.sql.catalyst.expressions.Predicate.create(bound)
+      pred.initialize(0)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema)
+      val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
+        .createSerializer()
+      val exprKs = df.collect().filter(r => pred.eval(ser(r))).map(_.getLong(0)).sorted.toSeq
+      assert(colKs == exprKs, s"translator drift on $f: column=$colKs expr=$exprKs")
+    }
+    // unsupported shape: BOTH paths must refuse, keeping the DV ladder honest
+    val alwaysTrue = org.apache.spark.sql.sources.AlwaysTrue
+    assert(DeleteVectors.filterToColumn(alwaysTrue).isEmpty ==
+      DeleteVectors.filterToBound(alwaysTrue, schema).isEmpty)
+    assert(!DeleteVectors.translatable(Array(alwaysTrue), schema))
+    assert(!DeleteVectors.translatable(Array.empty, schema))
+  }
+
   test("IS NULL delete on an evolved column drops pre-ALTER files wholesale") {
     val t = freshTable(); val tn = n
     sql(s"CREATE TABLE $t (k BIGINT)")
